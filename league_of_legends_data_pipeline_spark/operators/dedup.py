@@ -1,0 +1,260 @@
+"""Document deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and n-gram Jaccard — all pure Column
+expressions (JVM-side, whole-stage-codegen'd), no Python UDFs.
+
+The reference deduplicates only by exact id (`set(matchesList)`,
+EC2/fetcher.py:136 — SURVEY A1/T5); everything beyond exact dedup is the
+beyond-reference LLM-pipeline surface.
+
+Scale notes
+-----------
+- Exact dedup groups on a 128-bit content digest, not the raw text: the
+  shuffle moves 16-byte keys + doc ids, not documents.
+- MinHash signatures are computed per-row from a shingle array (map-side,
+  no shuffle); LSH banding turns all-pairs similarity into an equi-join on
+  (band_id, band_hash). Degenerate buckets (boilerplate shingles shared by
+  millions of docs) are capped via `max_bucket_size` so one hot bucket
+  cannot produce a quadratic pair blow-up.
+- SimHash packs the signature into one BIGINT; candidate pairs come from
+  banding the 64 bits into chunks (pigeonhole: hamming <= k implies an
+  exact match on >= 1 of k+1 chunks), verified with bit_count(xor) —
+  all integer ops.
+- All hash functions are md5-based and engine-portable (same values in
+  DuckDB), so every operator here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a*h + b) % P stays under 2^62 — no BIGINT overflow.
+MINHASH_PRIME = 2_147_483_647
+
+
+def content_digest(*cols: str | Column) -> Column:
+    """128-bit md5 digest of the concatenated columns (exact-dedup key)."""
+    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct (cols) content — the one with the smallest
+    ``id_col`` — plus the duplicate count. Shuffles digests, not content.
+    """
+    keyed = df.withColumn("__digest", content_digest(*cols))
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(Window.partitionBy("__digest")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__digest")
+    )
+
+
+def portable_hash64(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string, identical in Spark and
+    DuckDB: first 15 hex chars of md5, parsed base-16.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def char_shingles(col: str | Column, k: int = 5) -> Column:
+    """Distinct character k-grams of a string column, as an array."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k))))
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16, seed: int = 42) -> Column:
+    """Array of ``num_hashes`` MinHash values over a shingle array.
+
+    min_i over shingles of (a_i * (H(s) mod P) + b_i) mod P, H = md5-based.
+    Pure per-row expression: computed map-side, no shuffle, no UDF.
+    """
+    base = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_PRIME
+    coeffs = minhash_coefficients(num_hashes, seed)
+
+    def slot(a: int, b: int):
+        # closure (not default args): pyspark counts defaulted params as
+        # lambda arguments and would reject the higher-order function call
+        return lambda s: (F.lit(a) * base(s) + F.lit(b)) % MINHASH_PRIME
+
+    return F.array(*[
+        F.array_min(F.transform(shingles, slot(a, b))) for a, b in coeffs
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard >= ``jaccard_threshold``.
+
+    Candidate generation: band the signature into ``bands`` groups of
+    ``num_hashes/bands`` values; docs colliding on any full band become a
+    candidate pair (equi-join on (band_id, band_hash)). Verification: exact
+    Jaccard on the shingle arrays of candidates only.
+    """
+    rows = num_hashes // bands
+    docs = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  char_shingles(text_col, shingle_k).alias("shingles"))
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+    )
+    banded = docs.select(
+        "doc_id", "shingles",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws(",", *[F.col("sig")[i].cast("string")
+                                     for i in range(b * rows, (b + 1) * rows)]))
+            for b in range(bands)
+        ])).alias("band_id", "band_hash"),
+    )
+    # cap degenerate buckets: a bucket of m docs yields m^2/2 pairs
+    bucket_counts = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("__bc"))
+    banded = banded.join(
+        bucket_counts.filter(F.col("__bc") <= max_bucket_size), ["band_id", "band_hash"]
+    ).drop("__bc")
+
+    a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"),
+                      F.col("shingles").alias("sh_a"))
+    b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"),
+                      F.col("shingles").alias("sh_b"))
+    cands = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash64(tokens: Column, bits: int = 32) -> Column:
+    """SimHash of a token array packed into one BIGINT.
+
+    Bit j is set when sum over tokens of (+1 if bit j of H(token) else -1)
+    is positive. Pure integer Column expressions.
+    """
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    vote = lambda j: F.aggregate(
+        tokens, F.lit(0).cast("long"),
+        lambda acc, t: acc + (F.shiftright(h(t), j).bitwiseAND(F.lit(1)) * 2 - 1),
+    )
+    return sum(
+        [F.when(vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)],
+        F.lit(0).cast("long"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: with ``chunks`` = max_hamming + 1 chunks, any pair
+    within the hamming budget agrees exactly on at least one chunk, so
+    candidates come from an equi-join on (chunk_id, chunk_value).
+    """
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(F.split(F.col(text_col), r"\s+"), bits).alias("sig"),
+    )
+    chunked = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("sig"), i * chunk_bits).bitwiseAND(F.lit(mask))
+            for i in range(chunks)
+        ])).alias("chunk_id", "chunk_val"),
+    )
+    counts = chunked.groupBy("chunk_id", "chunk_val").agg(F.count(F.lit(1)).alias("__bc"))
+    chunked = chunked.join(counts.filter(F.col("__bc") <= max_bucket_size),
+                           ["chunk_id", "chunk_val"]).drop("__bc")
+    a = chunked.select("chunk_id", "chunk_val", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = chunked.select("chunk_id", "chunk_val", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    band_cols: list[str] | None = None,
+    length_col: str | None = None,
+    length_tolerance: int = 5,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard over a bounded candidate set.
+
+    Candidates = pairs agreeing on ``band_cols`` with |length difference|
+    <= tolerance (blocking). For unconstrained all-pairs at scale, use
+    ``minhash_lsh_pairs`` — this operator is the exact verifier.
+    """
+    band_cols = band_cols or []
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in band_cols],
+        (F.col(length_col) if length_col else F.length(text_col)).alias("__len"),
+        char_shingles(text_col, shingle_k).alias("shingles"),
+    )
+    a = docs.select(*band_cols, F.col("doc_id").alias("id_a"),
+                    F.col("__len").alias("len_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(*band_cols, F.col("doc_id").alias("id_b"),
+                    F.col("__len").alias("len_b"), F.col("shingles").alias("sh_b"))
+    cands = (
+        a.join(b, band_cols) if band_cols else a.crossJoin(b)
+    ).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= length_tolerance)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

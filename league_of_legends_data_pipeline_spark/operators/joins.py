@@ -1,0 +1,131 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and range
+join, both implemented as compositions of DataFrame ops that scale.
+
+The reference's data model implies both (SURVEY §2.5: "time-series analysis
+of timeline_data naturally invites an as-of join — puuid frame at time t vs
+rank") but never implements them; these are the Spark-first realizations.
+
+Scale notes
+-----------
+- ``asof_join`` is the union-sort algorithm: tag both sides, one shuffle on
+  the key, one window pass carrying the most recent right row forward. No
+  cross product, no per-key collect; state per partition is one struct.
+  At 100 TB this is a single sort-shuffle — the same cost as a sort-merge
+  join, with skew handled by AQE.
+- ``range_join`` avoids Spark's O(n*m) broadcast-nested-loop fallback for
+  inequality joins by bucketing time into fixed-width buckets and expanding
+  the probe side to the covering bucket range (a small constant factor),
+  turning the theta join into an equi-join + residual filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    how: str = "left",
+    tolerance: Column | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` sharing the join key(s).
+
+    Parameters
+    ----------
+    on: equality key column name(s) shared by both sides.
+    right_cols: right columns to carry over (default: all non-key,
+        non-ts columns). Carried inside one struct so a right row whose
+        payload is NULL still matches.
+    how: 'left' keeps unmatched left rows (right cols NULL); 'inner' drops.
+    tolerance: optional Column (e.g. ``F.expr("INTERVAL 7 DAYS")``);
+        matches older than ``left_ts - tolerance`` are nulled out.
+    right_tiebreak: column ordering ties when several right rows share one
+        timestamp — the greatest value wins (deterministic results).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+
+    payload = F.struct(F.col(right_ts).alias("__matched_ts"),
+                       *[F.col(c) for c in right_cols])
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias("__tie"),
+        payload.alias("__payload"),
+    ).withColumn("__side", F.lit(0))
+
+    l = left.select("*", F.col(left_ts).alias("__ts")) \
+            .withColumn("__tie", F.lit(None).cast(r.schema["__tie"].dataType)) \
+            .withColumn("__payload", F.lit(None).cast(r.schema["__payload"].dataType)) \
+            .withColumn("__side", F.lit(1))
+
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows (__side=0) sort before left rows at equal ts, so a right row
+    # AT the left timestamp is visible (inclusive <=); among right ties the
+    # greatest __tie sorts last and wins the `last()`.
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    matched = F.last("__payload", ignorenulls=True).over(w)
+    out = u.withColumn("__match", matched).filter(F.col("__side") == 1)
+
+    if tolerance is not None:
+        out = out.withColumn(
+            "__match",
+            F.when(F.col("__match.__matched_ts") >= F.col("__ts").cast("timestamp") - tolerance,
+                   F.col("__match")),
+        )
+    if how == "inner":
+        out = out.filter(F.col("__match").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+
+    for c in right_cols:
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    out = out.withColumn("matched_ts", F.col("__match.__matched_ts"))
+    return out.drop("__ts", "__tie", "__payload", "__side", "__match")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    lookback_seconds: int,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Equi-key join with a time-range predicate
+    ``left_ts - lookback <= right_ts <= left_ts``, executed as a bucketed
+    equi-join instead of a nested-loop theta join.
+
+    Returns the joined rows (inner); aggregate downstream as needed.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    w = bucket_seconds or max(lookback_seconds, 1)
+
+    r = right.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(right_ts)) / w))
+    # cover [left_ts - lookback, left_ts]; -1 guards sub-second truncation
+    lo = F.floor((F.unix_timestamp(F.col(left_ts)) - F.lit(lookback_seconds)) / w) - 1
+    hi = F.floor(F.unix_timestamp(F.col(left_ts)) / w)
+    l = left.withColumn("__bucket", F.explode(F.sequence(lo, hi)))
+
+    joined = l.join(r, keys + ["__bucket"]).drop("__bucket")
+    return joined.filter(
+        (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.make_interval(secs=F.lit(lookback_seconds)))
+    )

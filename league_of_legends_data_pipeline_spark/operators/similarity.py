@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the LLM-pipeline requirement:
+- ``cosine_topk``: brute-force exact top-k — the baseline. O(N*Q): the
+  query set is broadcast, the corpus is scanned once, dot products run as
+  JVM higher-order functions (zip_with/aggregate), top-k via per-query
+  window. Correct at any N; cost scales linearly in corpus size so it's
+  the right tool when Q is small (the common "probe set" case).
+- ``ann_lsh_topk``: approximate scale path — random-hyperplane (sign) LSH
+  buckets; only same-bucket (or neighboring-probe) candidates are scored.
+  Deterministic hyperplanes from a seeded generator, so results are
+  reproducible. Recall/cost is tuned by (num_planes, num_tables).
+
+No Python UDFs: all arithmetic is Column expressions; at 100 TB the only
+shuffle is the equi-join on bucket ids.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two numeric arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors in ``corpus`` for each row of
+    ``queries``. Returns (query_id, neighbor_id, rank, cosine).
+
+    The query side is broadcast; ties broken by neighbor id ascending.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+
+    pairs = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        F.round(dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = (vec . plane_i) >= 0, packed into a long."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    return sum(bits, F.lit(0).cast("long"))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k cosine via multi-table sign-LSH.
+
+    Each table hashes with its own hyperplanes; candidates = union over
+    tables of same-bucket pairs; exact cosine re-ranks candidates. Returns
+    (query_id, neighbor_id, rank, cosine) — rank within retrieved set.
+    """
+    def bucketize(df: DataFrame, prefix: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        buckets = F.array(*[
+            lsh_bucket(v, hyperplanes(dim, num_planes, seed + t)) for t in range(num_tables)
+        ])
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            v.alias(f"__{prefix}v"),
+            F.posexplode(buckets).alias("table_id", "bucket"),
+        )
+
+    c = bucketize(corpus, "neighbor")
+    q = bucketize(queries, "query")
+    cands = (
+        c.join(q, ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(
+            dot(F.col("__neighborv"), F.col("__queryv"))
+            / (l2_norm(F.col("__neighborv")) * l2_norm(F.col("__queryv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines: tokenization stats,
+quality scoring, heuristic language ID, and document fingerprinting.
+
+All pure Column expressions (JVM-side); the only state is small literal
+stopword arrays baked into the plan. Engine-portable hashes (md5 / rolling
+polynomial) so every operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the heuristic language scorer
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "de", "et", "un", "en", "est"],
+    "es": ["el", "la", "de", "y", "un", "en", "es"],
+    "de": ["der", "die", "das", "und", "ein", "in", "ist"],
+    "zh": ["de", "shi", "he", "zai", "le", "you"],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (empty strings dropped)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(toks: Column, stopwords: list[str]) -> Column:
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))) / \
+        F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Heuristic quality in [0,1]: average of
+    - length score: min(1, n_tokens / 50)
+    - alpha ratio: fraction of alphanumeric+space characters
+    - mean token length score: min(1, avg_len / 8)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks)
+    length_score = F.least(F.lit(1.0), n / F.lit(50.0))
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z0-9 ]", ""))
+    alpha_ratio = alpha / F.greatest(F.length(c), F.lit(1))
+    avg_tok = F.length(F.concat_ws("", toks)) / F.greatest(n, F.lit(1))
+    tok_score = F.least(F.lit(1.0), avg_tok / F.lit(8.0))
+    return F.round((length_score + alpha_ratio + tok_score) / 3, 6)
+
+
+def language_scores(col: str | Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit ratio columns (heuristic language ID)."""
+    toks = tokens(col)
+    return [(lang, F.round(stopword_ratio(toks, sw), 6)) for lang, sw in sorted(STOPWORDS.items())]
+
+
+def predicted_language(col: str | Column) -> Column:
+    """argmax language by stopword ratio; ties broken by language name
+    (alphabetical, first wins) — deterministic.
+    """
+    scores = language_scores(col)
+    out = None
+    for lang, s in scores:  # alphabetical; strict > keeps the first max
+        if out is None:
+            out = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        else:
+            out = F.when(s > out["score"],
+                         F.struct(s.alias("score"), F.lit(lang).alias("lang"))).otherwise(out)
+    return out["lang"]
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Polynomial rolling hash over the characters:
+    h = fold(h*31 + ascii(ch)) mod 1e9+7. Portable (same in DuckDB).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    return F.aggregate(
+        F.filter(chars, lambda ch: ch != ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * FINGERPRINT_BASE + F.ascii(ch)) % FINGERPRINT_MOD,
+    )
+
+
+def document_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document stat projection: token count, char count, quality,
+    predicted language, fingerprint."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_actual"),
+        quality_score(text_col).alias("quality"),
+        predicted_language(text_col).alias("pred_lang"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -184,15 +184,20 @@ def q05_dim_snowflake_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+    )
     ORDER BY c_custkey
     """,
-    doc="Set remainder as anti-join (SURVEY J4/U3: leftover matchlist).",
+    doc="Set remainder as anti-join (SURVEY J4/U3: leftover matchlist = "
+        "ids with no processed high-value order).",
 )
 def q06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders = _t(spark, sf_dir, "customer", "orders")
+    big_orders = orders.filter(F.col("o_totalprice") > 150000)
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     )
@@ -355,4 +360,739 @@ def q12_ordered_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.orderBy(F.col("c_acctbal").desc(), "c_custkey")
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C/F/P. Scalar functions, predicates, projections (SURVEY §2.3, §2.4, §2.10)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q13_event_time_parts",
+    """
+    SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           strftime(ts, '%Y-%m-%d') AS iso_date,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    ORDER BY y, m, d
+    """,
+    doc="Event-time date parts for hive partitioning (SURVEY C2/K3: "
+        "year=/month=/day= keys derived from in-data realTimestamp).",
+)
+def q13_event_time_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.year("ts").alias("y"), F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("d"),
+            F.date_format("ts", "yyyy-MM-dd").alias("iso_date"),
+        )
+        .groupBy("y", "m", "d", "iso_date")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m", "d")
+    )
+
+
+@_register(
+    "q14_epoch_normalize",
+    """
+    -- ms-vs-s heuristic from the reference (Utils/S3.py:154-172): epochs
+    -- > 1e10 are milliseconds, divide by 1000 before converting.
+    WITH raw AS (
+        -- floor(epoch()): DuckDB's epoch() keeps fractional seconds,
+        -- Spark's unix_timestamp truncates.
+        SELECT event_id,
+               CAST(CASE WHEN event_id % 2 = 0
+                    THEN floor(epoch(ts)) * 1000 + 137  -- ms-scale epoch
+                    ELSE floor(epoch(ts)) END AS BIGINT) AS raw_epoch
+        FROM events
+    )
+    SELECT event_id, raw_epoch,
+           CAST(CASE WHEN raw_epoch > 10000000000
+                THEN raw_epoch // 1000 ELSE raw_epoch END AS BIGINT) AS epoch_s,
+           to_timestamp(CASE WHEN raw_epoch > 10000000000
+                THEN raw_epoch // 1000 ELSE raw_epoch END)::TIMESTAMP AS event_ts
+    FROM raw
+    ORDER BY event_id
+    """,
+    doc="Epoch ms/s disambiguation (SURVEY C1, Utils/S3.py:154-172).",
+)
+def q14_epoch_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    raw = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 2 == 0, F.unix_timestamp("ts") * 1000 + 137)
+         .otherwise(F.unix_timestamp("ts")).cast("long").alias("raw_epoch"),
+    )
+    epoch_s = F.when(F.col("raw_epoch") > 10_000_000_000, F.expr("raw_epoch div 1000")) \
+               .otherwise(F.col("raw_epoch")).cast("long")
+    return (
+        raw.withColumn("epoch_s", epoch_s)
+           .withColumn("event_ts", F.to_timestamp(F.from_unixtime("epoch_s")))
+           .orderBy("event_id")
+    )
+
+
+@_register(
+    "q15_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS DOUBLE) AS avg_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="JSON parse of a string payload column (SURVEY C10/P1: raw JSON "
+        "retained in bronze, extracted relationally).",
+)
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q16_prefix_strip_cast",
+    """
+    -- 'src0' → 0: first-occurrence prefix strip + cast, the reference's
+    -- challenges_/missions_ rename (P4) and NA1_ id slice (C9).
+    SELECT CAST(regexp_replace(source, '^src', '') AS BIGINT) AS source_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY source_id
+    """,
+    doc="Prefix strip + substring cast (SURVEY P4/C5/C9).",
+)
+def q16_prefix_strip_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            F.regexp_replace("source", "^src", "").cast("long").alias("source_id"),
+            "n_chars",
+        )
+        .groupBy("source_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy("source_id")
+    )
+
+
+@_register(
+    "q17_case_classification",
+    """
+    -- when/otherwise ladder: the reference's HTTP status-class routing (F3)
+    -- and error-row substitution (P12) as a relational classification.
+    SELECT CASE
+             WHEN event_type = 'error' THEN 'failed'
+             WHEN value >= 75 THEN 'high'
+             WHEN value >= 25 THEN 'mid'
+             ELSE 'low'
+           END AS bucket,
+           count(*) AS n,
+           CAST(round(avg(value), 6) AS DOUBLE) AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    doc="Predicate ladder classification (SURVEY F3/F8/P12).",
+)
+def q17_case_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("event_type") == "error", "failed")
+        .when(F.col("value") >= 75, "high")
+        .when(F.col("value") >= 25, "mid")
+        .otherwise("low")
+    )
+    return (
+        events.select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("bucket")
+    )
+
+
+@_register(
+    "q18_static_pivot",
+    """
+    -- static positional pivot (SURVEY P2: perk slots → named columns).
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Static pivot to named columns (SURVEY P2 perk pivot).",
+)
+def q18_static_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    aggs = [
+        F.count(F.when(F.col("event_type") == k, 1)).alias(f"n_{k}")
+        for k in kinds
+    ]
+    return events.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+@_register(
+    "q19_cube_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Cube / grouping sets (beyond-reference, free in Spark; SURVEY §2.6).",
+)
+def q19_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(),
+                 F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@_register(
+    "q20_percentiles",
+    """
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.5), 6) AS DOUBLE)  AS p50,
+           CAST(round(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95,
+           CAST(round(min(value), 6) AS DOUBLE) AS vmin,
+           CAST(round(max(value), 6) AS DOUBLE) AS vmax
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (gold-layer stats).",
+)
+def q20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q21_tumbling_window",
+    """
+    -- tumbling event-time window aggregation (SURVEY T7); 6-hour buckets.
+    SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Tumbling event-time windows (SURVEY T7; streaming-compatible agg).",
+)
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (SURVEY §2.5 extension: as-of / range)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q22_asof_join",
+    """
+    -- for each purchase, the latest click (by ts, tiebreak event_id) of the
+    -- same user at-or-before the purchase. Standard row_number formulation.
+    SELECT purchase_id, user_id, last_click_id,
+           CAST(round(last_click_value, 6) AS DOUBLE) AS last_click_value
+    FROM (
+        SELECT p.event_id AS purchase_id, p.user_id,
+               c.event_id AS last_click_id, c.value AS last_click_value,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC, c.event_id DESC) AS rn
+        FROM events p
+        JOIN events c ON c.user_id = p.user_id AND c.event_type = 'click'
+                     AND c.ts <= p.ts
+        WHERE p.event_type = 'purchase'
+    ) WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+    doc="As-of join (backward): union-sort algorithm, one shuffle, no cross "
+        "product (operators/joins.py asof_join). The gold-layer analogue of "
+        "'player frame at time t vs latest rank' (SURVEY §2.5).",
+)
+def q22_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("last_click_id"),
+        F.col("value").alias("last_click_value"),
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["last_click_id", "last_click_value"],
+        how="inner", right_tiebreak="last_click_id",
+    )
+    return (
+        out.select(
+            "purchase_id", "user_id", "last_click_id",
+            F.round("last_click_value", 6).alias("last_click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@_register(
+    "q23_range_join",
+    """
+    -- click activity in the 24h window ending at each purchase, same user.
+    SELECT p.event_id AS purchase_id,
+           count(*) AS n_recent_clicks,
+           CAST(round(sum(c.value), 6) AS DOUBLE) AS recent_click_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 24 HOURS
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    ORDER BY purchase_id
+    """,
+    doc="Range join via time-bucketed equi-join (operators/joins.py "
+        "range_join) — avoids the O(n*m) nested-loop theta join.",
+)
+def q23_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import range_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    joined = range_join(purchases, clicks, on="user_id", left_ts="p_ts",
+                        right_ts="ts", lookback_seconds=24 * 3600,
+                        bucket_seconds=24 * 3600)
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_recent_clicks"),
+             F.round(F.sum("value"), 6).alias("recent_click_value"))
+        .orderBy("purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (LLM-pipeline operators; SURVEY A1/T5 generalized)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q24_exact_dedup",
+    """
+    -- exact dedup on a 16-byte content digest: keep smallest doc_id.
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_dups
+    FROM documents
+    GROUP BY md5(concat_ws(chr(31), text, lang))
+    ORDER BY doc_id
+    """,
+    doc="Exact dedup by content digest (operators/dedup.py exact_dedup); "
+        "shuffles digests, not documents.",
+)
+def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import content_digest
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.withColumn("__digest", content_digest("text", "lang"))
+        .groupBy("__digest")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .drop("__digest")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q25_ngram_jaccard",
+    """
+    -- exact 3-gram Jaccard over blocked candidate pairs (same lang,
+    -- |n_chars delta| <= 5), pairs with similarity >= 0.3.
+    WITH sh AS (
+        SELECT doc_id, lang, n_chars,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - 2, 1) + 1),
+                   i -> substr(text, CAST(i AS INT), 3))) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(round(
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS DOUBLE) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 5
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc="N-gram Jaccard near-dup with blocking (operators/dedup.py "
+        "ngram_jaccard_pairs).",
+)
+def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(
+            documents, "doc_id", "text",
+            shingle_k=3, band_cols=["lang"], length_col="n_chars",
+            length_tolerance=5, threshold=0.3,
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@_register(
+    "q26_minhash_band_sketch",
+    """
+    -- MinHash signatures are engine-portable (md5-based hashing): verify the
+    -- per-document first-band sketch agrees bit-for-bit.
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - 4, 1) + 1),
+                   i -> substr(text, CAST(i AS INT), 5))) AS shingles
+        FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles,
+               s -> (1373158607 * (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                                   % 2147483647) + 239081663) % 2147483647)) AS mh0,
+           list_min(list_transform(shingles,
+               s -> (53710185 * (CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                                 % 2147483647) + 1592467581) % 2147483647)) AS mh1
+    FROM sh
+    ORDER BY doc_id
+    """,
+    doc="MinHash signature parity (operators/dedup.py minhash_signature): "
+        "first two hash slots, seed=42 coefficients.",
+)
+def q26_minhash_band_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        char_shingles, minhash_signature,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sig = minhash_signature(char_shingles("text", 5), num_hashes=2, seed=42)
+    return (
+        documents.select(
+            "doc_id",
+            sig[0].alias("mh0"),
+            sig[1].alias("mh1"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search + text analysis (LLM-pipeline operators)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q27_knn_cosine",
+    """
+    -- exact top-5 cosine neighbors for query vectors vec_id < 10.
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, len(q.e) + 1),
+                     i -> q.e[CAST(i AS INT)] * c.e[CAST(i AS INT)]))
+                     / (q.nrm * c.nrm), 6) AS cosine
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           CAST(cosine AS DOUBLE) AS cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="Brute-force exact cosine top-k (operators/similarity.py "
+        "cosine_topk): broadcast query set, one corpus scan, JVM-side "
+        "higher-order-function arithmetic.",
+)
+def q27_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import cosine_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(
+        corpus=embeddings,
+        queries=embeddings.filter(F.col("vec_id") < 10),
+        id_col="vec_id", vec_col="embedding", k=5,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+@_register(
+    "q28_token_stats",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens,
+               length(text) AS n_chars_actual
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(tokens)) AS BIGINT) AS total_tokens,
+           CAST(round(avg(len(tokens)), 6) AS DOUBLE) AS avg_tokens,
+           CAST(round(avg(CAST(n_chars_actual AS DOUBLE) / len(tokens)), 6) AS DOUBLE)
+               AS avg_chars_per_token
+    FROM toks
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Whitespace tokenization stats per language (operators/text.py "
+        "tokens/token_count).",
+)
+def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "lang",
+            token_count("text").alias("n_toks"),
+            F.length("text").alias("n_chars_actual"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_chars_actual").cast("double") / F.col("n_toks")), 6)
+             .alias("avg_chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "q29_quality_fingerprint",
+    """
+    -- quality score (length/alpha/token-length heuristic) + rolling-hash
+    -- fingerprint; both portable arithmetic, bit-exact across engines.
+    WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(round((
+               least(1.0, len(tokens) / 50.0)
+               + CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1)
+               + least(1.0, (CAST(length(list_aggregate(tokens, 'string_agg', '')) AS DOUBLE)
+                             / greatest(len(tokens), 1)) / 8.0)
+           ) / 3, 6) AS DOUBLE) AS quality,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % 1000000007) AS BIGINT) AS fp
+    FROM toks
+    ORDER BY doc_id
+    """,
+    doc="Quality scoring + polynomial rolling-hash fingerprint "
+        "(operators/text.py quality_score/fingerprint).",
+)
+def q29_quality_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import fingerprint, quality_score
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            fingerprint("text").alias("fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q30_lang_id",
+    """
+    -- heuristic language ID: stopword-hit ratio per language, argmax with
+    -- alphabetical tiebreak; compared against the labeled lang column.
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_transform(
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+                   t -> lower(t)) AS tokens
+        FROM documents
+    ), scores AS (
+        SELECT doc_id, lang,
+            CAST(len(list_filter(tokens, t -> list_contains(['der','die','das','und','ein','in','ist'], t))) AS DOUBLE) / greatest(len(tokens), 1) AS s_de,
+            CAST(len(list_filter(tokens, t -> list_contains(['the','a','of','and','to','in','is'], t))) AS DOUBLE) / greatest(len(tokens), 1) AS s_en,
+            CAST(len(list_filter(tokens, t -> list_contains(['el','la','de','y','un','en','es'], t))) AS DOUBLE) / greatest(len(tokens), 1) AS s_es,
+            CAST(len(list_filter(tokens, t -> list_contains(['le','la','de','et','un','en','est'], t))) AS DOUBLE) / greatest(len(tokens), 1) AS s_fr,
+            CAST(len(list_filter(tokens, t -> list_contains(['de','shi','he','zai','le','you'], t))) AS DOUBLE) / greatest(len(tokens), 1) AS s_zh
+        FROM toks
+    )
+    SELECT lang, pred_lang, count(*) AS n
+    FROM (
+        SELECT lang,
+               CASE
+                 WHEN s_en > s_de AND s_en > s_es AND s_en > s_fr AND s_en > s_zh THEN 'en'
+                 WHEN s_es > s_de AND s_es > s_fr AND s_es > s_zh AND s_es >= s_en THEN
+                   CASE WHEN s_es > s_en THEN 'es' ELSE 'en' END
+                 ELSE (
+                   -- generic argmax, alphabetical first-wins: fold in order
+                   CASE WHEN s_en > s_de THEN
+                     CASE WHEN s_es > s_en THEN
+                       CASE WHEN s_fr > s_es THEN CASE WHEN s_zh > s_fr THEN 'zh' ELSE 'fr' END
+                            ELSE CASE WHEN s_zh > s_es THEN 'zh' ELSE 'es' END END
+                     ELSE
+                       CASE WHEN s_fr > s_en THEN CASE WHEN s_zh > s_fr THEN 'zh' ELSE 'fr' END
+                            ELSE CASE WHEN s_zh > s_en THEN 'zh' ELSE 'en' END END
+                     END
+                   ELSE
+                     CASE WHEN s_es > s_de THEN
+                       CASE WHEN s_fr > s_es THEN CASE WHEN s_zh > s_fr THEN 'zh' ELSE 'fr' END
+                            ELSE CASE WHEN s_zh > s_es THEN 'zh' ELSE 'es' END END
+                     ELSE
+                       CASE WHEN s_fr > s_de THEN CASE WHEN s_zh > s_fr THEN 'zh' ELSE 'fr' END
+                            ELSE CASE WHEN s_zh > s_de THEN 'zh' ELSE 'de' END END
+                     END
+                   END
+                 )
+               END AS pred_lang
+        FROM scores
+    )
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+    doc="Heuristic language ID (operators/text.py predicted_language): "
+        "stopword-ratio argmax, alphabetical first-wins tiebreak.",
+)
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import predicted_language
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select("lang", predicted_language("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@_register(
+    "q31_regression_slope",
+    """
+    -- np.polyfit(creationTime, gameId, 1) analogue (SURVEY A4, dsa.ipynb
+    -- cell 4): least-squares slope/intercept of value vs day-of-month.
+    SELECT event_type,
+           CAST(round(regr_slope(value, CAST(day(ts) AS DOUBLE)), 6) AS DOUBLE) AS slope,
+           CAST(round(regr_intercept(value, CAST(day(ts) AS DOUBLE)), 6) AS DOUBLE) AS intercept,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Linear regression over a scan (SURVEY A4): covar/var formulation, "
+        "single-pass distributed aggregation.",
+)
+def q31_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    x = F.dayofmonth("ts").cast("double")
+    return (
+        events.select("event_type", x.alias("x"), F.col("value").alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "q32_token_explode",
+    """
+    -- U2-style array explode → rows → top-20 token frequencies.
+    SELECT token, count(*) AS freq
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+        FROM documents
+    )
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+    doc="Array explode to rows (SURVEY U2/P6: frames.events flatten, "
+        "map→rows) + top-k frequency.",
+)
+def q32_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(20)
     )
