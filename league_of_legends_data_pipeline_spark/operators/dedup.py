@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 MINHASH_PRIME = 2_147_483_647
 
 
+def _par(df: DataFrame) -> int:
+    """Explicit partition count for compute-spreading repartitions.
+
+    A column-only ``repartition(col)`` is fair game for AQE partition
+    coalescing, which collapses small-but-compute-heavy stages back to one
+    task; an explicit count is not coalesced.
+    """
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def content_digest(*cols: str | Column) -> Column:
     """128-bit md5 digest of the concatenated columns (exact-dedup key)."""
     parts = [F.col(c) if isinstance(c, str) else c for c in cols]
@@ -118,15 +128,32 @@ def minhash_lsh_pairs(
     Jaccard on the shingle arrays of candidates only.
     """
     rows = num_hashes // bands
-    docs = (
-        df.select(F.col(id_col).alias("doc_id"),
-                  char_shingles(text_col, shingle_k).alias("shingles"))
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
-    )
-    banded = docs.select(
-        "doc_id", "shingles",
+    # Three stages separated by exchanges, each chosen for what it shuffles
+    # and where the heavy compute lands:
+    #  1. exchange RAW text (small rows) — spreads a single input file
+    #     across the cluster;
+    #  2. one md5 per shingle → 60-bit long array `hm` (the only expensive
+    #     hashing, done exactly once, in parallel);
+    #  3. exchange the compact long arrays, then derive all num_hashes
+    #     min-slots + bands from `hm` with cheap integer arithmetic.
+    # Without the exchanges Catalyst would inline the shingle+md5 subtree
+    # into every one of the num_hashes slots (projection collapse).
+    raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")) \
+            .repartition(_par(df), "doc_id")
+    hashed = raw.select(
+        "doc_id",
+        F.transform(char_shingles("__text", shingle_k), portable_hash64).alias("hm"),
+    ).repartition(_par(df), "doc_id")
+
+    def slot(a: int, b: int):
+        return lambda h: (F.lit(a) * (h % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME
+
+    coeffs = minhash_coefficients(num_hashes, seed)
+    sig = F.array(*[F.array_min(F.transform(F.col("hm"), slot(a, b))) for a, b in coeffs])
+    banded = hashed.select(
+        "doc_id", "hm",
         F.posexplode(F.array(*[
-            F.md5(F.concat_ws(",", *[F.col("sig")[i].cast("string")
+            F.md5(F.concat_ws(",", *[sig[i].cast("string")
                                      for i in range(b * rows, (b + 1) * rows)]))
             for b in range(bands)
         ])).alias("band_id", "band_hash"),
@@ -137,20 +164,27 @@ def minhash_lsh_pairs(
         bucket_counts.filter(F.col("__bc") <= max_bucket_size), ["band_id", "band_hash"]
     ).drop("__bc")
 
+    # exact Jaccard verified on the hashed shingle arrays: identical to
+    # string-shingle Jaccard up to 60-bit hash collisions (~2^-61 per pair)
+    # and far cheaper to intersect/carry.
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"),
-                      F.col("shingles").alias("sh_a"))
+                      F.col("hm").alias("sh_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"),
-                      F.col("shingles").alias("sh_b"))
+                      F.col("hm").alias("sh_b"))
     cands = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # alias the intersection before filtering so the pushed-down condition
+    # evaluates array_intersect once per pair, and downstream ops move ints,
+    # not shingle arrays
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sizes = F.size("sh_a") + F.size("sh_b")
     return (
-        cands.withColumn("jaccard", inter / union)
+        cands.select("id_a", "id_b", inter.alias("__i"), sizes.alias("__s"))
+        .withColumn("jaccard", F.col("__i") / (F.col("__s") - F.col("__i")))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -235,26 +269,49 @@ def ngram_jaccard_pairs(
     ``minhash_lsh_pairs`` — this operator is the exact verifier.
     """
     band_cols = band_cols or []
-    docs = df.select(
+    # Order of operations matters for both parallelism and shuffle bytes:
+    # exchange the RAW text first (small rows; spreads a single input file
+    # across the cluster), and compute the shingle arrays after the exchange
+    # so they are never serialized through a shuffle. Both join sides derive
+    # from the same exchange (ReuseExchange dedupes it).
+    raw = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in band_cols],
         (F.col(length_col) if length_col else F.length(text_col)).alias("__len"),
-        char_shingles(text_col, shingle_k).alias("shingles"),
+        F.col(text_col).alias("__text"),
+    ).repartition(_par(df), "doc_id")
+    docs = raw.select(
+        "doc_id", *band_cols, "__len",
+        char_shingles("__text", shingle_k).alias("shingles"),
     )
-    a = docs.select(*band_cols, F.col("doc_id").alias("id_a"),
-                    F.col("__len").alias("len_a"), F.col("shingles").alias("sh_a"))
+    # Length bucketing folds the |len_a - len_b| <= tol predicate into the
+    # equi-join key: the build row sits in bucket floor(len/w); the probe row
+    # checks buckets -1/0/+1 — every qualifying pair meets in exactly one
+    # bucket, and the hash lookup prunes non-candidates instead of the join
+    # condition evaluating per same-band pair.
+    w = max(length_tolerance, 1)
+    a = docs.select(
+        *band_cols, F.col("doc_id").alias("id_a"),
+        F.col("__len").alias("len_a"), F.col("shingles").alias("sh_a"),
+        F.explode(F.array(*[F.floor(F.col("__len") / w) + d for d in (-1, 0, 1)]))
+         .alias("__lb"),
+    )
     b = docs.select(*band_cols, F.col("doc_id").alias("id_b"),
-                    F.col("__len").alias("len_b"), F.col("shingles").alias("sh_b"))
-    cands = (
-        a.join(b, band_cols) if band_cols else a.crossJoin(b)
-    ).filter(
+                    F.col("__len").alias("len_b"), F.col("shingles").alias("sh_b"),
+                    F.floor(F.col("__len") / w).alias("__lb"))
+    cands = a.join(b, band_cols + ["__lb"]).filter(
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= length_tolerance)
     )
+    # alias the intersection before filtering: `jaccard = i/(s_a+s_b-i)`
+    # mentions the intersect twice; filtering on the raw expression would
+    # push BOTH copies into the join condition. With the alias the pushed
+    # condition evaluates array_intersect once per candidate pair.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
+    sizes = F.size("sh_a") + F.size("sh_b")
     return (
-        cands.withColumn("jaccard", inter / union)
+        cands.select("id_a", "id_b", inter.alias("__i"), sizes.alias("__s"))
+        .withColumn("jaccard", F.col("__i") / (F.col("__s") - F.col("__i")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -23,6 +23,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _par(df: DataFrame) -> int:
+    """Explicit partition count (AQE does not coalesce explicit-count
+    repartitions, unlike column-only ones)."""
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -50,7 +56,9 @@ def cosine_topk(
 
     The query side is broadcast; ties broken by neighbor id ascending.
     """
-    c = corpus.select(
+    # repartition: the query side broadcasts, so without this the scoring
+    # loop would run in as few tasks as the corpus has input files
+    c = corpus.repartition(_par(corpus), F.col(id_col)).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
     ).withColumn("__cn", l2_norm(F.col("__cv")))

@@ -66,16 +66,21 @@ def language_scores(col: str | Column) -> list[tuple[str, Column]]:
 def predicted_language(col: str | Column) -> Column:
     """argmax language by stopword ratio; ties broken by language name
     (alphabetical, first wins) — deterministic.
+
+    Implemented as array_max over (score, -index) structs: each score
+    expression appears exactly once in the plan. (A nested when/otherwise
+    fold duplicates every prior subtree twice per level — 2^n expression
+    blow-up that Catalyst does not dedupe.)
     """
     scores = language_scores(col)
-    out = None
-    for lang, s in scores:  # alphabetical; strict > keeps the first max
-        if out is None:
-            out = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-        else:
-            out = F.when(s > out["score"],
-                         F.struct(s.alias("score"), F.lit(lang).alias("lang"))).otherwise(out)
-    return out["lang"]
+    langs = [lang for lang, _ in scores]
+    best = F.array_max(F.array(*[
+        F.struct(s.alias("score"), F.lit(-i).alias("neg_idx"))
+        for i, (_, s) in enumerate(scores)
+    ]))
+    # highest score wins; on ties the larger neg_idx = smaller index =
+    # alphabetically-first language (matches a strict-> first-wins fold)
+    return F.element_at(F.array(*[F.lit(l) for l in langs]), -best["neg_idx"] + 1)
 
 
 def fingerprint(col: str | Column) -> Column:

@@ -824,9 +824,14 @@ def q26_minhash_band_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
+    # exchange the raw text first: spreads a single input file across the
+    # cluster so the md5-heavy signature computation runs in parallel, and
+    # the shuffle carries small text rows rather than shingle arrays
+    pre = documents.select("doc_id", "text") \
+                   .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sig = minhash_signature(char_shingles("text", 5), num_hashes=2, seed=42)
     return (
-        documents.select(
+        pre.select(
             "doc_id",
             sig[0].alias("mh0"),
             sig[1].alias("mh1"),
