@@ -201,8 +201,12 @@ def simhash64(tokens: Column, bits: int = 32) -> Column:
         tokens, F.lit(0).cast("long"),
         lambda acc, t: acc + (F.shiftright(h(t), j).bitwiseAND(F.lit(1)) * 2 - 1),
     )
+    # shiftleft, not lit(1 << j): bit 63 as a Python int overflows a JVM
+    # long literal; the JVM-side shift wraps into the sign bit correctly
     return sum(
-        [F.when(vote(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)],
+        [F.when(vote(j) > 0,
+                F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
+         for j in range(bits)],
         F.lit(0).cast("long"),
     )
 

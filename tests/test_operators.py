@@ -1,0 +1,163 @@
+"""Unit tests for the operator library against hand-computed oracles."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark.operators.dedup import (
+    exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash64,
+)
+from league_of_legends_data_pipeline_spark.operators.joins import asof_join, range_join
+from league_of_legends_data_pipeline_spark.operators.similarity import cosine_topk
+from league_of_legends_data_pipeline_spark.operators.text import (
+    fingerprint, predicted_language, quality_score, token_count,
+)
+
+
+# --- temporal joins --------------------------------------------------------
+
+def _events(spark):
+    rows = [
+        # (key, ts, id, v)
+        ("u1", "2024-01-01 10:00:00", 1, 1.0),
+        ("u1", "2024-01-01 11:00:00", 2, 2.0),
+        ("u1", "2024-01-01 11:00:00", 3, 3.0),  # tie on ts
+        ("u2", "2024-01-01 09:00:00", 4, 4.0),
+    ]
+    return spark.createDataFrame(rows, ["k", "ts_s", "rid", "v"]) \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+
+
+def test_asof_join_backward_inclusive_and_ties(spark):
+    left = spark.createDataFrame(
+        [("u1", "2024-01-01 10:30:00", "a"),
+         ("u1", "2024-01-01 11:00:00", "b"),   # equal ts → right visible
+         ("u1", "2024-01-01 09:00:00", "c"),   # before all → no match
+         ("u3", "2024-01-01 12:00:00", "d")],  # no right key
+        ["k", "ts_s", "tag"],
+    ).withColumn("lts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = asof_join(left, _events(spark), on="k", left_ts="lts", right_ts="ts",
+                    right_cols=["rid", "v"], right_tiebreak="rid")
+    got = {r["tag"]: (r["rid"], r["v"]) for r in out.collect()}
+    assert got["a"] == (1, 1.0)
+    assert got["b"] == (3, 3.0)      # tie broken by greatest rid
+    assert got["c"] == (None, None)  # left join keeps row
+    assert got["d"] == (None, None)
+
+
+def test_asof_join_tolerance_and_inner(spark):
+    left = spark.createDataFrame([("u1", "2024-01-01 12:00:00")], ["k", "ts_s"]) \
+        .withColumn("lts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = asof_join(left, _events(spark), on="k", left_ts="lts", right_ts="ts",
+                    right_cols=["rid"], tolerance=F.expr("INTERVAL 30 MINUTES"),
+                    how="inner")
+    assert out.count() == 0  # latest right is 11:00, outside 30min tolerance
+
+
+def test_range_join_window(spark):
+    left = spark.createDataFrame([("u1", "2024-01-01 11:30:00")], ["k", "ts_s"]) \
+        .withColumn("lts", F.to_timestamp("ts_s")).drop("ts_s")
+    out = range_join(left, _events(spark), on="k", left_ts="lts", right_ts="ts",
+                     lookback_seconds=3600)
+    assert sorted(r["rid"] for r in out.collect()) == [2, 3]  # 10:00 excluded
+
+
+# --- dedup family ----------------------------------------------------------
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+    (3, "the quick brown fox jumped over the lazy dog"),  # near dup of 1
+    (4, "completely different text about spark engines"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_docs(spark), ["text"], id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_ngram_jaccard_pairs_oracle(spark):
+    out = ngram_jaccard_pairs(_docs(spark), "doc_id", "text",
+                              shingle_k=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+
+    def shingles(s, k=3):
+        return {s[i:i + k] for i in range(max(len(s) - k + 1, 1))}
+
+    for (a, b), j in got.items():
+        sa, sb = shingles(DOCS[a - 1][1]), shingles(DOCS[b - 1][1])
+        want = len(sa & sb) / len(sa | sb)
+        assert j == pytest.approx(want, abs=1e-6)
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got  # near dup above 0.5
+    assert not any(4 in p for p in got)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    out = minhash_lsh_pairs(_docs(spark), "doc_id", "text",
+                            num_hashes=32, bands=16, shingle_k=3,
+                            jaccard_threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_hamming_property(spark):
+    out = _docs(spark).select(
+        "doc_id", simhash64(F.split("text", r"\s+"), bits=64).alias("sh"))
+    sig = {r["doc_id"]: r["sh"] for r in out.collect()}
+    assert sig[1] == sig[2]  # identical docs → identical signature
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])  # near < far
+
+
+# --- similarity ------------------------------------------------------------
+
+def test_cosine_topk_exact(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = cosine_topk(corpus=df, queries=df.filter(F.col("vec_id") == 0),
+                      id_col="vec_id", vec_col="embedding", k=2)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.hypot(*a) * math.hypot(*b))
+    assert rows[0]["cosine"] == pytest.approx(cos(vecs[0][1], vecs[1][1]), abs=1e-6)
+
+
+# --- text ------------------------------------------------------------------
+
+def test_text_functions_oracle(spark):
+    df = spark.createDataFrame([(1, "The quick brown fox is in the barn")], ["id", "t"])
+    r = df.select(
+        token_count("t").alias("n"),
+        quality_score("t").alias("q"),
+        predicted_language("t").alias("lang"),
+        fingerprint("t").alias("fp"),
+    ).collect()[0]
+    assert r["n"] == 8
+    assert r["lang"] == "en"
+    assert 0.0 <= r["q"] <= 1.0
+    # python oracle for the rolling hash
+    fp = 0
+    for ch in "The quick brown fox is in the barn":
+        fp = (fp * 31 + ord(ch)) % 1_000_000_007
+    assert r["fp"] == fp
+
+
+def test_predicted_language_tiebreak(spark):
+    # 'de' and 'en' share no stopwords here; craft equal ratios → 'de' wins
+    # (alphabetical first-wins)
+    df = spark.createDataFrame([(1, "the der")], ["id", "t"])
+    assert df.select(predicted_language("t").alias("l")).collect()[0]["l"] == "de"

@@ -1,0 +1,78 @@
+"""Sinks (K2/K3/K5 semantics) and incremental-run state (T2/T9)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark import state as st
+from league_of_legends_data_pipeline_spark.sinks import (
+    evolve_append, read_evolved, with_event_date_parts, write_partitioned,
+)
+
+
+def test_schema_evolution_both_directions(spark, tmp_path):
+    """K5: batch 2 adds a column (table evolves), batch 3 lacks one
+    (null-padded) — Utils/sql.py:10-22 semantics."""
+    path = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame([(1, "a")], ["id", "x"])
+    b2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "x", "y"])
+    b3 = spark.createDataFrame([(3,)], ["id"])
+    for b in (b1, b2, b3):
+        evolve_append(spark, b, path)
+    out = read_evolved(spark, path)
+    assert set(out.columns) == {"id", "x", "y"}
+    rows = {r["id"]: r.asDict() for r in out.collect()}
+    assert rows[1] == {"id": 1, "x": "a", "y": None}
+    assert rows[2] == {"id": 2, "x": "b", "y": 9.5}
+    assert rows[3] == {"id": 3, "x": None, "y": None}
+
+
+def test_event_time_partitioned_write_and_dynamic_overwrite(spark, tmp_path):
+    path = str(tmp_path / "events")
+    df = spark.createDataFrame(
+        [(1, "2024-09-10 12:00:00"), (2, "2024-09-11 13:00:00")],
+        ["id", "ts_str"],
+    ).withColumn("ts", F.to_timestamp("ts_str"))
+    write_partitioned(with_event_date_parts(df, "ts"), path)
+    # hive layout from event time, not wall clock
+    assert os.path.isdir(os.path.join(path, "year=2024", "month=9", "day=10"))
+    assert spark.read.parquet(path).count() == 2
+
+    # dynamic partition overwrite: replacing day=10 leaves day=11 intact (K4)
+    df2 = spark.createDataFrame([(99, "2024-09-10 01:00:00")], ["id", "ts_str"]) \
+               .withColumn("ts", F.to_timestamp("ts_str"))
+    write_partitioned(with_event_date_parts(df2, "ts"), path, mode="overwrite")
+    out = spark.read.parquet(path)
+    assert out.count() == 2
+    assert {r["id"] for r in out.collect()} == {99, 2}
+
+
+def test_single_file_per_partition(spark, tmp_path):
+    """The pre-write repartition must prevent tasks×dates small files."""
+    path = str(tmp_path / "compact")
+    df = spark.range(0, 10_000, 1, 16).withColumn(
+        "ts", F.expr("timestamp'2024-09-10 00:00:00' + make_interval(0, 0, 0, CAST(id % 3 AS INT))"))
+    write_partitioned(with_event_date_parts(df, "ts"), path)
+    for d in (10, 11, 12):
+        part = os.path.join(path, "year=2024", "month=9", f"day={d}")
+        n_files = len([f for f in os.listdir(part) if f.endswith(".parquet")])
+        assert n_files == 1, f"day={d} has {n_files} files"
+
+
+def test_window_advance_and_clamp(tmp_path):
+    p = str(tmp_path / "w.json")
+    w = st.Window(1000, 1000 + st.NORMAL_ADVANCE_S)
+    st.save_window(p, w)
+    w2 = st.load_window(p)
+    assert w2 == w
+    now = w.end_epoch + st.ACCELERATE_ADVANCE_S + 5000
+    nxt, caught = st.advance_window(w2, now)
+    assert nxt.start_epoch == w.end_epoch
+    assert nxt.end_epoch == w.end_epoch + st.NORMAL_ADVANCE_S and not caught
+    acc, caught2 = st.advance_window(nxt, nxt.end_epoch + 100, accelerate=True)
+    assert acc.end_epoch == nxt.end_epoch + 100 and caught2  # clamped at now
+
+
+def test_exit_code_state_machine():
+    assert st.next_mode(0) == st.next_mode(7) == st.next_mode(8) == "production"
+    assert st.next_mode(1) == "backfill_accelerate"

@@ -1,0 +1,77 @@
+"""Structured-Streaming ingest (T1/T3/T5): file stream + availableNow +
+foreachBatch demux, exactly-once across restarts via checkpoint."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark.sources.fixtures import (
+    make_match, write_fixtures,
+)
+from league_of_legends_data_pipeline_spark.streaming.pipeline import start_ingest
+
+
+def _envelope_schema(spark, fixtures_dir):
+    # union schema over both envelope kinds (streaming needs it declared)
+    return spark.read.option("recursiveFileLookup", "true").json(
+        [os.path.join(fixtures_dir, "matches"),
+         os.path.join(fixtures_dir, "match_timelines")]).schema
+
+
+def test_stream_ingest_available_now(spark, fixtures_dir, tmp_path):
+    out_dir = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    schema = _envelope_schema(spark, fixtures_dir)
+    glob = os.path.join(fixtures_dir, "{matches,match_timelines}")
+
+    q = start_ingest(spark, glob, schema, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    player = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/player_data")
+    timeline = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/timeline_data")
+    events = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/events")
+    # 13 match docs total but one is a replayed duplicate → 12 × 10 rows
+    assert player.select("matchId").distinct().count() == 12
+    assert player.count() == 120
+    assert timeline.count() == 6 * 5 * 10  # 6 timelines × 5 frames × 10 players
+    assert events.count() > 0
+
+    # restart with same checkpoint and no new files → no double-processing
+    q2 = start_ingest(spark, glob, schema, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.option("mergeSchema", "true") \
+        .parquet(f"{out_dir}/player_data").count() == 120
+
+
+def test_stream_picks_up_new_files_only(spark, fixtures_dir, tmp_path):
+    import json
+    import random
+
+    out_dir = str(tmp_path / "silver2")
+    ckpt = str(tmp_path / "ckpt2")
+    src = str(tmp_path / "bronze2")
+    write_fixtures(src, n_matches=4, matches_per_file=2, n_timelines=2)
+    schema = _envelope_schema(spark, src)
+    glob = os.path.join(src, "{matches,match_timelines}")
+
+    start_ingest(spark, glob, schema, out_dir, ckpt).awaitTermination(120)
+    n0 = spark.read.parquet(f"{out_dir}/player_data").count()
+
+    # drop one NEW match file; only its rows are appended on the next run
+    rng = random.Random(7)
+    newm = make_match(rng, 900)
+    extra = os.path.join(src, "matches", "year=2024", "month=09", "day=29")
+    os.makedirs(extra, exist_ok=True)
+    with open(os.path.join(extra, "batch_x_matches.json"), "w") as f:
+        json.dump({
+            "metadata": {"upload_timestamp": "2024-09-29T00:00:00+00:00",
+                         "match_count": 1, "batch_id": "x",
+                         "s3_key": "matches/.../batch_x_matches.json",
+                         "data_collection_type": "match"},
+            "matches": [newm],
+        }, f)
+
+    start_ingest(spark, glob, schema, out_dir, ckpt).awaitTermination(120)
+    out = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/player_data")
+    assert out.count() == n0 + 10
+    assert out.filter(F.col("matchId") == newm["metadata"]["matchId"]).count() == 10
