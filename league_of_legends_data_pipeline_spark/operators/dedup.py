@@ -220,21 +220,28 @@ def simhash_pairs(
     chunks: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int = 1000,
+    band_cols: list[str] | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: with ``chunks`` = max_hamming + 1 chunks, any pair
+    Pigeonhole banding: with ``chunks`` >= max_hamming + 1 chunks, any pair
     within the hamming budget agrees exactly on at least one chunk, so
-    candidates come from an equi-join on (chunk_id, chunk_value).
+    candidates come from an equi-join on (chunk_id, chunk_value) — lossless
+    vs the all-pairs formulation. ``band_cols`` adds blocking keys (e.g.
+    language) to the join. Tokens are whitespace-split with empties dropped.
     """
+    if chunks < max_hamming + 1:
+        raise ValueError("need chunks >= max_hamming + 1 for lossless banding")
+    band_cols = band_cols or []
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
     sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        simhash64(F.split(F.col(text_col), r"\s+"), bits).alias("sig"),
-    )
+        F.col(id_col).alias("doc_id"), *band_cols,
+        simhash64(toks, bits).alias("sig"),
+    ).repartition(_par(df), "doc_id")
     chunked = sigs.select(
-        "doc_id", "sig",
+        "doc_id", "sig", *band_cols,
         F.posexplode(F.array(*[
             F.shiftright(F.col("sig"), i * chunk_bits).bitwiseAND(F.lit(mask))
             for i in range(chunks)
@@ -243,10 +250,12 @@ def simhash_pairs(
     counts = chunked.groupBy("chunk_id", "chunk_val").agg(F.count(F.lit(1)).alias("__bc"))
     chunked = chunked.join(counts.filter(F.col("__bc") <= max_bucket_size),
                            ["chunk_id", "chunk_val"]).drop("__bc")
-    a = chunked.select("chunk_id", "chunk_val", F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = chunked.select("chunk_id", "chunk_val", F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    a = chunked.select("chunk_id", "chunk_val", *band_cols,
+                       F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = chunked.select("chunk_id", "chunk_val", *band_cols,
+                       F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (
-        a.join(b, ["chunk_id", "chunk_val"])
+        a.join(b, ["chunk_id", "chunk_val", *band_cols])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))

@@ -82,6 +82,38 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold). The brute-force O(N²) baseline: right for probe-sized sets
+    and as the verifier behind an LSH/IVF candidate generator; at corpus
+    scale swap the self-join for ``ann_lsh_topk``-style bucket blocking.
+
+    The self-join reuses one exchange for both sides (ReuseExchange); the
+    norm is computed once per row before the join, so the pair stage does
+    only the dot product.
+    """
+    v = df.repartition(_par(df), F.col(id_col)).select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    a = v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                 F.col("__n").alias("__na"))
+    b = v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                 F.col("__n").alias("__nb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b", F.round("__cos", 6).alias("cosine"))
+    )
+
+
 def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]

@@ -1043,6 +1043,342 @@ def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SimHash / MinHash-LSH / embedding near-dup (dedup family, continued)
+# ---------------------------------------------------------------------------
+
+def _simhash_sql(bits: int) -> str:
+    """DuckDB expression set replicating operators/dedup.py simhash64 over
+    whitespace tokens (md5-derived 60-bit hash, bit votes)."""
+    h = "CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)"
+    vote = lambda j: (
+        f"list_sum(list_transform(toks, t -> ((({h} >> {j}) & 1) * 2 - 1)))")
+    bit = lambda j: f"CASE WHEN {vote(j)} > 0 THEN {1 << j} ELSE 0 END"
+    return " + ".join(bit(j) for j in range(bits))
+
+
+@_register(
+    "q33_simhash_pairs",
+    f"""
+    -- near-dup pairs with hamming(simhash16) <= 3 over same-lang docs;
+    -- Spark uses pigeonhole chunk banding (lossless for hamming<=3 with 4
+    -- chunks), oracle is the direct all-pairs formulation.
+    WITH sig AS (
+        SELECT doc_id, lang,
+               CAST({_simhash_sql(16)} AS BIGINT) AS sh
+        FROM (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="SimHash near-dup via pigeonhole chunk banding (operators/dedup.py "
+        "simhash_pairs): hamming<=3 pairs share >=1 of 4 exact chunks, so "
+        "candidates come from an equi-join, verified with bit_count(xor).",
+)
+def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = simhash_pairs(documents, "doc_id", "text", bits=16, chunks=4,
+                        max_hamming=3, band_cols=["lang"],
+                        max_bucket_size=1_000_000)
+    return out.withColumn("hamming", F.col("hamming").cast("long")) \
+              .orderBy("id_a", "id_b")
+
+
+@_register(
+    "q34_embedding_near_dup",
+    """
+    -- embedding-cosine near-duplicate pairs (exact, cosine >= 0.35).
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(list_sum(list_transform(range(1, len(a.e) + 1),
+                 i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))
+                 / (a.nrm * b.nrm), 6) AS DOUBLE) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                 i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))
+          / (a.nrm * b.nrm) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="Embedding-cosine near-dup pairs, exact all-pairs baseline "
+        "(operators/similarity.py cosine_near_dup_pairs); the LSH-blocked "
+        "variant (ann_lsh_topk) is the approximate scale path.",
+)
+def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(embeddings, "vec_id", "embedding",
+                                 threshold=0.35).orderBy("id_a", "id_b")
+
+
+def _minhash_slot_sql(a: int, b: int) -> str:
+    h = "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647"
+    return (f"list_min(list_transform(shingles, s -> "
+            f"({a} * ({h}) + {b}) % 2147483647))")
+
+
+def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_k: int,
+                        threshold: float) -> str:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        minhash_coefficients,
+    )
+    coeffs = minhash_coefficients(num_hashes, seed=42)
+    rows = num_hashes // bands
+    slots = [_minhash_slot_sql(a, b) for a, b in coeffs]
+    band_exprs = ", ".join(
+        "md5(" + " || ',' || ".join(
+            f"CAST(sig[{i + 1}] AS VARCHAR)" for i in range(b * rows, (b + 1) * rows))
+        + f") AS band_{b}" for b in range(bands))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, hm, {b} AS band_id, band_{b} AS band_hash FROM banded"
+        for b in range(bands))
+    return f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - {shingle_k - 1}, 1) + 1),
+                   i -> substr(text, CAST(i AS INT), {shingle_k}))) AS shingles
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id,
+               list_transform(shingles,
+                   s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hm,
+               [{", ".join(slots)}] AS sig
+        FROM sh
+    ), banded AS (
+        SELECT doc_id, hm, {band_exprs} FROM hashed
+    ), exploded AS ({band_union}),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.hm AS hm_a, b.hm AS hm_b
+        FROM exploded a JOIN exploded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(round(CAST(len(list_intersect(hm_a, hm_b)) AS DOUBLE)
+               / (len(hm_a) + len(hm_b) - len(list_intersect(hm_a, hm_b))), 6)
+               AS DOUBLE) AS jaccard
+    FROM cands
+    WHERE CAST(len(list_intersect(hm_a, hm_b)) AS DOUBLE)
+          / (len(hm_a) + len(hm_b) - len(list_intersect(hm_a, hm_b))) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+
+
+@_register(
+    "q35_minhash_lsh_pairs",
+    _minhash_lsh_oracle(num_hashes=8, bands=4, shingle_k=5, threshold=0.4),
+    doc="Full MinHash+LSH near-dup pipeline (operators/dedup.py "
+        "minhash_lsh_pairs): signature → band hashes → bucket equi-join → "
+        "exact Jaccard verify on hashed shingles. Oracle replicates every "
+        "stage bit-for-bit (seed-42 coefficients embedded in the SQL).",
+)
+def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(documents, "doc_id", "text", num_hashes=8,
+                             bands=4, shingle_k=5, jaccard_threshold=0.4,
+                             max_bucket_size=1_000_000).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization, rollup (streaming/gold-layer analytics)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q36_sessionization",
+    """
+    -- gaps-and-islands sessionization: a >30-minute silence starts a new
+    -- session (batch equivalent of session_window, SURVEY T7).
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts - lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(round(sum(value), 6) AS DOUBLE) AS session_value,
+           CAST(floor(epoch_us(max(ts) - min(ts)) / 60000000) AS BIGINT) AS duration_min
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    doc="Sessionization via gaps-and-islands (lag + cumulative sum) — the "
+        "batch dual of Structured Streaming's session_window.",
+)
+def q36_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = W.partitionBy("user_id").orderBy("ts", "event_id") \
+             .rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_cum).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("session_value"),
+            F.floor((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                    / 60_000_000).cast("long").alias("duration_min"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@_register(
+    "q37_rollup_hierarchy",
+    """
+    -- hypertable-style time rollup: day → month → grand total in one pass.
+    SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           CAST(grouping(year(ts)) + grouping(month(ts)) + grouping(day(ts))
+                AS BIGINT) AS lvl,
+           count(*) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+    ORDER BY lvl, y NULLS FIRST, m NULLS FIRST, d NULLS FIRST
+    """,
+    doc="Hierarchical time rollup (day→month→total) via GROUP BY ROLLUP — "
+        "one shuffle computes every granularity (hypertable rollup analogue).",
+)
+def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    pre = events.select(
+        F.year("ts").alias("y"), F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"), "value")
+    return (
+        pre.rollup("y", "m", "d")
+        .agg(
+            (F.grouping("y") + F.grouping("m") + F.grouping("d"))
+            .cast("long").alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select("y", "m", "d", "lvl", "n", "total_value")
+        .orderBy("lvl", F.col("y").asc_nulls_first(),
+                 F.col("m").asc_nulls_first(), F.col("d").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns + API source (Pandas-UDF surfaces)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q38_multimodal_features",
+    """
+    -- byte-level feature extraction over an opaque binary payload
+    -- (documents.text bytes stand in for media; texts are ASCII so byte
+    -- values == character codes).
+    WITH b AS (
+        SELECT doc_id, text,
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substr(text, CAST(i AS INT), 1))) AS bytes
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(round(list_avg(bytes), 6) AS DOUBLE) AS mean_byte,
+           CAST(list_max(bytes) AS BIGINT) AS max_byte,
+           md5(text) AS checksum
+    FROM b
+    ORDER BY doc_id
+    """,
+    doc="Multimodal binary-column plumbing (operators/multimodal.py "
+        "byte_features): opaque bytes + typed metadata, features extracted "
+        "in an Arrow-batched mapInPandas stage (the decode-stub pattern for "
+        "image/audio/video).",
+)
+def q38_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.multimodal import byte_features
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    with_bin = documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    out = byte_features(with_bin, "doc_id", "payload")
+    return out.select(F.col("id").alias("doc_id"), "n_bytes", "mean_byte",
+                      "max_byte", "checksum").orderBy("doc_id")
+
+
+@_register(
+    "q39_api_source",
+    """
+    -- simulated REST enrichment source: deterministic md5-derived payloads,
+    -- deterministic 429s ('ff' digest prefix = permanent error sentinel,
+    -- single 'f' = retried success). Aggregated by outcome.
+    WITH fetched AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS request_key,
+               md5(CAST(c_custkey AS VARCHAR)) AS digest
+        FROM customer
+    )
+    SELECT CASE WHEN digest LIKE 'ff%' THEN 429 ELSE 200 END AS status,
+           CASE WHEN digest LIKE 'ff%' THEN 'Error429' END AS error,
+           count(*) AS n,
+           CAST(round(avg(CASE WHEN digest NOT LIKE 'ff%'
+                 THEN CAST(('0x' || substr(digest, 1, 2)) AS BIGINT) END), 6)
+                 AS DOUBLE) AS avg_level
+    FROM fetched
+    GROUP BY 1, 2
+    ORDER BY status
+    """,
+    doc="Rate-limited mapInPandas REST source (sources/api.py http_source): "
+        "request params as a DataFrame, per-partition sliding-window "
+        "limiter, retry/backoff, error-row sentinels (SURVEY S3-S8, P12, "
+        "F2/F3). Fetch is deterministic → oracle-checkable.",
+)
+def q39_api_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.sources.api import http_source
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    # spread the param grid so per-partition rate limiters run in parallel
+    # (global rate = partitions × per-partition budget); generous simulated
+    # budget — the limiter's clock only matters against a live API
+    params = customer.select(F.col("c_custkey").cast("string").alias("key")) \
+        .repartition(spark.sparkContext.defaultParallelism)
+    fetched = http_source(params, "key", max_requests_per_window=1_000_000)
+    level = F.get_json_object("payload", "$.championLevel").cast("bigint")
+    return (
+        fetched.groupBy("status", "error")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg(level), 6).alias("avg_level"))
+        .withColumn("status", F.col("status").cast("long"))
+        .orderBy("status")
+    )
+
+
 @_register(
     "q31_regression_slope",
     """

@@ -1,0 +1,107 @@
+"""Rate-limited REST API source as a ``mapInPandas`` enrichment stage
+(SURVEY §2.1 S3-S8, §2.12).
+
+The reference fetches Riot API data driver-side, one call at a time, under
+a sliding-window budget (``AdvancedRateLimiter``, 100 req/120 s personal +
+500/600 s method — ``Utils/api.py:132-167``) with exponential backoff and
+error-row sentinels on retry exhaustion (``Utils/api.py:222-321``).
+
+The Spark-first shape: the *request parameters* are a DataFrame; the fetch
+runs inside ``mapInPandas`` so each partition holds one rate limiter and
+the global rate is bounded by ``partition_count × per_partition_budget``.
+Results come back as columns (payload + status + error sentinel), so F2/F3
+filtering and P12 error substitution stay relational.
+
+No live HTTP in this environment: ``fetch_fn`` is injected. The default
+``simulated_fetch`` is deterministic (md5-derived payloads + deterministic
+429s on a subset of keys) so the whole source is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections import deque
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+RESULT_SCHEMA = "request_key string, status bigint, payload string, error string"
+
+
+class SlidingWindowRateLimiter:
+    """Sliding-window request budget (Utils/api.py:132-167 semantics):
+    at most ``max_requests`` per ``window_seconds``, else sleep until the
+    oldest request ages out. One instance per partition."""
+
+    def __init__(self, max_requests: int, window_seconds: float):
+        self.max_requests = max_requests
+        self.window_seconds = window_seconds
+        self._times: deque[float] = deque()
+
+    def acquire(self) -> None:
+        now = time.monotonic()
+        while self._times and now - self._times[0] >= self.window_seconds:
+            self._times.popleft()
+        if len(self._times) >= self.max_requests:
+            sleep_for = self.window_seconds - (now - self._times[0])
+            if sleep_for > 0:
+                time.sleep(sleep_for)
+            self._times.popleft()
+        self._times.append(time.monotonic())
+
+
+def simulated_fetch(key: str, attempt: int) -> tuple[int, str | None]:
+    """Deterministic fake of the Riot API: payload fields derive from
+    md5(key); keys whose digest starts with hex 'f' 429 on the first
+    attempt and succeed on retry (exercising the backoff path); digest
+    prefix 'ff' is a permanent 429 (error-row sentinel, P12)."""
+    digest = hashlib.md5(key.encode()).hexdigest()
+    if digest.startswith("ff"):
+        return 429, None
+    if digest.startswith("f") and attempt == 0:
+        return 429, None
+    level = int(digest[:2], 16)
+    return 200, f'{{"championLevel": {level}, "digest": "{digest}"}}'
+
+
+def http_source(
+    params: DataFrame,
+    key_col: str,
+    fetch_fn: Callable[[str, int], tuple[int, str | None]] = simulated_fetch,
+    max_retries: int = 3,
+    max_requests_per_window: int = 1000,
+    window_seconds: float = 120.0,
+    backoff_base: float = 0.0,  # real deployments: 1.0 → min(60, 2^attempt)
+) -> DataFrame:
+    """Fetch one payload per row of ``params`` under a per-partition rate
+    limit. Returns (request_key, status, payload, error).
+
+    Error semantics mirror the reference: ≥429 retried with exponential
+    backoff (Utils/api.py:50-57); exhaustion yields an error-sentinel row
+    ('Error429', Utils/api.py:228-239) instead of dropping the key.
+    """
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        limiter = SlidingWindowRateLimiter(max_requests_per_window, window_seconds)
+        for pdf in batches:
+            keys, statuses, payloads, errors = [], [], [], []
+            for key in pdf[key_col].astype(str):
+                status, payload = 0, None
+                for attempt in range(max_retries + 1):
+                    limiter.acquire()
+                    status, payload = fetch_fn(key, attempt)
+                    if status < 429:
+                        break
+                    if backoff_base:
+                        time.sleep(min(60.0, backoff_base * (2 ** attempt)))
+                keys.append(key)
+                statuses.append(status)
+                payloads.append(payload)
+                errors.append(None if status == 200 else f"Error{status}")
+            yield pd.DataFrame({"request_key": keys, "status": statuses,
+                                "payload": payloads, "error": errors})
+
+    return params.mapInPandas(fetch_partition, RESULT_SCHEMA)

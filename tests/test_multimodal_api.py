@@ -1,0 +1,87 @@
+"""Multimodal binary-column plumbing + simulated REST API source."""
+
+import hashlib
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark.operators.multimodal import (
+    binary_metadata, byte_features, decode_image, frame_sample,
+)
+from league_of_legends_data_pipeline_spark.sources.api import (
+    SlidingWindowRateLimiter, http_source, simulated_fetch,
+)
+
+
+def test_byte_features_oracle(spark):
+    texts = [(1, "hello world"), (2, ""), (3, "AaZz09")]
+    df = spark.createDataFrame(texts, ["id", "t"]) \
+        .select("id", F.encode("t", "UTF-8").alias("bin"))
+    got = {r["id"]: r.asDict() for r in byte_features(df, "id", "bin").collect()}
+    for i, t in texts:
+        raw = t.encode()
+        assert got[i]["n_bytes"] == len(raw)
+        assert got[i]["checksum"] == hashlib.md5(raw).hexdigest()
+        if raw:
+            assert got[i]["mean_byte"] == pytest.approx(sum(raw) / len(raw), abs=1e-6)
+            assert got[i]["max_byte"] == max(raw)
+        else:
+            assert got[i]["mean_byte"] == 0.0 and got[i]["max_byte"] == 0
+
+
+def test_binary_metadata_jvm_side(spark):
+    df = spark.createDataFrame([(1, "abc")], ["id", "t"]) \
+        .select("id", F.encode("t", "UTF-8").alias("bin"))
+    r = df.select(*binary_metadata("bin")).collect()[0]
+    assert r["n_bytes"] == 3
+    assert r["digest"] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_decode_stubs_raise(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], ["id", "bin"])
+    with pytest.raises(NotImplementedError):
+        decode_image(df, "id", "bin")
+    with pytest.raises(NotImplementedError):
+        frame_sample(df, "id", "bin")
+
+
+def test_http_source_statuses_and_retry(spark):
+    # craft keys covering all three outcome classes
+    perm, transient, ok = [], [], []
+    i = 0
+    while not (perm and transient and ok):
+        d = hashlib.md5(str(i).encode()).hexdigest()
+        if d.startswith("ff"):
+            perm.append(str(i))
+        elif d.startswith("f"):
+            transient.append(str(i))
+        else:
+            ok.append(str(i))
+        i += 1
+    keys = [perm[0], transient[0], ok[0]]
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    got = {r["request_key"]: r.asDict()
+           for r in http_source(df, "key").collect()}
+    assert got[perm[0]]["status"] == 429
+    assert got[perm[0]]["error"] == "Error429" and got[perm[0]]["payload"] is None
+    # transient 429 succeeds on retry (attempt>=1)
+    assert got[transient[0]]["status"] == 200 and got[transient[0]]["error"] is None
+    assert got[ok[0]]["status"] == 200
+    lvl = int(hashlib.md5(ok[0].encode()).hexdigest()[:2], 16)
+    assert f'"championLevel": {lvl}' in got[ok[0]]["payload"]
+
+
+def test_rate_limiter_blocks():
+    rl = SlidingWindowRateLimiter(max_requests=3, window_seconds=0.3)
+    t0 = time.monotonic()
+    for _ in range(5):
+        rl.acquire()
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.25  # 4th/5th acquires had to wait for the window
+
+
+def test_simulated_fetch_deterministic():
+    assert simulated_fetch("abc", 0) == simulated_fetch("abc", 0)
+    status, payload = simulated_fetch("abc", 0)
+    assert status in (200, 429)
