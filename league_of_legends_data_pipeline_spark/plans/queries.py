@@ -1043,6 +1043,110 @@ def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q40_nested_flatten",
+    """
+    -- build a nested struct then flatten it back to path-joined scalars:
+    -- the engine's core P1 flatten as a declared query-surface operator
+    -- (names a_b_c, first-wins, blacklist substring drop).
+    SELECT o_orderkey,
+           cust_custkey, cust_geo_nationkey,
+           price_total, price_tax_rate
+    FROM (
+        SELECT o_orderkey,
+               o_custkey AS cust_custkey,
+               c_nationkey AS cust_geo_nationkey,
+               CAST(round(o_totalprice, 2) AS DOUBLE) AS price_total,
+               CAST(0.08 AS DOUBLE) AS price_tax_rate
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    ORDER BY o_orderkey
+    """,
+    doc="Schema-driven recursive flatten (functions/flatten.py, SURVEY P1): "
+        "nested struct -> path-joined scalar columns as a pure projection; "
+        "the 'secret' column is dropped by the substring blacklist.",
+)
+def q40_nested_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.functions.flatten import flatten
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    nested = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_custkey").alias("custkey"),
+                F.struct(F.col("c_nationkey").alias("nationkey")).alias("geo"),
+                # blacklisted subtree: must vanish from the flattened output
+                F.struct(F.col("c_name").alias("SWARM_secret")).alias("hidden"),
+            ).alias("cust"),
+            F.struct(
+                F.round("o_totalprice", 2).alias("total"),
+                F.struct(F.lit(0.08).alias("rate")).alias("tax"),
+            ).alias("price"),
+        )
+    )
+    flat = flatten(nested)
+    assert "cust_hidden_SWARM_secret" not in flat.columns
+    return flat.select(
+        "o_orderkey", "cust_custkey",
+        F.col("cust_geo_nationkey"),
+        F.col("price_total"),
+        F.col("price_tax_rate"),
+    ).orderBy("o_orderkey")
+
+
+@_register(
+    "q41_streaming_tumbling",
+    """
+    -- the streaming result equals the batch tumbling aggregation: 12-hour
+    -- event-time windows per event_type.
+    SELECT time_bucket(INTERVAL 12 HOURS, ts) AS window_start,
+           event_type, count(*) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    doc="Genuine Structured Streaming execution (SURVEY T1/T7): readStream "
+        "over the events parquet, watermarked 12h tumbling windows, "
+        "availableNow trigger, memory sink — result hash-matches the batch "
+        "oracle (exactly-once, complete drain).",
+)
+def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    _t(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    path = os.path.join(sf_dir, "events.parquet")
+    # the driver parquet stores ts as TIMESTAMP(NANOS): stream it with the
+    # raw (nanos-as-long) schema and convert in a stateless projection
+    raw_schema = spark.read.parquet(path).schema
+    name = f"stream_q41_{uuid.uuid4().hex[:8]}"
+    # the streaming file source wants a directory to monitor: watch the
+    # sf dir with a glob pinned to the events table file
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "12 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return (
+        out.select(F.col("w.start").alias("window_start"), "event_type",
+                   "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash / MinHash-LSH / embedding near-dup (dedup family, continued)
 # ---------------------------------------------------------------------------
