@@ -49,11 +49,14 @@ def _walk(
         return out
     if isinstance(dtype, ArrayType) and max_array > 0:
         # fixed positional expansion, list index as a path segment —
-        # json.py:14-21 (enumerate(v) → f"{name}{sep}{i}")
+        # json.py:14-21 (enumerate(v) → f"{name}{sep}{i}").
+        # F.get, not getItem: under ANSI mode (Spark 4 default) getItem
+        # THROWS on out-of-range indices; get yields NULL — the null-pad
+        # semantics of the reference's row align (Utils/sql.py:21-22)
         out = []
         for i in range(max_array):
             child = f"{name}{sep}{i}" if name else str(i)
-            out.extend(_walk(expr.getItem(i), dtype.elementType, child,
+            out.extend(_walk(F.get(expr, i), dtype.elementType, child,
                              blacklist, max_array, sep))
         return out
     return [(name, expr)]
@@ -153,10 +156,11 @@ def pivot_perks(perks: Column, sep: str = "_") -> list[Column]:
     for m in ("defense", "flex", "offense"):
         out.append(perks.getField("statPerks").getField(m).alias(f"statPerks{sep}{m}"))
     for label, idx, nslots in (("Primary", 0, 4), ("Secondary", 1, 2)):
-        style = perks.getField("styles").getItem(idx)
+        # F.get: null-safe under ANSI mode if a style/slot is absent
+        style = F.get(perks.getField("styles"), idx)
         out.append(style.getField("style").alias(f"{label}{sep}style"))
         for i in range(nslots):
-            sel = style.getField("selections").getItem(i)
+            sel = F.get(style.getField("selections"), i)
             for m in ("perk", "var1", "var2", "var3"):
                 out.append(sel.getField(m).alias(f"{label}{sep}slot{sep}{i + 1}{sep}{m}"))
     return out

@@ -190,25 +190,41 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(tokens: Column, bits: int = 32) -> Column:
-    """SimHash of a token array packed into one BIGINT.
+def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash over an already-hashed token array (long values).
 
-    Bit j is set when sum over tokens of (+1 if bit j of H(token) else -1)
-    is positive. Pure integer Column expressions.
+    Bit j is set when sum over tokens of (+1 if bit j of hash else -1) is
+    positive. Implemented as ONE pass with an array-of-counters accumulator
+    (zip_with inside aggregate): ``bits`` separate vote aggregates would
+    generate enormous codegen (seconds of JIT per query) and re-walk the
+    token array ``bits`` times. Bit extraction is ``(h div 2^j) mod 2`` on
+    the non-negative 60-bit hashes — shift functions take only literal
+    shift amounts. ``bits`` must be <= 62 (2^j literals in a signed long).
     """
-    h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    vote = lambda j: F.aggregate(
-        tokens, F.lit(0).cast("long"),
-        lambda acc, t: acc + (F.shiftright(h(t), j).bitwiseAND(F.lit(1)) * 2 - 1),
+    if bits > 60:
+        raise ValueError("bits must be <= 60 (2^(j+1) literals in a signed long)")
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    # bit test as (h mod 2p) >= p: pure integer ops — `/` would go through
+    # double (53-bit mantissa loses bits of a 60-bit hash) and shift
+    # functions only accept literal shift amounts
+    counts = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(
+            acc, pow2,
+            lambda c, p: c + F.when((h % (p * 2)) >= p, 1).otherwise(-1)),
     )
-    # shiftleft, not lit(1 << j): bit 63 as a Python int overflows a JVM
-    # long literal; the JVM-side shift wraps into the sign bit correctly
-    return sum(
-        [F.when(vote(j) > 0,
-                F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long"))
-         for j in range(bits)],
-        F.lit(0).cast("long"),
-    )
+    bitvals = F.zip_with(
+        counts, pow2,
+        lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(bitvals, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def simhash64(tokens: Column, bits: int = 32) -> Column:
+    """SimHash of a token array packed into one BIGINT (hashing inlined —
+    convenient for small inputs; for corpus-scale use hash + exchange +
+    :func:`simhash_from_hashes` as ``simhash_pairs`` does)."""
+    return simhash_from_hashes(F.transform(tokens, portable_hash64), bits)
 
 
 def simhash_pairs(
@@ -235,10 +251,25 @@ def simhash_pairs(
     band_cols = band_cols or []
     chunk_bits = bits // chunks
     mask = (1 << chunk_bits) - 1
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
-    sigs = df.select(
+    # exchange the RAW text first (spreads a single input file across the
+    # cluster), then hash each token exactly once above that exchange —
+    # the md5 work runs at full parallelism and is never recomputed
+    raw = df.select(
         F.col(id_col).alias("doc_id"), *band_cols,
-        simhash64(toks, bits).alias("sig"),
+        F.col(text_col).alias("__text"),
+    ).repartition(_par(df), "doc_id")
+    toks = F.filter(F.split(F.col("__text"), r"\s+"), lambda t: t != "")
+    hashed = raw.select(
+        "doc_id", *band_cols,
+        F.transform(toks, portable_hash64).alias("__ht"),
+    )
+    # second exchange: three consumers below (bucket counts + both
+    # self-join sides) all reuse ONE materialized signature (ReuseExchange);
+    # without it the 32 vote aggregates run three times. The exchanged rows
+    # are (id, bands, 8-byte sig) — negligible shuffle at any scale.
+    sigs = hashed.select(
+        "doc_id", *band_cols,
+        simhash_from_hashes(F.col("__ht"), bits).alias("sig"),
     ).repartition(_par(df), "doc_id")
     chunked = sigs.select(
         "doc_id", "sig", *band_cols,

@@ -111,13 +111,23 @@ def test_minhash_lsh_finds_near_dups(spark):
 
 def test_simhash_hamming_property(spark):
     out = _docs(spark).select(
-        "doc_id", simhash64(F.split("text", r"\s+"), bits=64).alias("sh"))
+        "doc_id", simhash64(F.split("text", r"\s+"), bits=60).alias("sh"))
     sig = {r["doc_id"]: r["sh"] for r in out.collect()}
     assert sig[1] == sig[2]  # identical docs → identical signature
 
     def ham(a, b):
-        return bin((a ^ b) & (2**64 - 1)).count("1")
+        return bin((a ^ b) & (2**60 - 1)).count("1")
     assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])  # near < far
+
+    # python oracle for one signature: bit j set iff majority of token
+    # hashes have bit j set (votes +1/-1, weighted by token frequency)
+    import hashlib
+    toks = DOCS[0][1].split()
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    want = sum(
+        (1 << j) for j in range(60)
+        if sum(1 if (h >> j) & 1 else -1 for h in hs) > 0)
+    assert sig[1] == want
 
 
 # --- similarity ------------------------------------------------------------

@@ -1,0 +1,119 @@
+"""Property-based tests (SURVEY §5.4): flatten name stability, schema-merge
+commutativity, dedup idempotency — hypothesis-generated inputs."""
+
+import json
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from league_of_legends_data_pipeline_spark.functions.flatten import flatten
+
+# nested JSON objects: scalar leaves, dict/list nodes, json-safe keys
+keys = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+scalars = st.one_of(st.integers(-2**40, 2**40), st.booleans(),
+                    st.text(alphabet="xyz ", max_size=8))
+# lists hold homogeneous scalars only: JSON inference unifies heterogeneous
+# list elements (e.g. [1, "x"] nulls / restrings them), which changes values
+# by design — homogeneous lists still exercise index naming
+homogeneous_list = st.one_of(
+    st.lists(st.integers(-2**40, 2**40), min_size=1, max_size=3),
+    st.lists(st.booleans(), min_size=1, max_size=3),
+    st.lists(st.text(alphabet="xyz ", max_size=8), min_size=1, max_size=3),
+)
+nested = st.recursive(
+    scalars,
+    lambda inner: st.one_of(
+        st.dictionaries(keys, inner, min_size=1, max_size=4),
+        homogeneous_list,
+    ),
+    max_leaves=12,
+)
+docs = st.dictionaries(keys, nested, min_size=1, max_size=5)
+
+SLOW = settings(max_examples=12, deadline=None,
+                suppress_health_check=list(HealthCheck))
+
+
+def py_flatten(node, sep="_"):
+    out = {}
+
+    def walk(n, name):
+        if isinstance(n, dict):
+            # sorted: Spark's JSON inference orders fields alphabetically,
+            # which decides first-wins on name collisions
+            for k, v in sorted(n.items()):
+                walk(v, f"{name}{sep}{k}" if name else k)
+        elif isinstance(n, list):
+            for i, v in enumerate(n):
+                walk(v, f"{name}{sep}{i}" if name else str(i))
+        else:
+            out.setdefault(name, n)
+    walk(node, "")
+    return out
+
+
+@given(doc=docs)
+@SLOW
+def test_flatten_names_match_python_oracle(spark, doc):
+    """Flatten column names (and values) equal the reference-semantics
+    python flatten, for arbitrary nested shapes."""
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(doc)]))
+    got = flatten(df, blacklist=(), max_array=5).collect()[0].asDict()
+    want = py_flatten(doc)
+    # positional array expansion pads to max_array with NULL columns (the
+    # schema-union view of the reference's null-pad row align); every
+    # python-flatten name must exist with an equal value, and any extra
+    # Spark column must be a NULL pad slot
+    assert set(want) <= set(got)
+    for k, v in want.items():
+        g = got[k]
+        assert g == v or str(g) == str(v) or (
+            isinstance(v, bool) and str(g).lower() == str(v).lower()
+        ), (k, g, v)
+    for k in set(got) - set(want):
+        assert got[k] is None, (k, got[k])
+
+
+@given(rows=st.lists(
+    st.fixed_dictionaries(
+        {"id": st.integers(0, 5)},
+        optional={"a": st.integers(0, 9), "b": st.text(alphabet="ab", max_size=3)},
+    ), min_size=1, max_size=6))
+@SLOW
+def test_schema_merge_commutative(spark, rows, tmp_path_factory):
+    """evolve_append(b1);evolve_append(b2) and the reverse read back the
+    same row multiset (schema union is order-insensitive)."""
+    from league_of_legends_data_pipeline_spark.sinks import evolve_append, read_evolved
+
+    half = max(len(rows) // 2, 1)
+    b1 = spark.read.json(spark.sparkContext.parallelize(
+        [json.dumps(r) for r in rows[:half]]))
+    b2 = spark.read.json(spark.sparkContext.parallelize(
+        [json.dumps(r) for r in rows[half:] or rows[:1]]))
+
+    outs = []
+    for order in ((b1, b2), (b2, b1)):
+        path = str(tmp_path_factory.mktemp("merge"))
+        for b in order:
+            evolve_append(spark, b, path)
+        df = read_evolved(spark, path)
+        outs.append(sorted(
+            tuple(repr(r.asDict().get(c)) for c in sorted(df.columns))
+            for r in df.collect()))
+    assert outs[0] == outs[1]
+
+
+@given(ids=st.lists(st.integers(0, 20), min_size=1, max_size=30))
+@SLOW
+def test_exact_dedup_idempotent(spark, ids):
+    from league_of_legends_data_pipeline_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(i, f"text-{i % 7}") for i in ids], ["doc_id", "text"])
+    once = exact_dedup(df, ["text"], "doc_id").drop("n_dups")
+    twice = exact_dedup(once, ["text"], "doc_id").drop("n_dups")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # keeps exactly one per distinct content, the min id
+    want = {}
+    for i in ids:
+        want.setdefault(f"text-{i % 7}", set()).add(i)
+    assert sorted(r["doc_id"] for r in once.collect()) == \
+        sorted(min(v) for v in want.values())
