@@ -114,6 +114,68 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 64,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style approximate top-k cosine: partition the corpus into
+    inverted lists by nearest centroid, probe only the ``nprobe`` lists
+    nearest each query, exact-rerank the candidates.
+
+    Deterministic "training": centroids are the corpus vectors with
+    ``id % centroid_stride == 0`` (seed-free, reproducible, and
+    oracle-checkable; swap in k-means centroids for production quality —
+    the plan shape is identical). Scale: the centroid set is broadcast
+    twice (assignment + probe); the only shuffle is the equi-join on
+    centroid id, so cost is |corpus|·C dots for assignment plus the probed
+    fraction (~nprobe/C) of the corpus for scoring.
+    """
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("__ce"),
+    ).withColumn("__cn", l2_norm(F.col("__ce")))
+
+    def nearest(df: DataFrame, prefix: str, n: int) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            _as_double(F.col(vec_col)).alias(f"__{prefix}v"),
+        ).withColumn(f"__{prefix}n", l2_norm(F.col(f"__{prefix}v")))
+        scored = v.join(F.broadcast(cents)).withColumn(
+            "__ccos",
+            dot(F.col(f"__{prefix}v"), F.col("__ce"))
+            / (F.col(f"__{prefix}n") * F.col("__cn")))
+        w = Window.partitionBy(f"{prefix}_id").orderBy(
+            F.col("__ccos").desc(), F.col("cid").asc())
+        return (scored.withColumn("__crk", F.row_number().over(w))
+                .filter(F.col("__crk") <= n)
+                .select(f"{prefix}_id", f"__{prefix}v", f"__{prefix}n", "cid"))
+
+    assigned = nearest(corpus.repartition(_par(corpus), F.col(id_col)),
+                       "neighbor", 1)
+    probes = nearest(queries, "query", nprobe)
+    cands = (
+        assigned.join(probes, "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine",
+        F.round(dot(F.col("__neighborv"), F.col("__queryv"))
+                / (F.col("__neighborn") * F.col("__queryn")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]

@@ -83,6 +83,24 @@ def predicted_language(col: str | Column) -> Column:
     return F.element_at(F.array(*[F.lit(l) for l in langs]), -best["neg_idx"] + 1)
 
 
+# BPE-ish pre-tokenizer (GPT-2-style, ASCII-simplified so the pattern
+# behaves identically under Java regex and RE2): contractions, optional-
+# space letter runs, digit runs, punctuation runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_pieces(col: str | Column) -> Column:
+    """Array of BPE-style pre-token pieces (the unit a byte-pair encoder
+    would merge within). Token-count estimates over this beat whitespace
+    counts for LLM budget accounting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_piece_count(col: str | Column) -> Column:
+    return F.size(bpe_pieces(col))
+
+
 def fingerprint(col: str | Column) -> Column:
     """Polynomial rolling hash over the characters:
     h = fold(h*31 + ascii(ch)) mod 1e9+7. Portable (same in DuckDB).

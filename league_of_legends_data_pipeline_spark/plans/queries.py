@@ -1312,6 +1312,117 @@ def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_bucket_size=1_000_000).orderBy("id_a", "id_b")
 
 
+@_register(
+    "q42_ivf_ann",
+    """
+    -- IVF approximate nearest neighbors: centroids = vec_id %% 64 == 0,
+    -- assign every vector to its nearest centroid (cosine, ties by cid),
+    -- probe the 3 nearest lists per query (vec_id < 8), exact rerank top-5.
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    ), c AS (
+        SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 64 = 0
+    ), scored_assign AS (
+        SELECT n.vec_id, n.e, n.nrm, c.cid,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_sum(list_transform(range(1, len(n.e) + 1),
+                       i -> n.e[CAST(i AS INT)] * c.ce[CAST(i AS INT)]))
+                       / (n.nrm * c.cn) DESC, c.cid) AS crk
+        FROM n JOIN c ON true
+    ), assigned AS (
+        SELECT vec_id AS neighbor_id, e AS ne, nrm AS nn, cid
+        FROM scored_assign WHERE crk = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid
+        FROM scored_assign WHERE vec_id < 8 AND crk <= 3
+    ), cands AS (
+        SELECT DISTINCT query_id, neighbor_id, qe, qn, ne, nn
+        FROM probes JOIN assigned USING (cid)
+        WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           CAST(cosine AS DOUBLE) AS cosine
+    FROM (
+        SELECT query_id, neighbor_id,
+               round(list_sum(list_transform(range(1, len(qe) + 1),
+                     i -> qe[CAST(i AS INT)] * ne[CAST(i AS INT)]))
+                     / (qn * nn), 6) AS cosine,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_sum(list_transform(range(1, len(qe) + 1),
+                       i -> qe[CAST(i AS INT)] * ne[CAST(i AS INT)]))
+                       / (qn * nn), 6) DESC, neighbor_id) AS rank
+        FROM cands
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    doc="IVF-style ANN (operators/similarity.py ivf_topk): inverted lists "
+        "by nearest centroid, nprobe=3 probing, exact rerank — the scale "
+        "path beside brute-force q27 and sign-LSH ann_lsh_topk.",
+)
+def q42_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import ivf_topk
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(embeddings, embeddings.filter(F.col("vec_id") < 8),
+                   "vec_id", "embedding", k=5, centroid_stride=64, nprobe=3)
+    return out.withColumn("rank", F.col("rank").cast("long")) \
+              .orderBy("query_id", "rank")
+
+
+@_register(
+    "q43_bpe_token_stats",
+    r"""
+    -- BPE-ish pre-tokenizer piece counts vs whitespace token counts.
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+', 0)) AS n_pieces,
+               len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+           CAST(round(avg(n_pieces), 6) AS DOUBLE) AS avg_pieces,
+           CAST(round(avg(CAST(n_pieces AS DOUBLE) / greatest(n_ws, 1)), 6) AS DOUBLE)
+               AS pieces_per_ws_token
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="BPE-style regex pre-tokenization counts (operators/text.py "
+        "bpe_pieces): LLM token-budget accounting beyond whitespace splits.",
+)
+def q43_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        bpe_piece_count, token_count,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        documents.select(
+            "lang",
+            bpe_piece_count("text").alias("n_pieces"),
+            token_count("text").alias("n_ws"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("long").alias("total_pieces"),
+            F.round(F.avg("n_pieces"), 6).alias("avg_pieces"),
+            F.round(F.avg(F.col("n_pieces").cast("double")
+                          / F.greatest(F.col("n_ws"), F.lit(1))), 6)
+             .alias("pieces_per_ws_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization, rollup (streaming/gold-layer analytics)
 # ---------------------------------------------------------------------------

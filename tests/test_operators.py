@@ -146,6 +146,36 @@ def test_cosine_topk_exact(spark):
     assert rows[0]["cosine"] == pytest.approx(cos(vecs[0][1], vecs[1][1]), abs=1e-6)
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with nprobe = all centroids must equal brute-force exactly."""
+    from league_of_legends_data_pipeline_spark.operators.similarity import ivf_topk
+
+    import random
+    rng = random.Random(7)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(df, queries, k=3)
+    # stride 10 → 6 centroids; probing all 6 lists covers the full corpus
+    approx = ivf_topk(df, queries, k=3, centroid_stride=10, nprobe=6)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, approx.collect()))
+
+
+def test_bpe_pieces_oracle(spark):
+    import re
+
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        BPE_PATTERN, bpe_pieces,
+    )
+
+    s = "I'll buy 20 apples, don't wait -- ok?"
+    df = spark.createDataFrame([(s,)], ["t"])
+    got = df.select(bpe_pieces("t").alias("p")).collect()[0]["p"]
+    assert got == re.findall(BPE_PATTERN, s) == [
+        "I", "'ll", " buy", " 20", " apples", ",", " don", "'t",
+        " wait", " --", " ok", "?"]
+
+
 # --- text ------------------------------------------------------------------
 
 def test_text_functions_oracle(spark):
