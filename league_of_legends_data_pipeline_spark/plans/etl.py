@@ -236,3 +236,45 @@ def leftover_matchlist(matchlist: DataFrame, processed: DataFrame,
     (EC2/processor.py:110,184 persists exactly this remainder)."""
     return matchlist.select(id_col).distinct().join(
         processed.select(id_col).distinct(), id_col, "left_anti")
+
+
+# Legacy split design (Utils/json.py:72-100): one wide row → 4 tables by
+# column-name predicate, each carrying the (matchId, championName) keys.
+SPLIT_PREDICATES = {
+    "legendaryItems": lambda c: "legendaryItemUsed" in c,
+    "perkMissionStats": lambda c: c.startswith(("perks", "Primary", "Secondary",
+                                                "statPerks", "missions")),
+    "challenges": lambda c: c.startswith("challenges") or c in (
+        "kda", "goldPerMinute"),
+}
+
+
+def vertical_split(
+    wide: DataFrame,
+    join_keys: tuple[str, ...] = ("matchId", "championName"),
+    predicates: dict | None = None,
+) -> dict[str, DataFrame]:
+    """P7/P8: split a wide row into per-prefix tables ('basicStats' gets the
+    remainder), each including the join keys for reassembly (add_join_keys,
+    Utils/json.py:93-100). Four pure projections — the scan is shared and
+    column-pruned per table."""
+    predicates = predicates or SPLIT_PREDICATES
+    out: dict[str, DataFrame] = {}
+    claimed: set[str] = set()
+    for name, pred in predicates.items():
+        cols = [c for c in wide.columns if c not in join_keys and pred(c)]
+        claimed.update(cols)
+        out[name] = wide.select(*join_keys, *cols)
+    rest = [c for c in wide.columns if c not in claimed and c not in join_keys]
+    out["basicStats"] = wide.select(*join_keys, *rest)
+    return out
+
+
+def reassemble_split(tables: dict[str, DataFrame],
+                     join_keys: tuple[str, ...] = ("matchId", "championName")) -> DataFrame:
+    """J3: multi-way equi-join of the split tables back into the wide row."""
+    names = sorted(tables)
+    df = tables[names[0]]
+    for n in names[1:]:
+        df = df.join(tables[n], list(join_keys))
+    return df

@@ -156,6 +156,39 @@ def test_rank_map_explode_and_top_players(spark, fixtures_dir):
     assert [r["puuid"] for r in top] == [k for k, _ in want]
 
 
+def test_vertical_split_roundtrip(matches_df):
+    from league_of_legends_data_pipeline_spark.plans.etl import (
+        reassemble_split, vertical_split,
+    )
+
+    wide = player_rows(matches_df).dropDuplicates(["matchId", "puuid"])
+    parts = vertical_split(wide)
+    assert set(parts) == {"basicStats", "challenges", "legendaryItems",
+                          "perkMissionStats"}
+    # every non-key column lands in exactly one split (P7), keys in all (P8)
+    key_cols = {"matchId", "championName"}
+    seen = []
+    for name, df in parts.items():
+        assert key_cols <= set(df.columns)
+        seen.extend(c for c in df.columns if c not in key_cols)
+    assert sorted(seen) == sorted(c for c in wide.columns if c not in key_cols)
+    assert not [c for c in parts["legendaryItems"].columns
+                if c not in key_cols]  # blacklist removed these upstream
+    assert any(c.startswith("Primary") for c in parts["perkMissionStats"].columns)
+
+    # J3 round-trip: reassembly on (matchId, championName) restores the
+    # wide multiset when the key is unique (filter dup champs per match)
+    from pyspark.sql import Window, functions as F
+    uniq = wide.withColumn(
+        "__n", F.count(F.lit(1)).over(
+            Window.partitionBy("matchId", "championName"))
+    ).filter(F.col("__n") == 1).drop("__n")
+    parts_u = vertical_split(uniq)
+    back = reassemble_split(parts_u)
+    assert back.count() == uniq.count()
+    assert set(back.columns) == set(uniq.columns)
+
+
 def test_matchlist_dedup_and_leftovers(spark, fixtures_dir):
     with open(os.path.join(fixtures_dir, "matchlists", "matchlist.json")) as f:
         raw = json.load(f)["matchlist"]
