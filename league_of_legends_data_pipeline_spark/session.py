@@ -72,6 +72,10 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         "orders", "lineitem", "events", "documents", "embeddings",
     ]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin UTC even on a caller-provided vanilla session: DuckDB's oracle
+    # timestamps are timezone-naive, and year()/window() over a non-UTC
+    # session timezone would shift event-time-derived results
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in names:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
