@@ -17,9 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from league_of_legends_data_pipeline_spark.plans.etl import (
-    event_rows, player_rows, timeline_rows,
+    event_rows, player_rows, rank_rows, timeline_rows,
 )
 from league_of_legends_data_pipeline_spark.sinks import evolve_append
+from league_of_legends_data_pipeline_spark.sources.readers import RANK_STATS_DDL
 
 
 def start_ingest(
@@ -84,3 +85,37 @@ def demux_batch(envelopes: DataFrame, out_dir: str) -> None:
             evolve_append(spark, event_rows(t), f"{out_dir}/events")
     finally:
         envelopes.unpersist()
+
+
+def start_ranks_ingest(
+    spark: SparkSession,
+    source_glob: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    stats_ddl: str = RANK_STATS_DDL,
+):
+    """Stream the third route (F1: ``player-maps`` objects → rank rows).
+
+    Rank maps are whole-object JSON keyed by puuid, so they stream as
+    wholetext and parse with ``from_json(map<string, struct>)`` — the same
+    P6 map→rows explosion as the batch reader, checkpointed exactly-once.
+    """
+    stream = (
+        spark.readStream.option("wholetext", "true")
+        .option("recursiveFileLookup", "true")
+        .text(source_glob)
+    )
+    parsed = stream.select(
+        F.explode(F.from_json("value", f"map<string, struct<{stats_ddl}>>"))
+         .alias("puuid", "stats")
+    ).select("puuid", "stats.*")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.isEmpty():
+            evolve_append(batch_df.sparkSession,
+                          rank_rows(batch_df).dropDuplicates(["puuid"]),
+                          f"{out_dir}/player_ranks_data")
+
+    return (parsed.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True).start())

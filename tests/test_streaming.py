@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from league_of_legends_data_pipeline_spark.sources.fixtures import (
     make_match, write_fixtures,
 )
-from league_of_legends_data_pipeline_spark.streaming.pipeline import start_ingest
+from league_of_legends_data_pipeline_spark.streaming.pipeline import (
+    start_ingest, start_ranks_ingest,
+)
 
 
 def _envelope_schema(spark, fixtures_dir):
@@ -41,6 +43,24 @@ def test_stream_ingest_available_now(spark, fixtures_dir, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.option("mergeSchema", "true") \
         .parquet(f"{out_dir}/player_data").count() == 120
+
+
+def test_stream_ranks_route(spark, fixtures_dir, tmp_path):
+    import json
+
+    out_dir = str(tmp_path / "silver_r")
+    ckpt = str(tmp_path / "ckpt_r")
+    glob = os.path.join(fixtures_dir, "player-maps")
+    start_ranks_ingest(spark, glob, out_dir, ckpt).awaitTermination(120)
+    ranks = spark.read.parquet(f"{out_dir}/player_ranks_data")
+    with open(os.path.join(fixtures_dir, "player-maps", "ranked_map.json")) as f:
+        raw = json.load(f)
+    assert ranks.count() == len(raw)
+    r = ranks.filter(F.col("puuid") == "puuid-0001").collect()[0]
+    assert r["tier"] == raw["puuid-0001"]["tier"]
+    # restart: checkpoint prevents re-ingest
+    start_ranks_ingest(spark, glob, out_dir, ckpt).awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/player_ranks_data").count() == len(raw)
 
 
 def test_stream_picks_up_new_files_only(spark, fixtures_dir, tmp_path):
