@@ -30,24 +30,31 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from league_of_legends_data_pipeline_spark.operators._util import (
+    default_parallelism as _par,
+    jaccard_verified_pairs,
+)
+
 # Mersenne prime 2^31-1: (a*h + b) % P stays under 2^62 — no BIGINT overflow.
 MINHASH_PRIME = 2_147_483_647
 
 
-def _par(df: DataFrame) -> int:
-    """Explicit partition count for compute-spreading repartitions.
-
-    A column-only ``repartition(col)`` is fair game for AQE partition
-    coalescing, which collapses small-but-compute-heavy stages back to one
-    task; an explicit count is not coalesced.
-    """
-    return df.sparkSession.sparkContext.defaultParallelism
-
 
 def content_digest(*cols: str | Column) -> Column:
-    """128-bit md5 digest of the concatenated columns (exact-dedup key)."""
-    parts = [F.col(c) if isinstance(c, str) else c for c in cols]
-    return F.md5(F.concat_ws("\x1f", *parts))
+    """128-bit md5 digest over the columns (exact-dedup key).
+
+    Each column is framed as ``N`` (null) or ``V<len>:<value>`` before
+    concatenation: a bare separator join would make NULL indistinguishable
+    from absence (concat_ws skips NULLs) and let values containing the
+    separator collide with value boundaries — both silently merge distinct
+    documents. Length-prefix framing is injective.
+    """
+    parts = []
+    for c in cols:
+        col = (F.col(c) if isinstance(c, str) else c).cast("string")
+        parts.append(F.when(col.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(col).cast("string"), F.lit(":"), col)))
+    return F.md5(F.concat(*parts))
 
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
@@ -127,6 +134,9 @@ def minhash_lsh_pairs(
     candidate pair (equi-join on (band_id, band_hash)). Verification: exact
     Jaccard on the shingle arrays of candidates only.
     """
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
+                         f"into bands ({bands})")
     rows = num_hashes // bands
     # Three stages separated by exchanges, each chosen for what it shuffles
     # and where the heavy compute lands:
@@ -177,17 +187,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # alias the intersection before filtering so the pushed-down condition
-    # evaluates array_intersect once per pair, and downstream ops move ints,
-    # not shingle arrays
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    sizes = F.size("sh_a") + F.size("sh_b")
-    return (
-        cands.select("id_a", "id_b", inter.alias("__i"), sizes.alias("__s"))
-        .withColumn("jaccard", F.col("__i") / (F.col("__s") - F.col("__i")))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return jaccard_verified_pairs(cands, "sh_a", "sh_b", jaccard_threshold)
 
 
 def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
@@ -347,15 +347,4 @@ def ngram_jaccard_pairs(
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= length_tolerance)
     )
-    # alias the intersection before filtering: `jaccard = i/(s_a+s_b-i)`
-    # mentions the intersect twice; filtering on the raw expression would
-    # push BOTH copies into the join condition. With the alias the pushed
-    # condition evaluates array_intersect once per candidate pair.
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    sizes = F.size("sh_a") + F.size("sh_b")
-    return (
-        cands.select("id_a", "id_b", inter.alias("__i"), sizes.alias("__s"))
-        .withColumn("jaccard", F.col("__i") / (F.col("__s") - F.col("__i")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return jaccard_verified_pairs(cands, "sh_a", "sh_b", threshold)

@@ -22,11 +22,10 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from league_of_legends_data_pipeline_spark.operators._util import (
+    default_parallelism as _par,
+)
 
-def _par(df: DataFrame) -> int:
-    """Explicit partition count (AQE does not coalesce explicit-count
-    repartitions, unlike column-only ones)."""
-    return df.sparkSession.sparkContext.defaultParallelism
 
 
 def _as_double(col: Column) -> Column:

@@ -63,11 +63,6 @@ def player_rows(matches: DataFrame) -> DataFrame:
     return strip_prefixes(wide)
 
 
-def _alias_of(col) -> str:
-    # Column name as produced by flatten_exprs (the alias)
-    return col._jc.toString().split(" AS ")[-1].strip("`")
-
-
 def _requalify(p_schema):
     """flatten_exprs over the participant struct, rebased onto column ``p``."""
     from league_of_legends_data_pipeline_spark.functions.flatten import (
@@ -136,26 +131,25 @@ def timeline_rows(timelines: DataFrame) -> DataFrame:
         pid,
     )
     pf_schema = frames.schema["pf"].dataType
-    splat = []
-    seen: set[str] = set()
+    splat: list[tuple[str, F.Column]] = []  # (name, expr) — name known here
+    seen: set[str] = {"participantId"}  # emitted explicitly from the map key
     for f in pf_schema.fields:  # type: ignore[union-attr]
         if f.name in ("championStats", "damageStats"):
             for sub in f.dataType.fields:
                 if sub.name not in seen:
                     seen.add(sub.name)
-                    splat.append(F.col(f"pf.{f.name}.{sub.name}").alias(sub.name))
+                    splat.append((sub.name, F.col(f"pf.{f.name}.{sub.name}")))
         elif f.name == "position":
-            splat.extend([F.col("pf.position.x").alias("x"),
-                          F.col("pf.position.y").alias("y")])
-        else:
-            if f.name not in seen:
-                seen.add(f.name)
-                splat.append(F.col(f"pf.{f.name}").alias(f.name))
+            splat.extend([("x", F.col("pf.position.x")),
+                          ("y", F.col("pf.position.y"))])
+        elif f.name not in seen:
+            seen.add(f.name)
+            splat.append((f.name, F.col(f"pf.{f.name}")))
     return frames.select(
         pid.alias("participantId"),
         puuid.alias("puuid"),
         "timestamp", "matchId", "endOfGameResult",
-        *[s for s in splat if _alias_of(s) != "participantId"],
+        *[expr.alias(name) for name, expr in splat],
     )
 
 
@@ -173,10 +167,12 @@ def event_rows(timelines: DataFrame) -> DataFrame:
         F.col("source"),
         F.col("info.frameInterval").alias("frameInterval"),
         F.col("info.endOfGameResult").alias("endOfGameResult"),
-        # anchor: first realTimestamp in frame 0's events (fallback 0)
+        # anchor: first realTimestamp in frame 0's events (fallback 0).
+        # F.get throughout: ANSI mode (Spark 4 default) makes getItem THROW
+        # on an empty events array / missing frame instead of returning null
         F.coalesce(
-            F.col("info.frames").getItem(0).getField("events")
-             .getField("realTimestamp").getItem(0),
+            F.get(F.get(F.col("info.frames"), 0).getField("events")
+                  .getField("realTimestamp"), 0),
             F.lit(0),
         ).alias("realTimestamp0"),
         F.explode("info.frames").alias("frame"),
@@ -214,9 +210,13 @@ TIER_ORDER = ["CHALLENGER", "GRANDMASTER", "MASTER", "DIAMOND", "EMERALD",
 def top_players(ranks: DataFrame, limit: int) -> DataFrame:
     """Ordered-limit player cap (L1/L3): the reference's implicit
     challenger→…→DIAMOND-IV priority made explicit (SURVEY §7 hard part 6).
-    Total order: tier rank, then leaguePoints desc, then puuid."""
-    tier_rank = F.array_position(
+    Total order: tier rank, then leaguePoints desc, then puuid. Unknown or
+    NULL tiers sort LAST — array_position returns 0/NULL for them, which
+    ascending order would otherwise put ahead of CHALLENGER."""
+    pos = F.array_position(
         F.array(*[F.lit(t) for t in TIER_ORDER]), F.col("tier"))
+    tier_rank = F.when(pos.isNull() | (pos == 0),
+                       F.lit(len(TIER_ORDER) + 1)).otherwise(pos)
     return (
         ranks.withColumn("__tier_rank", tier_rank)
         .orderBy(F.col("__tier_rank").asc(), F.col("leaguePoints").desc(), F.col("puuid"))

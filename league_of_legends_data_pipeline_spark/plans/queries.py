@@ -730,9 +730,15 @@ def q23_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_exact_dedup",
     """
     -- exact dedup on a 16-byte content digest: keep smallest doc_id.
+    -- injective framing per column: N for NULL, V<len>:<value> otherwise
+    -- (separator-join would let NULLs and separator-bearing values collide)
     SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_dups
     FROM documents
-    GROUP BY md5(concat_ws(chr(31), text, lang))
+    GROUP BY md5(concat(
+        CASE WHEN text IS NULL THEN 'N'
+             ELSE 'V' || CAST(length(text) AS VARCHAR) || ':' || text END,
+        CASE WHEN lang IS NULL THEN 'N'
+             ELSE 'V' || CAST(length(lang) AS VARCHAR) || ':' || lang END))
     ORDER BY doc_id
     """,
     doc="Exact dedup by content digest (operators/dedup.py exact_dedup); "
@@ -1138,7 +1144,10 @@ def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (stream.writeStream.format("memory").queryName(name)
          .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q41 streaming drain exceeded 300s — partial "
+                           "results would silently corrupt the comparison")
     out = spark.table(name)
     return (
         out.select(F.col("w.start").alias("window_start"), "event_type",

@@ -58,8 +58,16 @@ def evolve_append(spark: SparkSession, df: DataFrame, path: str) -> None:
     """K5: schema-evolving append. New columns appear in the table; rows
     lacking existing columns are null-padded — both directions, exactly
     ``align_row_data`` (Utils/sql.py:21-22) without custom code."""
+    existing_schema = None
     if _table_exists(path):
-        existing_schema = spark.read.parquet(path).schema
+        try:
+            existing_schema = spark.read.parquet(path).schema
+        except Exception:
+            # remote path that does not exist yet (bootstrap append) — the
+            # local-path branch of _table_exists answers definitively, the
+            # remote branch only via this attempted read
+            existing_schema = None
+    if existing_schema is not None:
         empty_existing = spark.createDataFrame([], existing_schema)
         df = df.unionByName(empty_existing, allowMissingColumns=True)
     df.write.mode("append").parquet(path)

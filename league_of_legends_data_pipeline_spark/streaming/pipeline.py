@@ -7,8 +7,13 @@ once (checkpoint-tracked offsets replace the leftovers queue, T4), and
 ``foreachBatch`` demuxes the three routed pipelines and appends to the
 silver parquet tables with schema evolution.
 
-Watermarked dedup (T5) bounds state: ``matchId`` is the idempotency key;
-at-least-once file replay cannot double-insert inside one watermark.
+Idempotency (T5): ``matchId`` is the natural key. Within a micro-batch
+``dropDuplicates`` collapses replays; ACROSS batches each append first
+anti-joins the batch against the sink's existing keys, so a match replayed
+in a later file (the reference's leftover-drain double-fetch) cannot
+double-insert. The key scan reads only the key columns (column-pruned) —
+at very large sinks switch to ``dropDuplicatesWithinWatermark`` keyed
+state or a Delta MERGE instead.
 """
 
 from __future__ import annotations
@@ -75,16 +80,37 @@ def demux_batch(envelopes: DataFrame, out_dir: str) -> None:
                      .select("m.*")
 
         if not m.isEmpty():
-            evolve_append(spark, player_rows(m).dropDuplicates(["matchId", "puuid"]),
-                          f"{out_dir}/player_data")
+            evolve_append(
+                spark,
+                _minus_existing(
+                    player_rows(m).dropDuplicates(["matchId", "puuid"]),
+                    f"{out_dir}/player_data", ["matchId", "puuid"]),
+                f"{out_dir}/player_data")
         if not t.isEmpty():
             evolve_append(
                 spark,
-                timeline_rows(t).dropDuplicates(["matchId", "puuid", "timestamp"]),
+                _minus_existing(
+                    timeline_rows(t).dropDuplicates(["matchId", "puuid", "timestamp"]),
+                    f"{out_dir}/timeline_data", ["matchId", "puuid", "timestamp"]),
                 f"{out_dir}/timeline_data")
-            evolve_append(spark, event_rows(t), f"{out_dir}/events")
+            evolve_append(
+                spark,
+                _minus_existing(event_rows(t), f"{out_dir}/events", ["matchId"]),
+                f"{out_dir}/events")
     finally:
         envelopes.unpersist()
+
+
+def _minus_existing(batch: DataFrame, path: str, keys: list[str]) -> DataFrame:
+    """Cross-batch idempotency (T5): drop batch rows whose natural key is
+    already in the sink — a file replayed in a later micro-batch (or a
+    leftover re-drain) must not double-insert. Left-anti against the
+    key-pruned sink scan; no-op when the sink doesn't exist yet."""
+    try:
+        existing = batch.sparkSession.read.parquet(path).select(*keys).distinct()
+    except Exception:
+        return batch
+    return batch.join(existing, keys, "left_anti")
 
 
 def start_ranks_ingest(

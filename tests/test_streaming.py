@@ -95,3 +95,20 @@ def test_stream_picks_up_new_files_only(spark, fixtures_dir, tmp_path):
     out = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/player_data")
     assert out.count() == n0 + 10
     assert out.filter(F.col("matchId") == newm["metadata"]["matchId"]).count() == 10
+
+    # cross-batch replay (T5): re-deliver the SAME match in yet another
+    # file in a later micro-batch — the sink anti-join must reject it
+    replay_dir = os.path.join(src, "matches", "year=2024", "month=09", "day=30")
+    os.makedirs(replay_dir, exist_ok=True)
+    with open(os.path.join(replay_dir, "batch_y_matches.json"), "w") as f:
+        json.dump({
+            "metadata": {"upload_timestamp": "2024-09-30T00:00:00+00:00",
+                         "match_count": 1, "batch_id": "y",
+                         "s3_key": "matches/.../batch_y_matches.json",
+                         "data_collection_type": "match"},
+            "matches": [newm],
+        }, f)
+    start_ingest(spark, glob, schema, out_dir, ckpt).awaitTermination(120)
+    out2 = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/player_data")
+    assert out2.count() == n0 + 10  # no double-insert
+    assert out2.filter(F.col("matchId") == newm["metadata"]["matchId"]).count() == 10
