@@ -1,0 +1,125 @@
+"""Connected components over near-duplicate pair graphs — the final step of
+cluster-level dedup in a training-data pipeline: pairs from MinHash/SimHash
+LSH become clusters, and one representative document survives per cluster.
+
+The reference deduplicates only by exact id (``set(matchesList)``,
+EC2/fetcher.py:136); transitive near-dup clustering is beyond-reference
+LLM-pipeline surface (BASELINE.json north star).
+
+Scale notes
+-----------
+- Pure DataFrame iteration: min-label propagation with pointer jumping
+  (``comp(u) <- comp(comp(u))`` each round), so convergence is
+  O(log(diameter)) rounds rather than O(diameter) — a chain of 1M near-dup
+  docs converges in ~20 rounds, not 1M.
+- Each round is two shuffles (neighbor-min groupBy + self-join for the
+  jump) over (node, comp) long pairs — 16 bytes/row regardless of document
+  size. The documents themselves never enter the iteration.
+- ``localCheckpoint`` every round truncates lineage: without it the plan
+  doubles per iteration and Catalyst analysis time explodes by round ~15.
+- Convergence is detected exactly (count of changed labels == 0), with
+  ``max_iterations`` as a safety valve; the alternating large-star /
+  small-star formulation (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") is the known constant-factor improvement if
+  rounds ever dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark.operators._util import (
+    default_parallelism as _par,
+)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with its component id
+    (= the smallest node id in the component). Returns (node, component).
+
+    Only nodes appearing in ``pairs`` are returned; isolated nodes are
+    their own singleton components by definition (coalesce at the call
+    site, see :func:`dedup_clusters`).
+    """
+    n = _par(pairs)
+    e = pairs.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(n, "src")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .repartition(n, "node")
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iterations):
+        # hop: comp(u) <- min(comp(u), min over neighbors v of comp(v))
+        # both selects alias every column: the union's children must not
+        # share attribute ids with `labels` (Catalyst's union constraint
+        # rewrite fails on duplicated ids across children)
+        msgs = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.col("comp").alias("comp"))
+        )
+        own = labels.select(F.col("node").alias("node"), F.col("comp").alias("comp"))
+        hop = own.unionByName(msgs).groupBy("node").agg(F.min("comp").alias("comp"))
+        # jump: comp(u) <- comp(comp(u)). Every comp value is a node id
+        # (labels are mins over node ids) and hop covers every node, so the
+        # inner self-join is total; labels only ever decrease.
+        jump = (
+            hop.alias("a")
+            .join(hop.select(F.col("node").alias("comp"),
+                             F.col("comp").alias("__c2")).alias("b"), "comp")
+            .select("node", F.col("__c2").alias("comp"))
+            .repartition(n, "node")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jump.join(labels.withColumnRenamed("comp", "__old"), "node")
+            .filter(F.col("comp") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = jump
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Cluster-level dedup decision table: one row per document with its
+    near-dup cluster id, the cluster size, and whether this document is the
+    cluster representative (the smallest id — the one a pipeline keeps).
+
+    Documents in no pair are singleton clusters (kept).
+    """
+    comp = connected_components(pairs, src, dst, max_iterations)
+    out = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    sizes = out.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        out.join(sizes, "component")
+        .withColumn("is_representative", F.col("doc_id") == F.col("component"))
+        .select("doc_id", "component", "cluster_size", "is_representative")
+    )

@@ -129,3 +129,44 @@ def range_join(
         (F.col(right_ts) <= F.col(left_ts))
         & (F.col(right_ts) >= F.col(left_ts) - F.make_interval(secs=F.lit(lookback_seconds)))
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_left: str | list[str],
+    on_right: str | list[str] | None = None,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: semantically identical to
+    ``left.join(right, keys, how)`` but a hot key's rows execute as
+    ``num_salts`` parallel tasks instead of one straggler.
+
+    The probe (left) side gets a deterministic per-row salt (hash of the
+    whole row — stable across retries, unlike ``rand()``); the build
+    (right) side is replicated once per salt value; the join key becomes
+    (key, salt). Replication costs ``num_salts``x the build side's shuffle
+    bytes — use when the build side is too big to broadcast but far
+    smaller than the probe side, and AQE skew-join splitting isn't enough
+    (one key so hot a single split still spills).
+
+    Only ``inner`` and ``left`` joins are valid: for right/full joins an
+    unmatched build row would surface once per salt.
+    """
+    lkeys = [on_left] if isinstance(on_left, str) else list(on_left)
+    rkeys = lkeys if on_right is None else (
+        [on_right] if isinstance(on_right, str) else list(on_right))
+    if len(lkeys) != len(rkeys):
+        raise ValueError("on_left and on_right must have the same arity")
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports only how='inner'|'left'")
+
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                         F.lit(num_salts)))
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)])))
+    cond = [l["__salt"] == r["__salt"]] + [
+        l[lc] == r[rc] for lc, rc in zip(lkeys, rkeys)]
+    return l.join(r, cond, how).drop(l["__salt"]).drop(r["__salt"])

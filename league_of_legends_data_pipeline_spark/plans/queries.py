@@ -1669,3 +1669,105 @@ def q32_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-level dedup (connected components) + skew-safe join
+# ---------------------------------------------------------------------------
+
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE oracle: same simhash pair graph as q33, components =
+    min reachable doc_id, singletons = docs in no pair."""
+    return f"""
+    WITH RECURSIVE sig AS (
+        SELECT doc_id, lang,
+               CAST({_simhash_sql(60)} AS BIGINT) AS sh
+        FROM (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), walk(node, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON w.r = e.src
+    ), comp AS (
+        SELECT node, least(node, min(r)) AS component FROM walk GROUP BY node
+    ), assigned AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), sizes AS (
+        SELECT component, count(*) AS cluster_size FROM assigned GROUP BY component
+    )
+    SELECT a.doc_id, a.component, s.cluster_size,
+           a.doc_id = a.component AS is_representative
+    FROM assigned a JOIN sizes s USING (component)
+    ORDER BY doc_id
+    """
+
+
+@_register(
+    "q44_dedup_clusters",
+    _dedup_clusters_oracle(),
+    doc="Cluster-level near-dup dedup (operators/graph.py): simhash pair "
+        "graph (same parameters as q33) -> connected components via "
+        "min-label propagation with pointer jumping (O(log diameter) "
+        "rounds, 16-byte rows in the iteration) -> one representative per "
+        "cluster. Oracle walks the same graph with a recursive CTE.",
+)
+def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import simhash_pairs
+    from league_of_legends_data_pipeline_spark.operators.graph import dedup_clusters
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(documents, "doc_id", "text", bits=60, chunks=6,
+                          max_hamming=5, band_cols=["lang"],
+                          max_bucket_size=1_000_000)
+    return dedup_clusters(documents, pairs, "doc_id").orderBy("doc_id")
+
+
+@_register(
+    "q45_salted_skew_join",
+    """
+    -- revenue by supplier nation; the Spark plan salts the fact->supplier
+    -- join (operators/joins.py salted_join) so a hot suppkey spreads over
+    -- num_salts tasks. Result is identical to the plain equi-join.
+    SELECT s.s_nationkey,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+               AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+    """,
+    doc="Skew-safe salted equi-join (operators/joins.py salted_join): "
+        "deterministic probe-side salt + build-side replication turns one "
+        "hot key's rows into num_salts parallel tasks; semantically equal "
+        "to the plain join (oracle is the plain join).",
+)
+def q45_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import salted_join
+
+    lineitem, supplier = _t(spark, sf_dir, "lineitem", "supplier")
+    joined = salted_join(
+        lineitem.select("l_suppkey", "l_extendedprice", "l_discount"),
+        supplier.select("s_suppkey", "s_nationkey"),
+        on_left="l_suppkey", on_right="s_suppkey", num_salts=8,
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -201,3 +201,69 @@ def test_predicted_language_tiebreak(spark):
     # (alphabetical first-wins)
     df = spark.createDataFrame([(1, "the der")], ["id", "t"])
     assert df.select(predicted_language("t").alias("l")).collect()[0]["l"] == "de"
+
+
+# --- connected components / cluster dedup ----------------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4, exercises pointer jumping), pair {10,11},
+    # triangle {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11),
+         (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_singletons_and_representatives(spark):
+    from league_of_legends_data_pipeline_spark.operators.graph import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], ["id_a", "id_b"])
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert rows[1]["component"] == 1 and rows[3]["component"] == 1 \
+        and rows[5]["component"] == 1
+    assert rows[1]["cluster_size"] == 3
+    assert rows[1]["is_representative"] and not rows[3]["is_representative"]
+    # docs in no pair are singleton reps
+    for d in (2, 4, 6):
+        assert rows[d]["component"] == d and rows[d]["cluster_size"] == 1 \
+            and rows[d]["is_representative"]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from league_of_legends_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", "hot2")] + [("cold", 99)],
+        ["k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unmatched", "U")], ["k", "tag"])
+
+    plain = left.join(right.withColumnRenamed("k", "rk"),
+                      F.col("k") == F.col("rk"), "inner")
+    salted = salted_join(left, right.withColumnRenamed("k", "rk"),
+                         on_left="k", on_right="rk", num_salts=4)
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    # left join keeps unmatched probe rows exactly once
+    lsalted = salted_join(left, right.withColumnRenamed("k", "rk"),
+                          on_left="k", on_right="rk", num_salts=4, how="left")
+    lplain = left.join(right.withColumnRenamed("k", "rk"),
+                       F.col("k") == F.col("rk"), "left")
+    assert sorted(map(lambda r: tuple("∅" if x is None else x for x in r),
+                      lsalted.collect())) \
+        == sorted(map(lambda r: tuple("∅" if x is None else x for x in r),
+                      lplain.collect()))
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, on_left="k", how="full")
