@@ -1771,3 +1771,48 @@ def q45_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+@_register(
+    "q46_stateful_quota",
+    """
+    -- per-language document quota (cap 50, smallest doc_id wins): the
+    -- streaming result of the keyed-state admission operator equals the
+    -- batch row_number formulation when each key drains in one micro-batch.
+    SELECT doc_id, lang
+    FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 50
+    ORDER BY doc_id
+    """,
+    doc="Custom stateful streaming operator (streaming/stateful.py "
+        "per_key_cap, applyInPandasWithState): per-key admission quota with "
+        "one long of state per key, Arrow-batched. Genuine readStream "
+        "execution with availableNow + memory sink; batch oracle is the "
+        "row_number<=cap formulation (SURVEY §2.11 — keyed state the "
+        "reference's counter high-water marks imply but never generalize).",
+)
+def q46_stateful_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from league_of_legends_data_pipeline_spark.streaming.stateful import per_key_cap
+
+    _t(spark, sf_dir, "documents")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "documents.parquet")
+              .parquet(sf_dir)
+              .select("doc_id", "lang"))
+    capped = per_key_cap(stream, ["lang"], "doc_id", cap=50)
+    name = f"stream_q46_{uuid.uuid4().hex[:8]}"
+    q = (capped.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q46 streaming drain exceeded 300s — partial "
+                           "results would silently corrupt the comparison")
+    return spark.table(name).select("doc_id", "lang").orderBy("doc_id")

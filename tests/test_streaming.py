@@ -112,3 +112,41 @@ def test_stream_picks_up_new_files_only(spark, fixtures_dir, tmp_path):
     out2 = spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/player_data")
     assert out2.count() == n0 + 10  # no double-insert
     assert out2.filter(F.col("matchId") == newm["metadata"]["matchId"]).count() == 10
+
+
+def test_per_key_cap_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState quota: state survives micro-batches — a key
+    whose quota fills in batch 1 admits nothing from batch 2."""
+    import json
+    import time
+
+    from league_of_legends_data_pipeline_spark.streaming.stateful import per_key_cap
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # two files, forced into separate micro-batches via maxFilesPerTrigger=1
+    # (file-source ordering is by modification time — make it unambiguous)
+    f1 = src / "a.json"
+    f1.write_text("\n".join(json.dumps({"doc_id": i, "lang": "en"})
+                            for i in range(10)))
+    time.sleep(1.1)
+    f2 = src / "b.json"
+    f2.write_text("\n".join(
+        [json.dumps({"doc_id": 100 + i, "lang": "en"}) for i in range(10)]
+        + [json.dumps({"doc_id": 200 + i, "lang": "fr"}) for i in range(4)]))
+
+    stream = (spark.readStream.schema("doc_id long, lang string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    capped = per_key_cap(stream, ["lang"], "doc_id", cap=6)
+    q = (capped.writeStream.format("memory").queryName("cap_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    rows = spark.table("cap_test").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    # en filled its quota from the older file (batch 1), smallest ids first
+    assert sorted(by_lang["en"]) == [0, 1, 2, 3, 4, 5]
+    # fr arrived only in batch 2 and is under quota
+    assert sorted(by_lang["fr"]) == [200, 201, 202, 203]
