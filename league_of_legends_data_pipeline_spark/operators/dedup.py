@@ -138,16 +138,22 @@ def minhash_lsh_pairs(
         raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
                          f"into bands ({bands})")
     rows = num_hashes // bands
-    # Three stages separated by exchanges, each chosen for what it shuffles
-    # and where the heavy compute lands:
+    # Stage layout is driven by what each shuffle CARRIES, not just how
+    # many shuffles there are — the hashed-shingle arrays (~8 bytes x
+    # shingle count per doc) must never ride through the wide exchanges:
     #  1. exchange RAW text (small rows) — spreads a single input file
     #     across the cluster;
     #  2. one md5 per shingle → 60-bit long array `hm` (the only expensive
-    #     hashing, done exactly once, in parallel);
-    #  3. exchange the compact long arrays, then derive all num_hashes
-    #     min-slots + bands from `hm` with cheap integer arithmetic.
-    # Without the exchanges Catalyst would inline the shingle+md5 subtree
-    # into every one of the num_hashes slots (projection collapse).
+    #     hashing, done exactly once, in parallel); the doc_id-keyed
+    #     exchange below it is reused by the two verify-side joins;
+    #  3. banding/candidate generation moves (doc_id, band) rows ONLY —
+    #     ids, never arrays. The signature collapses to band hashes in one
+    #     aggregate pass over `hm` (not num_hashes transform+array_min
+    #     passes: those materialize num_hashes temp arrays per row).
+    #  4. candidate id-pairs dedupe while still array-free, and the shingle
+    #     arrays are re-attached by two doc_id equi-joins against the stage-2
+    #     exchange — each array crosses the wire once per side, not once per
+    #     duplicated candidate.
     raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")) \
             .repartition(_par(df), "doc_id")
     hashed = raw.select(
@@ -155,39 +161,48 @@ def minhash_lsh_pairs(
         F.transform(char_shingles("__text", shingle_k), portable_hash64).alias("hm"),
     ).repartition(_par(df), "doc_id")
 
-    def slot(a: int, b: int):
-        return lambda h: (F.lit(a) * (h % MINHASH_PRIME) + F.lit(b)) % MINHASH_PRIME
-
+    # all num_hashes running mins in ONE pass over hm (acc = array of mins)
     coeffs = minhash_coefficients(num_hashes, seed)
-    sig = F.array(*[F.array_min(F.transform(F.col("hm"), slot(a, b))) for a, b in coeffs])
+    ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+                   for a, b in coeffs])
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
+    sig = F.aggregate(
+        F.col("hm"), init,
+        lambda acc, h: F.zip_with(
+            acc, ab,
+            lambda c, s: F.least(c, (s["a"] * (h % MINHASH_PRIME) + s["b"])
+                                 % MINHASH_PRIME)))
     banded = hashed.select(
-        "doc_id", "hm",
+        "doc_id",
         F.posexplode(F.array(*[
             F.md5(F.concat_ws(",", *[sig[i].cast("string")
                                      for i in range(b * rows, (b + 1) * rows)]))
             for b in range(bands)
         ])).alias("band_id", "band_hash"),
     )
-    # cap degenerate buckets: a bucket of m docs yields m^2/2 pairs
-    bucket_counts = banded.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("__bc"))
-    banded = banded.join(
-        bucket_counts.filter(F.col("__bc") <= max_bucket_size), ["band_id", "band_hash"]
-    ).drop("__bc")
+    # cap degenerate buckets (a bucket of m docs yields m^2/2 pairs) with a
+    # window count — it exchanges on the same (band_id, band_hash) key the
+    # self-join needs, so the sort/exchange is computed once and reused
+    bw = Window.partitionBy("band_id", "band_hash")
+    banded = banded.withColumn("__bc", F.count(F.lit(1)).over(bw)) \
+                   .filter(F.col("__bc") <= max_bucket_size).drop("__bc")
 
-    # exact Jaccard verified on the hashed shingle arrays: identical to
-    # string-shingle Jaccard up to 60-bit hash collisions (~2^-61 per pair)
-    # and far cheaper to intersect/carry.
-    a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"),
-                      F.col("hm").alias("sh_a"))
-    b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"),
-                      F.col("hm").alias("sh_b"))
+    a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
+    b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
     cands = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return jaccard_verified_pairs(cands, "sh_a", "sh_b", jaccard_threshold)
+    # exact Jaccard verified on the hashed shingle arrays: identical to
+    # string-shingle Jaccard up to 60-bit hash collisions (~2^-61 per pair)
+    # and far cheaper to intersect/carry.
+    pairs = cands.join(hashed.select(F.col("doc_id").alias("id_a"),
+                                     F.col("hm").alias("sh_a")), "id_a") \
+                 .join(hashed.select(F.col("doc_id").alias("id_b"),
+                                     F.col("hm").alias("sh_b")), "id_b")
+    return jaccard_verified_pairs(pairs, "sh_a", "sh_b", jaccard_threshold)
 
 
 def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
@@ -199,7 +214,7 @@ def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
     generate enormous codegen (seconds of JIT per query) and re-walk the
     token array ``bits`` times. Bit extraction is ``(h div 2^j) mod 2`` on
     the non-negative 60-bit hashes — shift functions take only literal
-    shift amounts. ``bits`` must be <= 62 (2^j literals in a signed long).
+    shift amounts. ``bits`` must be <= 60 (2^(j+1) literals in a signed long).
     """
     if bits > 60:
         raise ValueError("bits must be <= 60 (2^(j+1) literals in a signed long)")
