@@ -1,0 +1,92 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+A 100 TB corpus cannot be split with ``rand()``: re-runs must assign every
+document to the same split (resumable backfills, reproducible ablations),
+and the assignment must not depend on partitioning, row order, or cluster
+size. Both operators therefore key off an md5-derived hash of the document
+id — pure Column expressions, no shuffle for the split itself, and
+engine-portable (same values in DuckDB, so both are oracle-checkable).
+
+The reference has no sampling surface (its closest analogue is the
+``PLAYER_LIMIT`` head-cap, EC2/fetcher.py:107 — SURVEY L1); this module is
+part of the beyond-reference LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^60: the hash is 15 hex chars = 60 bits, so hash/2^60 is uniform in [0,1)
+HASH_UNIT_DENOM = 1 << 60
+
+
+def hash_unit(col: str | Column, seed: int = 42) -> Column:
+    """Deterministic uniform [0,1) value per input value: first 60 bits of
+    md5(seed:value) scaled down. Independent draws for the same value come
+    from different seeds."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string"))), 1, 15), 16, 10)
+    return h.cast("long") / F.lit(float(HASH_UNIT_DENOM))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by hashed id.
+
+    ``weights`` need not sum to 1 — they are normalized. Assignment is a
+    pure projection (no shuffle, no state): stable under re-runs, appends,
+    repartitioning, and cluster-size changes, and a document keeps its
+    split even when the corpus around it grows — the property that keeps
+    eval sets uncontaminated across dataset versions.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    u = hash_unit(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = F.when(u < acc, F.lit(name))
+        expr = branch if expr is None else expr.when(u < acc, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``min(n, stratum size)`` rows per stratum, chosen by hashed-id
+    order — a deterministic reservoir. One shuffle (window over the strata);
+    the hash order makes the choice independent of file layout, and the
+    id tiebreak makes it total.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_unit(id_col, seed).asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: int = 42) -> DataFrame:
+    """Bernoulli-style deterministic sample: keep rows whose hash-unit falls
+    below ``fraction``. Pure filter — pushed to the scan, no shuffle; the
+    same ids are kept on every run and on every engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(hash_unit(id_col, seed) < fraction)

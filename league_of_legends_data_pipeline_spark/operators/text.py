@@ -114,6 +114,39 @@ def fingerprint(col: str | Column) -> Column:
     )
 
 
+def tfidf_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-(group, term) TF-IDF: sum over the group's documents of
+    tf(term, doc) * idf(term), idf = ln((N+1)/(df+1)) + 1 (smoothed).
+
+    Shape chosen for corpus scale: the explode emits (doc_id, group, term)
+    rows once; term frequencies and document frequencies are both grouped
+    aggregations over those rows (map-side partial agg), and the idf join
+    keys on the term — the shuffles move tokens and counts, never document
+    text. N (corpus size) rides in via a 1-row cross join, not a driver
+    collect, so the plan stays lazy end-to-end.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.col(group_col).alias("__grp"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    )
+    tf = toks.groupBy("__doc", "__grp", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("__idf", F.log((F.col("__n") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))) + 1)
+        .groupBy(F.col("__grp").alias(group_col), "term")
+        .agg(F.round(F.sum(F.col("tf") * F.col("__idf")), 6).alias("tfidf"))
+    )
+
+
 def document_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stat projection: token count, char count, quality,
     predicted language, fingerprint."""

@@ -1816,3 +1816,130 @@ def q46_stateful_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError("q46 streaming drain exceeded 300s — partial "
                            "results would silently corrupt the comparison")
     return spark.table(name).select("doc_id", "lang").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# H. Deterministic sampling / splitting + TF-IDF (operators/sampling.py,
+#    operators/text.py — beyond-reference LLM-pipeline surface)
+# ---------------------------------------------------------------------------
+
+# DuckDB rendering of operators/sampling.py::hash_unit(doc_id, seed=42):
+# first 60 bits of md5("42:" || id), scaled to [0,1).
+_HASH_UNIT_SQL = ("(CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+                  "AS BIGINT) / 1152921504606846976.0)")
+
+
+@_register(
+    "q47_hash_split",
+    f"""
+    -- deterministic train/val/test split: hashed-id thresholds, not rand()
+    -- — every engine and every re-run assigns each doc the same split.
+    WITH split AS (
+        SELECT lang,
+               CASE WHEN {_HASH_UNIT_SQL} < 0.8 THEN 'train'
+                    WHEN {_HASH_UNIT_SQL} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, count(*) AS n_docs
+    FROM split
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="Deterministic hash split (operators/sampling.py hash_split): "
+        "train/val/test assignment as a pure projection — stable under "
+        "re-runs, appends, and repartitioning; no rand(), no shuffle.",
+)
+def q47_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import hash_split
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    split = hash_split(documents, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@_register(
+    "q48_stratified_sample",
+    f"""
+    -- exactly 20 docs per (lang, source) stratum, chosen by hashed-id order
+    -- (deterministic reservoir); id tiebreak makes the order total.
+    SELECT doc_id, lang, source
+    FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY {_HASH_UNIT_SQL} ASC, doc_id ASC) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+    ORDER BY doc_id
+    """,
+    doc="Stratified deterministic sample (operators/sampling.py "
+        "stratified_sample_n): exact per-stratum counts via hashed-id "
+        "window rank — one shuffle, layout-independent choice.",
+)
+def q48_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import stratified_sample_n
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample_n(documents, ["lang", "source"], 20, "doc_id", seed=42)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q49_tfidf_top_terms",
+    """
+    -- top-5 terms per language by summed TF-IDF (smoothed idf); the
+    -- shuffles move (doc, term, count) rows — document text never moves.
+    WITH toks AS (
+        SELECT doc_id, lang, lower(unnest(
+            list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, lang, term, count(*) AS tf
+        FROM toks GROUP BY doc_id, lang, term
+    ), dfreq AS (
+        SELECT term, count(*) AS dfreq FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT lang, term,
+               CAST(round(sum(tf * (ln((n_docs + 1.0) / (dfreq + 1.0)) + 1)), 6)
+                    AS DOUBLE) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        GROUP BY lang, term
+    )
+    SELECT lang, term, tfidf
+    FROM (
+        SELECT lang, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    )
+    WHERE rn <= 5
+    ORDER BY lang, tfidf DESC, term
+    """,
+    doc="TF-IDF term scoring (operators/text.py tfidf_scores): explode once, "
+        "aggregate twice, join on term — corpus size rides in via a 1-row "
+        "broadcast cross join, no driver collect.",
+)
+def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import tfidf_scores
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = tfidf_scores(documents, "doc_id", "text", "lang")
+    w = W.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("lang", "term", "tfidf")
+        .orderBy("lang", F.col("tfidf").desc(), "term")
+    )

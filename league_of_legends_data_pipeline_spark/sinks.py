@@ -78,6 +78,61 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: tuple[str, ...] = PARTITION_COLS,
+) -> None:
+    """Rewrite a hive-partitioned parquet table with size-targeted files.
+
+    The reference's sink emits one object per <=200-match batch / one per
+    match (Utils/S3.py:101-111,190-194) — the classic small-file problem
+    SURVEY §4 flags; at 100 TB an uncompacted day partition can hold
+    millions of KB-sized files and the scan dies on open() overhead.
+
+    Sizing is measured, not guessed: a ``binaryFile`` read lists every
+    parquet file with its length distributedly (content column pruned away
+    — no data is read), aggregated per hive partition. Each partition gets
+    ``ceil(bytes / target)`` output files via a deterministic row-hash
+    salt, so a 10 GB day becomes ~80 files of ~128 MB while a 3 KB day
+    collapses to one — one shuffle keyed (partition, salt), every task
+    writing exactly one file.
+
+    Writes to ``dest_path`` (a table cannot atomically overwrite itself
+    while being read); swap is the caller's rename/metastore flip.
+    """
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(src_path)
+        .select("path", "length")
+    )
+    part_expr = F.concat_ws("/", *[
+        F.regexp_extract("path", rf"{c}=([^/]+)", 1) for c in partition_cols
+    ])
+    sizes = {
+        r["part"]: int(r["bytes"])
+        for r in listing.groupBy(part_expr.alias("part"))
+                        .agg(F.sum("length").alias("bytes")).collect()
+    }  # one row per hive partition — bounded metadata, not data
+    n_files = {p: max(1, -(-b // target_file_bytes)) for p, b in sizes.items()}
+
+    df = spark.read.parquet(src_path)
+    key = F.concat_ws("/", *[F.col(c).cast("string") for c in partition_cols])
+    n_map = F.create_map(*[F.lit(x) for kv in n_files.items() for x in kv])
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    salt = F.pmod(F.abs(F.xxhash64(*data_cols)), F.coalesce(n_map[key], F.lit(1)))
+    (
+        df.withColumn("__salt", salt)
+        .repartition(*[F.col(c) for c in partition_cols], F.col("__salt"))
+        .drop("__salt")
+        .write.mode("overwrite").partitionBy(*partition_cols).parquet(dest_path)
+    )
+
+
 def _table_exists(path: str) -> bool:
     if "://" not in path or path.startswith("file:"):
         p = path.removeprefix("file:")

@@ -267,3 +267,90 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, on_left="k", how="full")
+
+
+# --- sampling / splitting --------------------------------------------------
+
+def _corpus(spark, n=300):
+    return spark.createDataFrame(
+        [(i, ["en", "fr", "es"][i % 3], f"s{i % 2}") for i in range(n)],
+        ["doc_id", "lang", "source"],
+    )
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import hash_split
+
+    df = _corpus(spark)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.repartition(7), "doc_id", w).collect()}
+    assert a == b                       # layout-independent
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.7 * n < train < 0.9 * n    # roughly weighted
+    # growing the corpus must not move existing docs between splits
+    grown = hash_split(_corpus(spark, 600), "doc_id", w)
+    g = {r["doc_id"]: r["split"] for r in grown.collect()}
+    assert all(g[k] == v for k, v in a.items())
+
+
+def test_hash_split_seed_changes_assignment(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import hash_split
+
+    df = _corpus(spark)
+    a = {r["doc_id"]: r["split"]
+         for r in hash_split(df, "doc_id", {"x": 1, "y": 1}, seed=1).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df, "doc_id", {"x": 1, "y": 1}, seed=2).collect()}
+    assert a != b
+
+
+def test_stratified_sample_exact_counts(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        stratified_sample_n,
+    )
+
+    out = stratified_sample_n(_corpus(spark), ["lang"], 10, "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"en": 10, "fr": 10, "es": 10}
+    # deterministic across layouts
+    again = stratified_sample_n(_corpus(spark).repartition(5), ["lang"], 10, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    # stratum smaller than n → whole stratum kept
+    small = stratified_sample_n(_corpus(spark, 6), ["lang"], 10, "doc_id")
+    assert small.count() == 6
+
+
+def test_hash_sample_fraction_and_stability(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import hash_sample
+
+    df = _corpus(spark, 1000)
+    kept = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 0.3).collect())
+    assert 200 < len(kept) < 400
+    # sample of a superset contains the same ids (prefix property)
+    kept2 = sorted(r["doc_id"]
+                   for r in hash_sample(_corpus(spark, 500), "doc_id", 0.3).collect())
+    assert kept2 == [i for i in kept if i < 500]
+
+
+def test_tfidf_scores_hand_oracle(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import tfidf_scores
+
+    df = spark.createDataFrame(
+        [(1, "a", "apple banana apple"),
+         (2, "a", "banana cherry"),
+         (3, "b", "cherry cherry date")],
+        ["doc_id", "grp", "text"],
+    )
+    out = {(r["grp"], r["term"]): r["tfidf"]
+           for r in tfidf_scores(df, "doc_id", "text", "grp").collect()}
+    idf = lambda dfreq: math.log((3 + 1) / (dfreq + 1)) + 1
+    # apple: only doc1 (tf=2, df=1); cherry in grp b: doc3 tf=2, df=2
+    assert out[("a", "apple")] == pytest.approx(round(2 * idf(1), 6))
+    assert out[("b", "cherry")] == pytest.approx(round(2 * idf(2), 6))
+    assert out[("a", "cherry")] == pytest.approx(round(1 * idf(2), 6))

@@ -76,3 +76,32 @@ def test_window_advance_and_clamp(tmp_path):
 def test_exit_code_state_machine():
     assert st.next_mode(0) == st.next_mode(7) == st.next_mode(8) == "production"
     assert st.next_mode(1) == "backfill_accelerate"
+
+
+def test_compact_partitions_targets_file_sizes(spark, tmp_path):
+    from league_of_legends_data_pipeline_spark import sinks
+
+    src, dest = str(tmp_path / "src"), str(tmp_path / "dest")
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        (F.col("id") % 2 + 2024).cast("int").alias("year"),
+        F.lit(1).alias("month"), F.lit(1).alias("day"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    # deliberately fragment: many tasks × every partition
+    df.repartition(16).write.partitionBy("year", "month", "day").parquet(src)
+    import glob
+    n_src = len(glob.glob(f"{src}/**/*.parquet", recursive=True))
+    assert n_src >= 20  # genuinely fragmented input
+
+    sinks.compact_partitions(spark, src, dest, target_file_bytes=64 * 1024)
+    n_dest = len(glob.glob(f"{dest}/**/*.parquet", recursive=True))
+    assert n_dest < n_src
+    # per-partition file count obeys ceil(bytes/target) sizing: with a 64KB
+    # target and ~2KB of data per partition, each collapses to one file
+    for part in glob.glob(f"{dest}/year=*/month=*/day=*"):
+        assert len(glob.glob(f"{part}/*.parquet")) == 1
+    # content identical
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dest).orderBy("id").collect()
+    assert a == b
