@@ -113,6 +113,111 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_blocked(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs via block-partitioned numpy
+    matmul — same result set as :func:`cosine_near_dup_pairs`, built for
+    corpus scale.
+
+    All-pairs cosine is dense linear algebra: per pair, the Column-
+    expression form pays interpreted per-element evaluation plus two
+    64-double array copies through the join, ~5 µs/pair; one BLAS matmul
+    does the same arithmetic in ~0.02 µs/pair. This is the one place the
+    engine's "built-ins first" rule loses by 100×, so the block structure
+    (the actual distribution problem) stays in DataFrame land and ONLY the
+    dense math drops into an Arrow-batched ``applyInPandas``:
+
+    - each vector lands in block ``xxhash64(id) % B`` — deterministic,
+      layout-independent;
+    - a row is replicated to every block pair its block participates in
+      (~B copies; B ~ sqrt(cluster cores), the classic block-nested-loop
+      replication bound), then one shuffle groups each (ba, bb) pair;
+    - per group, normalized matrices multiply (``A @ B.T``) and only pairs
+      clearing ``threshold`` come back — output rows are (id, id, score),
+      never vectors.
+
+    Verified against the Column-expression form in tests (bit-level float
+    caveat: BLAS sums in a different order; scores within 1e-12 of the
+    threshold can differ — irrelevant at the 6-dp rounding both emit).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    B = num_blocks
+    v = df.select(
+        F.col(id_col).cast("long").alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    ).withColumn("__b", F.pmod(F.xxhash64(F.col("__id")), F.lit(B)))
+    # replicate: block b serves as the "a" side of pairs (b, b..B-1) and
+    # the "b" side of pairs (0..b, b); diagonal groups get one copy
+    sides = F.filter(
+        F.flatten(F.array(
+            F.transform(F.sequence(F.col("__b"), F.lit(B - 1)),
+                        lambda hi: F.struct(F.col("__b").alias("ba"),
+                                            hi.alias("bb"),
+                                            F.lit(0).alias("side"))),
+            F.transform(F.sequence(F.lit(0), F.col("__b")),
+                        lambda lo: F.struct(lo.alias("ba"),
+                                            F.col("__b").alias("bb"),
+                                            F.lit(1).alias("side"))),
+        )),
+        lambda s: (s["ba"] != s["bb"]) | (s["side"] == 0),  # diagonal once
+    )
+    replicated = v.select("__id", "__v", F.explode(sides).alias("__s")) \
+                  .select("__id", "__v", "__s.ba", "__s.bb", "__s.side")
+
+    out_schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ])
+
+    def score(key, pdf):
+        # untyped on purpose: pyspark infers GROUPED_MAP from the
+        # applyInPandas call, and partial hints only trigger a warning
+        import numpy as np
+
+        ba, bb = key[0], key[1]
+        diag = ba == bb
+        left = pdf if diag else pdf[pdf["side"] == 0]
+        right = pdf if diag else pdf[pdf["side"] == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        la = np.stack(left["__v"].to_numpy())
+        rb = np.stack(right["__v"].to_numpy())
+        la /= np.linalg.norm(la, axis=1, keepdims=True)
+        rb /= np.linalg.norm(rb, axis=1, keepdims=True)
+        sims = la @ rb.T
+        ia, ib = np.nonzero(sims >= threshold)
+        id_a = left["__id"].to_numpy()[ia]
+        id_b = right["__id"].to_numpy()[ib]
+        if diag:
+            # each unordered pair appears as (x,y) AND (y,x): keep one
+            keep = id_a < id_b
+            id_a, id_b, s = id_a[keep], id_b[keep], sims[ia, ib][keep]
+        else:
+            # blocks are disjoint: each unordered pair appears exactly
+            # once, but in arbitrary id order — orient, don't filter
+            s = sims[ia, ib]
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b,
+                             "cosine": np.round(s, 6)})
+
+    return (
+        replicated.groupBy("ba", "bb")
+        .applyInPandas(score, out_schema)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1943,3 +1943,42 @@ def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "tfidf")
         .orderBy("lang", F.col("tfidf").desc(), "term")
     )
+
+
+@_register(
+    "q50_blocked_near_dup",
+    """
+    -- same result set as q34 via a different physical strategy (block
+    -- matmul); the oracle is the exact all-pairs formulation.
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(list_sum(list_transform(range(1, len(a.e) + 1),
+                 i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))
+                 / (a.nrm * b.nrm), 6) AS DOUBLE) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                 i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))
+          / (a.nrm * b.nrm) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="Blocked-matmul embedding near-dup (operators/similarity.py "
+        "cosine_near_dup_pairs_blocked): the dense-linear-algebra scale "
+        "path — block structure in DataFrame land, only the matmul in an "
+        "Arrow-batched applyInPandas (numpy). Same oracle as q34's exact "
+        "Column form.",
+)
+def q50_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_blocked(
+        embeddings, "vec_id", "embedding", threshold=0.35,
+    ).orderBy("id_a", "id_b")

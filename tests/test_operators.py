@@ -354,3 +354,28 @@ def test_tfidf_scores_hand_oracle(spark):
     assert out[("a", "apple")] == pytest.approx(round(2 * idf(1), 6))
     assert out[("b", "cherry")] == pytest.approx(round(2 * idf(2), 6))
     assert out[("a", "cherry")] == pytest.approx(round(1 * idf(2), 6))
+
+
+def test_blocked_near_dup_matches_exact(spark):
+    import random
+
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        cosine_near_dup_pairs, cosine_near_dup_pairs_blocked,
+    )
+
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(10)]
+    rows = []
+    for i in range(120):
+        v = [x + rng.gauss(0, 0.3) for x in base[i % 10]]
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in cosine_near_dup_pairs(df, threshold=0.8).collect()}
+    blocked = {(r.id_a, r.id_b): r.cosine
+               for r in cosine_near_dup_pairs_blocked(
+                   df, threshold=0.8, num_blocks=4).collect()}
+    assert exact.keys() == blocked.keys()
+    assert len(exact) > 50  # fixture genuinely produces near-dups
+    for k, v in exact.items():
+        assert abs(v - blocked[k]) <= 2e-6
