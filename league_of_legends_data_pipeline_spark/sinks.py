@@ -78,6 +78,33 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (optionally sorted) managed table.
+
+    Bucketing is the pre-shuffle: rows are hash-distributed into
+    ``num_buckets`` files by ``bucket_cols`` at WRITE time, so every
+    subsequent equi-join or aggregation on those columns skips its
+    exchange — the join that dominates a fact-to-fact workload shuffles
+    zero bytes instead of the full table, every run, forever. At 100 TB
+    that converts the recurring O(table) shuffle into a one-time write
+    cost; with ``sort_cols`` the sort-merge join's sort is also
+    pre-paid. Both sides must bucket identically (same cols, same count)
+    for the exchange-free plan; ``tests/test_sinks_state.py`` asserts the
+    executed join plan contains no Exchange.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
 def compact_partitions(
     spark: SparkSession,
     src_path: str,

@@ -105,3 +105,36 @@ def test_compact_partitions_targets_file_sizes(spark, tmp_path):
     a = spark.read.parquet(src).orderBy("id").collect()
     b = spark.read.parquet(dest).orderBy("id").collect()
     assert a == b
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    from league_of_legends_data_pipeline_spark import sinks
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_id"), (F.col("id") % 7).alias("o_v"))
+    items = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("o_id"), F.col("id").alias("l_id"))
+    sinks.write_bucketed(orders, "b_orders", ["o_id"], num_buckets=8,
+                         sort_cols=["o_id"])
+    sinks.write_bucketed(items, "b_items", ["o_id"], num_buckets=8,
+                         sort_cols=["o_id"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force sort-merge (tiny test tables would broadcast, and a
+        # broadcast join never uses bucketing) — the 100 TB case this
+        # sink exists for is exactly the too-big-to-broadcast join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_items"), "o_id")
+        assert joined.count() == 5000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # co-located: bucketing pre-paid the shuffle
+        assert "Bucketed: true" in plan
+        # contrast: the same join on unbucketed data shuffles both sides
+        plain = orders.join(items, "o_id")
+        plain.count()
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
