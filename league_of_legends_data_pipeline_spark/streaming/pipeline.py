@@ -145,3 +145,25 @@ def start_ranks_ingest(
     return (parsed.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once with BOUNDED state (SURVEY T5 at
+    100 TB): natural-key dedup whose per-key state is dropped once the
+    event-time watermark passes it.
+
+    Plain ``dropDuplicates`` on a stream keeps every key seen forever —
+    unbounded state that eventually OOMs a year-long ingest.
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the watermark
+    (max event time - delay) passes its timestamp: replays and retries
+    land within the delay window and are deduped; state stays O(keys per
+    window). This is the documented scale switch from the batch-path
+    anti-join idempotency in ``demux_batch``.
+    """
+    return stream.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(keys)

@@ -150,3 +150,56 @@ def test_per_key_cap_stateful_across_batches(spark, tmp_path):
     assert sorted(by_lang["en"]) == [0, 1, 2, 3, 4, 5]
     # fr arrived only in batch 2 and is under quota
     assert sorted(by_lang["fr"]) == [200, 201, 202, 203]
+
+
+def test_dedup_within_watermark_bounds_state(spark, tmp_path):
+    import json
+    import os
+    import time
+
+    from league_of_legends_data_pipeline_spark.streaming.pipeline import (
+        dedup_stream_within_watermark,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # batch 1: m1 twice (in-window replay) + m2
+    write_file("a.json", [
+        {"matchId": "m1", "ts": "2024-01-01T10:00:00.000Z", "v": 1},
+        {"matchId": "m1", "ts": "2024-01-01T10:01:00.000Z", "v": 2},
+        {"matchId": "m2", "ts": "2024-01-01T10:02:00.000Z", "v": 3},
+    ])
+    schema = "matchId STRING, ts STRING, v LONG"
+    stream = (spark.readStream.schema(schema).json(src)
+              .withColumn("ts", F.to_timestamp("ts")))
+    deduped = dedup_stream_within_watermark(stream, ["matchId"], "ts", "10 minutes")
+    out = str(tmp_path / "out")
+    # file sink (not memory): supports checkpoint recovery, so the dedup
+    # state genuinely persists across the restart below
+    q = (deduped.writeStream.format("parquet").option("path", out)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    # batch 2 (restart from checkpoint): m1 replayed ACROSS batches but
+    # within the watermark delay → still deduped; m3 is new; watermark
+    # state from batch 1 persisted via the checkpoint
+    write_file("b.json", [
+        {"matchId": "m1", "ts": "2024-01-01T10:03:00.000Z", "v": 4},
+        {"matchId": "m3", "ts": "2024-01-01T10:04:00.000Z", "v": 5},
+    ])
+    q = (deduped.writeStream.format("parquet").option("path", out)
+         .outputMode("append").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    rows = {r["matchId"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {"m1", "m2", "m3"}
+    assert rows["m1"] == 1  # first occurrence won; replays dropped
