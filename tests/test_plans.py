@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the optimizations SURVEY §4 promises
+(pushdown, pruning, broadcast, partial aggregation, codegen) asserted on
+the executed/analyzed plans of the declared queries — so a refactor that
+silently trades one of them away fails CI, not the 100 TB run.
+"""
+
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+from league_of_legends_data_pipeline_spark.session import load_tables
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown_and_column_pruning(spark):
+    (lineitem,) = [load_tables(spark, SF_DIR, ["lineitem"])["lineitem"]]
+    q = lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # predicate reaches the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # ...and the scan schema is pruned to exactly the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity" in plan
+
+
+def test_q04_dimension_join_broadcasts(spark):
+    plan = _executed(QUERIES["q04_broadcast_join_topk"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dim join must not shuffle the fact
+
+
+def test_q01_aggregation_is_partial_then_final(spark):
+    plan = _executed(QUERIES["q01_pricing_summary"].spark(spark, SF_DIR))
+    # map-side combine: a partial HashAggregate below the exchange and a
+    # final one above it
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_q01_stays_in_wholestage_codegen(spark):
+    df = QUERIES["q01_pricing_summary"].spark(spark, SF_DIR)
+    # collect() (not a cloned write plan) so AQE finalizes THIS df's plan —
+    # codegen spans only appear on the final adaptive plan
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan  # WholeStageCodegen span marker in the simple string
+
+
+def test_asof_join_single_exchange_per_side(spark):
+    # union-sort as-of join: ONE exchange for the unioned stream (plus the
+    # final sort's), never a per-key collect or nested loop
+    plan = _executed(QUERIES["q22_asof_join"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_not_nested_loop(spark):
+    plan = _executed(QUERIES["q23_range_join"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
