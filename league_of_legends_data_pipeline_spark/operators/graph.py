@@ -47,15 +47,23 @@ def connected_components(
     their own singleton components by definition (coalesce at the call
     site, see :func:`dedup_clusters`).
     """
-    n = _par(pairs)
     e = pairs.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
     edges = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition(n, "src")
+        .repartition(_par(pairs), "src")
         .localCheckpoint(eager=True)
     )
+    # Size the ITERATION's partitioning to the graph, not the cluster
+    # default: the pair graph is orders of magnitude smaller than the
+    # corpus (only near-dup docs appear), and every round pays
+    # 3 exchanges × partitions in scheduling alone. ~100k edges per
+    # partition keeps rounds single-digit-task on small graphs while
+    # scaling out linearly on billion-edge ones. The count is free — the
+    # checkpoint above just materialized the edges.
+    n = max(1, min(_par(pairs), edges.count() // 100_000 + 1))
+    edges = edges.repartition(n, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
