@@ -1982,3 +1982,82 @@ def q50_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs_blocked(
         embeddings, "vec_id", "embedding", threshold=0.35,
     ).orderBy("id_a", "id_b")
+
+
+@_register(
+    "q51_corpus_curation",
+    """
+    -- end-to-end training-data curation: exact-dedup (keep smallest id per
+    -- content digest) -> quality filter (>= 0.5) -> deterministic
+    -- train/val/test split -> per-split token budget accounting.
+    WITH digested AS (
+        SELECT doc_id, text, lang,
+               md5('V' || CAST(length(text) AS VARCHAR) || ':' || text ||
+                   'V' || CAST(length(lang) AS VARCHAR) || ':' || lang) AS digest
+        FROM documents
+    ), deduped AS (
+        SELECT doc_id, text
+        FROM (SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY digest
+                                        ORDER BY doc_id) AS rn
+              FROM digested)
+        WHERE rn = 1
+    ), scored AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tokens
+        FROM deduped
+    ), quality AS (
+        SELECT doc_id, len(tokens) AS n_tokens,
+               round((
+                   least(1.0, len(tokens) / 50.0)
+                   + CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1)
+                   + least(1.0, (CAST(length(list_aggregate(tokens, 'string_agg', '')) AS DOUBLE)
+                                 / greatest(len(tokens), 1)) / 8.0)
+               ) / 3, 6) AS q
+        FROM scored
+    ), kept AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) / 1152921504606846976.0) < 0.9 THEN 'train'
+                    WHEN (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) / 1152921504606846976.0) < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM quality WHERE q >= 0.5
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM kept GROUP BY split ORDER BY split
+    """,
+    doc="Capstone corpus-curation pipeline composing the LLM-data operators "
+        "end to end: content-digest exact dedup (operators/dedup.py) -> "
+        "quality filter (operators/text.py) -> deterministic hash split "
+        "(operators/sampling.py) -> per-split token budgets. One pipeline, "
+        "three shuffles (dedup window, split agg, final sort), no text "
+        "through the last two.",
+)
+def q51_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import exact_dedup
+    from league_of_legends_data_pipeline_spark.operators.sampling import hash_split
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        quality_score, token_count,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    deduped = exact_dedup(documents.select("doc_id", "text", "lang"),
+                          ["text", "lang"], "doc_id")
+    curated = (
+        deduped.withColumn("q", quality_score("text"))
+        .filter(F.col("q") >= 0.5)
+        .withColumn("n_tokens", token_count("text"))
+    )
+    split = hash_split(curated, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42)
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("total_tokens"),
+             F.min("doc_id").cast("long").alias("min_doc_id"))
+        .orderBy("split")
+    )
