@@ -101,6 +101,65 @@ def bpe_piece_count(col: str | Column) -> Column:
     return F.size(bpe_pieces(col))
 
 
+def word_ngrams(col: str | Column, n: int = 2) -> Column:
+    """Array of space-joined word n-grams — a pure per-row projection (no
+    explode, no shuffle): positions come from ``sequence`` and each gram is
+    ``concat_ws`` over ``element_at`` lookups. Empty array when the document
+    has fewer than ``n`` words (the ``when`` guard matters: ``sequence(1, 0)``
+    would infer step -1 and yield [1, 0], not []).
+    """
+    toks = tokens(col)
+    m = F.size(toks)
+    return F.when(m < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ))
+
+
+def ngram_repetition(col: str | Column, n: int = 2) -> tuple[Column, Column, Column]:
+    """Gopher-style repetition stats over word n-grams:
+    (total_ngrams, distinct_ngrams, dup_fraction). dup_fraction =
+    1 - distinct/total (0.0 for empty docs). Everything is per-row Column
+    arithmetic — the repetition filter over 100 TB is a map-only scan.
+    """
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    frac = F.when(total > 0, F.round(1 - distinct / total, 6)).otherwise(F.lit(0.0))
+    return total, distinct, frac
+
+
+def top_word_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document most-common-word stats (the other classic Gopher
+    quality rule): (id, top_word, top_count, total_words, top_fraction),
+    ties broken by word ascending.
+
+    Shape: explode to (doc, word) once; per-(doc, word) counts and the
+    per-doc total both come from that one exchange (the window total rides
+    the same doc-keyed partitioning the row_number needs), so the full scan
+    shuffles token counts, never text.
+    """
+    words = df.select(F.col(id_col).alias("__doc"),
+                      F.explode(tokens(text_col)).alias("word"))
+    wc = words.groupBy("__doc", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+    rank_w = Window.partitionBy("__doc").orderBy(F.col("cnt").desc(), F.col("word").asc())
+    total_w = Window.partitionBy("__doc")
+    return (
+        wc.withColumn("total_words", F.sum("cnt").over(total_w))
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("word").alias("top_word"),
+            F.col("cnt").alias("top_count"),
+            F.col("total_words"),
+            F.round(F.col("cnt") / F.col("total_words"), 6).alias("top_fraction"),
+        )
+    )
+
+
 def fingerprint(col: str | Column) -> Column:
     """Polynomial rolling hash over the characters:
     h = fold(h*31 + ascii(ch)) mod 1e9+7. Portable (same in DuckDB).

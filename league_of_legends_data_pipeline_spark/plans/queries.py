@@ -2061,3 +2061,206 @@ def q51_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("doc_id").cast("long").alias("min_doc_id"))
         .orderBy("split")
     )
+
+
+@_register(
+    "q52_sketch_distinct",
+    """
+    -- HLL sketch accuracy gate: the Spark plan computes BOTH the exact
+    -- per-source distinct count and the HLL++ approx_count_distinct
+    -- (rsd=0.02) and asserts the sketch lands within max(5%, 2) of exact.
+    -- The sketch is the 100 TB path (fixed-size state, map-side mergeable);
+    -- exact count(DISTINCT) is the verifier at test scale.
+    SELECT source, count(DISTINCT text) AS exact_distinct, TRUE AS approx_ok
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    doc="Sketch aggregate (HLL++): approx_count_distinct beside exact "
+        "count_distinct with an in-plan accuracy assertion. At 100 TB the "
+        "sketch replaces the exact path: O(kb) state per group, single "
+        "pass, mergeable across partitions (no distinct-expand shuffle).",
+)
+def q52_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    g = documents.groupBy("source").agg(
+        F.count_distinct("text").alias("exact_distinct"),
+        F.approx_count_distinct("text", 0.02).alias("__approx"),
+    )
+    tol = F.greatest(F.lit(2.0), 0.05 * F.col("exact_distinct"))
+    return (
+        g.select(
+            "source",
+            "exact_distinct",
+            (F.abs(F.col("__approx") - F.col("exact_distinct")) <= tol).alias("approx_ok"),
+        )
+        .orderBy("source")
+    )
+
+
+@_register(
+    "q53_repetition_filter",
+    """
+    -- Gopher-style repetition filter: per-document duplicate word-bigram
+    -- fraction; docs above 0.05 are flagged for removal.
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+               END AS grams
+        FROM w
+    )
+    SELECT doc_id,
+           len(grams) AS total_bigrams,
+           len(list_distinct(grams)) AS distinct_bigrams,
+           CASE WHEN len(grams) > 0
+                THEN round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams), 6)
+                ELSE 0.0 END AS dup_fraction,
+           (CASE WHEN len(grams) > 0
+                 THEN round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                            / len(grams), 6)
+                 ELSE 0.0 END) <= 0.05 AS keep
+    FROM g ORDER BY doc_id
+    """,
+    doc="Repeated-n-gram quality filter (operators/text.py ngram_repetition "
+        "— Gopher rule): bigram arrays built per-row with sequence/"
+        "element_at, dup fraction from array_distinct. A map-only scan: no "
+        "explode, no shuffle — the 100 TB plan is read -> project -> filter "
+        "with full predicate/column pushdown.",
+)
+def q53_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import ngram_repetition
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    total, distinct, frac = ngram_repetition("text", 2)
+    return (
+        documents.select(
+            "doc_id",
+            total.alias("total_bigrams"),
+            distinct.alias("distinct_bigrams"),
+            frac.alias("dup_fraction"),
+            (frac <= 0.05).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q54_top_word_fraction",
+    """
+    -- most-common-word fraction per document (the other classic Gopher
+    -- quality rule); ties broken by word ascending.
+    WITH words AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS word
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, word, count(*) AS cnt
+        FROM words GROUP BY doc_id, word
+    ), ranked AS (
+        SELECT doc_id, word, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS total_words,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, word) AS rn
+        FROM wc
+    )
+    SELECT doc_id, word AS top_word, cnt AS top_count, total_words,
+           round(CAST(cnt AS DOUBLE) / total_words, 6) AS top_fraction
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="Top-word-fraction quality stats (operators/text.py top_word_stats):"
+        " one explode to (doc, word), counts and per-doc totals off a single"
+        " doc-keyed exchange (window total reuses the row_number "
+        "partitioning) — the shuffle carries token counts, never text.",
+)
+def q54_top_word_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import top_word_stats
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = top_word_stats(documents, "doc_id", "text")
+    return out.withColumn("total_words", F.col("total_words").cast("long")) \
+              .orderBy("doc_id")
+
+
+@_register(
+    "q55_ntile_deciles",
+    """
+    -- decile profile of order value: ntile(10) over a total order
+    -- (o_totalprice, o_orderkey tiebreak), then per-decile stats.
+    WITH d AS (
+        SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+               o_totalprice
+        FROM orders
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_orders,
+           CAST(round(min(o_totalprice), 2) AS DOUBLE) AS min_price,
+           CAST(round(max(o_totalprice), 2) AS DOUBLE) AS max_price,
+           CAST(round(avg(o_totalprice), 2) AS DOUBLE) AS avg_price
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc="ntile window function (SURVEY §2.7 extension): decile assignment "
+        "over a total order + per-decile profile. The global window is a "
+        "single-partition sort by construction — at 100 TB the same result "
+        "comes from approx percentile boundaries (q20's sketch) + a "
+        "broadcast range join; this query is the exact small-dim form.",
+)
+def q55_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    d = orders.select(F.ntile(10).over(w).cast("long").alias("decile"),
+                      "o_totalprice")
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+@_register(
+    "q56_grouping_sets",
+    """
+    -- GROUPING SETS ((status, priority), (status), ()): the general form
+    -- beside cube (q19) and rollup (q37). Group columns are non-null in
+    -- the data, so the 'ALL' coalesce is unambiguous.
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY status, priority
+    """,
+    doc="Arbitrary grouping sets via the DataFrame groupingSets API "
+        "(SURVEY §2.6 extension beyond cube/rollup): one expand + one "
+        "partial-aggregated shuffle for all three granularities — cheaper "
+        "than three unioned groupBys (one scan, one exchange).",
+)
+def q56_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders", "total_price",
+        )
+        .orderBy("status", "priority")
+    )

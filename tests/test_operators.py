@@ -379,3 +379,45 @@ def test_blocked_near_dup_matches_exact(spark):
     assert len(exact) > 50  # fixture genuinely produces near-dups
     for k, v in exact.items():
         assert abs(v - blocked[k]) <= 2e-6
+
+
+# --- Gopher-style text quality operators -----------------------------------
+
+def test_word_ngrams_and_repetition(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        ngram_repetition, word_ngrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"),      # bigrams: ab, ba, ab, bc -> 4 total, 3 distinct
+         (2, "x"),              # < 2 words -> no bigrams
+         (3, "w w w w")],       # ww, ww, ww -> 3 total, 1 distinct
+        ["id", "text"],
+    )
+    grams = {r["id"]: r["g"] for r in df.select("id", word_ngrams("text", 2).alias("g")).collect()}
+    assert grams[1] == ["a b", "b a", "a b", "b c"]
+    assert grams[2] == []
+    total, distinct, frac = ngram_repetition("text", 2)
+    rows = {r["id"]: r for r in df.select(
+        "id", total.alias("t"), distinct.alias("d"), frac.alias("f")).collect()}
+    assert (rows[1]["t"], rows[1]["d"], rows[1]["f"]) == (4, 3, 0.25)
+    assert (rows[2]["t"], rows[2]["d"], rows[2]["f"]) == (0, 0, 0.0)
+    assert (rows[3]["t"], rows[3]["d"]) == (3, 1)
+    assert rows[3]["f"] == round(1 - 1 / 3, 6)
+
+
+def test_top_word_stats_tiebreak_and_totals(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import top_word_stats
+
+    df = spark.createDataFrame(
+        [(1, "b a b a c"),   # a:2 b:2 c:1 -> tie, 'a' wins alphabetically
+         (2, "z z y")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in top_word_stats(df, "doc_id", "text").collect()}
+    assert rows[1]["top_word"] == "a"
+    assert rows[1]["top_count"] == 2
+    assert rows[1]["total_words"] == 5
+    assert rows[1]["top_fraction"] == 0.4
+    assert rows[2]["top_word"] == "z"
+    assert rows[2]["top_fraction"] == round(2 / 3, 6)

@@ -63,3 +63,19 @@ def test_range_join_is_not_nested_loop(spark):
     plan = _executed(QUERIES["q23_range_join"].spark(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q53_repetition_filter_is_map_only(spark):
+    # the Gopher repetition filter must stay a pure scan->project->filter:
+    # no exchange anywhere except the final presentation orderBy's sort
+    plan = _executed(QUERIES["q53_repetition_filter"].spark(spark, SF_DIR))
+    # exactly the one range-partitioning exchange introduced by orderBy
+    assert plan.count("Exchange") <= 1
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_q52_sketch_and_exact_share_one_aggregate_pass(spark):
+    # HLL sketch + exact distinct in one grouped aggregation: the plan may
+    # expand for count(DISTINCT) but must not scan the source twice
+    plan = _executed(QUERIES["q52_sketch_distinct"].spark(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
