@@ -280,6 +280,55 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector affine int8 quantization — the storage scale path for ANN
+    at 100 TB (4x smaller vectors; IVF/LSH probing works unchanged on
+    codes, with exact rerank on the float originals for the short list).
+
+    code_i = floor((x_i - lo) / scale + 0.5), scale = (hi - lo)/255,
+    lo/hi = per-vector min/max; constant vectors get code 0. ``floor(z+.5)``
+    (not round()) so Spark and any oracle agree on halfway cases.
+
+    Returns (id, n_dims, codes array<long> in [0,255], scale, lo,
+    max_abs_err) — max_abs_err is the reconstruction error
+    max|lo + code*scale - x|, bounded by scale/2 by construction.
+    Everything is per-row Column arithmetic: quantizing a corpus is a
+    map-only scan, no shuffle, no UDF.
+    """
+    out = (
+        df.select(
+            F.col(id_col),
+            _as_double(F.col(vec_col)).alias("__v"),
+        )
+        .withColumn("lo", F.array_min("__v"))
+        .withColumn("scale", (F.array_max("__v") - F.col("lo")) / F.lit(255.0))
+        .withColumn(
+            "codes",
+            F.transform(
+                "__v",
+                lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long"))
+                .otherwise(F.floor((x - F.col("lo")) / F.col("scale") + F.lit(0.5))),
+            ),
+        )
+        .withColumn(
+            "max_abs_err",
+            F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+                F.array_max(F.zip_with(
+                    "__v", "codes",
+                    lambda x, c: F.abs(F.col("lo") + c * F.col("scale") - x),
+                ))),
+        )
+    )
+    return out.select(
+        F.col(id_col), F.size("__v").alias("n_dims"), "codes",
+        "scale", "lo", "max_abs_err",
+    )
+
+
 def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]

@@ -101,20 +101,29 @@ def bpe_piece_count(col: str | Column) -> Column:
     return F.size(bpe_pieces(col))
 
 
+def ngrams_of(toks: Column, n: int = 2) -> Column:
+    """Space-joined word n-grams of a token-array column, built as
+    ``zip_with`` over ``n`` shifted ``slice``s — O(tokens) per row.
+
+    NOT ``transform(sequence(...), i -> element_at(toks, i+j))``: every
+    ``element_at`` inside a lambda is an independent occurrence of the
+    token expression, so that shape re-evaluates the upstream split once
+    per position — O(tokens²) per document (measured 30x slower on sf0.1).
+    Empty array when the document has fewer than ``n`` words
+    (``greatest(len, 0)`` guards the slice length).
+    """
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    out = F.slice(toks, F.lit(1), cnt)
+    for j in range(1, n):
+        out = F.zip_with(out, F.slice(toks, F.lit(1 + j), cnt),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    return out
+
+
 def word_ngrams(col: str | Column, n: int = 2) -> Column:
     """Array of space-joined word n-grams — a pure per-row projection (no
-    explode, no shuffle): positions come from ``sequence`` and each gram is
-    ``concat_ws`` over ``element_at`` lookups. Empty array when the document
-    has fewer than ``n`` words (the ``when`` guard matters: ``sequence(1, 0)``
-    would infer step -1 and yield [1, 0], not []).
-    """
-    toks = tokens(col)
-    m = F.size(toks)
-    return F.when(m < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), m - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ))
+    explode, no shuffle, no UDF)."""
+    return ngrams_of(tokens(col), n)
 
 
 def ngram_repetition(col: str | Column, n: int = 2) -> tuple[Column, Column, Column]:
@@ -122,12 +131,36 @@ def ngram_repetition(col: str | Column, n: int = 2) -> tuple[Column, Column, Col
     (total_ngrams, distinct_ngrams, dup_fraction). dup_fraction =
     1 - distinct/total (0.0 for empty docs). Everything is per-row Column
     arithmetic — the repetition filter over 100 TB is a map-only scan.
+
+    Callers projecting several of these should materialize the gram array
+    once (see ``repetition_stats``) — Catalyst's CollapseProject declines
+    to inline non-cheap expressions referenced more than once, so a
+    separate projection genuinely shares the work.
     """
     grams = word_ngrams(col, n)
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
     frac = F.when(total > 0, F.round(1 - distinct / total, 6)).otherwise(F.lit(0.0))
     return total, distinct, frac
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 2,
+                     keep_below: float = 0.05) -> DataFrame:
+    """Per-document repetition filter table: (id, total, distinct,
+    dup_fraction, keep). The gram array is materialized in its own
+    projection so the four downstream stats share ONE construction of it.
+    """
+    grams = df.select(F.col(id_col), ngrams_of(tokens(text_col), n).alias("__grams"))
+    total = F.size("__grams")
+    distinct = F.size(F.array_distinct("__grams"))
+    stats = grams.select(
+        F.col(id_col),
+        total.alias("total_ngrams"),
+        distinct.alias("distinct_ngrams"),
+        F.when(total > 0, F.round(1 - distinct / total, 6))
+         .otherwise(F.lit(0.0)).alias("dup_fraction"),
+    )
+    return stats.withColumn("keep", F.col("dup_fraction") <= keep_below)
 
 
 def top_word_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

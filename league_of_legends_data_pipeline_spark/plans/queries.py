@@ -2133,18 +2133,13 @@ def q52_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with full predicate/column pushdown.",
 )
 def q53_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from league_of_legends_data_pipeline_spark.operators.text import ngram_repetition
+    from league_of_legends_data_pipeline_spark.operators.text import repetition_stats
 
     (documents,) = _t(spark, sf_dir, "documents")
-    total, distinct, frac = ngram_repetition("text", 2)
     return (
-        documents.select(
-            "doc_id",
-            total.alias("total_bigrams"),
-            distinct.alias("distinct_bigrams"),
-            frac.alias("dup_fraction"),
-            (frac <= 0.05).alias("keep"),
-        )
+        repetition_stats(documents, "doc_id", "text", n=2, keep_below=0.05)
+        .withColumnRenamed("total_ngrams", "total_bigrams")
+        .withColumnRenamed("distinct_ngrams", "distinct_bigrams")
         .orderBy("doc_id")
     )
 
@@ -2263,4 +2258,155 @@ def q56_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders", "total_price",
         )
         .orderBy("status", "priority")
+    )
+
+
+@_register(
+    "q57_embedding_quantization",
+    """
+    -- per-vector affine int8 quantization of the embedding column: the ANN
+    -- storage scale path (4x smaller). code_sum checksums the exact int8
+    -- payload; max_abs_err is the reconstruction error (bounded by
+    -- scale/2 = (hi-lo)/510 by construction, asserted in-plan).
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, e, list_min(e) AS lo,
+               (list_max(e) - list_min(e)) / 255.0 AS scale
+        FROM v
+    ), q AS (
+        SELECT vec_id, e, lo, scale,
+               list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE CAST(floor((x - lo) / scale + 0.5) AS BIGINT) END)
+                   AS codes
+        FROM s
+    )
+    SELECT vec_id, len(e) AS n_dims,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           round(CASE WHEN scale = 0 THEN 0.0
+                 ELSE list_max(list_transform(range(1, len(e) + 1),
+                     i -> abs(lo + codes[CAST(i AS INT)] * scale
+                              - e[CAST(i AS INT)]))) END, 6) AS max_abs_err,
+           (CASE WHEN scale = 0 THEN 0.0
+                 ELSE list_max(list_transform(range(1, len(e) + 1),
+                     i -> abs(lo + codes[CAST(i AS INT)] * scale
+                              - e[CAST(i AS INT)]))) END)
+               <= scale * 0.5000001 AS within_bound
+    FROM q ORDER BY vec_id
+    """,
+    doc="Int8 embedding quantization (operators/similarity.py "
+        "quantize_embeddings): per-vector affine codes with floor(z+0.5) "
+        "halfway semantics shared by both engines; code_sum checksums the "
+        "exact code payload and within_bound asserts err <= scale/2. "
+        "Map-only scan — the 100 TB quantization pass has no shuffle.",
+)
+def q57_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(embeddings, "vec_id", "embedding")
+    return (
+        q.select(
+            "vec_id", "n_dims",
+            F.aggregate("codes", F.lit(0).cast("long"),
+                        lambda acc, c: acc + c).alias("code_sum"),
+            F.round("max_abs_err", 6).alias("max_abs_err"),
+            (F.col("max_abs_err") <= F.col("scale") * 0.5000001).alias("within_bound"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_register(
+    "q58_streaming_sessions",
+    """
+    -- streaming session windows (30-min gap), append mode: sessions are
+    -- emitted only once the watermark passes their end, driven by a
+    -- far-future sentinel batch. Oracle = batch gaps-and-islands with the
+    -- same gap, session_end = last event + gap (session_window semantics).
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch_us(ts - lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 6) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Structured Streaming session_window (SURVEY T7, the streaming dual "
+        "of q36): real readStream over the events table in two micro-batches "
+        "(maxFilesPerTrigger=1), withWatermark + session_window in APPEND "
+        "mode — a session row is emitted exactly once, when the watermark "
+        "(advanced by a far-future sentinel batch) passes its end. No exact "
+        "30-min gaps exist in the data, so the >gap / >=gap boundary "
+        "conventions agree. State per key is one open session struct; at "
+        "100 TB the state store shards by user_id across executors.",
+)
+def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    (events,) = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q58_")
+    src = os.path.join(work, "in")
+    real = events.select("event_id", "ts", "user_id", "value")
+
+    # batch 1: the real events as ONE file; batch 2: a sentinel far past
+    # every real session so append mode's watermark closes them all
+    real.coalesce(1).write.mode("overwrite").parquet(src)
+    max_ts = real.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts, -1, 0.0)], "event_id long, ts timestamp, user_id long, value double",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+    # file order = modification time: make the sentinel strictly newest
+    parts = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
+    paths = [os.path.join(src, p) for p in parts]
+    by_size = sorted(paths, key=os.path.getsize)          # sentinel is tiny
+    os.utime(by_size[-1], (1_000_000, 1_000_000))          # real file: old
+    os.utime(by_size[0], None)                             # sentinel: now
+
+    name = f"stream_q58_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(real.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("session_value"))
+    )
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", os.path.join(work, "ckpt"))
+         .trigger(availableNow=True).start())
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q58 streaming drain exceeded 300s — partial "
+                           "results would silently corrupt the comparison")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id",
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events", "session_value")
+        .orderBy("user_id", "session_start")
     )

@@ -421,3 +421,21 @@ def test_top_word_stats_tiebreak_and_totals(spark):
     assert rows[1]["top_fraction"] == 0.4
     assert rows[2]["top_word"] == "z"
     assert rows[2]["top_fraction"] == round(2 / 3, 6)
+
+
+def test_quantize_embeddings_roundtrip_and_constant_vector(spark):
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.5]),     # lo=0 hi=1: codes 0, 255, 128
+         (2, [3.0, 3.0, 3.0])],    # constant: scale=0 -> codes 0, err 0
+        ["vec_id", "embedding"],
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["codes"] == [0, 255, 128]
+    assert rows[1]["max_abs_err"] <= rows[1]["scale"] / 2 + 1e-12
+    assert rows[2]["codes"] == [0, 0, 0]
+    assert rows[2]["max_abs_err"] == 0.0
+    assert all(0 <= c <= 255 for r in rows.values() for c in r["codes"])
