@@ -2368,25 +2368,26 @@ def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "in")
     real = events.select("event_id", "ts", "user_id", "value")
 
-    # batch 1: the real events as ONE file; batch 2: a sentinel far past
-    # every real session so append mode's watermark closes them all
-    real.coalesce(1).write.mode("overwrite").parquet(src)
+    # batch 1: the real events (parallel write, then timestamped OLD);
+    # batch 2: a sentinel far past every real session so append mode's
+    # watermark closes them all. The file source orders by modification
+    # time; maxFilesPerTrigger = n_real puts every real file in the first
+    # micro-batch and the sentinel alone in the second.
+    real.coalesce(4).write.mode("overwrite").parquet(src)
+    real_parts = [os.path.join(src, p) for p in os.listdir(src)
+                  if p.endswith(".parquet")]
+    for p in real_parts:
+        os.utime(p, (1_000_000, 1_000_000))
     max_ts = real.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
         [(-1, max_ts, -1, 0.0)], "event_id long, ts timestamp, user_id long, value double",
     ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
     sentinel.coalesce(1).write.mode("append").parquet(src)
-    # file order = modification time: make the sentinel strictly newest
-    parts = sorted(p for p in os.listdir(src) if p.endswith(".parquet"))
-    paths = [os.path.join(src, p) for p in parts]
-    by_size = sorted(paths, key=os.path.getsize)          # sentinel is tiny
-    os.utime(by_size[-1], (1_000_000, 1_000_000))          # real file: old
-    os.utime(by_size[0], None)                             # sentinel: now
 
     name = f"stream_q58_{uuid.uuid4().hex[:8]}"
     stream = (
         spark.readStream.schema(real.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max(len(real_parts), 1))
         .parquet(src)
         .withWatermark("ts", "0 seconds")
         .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -2409,4 +2410,46 @@ def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("w.end").alias("session_end"),
                 "n_events", "session_value")
         .orderBy("user_id", "session_start")
+    )
+
+
+@_register(
+    "q59_shipping_priority",
+    """
+    -- TPC-H Q3 shape (shipping priority): two selective date predicates
+    -- pushed to the scans, customer dim broadcast, top-10 by revenue.
+    SELECT l.l_orderkey,
+           CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE)
+               AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 analogue: selective predicates reach both parquet scans "
+        "(PushedFilters), the filtered customer dim broadcasts, the "
+        "fact-fact join shuffles on the order key, top-10 via "
+        "TakeOrderedAndProject (no global sort materialization).",
+)
+def q59_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = "1998-06-15"
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+              .alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
     )

@@ -169,3 +169,70 @@ def _table_exists(path: str) -> bool:
         )
     # remote filesystems: attempt-read is the portable existence check
     return True
+
+
+def zorder_value(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """Add a ``__z`` column: the Z-order (Morton) index of the rows'
+    positions along ``cols``, ``bits`` bits per column.
+
+    Each column is bucketed into 2^bits quantile buckets via
+    ``approxQuantile`` boundaries (one pass per column, sketch-based — no
+    global sort), then the bucket ids' bits are interleaved. Rows close in
+    __z are close in EVERY named column, which is what makes min/max file
+    skipping work on multi-column predicates after :func:`write_zordered`.
+    """
+    n_buckets = 1 << bits
+    out = df
+    step = 1.0 / n_buckets
+    # the sketch error must be well under a bucket's rank width or adjacent
+    # boundaries collapse to the same value (measured: 0.01 error with 256
+    # buckets left only ~70 distinct buckets on a uniform column)
+    err = step / 4
+    for ci, c in enumerate(cols):
+        qs = [step * i for i in range(1, n_buckets)]
+        bounds = df.approxQuantile(c, qs, err) if dict(df.dtypes)[c] != "timestamp" \
+            else df.select(F.unix_micros(F.col(c)).alias(c)).approxQuantile(c, qs, err)
+        # strictly increasing boundary subset (quantiles repeat on skew)
+        uniq: list[float] = []
+        for b in bounds:
+            if not uniq or b > uniq[-1]:
+                uniq.append(b)
+        val = F.unix_micros(F.col(c)) if dict(df.dtypes)[c] == "timestamp" else F.col(c)
+        bucket = F.lit(0)
+        for b in uniq:  # ≤255 comparisons, all codegen'd; rank = #bounds below
+            bucket = bucket + F.when(val > F.lit(b), 1).otherwise(0)
+        out = out.withColumn(f"__zb{ci}", bucket.cast("long"))
+    interleaved = F.lit(0).cast("long")
+    for j in range(bits):
+        for ci in range(len(cols)):
+            interleaved = interleaved + (
+                F.shiftright(F.col(f"__zb{ci}"), j).bitwiseAND(F.lit(1))
+                * F.lit(1 << (j * len(cols) + ci))
+            )
+    return out.withColumn("__z", interleaved).drop(
+        *[f"__zb{ci}" for ci in range(len(cols))])
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Z-order-clustered parquet write: range-partition by the Morton index
+    into ``n_files`` tasks and sort each file by it.
+
+    The payoff at 100 TB is FILE SKIPPING on multi-column predicates:
+    parquet min/max footer stats become selective on every z-ordered
+    column at once (a single-column sort makes them selective on one).
+    A point/range query on any indexed column then prunes most files at
+    planning time — no data read. This is the same layout lever as Delta
+    OPTIMIZE ZORDER BY, built from stock Spark: quantile-bucket → bit
+    interleave → repartitionByRange → sortWithinPartitions.
+    """
+    z = zorder_value(df, cols, bits)
+    (z.repartitionByRange(n_files, "__z")
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path))
