@@ -2453,3 +2453,151 @@ def q59_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
+
+
+@_register(
+    "q60_scd2_dimension",
+    """
+    -- SCD Type 2 build from a change stream: change-only rows, then
+    -- valid_from/valid_to intervals with an open-ended current row.
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS attr,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+               AS is_current
+    FROM changes
+    ORDER BY user_id, valid_from
+    """,
+    doc="Slowly-changing-dimension type 2 from the events change stream. "
+        "Both window passes partition by user_id, so Catalyst reuses ONE "
+        "exchange: detect changes with lag, close intervals with lead. "
+        "At 100 TB the key is that state never leaves the executor — no "
+        "driver loop, one shuffle keyed by the dimension's natural key.",
+)
+def q60_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+    )
+    return (
+        changes.select(
+            "user_id", F.col("event_type").alias("attr"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from")
+    )
+
+
+@_register(
+    "q61_unpivot_metrics",
+    """
+    -- Unpivot (melt) wide metric columns to long form, then re-aggregate.
+    SELECT metric,
+           count(*)                                 AS n,
+           CAST(round(sum(val), 2) AS DOUBLE)       AS total,
+           CAST(round(avg(val), 6) AS DOUBLE)       AS mean
+    FROM (
+      SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) AS long
+    GROUP BY metric
+    ORDER BY metric
+    """,
+    doc="melt/UNPIVOT: Spark's Expand node emits all four (metric, val) "
+        "rows per input row in ONE scan of the source — the UNION ALL "
+        "oracle formulation would scan lineitem four times. Partial "
+        "aggregation collapses the 4x row expansion map-side, so the "
+        "shuffle carries 4 groups, not 4x the table.",
+)
+def q61_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    melted = lineitem.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "val")
+    return (
+        melted.groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("val"), 2).alias("total"),
+             F.round(F.avg("val"), 6).alias("mean"))
+        .orderBy("metric")
+    )
+
+
+@_register(
+    "q62_merge_upsert",
+    """
+    -- MERGE semantics (update / insert / delete in one pass) as the
+    -- anti-join + union its DataFrame implementation uses.
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS acctbal
+      FROM orders GROUP BY o_custkey
+    ), touched AS (
+      SELECT c_custkey FROM spend WHERE acctbal > 3000000 OR acctbal < 1000000
+      UNION ALL
+      SELECT c_custkey + 1000000 FROM spend WHERE acctbal > 5000000
+    )
+    SELECT c_custkey, acctbal, src FROM (
+      SELECT c.c_custkey,
+             CAST(round(c.c_acctbal, 2) AS DOUBLE) AS acctbal,
+             'target' AS src
+      FROM customer c
+      WHERE c.c_custkey NOT IN (SELECT c_custkey FROM touched)
+      UNION ALL
+      SELECT c_custkey, acctbal, 'update' AS src
+      FROM spend WHERE acctbal > 3000000
+      UNION ALL
+      SELECT c_custkey + 1000000, acctbal, 'insert' AS src
+      FROM spend WHERE acctbal > 5000000
+    ) AS merged
+    ORDER BY c_custkey
+    """,
+    doc="CDC MERGE over DataFrames (sinks.merge_frames): rows matched by an "
+        "update key are replaced, unmatched updates insert, flagged rows "
+        "delete — one anti-join shuffle plus a union, no full-outer "
+        "coalesce. The partition-pruned table write path is "
+        "sinks.merge_upsert (tested in tests/test_sinks_state.py).",
+)
+def q62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.sinks import merge_frames
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("acctbal"))
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    upd = spend.filter(F.col("acctbal") > 3_000_000).select(
+        "c_custkey", "acctbal",
+        F.lit("update").alias("src"), F.lit(False).alias("_deleted"))
+    ins = spend.filter(F.col("acctbal") > 5_000_000).select(
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"), "acctbal",
+        F.lit("insert").alias("src"), F.lit(False).alias("_deleted"))
+    dele = spend.filter(F.col("acctbal") < 1_000_000).select(
+        "c_custkey", "acctbal",
+        F.lit("update").alias("src"), F.lit(True).alias("_deleted"))
+    updates = upd.unionByName(ins).unionByName(dele)
+    target = customer.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("target").alias("src"))
+    return (
+        merge_frames(target, updates, ["c_custkey"], delete_col="_deleted")
+        .orderBy("c_custkey")
+    )

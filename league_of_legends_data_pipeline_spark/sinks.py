@@ -18,6 +18,8 @@ date-partitioned table would otherwise emit tasks×dates files.
 
 from __future__ import annotations
 
+import functools
+import operator
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -158,6 +160,79 @@ def compact_partitions(
         .drop("__salt")
         .write.mode("overwrite").partitionBy(*partition_cols).parquet(dest_path)
     )
+
+
+def merge_frames(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE semantics over DataFrames: rows of ``target`` whose key appears
+    in ``updates`` are replaced by the update row (whole-row CDC image),
+    unmatched updates are inserted, and updates flagged true in
+    ``delete_col`` delete their key. Schema evolves both directions
+    (``unionByName(allowMissingColumns=True)`` — K5 semantics).
+
+    One shuffle on the key (anti-join) + a union: cheaper than the
+    full-outer-join-and-coalesce formulation when updates carry complete
+    row images, which is the CDC norm.
+    """
+    upd = updates
+    if delete_col is not None:
+        upd = updates.filter(~F.coalesce(F.col(delete_col), F.lit(False))) \
+                     .drop(delete_col)
+        updates = updates.drop(delete_col)
+    kept = target.join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
+    return kept.unionByName(upd, allowMissingColumns=True)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    partition_cols: tuple[str, ...] = PARTITION_COLS,
+    delete_col: str | None = None,
+) -> None:
+    """CDC MERGE INTO a hive-partitioned parquet table, rewriting ONLY the
+    partitions the updates touch.
+
+    The 100 TB lever is the partition pruning on BOTH ends: the target scan
+    reads just the impacted partitions (an IN-list over the updates'
+    distinct partition tuples — bounded metadata, collected once), and
+    dynamic partition overwrite replaces just those directories. A day of
+    updates against a year of data reads and rewrites one day, not the
+    table. Requires partition-stable keys (partition columns derived from
+    immutable event time — K3's contract), else a moved key would leave its
+    old row behind.
+
+    Edge: a partition whose every row is deleted produces no output rows,
+    so dynamic overwrite leaves it untouched — drop such partitions
+    explicitly. Stock parquet has no multi-writer transaction; concurrent
+    mergers need a table format (Delta/Iceberg) or an external lock.
+    """
+    parts = [tuple(r) for r in
+             updates.select(*partition_cols).distinct().collect()]
+    if not parts:
+        return
+    in_impacted = functools.reduce(operator.or_, [
+        functools.reduce(operator.and_, [
+            F.col(c) == F.lit(v) for c, v in zip(partition_cols, p)
+        ]) for p in parts
+    ])
+    target = read_evolved(spark, path).filter(in_impacted)
+    merged = merge_frames(target, updates, key_cols, delete_col)
+    # materialize before overwriting the files the plan reads from
+    merged = merged.persist()
+    merged.count()
+    try:
+        (merged.repartition(*[F.col(c) for c in partition_cols])
+               .write.mode("overwrite")
+               .option("partitionOverwriteMode", "dynamic")
+               .partitionBy(*partition_cols).parquet(path))
+    finally:
+        merged.unpersist()
 
 
 def _table_exists(path: str) -> bool:

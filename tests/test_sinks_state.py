@@ -181,3 +181,48 @@ def test_zorder_write_tightens_per_file_ranges_on_both_columns(spark, tmp_path):
     # neither as tight as a dedicated single-column sort — the trade
     za, zb = mean_coverage(zord, "a"), mean_coverage(zord, "b")
     assert za < 0.6 and zb < 0.6, (za, zb)
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """CDC MERGE into a hive-partitioned table: update + insert + delete land
+    in the touched partition; untouched partition files are byte-identical
+    (never rewritten) — the partition-pruning property that makes a day of
+    updates against a year of data affordable."""
+    from league_of_legends_data_pipeline_spark.sinks import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "2024-09-10 08:00:00", "a"),
+         (2, "2024-09-11 08:00:00", "b"),
+         (3, "2024-09-11 09:00:00", "c"),
+         (4, "2024-09-12 08:00:00", "d")],
+        ["id", "ts_str", "payload"],
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    write_partitioned(with_event_date_parts(base, "ts"), path)
+
+    def listing(day):
+        d = os.path.join(path, "year=2024", "month=9", f"day={day}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_d10, before_d12 = listing(10), listing(12)
+
+    # day=11: update id=2, delete id=3, insert id=5 with a NEW column
+    updates = spark.createDataFrame(
+        [(2, "2024-09-11 08:00:00", "b2", "note-b", False),
+         (3, "2024-09-11 09:00:00", None, None, True),
+         (5, "2024-09-11 10:00:00", "e", "note-e", False)],
+        ["id", "ts_str", "payload", "note", "_deleted"],
+    ).withColumn("ts", F.to_timestamp("ts_str")).drop("ts_str")
+    merge_upsert(spark, with_event_date_parts(updates, "ts"), path,
+                 key_cols=["id"], delete_col="_deleted")
+
+    out = read_evolved(spark, path)
+    rows = {r["id"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {1, 2, 4, 5}              # 3 deleted, 5 inserted
+    assert rows[2]["payload"] == "b2" and rows[2]["note"] == "note-b"
+    assert rows[5]["note"] == "note-e"
+    assert rows[1]["note"] is None                # schema evolved, null-padded
+    # untouched partitions: same files, same mtimes — provably not rewritten
+    assert listing(10) == before_d10
+    assert listing(12) == before_d12
