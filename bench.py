@@ -28,8 +28,13 @@ def main() -> None:
 
     spark = get_spark("bench")
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session startup
+    # queries, not session startup; the mapInPandas no-op pre-spawns the
+    # Python/Arrow worker pool (one per core — measured ~6s of first-UDF
+    # startup otherwise billed to whichever pandas query runs first)
     spark.range(1).collect()
+    (spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+     .mapInPandas(lambda it: it, "id long")
+     .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

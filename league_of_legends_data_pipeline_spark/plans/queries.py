@@ -15,6 +15,7 @@ Conventions
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -44,6 +45,24 @@ def _register(name: str, oracle: Optional[str], doc: str = ""):
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     tables = load_tables(spark, sf_dir, list(names))
     return [tables[n] for n in names]
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a streaming
+    query. A stream's STATE STORE partition count is frozen to this value
+    at checkpoint creation, and every micro-batch pays a task per state
+    partition regardless of data volume — so the declared streaming queries
+    (ephemeral per-query checkpoints, bounded micro-batches) size it to the
+    work, not to the session default. A production 1000-executor stream
+    sizes it to the cluster ONCE, before the first run, and keeps it for
+    the checkpoint's life."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # ---------------------------------------------------------------------------
@@ -1142,12 +1161,13 @@ def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("value"), 4).alias("total_value"))
     )
-    q = (stream.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q41 streaming drain exceeded 300s — partial "
-                           "results would silently corrupt the comparison")
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (stream.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q41 streaming drain exceeded 300s — partial "
+                               "results would silently corrupt the comparison")
     out = spark.table(name)
     return (
         out.select(F.col("w.start").alias("window_start"), "event_type",
@@ -1809,12 +1829,13 @@ def q46_stateful_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", "lang"))
     capped = per_key_cap(stream, ["lang"], "doc_id", cap=50)
     name = f"stream_q46_{uuid.uuid4().hex[:8]}"
-    q = (capped.writeStream.format("memory").queryName(name)
-         .outputMode("append").trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q46 streaming drain exceeded 300s — partial "
-                           "results would silently corrupt the comparison")
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (capped.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q46 streaming drain exceeded 300s — partial "
+                               "results would silently corrupt the comparison")
     return spark.table(name).select("doc_id", "lang").orderBy("doc_id")
 
 
@@ -2394,14 +2415,15 @@ def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 6).alias("session_value"))
     )
-    q = (stream.writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .option("checkpointLocation", os.path.join(work, "ckpt"))
-         .trigger(availableNow=True).start())
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError("q58 streaming drain exceeded 300s — partial "
-                           "results would silently corrupt the comparison")
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (stream.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q58 streaming drain exceeded 300s — partial "
+                               "results would silently corrupt the comparison")
     return (
         spark.table(name)
         .filter(F.col("user_id") >= 0)
@@ -2601,3 +2623,68 @@ def q62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_frames(target, updates, ["c_custkey"], delete_col="_deleted")
         .orderBy("c_custkey")
     )
+
+
+@_register(
+    "q63_stream_stream_join",
+    """
+    -- stream-stream interval join: each click joined to the purchases the
+    -- same user made within the following 12 hours.
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOURS
+    ORDER BY click_id, purchase_id
+    """,
+    doc="Structured Streaming stream-stream INNER join (SURVEY T7 family): "
+        "two readStreams over the events table, both watermarked, joined on "
+        "user_id with an event-time range bound. The time bound is what "
+        "makes 100 TB state finite: each side buffers only rows younger "
+        "than watermark + 12h, keyed by user_id across executors; matches "
+        "emit as they arrive (inner join needs no watermark passage to "
+        "emit). Oracle = the same interval join in batch SQL.",
+)
+def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    (events,) = _t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="q63_")
+    src = os.path.join(work, "in")
+    real = events.select("event_id", "ts", "user_id", "event_type")
+    real.coalesce(4).write.mode("overwrite").parquet(src)
+
+    clicks = (
+        spark.readStream.schema(real.schema).parquet(src)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 minute").alias("c")
+    )
+    purchases = (
+        spark.readStream.schema(real.schema).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 minute").alias("p")
+    )
+    joined = clicks.join(purchases, F.expr(
+        "c.user_id = p.user_id AND p.ts >= c.ts "
+        "AND p.ts <= c.ts + interval 12 hours"))
+
+    name = f"stream_q63_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (joined.select(
+                F.col("c.event_id").alias("click_id"),
+                F.col("p.event_id").alias("purchase_id"),
+                F.col("c.user_id").alias("user_id"),
+                F.col("c.ts").alias("click_ts"),
+                F.col("p.ts").alias("purchase_ts"))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q63 streaming drain exceeded 300s — partial "
+                               "results would silently corrupt the comparison")
+    return spark.table(name).orderBy("click_id", "purchase_id")
