@@ -2688,3 +2688,78 @@ def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("q63 streaming drain exceeded 300s — partial "
                                "results would silently corrupt the comparison")
     return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+@_register(
+    "q64_large_order_customers",
+    """
+    -- TPC-H Q18 shape: aggregate-then-filter (HAVING) on the fact, join
+    -- the surviving keys back to their order + customer rows, top-100.
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(round(t.total_qty, 2) AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 170
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18 analogue: the HAVING filter runs where the aggregate "
+        "lives (map-side partial sum, then the post-agg filter drops ~90% "
+        "of groups BEFORE any join), so the join-back moves surviving keys "
+        "only. Top-100 via TakeOrderedAndProject. At 100 TB the "
+        "aggregate-then-join ordering is the difference between joining "
+        "600M order groups and joining the 2% that pass.",
+)
+def q64_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    totals = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 170)
+    )
+    return (
+        totals.join(orders, totals.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate",
+                F.round("total_qty", 2).alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@_register(
+    "q65_correlated_exists",
+    """
+    -- correlated EXISTS / NOT EXISTS over the SQL surface: customers with
+    -- at least one 400k+ order and no completed ('F') orders.
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    ORDER BY c.c_custkey
+    """,
+    doc="Catalyst decorrelation on the spark.sql surface: the correlated "
+        "EXISTS rewrites to a semi join and the NOT EXISTS to an anti "
+        "join — no per-row subquery execution, no nested loop "
+        "(plan-asserted in tests/test_plans.py). The reference's only "
+        "consumed surface is raw SQL (SURVEY §3.3); this declares that "
+        "surface with non-trivial query shapes.",
+)
+def q65_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    customer.createOrReplaceTempView("q65_customer")
+    orders.createOrReplaceTempView("q65_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, c.c_name
+        FROM q65_customer c
+        WHERE EXISTS (SELECT 1 FROM q65_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+          AND NOT EXISTS (SELECT 1 FROM q65_orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        ORDER BY c.c_custkey
+    """)

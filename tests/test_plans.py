@@ -79,3 +79,61 @@ def test_q52_sketch_and_exact_share_one_aggregate_pass(spark):
     # expand for count(DISTINCT) but must not scan the source twice
     plan = _executed(QUERIES["q52_sketch_distinct"].spark(spark, SF_DIR))
     assert plan.count("Scan parquet") == 1
+
+
+def test_q59_pushdown_broadcast_and_topk(spark):
+    plan = _executed(QUERIES["q59_shipping_priority"].spark(spark, SF_DIR))
+    # both date predicates reach their parquet scans
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    # the filtered customer dim broadcasts; top-10 never materializes a
+    # global sort
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q60_scd2_reuses_one_window_exchange(spark):
+    # lag (change detect) and lead (interval close) both partition by
+    # user_id: Catalyst must plan ONE hash exchange for both window passes
+    # (plus the presentation orderBy's range exchange)
+    plan = _executed(QUERIES["q60_scd2_dimension"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_q61_unpivot_is_one_scan(spark):
+    # Expand emits all four (metric, val) rows per input row in ONE pass;
+    # the UNION ALL formulation would scan lineitem four times
+    plan = _executed(QUERIES["q61_unpivot_metrics"].spark(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+    # 4x row expansion collapses map-side before the 4-group shuffle
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_q62_merge_is_anti_join_not_full_outer(spark):
+    plan = _executed(QUERIES["q62_merge_upsert"].spark(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "FullOuter" not in plan
+
+
+def test_q64_having_filters_before_join(spark):
+    # the HAVING must run on the aggregate output BEFORE the join-back.
+    # executedPlan prints top-down (root first), so the aggregate feeding
+    # the join appears AFTER the join node in the string
+    plan = _executed(QUERIES["q64_large_order_customers"].spark(spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                   plan.find("ShuffledHashJoin"))
+    assert -1 < join_pos < agg_pos
+    # and the post-agg filter exists (HAVING not absorbed into the join)
+    assert "(total_qty" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q65_exists_decorrelates_to_semi_and_anti(spark):
+    plan = _executed(QUERIES["q65_correlated_exists"].spark(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
