@@ -2763,3 +2763,70 @@ def q65_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         ORDER BY c.c_custkey
     """)
+
+
+@_register(
+    "q66_time_range_window",
+    """
+    -- event-time sliding aggregate: per user, the rolling 24h sum/count at
+    -- each event (RANGE frame over the timestamp, not a row count).
+    SELECT event_id, user_id, ts,
+           CAST(round(sum(value) OVER w, 6) AS DOUBLE) AS rolling_24h_value,
+           count(*) OVER w AS rolling_24h_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    doc="Time-RANGE window frame (the time-series aggregate SURVEY §2.7 "
+        "says the reference's data model implies): frame membership is by "
+        "event-time distance, not row offset — Spark's rangeBetween over "
+        "unix_micros gives microsecond-exact parity with the oracle's "
+        "INTERVAL arithmetic. One shuffle on user_id; the frame is "
+        "computed in a single sorted pass per partition (no self-join).",
+)
+def q66_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-24 * 3600 * 1_000_000, 0))
+    return (
+        events.select(
+            "event_id", "user_id", "ts",
+            F.round(F.sum("value").over(w), 6).alias("rolling_24h_value"),
+            F.count(F.lit(1)).over(w).alias("rolling_24h_events"))
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "q67_forward_fill",
+    """
+    -- forward-fill: error events carry no trusted value; each row takes
+    -- the user's most recent non-error value at or before it.
+    SELECT event_id, user_id, ts,
+           CAST(round(last_value(
+               CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS
+           ) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS DOUBLE) AS filled_value
+    FROM events
+    ORDER BY event_id
+    """,
+    doc="Forward-fill / last-observation-carried-forward, the standard "
+        "time-series gap repair: last(col, ignorenulls=True) over a "
+        "running ROWS frame. Single shuffle on user_id, single sorted "
+        "pass — never a loop or self-join. Leading rows with no prior "
+        "observation stay null in both engines.",
+)
+def q67_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    trusted = F.when(F.col("event_type") != "error", F.col("value"))
+    return (
+        events.select(
+            "event_id", "user_id", "ts",
+            F.round(F.last(trusted, ignorenulls=True).over(w), 6)
+             .alias("filled_value"))
+        .orderBy("event_id")
+    )
