@@ -2830,3 +2830,118 @@ def q67_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("filled_value"))
         .orderBy("event_id")
     )
+
+
+@_register(
+    "q68_pii_redaction",
+    """
+    -- PII scrub: inject a deterministic synthetic email + phone per doc
+    -- (the corpus is word-salad), then redact both patterns and report
+    -- counts + a digest of the redacted text.
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(t, '\\d{3}-\\d{4}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'), '\\d{3}-\\d{4}', '<PHONE>', 'g'))
+               AS redacted_digest
+    FROM aug
+    ORDER BY doc_id
+    """,
+    doc="PII redaction, the pre-training scrub pass: regexp_count + "
+        "regexp_replace are JVM-side codegen'd expressions, so the whole "
+        "operator is a map-only scan — no shuffle, no UDF, no data "
+        "movement at 100 TB beyond the read and the rewrite. The digest "
+        "proves byte-identical redaction output across engines without "
+        "hauling full text through the comparison.",
+)
+def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_re = "\\d{3}-\\d{4}"
+    t = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    red = F.regexp_replace(
+        F.regexp_replace(t, F.lit(email_re), F.lit("<EMAIL>")),
+        F.lit(phone_re), F.lit("<PHONE>"))
+    return (
+        documents.select(
+            "doc_id",
+            F.regexp_count(t, F.lit(email_re)).alias("n_emails"),
+            F.regexp_count(t, F.lit(phone_re)).alias("n_phones"),
+            F.md5(red).alias("redacted_digest"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q69_contamination_check",
+    """
+    -- benchmark-contamination check: fraction of each corpus doc's
+    -- distinct word 4-grams that appear in the benchmark set
+    -- (docs with doc_id % 11 = 0 stand in for the benchmark).
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 4 THEN []
+                  ELSE list_distinct(list_transform(range(1, len(tk) - 2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                            || tk[i+3]))
+             END AS gs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 11 = 0
+    ), corpus AS (
+      SELECT doc_id, len(gs) AS total_grams, unnest(gs) AS g
+      FROM grams WHERE doc_id % 11 <> 0
+    )
+    SELECT c.doc_id, c.total_grams,
+           count(*) AS hit_grams,
+           CAST(round(CAST(count(*) AS DOUBLE) / c.total_grams, 6) AS DOUBLE)
+               AS overlap_fraction
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id, c.total_grams
+    ORDER BY c.doc_id
+    """,
+    doc="Decontamination, Dolma/RefinedWeb-style: a corpus document is "
+        "flagged by the fraction of its distinct word 4-grams that occur "
+        "in a benchmark set. The benchmark gram table is small by nature "
+        "(benchmarks are thousands of docs, not billions) so the join "
+        "broadcasts: the 100 TB corpus side is scanned once, never "
+        "shuffled as text — only (doc_id, count) aggregates move. Catches "
+        "exact and partial (>=4-token span) benchmark leakage.",
+)
+def q69_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import word_ngrams
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    grams = documents.select(
+        "doc_id", F.array_distinct(word_ngrams("text", 4)).alias("gs"))
+    bench = (grams.filter(F.col("doc_id") % 11 == 0)
+             .select(F.explode("gs").alias("g")).distinct())
+    corpus = (grams.filter(F.col("doc_id") % 11 != 0)
+              .select("doc_id", F.size("gs").alias("total_grams"),
+                      F.explode("gs").alias("g")))
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "total_grams")
+        .agg(F.count(F.lit(1)).alias("hit_grams"))
+        .withColumn("overlap_fraction",
+                    F.round(F.col("hit_grams").cast("double")
+                            / F.col("total_grams"), 6))
+        .select("doc_id", "total_grams", "hit_grams", "overlap_fraction")
+        .orderBy("doc_id")
+    )
