@@ -48,6 +48,28 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 
 
 @contextmanager
+def _scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for the duration of a streaming query, restoring
+    previous values (or unsetting) after."""
+    sentinel = object()
+    prev: dict[str, object] = {}
+    for k, v in confs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = sentinel
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, p in prev.items():
+            if p is sentinel:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)
+
+
+@contextmanager
 def _scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily size ``spark.sql.shuffle.partitions`` for a streaming
     query. A stream's STATE STORE partition count is frozen to this value
@@ -2415,7 +2437,12 @@ def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.round(F.sum("value"), 6).alias("session_value"))
     )
-    with _scoped_shuffle_partitions(spark, 8):
+    # local-partition session merge = map-side combine for session windows:
+    # sessions are merged within each input partition before the state-store
+    # shuffle (measured ~20% off the stateful stage at sf0.1)
+    with _scoped_shuffle_partitions(spark, 8), _scoped_conf(spark, {
+        "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition":
+            "true"}):
         q = (stream.writeStream.format("memory").queryName(name)
              .outputMode("append")
              .option("checkpointLocation", os.path.join(work, "ckpt"))

@@ -117,3 +117,31 @@ def test_exact_dedup_idempotent(spark, ids):
         want.setdefault(f"text-{i % 7}", set()).add(i)
     assert sorted(r["doc_id"] for r in once.collect()) == \
         sorted(min(v) for v in want.values())
+
+
+@given(
+    tgt=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 99)),
+                 min_size=0, max_size=20, unique_by=lambda t: t[0]),
+    upd=st.lists(st.tuples(st.integers(0, 15), st.integers(100, 199),
+                           st.booleans()),
+                 min_size=0, max_size=20, unique_by=lambda t: t[0]),
+)
+@SLOW
+def test_merge_frames_set_semantics(spark, tgt, upd):
+    """MERGE laws: keys partition into (kept from target) ∪ (upserted) minus
+    (deleted); applying the same updates twice equals once (idempotent)."""
+    from league_of_legends_data_pipeline_spark.sinks import merge_frames
+
+    target = spark.createDataFrame(tgt or [(999, 0)], ["k", "v"])
+    updates = spark.createDataFrame(upd or [(998, 100, True)],
+                                    ["k", "v", "_deleted"])
+    once = merge_frames(target, updates, ["k"], delete_col="_deleted")
+    twice = merge_frames(once, updates, ["k"], delete_col="_deleted")
+
+    got = {r["k"]: r["v"] for r in once.collect()}
+    tgt_d = dict(tgt or [(999, 0)])
+    upd_d = {k: (v, d) for k, v, d in (upd or [(998, 100, True)])}
+    want = {k: v for k, v in tgt_d.items() if k not in upd_d}
+    want.update({k: v for k, (v, d) in upd_d.items() if not d})
+    assert got == want
+    assert {r["k"]: r["v"] for r in twice.collect()} == want
