@@ -90,3 +90,23 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, seed: int = 42) -> 
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     return df.filter(hash_unit(id_col, seed) < fraction)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a row iff its
+    hash-unit draw falls below its per-row weight (clamped to [0, 1]).
+
+    The quality-weighted corpus downsample: a doc with weight 0.9 is kept
+    with probability 0.9, one with 0.1 rarely — but deterministically, so
+    re-runs, appends, and engine changes keep the exact same ids (the
+    reproducibility property hash_split documents). Pure filter: pushed
+    to the scan, no shuffle, no RNG state.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(hash_unit(id_col, seed) < clamped)

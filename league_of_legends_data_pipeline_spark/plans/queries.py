@@ -2972,3 +2972,89 @@ def q69_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "total_grams", "hit_grams", "overlap_fraction")
         .orderBy("doc_id")
     )
+
+
+@_register(
+    "q70_weighted_sample",
+    f"""
+    -- deterministic weighted Bernoulli sample: keep a doc iff its hash
+    -- draw falls below its length-derived weight (longer docs likelier).
+    SELECT doc_id, lang, n_chars,
+           CAST(round(least(n_chars / 400.0, 1.0), 6) AS DOUBLE) AS weight
+    FROM documents
+    WHERE {_HASH_UNIT_SQL} < least(n_chars / 400.0, 1.0)
+    ORDER BY doc_id
+    """,
+    doc="Quality-weighted deterministic downsample "
+        "(operators/sampling.py::weighted_sample): keep-probability is a "
+        "per-row weight, but the draw is a hash of the id — re-runs, "
+        "appends, and engine changes keep the EXACT same ids. A pure "
+        "filter pushed to the scan: no shuffle, no RNG state, no driver "
+        "coordination at any scale.",
+)
+def q70_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import weighted_sample
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    return (
+        weighted_sample(documents, "doc_id", weight)
+        .select("doc_id", "lang", "n_chars",
+                F.round(weight, 6).alias("weight"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "q71_data_quality_audit",
+    """
+    -- dbt-style data-quality audit: PK uniqueness, FK integrity, null
+    -- rate, and domain checks as one violation-count report.
+    SELECT checkname, n_violations FROM (
+      SELECT 'orders_pk_duplicate' AS checkname, count(*) AS n_violations
+      FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+            HAVING count(*) > 1) d
+      UNION ALL
+      SELECT 'orders_fk_customer_missing', count(*)
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem_qty_nonpositive', count(*)
+      FROM lineitem WHERE l_quantity IS NULL OR l_quantity <= 0
+      UNION ALL
+      SELECT 'lineitem_discount_out_of_range', count(*)
+      FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    ) checks
+    ORDER BY checkname
+    """,
+    doc="Constraint audit over the warehouse: each check is an aggregate "
+        "or anti-join the optimizer plans independently (PK check = "
+        "group-count, FK check = left-anti), unioned into one report. At "
+        "100 TB each check is one scan with partial aggregation; nothing "
+        "is collected but the violation counts.",
+)
+def q71_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    pk_dup = (orders.groupBy("o_orderkey").count()
+              .filter(F.col("count") > 1)
+              .agg(F.count(F.lit(1)).alias("n_violations"))
+              .select(F.lit("orders_pk_duplicate").alias("checkname"),
+                      "n_violations"))
+    fk_missing = (orders.join(customer,
+                              orders.o_custkey == customer.c_custkey,
+                              "left_anti")
+                  .agg(F.count(F.lit(1)).alias("n_violations"))
+                  .select(F.lit("orders_fk_customer_missing").alias("checkname"),
+                          "n_violations"))
+    qty_bad = (lineitem.filter(F.col("l_quantity").isNull()
+                               | (F.col("l_quantity") <= 0))
+               .agg(F.count(F.lit(1)).alias("n_violations"))
+               .select(F.lit("lineitem_qty_nonpositive").alias("checkname"),
+                       "n_violations"))
+    disc_bad = (lineitem.filter((F.col("l_discount") < 0)
+                                | (F.col("l_discount") > 1))
+                .agg(F.count(F.lit(1)).alias("n_violations"))
+                .select(F.lit("lineitem_discount_out_of_range").alias("checkname"),
+                        "n_violations"))
+    return (pk_dup.unionByName(fk_missing).unionByName(qty_bad)
+            .unionByName(disc_bad).orderBy("checkname"))

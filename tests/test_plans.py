@@ -137,3 +137,17 @@ def test_q65_exists_decorrelates_to_semi_and_anti(spark):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q10_rank_filter_uses_window_group_limit(spark):
+    # rank()<=1 over a window must trigger WindowGroupLimit: each input
+    # partition keeps only its per-key top rows BEFORE the window shuffle,
+    # so the exchange moves O(keys) rows, not the whole fact table
+    plan = _executed(QUERIES["q10_latest_order_per_customer"].spark(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_q71_fk_check_is_anti_join(spark):
+    plan = _executed(QUERIES["q71_data_quality_audit"].spark(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
