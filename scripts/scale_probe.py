@@ -1,0 +1,114 @@
+"""Scale-up probe: does the engine's time grow like the data, or worse?
+
+Synthesizes an N-times replica of the sf0.1 tables (FK-preserving key
+shifts, so joins keep their selectivity) under /tmp, then times a set of
+headline queries at both scales and reports the per-query scaling factor
+(time_N / time_1). A factor near N is linear scan/shuffle behavior; a
+factor near N**2 flags a quadratic operator. Usage:
+
+    python scripts/scale_probe.py [N]   # default 10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+BASE = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    # scans + aggregation + window + joins + text scans: the shapes that
+    # must scale linearly. (Quadratic-by-design baselines like q34's
+    # all-pairs are excluded — their scale paths are q50/q42/q35.)
+    "q01_pricing_summary",
+    "q59_shipping_priority",
+    "q64_large_order_customers",
+    "q10_latest_order_per_customer",
+    "q24_exact_dedup",
+    "q30_lang_id",
+    "q53_repetition_filter",
+    "q66_time_range_window",
+    "q68_pii_redaction",
+]
+
+# key columns to shift per replica so PK/FK relationships replicate
+# instead of colliding (each replica is a disjoint consistent universe)
+SHIFTS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "region": [],   # dims stay identical (every universe shares geography)
+    "nation": [],
+}
+
+
+def synthesize(spark, out_dir: str, n: int) -> None:
+    from league_of_legends_data_pipeline_spark.session import load_tables
+
+    tables = load_tables(spark, BASE)
+    os.makedirs(out_dir, exist_ok=True)
+    for name, df in tables.items():
+        shift_cols = SHIFTS.get(name, [])
+        if not shift_cols:
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+            continue
+        offsets = {c: int(df.agg(F.max(c)).collect()[0][0]) + 1 for c in shift_cols}
+        # one scan, n-fold Expand: cross-join the replica-id range
+        reps = spark.range(n).withColumnRenamed("id", "__rep")
+        out = df.crossJoin(reps)
+        for c in shift_cols:
+            out = out.withColumn(c, F.col(c) + F.col("__rep") * offsets[c])
+        (out.drop("__rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"{name}.parquet")))
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    out = {}
+    for name in PROBE_QUERIES:
+        t0 = time.time()
+        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def main() -> None:
+    from league_of_legends_data_pipeline_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = f"/tmp/spark_graft_scale_x{n}"
+    spark = get_spark("scale_probe")
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long") \
+        .write.format("noop").mode("overwrite").save()
+
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        t0 = time.time()
+        synthesize(spark, out_dir, n)
+        print(f"synthesized x{n} replica in {time.time()-t0:.1f}s", file=sys.stderr)
+
+    base = time_queries(spark, BASE)
+    base2 = time_queries(spark, BASE)       # warm pass: steadier baseline
+    base = {k: min(base[k], base2[k]) for k in base}
+    big = time_queries(spark, out_dir)
+    report = {
+        q: {"sf0.1_s": base[q], f"x{n}_s": big[q],
+            "factor": round(big[q] / max(base[q], 1e-9), 1)}
+        for q in PROBE_QUERIES
+    }
+    print(json.dumps({"replica": n, "queries": report}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
