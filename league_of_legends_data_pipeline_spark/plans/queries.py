@@ -19,7 +19,7 @@ from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from league_of_legends_data_pipeline_spark.session import load_tables
@@ -2633,16 +2633,23 @@ def q62_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 2).alias("acctbal"))
         .withColumnRenamed("o_custkey", "c_custkey")
     )
-    upd = spend.filter(F.col("acctbal") > 3_000_000).select(
-        "c_custkey", "acctbal",
-        F.lit("update").alias("src"), F.lit(False).alias("_deleted"))
-    ins = spend.filter(F.col("acctbal") > 5_000_000).select(
-        (F.col("c_custkey") + 1_000_000).alias("c_custkey"), "acctbal",
-        F.lit("insert").alias("src"), F.lit(False).alias("_deleted"))
-    dele = spend.filter(F.col("acctbal") < 1_000_000).select(
-        "c_custkey", "acctbal",
-        F.lit("update").alias("src"), F.lit(True).alias("_deleted"))
-    updates = upd.unionByName(ins).unionByName(dele)
+    # all three CDC row kinds generated in ONE pass over the aggregate
+    # (a 3-way filter+union would re-evaluate the spend subtree per branch:
+    # 3 scans of orders in the executed plan; this form plans 1)
+    def _u(key: Column, src: str, deleted: bool) -> Column:
+        return F.struct(key.alias("c_custkey"), F.col("acctbal"),
+                        F.lit(src).alias("src"),
+                        F.lit(deleted).alias("_deleted"))
+
+    bal = F.col("acctbal")
+    cand = F.array(
+        F.when(bal > 3_000_000, _u(F.col("c_custkey"), "update", False)),
+        F.when(bal > 5_000_000,
+               _u(F.col("c_custkey") + 1_000_000, "insert", False)),
+        F.when(bal < 1_000_000, _u(F.col("c_custkey"), "update", True)),
+    )
+    updates = (spend.select(F.explode(
+        F.filter(cand, lambda x: x.isNotNull())).alias("u")).select("u.*"))
     target = customer.select(
         "c_custkey", F.round("c_acctbal", 2).alias("acctbal"),
         F.lit("target").alias("src"))
