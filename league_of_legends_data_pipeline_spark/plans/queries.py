@@ -3034,11 +3034,11 @@ def q70_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) checks
     ORDER BY checkname
     """,
-    doc="Constraint audit over the warehouse: each check is an aggregate "
-        "or anti-join the optimizer plans independently (PK check = "
-        "group-count, FK check = left-anti), unioned into one report. At "
-        "100 TB each check is one scan with partial aggregation; nothing "
-        "is collected but the violation counts.",
+    doc="Constraint audit over the warehouse: PK check = group-count, FK "
+        "check = left-anti, and all single-table rules on a fact collapse "
+        "into ONE conditional-count scan (count_if per rule, unpivoted to "
+        "report rows). At 100 TB the audit costs one scan per table plus "
+        "the FK anti-join; nothing is collected but violation counts.",
 )
 def q71_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = _t(spark, sf_dir, "customer", "orders", "lineitem")
@@ -3053,15 +3053,18 @@ def q71_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .agg(F.count(F.lit(1)).alias("n_violations"))
                   .select(F.lit("orders_fk_customer_missing").alias("checkname"),
                           "n_violations"))
-    qty_bad = (lineitem.filter(F.col("l_quantity").isNull()
-                               | (F.col("l_quantity") <= 0))
-               .agg(F.count(F.lit(1)).alias("n_violations"))
-               .select(F.lit("lineitem_qty_nonpositive").alias("checkname"),
-                       "n_violations"))
-    disc_bad = (lineitem.filter((F.col("l_discount") < 0)
-                                | (F.col("l_discount") > 1))
-                .agg(F.count(F.lit(1)).alias("n_violations"))
-                .select(F.lit("lineitem_discount_out_of_range").alias("checkname"),
-                        "n_violations"))
-    return (pk_dup.unionByName(fk_missing).unionByName(qty_bad)
-            .unionByName(disc_bad).orderBy("checkname"))
+    # both lineitem checks are conditional counts over ONE scan, unpivoted
+    # to report rows (a filter+union per check would scan the fact per rule)
+    li_checks = (
+        lineitem.agg(
+            F.count_if(F.col("l_quantity").isNull()
+                       | (F.col("l_quantity") <= 0)).alias(
+                           "lineitem_qty_nonpositive"),
+            F.count_if((F.col("l_discount") < 0)
+                       | (F.col("l_discount") > 1)).alias(
+                           "lineitem_discount_out_of_range"))
+        .unpivot([], ["lineitem_qty_nonpositive",
+                      "lineitem_discount_out_of_range"],
+                 "checkname", "n_violations"))
+    return (pk_dup.unionByName(fk_missing).unionByName(li_checks)
+            .orderBy("checkname"))
