@@ -3068,3 +3068,47 @@ def q71_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "checkname", "n_violations"))
     return (pk_dup.unionByName(fk_missing).unionByName(li_checks)
             .orderBy("checkname"))
+
+
+@_register(
+    "q72_frame_sample",
+    """
+    -- fixed-stride frame sampling over an opaque binary payload
+    -- (documents.text bytes stand in for media; ASCII, so byte slices ==
+    -- character slices). Every 2nd 32-byte frame, with per-frame digest.
+    WITH f AS (
+      SELECT doc_id, text,
+             CAST(floor(octet_length(encode(text)) / 32) AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_frames, 2)) AS BIGINT) AS frame_idx,
+           CAST(unnest(range(0, n_frames, 2)) * 32 AS BIGINT) AS frame_off,
+           md5(substr(text, CAST(unnest(range(0, n_frames, 2)) * 32 + 1 AS INT), 32))
+               AS frame_md5
+    FROM f WHERE n_frames >= 1
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Multimodal frame sampling (operators/multimodal.py::frame_sample): "
+        "offsets from sequence+explode, slices via JVM substring over the "
+        "binary — zero Python, stays in codegen. The per-frame md5 proves "
+        "byte-exact slicing across engines. A real codec replaces the "
+        "fixed stride with a mapInPandas parser emitting the same "
+        "(id, frame_idx, frame) shape.",
+)
+def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.multimodal import frame_sample
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    payload = documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = frame_sample(payload, "doc_id", "payload",
+                          frame_bytes=32, every_nth=2)
+    return (
+        frames.select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("frame_off").cast("long").alias("frame_off"),
+            F.md5("frame").alias("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -42,8 +42,26 @@ def test_decode_stubs_raise(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], ["id", "bin"])
     with pytest.raises(NotImplementedError):
         decode_image(df, "id", "bin")
-    with pytest.raises(NotImplementedError):
-        frame_sample(df, "id", "bin")
+
+
+def test_frame_sample_slices_and_strides(spark):
+    # 70 bytes, 32-byte frames -> frames at offsets 0 and 32 (tail dropped);
+    # every_nth=2 on a 5-frame payload keeps frames 0, 2, 4
+    payload = bytes(range(70))
+    df = spark.createDataFrame([(1, bytearray(payload)),
+                                (2, bytearray(b"short"))], ["id", "bin"])
+    rows = frame_sample(df, "id", "bin", frame_bytes=32).collect()
+    got = {(r["id"], r["frame_idx"]): bytes(r["frame"]) for r in rows}
+    assert set(got) == {(1, 0), (1, 1)}          # id=2 has no full frame
+    assert got[(1, 0)] == payload[0:32]
+    assert got[(1, 1)] == payload[32:64]
+    assert all(r["frame_off"] == r["frame_idx"] * 32 for r in rows)
+
+    five = spark.createDataFrame([(3, bytearray(bytes(5 * 8)))], ["id", "bin"])
+    kept = sorted(r["frame_idx"] for r in
+                  frame_sample(five, "id", "bin", frame_bytes=8,
+                               every_nth=2).collect())
+    assert kept == [0, 2, 4]
 
 
 def test_http_source_statuses_and_retry(spark):
