@@ -3112,3 +3112,40 @@ def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("frame").alias("frame_md5"))
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@_register(
+    "q73_incremental_aggregate",
+    """
+    -- incremental materialized-aggregate maintenance: the daily rollup is
+    -- (aggregate over frozen days) UNION (recompute of the open day),
+    -- which must equal the full recompute — the oracle IS the full form.
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    doc="Incremental view maintenance for partition-additive aggregates: "
+        "the engine path aggregates the frozen days and the open (hot) day "
+        "in separate branches and unions them — at 100 TB the frozen "
+        "branch is served by the stored rollup (never rescanned; here it "
+        "is recomputed only because the oracle needs one engine-free "
+        "form), so each refresh costs one day's scan, not the table's "
+        "history. Additive aggregates (count/sum) make partition-level "
+        "recompute exact; the oracle equality proves it.",
+)
+def q73_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    cutoff = events.agg(F.date_trunc("day", F.max("ts"))).collect()[0][0]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return (df.groupBy(F.date_trunc("day", "ts").alias("day"),
+                           "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 4).alias("total_value")))
+
+    frozen = rollup(events.filter(F.date_trunc("day", "ts") < F.lit(cutoff)))
+    open_day = rollup(events.filter(F.date_trunc("day", "ts") >= F.lit(cutoff)))
+    return frozen.unionByName(open_day).orderBy("day", "event_type")
