@@ -151,3 +151,18 @@ def test_q71_fk_check_is_anti_join(spark):
     plan = _executed(QUERIES["q71_data_quality_audit"].spark(spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q59_fact_join_degrades_to_sort_merge_without_broadcast(spark):
+    # at 100 TB no side of the lineitem-orders join fits a broadcast; with
+    # auto-broadcast off the plan must fall back to a shuffled sort-merge
+    # join on the order key — never a nested loop
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _executed(QUERIES["q59_shipping_priority"].spark(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
