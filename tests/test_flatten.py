@@ -116,3 +116,42 @@ def test_pivot_perks(spark):
     assert got["Primary_slot_4_var3"] == 9
     assert got["Secondary_slot_2_perk"] == 8347
     assert len(got) == 3 + 1 + 16 + 1 + 8
+
+
+def test_schema_drift_report_and_quarantine(spark):
+    """SURVEY §7 hard part 1: drift between inferred bronze and declared
+    silver is reported at leaf-path granularity; conform() casts drifted
+    types, null-pads missing fields, and quarantines unknown columns as
+    JSON instead of mutating the table schema."""
+    import json
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from league_of_legends_data_pipeline_spark.functions.drift import (
+        conform, schema_drift,
+    )
+
+    declared = StructType([
+        StructField("id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("name", StringType()),
+    ])
+    observed = spark.createDataFrame(
+        [(1, 5, "a", "x1", 9.9)],
+        ["id", "score", "surprise", "another_new", "renamed_name"],
+    ).drop("renamed_name").withColumnRenamed("another_new", "extra2")
+
+    report = schema_drift(observed.schema, declared)
+    assert "surprise" in report["added"] and "extra2" in report["added"]
+    assert report["missing"] == ["name"]
+    assert report["changed"] == ["score: bigint -> double"] or \
+        report["changed"] == ["score: double -> bigint"]
+
+    out = conform(observed, declared)
+    assert [f.name for f in out.schema.fields] == \
+        ["id", "score", "name", "_quarantine"]
+    row = out.collect()[0]
+    assert row["score"] == 5.0 and row["name"] is None
+    assert json.loads(row["_quarantine"]) == {"surprise": "a", "extra2": "x1"}
