@@ -3149,3 +3149,39 @@ def q73_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen = rollup(events.filter(F.date_trunc("day", "ts") < F.lit(cutoff)))
     open_day = rollup(events.filter(F.date_trunc("day", "ts") >= F.lit(cutoff)))
     return frozen.unionByName(open_day).orderBy("day", "event_type")
+
+
+@_register(
+    "q74_ordered_array_agg",
+    """
+    -- ordered array aggregation: each customer's top-3 orders by price,
+    -- as an ordered array column.
+    SELECT o_custkey,
+           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[:3]
+               AS top_orders,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="Ordered array aggregation: rows to a per-key ORDERED array. Spark "
+        "has no ORDER BY inside an aggregate, so the plan collects "
+        "(sort-key, value) structs and sorts the bounded array per group "
+        "(sort_array + transform) — top-3 slice keeps state per key O(k) "
+        "conceptually; the full-array collect is bounded by per-key "
+        "cardinality, and at 100 TB a per-key cap (q46 / WindowGroupLimit "
+        "top-k) bounds it before the aggregate.",
+)
+def q74_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    # sort by (price desc, key asc): flip the price sign so one ascending
+    # sort_array gives the composite order
+    neg = F.struct((-F.col("o_totalprice")).alias("p"),
+                   F.col("o_orderkey").alias("k"))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.slice(F.transform(F.sort_array(F.collect_list(neg)),
+                                 lambda s: s["k"]), 1, 3).alias("top_orders"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_custkey")
+    )
