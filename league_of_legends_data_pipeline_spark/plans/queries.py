@@ -3185,3 +3185,54 @@ def q74_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_custkey")
     )
+
+
+@_register(
+    "q75_conversion_funnel",
+    """
+    -- sequential-pattern funnel: per user, first signup, then whether a
+    -- purchase followed within 7 days, and how long it took.
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT s.user_id, min(e.ts) AS first_purchase_ts
+      FROM s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts > s.signup_ts AND e.ts <= s.signup_ts + INTERVAL 7 DAYS
+      GROUP BY s.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+           (p.first_purchase_ts IS NOT NULL) AS converted,
+           CAST(round(epoch_us(p.first_purchase_ts - s.signup_ts)
+                      / 3600e6, 4) AS DOUBLE) AS hours_to_convert
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+    doc="Conversion funnel (sequential event pattern): step-1 aggregate, "
+        "then a time-bounded join to the step-2 events, then the earliest "
+        "qualifying follow-up. Both aggregations and the join key on "
+        "user_id, so the whole funnel is ONE partitioning reused across "
+        "stages at scale; the 7-day bound keeps the join from exploding "
+        "into all purchase history.",
+)
+def q75_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    s = (events.filter(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    p = (s.join(events.filter(F.col("event_type") == "purchase")
+                .select("user_id", F.col("ts").alias("p_ts")), "user_id")
+         .filter((F.col("p_ts") > F.col("signup_ts"))
+                 & (F.col("p_ts") <= F.col("signup_ts")
+                    + F.expr("INTERVAL 7 DAYS")))
+         .groupBy("user_id").agg(F.min("p_ts").alias("first_purchase_ts")))
+    return (
+        s.join(p, "user_id", "left")
+        .select(
+            "user_id", "signup_ts", "first_purchase_ts",
+            F.col("first_purchase_ts").isNotNull().alias("converted"),
+            F.round((F.unix_micros("first_purchase_ts")
+                     - F.unix_micros("signup_ts")) / 3_600e6, 4)
+             .alias("hours_to_convert"))
+        .orderBy("user_id")
+    )
