@@ -3236,3 +3236,40 @@ def q75_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("hours_to_convert"))
         .orderBy("user_id")
     )
+
+
+@_register(
+    "q76_hopping_window",
+    """
+    -- hopping (sliding) window aggregate: 24h windows every 6h; each
+    -- event lands in exactly width/slide = 4 windows.
+    SELECT window_start, event_type,
+           count(*) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+    FROM (
+      SELECT make_timestamp(CAST(
+               (floor(epoch_us(ts) / 21600000000) - k) * 21600000000
+               AS BIGINT)) AS window_start,
+             event_type, value
+      FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    ) hopped
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+    doc="Hopping/sliding event-time windows (window(ts, 24h, 6h)): Spark's "
+        "TimeWindow Expand emits the 4 window memberships per row in one "
+        "scan and partial aggregation collapses them map-side — the "
+        "shuffle carries (window, type) groups, not 4x the events. The "
+        "oracle replicates epoch-aligned window starts arithmetically.",
+)
+def q76_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "24 hours", "6 hours").alias("w"),
+                       "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
