@@ -3273,3 +3273,83 @@ def q76_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n", "total_value")
         .orderBy("window_start", "event_type")
     )
+
+
+@_register(
+    "q77_full_outer_reconciliation",
+    """
+    -- snapshot reconciliation: per-customer order totals in the first
+    -- half of the year vs the second, FULL OUTER joined so customers
+    -- active in only one period still appear.
+    WITH a AS (
+      SELECT o_custkey, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_a
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-07-01'
+      GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey, CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total_b
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           a.total_a, b.total_b,
+           CAST(round(COALESCE(b.total_b, 0) - COALESCE(a.total_a, 0), 2)
+                AS DOUBLE) AS delta,
+           CASE WHEN a.o_custkey IS NULL THEN 'new'
+                WHEN b.o_custkey IS NULL THEN 'churned'
+                ELSE 'both' END AS status
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    ORDER BY o_custkey
+    """,
+    doc="FULL OUTER reconciliation — the snapshot-diff shape (present "
+        "only-left / only-right / both, with deltas). Both sides aggregate "
+        "before joining, so the join moves one row per customer per "
+        "period, not raw orders; the two aggregations and the join share "
+        "the o_custkey partitioning at scale.",
+)
+def q77_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-07-01").cast("timestamp")
+    a = (orders.filter(F.col("o_orderdate") < cut).groupBy("o_custkey")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_a")))
+    b = (orders.filter(F.col("o_orderdate") >= cut).groupBy("o_custkey")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_b")))
+    ja, jb = a.alias("a"), b.alias("b")
+    return (
+        ja.join(jb, F.col("a.o_custkey") == F.col("b.o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.o_custkey"), F.col("b.o_custkey"))
+             .alias("o_custkey"),
+            "total_a", "total_b",
+            F.round(F.coalesce(F.col("total_b"), F.lit(0.0))
+                    - F.coalesce(F.col("total_a"), F.lit(0.0)), 2)
+             .alias("delta"),
+            F.when(F.col("a.o_custkey").isNull(), "new")
+             .when(F.col("b.o_custkey").isNull(), "churned")
+             .otherwise("both").alias("status"))
+        .orderBy("o_custkey")
+    )
+
+
+@_register(
+    "q78_except_all",
+    """
+    -- bag-semantics difference: event types per user minus one occurrence
+    -- per error event — multiplicity-aware EXCEPT ALL.
+    SELECT user_id, event_type FROM (
+      SELECT user_id, event_type FROM events
+      EXCEPT ALL
+      SELECT user_id, event_type FROM events WHERE event_type = 'error'
+    ) d
+    ORDER BY user_id, event_type
+    """,
+    doc="EXCEPT ALL (bag difference, multiplicity-aware — U3's set "
+        "remainder generalized): Spark plans it as a single aggregation "
+        "computing per-row multiplicities and replicating the surplus, "
+        "one shuffle on the full row key — no join, no distinct collapse.",
+)
+def q78_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    lhs = events.select("user_id", "event_type")
+    rhs = events.filter(F.col("event_type") == "error") \
+                .select("user_id", "event_type")
+    return lhs.exceptAll(rhs).orderBy("user_id", "event_type")
