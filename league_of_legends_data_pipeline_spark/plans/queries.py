@@ -3353,3 +3353,68 @@ def q78_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     rhs = events.filter(F.col("event_type") == "error") \
                 .select("user_id", "event_type")
     return lhs.exceptAll(rhs).orderBy("user_id", "event_type")
+
+
+@_register(
+    "q79_scalar_subquery",
+    """
+    -- correlated SCALAR subqueries in the select list: per customer, the
+    -- order count and the latest order date.
+    SELECT c.c_custkey,
+           (SELECT count(*) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS n_orders,
+           (SELECT max(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS last_order
+    FROM customer c
+    ORDER BY c.c_custkey
+    """,
+    doc="Correlated scalar subqueries (the third decorrelation family "
+        "after q65's EXISTS/NOT EXISTS): Catalyst rewrites each to an "
+        "aggregate + LEFT OUTER join on the correlation key — per-row "
+        "subquery execution never happens, and the two subqueries against "
+        "the same table merge into one aggregate pass "
+        "(MergeScalarSubqueries).",
+)
+def q79_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    customer.createOrReplaceTempView("q79_customer")
+    orders.createOrReplaceTempView("q79_orders")
+    return spark.sql("""
+        SELECT c.c_custkey,
+               (SELECT count(*) FROM q79_orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT max(o.o_orderdate) FROM q79_orders o
+                WHERE o.o_custkey = c.c_custkey) AS last_order
+        FROM q79_customer c
+        ORDER BY c.c_custkey
+    """)
+
+
+@_register(
+    "q80_lateral_join",
+    """
+    -- LATERAL join: for each nation, its two highest-balance customers.
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+    doc="LATERAL correlated derived table (top-n per outer row): Catalyst "
+        "decorrelates the LIMIT-per-group into a window rank over the "
+        "join, so the plan is a single join + per-key top-k — not a "
+        "per-nation query execution.",
+)
+def q80_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    customer.createOrReplaceTempView("q80_customer")
+    nation.createOrReplaceTempView("q80_nation")
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM q80_nation n,
+             LATERAL (SELECT c_name, c_acctbal FROM q80_customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """)
