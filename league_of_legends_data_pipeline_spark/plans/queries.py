@@ -3418,3 +3418,50 @@ def q80_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
     """)
+
+
+@_register(
+    "q81_multiformat_sources",
+    """
+    -- multi-format source parity: the same events served from CSV and
+    -- JSON files must aggregate identically to the parquet source.
+    SELECT fmt, event_type, count(*) AS n,
+           CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+    FROM (
+      SELECT 'csv' AS fmt, event_type, value FROM events
+      UNION ALL
+      SELECT 'json' AS fmt, event_type, value FROM events
+    ) u
+    GROUP BY fmt, event_type
+    ORDER BY fmt, event_type
+    """,
+    doc="Source-format coverage (SURVEY S1/K1 beyond parquet): the query "
+        "round-trips the events table through Spark's CSV and JSON "
+        "writers, reads both back with explicit schemas (no inference on "
+        "the hot path), and proves value-exact parity against the "
+        "parquet-derived oracle. Doubles survive both text formats "
+        "because Spark writes shortest-round-trip representations.",
+)
+def q81_multiformat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    (events,) = _t(spark, sf_dir, "events")
+    subset = events.select("event_id", "event_type", "value")
+    work = tempfile.mkdtemp(prefix="q81_")
+    csv_dir, json_dir = os.path.join(work, "csv"), os.path.join(work, "json")
+    subset.write.mode("overwrite").option("header", "true").csv(csv_dir)
+    subset.write.mode("overwrite").json(json_dir)
+
+    schema = "event_id long, event_type string, value double"
+    from_csv = (spark.read.schema(schema).option("header", "true").csv(csv_dir)
+                .select(F.lit("csv").alias("fmt"), "event_type", "value"))
+    from_json = (spark.read.schema(schema).json(json_dir)
+                 .select(F.lit("json").alias("fmt"), "event_type", "value"))
+    return (
+        from_csv.unionByName(from_json)
+        .groupBy("fmt", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("fmt", "event_type")
+    )
