@@ -46,9 +46,18 @@ def main():
     only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
 
     import __spark_entry__ as entry
-    from league_of_legends_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("parity-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # mirror the REAL driver: a plain session with none of the engine's
+        # session-factory confs — queries must self-provision what they need
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[32]")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.driver.memory", "32g")
+                 .appName("parity-check-vanilla").getOrCreate())
+    else:
+        from league_of_legends_data_pipeline_spark.session import get_spark
+        spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
