@@ -1294,7 +1294,8 @@ def _minhash_slot_sql(a: int, b: int) -> str:
 
 
 def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_k: int,
-                        threshold: float) -> str:
+                        threshold: float,
+                        source: str = "documents") -> str:
     from league_of_legends_data_pipeline_spark.operators.dedup import (
         minhash_coefficients,
     )
@@ -1314,7 +1315,7 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_k: int,
                list_distinct(list_transform(
                    range(1, greatest(length(text) - {shingle_k - 1}, 1) + 1),
                    i -> substr(text, CAST(i AS INT), {shingle_k}))) AS shingles
-        FROM documents
+        FROM {source}
     ), hashed AS (
         SELECT doc_id,
                list_transform(shingles,
@@ -3465,3 +3466,95 @@ def q81_multiformat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 4).alias("total_value"))
         .orderBy("fmt", "event_type")
     )
+
+
+_Q82_SOURCE = "(SELECT * FROM documents WHERE doc_id < 250) sub"
+_Q82_LSH = _minhash_lsh_oracle(num_hashes=16, bands=4, shingle_k=5,
+                               threshold=0.4, source=_Q82_SOURCE)
+
+
+@_register(
+    "q82_lsh_recall",
+    f"""
+    -- approximation characterization: MinHash-LSH candidate recall vs the
+    -- exact all-pairs ground truth (same jaccard, same threshold), on a
+    -- deterministic sub-corpus.
+    WITH lsh AS ({_Q82_LSH}),
+    sh2 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(length(text) - 4, 1) + 1),
+                   i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))
+                        AS BIGINT))) AS hm
+        FROM documents WHERE doc_id < 250
+    ), truth AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.hm, b.hm)) AS DOUBLE)
+              / (len(a.hm) + len(b.hm) - len(list_intersect(a.hm, b.hm))) >= 0.4
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM lsh) AS n_lsh,
+           (SELECT count(*) FROM truth t
+             JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b) AS n_hit,
+           CAST(round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                ELSE (SELECT count(*) FROM truth t
+                      JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b)
+                     * 1.0 / (SELECT count(*) FROM truth) END, 6) AS DOUBLE)
+               AS recall,
+           CAST(round(CASE WHEN (SELECT count(*) FROM lsh) = 0 THEN 1.0
+                ELSE (SELECT count(*) FROM truth t
+                      JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b)
+                     * 1.0 / (SELECT count(*) FROM lsh) END, 6) AS DOUBLE)
+               AS precision
+    """,
+    doc="Approximation quality harness: runs the LSH near-dup pipeline and "
+        "the EXACT all-pairs ground truth (identical hashed-shingle "
+        "jaccard, identical threshold) on a deterministic sub-corpus, "
+        "reporting recall/precision as data. Precision is 1.0 by "
+        "construction (candidates are exact-verified); recall quantifies "
+        "banding misses. The sub-corpus bound keeps the quadratic truth "
+        "computation affordable — the harness pattern for validating ANY "
+        "approximate operator against its exact dual on a sample.",
+)
+def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        char_shingles, minhash_lsh_pairs, portable_hash64,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sub = documents.filter(F.col("doc_id") < 250)
+    lsh = minhash_lsh_pairs(sub, "doc_id", "text", num_hashes=16, bands=4,
+                            shingle_k=5, jaccard_threshold=0.4,
+                            max_bucket_size=1_000_000) \
+        .select("id_a", "id_b")
+
+    hm = sub.select("doc_id",
+                    F.transform(char_shingles("text", 5),
+                                portable_hash64).alias("hm"))
+    a = hm.select(F.col("doc_id").alias("id_a"), F.col("hm").alias("ha"))
+    b = hm.select(F.col("doc_id").alias("id_b"), F.col("hm").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    jac = inter / (F.size("ha") + F.size("hb") - inter)
+    truth = (a.join(b, F.col("id_a") < F.col("id_b"))
+             .filter(jac >= 0.4).select("id_a", "id_b"))
+
+    counts = (
+        truth.select(F.lit(1).alias("t"), F.lit(0).alias("l"), F.lit(0).alias("h"))
+        .unionByName(lsh.select(F.lit(0).alias("t"), F.lit(1).alias("l"),
+                                F.lit(0).alias("h")))
+        .unionByName(truth.join(lsh, ["id_a", "id_b"])
+                     .select(F.lit(0).alias("t"), F.lit(0).alias("l"),
+                             F.lit(1).alias("h")))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_truth"),
+             F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("n_lsh"),
+             F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("n_hit"))
+    )
+    return counts.select(
+        "n_truth", "n_lsh", "n_hit",
+        F.round(F.when(F.col("n_truth") == 0, 1.0)
+                 .otherwise(F.col("n_hit") / F.col("n_truth")), 6)
+         .alias("recall"),
+        F.round(F.when(F.col("n_lsh") == 0, 1.0)
+                 .otherwise(F.col("n_hit") / F.col("n_lsh")), 6)
+         .alias("precision"))
