@@ -226,3 +226,32 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     # untouched partitions: same files, same mtimes — provably not rewritten
     assert listing(10) == before_d10
     assert listing(12) == before_d12
+
+
+def test_snapshot_table_time_travel_and_rollback(spark, tmp_path):
+    """Versioned table: immutable data files + one atomic manifest swap per
+    commit. Time travel reproduces any historic snapshot; rollback is a new
+    metadata-only commit; an overwrite never disturbs earlier readers."""
+    from league_of_legends_data_pipeline_spark.snapshots import (
+        snapshot_read, snapshot_rollback, snapshot_versions, snapshot_write,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    v0 = snapshot_write(spark.createDataFrame([(1, "a")], ["id", "x"]), tbl)
+    v1 = snapshot_write(spark.createDataFrame([(2, "b")], ["id", "x"]), tbl)
+    assert (v0, v1) == (0, 1)
+    assert sorted(r["id"] for r in snapshot_read(spark, tbl).collect()) == [1, 2]
+    assert [r["id"] for r in snapshot_read(spark, tbl, 0).collect()] == [1]
+
+    # overwrite starts fresh but v0/v1 stay exactly readable
+    v2 = snapshot_write(spark.createDataFrame([(9, "z")], ["id", "x"]),
+                        tbl, mode="overwrite")
+    assert [r["id"] for r in snapshot_read(spark, tbl).collect()] == [9]
+    assert sorted(r["id"] for r in snapshot_read(spark, tbl, v1).collect()) == [1, 2]
+
+    # rollback to v1: new commit, history intact, latest == v1 contents
+    v3 = snapshot_rollback(tbl, v1)
+    assert snapshot_versions(tbl) == [0, 1, 2, 3]
+    assert sorted(r["id"] for r in snapshot_read(spark, tbl).collect()) == [1, 2]
+    assert [r["id"] for r in snapshot_read(spark, tbl, v2).collect()] == [9]
+    assert v3 == 3
