@@ -255,3 +255,23 @@ def test_snapshot_table_time_travel_and_rollback(spark, tmp_path):
     assert sorted(r["id"] for r in snapshot_read(spark, tbl).collect()) == [1, 2]
     assert [r["id"] for r in snapshot_read(spark, tbl, v2).collect()] == [9]
     assert v3 == 3
+
+
+def test_snapshot_diff_change_data_feed(spark, tmp_path):
+    """CDF between versions: insert / delete / update pre+post images."""
+    from league_of_legends_data_pipeline_spark.snapshots import (
+        snapshot_diff, snapshot_write,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "x"]), tbl)
+    snapshot_write(spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["id", "x"]), tbl, mode="overwrite")
+
+    rows = {(r["id"], r["_change_type"]): r["x"]
+            for r in snapshot_diff(spark, tbl, 0, 1, ["id"]).collect()}
+    assert rows == {
+        (2, "update_preimage"): "b", (2, "update_postimage"): "B",
+        (3, "delete"): "c", (4, "insert"): "d",
+    }
