@@ -3558,3 +3558,53 @@ def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(F.col("n_lsh") == 0, 1.0)
                  .otherwise(F.col("n_hit") / F.col("n_lsh")), 6)
          .alias("precision"))
+
+
+@_register(
+    "q83_snapshot_table",
+    """
+    -- versioned-table semantics: v0 = events before the midpoint, v1 =
+    -- append of the rest. Reading v1 must equal the full table; reading
+    -- v0 (time travel) must equal the first half.
+    SELECT version, event_type, n, total_value FROM (
+      SELECT 'v0' AS version, event_type, count(*) AS n,
+             CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+      FROM events WHERE ts < TIMESTAMP '2024-01-16'
+      GROUP BY event_type
+      UNION ALL
+      SELECT 'v1', event_type, count(*),
+             CAST(round(sum(value), 4) AS DOUBLE)
+      FROM events
+      GROUP BY event_type
+    ) u
+    ORDER BY version, event_type
+    """,
+    doc="Snapshot tables in the declared set (snapshots.py): commit the "
+        "first half of events as v0, append the rest as v1, then "
+        "aggregate BOTH versions via time travel. The oracle is the same "
+        "split computed directly — proving append visibility and that a "
+        "historic version read reproduces exactly the pre-append state.",
+)
+def q83_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from league_of_legends_data_pipeline_spark.snapshots import (
+        snapshot_read, snapshot_write,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    tbl = tempfile.mkdtemp(prefix="q83_") + "/tbl"
+    snapshot_write(events.filter(F.col("ts") < cut), tbl)
+    snapshot_write(events.filter(F.col("ts") >= cut), tbl, mode="append")
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 4).alias("total_value"))
+                .select(F.lit(tag).alias("version"), "event_type",
+                        "n", "total_value"))
+
+    return (agg(snapshot_read(spark, tbl, 0), "v0")
+            .unionByName(agg(snapshot_read(spark, tbl), "v1"))
+            .orderBy("version", "event_type"))
