@@ -3608,3 +3608,61 @@ def q83_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg(snapshot_read(spark, tbl, 0), "v0")
             .unionByName(agg(snapshot_read(spark, tbl), "v1"))
             .orderBy("version", "event_type"))
+
+
+_Q84_ORACLE = f"""
+    -- ANN recall harness: IVF top-5 vs exact top-5 for the shared query
+    -- set (vec_id < 8), reported as overall recall@5.
+    WITH exact AS ({QUERIES["q27_knn_cosine"].oracle}),
+         approx AS ({QUERIES["q42_ivf_ann"].oracle}),
+         e8 AS (SELECT query_id, neighbor_id FROM exact WHERE query_id < 8)
+    SELECT (SELECT count(*) FROM (SELECT DISTINCT query_id FROM e8) q)
+               AS n_queries,
+           (SELECT count(*) FROM e8) AS n_exact,
+           (SELECT count(*) FROM e8 t JOIN approx a
+             ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+               AS n_hit,
+           CAST(round((SELECT count(*) FROM e8 t JOIN approx a
+                 ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+                 * 1.0 / (SELECT count(*) FROM e8), 6) AS DOUBLE)
+               AS recall_at_5
+"""
+
+
+@_register(
+    "q84_ivf_recall",
+    _Q84_ORACLE,
+    doc="ANN characterization (q82's harness pattern applied to IVF): "
+        "exact brute-force top-5 vs IVF(nprobe=3) top-5 for the same "
+        "query set, reported as recall@5. The exact side costs "
+        "|queries| x |corpus| dots — bounded by the small probe set, so "
+        "the audit is affordable at any corpus scale; recall quantifies "
+        "what the inverted-list pruning trades for its ~nprobe/C scan "
+        "cost.",
+)
+def q84_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        cosine_topk, ivf_topk,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries8 = embeddings.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(corpus=embeddings, queries=queries8,
+                        id_col="vec_id", vec_col="embedding", k=5) \
+        .select("query_id", "neighbor_id")
+    approx = ivf_topk(embeddings, queries8, id_col="vec_id",
+                      vec_col="embedding", k=5, nprobe=3) \
+        .select("query_id", "neighbor_id")
+    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    counts = (
+        exact.select(F.lit(1).alias("e"), F.lit(0).alias("h"),
+                     F.col("query_id"))
+        .unionByName(hit.select(F.lit(0).alias("e"), F.lit(1).alias("h"),
+                                F.col("query_id")))
+        .agg(F.count_distinct("query_id").alias("n_queries"),
+             F.sum("e").cast("long").alias("n_exact"),
+             F.sum("h").cast("long").alias("n_hit"))
+    )
+    return counts.select(
+        "n_queries", "n_exact", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_5"))
