@@ -3666,3 +3666,63 @@ def q84_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "n_queries", "n_exact", "n_hit",
         F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_5"))
+
+
+@_register(
+    "q85_stream_static_join",
+    """
+    -- stream enrichment: the event stream joined to a static user-tier
+    -- dimension (derived from lifetime value), aggregated per tier.
+    WITH tiers AS (
+      SELECT user_id,
+             CASE WHEN sum(value) > 500 THEN 'high'
+                  WHEN sum(value) > 100 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT t.tier, e.event_type, count(*) AS n,
+           CAST(round(sum(e.value), 4) AS DOUBLE) AS total_value
+    FROM events e JOIN tiers t ON e.user_id = t.user_id
+    GROUP BY t.tier, e.event_type
+    ORDER BY t.tier, e.event_type
+    """,
+    doc="Stream-static join (the streaming enrichment pattern): a real "
+        "readStream over events joined to a STATIC dimension DataFrame — "
+        "Spark re-plans the static side per micro-batch, no state store "
+        "involved for the join itself, so the dim can be broadcast and "
+        "updated between batches (slowly-changing enrichment). Aggregation "
+        "runs in complete mode; oracle is the batch dual.",
+)
+def q85_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    (events,) = _t(spark, sf_dir, "events")
+    tiers = (events.groupBy("user_id")
+             .agg(F.sum("value").alias("ltv"))
+             .select("user_id",
+                     F.when(F.col("ltv") > 500, "high")
+                      .when(F.col("ltv") > 100, "mid")
+                      .otherwise("low").alias("tier")))
+
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = (spark.readStream.schema(raw_schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    enriched = (stream.join(F.broadcast(tiers), "user_id")
+                .groupBy("tier", "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 4).alias("total_value")))
+
+    name = f"stream_q85_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (enriched.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q85 streaming drain exceeded 300s — partial "
+                               "results would silently corrupt the comparison")
+    return spark.table(name).orderBy("tier", "event_type")
