@@ -34,6 +34,7 @@ PROBE_QUERIES = [
     "q53_repetition_filter",
     "q66_time_range_window",
     "q68_pii_redaction",
+    "q35_minhash_lsh_pairs",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
