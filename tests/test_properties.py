@@ -145,3 +145,39 @@ def test_merge_frames_set_semantics(spark, tgt, upd):
     want.update({k: v for k, (v, d) in upd_d.items() if not d})
     assert got == want
     assert {r["k"]: r["v"] for r in twice.collect()} == want
+
+
+@given(ops=st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(0, 99)),
+        st.tuples(st.just("overwrite"), st.integers(0, 99)),
+        st.tuples(st.just("rollback"), st.integers(0, 5)),
+    ), min_size=1, max_size=6))
+@SLOW
+def test_snapshot_model(spark, tmp_path_factory, ops):
+    """Model-based check: a random append/overwrite/rollback sequence must
+    match a pure-python model of the version history, and every historic
+    version must stay exactly readable afterward."""
+    from league_of_legends_data_pipeline_spark.snapshots import (
+        snapshot_read, snapshot_rollback, snapshot_write,
+    )
+
+    tbl = str(tmp_path_factory.mktemp("snap") / "tbl")
+    model: list[list[int]] = []   # contents per version
+    for op, arg in ops:
+        if op == "rollback":
+            if not model:
+                continue
+            v = arg % len(model)
+            snapshot_rollback(tbl, v)
+            model.append(list(model[v]))
+        else:
+            df = spark.createDataFrame([(arg,)], ["x"])
+            snapshot_write(df, tbl, mode=op)
+            base = model[-1] if (model and op == "append") else []
+            model.append(base + [arg])
+    for v, want in enumerate(model):
+        if not want:
+            continue  # empty snapshots refuse to read (no schema)
+        got = sorted(r["x"] for r in snapshot_read(spark, tbl, v).collect())
+        assert got == sorted(want), (v, got, want)
