@@ -398,3 +398,70 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroid_stride: int = 64,
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd refinement for corpus clustering (SemDeDup-style
+    topic bucketing): seed centroids = every ``centroid_stride``-th vector
+    (ivf_topk's seeding), then ``iterations`` rounds of assign-to-nearest
+    (cosine, ties to the smallest cluster id) and element-wise mean
+    recompute. Returns (id, cluster, cosine) — each vector's final cluster
+    (keyed by seed id) and its similarity to that cluster's centroid.
+
+    Means are rounded (9 dp) each round: parallel aggregation order makes
+    the last ulp nondeterministic, and an unrounded centroid could flip an
+    argmax tie between runs/engines.
+
+    Scale shape per round: one broadcast of C centroids (production sizes
+    ``centroid_stride`` ~ N/C to keep C fixed as the corpus grows), an
+    N x C scored expansion collapsed by a max_by aggregate (partial
+    aggregation keeps the shuffle at one row per vector), and one
+    groupBy(cluster) whose element-wise mean is ``dim`` aggregate
+    expressions — C rows of state. Driver holds only the C x dim centroid
+    matrix. Fixed iteration count keeps the whole computation a
+    deterministic, oracle-checkable plan.
+    """
+    v = df.select(F.col(id_col).alias("__id"),
+                  _as_double(F.col(vec_col)).alias("__v"))
+    cents = [(int(r["__id"]), list(r["__v"])) for r in
+             v.filter(F.col("__id") % centroid_stride == 0).collect()]
+
+    spark = df.sparkSession
+
+    def assign(frame: DataFrame, centroids: list[tuple[int, list[float]]]):
+        # broadcast the C centroids, HOF dot per (row, centroid), argmax
+        # via max_by on (cos, -cid) — exact ties go to the smallest cid.
+        # (An in-row unrolled when-chain avoids this shuffle but its
+        # C x dim expression tree blows up analysis/codegen time.)
+        cent_df = spark.createDataFrame(
+            [(cid, [float(x) for x in ce]) for cid, ce in sorted(centroids)],
+            "cid long, ce array<double>")
+        pairs = frame.crossJoin(F.broadcast(cent_df))
+        cos = dot(F.col("__v"), F.col("ce")) / \
+            (l2_norm(F.col("__v")) * l2_norm(F.col("ce")))
+        key = F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("t"))
+        return (pairs.withColumn("__cos", cos)
+                .groupBy("__id")
+                .agg(F.max_by(F.struct(F.col("cid").alias("cluster"),
+                                       F.col("__cos").alias("cosine")),
+                              key).alias("b"),
+                     F.first("__v").alias("__v"))
+                .select("__id", "__v", "b.cluster", "b.cosine"))
+
+    assigned = assign(v, cents)
+    for _ in range(iterations - 1):
+        means = (assigned.groupBy("cluster")
+                 .agg(*[F.round(F.avg(F.element_at("__v", i + 1)), 9)
+                        .alias(f"m{i}") for i in range(dim)]))
+        cents = [(int(r["cluster"]), [r[f"m{i}"] for i in range(dim)])
+                 for r in means.collect()]
+        assigned = assign(v, cents)
+    return assigned.select(F.col("__id").alias(id_col), "cluster",
+                           F.round("cosine", 6).alias("cosine"))

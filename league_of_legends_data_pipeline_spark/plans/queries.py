@@ -3726,3 +3726,75 @@ def q85_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("q85 streaming drain exceeded 300s — partial "
                                "results would silently corrupt the comparison")
     return spark.table(name).orderBy("tier", "event_type")
+
+
+_Q86_MEANS = ", ".join(
+    f"round(avg(e[{i + 1}]), 9) AS m{i}" for i in range(64))
+_Q86_CENT1_LIST = "[" + ", ".join(f"m{i}" for i in range(64)) + "]"
+
+
+@_register(
+    "q86_kmeans_clusters",
+    f"""
+    -- deterministic 2-iteration Lloyd clustering: seed centroids =
+    -- vec_id %% 64 = 0, assign (cosine argmax, ties to smallest cid),
+    -- recompute element-wise means (rounded 9dp), re-assign; report
+    -- cluster sizes and mean member cosine.
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    ), c0 AS (
+        SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 64 = 0
+    ), a1 AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT n.vec_id, n.e, c0.cid,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                       list_sum(list_transform(range(1, 65),
+                           i -> n.e[CAST(i AS INT)] * c0.ce[CAST(i AS INT)]))
+                       / (n.nrm * c0.cn) DESC, c0.cid) AS rn
+            FROM n, c0
+        ) WHERE rn = 1
+    ), cent1 AS (
+        SELECT cid, {_Q86_MEANS} FROM a1 GROUP BY cid
+    ), c1 AS (
+        SELECT cid, {_Q86_CENT1_LIST} AS ce,
+               sqrt(list_sum(list_transform({_Q86_CENT1_LIST}, x -> x * x))) AS cn
+        FROM cent1
+    ), a2 AS (
+        SELECT vec_id, cid, cos FROM (
+            SELECT n.vec_id, c1.cid,
+                   list_sum(list_transform(range(1, 65),
+                       i -> n.e[CAST(i AS INT)] * c1.ce[CAST(i AS INT)]))
+                   / (n.nrm * c1.cn) AS cos,
+                   row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                       list_sum(list_transform(range(1, 65),
+                           i -> n.e[CAST(i AS INT)] * c1.ce[CAST(i AS INT)]))
+                       / (n.nrm * c1.cn) DESC, c1.cid) AS rn
+            FROM n, c1
+        ) WHERE rn = 1
+    )
+    SELECT cid AS cluster, count(*) AS n_members,
+           CAST(round(avg(cos), 6) AS DOUBLE) AS mean_cosine
+    FROM a2 GROUP BY cid ORDER BY cluster
+    """,
+    doc="Corpus clustering (operators/similarity.py::kmeans_refine, the "
+        "SemDeDup-style topic bucketing primitive): two deterministic "
+        "Lloyd rounds, oracle-replicated stage by stage. Per round the "
+        "engine pays one centroid broadcast, one map-only argmax scan "
+        "(C dots per row, no join), and one C-row aggregate — driver "
+        "state is the C x dim matrix only.",
+)
+def q86_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import kmeans_refine
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_refine(embeddings, "vec_id", "embedding",
+                             dim=64, centroid_stride=64, iterations=2)
+    return (assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.round(F.avg("cosine"), 6).alias("mean_cosine"))
+            .withColumn("cluster", F.col("cluster").cast("long"))
+            .orderBy("cluster"))
