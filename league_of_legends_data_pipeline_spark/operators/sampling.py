@@ -110,3 +110,36 @@ def weighted_sample(
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
     return df.filter(hash_unit(id_col, seed) < clamped)
+
+
+def pack_sequences(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    size_col: str | Column,
+    budget: int,
+) -> DataFrame:
+    """Concat-and-split sequence packing: assign documents (in a stable
+    deterministic order) to fixed-token-budget bins, the way training
+    pipelines concatenate a corpus and cut it into context windows.
+
+    ``bin_id = floor(start_offset / budget)`` where start_offset is the
+    running token total of everything packed before the row — i.e. the
+    corpus is laid out end-to-end inside each ``partition_col`` group and
+    sliced every ``budget`` tokens. A document straddling a boundary is
+    attributed to the bin where it starts (greedy concat semantics, not
+    bin packing — identical to GPT-style data loaders).
+
+    Scale shape: ONE shuffle on ``partition_col`` and a single sorted
+    window pass per group. Packing is per-group on purpose: a global
+    running sum would serialize on one partition, while per-source groups
+    keep every executor busy and still produce deterministic bins.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    size = F.col(size_col) if isinstance(size_col, str) else size_col
+    w = (Window.partitionBy(partition_col).orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = F.sum(size).over(w)
+    return df.withColumn(
+        "bin_id", F.floor((run - size) / F.lit(budget)).cast("long"))

@@ -250,3 +250,42 @@ def document_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         predicted_language(text_col).alias("pred_lang"),
         fingerprint(text_col).alias("fp"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document's token stream
+    into ``chunk_size``-token windows every ``stride`` tokens (overlap =
+    chunk_size - stride), the standard pre-training context construction.
+
+    Output: (id, chunk_idx, chunk_len, chunk_digest) — one row per window,
+    trailing short window kept, empty document yields one empty chunk.
+
+    Scale shape: map-only. The window starts come from ``sequence()`` +
+    ``posexplode`` (a generator, not a join), the slice is an array op on
+    the already-tokenized row, and nothing shuffles — at 100 TB the chunker
+    runs at scan speed and parallelism is the file-split count. Fan-out is
+    bounded by len/stride (~2x rows at the default 25% overlap).
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
+    )

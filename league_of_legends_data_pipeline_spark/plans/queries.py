@@ -3798,3 +3798,288 @@ def q86_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("cosine"), 6).alias("mean_cosine"))
             .withColumn("cluster", F.col("cluster").cast("long"))
             .orderBy("cluster"))
+
+
+@_register(
+    "q87_waiting_suppliers",
+    """
+    -- TPC-H Q21 shape: suppliers whose line was the LAST to ship (60+ days
+    -- after the order date) on completed multi-supplier orders — two
+    -- correlated subqueries (EXISTS + NOT EXISTS) against the same fact.
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q21 shape on the SQL surface: two correlated subqueries "
+        "against the SAME fact table (lineitem self-referenced three "
+        "ways). Catalyst decorrelates the EXISTS to a left-semi and the "
+        "NOT EXISTS to a left-anti join on l_orderkey — per-row subquery "
+        "execution never happens; the three lineitem legs shuffle on the "
+        "shared orderkey so AQE can coalesce. The hardest decorrelation "
+        "pattern in the TPC-H suite, declared to prove the SQL surface "
+        "handles it (reference's consumed surface is raw SQL, SURVEY §3.3).",
+)
+def q87_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem, orders = _t(spark, sf_dir, "supplier", "lineitem", "orders")
+    supplier.createOrReplaceTempView("q87_supplier")
+    lineitem.createOrReplaceTempView("q87_lineitem")
+    orders.createOrReplaceTempView("q87_orders")
+    return spark.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM q87_supplier, q87_lineitem l1, q87_orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM q87_lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM q87_lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+    """)
+
+
+@_register(
+    "q88_dormant_rich_customers",
+    """
+    -- TPC-H Q22 shape: above-average-balance customers with no open
+    -- orders, cohorted by nation. Scalar subquery (global aggregate)
+    -- + anti join.
+    SELECT n_name,
+           count(*) AS numcust,
+           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'O')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-H Q22 shape: an uncorrelated scalar subquery (the global "
+        "average becomes a one-row broadcast, computed once — not per "
+        "row) gating a correlated NOT EXISTS (decorrelated to a "
+        "left-anti join on o_custkey). The anti join's build side is "
+        "pre-filtered to open orders only, so state is a fraction of "
+        "the orders table at any scale.",
+)
+def q88_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation, orders = _t(spark, sf_dir, "customer", "nation", "orders")
+    customer.createOrReplaceTempView("q88_customer")
+    nation.createOrReplaceTempView("q88_nation")
+    orders.createOrReplaceTempView("q88_orders")
+    return spark.sql("""
+        SELECT n_name,
+               count(*) AS numcust,
+               round(sum(c_acctbal), 2) AS totacctbal
+        FROM q88_customer
+        JOIN q88_nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM q88_customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM q88_orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderstatus = 'O')
+        GROUP BY n_name
+        ORDER BY n_name
+    """)
+
+
+@_register(
+    "q89_market_share",
+    """
+    -- TPC-H Q8 shape: NATION_7 suppliers' share of revenue from ASIA
+    -- customers, per order year (conditional-aggregation ratio over a
+    -- 6-table snowflake).
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(
+               sum(CASE WHEN n2.n_name = 'NATION_7'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE)
+               AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (market share): 6-table snowflake with a "
+        "conditional-aggregation ratio. nation/region are broadcast "
+        "(they are constant-size at any SF); the customer-side region "
+        "filter lands BEFORE the fact join, shrinking the probe. "
+        "lineitem->orders->customer shuffle on their keys under AQE; "
+        "the numerator CASE avoids a second pass / self-join.",
+)
+def q89_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, region, supplier = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier")
+    n1 = nation.alias("n1")
+    n2 = (nation.select(F.col("n_nationkey").alias("n2_nationkey"),
+                        F.col("n_name").alias("n2_name")))
+    asia_cust = (customer
+                 .join(F.broadcast(n1), customer.c_nationkey == F.col("n1.n_nationkey"))
+                 .join(F.broadcast(region),
+                       (F.col("n1.n_regionkey") == region.r_regionkey)
+                       & (region.r_name == "ASIA"))
+                 .select("c_custkey"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("n2_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("n2_name") == "NATION_7", vol).otherwise(F.lit(0)))
+            / F.sum(vol), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "q90_promo_revenue",
+    """
+    -- TPC-H Q14 shape: monthly share of revenue from PROMO parts.
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(round(
+               100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 6) AS DOUBLE)
+               AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+    doc="TPC-H Q14 shape (promotion effect): fact-to-dim equi-join + "
+        "conditional ratio per ship month. part joins on l_partkey "
+        "(shuffle under AQE; broadcastable when the dim fits); only "
+        "p_partkey/p_type are read from part — column pruning reaches "
+        "the scan (ReadSchema-asserted pattern, tests/test_plans.py).",
+)
+def q90_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = _t(spark, sf_dir, "lineitem", "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+            / F.sum(vol), 6).alias("promo_pct"))
+        .orderBy("ship_month")
+    )
+
+
+@_register(
+    "q91_doc_chunking",
+    """
+    -- sliding-window chunking: 64-token windows every 48 tokens, trailing
+    -- short chunk kept, md5 digest proves exact token-window contents.
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks), 1), 48)) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, CAST(start + 1 AS BIGINT),
+                               CAST(start + 64 AS BIGINT))) AS BIGINT) AS chunk_len,
+           md5(array_to_string(list_slice(toks, CAST(start + 1 AS BIGINT),
+                                          CAST(start + 64 AS BIGINT)), ' '))
+               AS chunk_digest
+    FROM s
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="Pre-training context construction "
+        "(operators/text.py::chunk_documents): tokenize once, generate "
+        "window starts with sequence()+posexplode (a generator, no join), "
+        "slice arrays in-row. Map-only — zero shuffles before the "
+        "declared ORDER BY; at 100 TB the chunker runs at scan speed "
+        "with ~2x row fan-out at the default 25%% overlap.",
+)
+def q91_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import chunk_documents
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (chunk_documents(documents, "doc_id", "text",
+                            chunk_size=64, stride=48)
+            .orderBy("doc_id", "chunk_idx"))
+
+
+@_register(
+    "q92_sequence_packing",
+    """
+    -- concat-and-split packing: per source, documents laid end-to-end in
+    -- doc_id order and cut every 2048 tokens; bin = floor(start/2048).
+    WITH t AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ), r AS (
+        SELECT doc_id, source, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run
+        FROM t
+    )
+    SELECT source,
+           CAST((run - n_tokens) // 2048 AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS bin_tokens
+    FROM r
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+    doc="GPT-style sequence packing "
+        "(operators/sampling.py::pack_sequences): the corpus is laid out "
+        "end-to-end per source and sliced every 2048 tokens; a doc "
+        "straddling a boundary belongs to the bin where it starts. ONE "
+        "shuffle (on source) + one sorted window pass; per-group packing "
+        "keeps the running sum distributed instead of serializing a "
+        "global cumulative sum onto one partition.",
+)
+def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import pack_sequences
+    from league_of_legends_data_pipeline_spark.operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sized = documents.select(
+        "doc_id", "source", token_count("text").alias("n_tokens"))
+    packed = pack_sequences(sized, "source", "doc_id", "n_tokens", budget=2048)
+    return (packed.groupBy("source", "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens"))
+            .orderBy("source", "bin_id"))

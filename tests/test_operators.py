@@ -439,3 +439,49 @@ def test_quantize_embeddings_roundtrip_and_constant_vector(spark):
     assert rows[2]["codes"] == [0, 0, 0]
     assert rows[2]["max_abs_err"] == 0.0
     assert all(0 <= c <= 255 for r in rows.values() for c in r["codes"])
+
+
+# --- chunking & packing ----------------------------------------------------
+
+def test_chunk_documents_windows_and_tail(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+         (2, "only two"),                            # 2 tokens -> 1 chunk
+         (3, "")],                                   # empty -> 1 empty chunk
+        ["doc_id", "text"])
+    out = chunk_documents(docs, "doc_id", "text", chunk_size=4, stride=3)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: starts 0,3,6,9 -> lens 4,4,4,1
+    assert [rows[(1, i)].chunk_len for i in range(4)] == [4, 4, 4, 1]
+    # overlap: chunk 1 starts at token index 3
+    import hashlib
+    want = hashlib.md5("t3 t4 t5 t6".encode()).hexdigest()
+    assert rows[(1, 1)].chunk_digest == want
+    assert rows[(2, 0)].chunk_len == 2
+    # empty doc still yields exactly one (empty) chunk
+    assert rows[(3, 0)].chunk_len == 0
+    assert len([k for k in rows if k[0] == 3]) == 1
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [("a", 1, 60), ("a", 2, 50), ("a", 3, 10),
+            ("b", 1, 250), ("b", 2, 1)]
+    df = spark.createDataFrame(rows, ["src", "doc_id", "n"])
+    out = {(r.src, r.doc_id): r.bin_id
+           for r in pack_sequences(df, "src", "doc_id", "n", budget=100).collect()}
+    # a: starts 0, 60, 110 -> bins 0, 0, 1 (doc 2 straddles, stays in bin 0)
+    assert (out[("a", 1)], out[("a", 2)], out[("a", 3)]) == (0, 0, 1)
+    # b: giant doc occupies bins 0-2 but is attributed to its start bin;
+    # next doc starts at offset 250 -> bin 2
+    assert (out[("b", 1)], out[("b", 2)]) == (0, 2)
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    df = spark.createDataFrame([("a", 1, 1)], ["src", "doc_id", "n"])
+    from league_of_legends_data_pipeline_spark.operators.sampling import pack_sequences
+    with pytest.raises(ValueError):
+        pack_sequences(df, "src", "doc_id", "n", budget=0)

@@ -166,3 +166,23 @@ def test_q59_fact_join_degrades_to_sort_merge_without_broadcast(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q87_double_correlation_decorrelates(spark):
+    # TPC-H Q21 shape: EXISTS -> semi, NOT EXISTS -> anti, never a
+    # per-row subquery or nested loop
+    plan = _executed(QUERIES["q87_waiting_suppliers"].spark(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q91_chunking_is_map_only(spark):
+    # chunking must not shuffle: generator + array slice in-row (the
+    # declared query's ORDER BY is presentation; the operator itself
+    # introduces no exchange)
+    from league_of_legends_data_pipeline_spark.operators.text import chunk_documents
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _executed(chunk_documents(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
