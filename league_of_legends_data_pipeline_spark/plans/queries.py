@@ -1273,18 +1273,22 @@ def q33_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           / (a.nrm * b.nrm) >= 0.35
     ORDER BY id_a, id_b
     """,
-    doc="Embedding-cosine near-dup pairs, exact all-pairs baseline "
-        "(operators/similarity.py cosine_near_dup_pairs); the LSH-blocked "
-        "variant (ann_lsh_topk) is the approximate scale path.",
+    doc="Embedding-cosine near-dup pairs, exact (operators/similarity.py "
+        "cosine_near_dup_pairs_blocked): block structure in DataFrame land, "
+        "dense matmul in an Arrow-batched applyInPandas — ~10x the pure "
+        "Column-expression form (cosine_near_dup_pairs, which stays as the "
+        "dependency-free reference, cross-checked in tests/test_operators). "
+        "ann_lsh_topk is the approximate scale path.",
 )
 def q34_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.similarity import (
-        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_blocked,
     )
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(embeddings, "vec_id", "embedding",
-                                 threshold=0.35).orderBy("id_a", "id_b")
+    return cosine_near_dup_pairs_blocked(
+        embeddings, "vec_id", "embedding", threshold=0.35,
+    ).orderBy("id_a", "id_b")
 
 
 def _minhash_slot_sql(a: int, b: int) -> str:
@@ -1987,45 +1991,6 @@ def q49_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "term", "tfidf")
         .orderBy("lang", F.col("tfidf").desc(), "term")
     )
-
-
-@_register(
-    "q50_blocked_near_dup",
-    """
-    -- same result set as q34 via a different physical strategy (block
-    -- matmul); the oracle is the exact all-pairs formulation.
-    WITH v AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings
-    ), n AS (
-        SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
-        FROM v
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           CAST(round(list_sum(list_transform(range(1, len(a.e) + 1),
-                 i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))
-                 / (a.nrm * b.nrm), 6) AS DOUBLE) AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_sum(list_transform(range(1, len(a.e) + 1),
-                 i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))
-          / (a.nrm * b.nrm) >= 0.35
-    ORDER BY id_a, id_b
-    """,
-    doc="Blocked-matmul embedding near-dup (operators/similarity.py "
-        "cosine_near_dup_pairs_blocked): the dense-linear-algebra scale "
-        "path — block structure in DataFrame land, only the matmul in an "
-        "Arrow-batched applyInPandas (numpy). Same oracle as q34's exact "
-        "Column form.",
-)
-def q50_blocked_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from league_of_legends_data_pipeline_spark.operators.similarity import (
-        cosine_near_dup_pairs_blocked,
-    )
-
-    (embeddings,) = _t(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs_blocked(
-        embeddings, "vec_id", "embedding", threshold=0.35,
-    ).orderBy("id_a", "id_b")
 
 
 @_register(
@@ -4083,3 +4048,234 @@ def q92_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("bin_tokens"))
             .orderBy("source", "bin_id"))
+
+@_register(
+    "q93_min_cost_supplier",
+    """
+    -- TPC-H Q2 shape: per part, the EUROPE supplier with the minimum unit
+    -- cost — correlated scalar MIN subquery that itself contains joins.
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+        SELECT s_suppkey, s_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name AS s_name,
+           CAST(c.unit_cost AS DOUBLE) AS unit_cost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN eu s ON s.s_suppkey = c.l_suppkey
+    WHERE p.p_size <= 5
+      AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                         JOIN eu s2 ON s2.s_suppkey = c2.l_suppkey
+                         WHERE c2.l_partkey = p.p_partkey)
+    ORDER BY p.p_partkey, s_name
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (min-cost supplier; lineitem stands in for "
+        "partsupp — reference consumes raw SQL per SURVEY §3.3): a "
+        "correlated scalar MIN subquery whose body joins three tables. "
+        "Catalyst decorrelates it to an aggregate on (l_partkey) joined "
+        "back on the correlation key; the dim chain "
+        "(supplier/nation/region) broadcasts on both legs. The unit cost "
+        "is rounded INSIDE the shared CTE so the equality compares "
+        "identically on both evaluation sites.",
+)
+def q93_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, supplier, nation, region, lineitem = _t(
+        spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    part.createOrReplaceTempView("q93_part")
+    supplier.createOrReplaceTempView("q93_supplier")
+    nation.createOrReplaceTempView("q93_nation")
+    region.createOrReplaceTempView("q93_region")
+    lineitem.createOrReplaceTempView("q93_lineitem")
+    return spark.sql("""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+            FROM q93_lineitem GROUP BY l_partkey, l_suppkey
+        ), eu AS (
+            SELECT s_suppkey, s_name FROM q93_supplier
+            JOIN q93_nation ON s_nationkey = n_nationkey
+            JOIN q93_region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        )
+        SELECT p.p_partkey, p.p_name, s.s_name AS s_name,
+               c.unit_cost AS unit_cost
+        FROM q93_part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN eu s ON s.s_suppkey = c.l_suppkey
+        WHERE p.p_size <= 5
+          AND c.unit_cost = (SELECT min(c2.unit_cost) FROM cost c2
+                             JOIN eu s2 ON s2.s_suppkey = c2.l_suppkey
+                             WHERE c2.l_partkey = p.p_partkey)
+        ORDER BY p.p_partkey, s_name
+        LIMIT 100
+    """)
+
+
+@_register(
+    "q94_important_parts",
+    """
+    -- TPC-H Q11 shape: parts whose revenue exceeds a fixed fraction of
+    -- TOTAL revenue — uncorrelated scalar subquery inside HAVING.
+    SELECT l_partkey,
+           CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)
+               AS part_value
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+        (SELECT 0.00065 * sum(l_extendedprice * (1 - l_discount))
+         FROM lineitem)
+    ORDER BY part_value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape: HAVING against a global-aggregate scalar "
+        "subquery. The subquery runs ONCE (one extra pass over the fact, "
+        "reusable scan) and lands in the plan as a literal-like "
+        "ScalarSubquery — never per-group; the outer aggregation remains "
+        "a single partial/final hash aggregate.",
+)
+def q94_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("q94_lineitem")
+    return spark.sql("""
+        SELECT l_partkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+        FROM q94_lineitem
+        GROUP BY l_partkey
+        HAVING sum(l_extendedprice * (1 - l_discount)) >
+            (SELECT 0.00065 * sum(l_extendedprice * (1 - l_discount))
+             FROM q94_lineitem)
+        ORDER BY part_value DESC, l_partkey
+    """)
+
+
+@_register(
+    "q95_top_supplier",
+    """
+    -- TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    -- scalar MAX over an aggregated derived table, equality join back.
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1998-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: argmax via a scalar MAX over an aggregated CTE "
+        "(the view in the official spec). The quarter predicate pushes to "
+        "the parquet scan on both the CTE and its scalar re-evaluation; "
+        "revenue is rounded INSIDE the CTE so the equality is stable on "
+        "both sites. Supplier dim broadcasts.",
+)
+def q95_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem = _t(spark, sf_dir, "supplier", "lineitem")
+    supplier.createOrReplaceTempView("q95_supplier")
+    lineitem.createOrReplaceTempView("q95_lineitem")
+    return spark.sql("""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM q95_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate < TIMESTAMP '1998-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM q95_supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """)
+
+
+@_register(
+    "q96_small_quantity_revenue",
+    """
+    -- TPC-H Q17 shape: revenue from orders below 20%% of the PER-PART
+    -- average quantity — correlated scalar subquery in the WHERE clause.
+    SELECT p.p_brand,
+           CAST(round(sum(l.l_extendedprice) / 7.0, 2) AS DOUBLE)
+               AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    doc="TPC-H Q17 shape: correlated scalar AVG in a WHERE predicate "
+        "(fourth decorrelation family after q65 EXISTS, q79 SELECT-list "
+        "scalar, q93 scalar-with-joins). Catalyst rewrites to a per-part "
+        "aggregate joined back on l_partkey — the fact table is scanned "
+        "twice, never once per row. Quantities are integral doubles, so "
+        "0.2*avg is bit-identical across engines (exact integer sums).",
+)
+def q96_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = _t(spark, sf_dir, "part", "lineitem")
+    part.createOrReplaceTempView("q96_part")
+    lineitem.createOrReplaceTempView("q96_lineitem")
+    return spark.sql("""
+        SELECT p.p_brand,
+               round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM q96_lineitem l JOIN q96_part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM q96_lineitem l2
+                              WHERE l2.l_partkey = p.p_partkey)
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """)
+
+
+@_register(
+    "q97_bulk_part_suppliers",
+    """
+    -- TPC-H Q20 shape: suppliers who moved >900 units of 'small%' parts
+    -- since 1999 — nested IN chain (part filter inside supplier filter).
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(s.s_acctbal, 2) AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1999-01-01'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 900)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q20 shape: two-level nested IN (parts by name LIKE feeding "
+        "a grouped HAVING over the fact, feeding a supplier semi-join). "
+        "Both INs decorrelate to left-semi joins; the part-name filter "
+        "broadcasts into the fact scan, and sum(l_quantity) is exact "
+        "(integral doubles) so the HAVING threshold is engine-stable.",
+)
+def q97_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, part, lineitem = _t(spark, sf_dir, "supplier", "part", "lineitem")
+    supplier.createOrReplaceTempView("q97_supplier")
+    part.createOrReplaceTempView("q97_part")
+    lineitem.createOrReplaceTempView("q97_lineitem")
+    return spark.sql("""
+        SELECT s.s_suppkey, s.s_name,
+               round(s.s_acctbal, 2) AS s_acctbal
+        FROM q97_supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM q97_lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM q97_part
+                                WHERE p_name LIKE 'small%')
+              AND l_shipdate >= TIMESTAMP '1999-01-01'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 900)
+        ORDER BY s.s_suppkey
+    """)

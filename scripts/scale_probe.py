@@ -23,8 +23,9 @@ from pyspark.sql import functions as F
 BASE = "/root/testdata/sf0.1"
 PROBE_QUERIES = [
     # scans + aggregation + window + joins + text scans: the shapes that
-    # must scale linearly. (Quadratic-by-design baselines like q34's
-    # all-pairs are excluded — their scale paths are q50/q42/q35.)
+    # must scale linearly. (Quadratic-by-design all-pairs formulations
+    # are excluded — q34 runs the blocked matmul, and q42/q35 are the
+    # sub-quadratic scale paths.)
     "q01_pricing_summary",
     "q59_shipping_priority",
     "q64_large_order_customers",

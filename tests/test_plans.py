@@ -186,3 +186,29 @@ def test_q91_chunking_is_map_only(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     plan = _executed(chunk_documents(docs, "doc_id", "text"))
     assert "Exchange" not in plan
+
+
+def test_q93_scalar_subquery_with_joins_decorrelates(spark):
+    # TPC-H Q2 shape: the correlated MIN subquery (which itself joins the
+    # dim chain) must become an aggregate joined on the correlation key —
+    # never a per-row nested loop
+    plan = _executed(QUERIES["q93_min_cost_supplier"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # dim chain broadcasts
+
+
+def test_q96_correlated_avg_decorrelates_to_aggregate_join(spark):
+    # TPC-H Q17 shape: per-part avg joined back, fact scanned exactly twice
+    plan = _executed(QUERIES["q96_small_quantity_revenue"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.split("== Initial Plan ==")[0].count("Scan parquet") <= 3
+
+
+def test_q97_nested_in_becomes_semi_joins(spark):
+    # TPC-H Q20 shape: both IN levels decorrelate to semi joins
+    plan = _executed(QUERIES["q97_bulk_part_suppliers"].spark(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
