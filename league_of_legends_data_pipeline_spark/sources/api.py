@@ -53,6 +53,49 @@ class SlidingWindowRateLimiter:
         self._times.append(time.monotonic())
 
 
+class CircuitBreaker:
+    """Failure-threshold circuit breaker (Utils/api.py:170-199 semantics):
+    CLOSED until ``failure_threshold`` consecutive failures, then OPEN
+    (requests short-circuit without hitting the endpoint) until
+    ``recovery_timeout`` elapses, then HALF_OPEN (one probe allowed —
+    success closes the circuit, failure re-opens it).
+
+    One instance per partition (like the rate limiter): the global
+    behavior is "each executor slice stops hammering a flaky endpoint",
+    which is the property that matters — a cluster-global breaker would
+    need a side channel and buys nothing beyond that.
+
+    ``clock`` is injectable for deterministic tests.
+    """
+
+    def __init__(self, failure_threshold: int = 5, recovery_timeout: float = 60.0,
+                 clock: Callable[[], float] = time.monotonic):
+        self.failure_threshold = failure_threshold
+        self.recovery_timeout = recovery_timeout
+        self.clock = clock
+        self.failure_count = 0
+        self.last_failure_time: float | None = None
+        self.state = "CLOSED"
+
+    def can_execute(self) -> bool:
+        if self.state == "OPEN":
+            if self.clock() - self.last_failure_time > self.recovery_timeout:
+                self.state = "HALF_OPEN"
+                return True
+            return False
+        return True  # CLOSED or HALF_OPEN probe
+
+    def on_success(self) -> None:
+        self.failure_count = 0
+        self.state = "CLOSED"
+
+    def on_failure(self) -> None:
+        self.failure_count += 1
+        self.last_failure_time = self.clock()
+        if self.failure_count >= self.failure_threshold:
+            self.state = "OPEN"
+
+
 def simulated_fetch(key: str, attempt: int) -> tuple[int, str | None]:
     """Deterministic fake of the Riot API: payload fields derive from
     md5(key); keys whose digest starts with hex 'f' 429 on the first
@@ -75,6 +118,7 @@ def http_source(
     max_requests_per_window: int = 1000,
     window_seconds: float = 120.0,
     backoff_base: float = 0.0,  # real deployments: 1.0 → min(60, 2^attempt)
+    breaker_factory: Callable[[], CircuitBreaker] | None = None,
 ) -> DataFrame:
     """Fetch one payload per row of ``params`` under a per-partition rate
     limit. Returns (request_key, status, payload, error).
@@ -82,25 +126,43 @@ def http_source(
     Error semantics mirror the reference: ≥429 retried with exponential
     backoff (Utils/api.py:50-57); exhaustion yields an error-sentinel row
     ('Error429', Utils/api.py:228-239) instead of dropping the key.
+
+    ``breaker_factory`` (e.g. ``CircuitBreaker``) enables the reference's
+    failure-threshold circuit breaker (Utils/api.py:170-199): while the
+    per-partition breaker is OPEN, keys short-circuit to a
+    ``CircuitOpen`` sentinel row without touching the endpoint. Off by
+    default so the deterministic simulated source stays oracle-stable;
+    real deployments pass ``breaker_factory=CircuitBreaker``.
     """
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         limiter = SlidingWindowRateLimiter(max_requests_per_window, window_seconds)
+        breaker = breaker_factory() if breaker_factory else None
         for pdf in batches:
             keys, statuses, payloads, errors = [], [], [], []
             for key in pdf[key_col].astype(str):
-                status, payload = 0, None
+                status, payload, short_circuited = 0, None, False
                 for attempt in range(max_retries + 1):
+                    if breaker and not breaker.can_execute():
+                        short_circuited = True
+                        break
                     limiter.acquire()
                     status, payload = fetch_fn(key, attempt)
                     if status < 429:
+                        if breaker:
+                            breaker.on_success()
                         break
+                    if breaker:
+                        breaker.on_failure()
                     if backoff_base:
                         time.sleep(min(60.0, backoff_base * (2 ** attempt)))
                 keys.append(key)
                 statuses.append(status)
                 payloads.append(payload)
-                errors.append(None if status == 200 else f"Error{status}")
+                if short_circuited:
+                    errors.append("CircuitOpen")
+                else:
+                    errors.append(None if status == 200 else f"Error{status}")
             yield pd.DataFrame({"request_key": keys, "status": statuses,
                                 "payload": payloads, "error": errors})
 

@@ -10,7 +10,7 @@ from league_of_legends_data_pipeline_spark.operators.multimodal import (
     binary_metadata, byte_features, decode_image, frame_sample,
 )
 from league_of_legends_data_pipeline_spark.sources.api import (
-    SlidingWindowRateLimiter, http_source, simulated_fetch,
+    CircuitBreaker, SlidingWindowRateLimiter, http_source, simulated_fetch,
 )
 
 
@@ -103,3 +103,60 @@ def test_simulated_fetch_deterministic():
     assert simulated_fetch("abc", 0) == simulated_fetch("abc", 0)
     status, payload = simulated_fetch("abc", 0)
     assert status in (200, 429)
+
+
+def test_circuit_breaker_trips_and_recovers():
+    # fake clock so OPEN -> HALF_OPEN transition is deterministic
+    now = [0.0]
+    cb = CircuitBreaker(failure_threshold=3, recovery_timeout=10.0,
+                        clock=lambda: now[0])
+    assert cb.state == "CLOSED" and cb.can_execute()
+    for _ in range(3):
+        assert cb.can_execute()
+        cb.on_failure()
+    assert cb.state == "OPEN" and not cb.can_execute()
+    now[0] = 5.0
+    assert not cb.can_execute()  # still within recovery_timeout
+    now[0] = 10.5
+    assert cb.can_execute() and cb.state == "HALF_OPEN"  # probe allowed
+    cb.on_failure()  # probe fails -> re-open
+    assert cb.state == "OPEN" and not cb.can_execute()
+    now[0] = 21.5
+    assert cb.can_execute()
+    cb.on_success()  # probe succeeds -> close
+    assert cb.state == "CLOSED" and cb.failure_count == 0
+
+
+def test_http_source_circuit_breaker_short_circuits(spark):
+    # an always-failing endpoint: breaker opens after 2 failures, so later
+    # keys in the same partition short-circuit to a CircuitOpen sentinel
+    # without touching the endpoint
+    calls_per_key: dict[str, int] = {}
+
+    def always_503(key, attempt):
+        calls_per_key[key] = calls_per_key.get(key, 0) + 1
+        return 503, None
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(6)],
+                               ["key"]).coalesce(1)
+    rows = {r["request_key"]: r.asDict()
+            for r in http_source(
+                df, "key", fetch_fn=always_503, max_retries=0,
+                breaker_factory=lambda: CircuitBreaker(
+                    failure_threshold=2, recovery_timeout=3600.0)).collect()}
+    assert len(rows) == 6  # every key still yields a row (P12: no drops)
+    tripped = [k for k, r in rows.items() if r["error"] == "CircuitOpen"]
+    real = [k for k, r in rows.items() if r["error"] == "Error503"]
+    assert len(real) == 2 and len(tripped) == 4
+    # short-circuited keys never reached the endpoint
+    assert all(k not in calls_per_key for k in tripped)
+
+
+def test_http_source_breaker_keeps_success_path_identical(spark):
+    # with a healthy endpoint the breaker never trips and results match
+    # the breaker-less run exactly (q39 stability)
+    df = spark.createDataFrame([(str(i),) for i in range(20)], ["key"])
+    base = sorted(tuple(r) for r in http_source(df, "key").collect())
+    with_cb = sorted(tuple(r) for r in http_source(
+        df, "key", breaker_factory=CircuitBreaker).collect())
+    assert base == with_cb
