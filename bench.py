@@ -58,14 +58,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in QUERIES.items():
-        t = run_once(spec)
-        if t > STEADY_RERUN_SEC and not name.startswith(("q58", "q41", "q63", "q76", "q85")):
-            # streaming queries (q41/q58/q63/q76/q85) intentionally not re-run:
+        # one bad query must cost exactly one data point, never the run:
+        # round 2 lost all 96 timings to a single AnalysisException
+        try:
+            t = run_once(spec)
+        except Exception as exc:  # noqa: BLE001 — harness must survive anything
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
+        if t > STEADY_RERUN_SEC and not name.startswith(("q58", "q41", "q63", "q85")):
+            # streaming queries (q41/q58/q63/q85) intentionally not re-run:
             # their cost is checkpoint-harness fixed cost, and a second run
             # would just re-pay it; everything else re-runs to shed JIT.
             cold[name] = t
-            t = run_once(spec)
+            try:
+                t = run_once(spec)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"steady rerun: {type(exc).__name__}: {exc}"[:500]
+                continue
         timings[name] = t
 
     total = round(sum(timings.values()), 3)
@@ -75,6 +86,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_first_run": cold,
+        "errors": errors,
+        "n_ok": len(timings),
+        "n_err": len(errors),
         "sf": sf,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -88,6 +102,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": slowest,
+        "n_ok": len(timings),
+        "n_err": len(errors),
         "sf": sf,
     }))
 

@@ -22,7 +22,7 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from league_of_legends_data_pipeline_spark.session import load_tables
+from league_of_legends_data_pipeline_spark.session import load_tables, normalize_ntz
 
 
 @dataclass(frozen=True)
@@ -1166,8 +1166,10 @@ def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _t(spark, sf_dir, "events")  # sets the nanosAsLong conf
     path = os.path.join(sf_dir, "events.parquet")
-    # the driver parquet stores ts as TIMESTAMP(NANOS): stream it with the
-    # raw (nanos-as-long) schema and convert in a stateless projection
+    # the driver parquet's ts encoding has drifted across rounds —
+    # TIMESTAMP(NANOS) (read as bigint under nanosAsLong) then
+    # timestamp[us] (read as TIMESTAMP_NTZ): stream with the raw schema and
+    # normalize to instant TIMESTAMP in a stateless projection either way
     raw_schema = spark.read.parquet(path).schema
     name = f"stream_q41_{uuid.uuid4().hex[:8]}"
     # the streaming file source wants a directory to monitor: watch the
@@ -1177,6 +1179,7 @@ def q41_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
               .parquet(sf_dir))
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_ntz(stream)
     stream = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "12 hours").alias("w"), "event_type")
@@ -2387,10 +2390,14 @@ def q58_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                   if p.endswith(".parquet")]
     for p in real_parts:
         os.utime(p, (1_000_000, 1_000_000))
-    max_ts = real.agg(F.max("ts")).collect()[0][0]
-    sentinel = spark.createDataFrame(
-        [(-1, max_ts, -1, 0.0)], "event_id long, ts timestamp, user_id long, value double",
-    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    # sentinel built inside the plan (agg → select), not via a driver-side
+    # collect + createDataFrame round-trip: one job writes it directly
+    sentinel = (
+        real.agg((F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"))
+        .select(F.lit(-1).cast("long").alias("event_id"), "ts",
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(0.0).alias("value"))
+    )
     sentinel.coalesce(1).write.mode("append").parquet(src)
 
     name = f"stream_q58_{uuid.uuid4().hex[:8]}"
@@ -3104,7 +3111,12 @@ def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q73_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
-    cutoff = events.agg(F.date_trunc("day", F.max("ts"))).collect()[0][0]
+    # the open-day cutoff is folded into the plan as a broadcast scalar —
+    # no driver-side collect, one plan (a separate collect() would cost an
+    # extra full-scan job before the real one)
+    cutoff = events.agg(
+        F.date_trunc("day", F.max("ts")).alias("_cutoff"))
+    tagged = events.crossJoin(F.broadcast(cutoff))
 
     def rollup(df: DataFrame) -> DataFrame:
         return (df.groupBy(F.date_trunc("day", "ts").alias("day"),
@@ -3112,8 +3124,10 @@ def q73_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.round(F.sum("value"), 4).alias("total_value")))
 
-    frozen = rollup(events.filter(F.date_trunc("day", "ts") < F.lit(cutoff)))
-    open_day = rollup(events.filter(F.date_trunc("day", "ts") >= F.lit(cutoff)))
+    frozen = rollup(tagged.filter(
+        F.date_trunc("day", "ts") < F.col("_cutoff")))
+    open_day = rollup(tagged.filter(
+        F.date_trunc("day", "ts") >= F.col("_cutoff")))
     return frozen.unionByName(open_day).orderBy("day", "event_type")
 
 
@@ -3123,8 +3137,9 @@ def q73_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- ordered array aggregation: each customer's top-3 orders by price,
     -- as an ordered array column.
     SELECT o_custkey,
-           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[:3]
-               AS top_orders,
+           array_to_string(
+               (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[:3],
+               ',') AS top_orders,
            count(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
@@ -3136,7 +3151,10 @@ def q73_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(sort_array + transform) — top-3 slice keeps state per key O(k) "
         "conceptually; the full-array collect is bounded by per-key "
         "cardinality, and at 100 TB a per-key cap (q46 / WindowGroupLimit "
-        "top-k) bounds it before the aggregate.",
+        "top-k) bounds it before the aggregate. The ordered array is "
+        "emitted as a comma-joined string: the correctness harness "
+        "canonicalizes rows via pandas, where a raw list column is "
+        "unhashable (round-2 q74 TypeError).",
 )
 def q74_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
@@ -3146,8 +3164,9 @@ def q74_ordered_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("o_orderkey").alias("k"))
     return (
         orders.groupBy("o_custkey")
-        .agg(F.slice(F.transform(F.sort_array(F.collect_list(neg)),
-                                 lambda s: s["k"]), 1, 3).alias("top_orders"),
+        .agg(F.concat_ws(",", F.transform(
+                 F.slice(F.sort_array(F.collect_list(neg)), 1, 3),
+                 lambda s: s["k"].cast("string"))).alias("top_orders"),
              F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_custkey")
     )
@@ -4023,7 +4042,7 @@ def q91_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST((run - n_tokens) // 2048 AS BIGINT) AS bin_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS bin_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
     FROM r
     GROUP BY source, bin_id
     ORDER BY source, bin_id
@@ -4279,3 +4298,112 @@ def q97_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             HAVING sum(l_quantity) > 900)
         ORDER BY s.s_suppkey
     """)
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH ANN recall harness (q82/q84 pattern applied to ann_lsh_topk)
+# ---------------------------------------------------------------------------
+
+def _q98_oracle() -> str:
+    """DuckDB replica of multi-table sign-LSH retrieval: the hyperplane
+    constants are the SAME deterministic ``hyperplanes(64, 8, 42 + t)``
+    draws the Spark operator uses, embedded as literals; the dot products
+    fold in identical (sequential) order on both engines, so the bucket
+    signs — and therefore the candidate sets — agree bit-for-bit."""
+    from league_of_legends_data_pipeline_spark.operators.similarity import hyperplanes
+
+    def bucket_expr(seed: int) -> str:
+        planes = hyperplanes(64, 8, seed)
+        bits = []
+        for i, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+                f"j -> e[CAST(j AS INT)] * ({lit})[CAST(j AS INT)])) >= 0 "
+                f"THEN {1 << i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    tables = "\n        UNION ALL ".join(
+        f"SELECT vec_id, e, {t} AS table_id, ({bucket_expr(42 + t)}) AS bucket FROM v"
+        for t in range(4))
+    return f"""
+    -- sign-LSH ANN recall: 4-table 8-plane hyperplane hashing, candidates =
+    -- same-(table, bucket) pairs, exact cosine re-rank, vs exact top-5.
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), b AS (
+        {tables}
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM b q JOIN b c ON q.table_id = c.table_id AND q.bucket = c.bucket
+        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_sum(list_transform(range(1, len(q.e) + 1),
+                     i -> q.e[CAST(i AS INT)] * c.e[CAST(i AS INT)]))
+                     / (q.nrm * c.nrm), 6) AS cosine
+        FROM cand JOIN n q ON q.vec_id = cand.query_id
+                  JOIN n c ON c.vec_id = cand.neighbor_id
+    ), approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+            FROM scored) WHERE rnk <= 5
+    ), exact AS ({QUERIES["q27_knn_cosine"].oracle}),
+    e8 AS (SELECT query_id, neighbor_id FROM exact WHERE query_id < 8)
+    SELECT (SELECT count(*) FROM (SELECT DISTINCT query_id FROM e8) q)
+               AS n_queries,
+           (SELECT count(*) FROM e8) AS n_exact,
+           (SELECT count(*) FROM e8 t JOIN approx a
+             ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+               AS n_hit,
+           CAST(round((SELECT count(*) FROM e8 t JOIN approx a
+                 ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+                 * 1.0 / (SELECT count(*) FROM e8), 6) AS DOUBLE)
+               AS recall_at_5
+    """
+
+
+@_register(
+    "q98_signlsh_recall",
+    _q98_oracle(),
+    doc="ANN characterization for the sign-LSH path "
+        "(operators/similarity.py::ann_lsh_topk — previously the only "
+        "similarity operator without an oracle row): exact top-5 vs "
+        "4-table sign-LSH top-5 for queries vec_id < 8, as recall@5. "
+        "Scale shape: bucketize is a map-only projection (num_tables "
+        "rows/vector), candidates come from a (table_id, bucket) "
+        "equi-join — never all-pairs — and the exact re-rank touches "
+        "candidates only.",
+)
+def q98_signlsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        ann_lsh_topk, cosine_topk,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries8 = embeddings.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(corpus=embeddings, queries=queries8,
+                        id_col="vec_id", vec_col="embedding", k=5) \
+        .select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(embeddings, queries8, id_col="vec_id",
+                          vec_col="embedding", k=5, dim=64,
+                          num_planes=8, num_tables=4, seed=42) \
+        .select("query_id", "neighbor_id")
+    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    counts = (
+        exact.select(F.lit(1).alias("e"), F.lit(0).alias("h"),
+                     F.col("query_id"))
+        .unionByName(hit.select(F.lit(0).alias("e"), F.lit(1).alias("h"),
+                                F.col("query_id")))
+        .agg(F.count_distinct("query_id").alias("n_queries"),
+             F.sum("e").cast("long").alias("n_exact"),
+             F.sum("h").cast("long").alias("n_hit"))
+    )
+    return counts.select(
+        "n_queries", "n_exact", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_5"))

@@ -82,6 +82,24 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         for c in _NANO_TS_COLS.get(name, []):
             if c in df.columns and dict(df.dtypes)[c] == "bigint":
                 df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        df = normalize_ntz(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def normalize_ntz(df):
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz is pinned UTC,
+    so the cast is value-preserving).
+
+    The driver's generated parquet has drifted between rounds — round-1 data
+    was TIMESTAMP(NANOS) (read as bigint under ``nanosAsLong``), round-3 data
+    is ``timestamp[us]``, which Spark 4 infers as TIMESTAMP_NTZ. NTZ is
+    rejected by ``withWatermark`` (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and
+    ``unix_micros``; normalizing at load keeps every downstream plan on the
+    instant-typed TIMESTAMP the engine expects.
+    """
+    for c, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df

@@ -311,3 +311,66 @@ def write_zordered(
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# JDBC parity (S10 source / K5 sink over a SQL database)
+# ---------------------------------------------------------------------------
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """JDBC sink — parity with the reference's MySQL insert path
+    (``Utils/sql.py:24-43``), which row-loops ``INSERT`` statements from
+    Python. Spark's JDBC writer issues batched prepared statements from
+    EVERY executor in parallel; ``batch_size`` rows per round-trip is the
+    knob that matters at scale (the default 1000 leaves a 100 TB load
+    dominated by network round-trips).
+
+    The writer inherits ``df``'s parallelism: repartition before calling
+    if the target DB can't take one connection per partition.
+    """
+    opts = {"url": url, "dbtable": table, "batchsize": str(batch_size)}
+    if driver:
+        opts["driver"] = driver
+    df.write.format("jdbc").options(**opts).mode(mode).save()
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """JDBC source (S10 parity). Without ``partition_column`` the read is a
+    single connection — fine for dimension tables, a bottleneck for facts.
+    With it, Spark splits the scan into ``num_partitions`` range-predicate
+    queries executed in parallel, which is the only way a JDBC scan keeps a
+    large cluster busy; bounds default to the column's min/max via one
+    cheap agg query when not given.
+    """
+    opts = {"url": url, "dbtable": table}
+    if driver:
+        opts["driver"] = driver
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            bounds = spark.read.format("jdbc").options(**opts).load() \
+                .agg(F.min(partition_column), F.max(partition_column)).first()
+            lower_bound = bounds[0] if lower_bound is None else lower_bound
+            upper_bound = bounds[1] if upper_bound is None else upper_bound
+        opts.update({
+            "partitionColumn": partition_column,
+            "numPartitions": str(num_partitions),
+            "lowerBound": str(lower_bound),
+            "upperBound": str(upper_bound),
+        })
+    return spark.read.format("jdbc").options(**opts).load()

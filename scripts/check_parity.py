@@ -5,6 +5,15 @@ same parquet tables, compares row count, column names, and an
 order-insensitive value hash. Usage:
 
     python scripts/check_parity.py [sf_dir] [query ...]
+
+Both sides are materialized through PANDAS (Spark ``.toPandas()``, DuckDB
+``.df()``) and canonicalized driver-style — sort columns by name, then
+``sort_values`` over all columns — because that is what the real harness
+does. Round 2 proved the old ``fetchall()`` path has blind spots the driver
+does not: a DuckDB HUGEINT output lands as float64 in pandas (q92 hash
+drift), and an array-typed output column is unhashable in pandas'
+``sort_values`` (q74 TypeError). Going through pandas makes those failures
+reproduce locally first.
 """
 
 from __future__ import annotations
@@ -16,6 +25,7 @@ import sys
 import time
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -25,20 +35,45 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm_value(v):
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "NaN"
         # driver-style float normalization: fixed precision repr
         return f"{v:.9g}"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
     return str(v)
 
 
-def table_hash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_value(r[i]) for i in order) for r in rows)
+def canon_lines(pdf):
+    """Driver-style canonicalization: columns sorted by name, rows sorted by
+    every column (this is where unhashable cells — lists — blow up for the
+    real harness too), then one normalized string per row."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return sorted("|".join(norm_value(v) for v in row)
+                  for row in pdf.itertuples(index=False, name=None))
+
+
+def table_hash(lines):
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+_INT_KINDS = "iu"
+_FLOAT_KINDS = "f"
+
+
+def dtype_drift(sp_pdf, dk_pdf):
+    """Column-level int-vs-float kind mismatches: invisible to a value
+    compare at .9g precision but visible to the driver's repr-based hash
+    (q92: DuckDB HUGEINT -> float64 vs Spark int64)."""
+    out = []
+    for c in sorted(set(sp_pdf.columns) & set(dk_pdf.columns)):
+        a, b = sp_pdf[c].dtype.kind, dk_pdf[c].dtype.kind
+        if {a, b} == {"i", "f"} or {a, b} == {"u", "f"}:
+            out.append(f"{c}: spark {sp_pdf[c].dtype} vs duck {dk_pdf[c].dtype}")
+    return out
 
 
 def main():
@@ -73,38 +108,43 @@ def main():
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
-            sp_cols = df.columns
-            sp_rows = [tuple(r) for r in df.collect()]
+            sp_pdf = df.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         el = time.time() - t0
         if name not in oracles:
-            print(f"ok?  {name}: rows-only ({len(sp_rows)} rows, {el:.1f}s) — no oracle")
+            print(f"ok?  {name}: rows-only ({len(sp_pdf)} rows, {el:.1f}s) — no oracle")
             continue
         try:
-            res = con.execute(oracles[name])
-            dk_cols = [d[0] for d in res.description]
-            dk_rows = res.fetchall()
+            dk_pdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
-        if len(sp_rows) != len(dk_rows):
-            problems.append(f"rowcount {len(sp_rows)} vs {len(dk_rows)}")
-        if sorted(sp_cols) != sorted(dk_cols):
-            problems.append(f"cols {sorted(sp_cols)} vs {sorted(dk_cols)}")
+        if len(sp_pdf) != len(dk_pdf):
+            problems.append(f"rowcount {len(sp_pdf)} vs {len(dk_pdf)}")
+        if sorted(sp_pdf.columns) != sorted(dk_pdf.columns):
+            problems.append(
+                f"cols {sorted(sp_pdf.columns)} vs {sorted(dk_pdf.columns)}")
         if not problems:
-            h1, h2 = table_hash(sp_rows, sp_cols), table_hash(dk_rows, dk_cols)
-            if h1 != h2:
+            drift = dtype_drift(sp_pdf, dk_pdf)
+            if drift:
+                problems.append("int/float dtype drift (driver repr-hash "
+                                "would mismatch): " + "; ".join(drift))
+        if not problems:
+            try:
+                s1, s2 = canon_lines(sp_pdf), canon_lines(dk_pdf)
+            except Exception as e:
+                # the driver's canonicalization would crash the same way
+                # (e.g. unhashable list cells in sort_values)
+                problems.append(f"canonicalization error (driver would "
+                                f"crash too): {type(e).__name__}: {e}")
+                s1 = s2 = None
+            if s1 is not None and table_hash(s1) != table_hash(s2):
                 problems.append("value-hash mismatch")
-                # show a small diff
-                order1 = sorted(range(len(sp_cols)), key=lambda i: sp_cols[i])
-                order2 = sorted(range(len(dk_cols)), key=lambda i: dk_cols[i])
-                s1 = sorted("|".join(norm_value(r[i]) for i in order1) for r in sp_rows)
-                s2 = sorted("|".join(norm_value(r[i]) for i in order2) for r in dk_rows)
                 for a, b in zip(s1, s2):
                     if a != b:
                         problems.append(f"  spark: {a[:200]}")
@@ -116,7 +156,7 @@ def main():
                 print(p)
             failures.append(name)
         else:
-            print(f"PASS {name} ({len(sp_rows)} rows, {el:.1f}s)")
+            print(f"PASS {name} ({len(sp_pdf)} rows, {el:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
