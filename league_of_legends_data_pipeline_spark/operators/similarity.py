@@ -365,17 +365,54 @@ def ann_lsh_topk(
     Each table hashes with its own hyperplanes; candidates = union over
     tables of same-bucket pairs; exact cosine re-ranks candidates. Returns
     (query_id, neighbor_id, rank, cosine) — rank within retrieved set.
+
+    The hyperplane projection is dense linear algebra (every vector dots
+    every plane), so like :func:`cosine_near_dup_pairs_blocked` it runs as
+    ONE numpy matmul per Arrow batch inside ``mapInPandas`` instead of
+    ``num_tables * num_planes`` interpreted higher-order-function folds per
+    row (~4x the whole-operator time at 5k vectors; the gap widens with
+    corpus size). Float caveat as documented on the blocked matmul: BLAS
+    sums in a different order than a sequential fold, so a dot within
+    ~1e-13 of exactly 0 could bucket differently — probability ~0 for
+    real-valued embeddings.
     """
+    import numpy as np
+    import pandas as pd
+
+    P = np.array([plane
+                  for t in range(num_tables)
+                  for plane in hyperplanes(dim, num_planes, seed + t)])
+    bit_weights = 1 << np.arange(num_planes, dtype="int64")
+
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        buckets = F.array(*[
-            lsh_bucket(v, hyperplanes(dim, num_planes, seed + t)) for t in range(num_tables)
-        ])
-        return df.select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            v.alias(f"__{prefix}v"),
-            F.posexplode(buckets).alias("table_id", "bucket"),
+        prepared = df.select(
+            F.col(id_col).cast("long").alias(f"{prefix}_id"),
+            _as_double(F.col(vec_col)).alias(f"__{prefix}v"),
         )
+
+        def project(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                V = np.stack(pdf[f"__{prefix}v"].to_numpy())
+                signs = (V @ P.T) >= 0
+                buckets = (signs.reshape(n, num_tables, num_planes)
+                           * bit_weights).sum(axis=2)
+                yield pd.DataFrame({
+                    f"{prefix}_id": np.repeat(
+                        pdf[f"{prefix}_id"].to_numpy(), num_tables),
+                    f"__{prefix}v": [v for v in pdf[f"__{prefix}v"]
+                                     for _ in range(num_tables)],
+                    "table_id": np.tile(
+                        np.arange(num_tables, dtype="int32"), n),
+                    "bucket": buckets.ravel().astype("int64"),
+                })
+
+        return prepared.mapInPandas(
+            project,
+            f"{prefix}_id long, __{prefix}v array<double>, "
+            f"table_id int, bucket long")
 
     c = bucketize(corpus, "neighbor")
     q = bucketize(queries, "query")

@@ -21,7 +21,7 @@ frames → rows); tests record the divergence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from league_of_legends_data_pipeline_spark.functions.flatten import (
@@ -223,6 +223,23 @@ def top_players(ranks: DataFrame, limit: int) -> DataFrame:
         .limit(limit)
         .drop("__tier_rank")
     )
+
+
+def head_n(df: DataFrame, group_col: str, order_cols: list[str],
+           n: int = 1000) -> DataFrame:
+    """Head-N truncation per group (L2): the reference caps each uploaded
+    log at its first 1000 lines (500 on the retry path —
+    ``ec2_deploy/scripts/utils.sh:141-171``); the engine form keeps the
+    first ``n`` rows of every group in ``order_cols`` order.
+
+    Plan shape: row_number over (group, order) + filter — Spark rewrites
+    rank-limit filters into WindowGroupLimit, so each shuffle partition
+    drops rows past ``n`` BEFORE the full sort state builds; no global
+    sort, no driver materialization, state per group is O(n)."""
+    w = W.partitionBy(group_col).orderBy(*order_cols)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn"))
 
 
 def dedup_matchlist(matchlist: DataFrame, id_col: str = "matchId") -> DataFrame:

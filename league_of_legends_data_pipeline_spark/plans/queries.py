@@ -3523,16 +3523,18 @@ def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (a.join(b, F.col("id_a") < F.col("id_b"))
              .filter(jac >= 0.4).select("id_a", "id_b"))
 
+    # full-outer join instead of a 3-branch union: the union form evaluated
+    # the quadratic truth subplan AND the whole LSH pipeline TWICE each
+    # (no subplan reuse across union branches — measured ~2x of q82's
+    # bench time); the join evaluates each side exactly once
     counts = (
-        truth.select(F.lit(1).alias("t"), F.lit(0).alias("l"), F.lit(0).alias("h"))
-        .unionByName(lsh.select(F.lit(0).alias("t"), F.lit(1).alias("l"),
-                                F.lit(0).alias("h")))
-        .unionByName(truth.join(lsh, ["id_a", "id_b"])
-                     .select(F.lit(0).alias("t"), F.lit(0).alias("l"),
-                             F.lit(1).alias("h")))
+        truth.withColumn("t", F.lit(1))
+        .join(lsh.withColumn("l", F.lit(1)), ["id_a", "id_b"], "full_outer")
         .agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_truth"),
              F.coalesce(F.sum("l"), F.lit(0)).cast("long").alias("n_lsh"),
-             F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("n_hit"))
+             F.coalesce(F.sum(F.when(F.col("t").isNotNull()
+                                     & F.col("l").isNotNull(), 1)),
+                        F.lit(0)).cast("long").alias("n_hit"))
     )
     return counts.select(
         "n_truth", "n_lsh", "n_hit",
@@ -3637,15 +3639,16 @@ def q84_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ivf_topk(embeddings, queries8, id_col="vec_id",
                       vec_col="embedding", k=5, nprobe=3) \
         .select("query_id", "neighbor_id")
-    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    # left join instead of a union of (exact, exact-join-approx) branches:
+    # the union form evaluated the exact brute-force subplan twice (no
+    # subplan reuse across union branches); the join evaluates each side
+    # exactly once — recall is sum of matched flags over all exact rows
     counts = (
-        exact.select(F.lit(1).alias("e"), F.lit(0).alias("h"),
-                     F.col("query_id"))
-        .unionByName(hit.select(F.lit(0).alias("e"), F.lit(1).alias("h"),
-                                F.col("query_id")))
+        exact.join(approx.withColumn("__a", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left_outer")
         .agg(F.count_distinct("query_id").alias("n_queries"),
-             F.sum("e").cast("long").alias("n_exact"),
-             F.sum("h").cast("long").alias("n_hit"))
+             F.count(F.lit(1)).cast("long").alias("n_exact"),
+             F.coalesce(F.sum("__a"), F.lit(0)).cast("long").alias("n_hit"))
     )
     return counts.select(
         "n_queries", "n_exact", "n_hit",
@@ -4394,16 +4397,56 @@ def q98_signlsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                           vec_col="embedding", k=5, dim=64,
                           num_planes=8, num_tables=4, seed=42) \
         .select("query_id", "neighbor_id")
-    hit = exact.join(approx, ["query_id", "neighbor_id"])
+    # left join instead of a union of (exact, exact-join-approx) branches:
+    # the union form evaluated the exact brute-force subplan twice (no
+    # subplan reuse across union branches); the join evaluates each side
+    # exactly once — recall is sum of matched flags over all exact rows
     counts = (
-        exact.select(F.lit(1).alias("e"), F.lit(0).alias("h"),
-                     F.col("query_id"))
-        .unionByName(hit.select(F.lit(0).alias("e"), F.lit(1).alias("h"),
-                                F.col("query_id")))
+        exact.join(approx.withColumn("__a", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left_outer")
         .agg(F.count_distinct("query_id").alias("n_queries"),
-             F.sum("e").cast("long").alias("n_exact"),
-             F.sum("h").cast("long").alias("n_hit"))
+             F.count(F.lit(1)).cast("long").alias("n_exact"),
+             F.coalesce(F.sum("__a"), F.lit(0)).cast("long").alias("n_hit"))
     )
     return counts.select(
         "n_queries", "n_exact", "n_hit",
         F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_5"))
+
+
+@_register(
+    "q99_event_percentiles",
+    """
+    -- exact interpolated percentiles of event value per event type.
+    SELECT event_type,
+           CAST(round(quantile_cont(value, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(round(quantile_cont(value, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(value, 0.95), 6) AS DOUBLE) AS p95,
+           CAST(round(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Exact percentile aggregation: Spark's `percentile` (sorted-rank "
+        "linear interpolation, the same definition as SQL-standard "
+        "PERCENTILE_CONT / DuckDB quantile_cont) over a low-cardinality "
+        "group key. At 100 TB exact percentiles need each group's values "
+        "on one reducer — fine at this key cardinality (one group per "
+        "event_type); for high-cardinality keys the scale path is "
+        "approx_percentile (t-digest, mergeable map-side), which trades "
+        "the oracle equality for bounded state.",
+)
+def q99_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.25D, 0.50D, 0.95D, 0.99D))")
+    return (
+        events.groupBy("event_type")
+        .agg(p.alias("__p"), F.count(F.lit(1)).alias("n"))
+        .select("event_type",
+                F.round(F.col("__p")[0], 6).alias("p25"),
+                F.round(F.col("__p")[1], 6).alias("p50"),
+                F.round(F.col("__p")[2], 6).alias("p95"),
+                F.round(F.col("__p")[3], 6).alias("p99"),
+                "n")
+        .orderBy("event_type")
+    )

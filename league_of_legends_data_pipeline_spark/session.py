@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # wide whole-stage-codegen (minhash/simhash hash ladders) fills the
+        # JVM's default 240 MB code cache over a long session; once full the
+        # JIT flushes/stops and late queries run partly interpreted (observed
+        # as a 4-6x slowdown on codegen-heavy queries late in a ~100-query
+        # run). One flag, fleet-wide effect: executors compile the same
+        # generated classes.
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
     if master is not None:
         builder = builder.master(master)

@@ -126,6 +126,12 @@ def http_source(
     Error semantics mirror the reference: ≥429 retried with exponential
     backoff (Utils/api.py:50-57); exhaustion yields an error-sentinel row
     ('Error429', Utils/api.py:228-239) instead of dropping the key.
+    DELIBERATE divergence: the reference adds 10-30% random jitter to each
+    backoff sleep (Utils/api.py:50-57); this source keeps the delay
+    deterministic (``min(60, base * 2^attempt)``, no jitter) so the
+    simulated fetch stays oracle-reproducible. A production ``fetch_fn``
+    deployment would re-add jitter to de-synchronize retry storms across
+    executors.
 
     ``breaker_factory`` (e.g. ``CircuitBreaker``) enables the reference's
     failure-threshold circuit breaker (Utils/api.py:170-199): while the

@@ -36,6 +36,10 @@ PROBE_QUERIES = [
     "q66_time_range_window",
     "q68_pii_redaction",
     "q35_minhash_lsh_pairs",
+    "q25_ngram_jaccard",
+    "q44_dedup_clusters",
+    "q82_lsh_recall",
+    "q98_signlsh_recall",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
