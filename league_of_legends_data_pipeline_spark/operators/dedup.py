@@ -161,18 +161,38 @@ def minhash_lsh_pairs(
         F.transform(char_shingles("__text", shingle_k), portable_hash64).alias("hm"),
     ).repartition(_par(df), "doc_id")
 
-    # all num_hashes running mins in ONE pass over hm (acc = array of mins)
+    # all num_hashes running mins in one numpy pass per Arrow batch: the
+    # dense (shingles x num_hashes) min-reduction is the same class of
+    # problem as the sign-LSH plane projection (similarity.py) — a
+    # higher-order-function fold here allocates a num_hashes-long array
+    # PER SHINGLE (~10M transient arrays per run at sf0.1), whose GC
+    # pressure made repeat runs degrade 2-3x in a long session. The
+    # integer arithmetic ((a*(h%P)+b)%P over int64) is bit-identical to
+    # the fold, so the DuckDB oracle is unaffected; md5 shingle hashing
+    # (above) and band hashing (below) stay JVM-side.
+    import numpy as np
+    import pandas as pd
+
     coeffs = minhash_coefficients(num_hashes, seed)
-    ab = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-                   for a, b in coeffs])
-    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("long"), num_hashes)
-    sig = F.aggregate(
-        F.col("hm"), init,
-        lambda acc, h: F.zip_with(
-            acc, ab,
-            lambda c, s: F.least(c, (s["a"] * (h % MINHASH_PRIME) + s["b"])
-                                 % MINHASH_PRIME)))
-    banded = hashed.select(
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    def signature(batches):
+        for pdf in batches:
+            sigs = []
+            for hm in pdf["hm"]:
+                h = np.asarray(hm, dtype=np.int64) % MINHASH_PRIME
+                if h.size == 0:
+                    sigs.append([MINHASH_PRIME] * num_hashes)
+                else:
+                    sigs.append(
+                        ((h[:, None] * A[None, :] + B[None, :])
+                         % MINHASH_PRIME).min(axis=0).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    sigdf = hashed.mapInPandas(signature, "doc_id long, sig array<long>")
+    sig = F.col("sig")
+    banded = sigdf.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.md5(F.concat_ws(",", *[sig[i].cast("string")
