@@ -112,6 +112,51 @@ def minhash_signature(shingles: Column, num_hashes: int = 16, seed: int = 42) ->
     ])
 
 
+def minhash_signature_table(
+    hashed: DataFrame,
+    id_col: str,
+    hm_col: str,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig) MinHash signatures from pre-hashed shingle arrays — all
+    ``num_hashes`` running mins in one numpy pass per Arrow batch.
+
+    The dense (shingles x num_hashes) min-reduction is the same class of
+    problem as the sign-LSH plane projection (similarity.py): a
+    higher-order-function fold allocates a num_hashes-long array PER
+    SHINGLE (~10M transient arrays per run at sf0.1), whose GC pressure
+    made repeat runs degrade 2-3x in a long session; per-slot
+    transform+array_min re-walks (and for inlined hashing re-md5s) the
+    shingle array once per slot. The int64 arithmetic ((a*(h%P)+b)%P) is
+    bit-identical to :func:`minhash_signature`, so DuckDB oracles that
+    replicate the scheme are unaffected; md5 shingle hashing stays
+    JVM-side (upstream), keeping the portable-hash contract in one place.
+    """
+    import numpy as np
+    import pandas as pd
+
+    coeffs = minhash_coefficients(num_hashes, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+
+    def signature(batches):
+        for pdf in batches:
+            sigs = []
+            for hm in pdf[hm_col]:
+                h = np.asarray(hm, dtype=np.int64) % MINHASH_PRIME
+                if h.size == 0:
+                    sigs.append([MINHASH_PRIME] * num_hashes)
+                else:
+                    sigs.append(
+                        ((h[:, None] * A[None, :] + B[None, :])
+                         % MINHASH_PRIME).min(axis=0).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+    return hashed.select(id_col, hm_col).mapInPandas(
+        signature, f"{id_col} long, sig array<long>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -161,36 +206,8 @@ def minhash_lsh_pairs(
         F.transform(char_shingles("__text", shingle_k), portable_hash64).alias("hm"),
     ).repartition(_par(df), "doc_id")
 
-    # all num_hashes running mins in one numpy pass per Arrow batch: the
-    # dense (shingles x num_hashes) min-reduction is the same class of
-    # problem as the sign-LSH plane projection (similarity.py) — a
-    # higher-order-function fold here allocates a num_hashes-long array
-    # PER SHINGLE (~10M transient arrays per run at sf0.1), whose GC
-    # pressure made repeat runs degrade 2-3x in a long session. The
-    # integer arithmetic ((a*(h%P)+b)%P over int64) is bit-identical to
-    # the fold, so the DuckDB oracle is unaffected; md5 shingle hashing
-    # (above) and band hashing (below) stay JVM-side.
-    import numpy as np
-    import pandas as pd
-
-    coeffs = minhash_coefficients(num_hashes, seed)
-    A = np.array([a for a, _ in coeffs], dtype=np.int64)
-    B = np.array([b for _, b in coeffs], dtype=np.int64)
-
-    def signature(batches):
-        for pdf in batches:
-            sigs = []
-            for hm in pdf["hm"]:
-                h = np.asarray(hm, dtype=np.int64) % MINHASH_PRIME
-                if h.size == 0:
-                    sigs.append([MINHASH_PRIME] * num_hashes)
-                else:
-                    sigs.append(
-                        ((h[:, None] * A[None, :] + B[None, :])
-                         % MINHASH_PRIME).min(axis=0).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
-
-    sigdf = hashed.mapInPandas(signature, "doc_id long, sig array<long>")
+    sigdf = minhash_signature_table(hashed, "doc_id", "hm",
+                                    num_hashes=num_hashes, seed=seed)
     sig = F.col("sig")
     banded = sigdf.select(
         "doc_id",

@@ -867,21 +867,25 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_minhash_band_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.dedup import (
-        char_shingles, minhash_signature,
+        char_shingles, minhash_signature_table, portable_hash64,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
     # exchange the raw text first: spreads a single input file across the
     # cluster so the md5-heavy signature computation runs in parallel, and
-    # the shuffle carries small text rows rather than shingle arrays
-    pre = documents.select("doc_id", "text") \
-                   .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sig = minhash_signature(char_shingles("text", 5), num_hashes=2, seed=42)
+    # the shuffle carries small text rows rather than shingle arrays; md5
+    # runs ONCE per shingle (the per-slot Column form re-hashes per slot),
+    # then the vectorized signature reduces both slots in one numpy pass
+    pre = documents.select(
+        "doc_id",
+        F.transform(char_shingles("text", 5), portable_hash64).alias("hm"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sigs = minhash_signature_table(pre, "doc_id", "hm", num_hashes=2, seed=42)
     return (
-        pre.select(
+        sigs.select(
             "doc_id",
-            sig[0].alias("mh0"),
-            sig[1].alias("mh1"),
+            F.col("sig")[0].alias("mh0"),
+            F.col("sig")[1].alias("mh1"),
         )
         .orderBy("doc_id")
     )

@@ -485,3 +485,34 @@ def test_pack_sequences_rejects_bad_budget(spark):
     from league_of_legends_data_pipeline_spark.operators.sampling import pack_sequences
     with pytest.raises(ValueError):
         pack_sequences(df, "src", "doc_id", "n", budget=0)
+
+
+def test_minhash_signature_table_matches_column_form(spark):
+    """The vectorized (numpy-per-Arrow-batch) signature must be
+    bit-identical to the Column-expression reference form — same int64
+    (a*(h%P)+b)%P arithmetic, so any divergence is a bug, not float noise."""
+    from pyspark.sql import functions as F
+
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        char_shingles, minhash_signature, minhash_signature_table,
+        portable_hash64,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs"),
+         (3, "abc"),       # shorter than shingle_k -> single padded shingle
+         (4, "aaaaaaa")],  # degenerate: one distinct shingle
+        ["doc_id", "text"])
+    col_form = df.select(
+        "doc_id",
+        minhash_signature(char_shingles("text", 5), num_hashes=6, seed=7)
+        .alias("sig"))
+    table_form = minhash_signature_table(
+        df.select("doc_id",
+                  F.transform(char_shingles("text", 5),
+                              portable_hash64).alias("hm")),
+        "doc_id", "hm", num_hashes=6, seed=7)
+    a = {r.doc_id: r.sig for r in col_form.collect()}
+    b = {r.doc_id: r.sig for r in table_form.collect()}
+    assert a == b
