@@ -3768,7 +3768,8 @@ _Q86_CENT1_LIST = "[" + ", ".join(f"m{i}" for i in range(64)) + "]"
         ) WHERE rn = 1
     )
     SELECT cid AS cluster, count(*) AS n_members,
-           CAST(round(avg(cos), 6) AS DOUBLE) AS mean_cosine
+           CAST(round(sum(CAST(round(cos * 1000000) AS BIGINT))
+                      / (count(*) * 1000000.0), 6) AS DOUBLE) AS mean_cosine
     FROM a2 GROUP BY cid ORDER BY cluster
     """,
     doc="Corpus clustering (operators/similarity.py::kmeans_refine, the "
@@ -3784,9 +3785,16 @@ def q86_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     assigned = kmeans_refine(embeddings, "vec_id", "embedding",
                              dim=64, centroid_stride=64, iterations=2)
+    # mean member cosine via integer micro-units: round(avg(cos), 6) is
+    # summation-order-sensitive — engines sum doubles in different orders,
+    # and a ~1-ulp difference crossing a 6dp rounding boundary produced a
+    # real 1e-6 hash mismatch (observed at sf0.001). Summing 6dp-rounded
+    # BIGINT micro-units is exact and order-independent on both engines.
+    micro = F.round(F.col("cosine") * 1_000_000).cast("long")
     return (assigned.groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_members"),
-                 F.round(F.avg("cosine"), 6).alias("mean_cosine"))
+                 F.round(F.sum(micro) / (F.count(F.lit(1)) * 1_000_000.0), 6)
+                  .alias("mean_cosine"))
             .withColumn("cluster", F.col("cluster").cast("long"))
             .orderBy("cluster"))
 
