@@ -52,7 +52,18 @@ def byte_features(df: DataFrame, id_col: str, bin_col: str,
                 arr = np.frombuffer(raw, dtype=np.uint8)
                 ids.append(i)
                 nb.append(len(arr))
-                mean_b.append(round(float(arr.mean()) if len(arr) else 0.0, 6))
+                # 6dp mean via exact integer half-up rounding: Python's
+                # round() is half-even over the nearest DOUBLE, so a mean
+                # landing exactly on a half (e.g. S/n = 93.7265625) rounds
+                # differently from an engine that rounds half-away — a real
+                # cross-engine mismatch at sf0.1. (S*2e6 + n) // (2n) is
+                # order-independent integer math both engines replicate.
+                if len(arr):
+                    s = int(arr.sum(dtype=np.int64))
+                    mean_b.append(((s * 2_000_000 + len(arr))
+                                   // (2 * len(arr))) / 1_000_000.0)
+                else:
+                    mean_b.append(0.0)
                 max_b.append(int(arr.max()) if len(arr) else 0)
                 cks.append(hashlib.md5(raw).hexdigest())
             yield pd.DataFrame({"id": ids, "n_bytes": nb, "mean_byte": mean_b,

@@ -1597,7 +1597,12 @@ def q37_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(round(list_avg(bytes), 6) AS DOUBLE) AS mean_byte,
+           -- exact integer half-up mean (see byte_features): round(avg(..))
+           -- conventions differ across engines exactly on half values
+           CAST(CASE WHEN len(bytes) = 0 THEN 0.0
+                ELSE CAST((CAST(list_sum(bytes) AS BIGINT) * 2000000
+                           + len(bytes)) // (2 * len(bytes)) AS BIGINT)
+                     / 1000000.0 END AS DOUBLE) AS mean_byte,
            CAST(list_max(bytes) AS BIGINT) AS max_byte,
            md5(text) AS checksum
     FROM b
