@@ -208,8 +208,13 @@ def cosine_near_dup_pairs_blocked(
             # once, but in arbitrary id order — orient, don't filter
             s = sims[ia, ib]
             id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        # half-away-from-zero at 6dp (what DuckDB round and Spark F.round
+        # both do), NOT np.round's half-even: a cosine landing exactly on
+        # a dyadic half would otherwise hash differently cross-engine
+        # (same failure class as byte_features' mean at sf0.1)
         return pd.DataFrame({"id_a": id_a, "id_b": id_b,
-                             "cosine": np.round(s, 6)})
+                             "cosine": np.sign(s)
+                             * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6})
 
     return (
         replicated.groupBy("ba", "bb")
