@@ -110,6 +110,12 @@ def main() -> None:
         "n_err": len(errors),
         "sf": sf,
     }))
+    # A few isolated failures cost data points; a systemic failure (missing
+    # testdata, broken session) must NOT masquerade as a fast run whose
+    # "total" covers only the survivors. Both JSON lines are already printed
+    # (the driver parses the last one regardless of exit code).
+    if len(errors) > max(3, len(QUERIES) // 10):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

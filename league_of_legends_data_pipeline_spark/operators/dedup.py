@@ -144,6 +144,13 @@ def minhash_signature_table(
         for pdf in batches:
             sigs = []
             for hm in pdf[hm_col]:
+                # NULL text upstream yields a null shingle array; emit the
+                # same empty-input sentinel instead of crashing the batch
+                # (np.asarray(None) raises) — preserves the null tolerance
+                # of the pure-Column signature form this replaced.
+                if hm is None:
+                    sigs.append([MINHASH_PRIME] * num_hashes)
+                    continue
                 h = np.asarray(hm, dtype=np.int64) % MINHASH_PRIME
                 if h.size == 0:
                     sigs.append([MINHASH_PRIME] * num_hashes)
@@ -272,6 +279,62 @@ def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
     return F.aggregate(bitvals, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
+def simhash_signature_table(
+    hashed: DataFrame,
+    id_col: str,
+    ht_col: str,
+    bits: int = 32,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, *extra, sig) SimHash signatures from pre-hashed token arrays —
+    all ``bits`` majority votes in one numpy pass per Arrow batch.
+
+    Same vectorization rationale as :func:`minhash_signature_table`: the
+    pure-Column form (:func:`simhash_from_hashes`) expands to a wide
+    aggregate/zip_with codegen tree whose one-time JIT was measured at
+    ~11 s for bits=60 (BENCH_DETAIL cold_first_run q44, round 3) — paid on
+    every fresh plan, i.e. every new (session, query) pair on a real
+    cluster. The integer arithmetic (bit j set when the +1/-1 token vote
+    sum is positive) is bit-identical, so DuckDB oracles replicating the
+    scheme are unaffected; md5 token hashing stays JVM-side upstream,
+    keeping the portable-hash contract in one place. A null token array
+    (null text) yields a null signature, matching the Column form's null
+    propagation.
+    """
+    import numpy as np
+    import pandas as pd
+
+    extra_cols = extra_cols or []
+    weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    def signature(batches):
+        for pdf in batches:
+            sigs: list[int | None] = []
+            for ht in pdf[ht_col]:
+                if ht is None:
+                    sigs.append(None)
+                    continue
+                h = np.asarray(ht, dtype=np.int64)
+                if h.size == 0:
+                    sigs.append(0)
+                    continue
+                # votes_j = 2 * (count of tokens with bit j set) - n
+                ones = ((h[:, None] >> np.arange(bits)) & 1).sum(axis=0)
+                sigs.append(int(weights[2 * ones > h.size].sum()))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                **{c: pdf[c] for c in extra_cols},
+                "sig": pd.array(sigs, dtype="Int64"),
+            })
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in hashed.select(id_col, *extra_cols).schema.fields]
+        + ["sig long"])
+    return hashed.select(id_col, *extra_cols, ht_col).mapInPandas(
+        signature, schema)
+
+
 def simhash64(tokens: Column, bits: int = 32) -> Column:
     """SimHash of a token array packed into one BIGINT (hashing inlined —
     convenient for small inputs; for corpus-scale use hash + exchange +
@@ -317,11 +380,10 @@ def simhash_pairs(
     )
     # second exchange: three consumers below (bucket counts + both
     # self-join sides) all reuse ONE materialized signature (ReuseExchange);
-    # without it the 32 vote aggregates run three times. The exchanged rows
-    # are (id, bands, 8-byte sig) — negligible shuffle at any scale.
-    sigs = hashed.select(
-        "doc_id", *band_cols,
-        simhash_from_hashes(F.col("__ht"), bits).alias("sig"),
+    # without it the vectorized vote pass runs three times. The exchanged
+    # rows are (id, bands, 8-byte sig) — negligible shuffle at any scale.
+    sigs = simhash_signature_table(
+        hashed, "doc_id", "__ht", bits, extra_cols=band_cols,
     ).repartition(_par(df), "doc_id")
     chunked = sigs.select(
         "doc_id", "sig", *band_cols,

@@ -390,10 +390,13 @@ def ann_lsh_topk(
     bit_weights = 1 << np.arange(num_planes, dtype="int64")
 
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:
+        # declare the id field from the INPUT schema instead of casting:
+        # a blanket cast("long") silently nulls out non-numeric ids
         prepared = df.select(
-            F.col(id_col).cast("long").alias(f"{prefix}_id"),
+            F.col(id_col).alias(f"{prefix}_id"),
             _as_double(F.col(vec_col)).alias(f"__{prefix}v"),
         )
+        id_type = prepared.schema[f"{prefix}_id"].dataType.simpleString()
 
         def project(batches):
             for pdf in batches:
@@ -416,7 +419,7 @@ def ann_lsh_topk(
 
         return prepared.mapInPandas(
             project,
-            f"{prefix}_id long, __{prefix}v array<double>, "
+            f"{prefix}_id {id_type}, __{prefix}v array<double>, "
             f"table_id int, bucket long")
 
     c = bucketize(corpus, "neighbor")

@@ -341,6 +341,91 @@ def jdbc_write(
     df.write.format("jdbc").options(**opts).mode(mode).save()
 
 
+# Spark dtype -> ANSI-ish DDL type for ALTER TABLE ADD. VARCHAR(255) for
+# strings is deliberate reference parity (Utils/sql.py:46-62 infers
+# VARCHAR(255) as the string/default type).
+_JDBC_DDL_TYPES = {
+    "tinyint": "SMALLINT", "smallint": "SMALLINT", "int": "INTEGER",
+    "bigint": "BIGINT", "float": "REAL", "double": "DOUBLE",
+    "string": "VARCHAR(255)", "boolean": "BOOLEAN",
+    "date": "DATE", "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def jdbc_evolve_append(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """K5 parity for the JDBC sink: schema-evolving append.
+
+    The reference's MySQL path DESCRIBEs the target, ``ALTER TABLE ADD``s
+    any unseen column with an inferred type, null-pads rows, then batch
+    inserts (``Utils/sql.py:24-43``; ``Lambda/lambda_function.py:308-395``).
+    The parquet path (:func:`evolve_append`) already evolves; a plain
+    ``jdbc_write(mode="append")`` with new columns fails instead. This
+    mirrors the reference:
+
+    1. read the target's columns from JDBC metadata (zero-row subquery —
+       schema only, no data moves);
+    2. ``ALTER TABLE ADD COLUMN`` each dataframe column the table lacks
+       (one DDL statement per column over a single driver-side connection —
+       DDL is metadata, never data-sized);
+    3. null-pad dataframe columns the table has but the frame lacks
+       (``align_row_data`` both directions, Utils/sql.py:21-22);
+    4. batched parallel append from every executor.
+
+    Bootstraps the table (plain create) when it does not exist yet.
+    Column-name matching is case-insensitive: JDBC engines fold unquoted
+    identifiers (Derby/Oracle up, Postgres down).
+    """
+    opts = {"url": url}
+    if driver:
+        opts["driver"] = driver
+    try:
+        target = spark.read.format("jdbc").options(
+            dbtable=f"(SELECT * FROM {table} WHERE 1=0) probe", **opts).load()
+    except Exception:
+        # no target yet: bootstrap is a plain create-and-write
+        jdbc_write(df, url, table, mode="errorifexists", driver=driver,
+                   batch_size=batch_size)
+        return
+
+    existing = {c.lower() for c in target.columns}
+    new_cols = [f for f in df.schema.fields if f.name.lower() not in existing]
+    if new_cols:
+        # DDL goes over one driver-side JDBC connection (Spark's writer
+        # has no ALTER surface); the JVM driver class is already on the
+        # classpath because the read above used it.
+        jvm = spark._sc._gateway.jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            for f in new_cols:
+                ddl_type = _JDBC_DDL_TYPES.get(
+                    f.dataType.simpleString(), "VARCHAR(255)")
+                # ANSI-quote the column: Spark's JDBC writer emits quoted
+                # (case-exact) identifiers on INSERT, so the added column
+                # must be created case-exact too
+                q = '"' + f.name.replace('"', '""') + '"'
+                stmt.executeUpdate(
+                    f"ALTER TABLE {table} ADD COLUMN {q} {ddl_type}")
+            stmt.close()
+        finally:
+            conn.close()
+
+    # null-pad target columns the frame lacks, with the TARGET's types
+    frame_cols = {c.lower() for c in df.columns}
+    for f in target.schema.fields:
+        if f.name.lower() not in frame_cols:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    jdbc_write(df, url, table, mode="append", driver=driver,
+               batch_size=batch_size)
+
+
 def jdbc_read(
     spark: SparkSession,
     url: str,
@@ -363,10 +448,27 @@ def jdbc_read(
         opts["driver"] = driver
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
-            bounds = spark.read.format("jdbc").options(**opts).load() \
-                .agg(F.min(partition_column), F.max(partition_column)).first()
+            # push the agg INTO the database via a dbtable subquery: the v1
+            # JDBC relation does not push down aggregates, so min/max over
+            # the loaded relation would scan the whole table through one
+            # connection — the opposite of "one cheap agg query". The
+            # column is ANSI-double-quoted because Spark's JDBC writer
+            # creates quoted (case-exact) identifiers, which unquoted
+            # references would case-fold away from (Derby/Postgres/Oracle).
+            q = '"' + partition_column.replace('"', '""') + '"'
+            bounds_opts = dict(opts, dbtable=(
+                f"(SELECT MIN({q}) AS lo, "
+                f"MAX({q}) AS hi FROM {table}) b"))
+            bounds = spark.read.format("jdbc").options(**bounds_opts) \
+                .load().first()
             lower_bound = bounds[0] if lower_bound is None else lower_bound
             upper_bound = bounds[1] if upper_bound is None else upper_bound
+            if lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    f"cannot auto-partition JDBC read of {table}: "
+                    f"MIN/MAX({partition_column}) returned NULL (empty "
+                    f"table?) — pass explicit lower_bound/upper_bound or "
+                    f"drop partition_column")
         opts.update({
             "partitionColumn": partition_column,
             "numPartitions": str(num_partitions),

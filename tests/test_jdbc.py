@@ -11,7 +11,9 @@ import os
 
 import pytest
 
-from league_of_legends_data_pipeline_spark.sinks import jdbc_read, jdbc_write
+from league_of_legends_data_pipeline_spark.sinks import (
+    jdbc_evolve_append, jdbc_read, jdbc_write,
+)
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
@@ -63,6 +65,47 @@ def test_jdbc_partitioned_parallel_read(spark, derby_home):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == n
     assert back.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(n))
+
+
+def test_jdbc_evolve_append_adds_columns(spark, derby_home):
+    """K5 JDBC parity (Utils/sql.py:24-43): appending a frame with an
+    unseen column ALTERs it in; both column sets survive round-trip with
+    null-padding in both directions."""
+    url = _derby_url(derby_home, "evolve")
+    first = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id int, name string")
+    jdbc_evolve_append(spark, first, url, "evolve", driver=DERBY_DRIVER)
+
+    # second batch: new column `score`, and drops `name`
+    second = spark.createDataFrame(
+        [(3, 1.5), (4, -2.0)], "id int, score double")
+    jdbc_evolve_append(spark, second, url, "evolve", driver=DERBY_DRIVER)
+
+    back = jdbc_read(spark, url, "evolve", driver=DERBY_DRIVER)
+    cols = {c.lower() for c in back.columns}
+    assert cols == {"id", "name", "score"}
+    rows = {tuple(r) for r in
+            back.select(*sorted(back.columns, key=str.lower)).collect()}
+    assert rows == {(1, "a", None), (2, "b", None),
+                    (3, None, 1.5), (4, None, -2.0)}
+
+    # idempotent shape: re-appending an already-aligned frame evolves nothing
+    third = spark.createDataFrame([(5, "c", 9.0)],
+                                  "id int, name string, score double")
+    jdbc_evolve_append(spark, third, url, "evolve", driver=DERBY_DRIVER)
+    assert jdbc_read(spark, url, "evolve", driver=DERBY_DRIVER).count() == 5
+
+
+def test_jdbc_read_empty_partitioned_raises(spark, derby_home):
+    """Auto-partitioned read of an empty table must fail with a clear
+    error, not hand str(None) to Spark (ADVICE r3)."""
+    url = _derby_url(derby_home, "emptyp")
+    spark.createDataFrame([], "k int, v int") \
+        .write.format("jdbc").options(
+            url=url, dbtable="emptyp", driver=DERBY_DRIVER).save()
+    with pytest.raises(ValueError, match="MIN/MAX"):
+        jdbc_read(spark, url, "emptyp", driver=DERBY_DRIVER,
+                  partition_column="k")
 
 
 def test_jdbc_sink_parity_with_table(spark, sf_dir, derby_home):
