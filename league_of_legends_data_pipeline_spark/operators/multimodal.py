@@ -72,18 +72,36 @@ def byte_features(df: DataFrame, id_col: str, bin_col: str,
     return df.select(id_col, bin_col).mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def decode_image(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """Image decode → (id, width, height, mode). STUB: requires a real
-    imaging library; the container has none. The mapInPandas plumbing is
-    identical to :func:`byte_features` — swap the extractor body.
+def decode_image(df: DataFrame, id_col: str, bin_col: str,
+                 missing_decoder: str = "error_rows") -> DataFrame:
+    """Image decode → (id, width, height, mode, error). STUB decode body:
+    requires a real imaging library; the container has none. The
+    mapInPandas plumbing is identical to :func:`byte_features` — swap the
+    extractor body.
+
+    When the decoder library is absent the default (``missing_decoder=
+    "error_rows"``) degrades gracefully instead of raising: every row
+    comes back with null dimensions and ``error='DecoderMissing'`` — the
+    engine's P12 error-row convention (sentinel rows, never drops, never
+    surprise exceptions mid-pipeline). Pass ``missing_decoder="raise"``
+    to fail fast at plan-build time instead.
     """
+    out_schema = "id bigint, width int, height int, mode string, error string"
     try:
         import PIL.Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover - no imaging lib in env
-        raise NotImplementedError(
-            "decode_image requires an imaging library (e.g. Pillow); "
-            "not available in this environment. Use byte_features for the "
-            "tested plumbing pattern.") from e
+    except ImportError as e:
+        if missing_decoder == "raise":
+            raise NotImplementedError(
+                "decode_image requires an imaging library (e.g. Pillow); "
+                "not available in this environment. Use byte_features for "
+                "the tested plumbing pattern.") from e
+        return df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("string").alias("mode"),
+            F.lit("DecoderMissing").alias("error"),
+        )
 
     import io
 
@@ -93,12 +111,16 @@ def decode_image(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for i, raw in zip(pdf[id_col], pdf[bin_col]):
-                with Image.open(io.BytesIO(raw)) as im:
-                    rows.append((i, im.width, im.height, im.mode))
-            yield pd.DataFrame(rows, columns=["id", "width", "height", "mode"])
+                try:
+                    with Image.open(io.BytesIO(raw)) as im:
+                        rows.append((i, im.width, im.height, im.mode, None))
+                except Exception as exc:  # undecodable payload → error row
+                    rows.append((i, None, None, None,
+                                 f"DecodeError:{type(exc).__name__}"))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "mode", "error"])
 
-    return df.select(id_col, bin_col).mapInPandas(
-        decode, "id bigint, width int, height int, mode string")
+    return df.select(id_col, bin_col).mapInPandas(decode, out_schema)
 
 
 def frame_sample(

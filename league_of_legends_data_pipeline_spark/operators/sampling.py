@@ -112,6 +112,54 @@ def weighted_sample(
     return df.filter(hash_unit(id_col, seed) < clamped)
 
 
+def approx_ntile(
+    df: DataFrame,
+    value_col: str | Column,
+    n: int,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scalable ntile: sketch boundaries + broadcast assignment — the
+    100 TB path for the exact-ntile window (q55), which needs a global
+    single-partition sort.
+
+    Two map-friendly passes instead of one giant sort:
+
+    1. ``percentile_approx`` computes the ``n-1`` internal quantile
+       boundaries in ONE distributed aggregation (mergeable Greenwald-
+       Khanna sketch: partials per partition, sketch-sized final merge —
+       the only single-partition exchange carries a few KB of sketch, not
+       rows).
+    2. each row's bucket is ``1 + count(boundaries < value)`` over the
+       broadcast boundary array — a map-only projection, no shuffle, no
+       sort, no window.
+
+    Rank error per boundary is bounded by ``1/accuracy`` of the total
+    rows, so expected disagreement vs exact ntile is at most
+    ``2 * (n-1) / accuracy`` of rows (0.18% for deciles at the default) —
+    q100 asserts >= 99% agreement against the exact window form. Ties on
+    ``value_col`` all land in one bucket (exact ntile splits them by row
+    order); heavy-tie distributions should tiebreak via a composite value.
+
+    Adds a ``bucket`` column (1..n); boundary plumbing stays internal.
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    pcts = F.array(*[F.lit(k / n) for k in range(1, n)])
+    bounds = df.agg(
+        F.percentile_approx(v, pcts, F.lit(accuracy)).alias("__bnds"))
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            (F.lit(1) + F.aggregate(
+                "__bnds", F.lit(0),
+                lambda acc, b: acc + F.when(b < v, 1).otherwise(0),
+            )).cast("long"))
+        .drop("__bnds")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     partition_col: str,

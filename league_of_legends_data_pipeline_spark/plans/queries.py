@@ -4485,3 +4485,76 @@ def q99_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n")
         .orderBy("event_type")
     )
+
+
+@_register(
+    "q100_approx_ntile_agreement",
+    """
+    -- approx-ntile agreement harness (q84/q98 recall-harness pattern):
+    -- boundary-array bucket assignment vs the exact ntile window. The
+    -- oracle derives EXACT boundaries at ntile's cumulative cut ranks
+    -- (rank_k = k*(N div n) + least(k, N mod n)) with the (price, key)
+    -- tiebreak, under which boundary assignment provably reproduces
+    -- ntile row-for-row -> agree_ok = 1. The Spark side assigns via the
+    -- percentile_approx sketch (rank error <= 1/accuracy) and asserts
+    -- >= 99% agreement; the hash-compared payload (n_orders, agree_ok)
+    -- is deterministic on both engines.
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r,
+               count(*) OVER () AS n
+        FROM orders
+    ), bnds AS (
+        SELECT o_totalprice AS bv, o_orderkey AS bid
+        FROM ranked
+        WHERE list_contains(
+            list_transform(range(1, 10),
+                           k -> k * (n // 10) + least(k, n % 10)), r)
+    ), assigned AS (
+        SELECT a.o_orderkey,
+               1 + count(b.bid) AS bucket
+        FROM ranked a LEFT JOIN bnds b
+          ON b.bv < a.o_totalprice
+             OR (b.bv = a.o_totalprice AND b.bid < a.o_orderkey)
+        GROUP BY a.o_orderkey
+    ), exact AS (
+        SELECT o_orderkey,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT count(*) AS n_orders,
+           CAST(count(*) FILTER (WHERE a.bucket = e.decile)
+                >= 0.99 * count(*) AS BIGINT) AS agree_ok
+    FROM assigned a JOIN exact e USING (o_orderkey)
+    """,
+    doc="approx_ntile operator (operators/sampling.py): the 100 TB path "
+        "for q55's exact-ntile global sort — percentile_approx sketch "
+        "boundaries (one distributed agg, the single-partition exchange "
+        "carries KBs of sketch) + broadcast boundary-array assignment "
+        "(map-only, no sort, no window). Agreement vs exact ntile is "
+        "bounded by 2*(n-1)/accuracy of rows; the harness asserts >=99%. "
+        "tests/test_operators.py plan-asserts the operator path has no "
+        "Sort and no Window.",
+)
+def q100_approx_ntile_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import approx_ntile
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    assigned = approx_ntile(orders, "o_totalprice", 10).select(
+        "o_orderkey", "bucket")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    exact = orders.select(
+        "o_orderkey", F.ntile(10).over(w).cast("long").alias("decile"))
+    return (
+        assigned.join(exact, "o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(F.col("bucket") == F.col("decile"), 1)
+                  .otherwise(0)).alias("__agree"),
+        )
+        .select(
+            F.col("__n").cast("long").alias("n_orders"),
+            (F.col("__agree") >= 0.99 * F.col("__n"))
+            .cast("long").alias("agree_ok"),
+        )
+    )

@@ -20,6 +20,7 @@ No live HTTP in this environment: ``fetch_fn`` is injected. The default
 from __future__ import annotations
 
 import hashlib
+import random
 import time
 from collections import deque
 from collections.abc import Callable, Iterator
@@ -110,6 +111,46 @@ def simulated_fetch(key: str, attempt: int) -> tuple[int, str | None]:
     return 200, f'{{"championLevel": {level}, "digest": "{digest}"}}'
 
 
+def live_http_fetch(
+    url_for_key: Callable[[str], str],
+    headers: dict[str, str] | None = None,
+    timeout: float = 10.0,
+) -> Callable[[str, int], tuple[int, str | None]]:
+    """Live-HTTP implementation of the injected ``fetch_fn`` interface —
+    the piece a real deployment plugs into :func:`http_source` where this
+    sandbox uses :func:`simulated_fetch`.
+
+    Mirrors the reference's request semantics (``Utils/api.py:61-103``):
+    the HTTP status code is returned as-is so :func:`http_source`'s
+    ladder applies (200 → payload row, ≥429 → retry with backoff then
+    error-sentinel row, 400-428 → non-retried error row). A transport
+    failure (connection refused, DNS, timeout) maps to status 599 —
+    retryable, like a 5xx — because the endpoint may just be restarting.
+
+    Built on stdlib ``urllib`` so the engine adds no dependency; the
+    callable closes over plain data (URL template, headers, timeout) and
+    ships to executors via cloudpickle. For connection pooling at high
+    request rates, swap in a ``requests.Session``-backed callable with
+    the same signature — one session per partition comes free because
+    ``http_source`` builds partition-local state anyway.
+    """
+    import urllib.error
+    import urllib.request
+
+    def fetch(key: str, attempt: int) -> tuple[int, str | None]:
+        req = urllib.request.Request(url_for_key(key), headers=headers or {})
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return resp.status, resp.read().decode("utf-8", "replace")
+        except urllib.error.HTTPError as exc:
+            exc.read()  # drain so the connection can be reused
+            return exc.code, None
+        except (urllib.error.URLError, TimeoutError, OSError):
+            return 599, None
+
+    return fetch
+
+
 def http_source(
     params: DataFrame,
     key_col: str,
@@ -119,6 +160,7 @@ def http_source(
     window_seconds: float = 120.0,
     backoff_base: float = 0.0,  # real deployments: 1.0 → min(60, 2^attempt)
     breaker_factory: Callable[[], CircuitBreaker] | None = None,
+    jitter: bool = False,
 ) -> DataFrame:
     """Fetch one payload per row of ``params`` under a per-partition rate
     limit. Returns (request_key, status, payload, error).
@@ -126,12 +168,13 @@ def http_source(
     Error semantics mirror the reference: ≥429 retried with exponential
     backoff (Utils/api.py:50-57); exhaustion yields an error-sentinel row
     ('Error429', Utils/api.py:228-239) instead of dropping the key.
-    DELIBERATE divergence: the reference adds 10-30% random jitter to each
-    backoff sleep (Utils/api.py:50-57); this source keeps the delay
-    deterministic (``min(60, base * 2^attempt)``, no jitter) so the
-    simulated fetch stays oracle-reproducible. A production ``fetch_fn``
-    deployment would re-add jitter to de-synchronize retry storms across
-    executors.
+    Backoff jitter (Utils/api.py:50-57 adds 10-30% per sleep) is behind
+    the ``jitter`` flag, DEFAULT OFF: the deterministic delay
+    (``min(60, base * 2^attempt)``) keeps the simulated fetch
+    oracle-reproducible. Production deployments pass ``jitter=True`` to
+    de-synchronize retry storms across executors — jitter only perturbs
+    SLEEP DURATIONS, never payloads, so results stay deterministic
+    either way.
 
     ``breaker_factory`` (e.g. ``CircuitBreaker``) enables the reference's
     failure-threshold circuit breaker (Utils/api.py:170-199): while the
@@ -161,7 +204,10 @@ def http_source(
                     if breaker:
                         breaker.on_failure()
                     if backoff_base:
-                        time.sleep(min(60.0, backoff_base * (2 ** attempt)))
+                        delay = min(60.0, backoff_base * (2 ** attempt))
+                        if jitter:
+                            delay *= 1.0 + random.uniform(0.1, 0.3)
+                        time.sleep(delay)
                 keys.append(key)
                 statuses.append(status)
                 payloads.append(payload)

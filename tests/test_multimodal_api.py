@@ -38,10 +38,20 @@ def test_binary_metadata_jvm_side(spark):
     assert r["digest"] == hashlib.md5(b"abc").hexdigest()
 
 
-def test_decode_stubs_raise(spark):
+def test_decode_missing_decoder_modes(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], ["id", "bin"])
+    try:
+        import PIL.Image  # noqa: F401
+        pytest.skip("imaging library present; stub paths not reachable")
+    except ImportError:
+        pass
+    # default: graceful P12 error rows, no surprise exception
+    rows = decode_image(df, "id", "bin").collect()
+    assert [(r["id"], r["width"], r["error"]) for r in rows] == \
+        [(1, None, "DecoderMissing")]
+    # opt-in fail-fast
     with pytest.raises(NotImplementedError):
-        decode_image(df, "id", "bin")
+        decode_image(df, "id", "bin", missing_decoder="raise")
 
 
 def test_frame_sample_slices_and_strides(spark):

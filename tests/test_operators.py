@@ -516,3 +516,62 @@ def test_minhash_signature_table_matches_column_form(spark):
     a = {r.doc_id: r.sig for r in col_form.collect()}
     b = {r.doc_id: r.sig for r in table_form.collect()}
     assert a == b
+
+
+def test_simhash_signature_table_matches_column_form(spark):
+    """The vectorized simhash vote pass must be bit-identical to the
+    Column-expression reference form (pure integer arithmetic), including
+    the null-text -> null-signature and empty-token -> 0 edges."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        simhash_from_hashes, simhash_signature_table, portable_hash64,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box"), (3, ""),
+         (4, None), (5, "one")],
+        ["doc_id", "text"])
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    hashed = df.select(
+        "doc_id", F.transform(toks, portable_hash64).alias("__ht"))
+    col_form = {r.doc_id: r.sig for r in hashed.select(
+        "doc_id", simhash_from_hashes(F.col("__ht"), 60).alias("sig")
+    ).collect()}
+    table_form = {r.doc_id: r.sig for r in simhash_signature_table(
+        hashed, "doc_id", "__ht", 60).collect()}
+    assert col_form == table_form
+    assert table_form[4] is None  # null text propagates
+
+
+def test_approx_ntile_agreement_and_plan(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import approx_ntile
+    from pyspark.sql import Window
+
+    # deterministic skewed-ish values; unique -> no tie ambiguity
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id"),
+        ((F.col("id") * 2654435761) % 1000003).cast("double").alias("v"))
+    out = approx_ntile(df, "v", 10)
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    exact = df.select("id", F.ntile(10).over(w).cast("long").alias("t"))
+    joined = out.join(exact, "id")
+    agree = joined.filter(F.col("bucket") == F.col("t")).count()
+    assert agree >= 0.99 * n
+    # bucket domain + rough balance: every decile populated
+    sizes = {r["bucket"]: r["cnt"] for r in
+             out.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert set(sizes) == set(range(1, 11))
+    assert min(sizes.values()) >= 0.8 * n / 10
+
+    # the scale contract: NO sort, NO window anywhere in the operator's
+    # plan (exact ntile needs a global single-partition sort; the sketch
+    # path must not)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "Window" not in plan
+    assert "percentile_approx" in plan
+
+
+def test_approx_ntile_rejects_bad_n(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import approx_ntile
+    with pytest.raises(ValueError):
+        approx_ntile(spark.range(5), "id", 1)
