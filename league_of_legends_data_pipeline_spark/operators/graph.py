@@ -55,10 +55,12 @@ def connected_components(
     """
     e = pairs.select(F.col(src).cast("long").alias("src"),
                      F.col(dst).cast("long").alias("dst"))
-    edges = (
+    # materialize the deduped edge set ONCE at distinct's own (hash)
+    # partitioning — an explicit repartition("src") here would be a third
+    # full shuffle of the edges before the iteration even starts
+    edges0 = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .repartition(_par(pairs), "src")
         .localCheckpoint(eager=True)
     )
     # Size the ITERATION's partitioning to the graph, not the cluster
@@ -68,8 +70,8 @@ def connected_components(
     # partition keeps rounds single-digit-task on small graphs while
     # scaling out linearly on billion-edge ones. The count is free — the
     # checkpoint above just materialized the edges.
-    n = max(1, min(_par(pairs), edges.count() // 100_000 + 1))
-    edges = edges.repartition(n, "src").localCheckpoint(eager=True)
+    n = max(1, min(_par(pairs), edges0.count() // 100_000 + 1))
+    edges = edges0.repartition(n, "src").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("comp", F.col("node"))
