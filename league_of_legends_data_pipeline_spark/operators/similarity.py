@@ -519,3 +519,107 @@ def kmeans_refine(
         assigned = assign(v, cents)
     return assigned.select(F.col("__id").alias(id_col), "cluster",
                            F.round("cosine", 6).alias("cosine"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    centroid_stride: int = 64,
+    iterations: int = 2,
+    threshold: float = 0.35,
+    max_centroids: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with :func:`kmeans_refine`, then
+    inside each cluster drop every vector whose cosine to a smaller-id
+    cluster member is >= ``threshold``. Returns the survivors as
+    (``id_col``, cluster), one row per kept vector.
+
+    This is the composition the paper runs at web scale: the O(N²) cosine
+    comparison is confined to cluster blocks, and the cluster count C grows
+    with the corpus (kmeans_refine widens the seed stride only when C would
+    exceed ``max_centroids``), so expected block size stays ~``stride``
+    and total pair work is N * stride, linear in N for fixed stride. The
+    intra-cluster stage is one equi-join on cluster id — rows carry their
+    vector across that single shuffle, then all arithmetic is JVM
+    higher-order functions (sequential-fold dot, the engine-replicable
+    convention every similarity oracle here relies on). For very hot
+    clusters the BLAS route of :func:`cosine_near_dup_pairs_blocked` is the
+    drop-in replacement for the pair stage.
+
+    Greedy smallest-id-wins matches the paper's "keep one exemplar"
+    semantics deterministically: a vector survives iff no same-cluster
+    vector with a smaller id is within ``threshold``.
+    """
+    assigned = kmeans_refine(df, id_col, vec_col, dim=dim,
+                             centroid_stride=centroid_stride,
+                             iterations=iterations,
+                             max_centroids=max_centroids)
+    v = df.select(F.col(id_col).alias("__id"),
+                  _as_double(F.col(vec_col)).alias("__v"))
+    m = (assigned.select(F.col(id_col), F.col("cluster"))
+         .join(v, F.col(id_col) == F.col("__id"))
+         .select(F.col(id_col).alias("__mid"), "cluster",
+                 F.col("__v").alias("__mv"),
+                 l2_norm(F.col("__v")).alias("__mn")))
+    a = m.select(F.col("__mid").alias("__ida"), F.col("cluster").alias("__ca"),
+                 F.col("__mv").alias("__va"), F.col("__mn").alias("__na"))
+    b = m.select(F.col("__mid").alias("__idb"), F.col("cluster").alias("__cb"),
+                 F.col("__mv").alias("__vb"), F.col("__mn").alias("__nb"))
+    cos = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    dups = (a.join(b, (F.col("__ca") == F.col("__cb"))
+                      & (F.col("__idb") < F.col("__ida")))
+            .filter(cos >= F.lit(threshold))
+            .select(F.col("__ida").alias("__dup")).distinct())
+    return (assigned.select(F.col(id_col), F.col("cluster"))
+            .join(dups, F.col(id_col) == F.col("__dup"), "left_anti"))
+
+
+def jl_sign_matrix(dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix (Achlioptas 2003
+    database-friendly projections): entry (j, i) is +1 when the last hex
+    digit of md5("{seed}:{j}:{i}") is even, else -1. md5 of an explicit
+    string is engine-replicable, so an oracle can rebuild the exact matrix
+    in SQL — unlike a Gaussian matrix, which would pin results to one RNG.
+    """
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(f"{seed}:{j}:{i}".encode())
+                        .hexdigest()[-1], 16) % 2 == 0 else -1.0
+             for i in range(dim)]
+            for j in range(out_dim)]
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign random projection: maps ``vec_col``
+    (``dim`` floats) to ``out_dim`` doubles, proj[j] = dot(v, s_j) /
+    sqrt(out_dim) with s_j the ±1 rows of :func:`jl_sign_matrix`. Distances
+    are preserved within (1 ± eps) for out_dim = O(log N / eps²) — the
+    standard pre-step that makes downstream clustering / ANN / near-dup
+    O(out_dim) per distance instead of O(dim).
+
+    Scale shape: map-only. The (out_dim × dim) sign matrix is a plan
+    literal (broadcast with the closure); each output coordinate is one
+    sequential-fold dot over the input array — JVM higher-order functions,
+    no shuffle, no Python, no codegen blowup (HOF folds are loops, not
+    unrolled expression trees — the q44 cold-JIT lesson).
+
+    Returns (``id_col``, proj array<double>).
+    """
+    signs = jl_sign_matrix(dim, out_dim, seed)
+    scale = float(out_dim) ** 0.5
+    v = _as_double(F.col(vec_col))
+    proj = F.array(*[
+        (dot(v, F.array(*[F.lit(x) for x in row])) / F.lit(scale))
+        for row in signs
+    ])
+    return df.select(F.col(id_col), proj.alias("proj"))

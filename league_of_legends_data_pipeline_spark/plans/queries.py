@@ -3741,15 +3741,10 @@ _Q86_MEANS = ", ".join(
     f"round(avg(e[{i + 1}]), 9) AS m{i}" for i in range(64))
 _Q86_CENT1_LIST = "[" + ", ".join(f"m{i}" for i in range(64)) + "]"
 
-
-@_register(
-    "q86_kmeans_clusters",
-    f"""
-    -- deterministic 2-iteration Lloyd clustering: seed centroids =
-    -- vec_id %% 64 = 0, assign (cosine argmax, ties to smallest cid),
-    -- recompute element-wise means (rounded 9dp), re-assign; report
-    -- cluster sizes and mean member cosine.
-    WITH v AS (
+# Shared CTE chain replicating kmeans_refine (seed -> assign -> mean ->
+# re-assign); ends at a2 = (vec_id, cid, cos), each vector's final cluster.
+# Used by q86 (cluster summary) and q101 (SemDeDup composition).
+_KMEANS_A2_CTE = f"""WITH v AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         FROM embeddings
     ), n AS (
@@ -3784,7 +3779,17 @@ _Q86_CENT1_LIST = "[" + ", ".join(f"m{i}" for i in range(64)) + "]"
                        / (n.nrm * c1.cn) DESC, c1.cid) AS rn
             FROM n, c1
         ) WHERE rn = 1
-    )
+    )"""
+
+
+@_register(
+    "q86_kmeans_clusters",
+    f"""
+    -- deterministic 2-iteration Lloyd clustering: seed centroids =
+    -- vec_id %% 64 = 0, assign (cosine argmax, ties to smallest cid),
+    -- recompute element-wise means (rounded 9dp), re-assign; report
+    -- cluster sizes and mean member cosine.
+    {_KMEANS_A2_CTE}
     SELECT cid AS cluster, count(*) AS n_members,
            CAST(round(sum(CAST(round(cos * 1000000) AS BIGINT))
                       / (count(*) * 1000000.0), 6) AS DOUBLE) AS mean_cosine
@@ -4558,3 +4563,124 @@ def q100_approx_ntile_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("agree_ok"),
         )
     )
+
+
+@_register(
+    "q101_semantic_dedup",
+    f"""
+    -- SemDeDup composition: k-means topic clusters (the q86 chain), then
+    -- inside each cluster drop any vector with cosine >= 0.35 to a
+    -- smaller-id member; survivors keep (vec_id, cluster).
+    {_KMEANS_A2_CTE}
+    , m AS (
+        SELECT a2.vec_id, a2.cid, n.e, n.nrm
+        FROM a2 JOIN n ON a2.vec_id = n.vec_id
+    ), dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id
+        WHERE list_sum(list_transform(range(1, 65),
+                  i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))
+              / (a.nrm * b.nrm) >= 0.35
+    )
+    SELECT vec_id, cid AS cluster FROM a2
+    WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+    ORDER BY vec_id
+    """,
+    doc="Semantic deduplication (operators/similarity.py::semantic_dedup — "
+        "SemDeDup, Abbas et al. 2023): kmeans_refine topic clusters confine "
+        "the O(N^2) cosine stage to cluster blocks (expected block size ~ "
+        "seed stride, so pair work is linear in N); greedy smallest-id-wins "
+        "exemplar per dup set. One equi-join shuffle on cluster id; "
+        "sequential-fold dots keep the arithmetic oracle-replicable.",
+)
+def q101_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(embeddings, "vec_id", "embedding", dim=64,
+                          centroid_stride=64, iterations=2,
+                          threshold=0.35).orderBy("vec_id")
+
+
+# DuckDB rendering of operators/similarity.py::jl_sign_matrix(64, 16): +1
+# when the last hex digit of md5("42:{j}:{i}") is even, else -1.
+_Q102_SGN = ("CASE WHEN CAST(('0x' || substr(md5('42:' || CAST(j AS VARCHAR)"
+             " || ':' || CAST(i AS VARCHAR)), 32, 1)) AS INT) % 2 = 0"
+             " THEN 1.0 ELSE -1.0 END")
+
+
+@_register(
+    "q102_jl_projection_distortion",
+    f"""
+    -- Johnson-Lindenstrauss sign projection 64 -> 16 dims; report original
+    -- vs projected L2 distance per sampled pair (vec_id % 25 = 0) — the
+    -- distance-preservation harness for the dim-reduction operator.
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+        WHERE vec_id % 25 = 0
+    ), sgn AS (
+        SELECT j, list(s ORDER BY i) AS s FROM (
+            SELECT j, i, {_Q102_SGN} AS s
+            FROM range(16) tj(j), range(64) ti(i)
+        ) GROUP BY j
+    ), proj AS (
+        SELECT v.vec_id, sgn.j,
+               list_sum(list_transform(range(1, 65),
+                   i -> v.e[CAST(i AS INT)] * sgn.s[CAST(i AS INT)])) / 4.0 AS p
+        FROM v, sgn
+    ), pv AS (
+        SELECT vec_id, list(p ORDER BY j) AS pe FROM proj GROUP BY vec_id
+    ), m AS (
+        SELECT v.vec_id, v.e, pv.pe FROM v JOIN pv ON v.vec_id = pv.vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(round(sqrt(list_sum(list_transform(range(1, 65),
+                i -> (a.e[CAST(i AS INT)] - b.e[CAST(i AS INT)])
+                   * (a.e[CAST(i AS INT)] - b.e[CAST(i AS INT)])))), 6)
+                AS DOUBLE) AS d_orig,
+           CAST(round(sqrt(list_sum(list_transform(range(1, 17),
+                j -> (a.pe[CAST(j AS INT)] - b.pe[CAST(j AS INT)])
+                   * (a.pe[CAST(j AS INT)] - b.pe[CAST(j AS INT)])))), 6)
+                AS DOUBLE) AS d_proj
+    FROM m a JOIN m b ON a.vec_id < b.vec_id
+    ORDER BY id_a, id_b
+    """,
+    doc="JL dimensionality reduction (operators/similarity.py::"
+        "random_projection, Achlioptas-style +-1 signs from md5 so the "
+        "matrix is engine-replicable): map-only, no shuffle, no Python — "
+        "each projected coordinate is one sequential-fold HOF dot. The "
+        "harness compares original vs projected pairwise L2 on a "
+        "hash-chosen probe set; per-row 6dp rounding keeps it exact "
+        "cross-engine (no aggregation-order sensitivity).",
+)
+def q102_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        random_projection,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    sampled = embeddings.filter(F.col("vec_id") % 25 == 0)
+    pe = random_projection(sampled, "vec_id", "embedding", dim=64, out_dim=16)
+    m = (sampled.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+         .join(pe, "vec_id"))
+
+    def l2d(x, y):
+        return F.sqrt(F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0), lambda acc, z: acc + z))
+
+    a = m.select(F.col("vec_id").alias("id_a"), F.col("e").alias("__ea"),
+                 F.col("proj").alias("__pa"))
+    b = m.select(F.col("vec_id").alias("id_b"), F.col("e").alias("__eb"),
+                 F.col("proj").alias("__pb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(l2d(F.col("__ea"), F.col("__eb")), 6)
+                     .alias("d_orig"),
+                    F.round(l2d(F.col("__pa"), F.col("__pb")), 6)
+                     .alias("d_proj"))
+            .orderBy("id_a", "id_b"))

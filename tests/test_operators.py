@@ -575,3 +575,101 @@ def test_approx_ntile_rejects_bad_n(spark):
     from league_of_legends_data_pipeline_spark.operators.sampling import approx_ntile
     with pytest.raises(ValueError):
         approx_ntile(spark.range(5), "id", 1)
+
+
+# --- semantic dedup + JL projection ---------------------------------------
+
+def test_semantic_dedup_drops_within_cluster_dups(spark):
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # three axis-aligned groups; ids 0,4,8 seed the clusters (stride 4).
+    # Within a group vectors are near-identical (cosine ~1); across groups
+    # orthogonal (cosine 0) — so exactly the smallest id per group survives.
+    def vec(axis, eps):
+        v = [eps] * 4
+        v[axis] = 1.0
+        return v
+
+    rows = [(i, vec(i % 3, 0.01 * (i // 3))) for i in range(9)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, dim=4, centroid_stride=4, iterations=2,
+                         threshold=0.9)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    # one survivor per axis-group, and it is that group's smallest id
+    assert sorted(got) == [0, 1, 2]
+    # survivors all kept their assigned cluster id (a long)
+    assert all(isinstance(c, int) for c in got.values())
+
+
+def test_semantic_dedup_keeps_everything_below_threshold(spark):
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # mutually orthogonal vectors: nothing is a duplicate at any threshold
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, dim=4, centroid_stride=2, iterations=2,
+                         threshold=0.5)
+    assert sorted(r["vec_id"] for r in out.collect()) == [0, 1, 2, 3]
+
+
+def test_jl_sign_matrix_deterministic_and_balanced():
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        jl_sign_matrix,
+    )
+
+    m1 = jl_sign_matrix(64, 16)
+    m2 = jl_sign_matrix(64, 16)
+    assert m1 == m2
+    assert len(m1) == 16 and all(len(r) == 64 for r in m1)
+    flat = [x for r in m1 for x in r]
+    assert set(flat) == {1.0, -1.0}
+    # md5 parity should be roughly balanced (binomial, 1024 draws)
+    plus = sum(1 for x in flat if x > 0)
+    assert 400 < plus < 624
+
+
+def test_random_projection_maponly_and_distance_preserving(spark):
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        random_projection,
+    )
+
+    # deterministic pseudo-random vectors (no RNG: hash-derived)
+    import hashlib
+
+    def hv(i, dim):
+        return [((int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+                  % 1000) / 500.0) - 1.0 for j in range(dim)]
+
+    rows = [(i, hv(i, 64)) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = random_projection(df, dim=64, out_dim=16)
+    got = {r["vec_id"]: list(r["proj"]) for r in out.collect()}
+    assert len(got) == 40 and all(len(p) == 16 for p in got.values())
+
+    # determinism across invocations
+    got2 = {r["vec_id"]: list(r["proj"])
+            for r in random_projection(df, dim=64, out_dim=16).collect()}
+    assert got == got2
+
+    # map-only contract: no shuffle in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # JL property (loose): projected pairwise distance within 2x of the
+    # original for the bulk of pairs at out_dim=16
+    import math
+    ids = sorted(got)
+    ok = total = 0
+    orig = {i: rows[i][1] for i in ids}
+    for x in range(0, 40, 5):
+        for y in range(x + 5, 40, 5):
+            do = math.dist(orig[x], orig[y])
+            dp = math.dist(got[x], got[y])
+            total += 1
+            if 0.5 * do <= dp <= 2.0 * do:
+                ok += 1
+    assert ok >= 0.9 * total
