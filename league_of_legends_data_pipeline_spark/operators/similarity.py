@@ -475,8 +475,12 @@ def kmeans_refine(
     matrix. Fixed iteration count keeps the whole computation a
     deterministic, oracle-checkable plan.
     """
+    # one up-front spread of the (id, vector) rows: assignment itself is
+    # map-only, so without this the whole fold would run in as few tasks
+    # as the source has input splits (one, for a single parquet file)
     v = df.select(F.col(id_col).alias("__id"),
-                  _as_double(F.col(vec_col)).alias("__v"))
+                  _as_double(F.col(vec_col)).alias("__v")) \
+          .repartition(_par(df), F.col("__id"))
     # Bound the driver-side centroid matrix: at a fixed stride C = N/stride
     # grows with the corpus, so widen the stride until C <= max_centroids.
     # The count is one columnless scan (parquet row-group metadata); at
@@ -490,24 +494,45 @@ def kmeans_refine(
     spark = df.sparkSession
 
     def assign(frame: DataFrame, centroids: list[tuple[int, list[float]]]):
-        # broadcast the C centroids, HOF dot per (row, centroid), argmax
-        # via max_by on (cos, -cid) — exact ties go to the smallest cid.
-        # (An in-row unrolled when-chain avoids this shuffle but its
-        # C x dim expression tree blows up analysis/codegen time.)
+        # MAP-ONLY argmax: the C centroids travel as ONE broadcast row
+        # holding an array<struct<cid,ce,cn>> (data-plane, so the plan
+        # stays small at C=4096 — an unrolled when-chain or a literal
+        # array would put C x dim constants into analysis/codegen), and
+        # each vector scores them in-row. Struct max on (cos, -cid) keeps
+        # the smallest cid on exact ties — the same winner as the previous
+        # groupBy(max_by(cos, -cid)) form and the oracle's
+        # row_number(ORDER BY cos DESC, cid). Replaces the old
+        # crossJoin -> groupBy(__id) assignment, which re-shuffled N x C
+        # vector-carrying rows per iteration — the one part of this
+        # operator that did NOT survive the 100 TB test.
+        import math
+
+        rows = []
+        for cid, ce in sorted(centroids):
+            # centroid norm, folded sequentially in index order — the same
+            # IEEE op sequence the engines' folds produce, so precomputing
+            # it here cannot perturb a single bit
+            acc = 0.0
+            for x in ce:
+                acc += float(x) * float(x)
+            rows.append((int(cid), [float(x) for x in ce], math.sqrt(acc)))
         cent_df = spark.createDataFrame(
-            [(cid, [float(x) for x in ce]) for cid, ce in sorted(centroids)],
-            "cid long, ce array<double>")
-        pairs = frame.crossJoin(F.broadcast(cent_df))
-        cos = dot(F.col("__v"), F.col("ce")) / \
-            (l2_norm(F.col("__v")) * l2_norm(F.col("ce")))
-        key = F.struct(F.col("__cos").alias("c"), (-F.col("cid")).alias("t"))
-        return (pairs.withColumn("__cos", cos)
-                .groupBy("__id")
-                .agg(F.max_by(F.struct(F.col("cid").alias("cluster"),
-                                       F.col("__cos").alias("cosine")),
-                              key).alias("b"),
-                     F.first("__v").alias("__v"))
-                .select("__id", "__v", "b.cluster", "b.cosine"))
+            [(rows,)],
+            "cents array<struct<cid: bigint, ce: array<double>, cn: double>>")
+        # each cosine computed exactly ONCE (transform), then one max pass;
+        # struct max on (c, -cid) resolves exact ties to the smallest cid
+        scored = F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                (dot(F.col("__v"), s["ce"]) / (F.col("__nv") * s["cn"]))
+                .alias("c"),
+                (-s["cid"]).alias("t")))
+        return (frame.withColumn("__nv", l2_norm(F.col("__v")))
+                .crossJoin(F.broadcast(cent_df))
+                .withColumn("__b", F.array_max(scored))
+                .select("__id", "__v",
+                        (-F.col("__b.t")).alias("cluster"),
+                        F.col("__b.c").alias("cosine")))
 
     assigned = assign(v, cents)
     for _ in range(iterations - 1):

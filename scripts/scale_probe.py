@@ -40,6 +40,11 @@ PROBE_QUERIES = [
     "q44_dedup_clusters",
     "q82_lsh_recall",
     "q98_signlsh_recall",
+    # SemDeDup composition: pair work must stay ~linear (cluster count
+    # grows with N at fixed stride). q102's harness is excluded: its
+    # probe-pair set is quadratic in the sample by design; the operator
+    # itself (random_projection) is a map-only scan.
+    "q101_semantic_dedup",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -673,3 +673,29 @@ def test_random_projection_maponly_and_distance_preserving(spark):
             if 0.5 * do <= dp <= 2.0 * do:
                 ok += 1
     assert ok >= 0.9 * total
+
+
+def test_kmeans_refine_assignment_is_maponly(spark):
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(4)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_refine(df, dim=4, centroid_stride=8, iterations=2)
+    got = {r["vec_id"]: (r["cluster"], r["cosine"]) for r in out.collect()}
+    assert len(got) == 40
+    assert set(c for c, _ in got.values()) <= {0, 8, 16, 24, 32}
+    assert all(-1.0 - 1e-9 <= cos <= 1.0 + 1e-9 for _, cos in got.values())
+
+    # the 100 TB contract: assignment is an in-row fold over ONE broadcast
+    # centroid row. The final plan's only hash shuffle is the deliberate
+    # up-front spread of the (id, vector) rows (input-split independence);
+    # the N x C expansion itself never crosses an exchange (the mean steps
+    # are materialized by collect() before this plan runs).
+    # AQE appends "== Initial Plan ==" — count nodes in the final section only
+    plan = out._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan
