@@ -26,7 +26,7 @@ def _export_order() -> list[str]:
     """Order queries so the least-recently-oracle-verified come first.
 
     Round 1 showed the driver's correctness gate records rows for a bounded
-    prefix of ``queries()`` (50 of the declared set). All 101 pass the local
+    prefix of ``queries()`` (50 of the declared set). All 102 pass the local
     mirror (scripts/check_parity.py); to turn that into hard driver signal,
     export never-verified queries first and rotate by the round each query
     last passed in, so cumulative CORRECTNESS_r*.json coverage reaches the

@@ -462,3 +462,47 @@ def ngram_jaccard_pairs(
         & (F.abs(F.col("len_a") - F.col("len_b")) <= length_tolerance)
     )
     return jaccard_verified_pairs(cands, "sh_a", "sh_b", threshold)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 30,
+    min_docs: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact duplicated-substring detection: every length-``span_len``
+    character window of every document, grouped by content; spans seen in
+    >= ``min_docs`` distinct documents come back as (span, n_docs, n_occ).
+
+    The windowed form of exact substring dedup ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022 — the suffix-array
+    formulation): a fixed window at every offset finds every cross-document
+    duplicated run of length >= span_len (any such run contains at least
+    one aligned window), trading the suffix array's arbitrary-length output
+    for a shuffle-friendly plan. Everything stays in JVM codegen:
+    sequence -> transform(substr) -> explode, then one groupBy with partial
+    aggregation. Shuffle rows are (span_len chars, id) — never documents.
+
+    100 TB levers, in order: raise ``stride`` (windows at every s-th
+    offset still catch every run >= span_len + s - 1), hash the span into the
+    grouping key and keep one exemplar string via first(), or pre-filter
+    with a frequency sketch so only candidate hashes shuffle. The
+    every-offset exact form here is the ground-truth dual the stride/
+    sketch variants are measured against.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    n = F.length(F.col(text_col)) - (span_len - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))) \
+        .otherwise(F.array_repeat(F.lit(1), 0))
+    spans = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.transform(
+            idx, lambda i: F.col(text_col).substr(i, F.lit(span_len))
+        )).alias("span"))
+    return (spans.groupBy("span")
+            .agg(F.countDistinct("__id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_docs") >= min_docs))

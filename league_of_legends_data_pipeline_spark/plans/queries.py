@@ -3430,24 +3430,28 @@ def q80_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q81_multiformat_sources",
     """
-    -- multi-format source parity: the same events served from CSV and
-    -- JSON files must aggregate identically to the parquet source.
+    -- multi-format source parity: the same events served from CSV, JSON
+    -- and ORC files must aggregate identically to the parquet source.
     SELECT fmt, event_type, count(*) AS n,
            CAST(round(sum(value), 4) AS DOUBLE) AS total_value
     FROM (
       SELECT 'csv' AS fmt, event_type, value FROM events
       UNION ALL
       SELECT 'json' AS fmt, event_type, value FROM events
+      UNION ALL
+      SELECT 'orc' AS fmt, event_type, value FROM events
     ) u
     GROUP BY fmt, event_type
     ORDER BY fmt, event_type
     """,
     doc="Source-format coverage (SURVEY S1/K1 beyond parquet): the query "
-        "round-trips the events table through Spark's CSV and JSON "
-        "writers, reads both back with explicit schemas (no inference on "
-        "the hot path), and proves value-exact parity against the "
-        "parquet-derived oracle. Doubles survive both text formats "
-        "because Spark writes shortest-round-trip representations.",
+        "round-trips the events table through Spark's CSV, JSON and ORC "
+        "writers, reads all three back with explicit schemas (no inference "
+        "on the hot path), and proves value-exact parity against the "
+        "parquet-derived oracle. Doubles survive the text formats because "
+        "Spark writes shortest-round-trip representations; ORC is binary "
+        "columnar (exact by construction) and exercises the second "
+        "vectorized columnar reader path.",
 )
 def q81_multiformat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -3457,16 +3461,20 @@ def q81_multiformat_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset = events.select("event_id", "event_type", "value")
     work = tempfile.mkdtemp(prefix="q81_")
     csv_dir, json_dir = os.path.join(work, "csv"), os.path.join(work, "json")
+    orc_dir = os.path.join(work, "orc")
     subset.write.mode("overwrite").option("header", "true").csv(csv_dir)
     subset.write.mode("overwrite").json(json_dir)
+    subset.write.mode("overwrite").orc(orc_dir)
 
     schema = "event_id long, event_type string, value double"
     from_csv = (spark.read.schema(schema).option("header", "true").csv(csv_dir)
                 .select(F.lit("csv").alias("fmt"), "event_type", "value"))
     from_json = (spark.read.schema(schema).json(json_dir)
                  .select(F.lit("json").alias("fmt"), "event_type", "value"))
+    from_orc = (spark.read.schema(schema).orc(orc_dir)
+                .select(F.lit("orc").alias("fmt"), "event_type", "value"))
     return (
-        from_csv.unionByName(from_json)
+        from_csv.unionByName(from_json).unionByName(from_orc)
         .groupBy("fmt", "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
              F.round(F.sum("value"), 4).alias("total_value"))
@@ -4684,3 +4692,40 @@ def q102_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
                     F.round(l2d(F.col("__pa"), F.col("__pb")), 6)
                      .alias("d_proj"))
             .orderBy("id_a", "id_b"))
+
+
+@_register(
+    "q103_duplicated_spans",
+    """
+    -- exact duplicated-substring detection (windowed form of Lee et al.
+    -- 2022 suffix-array dedup): all 30-char windows at every offset,
+    -- grouped by content; spans appearing in >= 2 distinct documents.
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 29, 0) + 1),
+                 i -> substr(text, CAST(i AS INT), 30))) AS span
+      FROM documents
+    )
+    SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+    FROM w GROUP BY span
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span
+    LIMIT 100
+    """,
+    doc="Exact cross-document duplicated-substring detection "
+        "(operators/dedup.py::duplicated_spans): JVM-only "
+        "sequence->transform(substr)->explode windowing, one partial-agg "
+        "groupBy; shuffle rows are (30 chars, id), never documents. The "
+        "stride/sketch variants documented in the operator are the 100 TB "
+        "path; this every-offset form is their exact ground truth.",
+)
+def q103_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (duplicated_spans(documents, "doc_id", "text",
+                             span_len=30, min_docs=2)
+            .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
+            .limit(100))
