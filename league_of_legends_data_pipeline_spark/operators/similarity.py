@@ -465,31 +465,33 @@ def kmeans_refine(
     the last ulp nondeterministic, and an unrounded centroid could flip an
     argmax tie between runs/engines.
 
-    Scale shape per round: one broadcast of C centroids (C <= ``max_centroids``
-    enforced — the stride widens with N so the driver never holds more than a
-    fixed C x dim matrix), an
-    N x C scored expansion collapsed by a max_by aggregate (partial
-    aggregation keeps the shuffle at one row per vector), and one
+    Scale shape per round: one broadcast of the C centroids (C <=
+    ``max_centroids`` enforced — the stride widens with N so the driver
+    never holds more than a fixed C x dim matrix) as a single row, a
+    MAP-ONLY in-row argmax over them (no shuffle touches the N x C
+    expansion — each vector scores all C centroids where it sits), and one
     groupBy(cluster) whose element-wise mean is ``dim`` aggregate
-    expressions — C rows of state. Driver holds only the C x dim centroid
-    matrix. Fixed iteration count keeps the whole computation a
-    deterministic, oracle-checkable plan.
+    expressions — C rows of state through that only exchange. Driver holds
+    only the C x dim centroid matrix. Fixed iteration count keeps the
+    whole computation a deterministic, oracle-checkable plan.
     """
-    # one up-front spread of the (id, vector) rows: assignment itself is
-    # map-only, so without this the whole fold would run in as few tasks
-    # as the source has input splits (one, for a single parquet file)
-    v = df.select(F.col(id_col).alias("__id"),
-                  _as_double(F.col(vec_col)).alias("__v")) \
-          .repartition(_par(df), F.col("__id"))
+    base = df.select(F.col(id_col).alias("__id"),
+                     _as_double(F.col(vec_col)).alias("__v"))
     # Bound the driver-side centroid matrix: at a fixed stride C = N/stride
     # grows with the corpus, so widen the stride until C <= max_centroids.
     # The count is one columnless scan (parquet row-group metadata); at
     # test scales (N <= stride * max_centroids) the stride is unchanged,
     # so the oracle's literal `id % stride = 0` seeding still matches.
-    n = v.count()
+    # Count and seed-collect run on the pre-shuffle frame (scan-only).
+    n = base.count()
     stride = max(centroid_stride, -(-n // max_centroids))  # ceil div
     cents = [(int(r["__id"]), list(r["__v"])) for r in
-             v.filter(F.col("__id") % stride == 0).collect()]
+             base.filter(F.col("__id") % stride == 0).collect()]
+    # one up-front spread of the (id, vector) rows for the iteration path:
+    # assignment itself is map-only, so without this the whole scoring
+    # loop would run in as few tasks as the source has input splits (one,
+    # for a single parquet file)
+    v = base.repartition(_par(df), F.col("__id"))
 
     spark = df.sparkSession
 
