@@ -4685,7 +4685,10 @@ def q102_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
                  F.col("proj").alias("__pa"))
     b = m.select(F.col("vec_id").alias("id_b"), F.col("e").alias("__eb"),
                  F.col("proj").alias("__pb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
+    # the probe set is tiny by construction — broadcast one side so the
+    # pair expansion is a BroadcastNestedLoopJoin, never a shuffled
+    # CartesianProduct
+    return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
                     F.round(l2d(F.col("__ea"), F.col("__eb")), 6)
                      .alias("d_orig"),
