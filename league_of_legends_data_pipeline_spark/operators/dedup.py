@@ -471,6 +471,7 @@ def duplicated_spans(
     span_len: int = 30,
     min_docs: int = 2,
     stride: int = 1,
+    hash_spans: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring detection: every length-``span_len``
     character window of every document, grouped by content; spans seen in
@@ -486,8 +487,9 @@ def duplicated_spans(
     aggregation. Shuffle rows are (span_len chars, id) — never documents.
 
     100 TB levers, in order: raise ``stride`` (windows at every s-th
-    offset still catch every run >= span_len + s - 1), hash the span into the
-    grouping key and keep one exemplar string via first(), or pre-filter
+    offset still catch every run >= span_len + s - 1), hash the span into
+    the grouping key keeping one exemplar string (``hash_spans=True`` —
+    8-byte shuffle keys), or pre-filter
     with a frequency sketch so only candidate hashes shuffle. The
     every-offset exact form here is the ground-truth dual the stride/
     sketch variants are measured against.
@@ -502,6 +504,19 @@ def duplicated_spans(
         F.explode(F.transform(
             idx, lambda i: F.col(text_col).substr(i, F.lit(span_len))
         )).alias("span"))
+    if hash_spans:
+        # scale lever #2: group on an 8-byte xxhash64 instead of the
+        # span_len-char string — the shuffle carries (8 bytes, id) and one
+        # exemplar string rides along via first(). Collision probability
+        # is ~n_windows²/2⁶⁵ (birthday bound on 64 bits) — negligible for
+        # duplicate DETECTION; use the exact form when a false merge is
+        # unacceptable.
+        return (spans.groupBy(F.xxhash64("span").alias("span_hash"))
+                .agg(F.first("span").alias("span"),
+                     F.countDistinct("__id").alias("n_docs"),
+                     F.count(F.lit(1)).alias("n_occ"))
+                .filter(F.col("n_docs") >= min_docs)
+                .select("span", "n_docs", "n_occ"))
     return (spans.groupBy("span")
             .agg(F.countDistinct("__id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occ"))

@@ -738,3 +738,19 @@ def test_duplicated_spans_exact_and_stride(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         duplicated_spans(df, stride=0)
+
+
+def test_duplicated_spans_hashed_matches_exact(spark):
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    shared = "one common run that is well past thirty characters long"
+    rows = [(i, f"doc{i} prefix {shared} suffix {i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["span"], r["n_docs"], r["n_occ"])
+             for r in duplicated_spans(df, span_len=30).collect()}
+    hashed = {(r["span"], r["n_docs"], r["n_occ"])
+              for r in duplicated_spans(df, span_len=30,
+                                        hash_spans=True).collect()}
+    assert exact == hashed and len(exact) > 0
