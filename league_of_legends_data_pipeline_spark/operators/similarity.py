@@ -557,6 +557,7 @@ def semantic_dedup(
     iterations: int = 2,
     threshold: float = 0.35,
     max_centroids: int = 4096,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the corpus with :func:`kmeans_refine`, then
@@ -579,14 +580,27 @@ def semantic_dedup(
     Greedy smallest-id-wins matches the paper's "keep one exemplar"
     semantics deterministically: a vector survives iff no same-cluster
     vector with a smaller id is within ``threshold``.
+
+    ``max_cluster_size`` is the hot-cluster safety valve (the analogue of
+    LSH's ``max_bucket_size``): a cluster larger than the cap skips the
+    pair stage entirely — its members all SURVIVE (conservative: never
+    drops without comparing) — so one degenerate centroid cannot go
+    quadratic. Default None compares every cluster (the exact paper
+    semantics, and what the q101 oracle replays).
     """
     assigned = kmeans_refine(df, id_col, vec_col, dim=dim,
                              centroid_stride=centroid_stride,
                              iterations=iterations,
                              max_centroids=max_centroids)
+    sized = assigned.select(F.col(id_col), F.col("cluster"))
+    if max_cluster_size is not None:
+        csize = Window.partitionBy("cluster")
+        sized = (sized.withColumn("__csz", F.count(F.lit(1)).over(csize))
+                 .filter(F.col("__csz") <= max_cluster_size)
+                 .drop("__csz"))
     v = df.select(F.col(id_col).alias("__id"),
                   _as_double(F.col(vec_col)).alias("__v"))
-    m = (assigned.select(F.col(id_col), F.col("cluster"))
+    m = (sized
          .join(v, F.col(id_col) == F.col("__id"))
          .select(F.col(id_col).alias("__mid"), "cluster",
                  F.col("__v").alias("__mv"),

@@ -754,3 +754,33 @@ def test_duplicated_spans_hashed_matches_exact(spark):
               for r in duplicated_spans(df, span_len=30,
                                         hash_spans=True).collect()}
     assert exact == hashed and len(exact) > 0
+
+
+def test_semantic_dedup_hot_cluster_cap_is_conservative(spark):
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # one big group of near-identical vectors (cluster of 6) + one pair
+    def vec(axis, eps):
+        v = [eps] * 4
+        v[axis] = 1.0
+        return v
+
+    rows = [(i, vec(0, 0.001 * i)) for i in range(6)] + \
+           [(6, vec(1, 0.0)), (7, vec(1, 0.001))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # uncapped: each cluster keeps exactly its smallest id
+    full = sorted(r["vec_id"] for r in
+                  semantic_dedup(df, dim=4, centroid_stride=6, iterations=2,
+                                 threshold=0.9).collect())
+    assert full == [0, 6]
+
+    # cap below the big cluster's size: its 6 members all survive
+    # (conservative skip), the small cluster still dedups
+    capped = sorted(r["vec_id"] for r in
+                    semantic_dedup(df, dim=4, centroid_stride=6, iterations=2,
+                                   threshold=0.9,
+                                   max_cluster_size=4).collect())
+    assert capped == [0, 1, 2, 3, 4, 5, 6]
