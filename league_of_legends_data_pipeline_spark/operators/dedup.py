@@ -521,3 +521,59 @@ def duplicated_spans(
             .agg(F.countDistinct("__id").alias("n_docs"),
                  F.count(F.lit(1)).alias("n_occ"))
             .filter(F.col("n_docs") >= min_docs))
+
+
+def span_dedup_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 30,
+    stride: int = 1,
+    max_dup_fraction: float = 0.5,
+) -> DataFrame:
+    """Drop documents whose fraction of windows duplicated ACROSS documents
+    exceeds ``max_dup_fraction`` — the filter step of exact-substring dedup
+    (Lee et al. 2022 remove duplicated text; this is the document-level
+    policy form: a doc that is mostly boilerplate/copy goes entirely).
+
+    Composition of :func:`duplicated_spans`: windows whose content appears
+    in >= 2 distinct documents are "duplicated"; each document's duplicated
+    fraction = duplicated windows / total windows. Documents shorter than
+    ``span_len`` have no windows and are always kept (nothing to judge).
+
+    Scale shape: the window relation is built ONCE and reused for both the
+    cross-document span counts and the per-document totals (same
+    sequence->transform->explode lineage); the only added shuffle beyond
+    duplicated_spans is the per-document fraction aggregate, whose rows are
+    (id, two longs). Returns the surviving rows of ``df`` plus their
+    ``dup_fraction``.
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    n = F.length(F.col(text_col)) - (span_len - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))) \
+        .otherwise(F.array_repeat(F.lit(1), 0))
+    windows = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.transform(
+            idx, lambda i: F.col(text_col).substr(i, F.lit(span_len))
+        )).alias("span"))
+    dup_spans = (windows.groupBy("span")
+                 .agg(F.countDistinct("__id").alias("__nd"))
+                 .filter(F.col("__nd") >= 2)
+                 .select("span"))
+    per_doc = (windows.join(dup_spans.withColumn("__dup", F.lit(1)),
+                            "span", "left")
+               .groupBy("__id")
+               .agg(F.count(F.lit(1)).alias("__total"),
+                    F.sum(F.coalesce(F.col("__dup"), F.lit(0)))
+                     .alias("__dupn")))
+    frac = (per_doc.select(
+        F.col("__id"),
+        (F.col("__dupn") / F.col("__total")).alias("dup_fraction")))
+    return (df.join(frac, df[id_col] == frac["__id"], "left")
+            .filter(F.col("dup_fraction").isNull()
+                    | (F.col("dup_fraction") <= max_dup_fraction))
+            .drop("__id")
+            .withColumn("dup_fraction",
+                        F.coalesce(F.col("dup_fraction"), F.lit(0.0))))

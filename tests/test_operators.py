@@ -784,3 +784,26 @@ def test_semantic_dedup_hot_cluster_cap_is_conservative(spark):
                                    threshold=0.9,
                                    max_cluster_size=4).collect())
     assert capped == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_span_dedup_filter_drops_mostly_duplicated_docs(spark):
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        span_dedup_filter,
+    )
+
+    boiler = "this exact boilerplate paragraph is repeated verbatim in many documents"
+    rows = [
+        (1, boiler),                                   # 100% duplicated
+        (2, boiler),                                   # 100% duplicated
+        (3, boiler + " but with a long unique tail that goes on and on and on, diluting the duplicated prefix far below the cutoff threshold for sure"),
+        (4, "a fully unique document that shares nothing with the others at all"),
+        (5, "tiny"),                                   # < span_len: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["dup_fraction"]
+           for r in span_dedup_filter(df, span_len=30,
+                                      max_dup_fraction=0.5).collect()}
+    assert 1 not in out and 2 not in out          # pure boilerplate dropped
+    assert 3 in out and 0.0 < out[3] <= 0.5       # diluted copy survives
+    assert out[4] == 0.0                          # unique doc untouched
+    assert out[5] == 0.0                          # short doc always kept
