@@ -45,6 +45,9 @@ PROBE_QUERIES = [
     # probe-pair set is quadratic in the sample by design; the operator
     # itself (random_projection) is a map-only scan.
     "q101_semantic_dedup",
+    # windowed exact-substring dedup: window count ∝ total characters,
+    # so the factor must track the data ratio
+    "q103_duplicated_spans",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
