@@ -289,3 +289,43 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_digest"),
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Cheap corpus-LM quality score (the CCNet/Gopher-style filter rung
+    below a real LM): fit an add-``alpha`` smoothed unigram model on the
+    corpus ITSELF, then score each document by the mean negative log2
+    probability of its tokens. Typical prose scores near the corpus
+    average; gibberish, boilerplate floods, and wrong-language documents
+    land in the tails, which is exactly what the filter thresholds on.
+
+    Returns (``id_col``, n_tokens, mean_neg_logprob).
+
+    Scale shape: one token explode (map-side), one groupBy(token) with
+    partial aggregation for the model counts (shuffle rows are (token,
+    long)), one equi-join of tokens to their counts, one per-document
+    aggregate. The two model scalars (total token count, vocabulary size)
+    are bounded driver metadata — the model itself never leaves the
+    cluster, unlike a broadcast-vocabulary design that would cap V by
+    driver memory.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__tok"))
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    stats = counts.agg(F.sum("__c").alias("t"),
+                       F.count(F.lit(1)).alias("v")).first()
+    total, vocab = int(stats["t"] or 0), int(stats["v"] or 0)
+    denom = float(total) + alpha * vocab
+    logp = F.log2((F.col("__c") + F.lit(alpha)) / F.lit(denom))
+    return (toks.join(counts, "__tok")
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg(-logp), 6).alias("mean_neg_logprob"))
+            .select(F.col("__id").alias(id_col), "n_tokens",
+                    "mean_neg_logprob"))

@@ -807,3 +807,26 @@ def test_span_dedup_filter_drops_mostly_duplicated_docs(spark):
     assert 3 in out and 0.0 < out[3] <= 0.5       # diluted copy survives
     assert out[4] == 0.0                          # unique doc untouched
     assert out[5] == 0.0                          # short doc always kept
+
+
+def test_unigram_logprob_scores_hand_oracle(spark):
+    import math
+
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    rows = [(1, "a a b"), (2, "zzz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_neg_logprob"])
+           for r in unigram_logprob_scores(df, alpha=0.5).collect()}
+
+    # corpus counts: a=2, b=1, zzz=1; total=4, V=3; denom = 4 + 0.5*3
+    denom = 4 + 0.5 * 3
+    p = {"a": 2.5 / denom, "b": 1.5 / denom, "zzz": 1.5 / denom}
+    want1 = -(2 * math.log2(p["a"]) + math.log2(p["b"])) / 3
+    want2 = -math.log2(p["zzz"])
+    assert got[1][0] == 3 and abs(got[1][1] - round(want1, 6)) < 1e-9
+    assert got[2][0] == 1 and abs(got[2][1] - round(want2, 6)) < 1e-9
+    # the common-token doc scores LOWER (more probable) than the rare one
+    assert got[1][1] < got[2][1]
