@@ -4732,3 +4732,68 @@ def q103_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                              span_len=30, min_docs=2)
             .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("span"))
             .limit(100))
+
+
+@_register(
+    "q104_bloom_decontamination",
+    """
+    -- doc-level decontamination: drop corpus docs whose text digest
+    -- appears in the benchmark set (doc_id % 13 = 0); per-lang stats of
+    -- the clean remainder. The Spark plan routes through a Bloom-filter
+    -- prune (operators/bloom.py) whose no-false-negative guarantee makes
+    -- the result identical to this exact anti-join formulation.
+    WITH digests AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS digest FROM documents
+    ), bench AS (
+      SELECT DISTINCT digest FROM digests WHERE doc_id % 13 = 0
+    )
+    SELECT lang, count(*) AS n_clean,
+           CAST(sum(n_chars) AS BIGINT) AS clean_chars
+    FROM digests c
+    WHERE doc_id % 13 <> 0
+      AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.digest = c.digest)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Bloom-pruned decontamination (operators/bloom.py): the benchmark "
+        "digest set folds into a broadcastable m-bit bitmap (bit_or agg "
+        "over md5 probe positions, built distributed); corpus rows the "
+        "filter rejects are DEFINITELY clean and skip the join entirely, "
+        "so only the surviving fraction (true hits + ~0.2% FP at m=10n, "
+        "k=4) pays the exact verification anti-join. At 100 TB this is "
+        "the shape that works when the benchmark key set is itself too "
+        "big to broadcast as a hash join (billions of n-grams): the "
+        "BITMAP broadcasts at fixed size regardless of key count, the "
+        "corpus is never shuffled, and the verify join moves only "
+        "survivors. Oracle is the plain exact anti-join — the filter's "
+        "no-false-negative guarantee means both must agree exactly.",
+)
+def q104_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prune,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    m_bits, k = 1 << 17, 4
+    docs = documents.select(
+        "doc_id", "lang", "n_chars", F.md5("text").alias("digest"))
+    bench = (docs.filter(F.col("doc_id") % 13 == 0)
+             .select("digest").distinct())
+    corpus = docs.filter(F.col("doc_id") % 13 != 0)
+    tagged = bloom_prune(corpus, F.col("digest"),
+                         bloom_bitmap(bench, "digest", m_bits, k),
+                         m_bits, k, flag_col="__maybe")
+    clean = (
+        tagged.filter(~F.col("__maybe"))      # definite non-members: no join
+        .unionByName(
+            tagged.filter(F.col("__maybe"))   # survivors: exact verify
+            .join(bench, "digest", "left_anti"))
+        .drop("__maybe")
+    )
+    return (
+        clean.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_clean"),
+             F.sum("n_chars").cast("long").alias("clean_chars"))
+        .orderBy("lang")
+    )

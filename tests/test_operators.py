@@ -830,3 +830,67 @@ def test_unigram_logprob_scores_hand_oracle(spark):
     assert got[2][0] == 1 and abs(got[2][1] - round(want2, 6)) < 1e-9
     # the common-token doc scores LOWER (more probable) than the rare one
     assert got[1][1] < got[2][1]
+
+
+# --- bloom filter pruning --------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every inserted key must test positive (the guarantee pruning relies
+    on); non-members must mostly test negative at the sized FP rate."""
+    from league_of_legends_data_pipeline_spark.operators.bloom import (
+        bloom_bitmap, bloom_prune,
+    )
+
+    m, k = 1 << 14, 4  # m/n = 16 for n=1000 → expected FP ≈ 0.24%
+    keys = spark.range(1000).select(
+        F.md5(F.col("id").cast("string")).alias("key"))
+    bm = bloom_bitmap(keys, "key", m, k)
+    probe = spark.range(5000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("key"))
+
+    missed_members = bloom_prune(
+        probe.filter("id < 1000"), F.col("key"), bm, m, k,
+        keep_members=False).count()
+    assert missed_members == 0
+
+    fp = bloom_prune(
+        probe.filter("id >= 1000"), F.col("key"), bm, m, k).count()
+    assert fp / 4000 < 0.02  # ~8x headroom over the expected rate
+
+
+def test_bloom_flag_col_partitions_stream(spark):
+    """flag_col mode must tag without dropping rows, and the two verdicts
+    must partition the input exactly."""
+    from league_of_legends_data_pipeline_spark.operators.bloom import (
+        bloom_bitmap, bloom_prune,
+    )
+
+    m, k = 1 << 12, 4
+    keys = spark.createDataFrame([("a",), ("b",)], ["key"])
+    bm = bloom_bitmap(keys, "key", m, k)
+    probe = spark.createDataFrame([("a",), ("b",), ("zz",), ("yy",)], ["key"])
+    tagged = bloom_prune(probe, F.col("key"), bm, m, k, flag_col="maybe")
+    assert tagged.count() == 4
+    got = {r["key"]: r["maybe"] for r in tagged.collect()}
+    assert got["a"] and got["b"]  # members always flagged
+
+
+def test_bloom_probe_side_is_broadcast_no_shuffle(spark):
+    """The probe plan must broadcast the 1-row bitmap and keep the probe
+    side shuffle-free: membership is an in-row expression."""
+    from league_of_legends_data_pipeline_spark.operators.bloom import (
+        bloom_bitmap, bloom_prune,
+    )
+
+    m, k = 1 << 12, 4
+    keys = spark.range(100).select(F.col("id").cast("string").alias("key"))
+    bm = bloom_bitmap(keys, "key", m, k)
+    probe = spark.range(1000).select(F.col("id").cast("string").alias("key"))
+    plan = bloom_prune(probe, F.col("key"), bm, m, k) \
+        ._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.find("Exchange")
+    bcast = plan.find("BroadcastNestedLoopJoin")
+    assert bcast != -1
+    # any exchange must sit BELOW the broadcast join (bitmap build side);
+    # the probe branch above it is exchange-free
+    assert first_exchange == -1 or first_exchange > bcast
