@@ -894,3 +894,64 @@ def test_bloom_probe_side_is_broadcast_no_shuffle(spark):
     # any exchange must sit BELOW the broadcast join (bitmap build side);
     # the probe branch above it is exchange-free
     assert first_exchange == -1 or first_exchange > bcast
+
+
+# --- product quantization --------------------------------------------------
+
+def test_pq_encode_picks_nearest_codeword(spark):
+    """With codewords at known positions, each vector must encode to its
+    nearest codeword per subspace (ties to the smaller codeword id)."""
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    # ids 0 and 4 are codewords (stride 4); dim 4, 2 subspaces of 2
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 1.0, 1.0, 1.0]),
+        (1, [0.1, 0.0, 0.9, 1.0]),   # sub0 → cw 0, sub1 → cw 4
+        (2, [0.5, 0.5, 0.5, 0.5]),   # equidistant: ties → cid 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    enc = {(r["vec_id"], r["j"]): r["code"]
+           for r in pq_encode(df, dim=4, num_subspaces=2,
+                              centroid_stride=4).collect()}
+    assert enc[(1, 0)] == 0 and enc[(1, 1)] == 4
+    assert enc[(2, 0)] == 0 and enc[(2, 1)] == 0
+    assert enc[(0, 0)] == 0 and enc[(4, 1)] == 4
+
+
+def test_pq_topk_adc_and_rerank(spark):
+    """ADC ranking must follow codeword distances; rerank must restore the
+    exact-L2 order within the shortlist."""
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rows = [(i, [float(i), float(i), float(i), float(i)]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter("vec_id = 0")
+    # rerank over the full corpus ⇒ exact order 1,2,3,...
+    got = pq_topk(df, q, k=3, dim=4, num_subspaces=2, centroid_stride=1,
+                  rerank_shortlist=8).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in got] == [1, 2, 3]
+    assert got[0]["dist2"] == 4.0  # (1-0)^2 * 4 dims
+    # stride 1 → every vector is its own codeword → ADC is exact too
+    raw = pq_topk(df, q, k=3, dim=4, num_subspaces=2,
+                  centroid_stride=1).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in raw] == [1, 2, 3]
+
+
+def test_pq_lut_is_broadcast(spark):
+    """The ADC scoring join must broadcast the per-query LUT — the encoded
+    corpus side must not shuffle for scoring."""
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    rows = [(i, [float(i % 3), float(i % 5), 1.0, 0.0]) for i in range(64)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    plan = pq_topk(df, df.filter("vec_id < 2"), k=2, dim=4,
+                   num_subspaces=2, centroid_stride=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
