@@ -191,3 +191,62 @@ def pack_sequences(
     run = F.sum(size).over(w)
     return df.withColumn(
         "bin_id", F.floor((run - size) / F.lit(budget)).cast("long"))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    parts: dict[str, int],
+    id_col: str,
+    seed: int = 42,
+    exact: bool = True,
+) -> DataFrame:
+    """Rebalance a corpus to a target source mixture (Pile/Dolma-style
+    "data recipe"): keep the LARGEST subset whose group proportions hit
+    ``parts`` exactly, choosing rows by hashed-id order.
+
+    ``parts`` are integer mixture ratios (e.g. {"web": 5, "books": 3,
+    "code": 2} → 50/30/20); groups not listed are dropped. Quota math is
+    pure integer/53-bit-exact arithmetic — T = min_g floor(n_g·W/w_g)
+    achievable rows, quota_g = floor(w_g·T/W) — so every engine derives
+    identical quotas (no float-normalized weights whose rounding could
+    differ by one row at a group boundary).
+
+    ``exact=True`` ranks rows per group by (hash, id) and cuts at the
+    quota: exactly quota_g rows, at the cost of one per-group window
+    (few groups ⇒ skewed shuffle — fine up to ~10^8 rows per group).
+    ``exact=False`` is the 100 TB path: a pure map-side filter keeping
+    rows with hash < quota_g/n_g — binomially-approximate counts, no
+    shuffle at all, same determinism. Both modes keep a group's sample
+    stable under appends to OTHER groups (draw order is per-group).
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    if any(p <= 0 for p in parts.values()):
+        raise ValueError("mixture parts must be positive integers")
+    total_w = int(sum(parts.values()))
+    part_of = F.create_map(
+        *[F.lit(x) for kv in parts.items() for x in kv])
+    member = df.filter(F.col(group_col).isin(*parts.keys()))
+    counts = (member.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .withColumn("__w", part_of[F.col(group_col)]))
+    achievable = counts.agg(F.min(F.floor(
+        F.col("__n") * total_w / F.col("__w"))).cast("long").alias("__T"))
+    quotas = (counts.crossJoin(F.broadcast(achievable))
+              .select(group_col,
+                      "__n",
+                      F.floor(F.col("__w") * F.col("__T") / total_w)
+                      .cast("long").alias("__quota")))
+    if exact:
+        w = Window.partitionBy(group_col).orderBy(
+            hash_unit(id_col, seed).asc(), F.col(id_col).asc())
+        return (member.withColumn("__rn", F.row_number().over(w))
+                .join(F.broadcast(quotas.select(group_col, "__quota")),
+                      group_col)
+                .filter(F.col("__rn") <= F.col("__quota"))
+                .drop("__rn", "__quota"))
+    return (member.join(F.broadcast(quotas), group_col)
+            .filter(hash_unit(id_col, seed)
+                    < F.col("__quota") / F.col("__n"))
+            .drop("__n", "__quota"))

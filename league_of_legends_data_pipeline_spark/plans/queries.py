@@ -4927,3 +4927,64 @@ def q105_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "n_queries", "n_exact", "n_hit",
         F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_at_5"))
+
+
+@_register(
+    "q106_mixture_sample",
+    """
+    -- data-recipe rebalancing: largest subset hitting a 5/3/2 mixture
+    -- over source groups (src number mod 3), rows chosen per group by
+    -- hashed-id order. Integer quota math: T = min_g floor(n_g*W/w_g),
+    -- quota_g = floor(w_g*T/W) — identical on every engine.
+    WITH g AS (
+      SELECT doc_id, source,
+             CASE CAST(substr(source, 4) AS INT) % 3
+                  WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code'
+             END AS grp
+      FROM documents
+    ), parts(grp, w) AS (VALUES ('web', 5), ('books', 3), ('code', 2)),
+    counts AS (
+      SELECT g.grp, p.w, count(*) AS n
+      FROM g JOIN parts p ON g.grp = p.grp GROUP BY g.grp, p.w
+    ), t AS (
+      SELECT CAST(min(floor(n * 10.0 / w)) AS BIGINT) AS t FROM counts
+    ), quotas AS (
+      SELECT grp, CAST(floor(w * (SELECT t FROM t) / 10.0) AS BIGINT)
+                 AS quota
+      FROM counts
+    ), ranked AS (
+      SELECT doc_id, grp,
+             row_number() OVER (PARTITION BY grp ORDER BY
+                 (CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) / 1152921504606846976.0) ASC,
+                 doc_id ASC) AS rk
+      FROM g
+    )
+    SELECT r.doc_id, r.grp
+    FROM ranked r JOIN quotas q ON r.grp = q.grp
+    WHERE r.rk <= q.quota
+    ORDER BY r.doc_id
+    """,
+    doc="Mixture/data-recipe sampling (operators/sampling.py::"
+        "mixture_sample): rebalance the corpus to target source ratios, "
+        "keeping the maximum achievable subset. Integer quota arithmetic "
+        "(no float weight normalization) makes quotas engine-identical; "
+        "hashed-id draw order makes each group's sample stable under "
+        "appends to other groups. exact=True (this query) cuts at the "
+        "quota via a per-group window; exact=False is the shuffle-free "
+        "100 TB path with binomially-approximate counts.",
+)
+def q106_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    g = documents.withColumn(
+        "grp",
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, "web")
+         .when(F.substring("source", 4, 10).cast("int") % 3 == 1, "books")
+         .otherwise("code"))
+    kept = mixture_sample(g, "grp", {"web": 5, "books": 3, "code": 2},
+                          id_col="doc_id", exact=True)
+    return kept.select("doc_id", "grp").orderBy("doc_id")

@@ -48,6 +48,14 @@ PROBE_QUERIES = [
     # windowed exact-substring dedup: window count ∝ total characters,
     # so the factor must track the data ratio
     "q103_duplicated_spans",
+    # bloom-pruned decontamination: bitmap build + probe are both linear
+    # scans; only survivors reach the verify join
+    "q104_bloom_decontamination",
+    # PQ: encode is N·C subvector distances (C grows with N at fixed
+    # stride → super-linear encode at the probe's replication; the
+    # production codebook is FIXED size, making encode linear — read the
+    # factor with that in mind), scoring is a broadcast-LUT map join
+    "q105_pq_recall",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -955,3 +955,71 @@ def test_pq_lut_is_broadcast(spark):
                    num_subspaces=2, centroid_stride=8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --- mixture sampling ------------------------------------------------------
+
+def test_mixture_sample_exact_quotas(spark):
+    """Quotas must hit the integer-ratio mixture exactly, bounded by the
+    scarcest group, and exact mode must return exactly quota_g rows."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = ([(i, "a") for i in range(100)]
+            + [(i, "b") for i in range(100, 130)]
+            + [(i, "c") for i in range(130, 190)]
+            + [(i, "zz") for i in range(190, 200)])  # unlisted → dropped
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    # parts 5/3/2, W=10: T = min(100*10/5, 30*10/3, 60*10/2) = 100
+    # quotas: a=50, b=30, c=20 — group b is the binding constraint
+    out = mixture_sample(df, "grp", {"a": 5, "b": 3, "c": 2}, "doc_id")
+    got = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert got == {"a": 50, "b": 30, "c": 20}
+
+
+def test_mixture_sample_stable_under_other_group_appends(spark):
+    """Appending rows to group c must not change which group-a rows are
+    kept (per-group draw order)."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    base = ([(i, "a") for i in range(40)] + [(i, "c") for i in range(40, 80)])
+    grown = base + [(i, "c") for i in range(80, 120)]
+    kept = lambda rows: sorted(
+        r["doc_id"] for r in mixture_sample(
+            spark.createDataFrame(rows, ["doc_id", "grp"]),
+            "grp", {"a": 1, "c": 1}, "doc_id").collect() if r["grp"] == "a")
+    a0, a1 = kept(base), kept(grown)
+    # quota for a is unchanged (a is binding: 40*2/1 vs c's larger pool)
+    assert a0 == a1
+
+
+def test_mixture_sample_probabilistic_mode_no_window(spark):
+    """exact=False must be a pure filter — no window/sort in the plan —
+    and keep roughly quota_g rows."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = mixture_sample(df, "grp", {"a": 3, "b": 1}, "doc_id", exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan.split("Exchange")[0]
+    got = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    # targets: T = min(1000*4/3, 1000*4/1) = 1333 → a=999, b=333
+    assert abs(got["a"] - 999) < 80 and abs(got["b"] - 333) < 60
+
+
+def test_mixture_sample_rejects_bad_parts(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "grp"])
+    with pytest.raises(ValueError):
+        mixture_sample(df, "grp", {}, "doc_id")
+    with pytest.raises(ValueError):
+        mixture_sample(df, "grp", {"a": 0}, "doc_id")
