@@ -385,25 +385,63 @@ def simhash_pairs(
     sigs = simhash_signature_table(
         hashed, "doc_id", "__ht", bits, extra_cols=band_cols,
     ).repartition(_par(df), "doc_id")
+    return hamming_pairs(sigs, "doc_id", "sig", bits=bits, chunks=chunks,
+                         max_hamming=max_hamming,
+                         max_bucket_size=max_bucket_size,
+                         band_cols=band_cols)
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    bits: int = 32,
+    chunks: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    band_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic hamming-distance near-dup join over ANY 64-bit-packed
+    signature column (simhash, aHash/pHash media fingerprints, packed
+    sketch bits): pairs with ``bit_count(xor) <= max_hamming``.
+
+    The pigeonhole banding is the same lossless device as simhash_pairs
+    (any pair within the budget agrees exactly on >= 1 of the ``chunks``
+    chunks when chunks >= max_hamming + 1); ``max_bucket_size`` caps a
+    degenerate chunk value (e.g. the all-zero signature of empty inputs)
+    from going quadratic. Returns (id_a, id_b, hamming).
+    """
+    if chunks < max_hamming + 1:
+        raise ValueError("need chunks >= max_hamming + 1 for lossless banding")
+    band_cols = band_cols or []
+    chunk_bits = bits // chunks
+    mask = (1 << chunk_bits) - 1
     chunked = sigs.select(
-        "doc_id", "sig", *band_cols,
+        F.col(id_col).alias("__hid"), F.col(sig_col).alias("__sig"),
+        *band_cols,
         F.posexplode(F.array(*[
-            F.shiftright(F.col("sig"), i * chunk_bits).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col(sig_col), i * chunk_bits)
+            .bitwiseAND(F.lit(mask))
             for i in range(chunks)
         ])).alias("chunk_id", "chunk_val"),
     )
-    counts = chunked.groupBy("chunk_id", "chunk_val").agg(F.count(F.lit(1)).alias("__bc"))
+    counts = chunked.groupBy("chunk_id", "chunk_val").agg(
+        F.count(F.lit(1)).alias("__bc"))
     chunked = chunked.join(counts.filter(F.col("__bc") <= max_bucket_size),
                            ["chunk_id", "chunk_val"]).drop("__bc")
     a = chunked.select("chunk_id", "chunk_val", *band_cols,
-                       F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+                       F.col("__hid").alias("id_a"),
+                       F.col("__sig").alias("sig_a"))
     b = chunked.select("chunk_id", "chunk_val", *band_cols,
-                       F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+                       F.col("__hid").alias("id_b"),
+                       F.col("__sig").alias("sig_b"))
     return (
         a.join(b, ["chunk_id", "chunk_val", *band_cols])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn("hamming",
+                    F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

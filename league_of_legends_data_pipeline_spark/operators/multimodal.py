@@ -157,3 +157,80 @@ def frame_sample(
         .drop("__bin")
     )
     return out
+
+
+# 60-bit perceptual hash: 60 keeps every shift/mask positive in a signed
+# 64-bit engine (the same convention as the 60-bit minhash/sampling
+# hashes; 1<<63 overflows some engines' checked shifts)
+AHASH_BITS = 60
+
+
+def ahash_signature_table(df: DataFrame, id_col: str,
+                          bin_col: str) -> DataFrame:
+    """(id, sig) 60-bit average-hash perceptual fingerprints of opaque
+    binary payloads — the block-luminance aHash applied to raw bytes:
+    split the payload into 60 equal-ish blocks, bit k = (block k's mean
+    byte) > (overall mean byte). Similar payloads (re-encoded, lightly
+    corrupted media) get close fingerprints; hamming distance ranks
+    similarity. Pair with operators/dedup.py::hamming_pairs for near-dup
+    detection; a DCT pHash drops into this same ``mapInPandas`` slot when
+    a transform library is available (the :func:`decode_image` pattern).
+
+    Arrow-batched and vectorized (one cumulative-sum pass per payload) —
+    the same signature-TABLE form as the minhash/simhash reducers, and
+    for the same measured reason: a pure-Column formulation needs the
+    O(L) byte array inside per-block lambdas, which Catalyst inlines
+    (not memoizes) into a recompute-per-iteration tree ~60x the work.
+    All math is integer (block_sum·L > total·block_len — no float
+    division an engine could round differently), so the hash is exactly
+    replicable in ANSI SQL for oracle checks. Empty payloads hash to 0.
+    """
+    import numpy as np
+
+    powers = (np.int64(1) << np.arange(AHASH_BITS, dtype=np.int64))
+    edges_frac = np.arange(AHASH_BITS + 1, dtype=np.int64)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf[bin_col]:
+                a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                n = a.size
+                if n == 0:
+                    out.append(0)
+                    continue
+                total = int(a.sum())
+                edges = (edges_frac * n) // AHASH_BITS
+                csum = np.concatenate(([0], np.cumsum(a)))
+                bsum = csum[edges[1:]] - csum[edges[:-1]]
+                blen = edges[1:] - edges[:-1]
+                bits = (bsum * n) > (total * blen)
+                out.append(int(powers[bits].sum()))
+            yield pd.DataFrame({"media_id": pdf[id_col], "sig": out})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        sig, "media_id long, sig long")
+
+
+def media_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    bin_col: str,
+    *,
+    chunks: int = 6,
+    max_hamming: int = 5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Near-duplicate media detection: aHash fingerprints + the lossless
+    pigeonhole hamming join (operators/dedup.py::hamming_pairs). One
+    Arrow-batched fingerprint scan, then the banded equi-join — payload
+    bytes never cross a shuffle; only (id, 8-byte sig) rows move.
+    """
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    sigs = ahash_signature_table(df, id_col, bin_col)
+    return hamming_pairs(sigs, "media_id", "sig", bits=AHASH_BITS,
+                         chunks=chunks, max_hamming=max_hamming,
+                         max_bucket_size=max_bucket_size)

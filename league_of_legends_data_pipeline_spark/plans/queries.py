@@ -4988,3 +4988,69 @@ def q106_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = mixture_sample(g, "grp", {"web": 5, "books": 3, "code": 2},
                           id_col="doc_id", exact=True)
     return kept.select("doc_id", "grp").orderBy("doc_id")
+
+
+@_register(
+    "q107_media_neardup",
+    """
+    -- perceptual near-dup media detection: 60-bit block-mean aHash over
+    -- opaque payloads (text bytes stand in for media), corrupted
+    -- re-uploads (one byte flipped mid-payload) must land within
+    -- hamming <= 5 of their originals. Bits compare block means by
+    -- integer cross-multiplication — exact on every engine.
+    WITH raw AS (
+      SELECT doc_id, text FROM documents
+    ), u AS (
+      SELECT doc_id, text FROM raw
+      UNION ALL
+      SELECT doc_id + 100000,
+             substr(text, 1, 10) || '~' || substr(text, 12) FROM raw
+    ), b AS (
+      SELECT doc_id, list_transform(range(1, length(text)+1),
+             i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+                 AS bytes
+      FROM u
+    ), s AS (
+      SELECT doc_id, bytes, len(bytes) AS L, list_sum(bytes) AS total
+      FROM b WHERE len(bytes) > 0
+    ), h AS (
+      SELECT doc_id, list_sum(list_transform(range(0, 60), k ->
+          CASE WHEN list_sum(list_slice(bytes, CAST(k*L//60 + 1 AS INT),
+                                        CAST((k+1)*L//60 AS INT))) * L
+                    > total * ((k+1)*L//60 - k*L//60)
+               THEN 1::BIGINT << CAST(k AS INT) ELSE 0 END)) AS sig
+      FROM s
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 5
+    ORDER BY id_a, id_b
+    """,
+    doc="Perceptual media near-dup (operators/multimodal.py::ahash60 + "
+        "operators/dedup.py::hamming_pairs): block-mean aHash is a pure "
+        "Column scan (bytes via hex pairs, integer cross-multiplied "
+        "thresholds, zero Python), pairing is the same lossless "
+        "pigeonhole hamming join as simhash — payloads never cross a "
+        "shuffle, only (id, 8-byte sig). The oracle computes exact "
+        "all-pairs hamming; parity proves the banded join loses nothing "
+        "at hamming <= 5 with 6 chunks. A DCT pHash drops into the same "
+        "pipeline via the decode_image mapInPandas pattern.",
+)
+def q107_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        media_neardup_pairs,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    corrupted = documents.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 10), F.lit("~"),
+                 F.expr("substring(text, 12)")).alias("text"))
+    u = (documents.select("doc_id", "text").unionByName(corrupted)
+         .filter(F.length("text") > 0)
+         .select("doc_id", F.encode("text", "UTF-8").alias("payload")))
+    return (media_neardup_pairs(u, "doc_id", "payload",
+                                chunks=6, max_hamming=5)
+            .select(F.col("id_a"), F.col("id_b"), "hamming")
+            .orderBy("id_a", "id_b"))

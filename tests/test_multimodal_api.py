@@ -170,3 +170,61 @@ def test_http_source_breaker_keeps_success_path_identical(spark):
     with_cb = sorted(tuple(r) for r in http_source(
         df, "key", breaker_factory=CircuitBreaker).collect())
     assert base == with_cb
+
+
+# --- perceptual hashing ----------------------------------------------------
+
+def test_ahash_identical_and_corrupted_payloads(spark):
+    """Identical payloads hash identically; a single flipped byte moves
+    the hash by a small hamming distance; empty payloads hash to 0."""
+    from pyspark.sql import functions as F
+
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        ahash_signature_table,
+    )
+
+    base = bytes(range(256)) * 4
+    corrupted = bytearray(base)
+    corrupted[100] = 255
+    rows = [(1, base), (2, base), (3, bytes(corrupted)), (4, b"")]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {r["media_id"]: r["sig"]
+           for r in ahash_signature_table(df, "media_id", "payload").collect()}
+    assert got[1] == got[2]
+    assert got[4] == 0
+    # a one-byte flip moves the hash by AT MOST a few bits (possibly zero
+    # — robustness to small corruption is the operator's point)
+    assert bin(got[1] ^ got[3]).count("1") <= 5
+    assert all(0 <= s < (1 << 60) for s in got.values())
+
+
+def test_media_neardup_pairs_lossless_banding(spark):
+    """The banded join must find exactly the pairs an exact all-pairs
+    hamming scan finds at the same threshold."""
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        ahash_signature_table, media_neardup_pairs,
+    )
+
+    import itertools
+
+    payloads = []
+    for i in range(12):
+        b = bytearray((17 * j + 31 * i) % 251 for j in range(600))
+        payloads.append((i, bytes(b)))
+    # near-dups of 0..3: one byte flipped
+    for i in range(4):
+        b = bytearray(payloads[i][1])
+        b[50] = (b[50] + 128) % 256
+        payloads.append((100 + i, bytes(b)))
+    df = spark.createDataFrame(payloads, ["media_id", "payload"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in media_neardup_pairs(df, "media_id", "payload").collect()}
+    sigs = {r["media_id"]: r["sig"]
+            for r in ahash_signature_table(df, "media_id", "payload").collect()}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 5:
+            expect[(a, b)] = h
+    assert got == expect
+    assert all((i, 100 + i) in got for i in range(4))
