@@ -181,3 +181,83 @@ def test_snapshot_model(spark, tmp_path_factory, ops):
             continue  # empty snapshots refuse to read (no schema)
         got = sorted(r["x"] for r in snapshot_read(spark, tbl, v).collect())
         assert got == sorted(want), (v, got, want)
+
+
+@given(member_ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+       probe_ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=60))
+@SLOW
+def test_bloom_never_false_negative(spark, member_ids, probe_ids):
+    """For arbitrary key sets, every member must pass the filter — the
+    guarantee the q104 pruning plan relies on."""
+    from pyspark.sql import functions as F
+
+    from league_of_legends_data_pipeline_spark.operators.bloom import (
+        bloom_bitmap, bloom_prune,
+    )
+
+    m, k = 1 << 12, 4
+    keys = spark.createDataFrame([(str(i),) for i in sorted(member_ids)],
+                                 ["key"])
+    bm = bloom_bitmap(keys, "key", m, k)
+    probe = spark.createDataFrame(
+        [(str(i),) for i in sorted(member_ids | probe_ids)], ["key"])
+    passed = {r["key"] for r in
+              bloom_prune(probe, F.col("key"), bm, m, k).collect()}
+    assert {str(i) for i in member_ids} <= passed
+
+
+@given(sizes=st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                             st.integers(1, 80), min_size=2, max_size=3),
+       parts=st.dictionaries(st.sampled_from(["a", "b", "c"]),
+                             st.integers(1, 7), min_size=2, max_size=3))
+@SLOW
+def test_mixture_sample_hits_integer_quotas(spark, sizes, parts):
+    """For arbitrary group sizes and ratios, exact mode must return
+    exactly floor(w_g*T/W) rows per listed group, T = min floor(n_g*W/w_g)."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    parts = {g: w for g, w in parts.items() if g in sizes}
+    if not parts:
+        return
+    rows, nxt = [], 0
+    for g, n in sorted(sizes.items()):
+        rows += [(i, g) for i in range(nxt, nxt + n)]
+        nxt += n
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = mixture_sample(df, "grp", parts, "doc_id")
+    got = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    W = sum(parts.values())
+    T = min(sizes[g] * W // w for g, w in parts.items())
+    expect = {g: w * T // W for g, w in parts.items()}
+    assert got == {g: n for g, n in expect.items() if n > 0}
+
+
+@given(payloads=st.lists(st.binary(min_size=0, max_size=400),
+                         min_size=2, max_size=10, unique=True))
+@SLOW
+def test_ahash_matches_python_oracle(spark, payloads):
+    """The vectorized signature equals a direct per-definition python
+    computation for arbitrary byte strings."""
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        AHASH_BITS, ahash_signature_table,
+    )
+
+    def py_ahash(raw: bytes) -> int:
+        n = len(raw)
+        if n == 0:
+            return 0
+        total = sum(raw)
+        sig = 0
+        for kbit in range(AHASH_BITS):
+            lo, hi = kbit * n // AHASH_BITS, (kbit + 1) * n // AHASH_BITS
+            if sum(raw[lo:hi]) * n > total * (hi - lo):
+                sig |= 1 << kbit
+        return sig
+
+    df = spark.createDataFrame(list(enumerate(payloads)),
+                               ["media_id", "payload"])
+    got = {r["media_id"]: r["sig"]
+           for r in ahash_signature_table(df, "media_id", "payload").collect()}
+    assert got == {i: py_ahash(p) for i, p in enumerate(payloads)}
