@@ -712,8 +712,20 @@ def pq_encode(
         raise ValueError(f"dim ({dim}) must divide evenly into "
                          f"num_subspaces ({num_subspaces})")
     sub = _pq_subvectors(corpus, id_col, vec_col, dim, num_subspaces)
-    cb = (sub.filter(F.col("__id") % centroid_stride == 0)
-          .select(F.col("__id").alias("cid"), "j", F.col("s").alias("cs")))
+    cb = _pq_codebook(sub, centroid_stride)
+    return _pq_assign(sub, cb).select(
+        F.col("__id").alias(id_col), "j", "code")
+
+
+def _pq_codebook(sub: DataFrame, centroid_stride: int) -> DataFrame:
+    """(cid, j, cs): subspace codewords from stride-selected rows."""
+    return (sub.filter(F.col("__id") % centroid_stride == 0)
+            .select(F.col("__id").alias("cid"), "j", F.col("s").alias("cs")))
+
+
+def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """(__id, j, code): nearest codeword per (vector, subspace) — argmin
+    of the sequential-fold squared L2, ties to the smallest codeword id."""
     w = Window.partitionBy("__id", "j").orderBy(
         F.col("__d2").asc(), F.col("cid").asc())
     return (
@@ -721,7 +733,7 @@ def pq_encode(
         .withColumn("__d2", _l2_sq(F.col("s"), F.col("cs")))
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
-        .select(F.col("__id").alias(id_col), "j", F.col("cid").alias("code"))
+        .select("__id", "j", F.col("cid").alias("code"))
     )
 
 
@@ -757,11 +769,14 @@ def pq_topk(
     Returns (query_id, neighbor_id, rank, dist2) — dist2 is the ADC
     approximation without rerank, the exact squared L2 with it.
     """
-    enc = pq_encode(corpus, id_col, vec_col, dim, num_subspaces,
-                    centroid_stride)
+    if dim % num_subspaces:
+        raise ValueError(f"dim ({dim}) must divide evenly into "
+                         f"num_subspaces ({num_subspaces})")
+    # one shared subvector frame feeds codebook + encoding (a production
+    # pipeline would persist pq_encode's output and skip both)
     sub = _pq_subvectors(corpus, id_col, vec_col, dim, num_subspaces)
-    cb = (sub.filter(F.col("__id") % centroid_stride == 0)
-          .select(F.col("__id").alias("cid"), "j", F.col("s").alias("cs")))
+    cb = _pq_codebook(sub, centroid_stride)
+    enc = _pq_assign(sub, cb).withColumnRenamed("__id", "__nid")
     qsub = _pq_subvectors(queries, id_col, vec_col, dim, num_subspaces) \
         .select(F.col("__id").alias("query_id"), "j", F.col("s").alias("qs"))
     lut = (qsub.join(F.broadcast(cb), "j")
@@ -770,8 +785,8 @@ def pq_topk(
     scored = (
         enc.join(F.broadcast(lut),
                  (enc["j"] == lut["j"]) & (enc["code"] == lut["cid"]))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select("query_id", F.col(id_col).alias("neighbor_id"),
+        .filter(F.col("__nid") != F.col("query_id"))
+        .select("query_id", F.col("__nid").alias("neighbor_id"),
                 enc["j"].alias("j"), "pd")
     )
     adc = (
