@@ -250,3 +250,44 @@ def mixture_sample(
             .filter(hash_unit(id_col, seed)
                     < F.col("__quota") / F.col("__n"))
             .drop("__n", "__quota"))
+
+
+def hash_long(col: str | Column, seed: int = 42) -> Column:
+    """Deterministic 60-bit integer hash per value (the integer form of
+    :func:`hash_unit` — use when a modulus or total order is wanted
+    without float rounding in the loop)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), c.cast("string"))),
+        1, 15), 16, 10).cast("long")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Training-order shuffle: assign every row a (shard, pos) that reads
+    back as a fixed pseudo-random global order — shard = hash % num_shards,
+    pos = rank of (hash, id) within the shard.
+
+    Why not ``ORDER BY rand()``: training-data shuffles must be
+    reproducible (resume mid-epoch, re-run the job, same order), and a
+    global sort range-partitions the whole corpus through one exchange.
+    This is ONE hash-partitioned shuffle with a per-shard (not global)
+    sort; readers stream shards in index order. Because the draw is an
+    id hash, any prefix of shards is a uniform 1/k sample, and a row
+    keeps its (shard, pos-order relative to survivors) under appends —
+    new rows interleave, old relative order within a shard never flips.
+    Returns the input columns + (shard, pos).
+    """
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    h = hash_long(id_col, seed)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc())
+    return (df.withColumn("__h", h)
+            .withColumn("shard", (F.col("__h") % num_shards).cast("int"))
+            .withColumn("pos", F.row_number().over(w))
+            .drop("__h"))

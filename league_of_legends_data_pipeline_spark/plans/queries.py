@@ -5054,3 +5054,42 @@ def q107_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 chunks=6, max_hamming=5)
             .select(F.col("id_a"), F.col("id_b"), "hamming")
             .orderBy("id_a", "id_b"))
+
+
+@_register(
+    "q108_training_shuffle",
+    """
+    -- deterministic training-order shuffle: shard = 60-bit id-hash mod 8,
+    -- pos = rank of (hash, id) within the shard. Reproducible global
+    -- pseudo-random order with no global sort.
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(hv % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 8
+                                   ORDER BY hv ASC, doc_id ASC) AS INT)
+               AS pos
+    FROM h
+    ORDER BY doc_id
+    """,
+    doc="Deterministic training shuffle (operators/sampling.py::"
+        "deterministic_shuffle): the epoch-order stage of a training "
+        "pipeline. ORDER BY rand() is irreproducible and a global sort "
+        "range-partitions the corpus through one exchange; this is ONE "
+        "hash shuffle + per-shard sort, re-runs give byte-identical "
+        "order, any shard prefix is a uniform sample, and appends "
+        "interleave without flipping surviving rows' relative order.",
+)
+def q108_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (deterministic_shuffle(documents.select("doc_id", "lang"),
+                                  "doc_id", num_shards=8)
+            .select("doc_id", "lang", "shard", "pos")
+            .orderBy("doc_id"))

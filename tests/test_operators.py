@@ -1023,3 +1023,46 @@ def test_mixture_sample_rejects_bad_parts(spark):
         mixture_sample(df, "grp", {}, "doc_id")
     with pytest.raises(ValueError):
         mixture_sample(df, "grp", {"a": 0}, "doc_id")
+
+
+# --- deterministic training shuffle ---------------------------------------
+
+def test_deterministic_shuffle_reproducible_and_complete(spark):
+    """Same input → identical (shard, pos); every row appears exactly
+    once; positions are dense 1..n per shard."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in deterministic_shuffle(df, "doc_id", 4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in deterministic_shuffle(df, "doc_id", 4).collect()}
+    assert a == b and len(a) == 200
+    by_shard = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_deterministic_shuffle_append_keeps_relative_order(spark):
+    """Appending rows must not flip the relative order of surviving rows
+    within a shard (mid-epoch resume safety)."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    small = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    big = spark.createDataFrame([(i,) for i in range(150)], ["doc_id"])
+    order = lambda df: {
+        s: [d for _, d in sorted(
+            (r["pos"], r["doc_id"])
+            for r in deterministic_shuffle(df, "doc_id", 4).collect()
+            if r["shard"] == s)]
+        for s in range(4)}
+    o_small, o_big = order(small), order(big)
+    for s in range(4):
+        survivors = [d for d in o_big[s] if d < 100]
+        assert survivors == o_small[s]
