@@ -56,6 +56,11 @@ PROBE_QUERIES = [
     # production codebook is FIXED size, making encode linear — read the
     # factor with that in mind), scoring is a broadcast-LUT map join
     "q105_pq_recall",
+    # aHash fingerprint scan + banded hamming join: linear fingerprints,
+    # candidate volume governed by bucket sizes (capped)
+    "q107_media_neardup",
+    # one hash shuffle + per-shard sort; must track the data ratio
+    "q108_training_shuffle",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
