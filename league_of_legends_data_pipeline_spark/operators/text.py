@@ -329,3 +329,31 @@ def unigram_logprob_scores(
                  F.round(F.avg(-logp), 6).alias("mean_neg_logprob"))
             .select(F.col("__id").alias(id_col), "n_tokens",
                     "mean_neg_logprob"))
+
+
+def canary_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    canaries: DataFrame,
+    canary_col: str = "canary",
+) -> DataFrame:
+    """Planted-canary leak detection: count corpus documents containing
+    each canary string verbatim (the BIG-bench canary-GUID practice —
+    planted markers whose presence in training data proves benchmark
+    leakage). Returns (canary, n_docs, first_doc_id).
+
+    Scale shape: the canary list is small by nature and BROADCAST; the
+    corpus is scanned once and each row evaluates `contains` per canary
+    inside codegen — no shuffle of text, only (canary, id) hits reach the
+    count. For canary sets too large for per-row contains (thousands+),
+    swap the predicate join for an Aho-Corasick pass in an Arrow-batched
+    mapInPandas stage — the plan around it is unchanged.
+    """
+    c = df.select(F.col(id_col).alias("__cid"),
+                  F.col(text_col).alias("__ctext"))
+    hits = c.join(F.broadcast(canaries.select(canary_col)),
+                  F.expr(f"contains(__ctext, {canary_col})"))
+    return (hits.groupBy(canary_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("__cid").alias("first_doc_id")))

@@ -5093,3 +5093,39 @@ def q108_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "doc_id", num_shards=8)
             .select("doc_id", "lang", "shard", "pos")
             .orderBy("doc_id"))
+
+
+@_register(
+    "q109_canary_scan",
+    """
+    -- planted-canary leak detection: canaries are the first 40 chars of
+    -- every 97th document (standing in for planted GUID markers); count
+    -- corpus docs containing each canary verbatim.
+    WITH canaries AS (
+      SELECT substr(text, 1, 40) AS canary FROM documents
+      WHERE doc_id % 97 = 0 AND length(text) >= 40
+    )
+    SELECT c.canary, count(*) AS n_docs, min(d.doc_id) AS first_doc_id
+    FROM documents d JOIN canaries c ON position(c.canary IN d.text) > 0
+    GROUP BY c.canary
+    ORDER BY c.canary
+    """,
+    doc="Canary-string scan (operators/text.py::canary_scan, the "
+        "BIG-bench canary-GUID practice): the canary list broadcasts, the "
+        "corpus scans once with per-row contains inside codegen — text "
+        "never shuffles, only (canary, id) hits move. The Aho-Corasick "
+        "mapInPandas swap is documented for canary sets too large for "
+        "per-row contains.",
+)
+def q109_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        canary_scan,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    canaries = (documents
+                .filter((F.col("doc_id") % 97 == 0)
+                        & (F.length("text") >= 40))
+                .select(F.substring("text", 1, 40).alias("canary")))
+    return (canary_scan(documents, "doc_id", "text", canaries)
+            .orderBy("canary"))

@@ -1066,3 +1066,26 @@ def test_deterministic_shuffle_append_keeps_relative_order(spark):
     for s in range(4):
         survivors = [d for d in o_big[s] if d < 100]
         assert survivors == o_small[s]
+
+
+def test_canary_scan_exact_containment(spark):
+    """Each canary counts exactly the docs containing it verbatim;
+    unmatched canaries yield no row; broadcast, no text shuffle."""
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        canary_scan,
+    )
+
+    docs = spark.createDataFrame([
+        (1, "the CANARY-A sits here"),
+        (2, "nothing to see"),
+        (3, "CANARY-A and CANARY-B together"),
+        (4, "canary-a is lowercase, no match"),
+    ], ["doc_id", "text"])
+    canaries = spark.createDataFrame(
+        [("CANARY-A",), ("CANARY-B",), ("CANARY-Z",)], ["canary"])
+    out = canary_scan(docs, "doc_id", "text", canaries)
+    got = {r["canary"]: (r["n_docs"], r["first_doc_id"])
+           for r in out.collect()}
+    assert got == {"CANARY-A": (2, 1), "CANARY-B": (1, 3)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
