@@ -170,3 +170,34 @@ def salted_join(
     cond = [l["__salt"] == r["__salt"]] + [
         l[lc] == r[rc] for lc, rc in zip(lkeys, rkeys)]
     return l.join(r, cond, how).drop(l["__salt"]).drop(r["__salt"])
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Skew diagnostics for a join/agg key: the ``top_n`` hottest keys
+    with their row share and skew ratio (key rows / mean rows-per-key).
+
+    This is the measurement half of the salted_join story: at 100 TB you
+    salt (or AQE-skew-split) the keys this report surfaces. Cost is one
+    partial-aggregated groupBy on the key plus a global top-N
+    (TakeOrderedAndProject — no full sort, no window over the corpus);
+    the single-row totals frame is broadcast back onto the 10-row top
+    list. Returns (rank, key, n, share_pct, skew_ratio), rank ordered by
+    (n desc, key asc) for a total order.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(F.count(F.lit(1)).alias("__n_keys"),
+                       F.sum("n").alias("__n_rows"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_n)
+    w = W.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (top.crossJoin(F.broadcast(stats))
+            .withColumn("rank", F.row_number().over(w))
+            .select("rank", "key", "n",
+                    F.round(F.col("n") * 100.0 / F.col("__n_rows"), 6)
+                    .alias("share_pct"),
+                    F.round(F.col("n") * F.col("__n_keys")
+                            / F.col("__n_rows"), 6).alias("skew_ratio")))

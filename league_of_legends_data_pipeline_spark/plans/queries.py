@@ -5129,3 +5129,42 @@ def q109_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select(F.substring("text", 1, 40).alias("canary")))
     return (canary_scan(documents, "doc_id", "text", canaries)
             .orderBy("canary"))
+
+
+@_register(
+    "q110_skew_report",
+    """
+    -- join-key skew diagnostics: the 10 hottest event user_ids with row
+    -- share and skew ratio vs the mean rows-per-key.
+    WITH counts AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+      FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT count(*) AS n_keys, sum(n) AS n_rows FROM counts
+    ), top AS (
+      SELECT key, n FROM counts ORDER BY n DESC, key ASC LIMIT 10
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS INT)
+               AS rank,
+           key, n,
+           CAST(round(n * 100.0 / (SELECT n_rows FROM stats), 6) AS DOUBLE)
+               AS share_pct,
+           CAST(round(n * (SELECT n_keys FROM stats) * 1.0
+                 / (SELECT n_rows FROM stats), 6) AS DOUBLE) AS skew_ratio
+    FROM top
+    ORDER BY rank
+    """,
+    doc="Skew diagnostics (operators/joins.py::key_skew_report) — the "
+        "measurement half of the q45 salted-join story: surfaces the keys "
+        "worth salting or AQE-skew-splitting BEFORE a 100 TB join. One "
+        "partial-agg groupBy + global top-N (TakeOrderedAndProject, no "
+        "full sort); the one-row totals frame broadcasts onto the 10-row "
+        "top list.",
+)
+def q110_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        key_skew_report,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    return key_skew_report(events, "user_id", top_n=10).orderBy("rank")

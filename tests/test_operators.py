@@ -1089,3 +1089,23 @@ def test_canary_scan_exact_containment(spark):
     assert got == {"CANARY-A": (2, 1), "CANARY-B": (1, 3)}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_key_skew_report_hand_oracle(spark):
+    """Counts, shares, and skew ratios against a hand-computed oracle;
+    top-N cut uses TakeOrdered (no full sort in the plan)."""
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        key_skew_report,
+    )
+
+    rows = [(k,) for k in
+            ["a"] * 6 + ["b"] * 3 + ["c"] * 2 + ["d"] * 1]
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_report(df, "k", top_n=2)
+    got = {r["rank"]: (r["key"], r["n"], r["share_pct"], r["skew_ratio"])
+           for r in out.collect()}
+    # 12 rows, 4 keys, mean 3/key
+    assert got[1] == ("a", 6, 50.0, 2.0)
+    assert got[2] == ("b", 3, 25.0, 1.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
