@@ -291,3 +291,32 @@ def deterministic_shuffle(
             .withColumn("shard", (F.col("__h") % num_shards).cast("int"))
             .withColumn("pos", F.row_number().over(w))
             .drop("__h"))
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    seed: int = 42,
+) -> DataFrame:
+    """Group-aware train/val/test split: near-duplicate CLUSTERS move as
+    one unit, so an eval split can never contain a near-copy of a
+    training document (the leakage a per-document hash split cannot
+    prevent — near-dups hash independently and straddle the boundary).
+
+    ``pairs`` is any (id_a, id_b) near-dup edge set (simhash/minhash/
+    embedding); documents in no pair are their own singleton cluster.
+    Clusters come from the pointer-jumping connected components
+    (operators/graph.py — O(log diameter) rounds); the split is then a
+    pure hash projection of the CLUSTER id, keeping every hash_split
+    stability property (re-runs, appends, engine changes) at cluster
+    granularity. Returns the input ids + (component, cluster_size,
+    is_representative, split).
+    """
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    assigned = dedup_clusters(df, pairs, id_col)
+    return hash_split(assigned, "component", weights, seed)

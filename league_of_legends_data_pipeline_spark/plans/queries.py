@@ -5168,3 +5168,52 @@ def q110_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = _t(spark, sf_dir, "events")
     return key_skew_report(events, "user_id", top_n=10).orderBy("rank")
+
+
+@_register(
+    "q111_leakage_safe_split",
+    _dedup_clusters_oracle().replace(
+        """
+    SELECT a.doc_id, a.component, s.cluster_size,
+           a.doc_id = a.component AS is_representative
+    FROM assigned a JOIN sizes s USING (component)
+    ORDER BY doc_id
+    """,
+        """
+    SELECT a.doc_id, a.component,
+           CASE WHEN (CAST(('0x' || substr(md5('42:' ||
+                     CAST(a.component AS VARCHAR)), 1, 15)) AS BIGINT)
+                     / 1152921504606846976.0) < 0.8 THEN 'train'
+                WHEN (CAST(('0x' || substr(md5('42:' ||
+                     CAST(a.component AS VARCHAR)), 1, 15)) AS BIGINT)
+                     / 1152921504606846976.0) < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned a
+    ORDER BY doc_id
+    """),
+    doc="Leakage-safe split (operators/sampling.py::leakage_safe_split): "
+        "a per-document hash split lets near-duplicates straddle the "
+        "train/eval boundary — the contamination q69/q104 then have to "
+        "catch downstream. Splitting by CLUSTER id (q44's simhash "
+        "pair graph -> pointer-jumping components, then hash_split on "
+        "the component) makes the boundary near-dup-tight by "
+        "construction while keeping every hash-split stability property. "
+        "Oracle: the q44 recursive-CTE component walk + the same md5 "
+        "threshold ladder on the component id.",
+)
+def q111_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(documents, "doc_id", "text", bits=60, chunks=6,
+                          max_hamming=5, band_cols=["lang"],
+                          max_bucket_size=1_000_000)
+    return (leakage_safe_split(documents, "doc_id", pairs,
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+            .select("doc_id", "component", "split")
+            .orderBy("doc_id"))

@@ -102,6 +102,8 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    report = []  # (name, status, rows, secs) for --md
+    write_md = os.environ.get("SPARK_GRAFT_PARITY_MD")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -112,10 +114,12 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report.append((name, "FAIL(spark)", 0, 0.0))
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(sp_pdf)} rows, {el:.1f}s) — no oracle")
+            report.append((name, "rows-only", len(sp_pdf), el))
             continue
         try:
             dk_pdf = con.execute(oracles[name]).df()
@@ -155,10 +159,31 @@ def main():
             for p in problems[1:]:
                 print(p)
             failures.append(name)
+            report.append((name, "FAIL", len(sp_pdf), el))
         else:
             print(f"PASS {name} ({len(sp_pdf)} rows, {el:.1f}s)")
+            report.append((name, "PASS", len(sp_pdf), el))
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if write_md and not only:
+        n_pass = sum(1 for r in report if r[1] == "PASS")
+        mode = "vanilla SparkSession (driver mirror)" \
+            if os.environ.get("SPARK_GRAFT_VANILLA") else "engine session"
+        with open(write_md, "w") as f:
+            f.write(
+                "# PARITY (local full-coverage run)\n\n"
+                f"All declared queries vs their DuckDB oracles at `{sf_dir}`"
+                f" on a {mode} — the driver's correctness gate checks a"
+                " 50-query prefix per round; this is the same comparison"
+                " (row count, column names, order-insensitive value hash)"
+                " run over the FULL set. Regenerate:"
+                " `SPARK_GRAFT_VANILLA=1 SPARK_GRAFT_PARITY_MD=PARITY_LOCAL.md"
+                " python scripts/check_parity.py`.\n\n"
+                f"**{n_pass}/{len(report)} PASS, {len(failures)} failures**\n\n"
+                "| query | status | rows | sec |\n|---|---|---|---|\n")
+            for name, status, rows, el in sorted(report):
+                f.write(f"| {name} | {status} | {rows} | {el:.1f} |\n")
+        print(f"wrote {write_md}")
     sys.exit(1 if failures else 0)
 
 

@@ -1109,3 +1109,26 @@ def test_key_skew_report_hand_oracle(spark):
     assert got[2] == ("b", 3, 25.0, 1.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every near-dup pair must land in ONE split (the property a
+    per-document hash split cannot give), components must cover all
+    rows, and the split must be a pure function of the component."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    # chain 0-1-2, pair 10-11, the rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], ["id_a", "id_b"])
+    out = leakage_safe_split(docs, "doc_id", pairs,
+                             {"train": 0.5, "test": 0.5}).collect()
+    assert len(out) == 40
+    by_doc = {r["doc_id"]: (r["component"], r["split"]) for r in out}
+    assert by_doc[0] == by_doc[1] == by_doc[2]
+    assert by_doc[10] == by_doc[11]
+    comp_split = {}
+    for comp, split in by_doc.values():
+        assert comp_split.setdefault(comp, split) == split
