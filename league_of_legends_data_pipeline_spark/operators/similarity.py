@@ -693,6 +693,7 @@ def pq_encode(
     dim: int = 64,
     num_subspaces: int = 8,
     centroid_stride: int = 64,
+    max_codewords: int | None = None,
 ) -> DataFrame:
     """Product-quantization encoding: each vector becomes ``num_subspaces``
     codebook indices — the compressed-corpus scale path for ANN (a 64-dim
@@ -712,15 +713,24 @@ def pq_encode(
         raise ValueError(f"dim ({dim}) must divide evenly into "
                          f"num_subspaces ({num_subspaces})")
     sub = _pq_subvectors(corpus, id_col, vec_col, dim, num_subspaces)
-    cb = _pq_codebook(sub, centroid_stride)
+    cb = _pq_codebook(sub, centroid_stride, max_codewords)
     return _pq_assign(sub, cb).select(
         F.col("__id").alias(id_col), "j", "code")
 
 
-def _pq_codebook(sub: DataFrame, centroid_stride: int) -> DataFrame:
-    """(cid, j, cs): subspace codewords from stride-selected rows."""
-    return (sub.filter(F.col("__id") % centroid_stride == 0)
-            .select(F.col("__id").alias("cid"), "j", F.col("s").alias("cs")))
+def _pq_codebook(sub: DataFrame, centroid_stride: int,
+                 max_codewords: int | None = None) -> DataFrame:
+    """(cid, j, cs): subspace codewords from stride-selected rows.
+
+    ``max_codewords`` bounds the codebook at ``id < stride·max`` — the
+    production shape: with the cap, C is a CONSTANT and encode cost is
+    linear in corpus size; without it, C grows with N and encode goes
+    quadratic (measured: q105's 10x probe leg ran at factor 106 uncapped).
+    """
+    cb = sub.filter(F.col("__id") % centroid_stride == 0)
+    if max_codewords is not None:
+        cb = cb.filter(F.col("__id") < centroid_stride * max_codewords)
+    return cb.select(F.col("__id").alias("cid"), "j", F.col("s").alias("cs"))
 
 
 def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
@@ -747,6 +757,7 @@ def pq_topk(
     num_subspaces: int = 8,
     centroid_stride: int = 64,
     rerank_shortlist: int | None = None,
+    max_codewords: int | None = None,
 ) -> DataFrame:
     """Approximate top-k nearest (squared-L2) neighbors via PQ asymmetric
     distance (ADC): d(q, x) ~ sum_j ||q_j - codeword(code_j(x))||^2.
@@ -775,7 +786,7 @@ def pq_topk(
     # one shared subvector frame feeds codebook + encoding (a production
     # pipeline would persist pq_encode's output and skip both)
     sub = _pq_subvectors(corpus, id_col, vec_col, dim, num_subspaces)
-    cb = _pq_codebook(sub, centroid_stride)
+    cb = _pq_codebook(sub, centroid_stride, max_codewords)
     enc = _pq_assign(sub, cb).withColumnRenamed("__id", "__nid")
     qsub = _pq_subvectors(queries, id_col, vec_col, dim, num_subspaces) \
         .select(F.col("__id").alias("query_id"), "j", F.col("s").alias("qs"))

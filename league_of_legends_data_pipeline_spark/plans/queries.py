@@ -4803,7 +4803,8 @@ def q104_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q105_pq_recall",
     """
     -- product-quantization ANN recall harness: PQ(8x8, stride-16
-    -- codebook) ADC shortlist-50 + exact-L2 rerank top-5 vs exact
+    -- codebook capped at 32 codewords — C constant => linear encode)
+    -- ADC shortlist-50 + exact-L2 rerank top-5 vs exact
     -- squared-L2 top-5 for the shared query set (vec_id < 8), reported
     -- as recall@5. Every distance is a sequential fold and the ADC total
     -- folds partials in subspace order, so both engines make
@@ -4816,7 +4817,8 @@ def q104_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(range(1, 9), i -> e[CAST(j*8 + i AS INT)]) AS s
       FROM v, range(8) tj(j)
     ), cb AS (
-      SELECT vec_id AS cid, j, s FROM sub WHERE vec_id % 16 = 0
+      SELECT vec_id AS cid, j, s FROM sub
+      WHERE vec_id % 16 = 0 AND vec_id < 512
     ), enc AS (
       SELECT vec_id, j, cid AS code FROM (
         SELECT sub.vec_id, sub.j, cb.cid,
@@ -4915,7 +4917,8 @@ def q105_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     approx = pq_topk(embeddings, q8, dim=64, num_subspaces=8,
-                     centroid_stride=16, k=5, rerank_shortlist=50) \
+                     centroid_stride=16, k=5, rerank_shortlist=50,
+                     max_codewords=32) \
         .select("query_id", "neighbor_id")
     counts = (
         exact.join(approx.withColumn("__a", F.lit(1)),

