@@ -357,3 +357,37 @@ def canary_scan(
     return (hits.groupBy(canary_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("__cid").alias("first_doc_id")))
+
+
+def calibrated_quality_filter(
+    df: DataFrame,
+    text_col: str,
+    keep_fraction: float,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Quality filtering calibrated to a KEEP RATE instead of a magic
+    threshold: compute the quality-score cutoff at the (1 - keep_fraction)
+    quantile of the corpus and keep rows at or above it — "keep the best
+    60%" stays meaningful as the corpus distribution drifts, where a
+    fixed threshold silently changes the kept volume.
+
+    The cutoff is ONE scalar: a global aggregate broadcast back onto the
+    scan (crossJoin of a 1-row frame), so the filter itself is map-side.
+    ``exact=True`` uses the exact interpolated percentile (value buffer
+    on one reducer — the oracle-checkable form, fine to ~10^8 rows);
+    the default is ``approx_percentile`` (t-digest, mergeable map-side,
+    bounded state) — the 100 TB path, at the cost of a rank error
+    ~1/accuracy. Adds (quality, cutoff) columns.
+    """
+    if not 0.0 < keep_fraction <= 1.0:
+        raise ValueError("keep_fraction must be in (0, 1]")
+    p = 1.0 - keep_fraction
+    scored = df.withColumn("quality", quality_score(text_col))
+    if exact:
+        agg = F.expr(f"percentile(quality, {p!r}D)")
+    else:
+        agg = F.expr(f"approx_percentile(quality, {p!r}D, {accuracy})")
+    cut = scored.agg(agg.cast("double").alias("cutoff"))
+    return (scored.crossJoin(F.broadcast(cut))
+            .filter(F.col("quality") >= F.col("cutoff")))

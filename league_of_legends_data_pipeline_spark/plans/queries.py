@@ -5220,3 +5220,62 @@ def q111_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                                {"train": 0.8, "val": 0.1, "test": 0.1})
             .select("doc_id", "component", "split")
             .orderBy("doc_id"))
+
+
+@_register(
+    "q112_calibrated_quality_filter",
+    """
+    -- keep-rate-calibrated quality filter: cutoff = exact interpolated
+    -- 0.4-quantile of the corpus quality score (keep the best 60%);
+    -- per-lang stats of the surviving docs.
+    WITH toks AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS tokens
+        FROM documents
+    ), q AS (
+        SELECT doc_id, lang,
+               CAST(round((
+                   least(1.0, len(tokens) / 50.0)
+                   + CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '',
+                                                'g')) AS DOUBLE)
+                     / greatest(length(text), 1)
+                   + least(1.0, (CAST(length(list_aggregate(tokens,
+                                 'string_agg', '')) AS DOUBLE)
+                                 / greatest(len(tokens), 1)) / 8.0)
+               ) / 3, 6) AS DOUBLE) AS quality
+        FROM toks
+    ), c AS (
+        SELECT quantile_cont(quality, 0.4) AS cutoff FROM q
+    )
+    SELECT lang, count(*) AS n_kept,
+           CAST(round(sum(quality), 4) AS DOUBLE) AS quality_sum,
+           CAST(round((SELECT cutoff FROM c), 6) AS DOUBLE) AS cutoff
+    FROM q
+    WHERE quality >= (SELECT cutoff FROM c)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Keep-rate-calibrated quality filter (operators/text.py::"
+        "calibrated_quality_filter): the cutoff is derived from the "
+        "corpus distribution (exact interpolated percentile here — the "
+        "oracle-checkable form; approx_percentile t-digest is the "
+        "operator's default 100 TB path, mergeable map-side with "
+        "bounded state), so 'keep the best 60%' stays true as the "
+        "distribution drifts. One scalar broadcast back onto the scan; "
+        "the filter itself is map-side.",
+)
+def q112_calibrated_quality_filter(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        calibrated_quality_filter,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    kept = calibrated_quality_filter(documents, "text",
+                                     keep_fraction=0.6, exact=True)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.sum("quality"), 4).alias("quality_sum"),
+                 F.round(F.first("cutoff"), 6).alias("cutoff"))
+            .orderBy("lang"))

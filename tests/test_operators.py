@@ -1132,3 +1132,22 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     comp_split = {}
     for comp, split in by_doc.values():
         assert comp_split.setdefault(comp, split) == split
+
+
+def test_calibrated_quality_filter_keep_rate(spark):
+    """The exact cutoff must keep ~keep_fraction of rows (>= due to
+    ties/interpolation), never fewer; bad fractions rejected."""
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        calibrated_quality_filter,
+    )
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 1))) for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = calibrated_quality_filter(df, "text", 0.6, exact=True)
+    n = kept.count()
+    assert 30 <= n <= 35  # >= 60% of 50, small overshoot from ties
+    assert {"quality", "cutoff"} <= set(kept.columns)
+    # every kept row clears the cutoff
+    assert kept.filter("quality < cutoff").count() == 0
+    with pytest.raises(ValueError):
+        calibrated_quality_filter(df, "text", 0.0)
