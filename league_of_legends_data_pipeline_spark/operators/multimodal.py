@@ -194,6 +194,12 @@ def ahash_signature_table(df: DataFrame, id_col: str,
         for pdf in batches:
             out = []
             for raw in pdf[bin_col]:
+                # NULL payload → the empty-payload sentinel, not a crash
+                # (np.frombuffer(None) raises; same guard as the minhash
+                # signature table)
+                if raw is None:
+                    out.append(0)
+                    continue
                 a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
                 n = a.size
                 if n == 0:

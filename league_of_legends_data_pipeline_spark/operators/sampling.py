@@ -228,8 +228,15 @@ def mixture_sample(
     part_of = F.create_map(
         *[F.lit(x) for kv in parts.items() for x in kv])
     member = df.filter(F.col(group_col).isin(*parts.keys()))
+    # a listed group with NO rows makes the mixture unachievable (T = 0,
+    # empty result) — seed every listed group with n = 0 rather than
+    # silently dropping it from the min and rebalancing over the rest
+    spark = df.sparkSession
+    listed = spark.createDataFrame([(g,) for g in parts], [group_col])
     counts = (member.groupBy(group_col)
               .agg(F.count(F.lit(1)).alias("__n"))
+              .join(listed, group_col, "right_outer")
+              .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
               .withColumn("__w", part_of[F.col(group_col)]))
     achievable = counts.agg(F.min(F.floor(
         F.col("__n") * total_w / F.col("__w"))).cast("long").alias("__T"))

@@ -228,3 +228,22 @@ def test_media_neardup_pairs_lossless_banding(spark):
             expect[(a, b)] = h
     assert got == expect
     assert all((i, 100 + i) in got for i in range(4))
+
+
+def test_ahash_null_payload_is_sentinel(spark):
+    """A NULL payload must hash to the empty sentinel (0), not crash the
+    Arrow batch."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        ahash_signature_table,
+    )
+
+    schema = StructType([StructField("media_id", LongType()),
+                         StructField("payload", BinaryType())])
+    df = spark.createDataFrame([(1, None), (2, b"abc")], schema)
+    got = {r["media_id"]: r["sig"]
+           for r in ahash_signature_table(df, "media_id", "payload").collect()}
+    assert got[1] == 0 and got[2] != 0

@@ -1151,3 +1151,16 @@ def test_calibrated_quality_filter_keep_rate(spark):
     assert kept.filter("quality < cutoff").count() == 0
     with pytest.raises(ValueError):
         calibrated_quality_filter(df, "text", 0.0)
+
+
+def test_mixture_sample_missing_group_makes_mixture_unachievable(spark):
+    """A listed group with no rows must yield the EMPTY result (T=0) —
+    not a silent rebalance over the groups that exist."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame([(i, "a") for i in range(20)],
+                               ["doc_id", "grp"])
+    out = mixture_sample(df, "grp", {"a": 1, "missing": 1}, "doc_id")
+    assert out.count() == 0
