@@ -32,11 +32,15 @@ def _export_order() -> list[str]:
     CORRECTNESS_r*.json coverage reaches the full set across rounds
     regardless of any per-round cap.
 
-    Ordering within the cap: stalest-verified first (rows verified against
-    the OLDEST testdata generation are the most at risk of silent rot —
-    the driver has re-encoded /root/testdata twice), then never-verified
-    queries (they pass the local mirror, so they carry less risk than a
-    stale row and can wait a round), then the freshest group.
+    Ordering within the cap: a small fixed quota (2) of never-verified
+    queries first, then stalest-verified (rows verified against the
+    OLDEST testdata generation are the most at risk of silent rot — the
+    driver has re-encoded /root/testdata twice), then the remaining
+    never-verified, then the freshest group. The up-front quota matters:
+    with more declared queries than the per-round cap there are ALWAYS
+    >= cap staler-verified queries, so never-verified entries sorted
+    purely behind them would be starved forever; the quota drains them
+    at 2/round while the stale groups keep cycling.
     """
     last_pass: dict[str, int] = {}
     max_rnd = 0
@@ -56,13 +60,12 @@ def _export_order() -> list[str]:
                     row.get("schema_match") and row.get("hash_match"):
                 last_pass[name] = max(last_pass.get(name, 0), rnd)
     names = list(QUERIES)
-
-    def key(n: str):
-        lp = last_pass.get(n, 0)
-        # never-verified slot between the stale groups and the freshest one
-        return (lp if lp else max_rnd, 0 if lp == 0 else 1, names.index(n))
-
-    return sorted(names, key=key)
+    never = [n for n in names if not last_pass.get(n)]
+    stale = sorted((n for n in names if 0 < last_pass.get(n, 0) < max_rnd),
+                   key=lambda n: (last_pass[n], names.index(n)))
+    fresh = [n for n in names
+             if max_rnd and last_pass.get(n) == max_rnd]
+    return never[:2] + stale + never[2:] + fresh
 
 
 def entry(spark: SparkSession) -> DataFrame:
