@@ -201,3 +201,35 @@ def key_skew_report(
                     .alias("share_pct"),
                     F.round(F.col("n") * F.col("__n_keys")
                             / F.col("__n_rows"), 6).alias("skew_ratio")))
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fingerprint_col: str,
+) -> DataFrame:
+    """Version-over-version dataset diff: per id, ``added`` / ``removed``
+    / ``changed`` / ``unchanged`` by comparing a content fingerprint
+    (digest, rolling hash, aHash — anything cheap and deterministic).
+
+    The audit step between corpus versions: what did the refresh touch,
+    and is the delta the size the pipeline expected? One full-outer
+    equi-join on the id carrying only (id, fingerprint) — documents
+    never move; at 100 TB both sides should be bucketed on the id so
+    the join is exchange-free (sinks.write_bucketed). Returns
+    (id, status).
+    """
+    o = old.select(F.col(id_col).alias("__id"),
+                   F.col(fingerprint_col).alias("__fo"))
+    n = new.select(F.col(id_col).alias("__id"),
+                   F.col(fingerprint_col).alias("__fn"))
+    return (
+        o.join(n, "__id", "full_outer")
+        .select(
+            F.col("__id").alias(id_col),
+            F.when(F.col("__fo").isNull(), F.lit("added"))
+            .when(F.col("__fn").isNull(), F.lit("removed"))
+            .when(F.col("__fo") == F.col("__fn"), F.lit("unchanged"))
+            .otherwise(F.lit("changed")).alias("status"))
+    )

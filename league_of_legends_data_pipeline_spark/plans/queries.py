@@ -5279,3 +5279,57 @@ def q112_calibrated_quality_filter(spark: SparkSession,
                  F.round(F.sum("quality"), 4).alias("quality_sum"),
                  F.round(F.first("cutoff"), 6).alias("cutoff"))
             .orderBy("lang"))
+
+
+@_register(
+    "q113_dataset_diff",
+    """
+    -- corpus version diff: v0 lacks every 50th doc (mod 3), v1 drops
+    -- every 40th (mod 1) and rewrites every 25th; per-status id counts
+    -- + id ranges audit the delta.
+    WITH v0 AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 50 <> 3
+    ), v1 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 25 = 0 THEN text || ' v2' ELSE text END)
+                 AS fp
+      FROM documents WHERE doc_id % 40 <> 1
+    )
+    SELECT CASE WHEN v0.fp IS NULL THEN 'added'
+                WHEN v1.fp IS NULL THEN 'removed'
+                WHEN v0.fp = v1.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_docs,
+           min(coalesce(v0.doc_id, v1.doc_id)) AS min_id,
+           max(coalesce(v0.doc_id, v1.doc_id)) AS max_id
+    FROM v0 FULL OUTER JOIN v1 ON v0.doc_id = v1.doc_id
+    GROUP BY 1
+    ORDER BY status
+    """,
+    doc="Dataset version diff (operators/joins.py::dataset_diff): the "
+        "audit between corpus versions — added/removed/changed/unchanged "
+        "per id by fingerprint compare. One full-outer equi-join moving "
+        "only (id, digest); bucketed tables make it exchange-free at "
+        "scale. Catches refreshes that touched more (or less) than "
+        "intended before training consumes the delta.",
+)
+def q113_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        dataset_diff,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    v0 = (documents.filter(F.col("doc_id") % 50 != 3)
+          .select("doc_id", F.md5("text").alias("fp")))
+    v1 = (documents.filter(F.col("doc_id") % 40 != 1)
+          .select(
+              "doc_id",
+              F.md5(F.when(F.col("doc_id") % 25 == 0,
+                           F.concat(F.col("text"), F.lit(" v2")))
+                    .otherwise(F.col("text"))).alias("fp")))
+    return (dataset_diff(v0, v1, "doc_id", "fp")
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id"))
+            .orderBy("status"))

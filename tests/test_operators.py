@@ -1164,3 +1164,46 @@ def test_mixture_sample_missing_group_makes_mixture_unachievable(spark):
                                ["doc_id", "grp"])
     out = mixture_sample(df, "grp", {"a": 1, "missing": 1}, "doc_id")
     assert out.count() == 0
+
+
+def test_dataset_diff_all_statuses(spark):
+    """Hand-built versions must classify every id correctly."""
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        dataset_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "fp"])
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], ["doc_id", "fp"])
+    got = {r["doc_id"]: r["status"]
+           for r in dataset_diff(old, new, "doc_id", "fp").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+# --- PQ encode python oracle -----------------------------------------------
+
+def test_pq_encode_matches_python_oracle(spark):
+    """pq_encode's argmin must equal a direct python computation on a
+    deterministic pseudo-random corpus (ties to the smallest cid)."""
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    dim, M, stride = 8, 2, 3
+    d = dim // M
+    vecs = {i: [((i * 7 + j * 13) % 19) / 19.0 for j in range(dim)]
+            for i in range(20)}
+    df = spark.createDataFrame(list(vecs.items()), ["vec_id", "embedding"])
+    got = {(r["vec_id"], r["j"]): r["code"]
+           for r in pq_encode(df, dim=dim, num_subspaces=M,
+                              centroid_stride=stride).collect()}
+    cids = [i for i in vecs if i % stride == 0]
+    for i, v in vecs.items():
+        for j in range(M):
+            sub = v[j * d:(j + 1) * d]
+            best = min(
+                (sum((a - b) ** 2 for a, b in
+                     zip(sub, vecs[c][j * d:(j + 1) * d])), c)
+                for c in cids)
+            assert got[(i, j)] == best[1]
