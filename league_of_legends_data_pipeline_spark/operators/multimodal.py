@@ -240,3 +240,54 @@ def media_neardup_pairs(
     return hamming_pairs(sigs, "media_id", "sig", bits=AHASH_BITS,
                          chunks=chunks, max_hamming=max_hamming,
                          max_bucket_size=max_bucket_size)
+
+
+def resize_payloads(df: DataFrame, id_col: str, bin_col: str,
+                    target_len: int = 64) -> DataFrame:
+    """Fixed-length resample of opaque binary payloads — the media-resize
+    slot of the pipeline (a real image resize plugs the SAME mapInPandas
+    stage behind the :func:`decode_image` import-try; this byte-domain
+    form is the honest no-decoder stand-in and is exactly what audio
+    waveform downsampling looks like).
+
+    Downsampling block-averages with exact half-up integer rounding
+    ((sum·2 + len) // (2·len) — engine-replicable, no float mean);
+    upsampling is nearest-neighbor (index k reads byte k·n//target).
+    Arrow-batched, one cumulative-sum pass per payload. Returns
+    (id, n_in, resized) with ``resized`` hex-encoded (fixed
+    2·target_len chars) so downstream compares/digests are plain string
+    ops on every engine. NULL/empty payloads resize to all-zero bytes.
+    """
+    if target_len <= 0:
+        raise ValueError("target_len must be positive")
+    import numpy as np
+
+    edges_frac = np.arange(target_len + 1, dtype=np.int64)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_in, hexes = [], []
+            for raw in pdf[bin_col]:
+                if not raw:
+                    n_in.append(0 if raw is not None else 0)
+                    hexes.append("00" * target_len)
+                    continue
+                a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                n = a.size
+                n_in.append(n)
+                if n >= target_len:
+                    edges = (edges_frac * n) // target_len
+                    csum = np.concatenate(([0], np.cumsum(a)))
+                    bsum = csum[edges[1:]] - csum[edges[:-1]]
+                    blen = edges[1:] - edges[:-1]
+                    out = (bsum * 2 + blen) // (2 * blen)
+                else:
+                    idx = (np.arange(target_len, dtype=np.int64) * n) \
+                        // target_len
+                    out = a[idx]
+                hexes.append(out.astype(np.uint8).tobytes().hex())
+            yield pd.DataFrame({"media_id": pdf[id_col], "n_in": n_in,
+                                "resized": hexes})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        resize, "media_id long, n_in long, resized string")

@@ -5333,3 +5333,61 @@ def q113_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id"))
             .orderBy("status"))
+
+
+@_register(
+    "q114_payload_resize",
+    """
+    -- fixed-length payload resample (media-resize slot): block-average
+    -- downsample to 64 bytes with exact half-up integer rounding,
+    -- nearest-neighbor upsample below 64; hex-encoded result.
+    WITH b AS (
+      SELECT doc_id, list_transform(range(1, length(text)+1),
+             i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+                 AS bytes
+      FROM documents
+    ), r AS (
+      SELECT doc_id, len(bytes) AS n_in,
+             CASE WHEN len(bytes) = 0 THEN repeat('00', 64)
+                  WHEN len(bytes) >= 64 THEN
+                    list_aggregate(list_transform(range(0, 64), k ->
+                        printf('%02x', CAST(
+                            (list_sum(list_slice(bytes,
+                                 CAST(k*len(bytes)//64 + 1 AS INT),
+                                 CAST((k+1)*len(bytes)//64 AS INT))) * 2
+                             + ((k+1)*len(bytes)//64 - k*len(bytes)//64))
+                            // (2 * ((k+1)*len(bytes)//64
+                                     - k*len(bytes)//64)) AS INT))),
+                        'string_agg', '')
+                  ELSE
+                    list_aggregate(list_transform(range(0, 64), k ->
+                        printf('%02x', CAST(
+                            bytes[CAST(k*len(bytes)//64 + 1 AS INT)]
+                            AS INT))),
+                        'string_agg', '')
+             END AS resized
+      FROM b
+    )
+    SELECT doc_id, CAST(n_in AS BIGINT) AS n_in, resized
+    FROM r
+    ORDER BY doc_id
+    """,
+    doc="Payload resize (operators/multimodal.py::resize_payloads): the "
+        "media-resize stage with the decoder swapped for byte-domain "
+        "resampling (identical plumbing; audio waveform downsampling IS "
+        "this operation). Exact half-up integer block means — no float "
+        "mean for an engine to round differently — one cumulative-sum "
+        "pass per payload in an Arrow batch; output is fixed-width hex "
+        "so downstream digests are plain string ops.",
+)
+def q114_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    payloads = documents.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return (resize_payloads(payloads, "doc_id", "payload", target_len=64)
+            .select(F.col("media_id").alias("doc_id"), "n_in", "resized")
+            .orderBy("doc_id"))

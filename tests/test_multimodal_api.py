@@ -247,3 +247,43 @@ def test_ahash_null_payload_is_sentinel(spark):
     got = {r["media_id"]: r["sig"]
            for r in ahash_signature_table(df, "media_id", "payload").collect()}
     assert got[1] == 0 and got[2] != 0
+
+
+def test_resize_payloads_python_oracle(spark):
+    """Down/up-sampled bytes must match a per-definition python oracle;
+    empty and NULL payloads resize to all-zero bytes."""
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    T = 8
+
+    def py_resize(raw: bytes) -> str:
+        n = len(raw)
+        if n == 0:
+            return "00" * T
+        if n >= T:
+            out = []
+            for k in range(T):
+                lo, hi = k * n // T, (k + 1) * n // T
+                s, ln = sum(raw[lo:hi]), hi - lo
+                out.append((s * 2 + ln) // (2 * ln))
+        else:
+            out = [raw[k * n // T] for k in range(T)]
+        return bytes(out).hex()
+
+    payloads = [bytes(range(100)), b"abc", b"", bytes([255] * 9)]
+    schema = StructType([StructField("media_id", LongType()),
+                         StructField("payload", BinaryType())])
+    rows = [(i, p) for i, p in enumerate(payloads)] + [(99, None)]
+    df = spark.createDataFrame(rows, schema)
+    got = {r["media_id"]: (r["n_in"], r["resized"])
+           for r in resize_payloads(df, "media_id", "payload",
+                                    target_len=T).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == (len(p), py_resize(p)), i
+    assert got[99] == (0, "00" * T)
