@@ -327,3 +327,56 @@ def leakage_safe_split(
 
     assigned = dedup_clusters(df, pairs, id_col)
     return hash_split(assigned, "component", weights, seed)
+
+
+def mixture_sample_tokens(
+    df: DataFrame,
+    group_col: str,
+    parts: dict[str, int],
+    id_col: str,
+    token_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budgeted mixture sampling: like :func:`mixture_sample`, but
+    the recipe targets TOKEN mass per group, which is what training
+    recipes actually specify (a 5/3/2 doc-count mixture is not a 5/3/2
+    token mixture when sources have different document lengths).
+
+    Same integer quota math on token sums (T = min_g floor(tok_g·W/w_g),
+    budget_g = floor(w_g·T/W)); rows are admitted in hashed-id order
+    while the group's RUNNING token total stays within budget — one
+    window (per-group ordered cumulative sum), deterministic across
+    engines and re-runs. The kept token mass per group lands within one
+    document of the budget (the greedy prefix rule; exact token packing
+    is bin-packing and not order-stable). Listed groups absent from the
+    data make the mixture unachievable (empty result), as in
+    mixture_sample.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    if any(p <= 0 for p in parts.values()):
+        raise ValueError("mixture parts must be positive integers")
+    total_w = int(sum(parts.values()))
+    part_of = F.create_map(
+        *[F.lit(x) for kv in parts.items() for x in kv])
+    member = df.filter(F.col(group_col).isin(*parts.keys()))
+    spark = df.sparkSession
+    listed = spark.createDataFrame([(g,) for g in parts], [group_col])
+    sums = (member.groupBy(group_col)
+            .agg(F.sum(token_col).alias("__tok"))
+            .join(listed, group_col, "right_outer")
+            .withColumn("__tok", F.coalesce(F.col("__tok"), F.lit(0)))
+            .withColumn("__w", part_of[F.col(group_col)]))
+    achievable = sums.agg(F.min(F.floor(
+        F.col("__tok") * total_w / F.col("__w"))).cast("long").alias("__T"))
+    budgets = (sums.crossJoin(F.broadcast(achievable))
+               .select(group_col,
+                       F.floor(F.col("__w") * F.col("__T") / total_w)
+                       .cast("long").alias("__budget")))
+    w = (Window.partitionBy(group_col)
+         .orderBy(hash_unit(id_col, seed).asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (member.withColumn("__cum", F.sum(token_col).over(w))
+            .join(F.broadcast(budgets), group_col)
+            .filter(F.col("__cum") <= F.col("__budget"))
+            .drop("__cum", "__budget"))

@@ -5391,3 +5391,60 @@ def q114_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (resize_payloads(payloads, "doc_id", "payload", target_len=64)
             .select(F.col("media_id").alias("doc_id"), "n_in", "resized")
             .orderBy("doc_id"))
+
+
+@_register(
+    "q115_token_mixture",
+    f"""
+    -- token-budgeted 5/3/2 mixture over source groups: greedy hashed-id
+    -- prefix per group while the running char total stays within the
+    -- integer budget (T = min_g floor(tok_g*W/w_g)).
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             CASE CAST(substr(source, 4) AS INT) % 3
+                  WHEN 0 THEN 'web' WHEN 1 THEN 'books' ELSE 'code'
+             END AS grp
+      FROM documents
+    ), parts(grp, w) AS (VALUES ('web', 5), ('books', 3), ('code', 2)),
+    sums AS (
+      SELECT g.grp, p.w, sum(n_chars) AS tok
+      FROM g JOIN parts p ON g.grp = p.grp GROUP BY g.grp, p.w
+    ), t AS (
+      SELECT CAST(min(floor(tok * 10.0 / w)) AS BIGINT) AS t FROM sums
+    ), budgets AS (
+      SELECT grp, CAST(floor(w * (SELECT t FROM t) / 10.0) AS BIGINT)
+                 AS budget
+      FROM sums
+    ), cum AS (
+      SELECT doc_id, grp, n_chars,
+             sum(n_chars) OVER (PARTITION BY grp ORDER BY
+                 {_HASH_UNIT_SQL} ASC, doc_id ASC
+                 ROWS UNBOUNDED PRECEDING) AS cumtok
+      FROM g
+    )
+    SELECT c.doc_id, c.grp, c.n_chars
+    FROM cum c JOIN budgets b ON c.grp = b.grp
+    WHERE c.cumtok <= b.budget
+    ORDER BY c.doc_id
+    """,
+    doc="Token-budgeted data recipe (operators/sampling.py::"
+        "mixture_sample_tokens): training recipes specify TOKEN "
+        "proportions, and sources with different document lengths make "
+        "doc-count mixtures miss them. Integer budget math + greedy "
+        "hashed-id prefix per group (one ordered-cumsum window); kept "
+        "token mass lands within one document of each budget.",
+)
+def q115_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample_tokens,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    g = documents.withColumn(
+        "grp",
+        F.when(F.substring("source", 4, 10).cast("int") % 3 == 0, "web")
+         .when(F.substring("source", 4, 10).cast("int") % 3 == 1, "books")
+         .otherwise("code"))
+    kept = mixture_sample_tokens(g, "grp", {"web": 5, "books": 3, "code": 2},
+                                 id_col="doc_id", token_col="n_chars")
+    return kept.select("doc_id", "grp", "n_chars").orderBy("doc_id")

@@ -1207,3 +1207,26 @@ def test_pq_encode_matches_python_oracle(spark):
                      zip(sub, vecs[c][j * d:(j + 1) * d])), c)
                 for c in cids)
             assert got[(i, j)] == best[1]
+
+
+def test_mixture_sample_tokens_budget_and_order(spark):
+    """Token budgets computed from integer ratios; kept token mass within
+    one document of each budget; admission follows hashed-id order."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        mixture_sample_tokens,
+    )
+
+    rows = ([(i, "a", 10) for i in range(30)]        # 300 tokens
+            + [(i, "b", 25) for i in range(100, 112)])  # 300 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "tok"])
+    # parts 2/1, W=3: T = min(300*3/2, 300*3/1) = 450 → budgets a=300, b=150
+    out = mixture_sample_tokens(df, "grp", {"a": 2, "b": 1},
+                                "doc_id", "tok")
+    got = out.groupBy("grp").agg({"tok": "sum", "*": "count"}).collect()
+    agg = {r["grp"]: (r["count(1)"], r["sum(tok)"]) for r in got}
+    assert agg["a"] == (30, 300)           # whole group fits the budget
+    assert agg["b"] == (6, 150)            # 150/25 = 6 docs exactly
+    # missing listed group → unachievable → empty
+    empty = mixture_sample_tokens(df, "grp", {"a": 1, "zz": 1},
+                                  "doc_id", "tok")
+    assert empty.count() == 0

@@ -261,3 +261,28 @@ def test_ahash_matches_python_oracle(spark, payloads):
     got = {r["media_id"]: r["sig"]
            for r in ahash_signature_table(df, "media_id", "payload").collect()}
     assert got == {i: py_ahash(p) for i, p in enumerate(payloads)}
+
+
+@given(sigs=st.lists(st.integers(0, (1 << 60) - 1), min_size=2,
+                     max_size=24, unique=True))
+@SLOW
+def test_hamming_pairs_lossless_vs_bruteforce(spark, sigs):
+    """For arbitrary 60-bit signatures, the banded join must return
+    EXACTLY the pairs an all-pairs hamming scan finds (pigeonhole
+    losslessness at hamming <= chunks-1)."""
+    import itertools
+
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(sigs)), ["sid", "sig"])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_pairs(df, "sid", "sig", bits=60, chunks=6,
+                                  max_hamming=5).collect()}
+    expect = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(sigs), 2):
+        h = bin(a ^ b).count("1")
+        if h <= 5:
+            expect[(i, j)] = h
+    assert got == expect
