@@ -615,3 +615,52 @@ def span_dedup_filter(
             .drop("__id")
             .withColumn("dup_fraction",
                         F.coalesce(F.col("dup_fraction"), F.lit(0.0))))
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 16,
+    modulus: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (rsync/LBFS-style): cut each document
+    where the hash of the trailing ``window`` chars ≡ 0 mod ``modulus``
+    — boundaries are decided by CONTENT, so an insertion near the front
+    shifts only the chunks it touches and everything after the next
+    boundary re-aligns. Fixed-offset chunking loses every chunk after an
+    edit; CDC is why chunk-level storage dedup survives document
+    revisions. Expected chunk length ~ ``modulus`` chars.
+
+    Returns (id, chunk_idx, chunk_len, chunk_digest) — one row per
+    chunk, digests only (chunk text never leaves the row). Per-row
+    Column expressions end to end: the boundary scan is the q103
+    windowed-substring shape (O(len) md5s per doc, map-only, zero
+    Python); the explode emits (id, 16-byte digest) rows, so chunk-level
+    dedup downstream shuffles digests, never text. Documents shorter
+    than ``window`` form one whole-document chunk.
+    """
+    if window < 2 or modulus < 2:
+        raise ValueError("window and modulus must each be >= 2")
+    t = F.col(text_col)
+    L = F.length(t)
+    wh = lambda i: F.conv(F.substring(F.md5(
+        t.substr(i - window + 1, F.lit(window))), 1, 15), 16, 10) \
+        .cast("long") % modulus
+    cuts = F.filter(F.sequence(F.lit(window), F.greatest(L, F.lit(window))),
+                    lambda i: (i <= L) & (wh(i) == 0))
+    starts = F.concat(F.array(F.lit(0)), cuts)
+    ends = F.concat(cuts, F.array(L))
+    chunks = F.zip_with(
+        starts, ends,
+        lambda a, b: F.struct(t.substr(a + 1, b - a).alias("c"),
+                              (b - a).alias("n")))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx",
+                                                            "__ch"))
+        .filter(F.col("__ch.n") > 0)  # a cut at the exact end → empty tail
+        .select(id_col, "chunk_idx",
+                F.col("__ch.n").alias("chunk_len"),
+                F.md5(F.col("__ch.c")).alias("chunk_digest"))
+    )

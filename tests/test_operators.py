@@ -1230,3 +1230,38 @@ def test_mixture_sample_tokens_budget_and_order(spark):
     empty = mixture_sample_tokens(df, "grp", {"a": 1, "zz": 1},
                                   "doc_id", "tok")
     assert empty.count() == 0
+
+
+def test_cdc_chunks_reassemble_and_insertion_robust(spark):
+    """Chunks must partition the document exactly (lengths sum to doc
+    length, in order); a mid-document edit must preserve the chunks
+    before AND after the touched region; short docs are one chunk."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    import hashlib
+
+    # md5-stream text: every 16-char window distinct → boundaries land at
+    # the expected ~modulus spacing (a short-period synthetic string can
+    # legitimately produce zero boundaries)
+    base = "".join(hashlib.md5(f"cdc{i}".encode()).hexdigest()
+                   for i in range(20))  # 640 chars
+    edited = base[:300] + "XXXX" + base[300:]
+    df = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "tiny")], ["doc_id", "text"])
+    rows = cdc_chunks(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_digest"]))
+    for d, text in [(1, base), (2, edited), (3, "tiny")]:
+        chunks = sorted(by_doc[d])
+        assert sum(n for _, n, _ in chunks) == len(text)
+    assert by_doc[3] == [(0, 4, by_doc[3][0][2])]  # whole-doc chunk
+    d1 = {dg for _, _, dg in by_doc[1]}
+    d2 = {dg for _, _, dg in by_doc[2]}
+    # the edit is local: most chunks survive on both sides of it
+    assert len(d1 & d2) >= max(1, len(d1) - 3)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, "doc_id", "text", window=1)
