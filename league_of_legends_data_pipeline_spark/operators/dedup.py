@@ -624,6 +624,7 @@ def cdc_chunks(
     *,
     window: int = 16,
     modulus: int = 64,
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Content-defined chunking (rsync/LBFS-style): cut each document
     where the hash of the trailing ``window`` chars ≡ 0 mod ``modulus``
@@ -636,18 +637,35 @@ def cdc_chunks(
     Returns (id, chunk_idx, chunk_len, chunk_digest) — one row per
     chunk, digests only (chunk text never leaves the row). Per-row
     Column expressions end to end: the boundary scan is the q103
-    windowed-substring shape (O(len) md5s per doc, map-only, zero
-    Python); the explode emits (id, 16-byte digest) rows, so chunk-level
-    dedup downstream shuffles digests, never text. Documents shorter
-    than ``window`` form one whole-document chunk.
+    windowed-substring shape (O(len) window hashes per doc, map-only,
+    zero Python); the explode emits (id, 16-byte digest) rows, so
+    chunk-level dedup downstream shuffles digests, never text.
+    Documents shorter than ``window`` form one whole-document chunk.
+
+    The raw text is exchanged across the cluster FIRST (the
+    simhash_pairs pattern): a corpus landing in a few large files would
+    otherwise window-hash in as few tasks as there are files.
+    ``fast_hash=True`` swaps the engine-portable md5 window hash for
+    JVM ``xxhash64`` (measured 1.3x at sf0.1 — window SUBSTRING
+    materialization, not the hash, dominates) — DIFFERENT boundaries,
+    so use one scheme consistently per corpus; the md5 default is what
+    the DuckDB oracle replicates. (A true Rabin-Karp incremental
+    rolling hash would drop the per-window cost to O(1)/char but needs
+    a sequential fold no engine-portable SQL rendering exists for.)
     """
     if window < 2 or modulus < 2:
         raise ValueError("window and modulus must each be >= 2")
+    df = df.repartition(_par(df), F.col(id_col))
     t = F.col(text_col)
     L = F.length(t)
-    wh = lambda i: F.conv(F.substring(F.md5(
-        t.substr(i - window + 1, F.lit(window))), 1, 15), 16, 10) \
-        .cast("long") % modulus
+    if fast_hash:
+        wh = lambda i: F.pmod(
+            F.xxhash64(t.substr(i - window + 1, F.lit(window))),
+            F.lit(modulus))
+    else:
+        wh = lambda i: F.conv(F.substring(F.md5(
+            t.substr(i - window + 1, F.lit(window))), 1, 15), 16, 10) \
+            .cast("long") % modulus
     cuts = F.filter(F.sequence(F.lit(window), F.greatest(L, F.lit(window))),
                     lambda i: (i <= L) & (wh(i) == 0))
     starts = F.concat(F.array(F.lit(0)), cuts)
