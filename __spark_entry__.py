@@ -32,15 +32,13 @@ def _export_order() -> list[str]:
     CORRECTNESS_r*.json coverage reaches the full set across rounds
     regardless of any per-round cap.
 
-    Ordering within the cap: a small fixed quota (2) of never-verified
-    queries first, then stalest-verified (rows verified against the
-    OLDEST testdata generation are the most at risk of silent rot — the
-    driver has re-encoded /root/testdata twice), then the remaining
-    never-verified, then the freshest group. The up-front quota matters:
-    with more declared queries than the per-round cap there are ALWAYS
-    >= cap staler-verified queries, so never-verified entries sorted
-    purely behind them would be starved forever; the quota drains them
-    at 2/round while the stale groups keep cycling.
+    Ordering within the cap: ALL never-verified queries first (a query
+    with zero hard driver signal is strictly riskier than one whose row
+    is merely a round old), then stalest-verified (rows verified against
+    the OLDEST testdata generation are the most at risk of silent rot —
+    the driver has re-encoded /root/testdata twice), then the freshest
+    group. Round-4 verdict: the previous 2-per-round never-verified
+    quota would have taken ~7 rounds to drain the round-4 additions.
     """
     last_pass: dict[str, int] = {}
     max_rnd = 0
@@ -65,7 +63,7 @@ def _export_order() -> list[str]:
                    key=lambda n: (last_pass[n], names.index(n)))
     fresh = [n for n in names
              if max_rnd and last_pass.get(n) == max_rnd]
-    return never[:2] + stale + never[2:] + fresh
+    return never + stale + fresh
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -46,6 +46,10 @@ from pyspark.sql import functions as F
 # positive long on every engine (no sign-bit / shift-overflow edge cases)
 _WORD_BITS = 32
 _MASKS = F.array(*[F.lit(1 << i).cast("long") for i in range(_WORD_BITS)])
+# collision-safe internal name for the broadcast map column ('__'-prefixed
+# temp-column convention) — a user DataFrame legitimately named 'bloom'
+# must not collide with the filter's ride-along column
+_BITMAP_COL = "__bloom_bitmap"
 
 
 def bloom_positions(key: Column, m_bits: int, k: int = 4,
@@ -67,26 +71,29 @@ def bloom_positions(key: Column, m_bits: int, k: int = 4,
 
 def bloom_bitmap(keys: DataFrame, key_col: str, m_bits: int, k: int = 4,
                  seed: int = 42) -> DataFrame:
-    """One-row DataFrame holding the filter as ``bloom: map<long, long>``
-    (word index → 32-bit word in a long).
+    """One-row DataFrame holding the filter as ``__bloom_bitmap:
+    map<long, long>`` (word index → 32-bit word in a long).
 
-    The heavy part — hashing every key and de-duplicating bit positions —
+    The heavy part — hashing every key and OR-folding bit positions —
     runs distributed; the single-partition tail only folds ≤ m/32 finished
     words into one map value, which is geometry-bounded (a 2^27-bit filter
     is 4M map entries ~ 64 MB broadcast, the practical ceiling; beyond
     that, shard the filter by key range and union the prune results).
+    No de-dup pass on the k·n exploded positions: ``bit_or`` is
+    idempotent, so the groupBy's map-side partial aggregation absorbs
+    duplicates for free — a ``distinct()`` here would be a second full
+    shuffle of the probe positions for zero semantic gain.
     """
     pos = keys.select(F.explode(
         bloom_positions(F.col(key_col), m_bits, k, seed)).alias("p"))
     words = (
-        pos.distinct()
-        .groupBy(F.shiftright(F.col("p"), 5).alias("w"))
+        pos.groupBy(F.shiftright(F.col("p"), 5).alias("w"))
         .agg(F.bit_or(F.element_at(
             _MASKS, (F.col("p").bitwiseAND(F.lit(_WORD_BITS - 1)) + 1)
             .cast("int"))).alias("bits"))
     )
     return words.agg(F.map_from_entries(
-        F.collect_list(F.struct("w", "bits"))).alias("bloom"))
+        F.collect_list(F.struct("w", "bits"))).alias(_BITMAP_COL))
 
 
 def bloom_might_contain(bloom_map: Column, key: Column, m_bits: int,
@@ -119,7 +126,8 @@ def bloom_prune(df: DataFrame, key: Column, bitmap: DataFrame, m_bits: int,
     (1 row), never shuffled.
     """
     tagged = df.crossJoin(F.broadcast(bitmap))
-    verdict = bloom_might_contain(F.col("bloom"), key, m_bits, k, seed)
+    verdict = bloom_might_contain(F.col(_BITMAP_COL), key, m_bits, k, seed)
     if flag_col is not None:
-        return tagged.withColumn(flag_col, verdict).drop("bloom")
-    return tagged.filter(verdict if keep_members else ~verdict).drop("bloom")
+        return tagged.withColumn(flag_col, verdict).drop(_BITMAP_COL)
+    return tagged.filter(
+        verdict if keep_members else ~verdict).drop(_BITMAP_COL)

@@ -352,7 +352,9 @@ def canary_scan(
     """
     c = df.select(F.col(id_col).alias("__cid"),
                   F.col(text_col).alias("__ctext"))
-    hits = c.join(F.broadcast(canaries.select(canary_col)),
+    # distinct: a duplicated canary value must not double-count its
+    # documents — n_docs counts documents, not canary-row multiplicity
+    hits = c.join(F.broadcast(canaries.select(canary_col).distinct()),
                   F.expr(f"contains(__ctext, {canary_col})"))
     return (hits.groupBy(canary_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -5038,7 +5038,13 @@ def q106_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle, only (id, 8-byte sig). The oracle computes exact "
         "all-pairs hamming; parity proves the banded join loses nothing "
         "at hamming <= 5 with 6 chunks. A DCT pHash drops into the same "
-        "pipeline via the decode_image mapInPandas pattern.",
+        "pipeline via the decode_image mapInPandas pattern. ORACLE "
+        "ASSUMPTION: the oracle iterates characters via ascii(substr()) "
+        "(code points) while the operator hashes UTF-8 BYTES — equivalent "
+        "only on ASCII testdata (documents.text is ASCII by construction, "
+        "TESTDATA.md). On non-ASCII corpora the operator side is the "
+        "correct one (media payloads are bytes); the oracle would need a "
+        "byte-level rewrite.",
 )
 def q107_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.multimodal import (
@@ -5105,7 +5111,7 @@ def q108_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- every 97th document (standing in for planted GUID markers); count
     -- corpus docs containing each canary verbatim.
     WITH canaries AS (
-      SELECT substr(text, 1, 40) AS canary FROM documents
+      SELECT DISTINCT substr(text, 1, 40) AS canary FROM documents
       WHERE doc_id % 97 = 0 AND length(text) >= 40
     )
     SELECT c.canary, count(*) AS n_docs, min(d.doc_id) AS first_doc_id
@@ -5378,7 +5384,11 @@ def q113_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "this operation). Exact half-up integer block means — no float "
         "mean for an engine to round differently — one cumulative-sum "
         "pass per payload in an Arrow batch; output is fixed-width hex "
-        "so downstream digests are plain string ops.",
+        "so downstream digests are plain string ops. ORACLE ASSUMPTION: "
+        "the oracle's ascii(substr()) yields code points, the operator "
+        "resamples UTF-8 BYTES — equivalent only on ASCII testdata "
+        "(documents.text is ASCII by construction, TESTDATA.md); on "
+        "non-ASCII corpora the byte-domain operator is the correct side.",
 )
 def q114_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.multimodal import (

@@ -126,6 +126,7 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            report.append((name, "FAIL(duckdb)", len(sp_pdf), el))
             continue
         problems = []
         if len(sp_pdf) != len(dk_pdf):
