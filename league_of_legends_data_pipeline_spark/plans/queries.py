@@ -5531,18 +5531,28 @@ def q116_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("inserted new prefix words "),
                  F.col("text")).alias("text"))
     u = documents.select("doc_id", "text").unionByName(edited)
-    digs = (cdc_chunks(u, "doc_id", "text", window=16, modulus=64)
-            .select("doc_id", "chunk_digest").distinct())
-    o = digs.filter(F.col("doc_id") < 200000)
-    e = digs.filter(F.col("doc_id") >= 200000) \
-        .select((F.col("doc_id") - 200000).alias("doc_id"), "chunk_digest")
-    no = o.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_orig"))
-    ne = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_edit"))
-    sh = (o.join(e, ["doc_id", "chunk_digest"])
-          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shared")))
-    return (no.join(ne, "doc_id").join(sh, "doc_id", "left")
-            .select("doc_id", "n_orig", "n_edit",
-                    F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-                    F.round(F.coalesce("n_shared", F.lit(0))
-                            / F.col("n_orig"), 6).alias("shared_frac"))
+    # join-free harness: tag each chunk row with (orig doc key, side),
+    # then ONE groupBy(key, digest) — whose max-flags absorb both the
+    # digest distinct AND the orig∩edited intersection — and ONE
+    # groupBy(key) for the counts. Two shuffles where the join form of
+    # the oracle pays six (distinct + 2 groupBys + 2 joins); identical
+    # values because has_o/has_e are exactly "digest ∈ o" / "digest ∈ e".
+    tagged = (cdc_chunks(u, "doc_id", "text", window=16, modulus=64)
+              .select((F.col("doc_id") % 200000).alias("k"),
+                      (F.col("doc_id") < 200000).alias("is_o"),
+                      "chunk_digest"))
+    per_dg = tagged.groupBy("k", "chunk_digest").agg(
+        F.max("is_o").alias("has_o"),
+        F.max(~F.col("is_o")).alias("has_e"))
+    per_doc = per_dg.groupBy("k").agg(
+        F.sum(F.col("has_o").cast("long")).alias("n_orig"),
+        F.sum(F.col("has_e").cast("long")).alias("n_edit"),
+        F.sum((F.col("has_o") & F.col("has_e")).cast("long"))
+         .alias("n_shared"))
+    return (per_doc
+            .filter((F.col("n_orig") > 0) & (F.col("n_edit") > 0))
+            .select(F.col("k").alias("doc_id"), "n_orig", "n_edit",
+                    "n_shared",
+                    F.round(F.col("n_shared") / F.col("n_orig"), 6)
+                    .alias("shared_frac"))
             .orderBy("doc_id"))

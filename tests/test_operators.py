@@ -1265,3 +1265,97 @@ def test_cdc_chunks_reassemble_and_insertion_robust(spark):
     assert len(d1 & d2) >= max(1, len(d1) - 3)
     with pytest.raises(ValueError):
         cdc_chunks(df, "doc_id", "text", window=1)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, "doc_id", "text", mode="nope")
+
+
+def test_cdc_md5_arrow_engine_matches_sql_engine(spark):
+    """The Arrow md5 scan must produce the EXACT row set of the pure
+    Column-expression rendering (same cuts, same chunk_idx numbering,
+    same digests) — including non-ASCII text (window = chars, digest =
+    UTF-8 bytes), empty/null docs, short docs, and a cut landing at the
+    exact end of a document."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    import hashlib
+    import random
+
+    rng = random.Random(20260814)
+    docs = []
+    alpha = "abcdefgh 0123456789éüλ漢"
+    for i in range(40):
+        n = rng.randrange(0, 200)
+        docs.append((i, "".join(rng.choice(alpha) for _ in range(n))))
+    # adversarial extras: a doc engineered to CUT AT ITS EXACT END — brute
+    # force a 16-char suffix whose md5 top-60-bits ≡ 0 mod 4
+    base = "".join(hashlib.md5(f"e{i}".encode()).hexdigest()
+                   for i in range(6))
+    for j in range(100000):
+        tail = f"t{j:015d}"
+        d = hashlib.md5(tail.encode()).digest()
+        if (int.from_bytes(d[:8], "big") >> 4) % 4 == 0:
+            docs.append((1000, base + tail))
+            break
+    docs += [(1001, ""), (1002, None), (1003, "short")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for w, m in [(16, 4), (8, 8), (5, 3)]:
+        a = sorted(map(tuple, cdc_chunks(
+            df, "doc_id", "text", window=w, modulus=m,
+            engine="arrow").collect()))
+        s = sorted(map(tuple, cdc_chunks(
+            df, "doc_id", "text", window=w, modulus=m,
+            engine="sql").collect()))
+        assert a == s and len(a) > len(docs) - 3
+
+
+def test_cdc_rolling_matches_direct_reference(spark):
+    """The vectorized prefix-form Rabin-Karp (batched over concatenated
+    docs, uint64 wraparound) must produce exactly the cuts of the direct
+    per-window polynomial reference computed doc-by-doc in pure Python —
+    proving the O(1)/byte incremental form and the cross-document
+    masking lose nothing."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        _rk_boundary,
+        _rk_window_hash,
+        cdc_chunks,
+    )
+
+    import hashlib
+    import random
+
+    rng = random.Random(7)
+    docs = []
+    for i in range(60):
+        n = rng.randrange(0, 400)
+        docs.append((i, bytes(rng.randrange(256) for _ in range(n))
+                     .decode("latin-1")))
+    docs += [(900, ""), (901, None), (902, "ab")]
+    w, m = 16, 32
+    got = {}
+    rows = cdc_chunks(spark.createDataFrame(docs, "doc_id long, text string"),
+                      "doc_id", "text", window=w, modulus=m,
+                      mode="rolling").collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_len"], r["chunk_digest"]))
+    n_checked = 0
+    for did, text in docs:
+        if not text:
+            assert did not in got
+            continue
+        b = text.encode("utf-8")
+        cuts = [i + w for i, h in enumerate(_rk_window_hash(b, w))
+                if _rk_boundary(h, m)]
+        bounds = [0] + cuts + [len(b)]
+        exp = []
+        for idx, (x, y) in enumerate(zip(bounds[:-1], bounds[1:])):
+            if y > x:
+                exp.append((idx, y - x,
+                            hashlib.md5(b[x:y]).hexdigest()))
+        assert sorted(got.get(did, [])) == exp, f"doc {did}"
+        n_checked += 1
+        if len(cuts) > 0:
+            n_checked += 100  # saw at least one real boundary
+    assert n_checked > 150  # the corpus actually exercised boundaries

@@ -286,3 +286,61 @@ def test_hamming_pairs_lossless_vs_bruteforce(spark, sigs):
         if h <= 5:
             expect[(i, j)] = h
     assert got == expect
+
+
+def test_cdc_boundary_stability_under_random_edits(spark):
+    """CDC's contract under edits, asserted at its deterministic bound:
+    after inserting (or deleting) m chars at position p, every original
+    chunk that ends at/before p keeps its digest, and every original
+    chunk that starts at/after p + window (+ m for deletions) keeps its
+    digest — only the chunks overlapping the edit's window-extended
+    footprint may change. Checked for BOTH the md5 (oracle) mode and the
+    Rabin-Karp rolling mode, one Spark run per mode over a seeded corpus
+    of 40 (original, edited) pairs."""
+    import random
+
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    rng = random.Random(0xCDC)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 .,"  # ASCII: char == byte
+    w, m_mod = 16, 24
+    docs, edits = [], {}
+    for i in range(40):
+        n = rng.randrange(200, 900)
+        text = "".join(rng.choice(alpha) for _ in range(n))
+        if i % 2 == 0:
+            p, m = rng.randrange(0, n), rng.randrange(1, 21)
+            edited = text[:p] + "".join(rng.choice(alpha)
+                                        for _ in range(m)) + text[p:]
+            edits[i] = ("ins", p, m)
+        else:
+            m = rng.randrange(1, 21)
+            p = rng.randrange(0, n - m)
+            edited = text[:p] + text[p + m:]
+            edits[i] = ("del", p, m)
+        docs.append((i, text))
+        docs.append((i + 1000, edited))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for mode in ("md5", "rolling"):
+        rows = cdc_chunks(df, "doc_id", "text", window=w, modulus=m_mod,
+                          mode=mode).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["chunk_len"], r["chunk_digest"]))
+        n_guaranteed = 0
+        for i, (kind, p, m) in edits.items():
+            spans, pos = [], 0
+            for _, ln, dg in sorted(by_doc[i]):
+                spans.append((pos, pos + ln, dg))
+                pos += ln
+            after = p + w + (m if kind == "del" else 0)
+            edited_digests = {dg for _, _, dg in by_doc[i + 1000]}
+            for a, b, dg in spans:
+                if b <= p or a >= after:
+                    n_guaranteed += 1
+                    assert dg in edited_digests, \
+                        f"{mode} doc {i} {kind}@{p} m={m} chunk [{a},{b})"
+        assert n_guaranteed > 200  # the bound was actually exercised
