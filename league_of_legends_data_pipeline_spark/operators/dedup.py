@@ -173,7 +173,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     seed: int = 42,
-    max_bucket_size: int = 1000,
+    max_bucket_size: int | None = 1000,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
@@ -185,6 +185,8 @@ def minhash_lsh_pairs(
     ``num_hashes/bands`` values; docs colliding on any full band become a
     candidate pair (equi-join on (band_id, band_hash)). Verification: exact
     Jaccard on the shingle arrays of candidates only.
+    ``max_bucket_size=None`` skips the degenerate-bucket cap (and its
+    window pass) entirely — for corpora known to lack hot buckets.
     """
     if num_hashes % bands:
         raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
@@ -227,9 +229,10 @@ def minhash_lsh_pairs(
     # cap degenerate buckets (a bucket of m docs yields m^2/2 pairs) with a
     # window count — it exchanges on the same (band_id, band_hash) key the
     # self-join needs, so the sort/exchange is computed once and reused
-    bw = Window.partitionBy("band_id", "band_hash")
-    banded = banded.withColumn("__bc", F.count(F.lit(1)).over(bw)) \
-                   .filter(F.col("__bc") <= max_bucket_size).drop("__bc")
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_id", "band_hash")
+        banded = banded.withColumn("__bc", F.count(F.lit(1)).over(bw)) \
+                       .filter(F.col("__bc") <= max_bucket_size).drop("__bc")
 
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))

@@ -47,6 +47,20 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tables[n] for n in names]
 
 
+def _sorted_small(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Total-order a SMALL result whose lineage is expensive past its last
+    shuffle. A range sort samples its child to pick partition bounds; when
+    no exchange sits between the sort and expensive operators (broadcast
+    joins, array intersections, Arrow stages), that sampling pass
+    re-executes them end to end — measured ~1.5-2 s extra on the near-dup
+    verify chains at sf0.1. A round-robin repartition inserts a
+    materialized AQE shuffle the sampler reads instead: one cheap exchange
+    of the final (small) rows buys single execution of the chain. Only for
+    results known small (pairs/report-sized); a large result should sort
+    straight off its natural shuffle."""
+    return df.repartition(8).orderBy(*cols)
+
+
 @contextmanager
 def _scoped_conf(spark: SparkSession, confs: dict[str, str]):
     """Set session confs for the duration of a streaming query, restoring
@@ -1370,9 +1384,11 @@ def q35_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
 
     (documents,) = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(documents, "doc_id", "text", num_hashes=16,
-                             bands=4, shingle_k=5, jaccard_threshold=0.4,
-                             max_bucket_size=1_000_000).orderBy("id_a", "id_b")
+    return _sorted_small(
+        minhash_lsh_pairs(documents, "doc_id", "text", num_hashes=16,
+                          bands=4, shingle_k=5, jaccard_threshold=0.4,
+                          max_bucket_size=None),
+        "id_a", "id_b")
 
 
 @_register(

@@ -217,10 +217,17 @@ def test_connected_components_chain_and_islands(spark):
          (20, 21), (21, 22), (20, 22)],
         ["id_a", "id_b"],
     )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+              10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # both strategies must agree: driver union-find (default at this size)
+    # and the distributed pointer-jumping iteration (forced)
     got = {r["node"]: r["component"]
            for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
-                   10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    assert got == expect
+    got_dist = {r["node"]: r["component"]
+                for r in connected_components(
+                    pairs, driver_max_edges=0).collect()}
+    assert got_dist == expect
 
 
 def test_dedup_clusters_singletons_and_representatives(spark):
