@@ -351,6 +351,21 @@ _JDBC_DDL_TYPES = {
     "date": "DATE", "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
 }
 
+# Lossless type-widening lattice for drifting batches (K5): a target
+# column is widened when an incoming batch's type is STRICTLY wider along
+# one of these edges — integer ladder, float→double, and any integer →
+# double (the reference's overflow promotion, Utils/sql.py:49-52,
+# generalized from "INT hit its max" to "batch declared a wider type").
+# Anything not reachable here (string vs int, boolean vs numeric, ...)
+# is a REJECT: the append raises instead of silently coercing.
+_JDBC_WIDEN_TO = {
+    "tinyint": {"smallint", "int", "bigint", "double"},
+    "smallint": {"int", "bigint", "double"},
+    "int": {"bigint", "double"},
+    "bigint": {"double"},
+    "float": {"double"},
+}
+
 
 def jdbc_evolve_append(
     spark: SparkSession,
@@ -394,9 +409,29 @@ def jdbc_evolve_append(
                    batch_size=batch_size)
         return
 
-    existing = {c.lower() for c in target.columns}
-    new_cols = [f for f in df.schema.fields if f.name.lower() not in existing]
-    if new_cols:
+    by_lower = {c.lower(): f for c in target.columns
+                for f in [target.schema[c]]}
+    new_cols = [f for f in df.schema.fields if f.name.lower() not in by_lower]
+    # drifting-type batches (K5, reference Utils/sql.py:49-52): a column
+    # arriving with a STRICTLY wider type on the lossless lattice widens
+    # the target column; same/narrower types up-cast frame-side below; an
+    # incompatible drift (string vs int, ...) is rejected loudly.
+    widen_cols = []
+    for f in df.schema.fields:
+        tgt = by_lower.get(f.name.lower())
+        if tgt is None:
+            continue
+        have, want = tgt.dataType.simpleString(), f.dataType.simpleString()
+        if have == want:
+            continue
+        if want in _JDBC_WIDEN_TO.get(have, ()):
+            widen_cols.append((tgt.name, want))
+        elif have not in _JDBC_WIDEN_TO.get(want, ()):
+            raise ValueError(
+                f"jdbc_evolve_append: column {f.name!r} drifted from "
+                f"{have} to {want}, which is not a lossless widening — "
+                f"rejecting (cast the batch explicitly to coerce)")
+    if new_cols or widen_cols:
         # DDL goes over one driver-side JDBC connection (Spark's writer
         # has no ALTER surface); the JVM driver class is already on the
         # classpath because the read above used it.
@@ -413,17 +448,59 @@ def jdbc_evolve_append(
                 q = '"' + f.name.replace('"', '""') + '"'
                 stmt.executeUpdate(
                     f"ALTER TABLE {table} ADD COLUMN {q} {ddl_type}")
+            for name, want in widen_cols:
+                _jdbc_widen_column(stmt, table, name,
+                                   _JDBC_DDL_TYPES[want])
             stmt.close()
         finally:
             conn.close()
+        if widen_cols:
+            # re-probe: the null-pad below must see the widened types
+            target = spark.read.format("jdbc").options(
+                dbtable=f"(SELECT * FROM {table} WHERE 1=0) probe",
+                **opts).load()
 
-    # null-pad target columns the frame lacks, with the TARGET's types
-    frame_cols = {c.lower() for c in df.columns}
+    # null-pad target columns the frame lacks, with the TARGET's types;
+    # up-cast frame columns that are NARROWER than the target (the
+    # mirror of widening: an int batch appends cleanly into a column
+    # already widened to bigint by an earlier batch)
+    frame_types = {f.name.lower(): f.dataType.simpleString()
+                   for f in df.schema.fields}
     for f in target.schema.fields:
-        if f.name.lower() not in frame_cols:
+        have = frame_types.get(f.name.lower())
+        if have is None:
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        elif have != f.dataType.simpleString():
+            df = df.withColumn(f.name, F.col(f.name).cast(f.dataType))
     jdbc_write(df, url, table, mode="append", driver=driver,
                batch_size=batch_size)
+
+
+def _jdbc_widen_column(stmt, table: str, name: str, ddl_type: str) -> None:
+    """Widen one column's declared type via driver-side DDL.
+
+    Tries the engine's native ``ALTER COLUMN ... SET DATA TYPE`` first
+    (Postgres ``TYPE``/MySQL ``MODIFY`` dialects are spelled the same or
+    accept it); engines that restrict it (Derby allows it only for
+    VARCHAR length growth) fall back to the portable add-copy-swap dance:
+    ADD a column of the wider type, one engine-side UPDATE to copy (runs
+    inside the database — no data crosses Spark), DROP the old column,
+    RENAME the new one into place. Column order may change; Spark's JDBC
+    writer lists column names on INSERT, so order is irrelevant.
+    """
+    q = '"' + name.replace('"', '""') + '"'
+    try:
+        stmt.executeUpdate(
+            f"ALTER TABLE {table} ALTER COLUMN {q} SET DATA TYPE {ddl_type}")
+        return
+    except Exception:
+        pass
+    tmp = f"__widen_{name}"
+    qt = '"' + tmp.replace('"', '""') + '"'
+    stmt.executeUpdate(f"ALTER TABLE {table} ADD COLUMN {qt} {ddl_type}")
+    stmt.executeUpdate(f"UPDATE {table} SET {qt} = {q}")
+    stmt.executeUpdate(f"ALTER TABLE {table} DROP COLUMN {q}")
+    stmt.executeUpdate(f"RENAME COLUMN {table}.{qt} TO {q}")
 
 
 def jdbc_read(

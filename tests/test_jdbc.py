@@ -122,3 +122,42 @@ def test_jdbc_sink_parity_with_table(spark, sf_dir, derby_home):
     b = sorted(tuple(r) for r in
                back.select(*[c.lower() for c in back.columns]).collect())
     assert a == b
+
+
+def test_jdbc_evolve_append_widens_drifting_types(spark, derby_home):
+    """K5 drifting-type batches (reference Utils/sql.py:49-52 promotes
+    INT->BIGINT on overflow): a column arriving with a strictly wider
+    type widens the target column in place (values preserved), a
+    narrower batch up-casts frame-side into the widened column, and an
+    incompatible drift rejects loudly."""
+    url = _derby_url(derby_home, "widen")
+    b1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    jdbc_evolve_append(spark, b1, url, "widen", driver=DERBY_DRIVER)
+    # wider batch: int -> bigint, with a value that cannot fit in INT
+    b2 = spark.createDataFrame([(3, 5_000_000_000)], "k int, v bigint")
+    jdbc_evolve_append(spark, b2, url, "widen", driver=DERBY_DRIVER)
+    back = jdbc_read(spark, url, "widen", driver=DERBY_DRIVER)
+    vt = {f.name.lower(): f.dataType.simpleString()
+          for f in back.schema.fields}
+    assert vt["v"] == "bigint"
+    assert sorted((r["K"] if "K" in r else r["k"], r["V"] if "V" in r else r["v"])
+                  for r in back.collect()) == \
+        [(1, 10), (2, 20), (3, 5_000_000_000)]
+    # narrower batch into the widened column: up-cast frame-side, no DDL
+    b3 = spark.createDataFrame([(4, 40)], "k int, v int")
+    jdbc_evolve_append(spark, b3, url, "widen", driver=DERBY_DRIVER)
+    assert jdbc_read(spark, url, "widen", driver=DERBY_DRIVER).count() == 4
+    # int -> double widening (the other lattice edge)
+    b4 = spark.createDataFrame([(5, 50_000_000_000, 0.5)],
+                               "k int, v bigint, q double")
+    jdbc_evolve_append(spark, b4, url, "widen", driver=DERBY_DRIVER)
+    b5 = spark.createDataFrame([(6, 1, 2)], "k int, v int, q int")
+    jdbc_evolve_append(spark, b5, url, "widen", driver=DERBY_DRIVER)
+    back2 = jdbc_read(spark, url, "widen", driver=DERBY_DRIVER)
+    vt2 = {f.name.lower(): f.dataType.simpleString()
+           for f in back2.schema.fields}
+    assert vt2["q"] == "double" and back2.count() == 6
+    # incompatible drift: string into a numeric column -> loud reject
+    bad = spark.createDataFrame([(7, "oops")], "k int, v string")
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        jdbc_evolve_append(spark, bad, url, "widen", driver=DERBY_DRIVER)
