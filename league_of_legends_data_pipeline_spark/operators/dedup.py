@@ -164,6 +164,38 @@ def minhash_signature_table(
         signature, f"{id_col} long, sig array<long>")
 
 
+def _minhash_banded(df: DataFrame, id_col: str, text_col: str,
+                    shingle_k: int, num_hashes: int, bands: int, rows: int,
+                    seed: int) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front end: (hashed shingles, banded signatures).
+
+    ``hashed`` = (doc_id, hm: array<long>) — one md5 per shingle, done
+    exactly once, behind a doc_id exchange reused by verify-side joins;
+    ``banded`` = (doc_id, band_id, band_hash) — ids only, never arrays.
+    """
+    raw = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("__text")) \
+            .repartition(_par(df), "doc_id")
+    hashed = raw.select(
+        "doc_id",
+        F.transform(char_shingles("__text", shingle_k),
+                    portable_hash64).alias("hm"),
+    ).repartition(_par(df), "doc_id")
+    sigdf = minhash_signature_table(hashed, "doc_id", "hm",
+                                    num_hashes=num_hashes, seed=seed)
+    sig = F.col("sig")
+    banded = sigdf.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.md5(F.concat_ws(",", *[sig[i].cast("string")
+                                     for i in range(b * rows,
+                                                    (b + 1) * rows)]))
+            for b in range(bands)
+        ])).alias("band_id", "band_hash"),
+    )
+    return hashed, banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -208,24 +240,8 @@ def minhash_lsh_pairs(
     #     arrays are re-attached by two doc_id equi-joins against the stage-2
     #     exchange — each array crosses the wire once per side, not once per
     #     duplicated candidate.
-    raw = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")) \
-            .repartition(_par(df), "doc_id")
-    hashed = raw.select(
-        "doc_id",
-        F.transform(char_shingles("__text", shingle_k), portable_hash64).alias("hm"),
-    ).repartition(_par(df), "doc_id")
-
-    sigdf = minhash_signature_table(hashed, "doc_id", "hm",
-                                    num_hashes=num_hashes, seed=seed)
-    sig = F.col("sig")
-    banded = sigdf.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.md5(F.concat_ws(",", *[sig[i].cast("string")
-                                     for i in range(b * rows, (b + 1) * rows)]))
-            for b in range(bands)
-        ])).alias("band_id", "band_hash"),
-    )
+    hashed, banded = _minhash_banded(df, id_col, text_col, shingle_k,
+                                     num_hashes, bands, rows, seed)
     # cap degenerate buckets (a bucket of m docs yields m^2/2 pairs) with a
     # window count — it exchanges on the same (band_id, band_hash) key the
     # self-join needs, so the sort/exchange is computed once and reused
@@ -249,6 +265,66 @@ def minhash_lsh_pairs(
                                      F.col("hm").alias("sh_a")), "id_a") \
                  .join(hashed.select(F.col("doc_id").alias("id_b"),
                                      F.col("hm").alias("sh_b")), "id_b")
+    return jaccard_verified_pairs(pairs, "sh_a", "sh_b", jaccard_threshold)
+
+
+def minhash_lsh_pairs_bipartite(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = None,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-CORPUS near-duplicate pairs: (id_a ∈ left, id_b ∈ right,
+    jaccard) — fuzzy decontamination, the near-dup generalization of
+    n-gram contamination checks: an eval document that survives exact
+    13-gram screening still leaks if a TRAINING document is a light
+    paraphrase/near-copy of it. Both corpora are signed with the SAME
+    seeded MinHash coefficients (band hashes are only comparable under
+    identical coefficients), banded independently, and candidates come
+    from the left-bands ⋈ right-bands equi-join on (band_id, band_hash)
+    — never a self-join, so a doc duplicated WITHIN one corpus costs
+    nothing here. Verification is exact Jaccard on candidates only.
+
+    Scale shape is :func:`minhash_lsh_pairs` with the self-join replaced
+    by the bipartite join: the eval/benchmark side is typically tiny, so
+    its banded rows broadcast and the training corpus streams past them
+    map-side. ``max_bucket_size`` caps the LEFT side's hot buckets (the
+    big side; a viral boilerplate band would otherwise multiply against
+    every right-side collision).
+    """
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
+                         f"into bands ({bands})")
+    rows = num_hashes // bands
+    hashed_l, banded_l = _minhash_banded(left, id_col, text_col, shingle_k,
+                                         num_hashes, bands, rows, seed)
+    hashed_r, banded_r = _minhash_banded(right, id_col, text_col, shingle_k,
+                                         num_hashes, bands, rows, seed)
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_id", "band_hash")
+        banded_l = banded_l.withColumn("__bc", F.count(F.lit(1)).over(bw)) \
+                           .filter(F.col("__bc") <= max_bucket_size) \
+                           .drop("__bc")
+    cands = (
+        banded_l.select("band_id", "band_hash",
+                        F.col("doc_id").alias("id_a"))
+        .join(banded_r.select("band_id", "band_hash",
+                              F.col("doc_id").alias("id_b")),
+              ["band_id", "band_hash"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cands.join(hashed_l.select(F.col("doc_id").alias("id_a"),
+                                       F.col("hm").alias("sh_a")), "id_a") \
+                 .join(hashed_r.select(F.col("doc_id").alias("id_b"),
+                                       F.col("hm").alias("sh_b")), "id_b")
     return jaccard_verified_pairs(pairs, "sh_a", "sh_b", jaccard_threshold)
 
 
@@ -618,6 +694,91 @@ def span_dedup_filter(
             .drop("__id")
             .withColumn("dup_fraction",
                         F.coalesce(F.col("dup_fraction"), F.lit(0.0))))
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_len: int = 30,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cut cross-document duplicated text OUT of each document — the
+    removal step of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": duplicated substrings are
+    REMOVED from the corpus, not whole documents dropped).
+
+    Every length-``span_len`` window whose content appears in >=
+    ``min_docs`` distinct documents is a duplicated interval
+    ``[pos, pos+span_len)``; per document, overlapping/adjacent-by-overlap
+    intervals are merged (gaps-and-islands) and the surviving text is the
+    concatenation of the gaps. Returns ``df``'s (id, text) plus
+    ``clean_text``, ``n_islands`` (merged removed regions) and
+    ``removed_chars``. Documents with no duplicated window pass through
+    unchanged (n_islands = 0).
+
+    Scale shape: the only content-sized shuffle is duplicated_spans' span
+    groupBy (span_len chars + id per row — never documents); everything
+    after moves (id, pos) int pairs. Island merging is the classic
+    cumulative-max window (one exchange on id, reused by the final join),
+    and the splice is a single sequential fold over each doc's ordered
+    island array (``F.aggregate`` — O(islands) per doc, in codegen). The
+    same ``stride``/``hash_spans`` levers as :func:`duplicated_spans`
+    apply upstream at 100 TB; every-offset exact form kept here because
+    removal must not miss an aligned window.
+    """
+    t = F.col(text_col)
+    n = F.length(t) - (span_len - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+        .otherwise(F.array_repeat(F.lit(1), 0))
+    windows = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.transform(
+            idx, lambda i: t.substr(i, F.lit(span_len)))).alias("__p0",
+                                                                "span"))
+    dup = (windows.groupBy("span")
+           .agg(F.countDistinct("__id").alias("__nd"))
+           .filter(F.col("__nd") >= min_docs).select("span"))
+    # duplicated intervals, 1-based inclusive [s, e]
+    hits = (windows.join(dup, "span")
+            .select("__id", (F.col("__p0") + 1).alias("s"),
+                    (F.col("__p0") + span_len).alias("e")))
+    # gaps-and-islands: an interval starts a new island when it begins
+    # past the running max end of everything before it
+    w_ord = Window.partitionBy("__id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (hits
+           .withColumn("__new", F.when(
+               F.col("s") > F.coalesce(prev_max, F.lit(0)), 1).otherwise(0))
+           .withColumn("__isl", F.sum("__new").over(
+               w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+           .groupBy("__id", "__isl")
+           .agg(F.min("s").alias("s"), F.max("e").alias("e")))
+    islands = (isl.groupBy("__id")
+               .agg(F.sort_array(F.collect_list(F.struct("s", "e")))
+                    .alias("__islands")))
+    joined = df.join(islands, df[id_col] == islands["__id"], "left")
+    spliced = F.aggregate(
+        F.col("__islands"),
+        F.struct(F.lit(0).alias("prev"),
+                 F.lit("").cast("string").alias("acc")),
+        lambda a, s: F.struct(
+            s["e"].alias("prev"),
+            F.concat(a["acc"],
+                     t.substr(a["prev"] + 1, s["s"] - a["prev"] - 1))
+            .alias("acc")),
+        lambda a: F.concat(a["acc"], t.substr(a["prev"] + 1,
+                                              F.length(t) - a["prev"])))
+    return (joined
+            .withColumn("clean_text",
+                        F.when(F.col("__islands").isNull(), t)
+                        .otherwise(spliced))
+            .withColumn("n_islands",
+                        F.coalesce(F.size("__islands"), F.lit(0)))
+            .withColumn("removed_chars",
+                        F.length(t) - F.length("clean_text"))
+            .drop("__id", "__islands"))
 
 
 # Rabin-Karp rolling-hash constants for cdc_chunks(mode="rolling").

@@ -195,3 +195,45 @@ def dedup_clusters(
         .withColumn("is_representative", F.col("doc_id") == F.col("component"))
         .select("doc_id", "component", "cluster_size", "is_representative")
     )
+
+
+def best_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 30,
+    driver_max_edges: int = 1_000_000,
+) -> DataFrame:
+    """Quality-aware cluster dedup: per near-dup cluster, keep the member
+    with the HIGHEST ``score_col`` (ties → smallest id) — what production
+    pipelines actually do, since the lowest-id member of a near-dup
+    cluster is arbitrary while the highest-quality member is the one
+    worth training on. Returns one row per document: (doc_id, component,
+    cluster_size, score, keep).
+
+    Same component machinery as :func:`dedup_clusters`; the selection is
+    one row_number window over (component) ordered by (score desc, id) —
+    rows entering the window are (doc_id, component, score), never text.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst, max_iterations,
+                                driver_max_edges)
+    lab = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.col(score_col).alias("score"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("component", F.coalesce("component", F.col("doc_id")))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        lab.withColumn("__rn", F.row_number().over(w))
+        .withColumn("cluster_size",
+                    F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .select("doc_id", "component", "cluster_size", "score",
+                (F.col("__rn") == 1).alias("keep"))
+    )

@@ -30,6 +30,27 @@ def tokens(col: str | Column) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
+def normalize_text(col: str | Column,
+                   drop_pattern: str = "[^a-z0-9 ]") -> Column:
+    """Dedup-grade text normalization (the CCNet/ExactSubstr practice of
+    normalizing BEFORE exact dedup, so near-identical docs differing only
+    in case/punctuation/whitespace collapse to one digest): lowercase →
+    drop chars matching ``drop_pattern`` → collapse whitespace runs →
+    trim. Pure Column pipeline (codegen, map-only); the default pattern
+    is deliberately ASCII-explicit so any engine's regex dialect agrees
+    character-for-character (``\\p{L}`` classes differ across engines).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    # whitespace first so tabs/newlines become the spaces the drop
+    # pattern keeps; the class is explicit (not \s) because Java and RE2
+    # disagree on \s membership (\x0B)
+    c = F.regexp_replace(c, "[ \t\n\r]", " ")
+    c = F.regexp_replace(c, drop_pattern, "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
 def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 

@@ -1320,7 +1320,12 @@ def _minhash_slot_sql(a: int, b: int) -> str:
 
 def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_k: int,
                         threshold: float,
-                        source: str = "documents") -> str:
+                        source: str = "documents",
+                        bipartite: tuple[str, str] | None = None) -> str:
+    """Full MinHash+LSH replication in DuckDB SQL (seed-42 coefficients
+    embedded). ``bipartite=(left_pred, right_pred)`` swaps the self-join's
+    ``a.doc_id < b.doc_id`` for cross-corpus membership predicates over
+    ``a.doc_id`` / ``b.doc_id``."""
     from league_of_legends_data_pipeline_spark.operators.dedup import (
         minhash_coefficients,
     )
@@ -1334,6 +1339,12 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_k: int,
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, hm, {b} AS band_id, band_{b} AS band_hash FROM banded"
         for b in range(bands))
+    if bipartite is None:
+        pair_pred = "a.doc_id < b.doc_id"
+    else:
+        lp, rp = bipartite
+        pair_pred = (f"({lp.replace('doc_id', 'a.doc_id')}) "
+                     f"AND ({rp.replace('doc_id', 'b.doc_id')})")
     return f"""
     WITH sh AS (
         SELECT doc_id,
@@ -1355,7 +1366,7 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_k: int,
                a.hm AS hm_a, b.hm AS hm_b
         FROM exploded a JOIN exploded b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
+         AND {pair_pred}
     )
     SELECT id_a, id_b,
            CAST(round(CAST(len(list_intersect(hm_a, hm_b)) AS DOUBLE)
@@ -5571,4 +5582,266 @@ def q116_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_shared",
                     F.round(F.col("n_shared") / F.col("n_orig"), 6)
                     .alias("shared_frac"))
+            .orderBy("doc_id"))
+
+
+@_register(
+    "q117_cdc_rolling",
+    None,  # rows-only driver check: wraparound-uint64 Rabin-Karp has no
+           # engine-portable SQL rendering; boundaries are pinned by the
+           # direct per-window reference + edit-stability property tests
+           # (tests/test_operators.py, tests/test_properties.py)
+    doc="Production-tier CDC (operators/dedup.py::cdc_chunks "
+        "mode='rolling'): true Rabin-Karp over UTF-8 bytes, O(1)/byte via "
+        "the prefix form H_i = base^i*(T_i - T_{i-w}) in wraparound "
+        "uint64 — ONE vectorized numpy pass per Arrow batch over the "
+        "concatenated batch bytes, cross-document windows masked by "
+        "position. Per-doc chunk-store stats; n_bytes == doc byte length "
+        "by construction (chunks partition the document exactly), which "
+        "the pytest oracle asserts.",
+)
+def q117_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    chunks = cdc_chunks(documents.select("doc_id", "text"), "doc_id",
+                        "text", window=16, modulus=64, mode="rolling")
+    return (chunks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("chunk_len").alias("n_bytes"),
+                 F.countDistinct("chunk_digest").alias("n_unique"))
+            .orderBy("doc_id"))
+
+
+@_register(
+    "q118_span_removal",
+    """
+    -- exact-substring REMOVAL (Lee et al. 2022: duplicated text is cut
+    -- out of documents, not whole docs dropped): 30-char windows seen in
+    -- >= 2 distinct docs are duplicated intervals; per doc, overlapping
+    -- intervals merge (gaps-and-islands) and the gaps are spliced back
+    -- together.
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(length(text) - 29, 0) + 1),
+                 i -> struct_pack(s := CAST(i AS INT),
+                                  span := substr(text, CAST(i AS INT), 30)))) AS u
+      FROM documents
+    ), hits0 AS (
+      SELECT doc_id, u.s AS s, u.span AS span FROM w
+    ), dup AS (
+      SELECT span FROM hits0 GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ), iv AS (
+      SELECT h.doc_id, h.s, h.s + 29 AS e FROM hits0 h JOIN dup USING (span)
+    ), m AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+                  ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                  PRECEDING), 0) THEN 1 ELSE 0 END AS nw
+      FROM iv
+    ), g AS (
+      SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM m
+    ), isls AS (
+      SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM g GROUP BY doc_id, isl
+    ), seg AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS pe
+      FROM isls
+    ), parts AS (
+      SELECT seg.doc_id,
+             string_agg(substr(d.text, pe + 1, s - pe - 1), '' ORDER BY s) AS body,
+             max(e) AS last_e, count(*) AS n_islands
+      FROM seg JOIN documents d USING (doc_id) GROUP BY seg.doc_id
+    ), cleaned AS (
+      SELECT d.doc_id,
+             CASE WHEN p.doc_id IS NULL THEN d.text
+                  ELSE p.body || substr(d.text, p.last_e + 1) END AS clean_text,
+             coalesce(p.n_islands, 0) AS n_islands
+      FROM documents d LEFT JOIN parts p USING (doc_id)
+    )
+    SELECT c.doc_id, CAST(c.n_islands AS BIGINT) AS n_islands,
+           CAST(length(d.text) - length(c.clean_text) AS BIGINT) AS removed_chars,
+           CAST(length(c.clean_text) AS BIGINT) AS clean_len,
+           md5(c.clean_text) AS clean_digest
+    FROM cleaned c JOIN documents d USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Duplicated-substring REMOVAL "
+        "(operators/dedup.py::remove_duplicated_spans — the removal step "
+        "of Lee et al. 2022 exact-substring dedup; q103 only detects): "
+        "duplicated windows -> per-doc interval merge via ONE "
+        "cumulative-max window (gaps-and-islands) -> splice as a single "
+        "sequential fold over each doc's ordered island array "
+        "(F.aggregate, in codegen). The only content-sized shuffle is the "
+        "span groupBy; interval rows are (id, 2 ints). Digest of the "
+        "cleaned text (not the text) is the output, so parity proves the "
+        "splice char-for-char.",
+)
+def q118_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(documents.select("doc_id", "text"),
+                                  "doc_id", "text", span_len=30, min_docs=2)
+    return (out.select(
+        "doc_id",
+        F.col("n_islands").cast("long").alias("n_islands"),
+        F.col("removed_chars").cast("long").alias("removed_chars"),
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5("clean_text").alias("clean_digest"))
+        .orderBy("doc_id"))
+
+
+@_register(
+    "q119_normalized_dedup",
+    """
+    -- normalization-aware exact dedup (the CCNet practice: normalize
+    -- BEFORE hashing so case/punctuation/whitespace variants collapse):
+    -- lowercase -> whitespace class to space -> drop non-[a-z0-9 ] ->
+    -- collapse runs -> trim; group by the normalized digest.
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                 lower(text), '[ \t\n\r]', ' ', 'g'),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT md5(norm) AS norm_digest, count(*) AS n_docs,
+           min(doc_id) AS rep_id,
+           CAST(min(length(norm)) AS BIGINT) AS norm_len
+    FROM n GROUP BY md5(norm)
+    ORDER BY norm_digest
+    """,
+    doc="Normalization-aware exact dedup "
+        "(operators/text.py::normalize_text + digest groupBy): pure "
+        "Column regex pipeline (map-only, codegen), explicit ASCII "
+        "classes so Java and RE2 regex dialects agree char-for-char; "
+        "only 16-byte digests shuffle. Catches the near-identical-doc "
+        "class exact dedup misses (case/punct/whitespace variants) "
+        "without any LSH machinery.",
+)
+def q119_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        normalize_text,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    n = documents.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("norm_digest"),
+        F.length(normalize_text("text")).alias("norm_len"))
+    return (n.groupBy("norm_digest")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("rep_id"),
+                 F.min("norm_len").cast("long").alias("norm_len"))
+            .orderBy("norm_digest"))
+
+
+@_register(
+    "q120_cross_corpus_neardup",
+    _minhash_lsh_oracle(num_hashes=16, bands=4, shingle_k=5, threshold=0.4,
+                        bipartite=("doc_id % 7 <> 0", "doc_id % 7 = 0")),
+    doc="Cross-corpus near-dup decontamination "
+        "(operators/dedup.py::minhash_lsh_pairs_bipartite): an eval doc "
+        "that survives exact 13-gram screening still leaks if a TRAINING "
+        "doc is a light paraphrase of it. Both corpora signed with the "
+        "same seed-42 coefficients, banded independently, candidates from "
+        "the left-bands JOIN right-bands equi-join (never a self-join, so "
+        "within-corpus duplication costs nothing), exact-Jaccard "
+        "verified. At 100 TB the eval side's banded rows broadcast and "
+        "the training corpus streams past map-side. Oracle replicates "
+        "every stage bit-for-bit.",
+)
+def q120_cross_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_bipartite,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    train = documents.filter(F.col("doc_id") % 7 != 0)
+    evals = documents.filter(F.col("doc_id") % 7 == 0)
+    return _sorted_small(
+        minhash_lsh_pairs_bipartite(train, evals, "doc_id", "text",
+                                    num_hashes=16, bands=4, shingle_k=5,
+                                    jaccard_threshold=0.4),
+        "id_a", "id_b")
+
+
+def _best_representatives_oracle() -> str:
+    """q44's recursive-CTE component walk + quality argmax (score =
+    length(text), ties -> smallest id)."""
+    return f"""
+    WITH RECURSIVE sig AS (
+        SELECT doc_id, lang,
+               CAST({_simhash_sql(60)} AS BIGINT) AS sh
+        FROM (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+            FROM documents
+        )
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), walk(node, r) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT w.node, e.dst FROM walk w JOIN edges e ON w.r = e.src
+    ), comp AS (
+        SELECT node, least(node, min(r)) AS component FROM walk GROUP BY node
+    ), assigned AS (
+        SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS score,
+               coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), ranked AS (
+        SELECT doc_id, component, score,
+               count(*) OVER (PARTITION BY component) AS cluster_size,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY score DESC, doc_id) AS rn
+        FROM assigned
+    )
+    SELECT doc_id, component, cluster_size, score, rn = 1 AS keep
+    FROM ranked ORDER BY doc_id
+    """
+
+
+@_register(
+    "q121_quality_representatives",
+    _best_representatives_oracle(),
+    doc="Quality-aware cluster dedup "
+        "(operators/graph.py::best_representatives): per near-dup "
+        "cluster keep the HIGHEST-quality member (score = text length "
+        "here; any score column drops in), ties to smallest id — what "
+        "production pipelines do, since the min-id representative is "
+        "arbitrary. Same size-aware component machinery as q44; "
+        "selection is one row_number window over (component, score desc) "
+        "whose rows are (id, component, score), never text. Oracle walks "
+        "the same simhash graph recursively and ranks identically.",
+)
+def q121_quality_representatives(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        simhash_pairs,
+    )
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        best_representatives,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(documents, "doc_id", "text", bits=60, chunks=6,
+                          max_hamming=5, band_cols=["lang"],
+                          max_bucket_size=1_000_000)
+    scored = documents.select("doc_id",
+                              F.length("text").cast("long").alias("q"))
+    return (best_representatives(scored, pairs, "doc_id", "q")
             .orderBy("doc_id"))

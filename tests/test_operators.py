@@ -1366,3 +1366,158 @@ def test_cdc_rolling_matches_direct_reference(spark):
         if len(cuts) > 0:
             n_checked += 100  # saw at least one real boundary
     assert n_checked > 150  # the corpus actually exercised boundaries
+
+
+# --- duplicated-span removal -------------------------------------------------
+
+def test_remove_duplicated_spans_splices_and_passes_through(spark):
+    """Docs sharing a long span lose exactly the union of duplicated
+    windows (merged, spliced); unique docs, short docs, and null text
+    pass through untouched; removed_chars reconciles with lengths."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    docs = [
+        (1, "AAA " + shared + " unique tail one zzz"),
+        (2, "BBBBBB " + shared + " different ending here yyy"),
+        (3, "totally unrelated content without any duplication at all"),
+        (4, "tiny"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(
+        df, "doc_id", "text", span_len=20, min_docs=2).collect()}
+    assert out[3]["n_islands"] == 0 and out[3]["clean_text"] == docs[2][1]
+    assert out[4]["clean_text"] == "tiny" and out[4]["removed_chars"] == 0
+    assert out[5]["clean_text"] is None
+    for d in (1, 2):
+        assert shared not in out[d]["clean_text"]
+        assert out[d]["n_islands"] == 1
+        assert out[d]["removed_chars"] == \
+            len(docs[d - 1][1]) - len(out[d]["clean_text"])
+    # the non-duplicated prefix/suffix survive the splice
+    assert out[1]["clean_text"].startswith("AAA")
+    assert out[1]["clean_text"].endswith("unique tail one zzz")
+    assert out[2]["clean_text"].startswith("BBBBBB")
+    assert out[2]["clean_text"].endswith("different ending here yyy")
+
+
+def test_remove_duplicated_spans_matches_python_oracle(spark):
+    """Window-union reference: per doc, mark every position covered by a
+    duplicated window, keep uncovered chars in order — must equal the
+    operator's gaps-and-islands splice exactly."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    import random
+
+    rng = random.Random(118)
+    alpha = "abcd "
+    texts = []
+    for i in range(30):
+        n = rng.randrange(0, 120)
+        texts.append("".join(rng.choice(alpha) for _ in range(n)))
+    L, MIN = 8, 2
+    # python oracle
+    from collections import defaultdict
+    owners = defaultdict(set)
+    for i, t in enumerate(texts):
+        for p in range(len(t) - L + 1):
+            owners[t[p:p + L]].add(i)
+    dup = {s for s, o in owners.items() if len(o) >= MIN}
+    expect = {}
+    for i, t in enumerate(texts):
+        covered = [False] * len(t)
+        for p in range(len(t) - L + 1):
+            if t[p:p + L] in dup:
+                for k in range(p, p + L):
+                    covered[k] = True
+        expect[i] = "".join(c for c, cov in zip(t, covered) if not cov)
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"] for r in remove_duplicated_spans(
+        df, "doc_id", "text", span_len=L, min_docs=MIN).collect()}
+    assert got == expect
+
+
+def test_minhash_bipartite_cross_corpus_only(spark):
+    """Bipartite LSH reports only left-x-right pairs; a near-dup pair
+    WITHIN one corpus never appears; jaccard matches the exact value."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs_bipartite,
+    )
+
+    body = "shared boilerplate sentence repeated for weight " * 4
+    left = spark.createDataFrame(
+        [(1, body + "left tail"), (2, body + "left tail")],  # dup WITHIN left
+        "doc_id long, text string")
+    right = spark.createDataFrame(
+        [(10, body + "right tail"), (11, "nothing in common at all here")],
+        "doc_id long, text string")
+    rows = minhash_lsh_pairs_bipartite(left, right, "doc_id", "text",
+                                       jaccard_threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got == {(1, 10), (2, 10)}
+    for r in rows:
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_best_representatives_keeps_highest_score(spark):
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        best_representatives,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 1.0), (5, 9.0), (6, 9.0)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)],
+                                  "id_a long, id_b long")
+    got = {r["doc_id"]: r for r in best_representatives(
+        docs, pairs, "doc_id", "q").collect()}
+    # cluster {1,2,3}: 2 wins on score
+    assert got[2]["keep"] and not got[1]["keep"] and not got[3]["keep"]
+    assert got[1]["component"] == 1 and got[1]["cluster_size"] == 3
+    # singleton keeps itself
+    assert got[4]["keep"] and got[4]["cluster_size"] == 1
+    # tie on score -> smallest id
+    assert got[5]["keep"] and not got[6]["keep"]
+
+
+def test_normalize_text_portable(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        normalize_text,
+    )
+
+    cases = [
+        ("  Hello,\tWORLD!!  multi   space\n", "hello world multi space"),
+        ("UPPER lower 123", "upper lower 123"),
+        ("", ""),
+        ("!!!", ""),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)],
+                               "i int, t string")
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", normalize_text("t").alias("n")).collect()}
+    assert got == {i: want for i, (_, want) in enumerate(cases)}
+
+
+def test_cdc_rolling_chunks_partition_documents(spark, sf_dir):
+    """q117's pytest oracle: rolling-mode chunks partition every document
+    exactly (sum of chunk byte lengths == UTF-8 byte length, one group
+    per non-empty doc)."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(200)
+    expected = {r["doc_id"]: len((r["text"] or "").encode("utf-8"))
+                for r in docs.collect()}
+    got = {r["doc_id"]: r["b"]
+           for r in cdc_chunks(docs, "doc_id", "text", mode="rolling")
+           .groupBy("doc_id")
+           .agg(F.sum("chunk_len").alias("b")).collect()}
+    assert got == {k: v for k, v in expected.items() if v > 0}
