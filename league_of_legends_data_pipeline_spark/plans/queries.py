@@ -1817,7 +1817,8 @@ def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_pairs(documents, "doc_id", "text", bits=60, chunks=6,
                           max_hamming=5, band_cols=["lang"],
                           max_bucket_size=1_000_000)
-    return dedup_clusters(documents, pairs, "doc_id").orderBy("doc_id")
+    return _sorted_small(dedup_clusters(documents, pairs, "doc_id"),
+                         "doc_id")
 
 
 @_register(
@@ -5689,13 +5690,14 @@ def q118_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     out = remove_duplicated_spans(documents.select("doc_id", "text"),
                                   "doc_id", "text", span_len=30, min_docs=2)
-    return (out.select(
-        "doc_id",
-        F.col("n_islands").cast("long").alias("n_islands"),
-        F.col("removed_chars").cast("long").alias("removed_chars"),
-        F.length("clean_text").cast("long").alias("clean_len"),
-        F.md5("clean_text").alias("clean_digest"))
-        .orderBy("doc_id"))
+    return _sorted_small(
+        out.select(
+            "doc_id",
+            F.col("n_islands").cast("long").alias("n_islands"),
+            F.col("removed_chars").cast("long").alias("removed_chars"),
+            F.length("clean_text").cast("long").alias("clean_len"),
+            F.md5("clean_text").alias("clean_digest")),
+        "doc_id")
 
 
 @_register(
@@ -5843,5 +5845,5 @@ def q121_quality_representatives(spark: SparkSession,
                           max_bucket_size=1_000_000)
     scored = documents.select("doc_id",
                               F.length("text").cast("long").alias("q"))
-    return (best_representatives(scored, pairs, "doc_id", "q")
-            .orderBy("doc_id"))
+    return _sorted_small(best_representatives(scored, pairs, "doc_id", "q"),
+                         "doc_id")
