@@ -5847,3 +5847,100 @@ def q121_quality_representatives(spark: SparkSession,
                               F.length("text").cast("long").alias("q"))
     return _sorted_small(best_representatives(scored, pairs, "doc_id", "q"),
                          "doc_id")
+
+
+@_register(
+    "q122_source_quota",
+    """
+    -- per-source quota (domain cap): keep at most 40 docs per source,
+    -- preferring longer documents (quality proxy), ties to smaller id —
+    -- the over-represented-domain guard every web-corpus recipe applies.
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           min(doc_id) AS first_id
+    FROM ranked WHERE rn <= 40
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Per-source quota cap (domain cap, the over-represented-domain "
+        "guard in web-corpus recipes): one row_number window per source "
+        "ordered by the quality proxy — rows entering the window are "
+        "(id, source, int), never text; Spark plans it as "
+        "WindowGroupLimit pushed below the shuffle when a rank filter "
+        "follows the window (same plan family as L2 head-N).",
+)
+def q122_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                        F.col("doc_id").asc())
+    kept = (documents.select("doc_id", "source", "n_chars")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 40))
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("kept_chars"),
+                 F.min("doc_id").alias("first_id"))
+            .orderBy("source"))
+
+
+@_register(
+    "q123_event_sequence_corpus",
+    """
+    -- behavioral sequence corpus: per (user, session) the ordered
+    -- event-type sequence as one training example (sessions split at
+    -- > 30 min gaps — the q36 sessionization rule), with bounded length.
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN epoch_us(ts - lag(ts) OVER w) > 1800000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(sum(new_session)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS sequence
+    FROM s
+    GROUP BY user_id, session_id
+    HAVING count(*) >= 3
+    ORDER BY user_id, session_id
+    """,
+    doc="Event-sequence corpus construction (behavioral training data "
+        "from logs): sessionize (the q36 gap rule), then ONE groupBy "
+        "whose sequence column is built by sort_array(collect_list"
+        "(struct(ts, event_id, type))) -> transform -> concat_ws — "
+        "deterministic order without a global sort, the partial "
+        "aggregation keeps per-session rows local. Sequences under 3 "
+        "events are dropped (too short to train on).",
+)
+def q123_event_sequence_corpus(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    s = (events
+         .withColumn("__new", F.when(prev.isNull() | (gap > 1_800_000_000),
+                                     1).otherwise(0))
+         .withColumn("session_id", F.sum("__new").over(
+             w.rowsBetween(W.unboundedPreceding, 0)).cast("long")))
+    seq = F.concat_ws(",", F.transform(
+        F.sort_array(F.collect_list(
+            F.struct("ts", "event_id", "event_type"))),
+        lambda x: x["event_type"]))
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("sequence"))
+            .filter(F.col("n_events") >= 3)
+            .orderBy("user_id", "session_id"))
