@@ -140,9 +140,26 @@ def minhash_signature_table(
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
 
+    # NULL QUARANTINE: a single null VALUE anywhere in an Arrow batch's
+    # list column makes the pandas conversion promote the ENTIRE chunk's
+    # flat values buffer to float64 — silently destroying 60-bit hash
+    # precision for every other row in the partition (53-bit mantissa).
+    # Null text reaches here as [null] (char_shingles' greatest(..,1)
+    # floor turns a null length into one null shingle), so both null
+    # lists AND null elements are stripped; the empty-input branch below
+    # emits the sentinel signature for them either way.
+    hashed = hashed.select(
+        id_col,
+        F.coalesce(F.filter(F.col(hm_col), lambda x: x.isNotNull()),
+                   F.array().cast("array<long>")).alias(hm_col))
+
     def signature(batches):
         for pdf in batches:
             sigs = []
+            # positional pairing: constructing the result from a pandas
+            # Series pairs by INDEX while the sigs list pairs by position;
+            # a non-default batch index would silently misalign ids/sigs
+            ids = pdf[id_col].to_numpy()
             for hm in pdf[hm_col]:
                 # NULL text upstream yields a null shingle array; emit the
                 # same empty-input sentinel instead of crashing the batch
@@ -158,33 +175,110 @@ def minhash_signature_table(
                     sigs.append(
                         ((h[:, None] * A[None, :] + B[None, :])
                          % MINHASH_PRIME).min(axis=0).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
 
     return hashed.select(id_col, hm_col).mapInPandas(
         signature, f"{id_col} long, sig array<long>")
 
 
+def minhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, hm: array<long>, sig: array<long>) in ONE Arrow stage:
+    distinct character k-grams → md5 top-60-bit hash per shingle → all
+    ``num_hashes`` MinHash slots, fused.
+
+    Replaces the pure-Column ``transform(char_shingles, portable_hash64)``
+    front end, which fell out of whole-stage codegen (nested higher-order
+    functions) and measured ~77 µs/shingle interpreted — 3.5 s per fresh
+    run at sf0.1 vs ~0.3 s for this stage (C md5, no hex round trip, one
+    numpy pass for the signature). Hash values are bit-identical to
+    :func:`portable_hash64` (md5 digest top 60 bits == first 15 hex chars
+    parsed base-16), so every DuckDB oracle that replicates the scheme is
+    unaffected; the equivalence is pinned by a pytest oracle.
+
+    Built on ``mapInArrow``: hm/sig go back as Arrow ListArrays built
+    from flat int64 buffers + offsets — no per-element Python objects on
+    the output path. Callers repartition upstream for spread; put an
+    exchange ABOVE this stage when several consumers reuse the result
+    (exchange reuse then runs the hashing once per action).
+    """
+    import pyarrow as pa
+
+    import numpy as np
+
+    coeffs = minhash_coefficients(num_hashes, seed)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
+    sentinel = [MINHASH_PRIME] * num_hashes
+
+    def fused(batches):
+        import hashlib
+        md5 = hashlib.md5
+        k = shingle_k
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl[id_col]
+            texts = tbl[text_col]
+            hm_flat: list[int] = []
+            hm_off = [0]
+            sig_flat: list[int] = []
+            for t in texts:
+                if t is not None:
+                    # dict.fromkeys: first-seen order, like array_distinct.
+                    # max(.., 1): docs shorter than k (incl. empty) yield
+                    # ONE whole-doc shingle — the char_shingles contract.
+                    ss = dict.fromkeys(
+                        t[i:i + k] for i in range(max(len(t) - k + 1, 1)))
+                    hs = [int.from_bytes(md5(s.encode("utf-8")).digest()[:8],
+                                         "big") >> 4 for s in ss]
+                    hm_flat.extend(hs)
+                    h = np.asarray(hs, dtype=np.int64) % MINHASH_PRIME
+                    sig_flat.extend(
+                        ((h[:, None] * A[None, :] + B[None, :])
+                         % MINHASH_PRIME).min(axis=0).tolist())
+                else:
+                    sig_flat.extend(sentinel)
+                hm_off.append(len(hm_flat))
+            n = len(ids)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()),
+                 pa.ListArray.from_arrays(
+                     pa.array(hm_off, pa.int32()),
+                     pa.array(hm_flat, pa.int64())),
+                 pa.ListArray.from_arrays(
+                     pa.array([i * num_hashes for i in range(n + 1)],
+                              pa.int32()),
+                     pa.array(sig_flat, pa.int64()))],
+                names=["doc_id", "hm", "sig"])
+
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias(text_col)) \
+        .mapInArrow(fused, "doc_id long, hm array<long>, sig array<long>")
+
+
 def _minhash_banded(df: DataFrame, id_col: str, text_col: str,
                     shingle_k: int, num_hashes: int, bands: int, rows: int,
                     seed: int) -> tuple[DataFrame, DataFrame]:
-    """Shared MinHash front end: (hashed shingles, banded signatures).
+    """Shared MinHash front end: (hashed shingles+sigs, banded signatures).
 
-    ``hashed`` = (doc_id, hm: array<long>) — one md5 per shingle, done
-    exactly once, behind a doc_id exchange reused by verify-side joins;
-    ``banded`` = (doc_id, band_id, band_hash) — ids only, never arrays.
+    ``base`` = (doc_id, hm, sig) from the fused Arrow stage, exchanged on
+    doc_id ABOVE the stage so every consumer (banding + both verify-side
+    joins) reads the one materialized hashing pass (runtime exchange
+    reuse); ``banded`` = (doc_id, band_id, band_hash) — ids only.
     """
-    raw = df.select(F.col(id_col).alias("doc_id"),
-                    F.col(text_col).alias("__text")) \
-            .repartition(_par(df), "doc_id")
-    hashed = raw.select(
-        "doc_id",
-        F.transform(char_shingles("__text", shingle_k),
-                    portable_hash64).alias("hm"),
-    ).repartition(_par(df), "doc_id")
-    sigdf = minhash_signature_table(hashed, "doc_id", "hm",
-                                    num_hashes=num_hashes, seed=seed)
+    n = _par(df)
+    base = minhash_table(
+        df.repartition(n, F.col(id_col)), id_col, text_col,
+        shingle_k=shingle_k, num_hashes=num_hashes, seed=seed,
+    ).repartition(n, "doc_id")
     sig = F.col("sig")
-    banded = sigdf.select(
+    banded = base.select(
         "doc_id",
         F.posexplode(F.array(*[
             F.md5(F.concat_ws(",", *[sig[i].cast("string")
@@ -193,7 +287,7 @@ def _minhash_banded(df: DataFrame, id_col: str, text_col: str,
             for b in range(bands)
         ])).alias("band_id", "band_hash"),
     )
-    return hashed, banded
+    return base.select("doc_id", "hm"), banded
 
 
 def minhash_lsh_pairs(
@@ -386,11 +480,22 @@ def simhash_signature_table(
     extra_cols = extra_cols or []
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
+    # NULL QUARANTINE (same hazard as minhash_signature_table): one null
+    # list OR null element per Arrow batch floats the whole chunk's
+    # values buffer and silently rounds 60-bit hashes. Null must map to
+    # null SIG here, so null-ness travels as a sidecar flag and the list
+    # goes over as empty/stripped.
+    hashed = hashed.select(
+        id_col, *extra_cols,
+        F.col(ht_col).isNull().alias("__was_null"),
+        F.coalesce(F.filter(F.col(ht_col), lambda x: x.isNotNull()),
+                   F.array().cast("array<long>")).alias(ht_col))
+
     def signature(batches):
         for pdf in batches:
             sigs: list[int | None] = []
-            for ht in pdf[ht_col]:
-                if ht is None:
+            for ht, was_null in zip(pdf[ht_col], pdf["__was_null"]):
+                if was_null:
                     sigs.append(None)
                     continue
                 h = np.asarray(ht, dtype=np.int64)
@@ -401,8 +506,8 @@ def simhash_signature_table(
                 ones = ((h[:, None] >> np.arange(bits)) & 1).sum(axis=0)
                 sigs.append(int(weights[2 * ones > h.size].sum()))
             yield pd.DataFrame({
-                id_col: pdf[id_col],
-                **{c: pdf[c] for c in extra_cols},
+                id_col: pdf[id_col].to_numpy(),
+                **{c: pdf[c].to_numpy() for c in extra_cols},
                 "sig": pd.array(sigs, dtype="Int64"),
             })
 
@@ -410,8 +515,8 @@ def simhash_signature_table(
         [f"{f.name} {f.dataType.simpleString()}"
          for f in hashed.select(id_col, *extra_cols).schema.fields]
         + ["sig long"])
-    return hashed.select(id_col, *extra_cols, ht_col).mapInPandas(
-        signature, schema)
+    return hashed.select(id_col, *extra_cols, "__was_null", ht_col) \
+        .mapInPandas(signature, schema)
 
 
 def simhash64(tokens: Column, bits: int = 32) -> Column:

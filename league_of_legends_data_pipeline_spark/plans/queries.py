@@ -881,20 +881,18 @@ def q25_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_minhash_band_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.dedup import (
-        char_shingles, minhash_signature_table, portable_hash64,
+        minhash_table,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    # exchange the raw text first: spreads a single input file across the
-    # cluster so the md5-heavy signature computation runs in parallel, and
-    # the shuffle carries small text rows rather than shingle arrays; md5
-    # runs ONCE per shingle (the per-slot Column form re-hashes per slot),
-    # then the vectorized signature reduces both slots in one numpy pass
-    pre = documents.select(
-        "doc_id",
-        F.transform(char_shingles("text", 5), portable_hash64).alias("hm"),
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sigs = minhash_signature_table(pre, "doc_id", "hm", num_hashes=2, seed=42)
+    # exchange the raw text first (spreads a single input file across the
+    # cluster), then ONE fused Arrow stage does shingles -> md5 -> both
+    # slots (the pure-Column shingle+md5 front end fell out of codegen
+    # and measured ~77us/shingle interpreted — see minhash_table)
+    pre = documents.select("doc_id", "text").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
+    sigs = minhash_table(pre, "doc_id", "text", shingle_k=5,
+                         num_hashes=2, seed=42)
     return (
         sigs.select(
             "doc_id",
@@ -3561,19 +3559,18 @@ _Q82_LSH = _minhash_lsh_oracle(num_hashes=16, bands=4, shingle_k=5,
 )
 def q82_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.dedup import (
-        char_shingles, minhash_lsh_pairs, portable_hash64,
+        minhash_lsh_pairs, minhash_table,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
     sub = documents.filter(F.col("doc_id") < 250)
     lsh = minhash_lsh_pairs(sub, "doc_id", "text", num_hashes=16, bands=4,
                             shingle_k=5, jaccard_threshold=0.4,
-                            max_bucket_size=1_000_000) \
+                            max_bucket_size=None) \
         .select("id_a", "id_b")
 
-    hm = sub.select("doc_id",
-                    F.transform(char_shingles("text", 5),
-                                portable_hash64).alias("hm"))
+    hm = minhash_table(sub, "doc_id", "text", shingle_k=5, num_hashes=1) \
+        .select("doc_id", "hm")
     a = hm.select(F.col("doc_id").alias("id_a"), F.col("hm").alias("ha"))
     b = hm.select(F.col("doc_id").alias("id_b"), F.col("hm").alias("hb"))
     inter = F.size(F.array_intersect("ha", "hb"))

@@ -1521,3 +1521,87 @@ def test_cdc_rolling_chunks_partition_documents(spark, sf_dir):
            .groupBy("doc_id")
            .agg(F.sum("chunk_len").alias("b")).collect()}
     assert got == {k: v for k, v in expected.items() if v > 0}
+
+
+def test_minhash_table_matches_column_form(spark):
+    """The fused Arrow minhash_table must produce EXACTLY the (hm, sig)
+    of the pure-Column char_shingles+portable_hash64 +
+    minhash_signature_table pipeline it replaced — including short docs
+    (one whole-doc shingle), empty and null text (sentinel signature),
+    and non-ASCII (md5 over UTF-8 bytes)."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        MINHASH_PRIME,
+        char_shingles,
+        minhash_signature_table,
+        minhash_table,
+        portable_hash64,
+    )
+
+    import random
+
+    rng = random.Random(26)
+    alpha = "abcdef é漢 "
+    docs = [(i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 120))))
+            for i in range(40)]
+    docs += [(100, "abc"), (101, ""), (102, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fused = {r["doc_id"]: (r["hm"], r["sig"])
+             for r in minhash_table(df, "doc_id", "text", shingle_k=5,
+                                    num_hashes=8).collect()}
+    hashed = df.select(
+        "doc_id",
+        F.transform(char_shingles("text", 5), portable_hash64).alias("hm"))
+    sigs = {r["doc_id"]: r["sig"]
+            for r in minhash_signature_table(hashed, "doc_id", "hm",
+                                             num_hashes=8).collect()}
+    hms = {r["doc_id"]: r["hm"] for r in hashed.collect()}
+    for did, _ in docs:
+        assert fused[did][1] == sigs[did], f"sig mismatch doc {did}"
+        # null text reaches the Column form as [null] (char_shingles'
+        # greatest floor); the quarantine strips it to [] on both paths
+        want_hm = [x for x in (hms[did] or []) if x is not None]
+        assert fused[did][0] == want_hm, f"hm mismatch doc {did}"
+    # empty text yields ONE empty-string shingle (char_shingles'
+    # greatest floor) → a real signature; only NULL text is sentinel
+    assert fused[101][1] != [MINHASH_PRIME] * 8
+    assert fused[102][1] == [MINHASH_PRIME] * 8
+
+
+def test_signature_tables_keep_precision_next_to_null_lists(spark):
+    """REGRESSION: one null list in an Arrow batch used to float the
+    whole chunk's values buffer in the pandas conversion, silently
+    rounding 60-bit hashes for EVERY doc in the partition (float64 has a
+    53-bit mantissa). All rows forced into one partition so the null
+    shares a batch with real hashes; signatures must be bit-exact."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_coefficients,
+        minhash_signature_table,
+        simhash_signature_table,
+    )
+
+    big = [(1 << 59) + 12345, (1 << 59) + 98765, (1 << 58) + 7]
+    rows = [(1, big), (2, None), (3, [(1 << 59) + 31337])]
+    df = spark.createDataFrame(rows, "doc_id long, hm array<long>") \
+        .repartition(1)
+    got = {r["doc_id"]: r["sig"] for r in minhash_signature_table(
+        df, "doc_id", "hm", num_hashes=4).collect()}
+    cs = minhash_coefficients(4, 42)
+    for did, hm in [(1, big), (3, [(1 << 59) + 31337])]:
+        hr = [x % MINHASH_PRIME for x in hm]
+        expect = [min((a * h + b) % MINHASH_PRIME for h in hr)
+                  for a, b in cs]
+        assert got[did] == expect, f"doc {did} lost precision"
+    assert got[2] == [MINHASH_PRIME] * 4
+
+    sgot = {r["doc_id"]: r["sig"] for r in simhash_signature_table(
+        df.withColumnRenamed("hm", "ht"), "doc_id", "ht",
+        bits=60).collect()}
+    for did, hm in [(1, big), (3, [(1 << 59) + 31337])]:
+        sig = 0
+        for j in range(60):
+            votes = sum(1 if (h >> j) & 1 else -1 for h in hm)
+            if votes > 0:
+                sig |= 1 << j
+        assert sgot[did] == sig, f"simhash doc {did} lost precision"
+    assert sgot[2] is None
