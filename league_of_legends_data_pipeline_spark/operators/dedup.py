@@ -519,6 +519,70 @@ def simhash_signature_table(
         .mapInPandas(signature, schema)
 
 
+def simhash_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, *extra, sig) SimHash straight from TEXT in one Arrow stage:
+    whitespace tokenize → md5 top-60-bit hash per token → all ``bits``
+    majority votes, fused.
+
+    Same rationale as :func:`minhash_table`: the per-token
+    ``transform(toks, portable_hash64)`` Column form runs interpreted
+    (nested higher-order functions fall out of codegen) and its list
+    output pays the Arrow list round trip into the vote stage. Hash
+    values and votes are bit-identical to the split path
+    (:func:`simhash_signature_table`, kept for pre-hashed inputs) —
+    pinned by a pytest oracle. The whitespace class is explicit
+    ([ \\t\\n\\x0b\\f\\r], Java's ASCII \\s) so Python and JVM
+    tokenization agree character-for-character; null text → null sig,
+    empty/whitespace-only text → sig 0, matching the split path.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    extra_cols = extra_cols or []
+    weights_hi = (np.int64(1) << np.arange(bits, dtype=np.int64))
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def signature(batches):
+        import hashlib
+        md5 = hashlib.md5
+        for pdf in batches:
+            sigs: list[int | None] = []
+            for t in pdf[text_col]:
+                if t is None:
+                    sigs.append(None)
+                    continue
+                toks = [x for x in ws.split(t) if x]
+                if not toks:
+                    sigs.append(0)
+                    continue
+                hs = np.fromiter(
+                    (int.from_bytes(md5(x.encode("utf-8")).digest()[:8],
+                                    "big") >> 4 for x in toks),
+                    dtype=np.int64, count=len(toks))
+                ones = ((hs[:, None] >> np.arange(bits)) & 1).sum(axis=0)
+                sigs.append(int(weights_hi[2 * ones > hs.size].sum()))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                **{c: pdf[c].to_numpy() for c in extra_cols},
+                "sig": pd.array(sigs, dtype="Int64"),
+            })
+
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}"
+         for f in df.select(id_col, *extra_cols).schema.fields]
+        + ["sig long"])
+    return df.select(id_col, *extra_cols, text_col).mapInPandas(
+        signature, schema)
+
+
 def simhash64(tokens: Column, bits: int = 32) -> Column:
     """SimHash of a token array packed into one BIGINT (hashing inlined —
     convenient for small inputs; for corpus-scale use hash + exchange +
@@ -557,17 +621,12 @@ def simhash_pairs(
         F.col(id_col).alias("doc_id"), *band_cols,
         F.col(text_col).alias("__text"),
     ).repartition(_par(df), "doc_id")
-    toks = F.filter(F.split(F.col("__text"), r"\s+"), lambda t: t != "")
-    hashed = raw.select(
-        "doc_id", *band_cols,
-        F.transform(toks, portable_hash64).alias("__ht"),
-    )
     # second exchange: three consumers below (bucket counts + both
     # self-join sides) all reuse ONE materialized signature (ReuseExchange);
-    # without it the vectorized vote pass runs three times. The exchanged
-    # rows are (id, bands, 8-byte sig) — negligible shuffle at any scale.
-    sigs = simhash_signature_table(
-        hashed, "doc_id", "__ht", bits, extra_cols=band_cols,
+    # without it the fused tokenize+hash+vote pass runs three times. The
+    # exchanged rows are (id, bands, 8-byte sig) — negligible at any scale.
+    sigs = simhash_table(
+        raw, "doc_id", "__text", bits, extra_cols=band_cols,
     ).repartition(_par(df), "doc_id")
     return hamming_pairs(sigs, "doc_id", "sig", bits=bits, chunks=chunks,
                          max_hamming=max_hamming,

@@ -1605,3 +1605,34 @@ def test_signature_tables_keep_precision_next_to_null_lists(spark):
                 sig |= 1 << j
         assert sgot[did] == sig, f"simhash doc {did} lost precision"
     assert sgot[2] is None
+
+
+def test_simhash_table_matches_split_path(spark):
+    """The fused tokenize+hash+vote simhash_table must equal the
+    split-path (JVM tokenize/hash -> simhash_signature_table) bit for
+    bit, including null text (null sig), empty/whitespace-only text
+    (sig 0), and non-ASCII tokens."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        portable_hash64,
+        simhash_signature_table,
+        simhash_table,
+    )
+
+    import random
+
+    rng = random.Random(33)
+    alpha = "abcé漢 \t\n"
+    docs = [(i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 80))))
+            for i in range(40)]
+    docs += [(100, ""), (101, "   \t "), (102, None), (103, "one")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fused = {r["doc_id"]: r["sig"]
+             for r in simhash_table(df, "doc_id", "text", bits=60).collect()}
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    hashed = df.select("doc_id", F.transform(toks, portable_hash64)
+                       .alias("ht"))
+    split_path = {r["doc_id"]: r["sig"]
+                  for r in simhash_signature_table(
+                      hashed, "doc_id", "ht", bits=60).collect()}
+    assert fused == split_path
+    assert fused[102] is None and fused[100] == 0 and fused[101] == 0
