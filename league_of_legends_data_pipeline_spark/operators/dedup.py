@@ -745,6 +745,57 @@ def ngram_jaccard_pairs(
     return jaccard_verified_pairs(cands, "sh_a", "sh_b", threshold)
 
 
+def _span_rows(df: DataFrame, id_col: str, text_col: str, span_len: int,
+               stride: int = 1, with_pos: bool = False) -> DataFrame:
+    """Exploded (id[, pos], span) window rows in one Arrow stage.
+
+    The Column rendering — ``posexplode(transform(sequence, substr))`` —
+    is interpreted end to end (higher-order functions are
+    CodegenFallback), measured ~3 s at sf0.1 for the 1.4M windows of
+    q103; this stage is plain string slicing in C-backed Python
+    (~0.1 s), emitting Arrow arrays directly. ``pos`` is the 1-based
+    character offset of the window start. Documents shorter than
+    ``span_len`` yield no rows — the same contract as the Column form.
+    """
+    import pyarrow as pa
+
+    import pyarrow as _pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    pa_id = {"bigint": _pa.int64(), "int": _pa.int32(),
+             "smallint": _pa.int16(), "string": _pa.string()}.get(
+        id_type, _pa.int64())
+    cols = [f"{id_col} {id_type}"] + (["pos int"] if with_pos else []) \
+        + ["span string"]
+    schema = ", ".join(cols)
+
+    def gen(batches):
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids_out: list = []
+            pos_out: list[int] = []
+            spans: list[str] = []
+            for did, t in zip(tbl[id_col], tbl[text_col]):
+                if not t:
+                    continue
+                top = len(t) - span_len
+                for p in range(0, top + 1, stride):
+                    ids_out.append(did)
+                    spans.append(t[p:p + span_len])
+                    if with_pos:
+                        pos_out.append(p + 1)
+            arrays = [pa.array(ids_out, pa_id)]
+            names = [id_col]
+            if with_pos:
+                arrays.append(pa.array(pos_out, pa.int32()))
+                names.append("pos")
+            arrays.append(pa.array(spans, pa.string()))
+            names.append("span")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.select(id_col, text_col).mapInArrow(gen, schema)
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -777,14 +828,9 @@ def duplicated_spans(
     """
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    n = F.length(F.col(text_col)) - (span_len - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))) \
-        .otherwise(F.array_repeat(F.lit(1), 0))
-    spans = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.transform(
-            idx, lambda i: F.col(text_col).substr(i, F.lit(span_len))
-        )).alias("span"))
+    spans = _span_rows(df.repartition(_par(df), F.col(id_col)), id_col,
+                       text_col, span_len, stride) \
+        .withColumnRenamed(id_col, "__id")
     if hash_spans:
         # scale lever #2: group on an 8-byte xxhash64 instead of the
         # span_len-char string — the shuffle carries (8 bytes, id) and one
@@ -831,14 +877,9 @@ def span_dedup_filter(
     """
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    n = F.length(F.col(text_col)) - (span_len - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))) \
-        .otherwise(F.array_repeat(F.lit(1), 0))
-    windows = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.transform(
-            idx, lambda i: F.col(text_col).substr(i, F.lit(span_len))
-        )).alias("span"))
+    windows = _span_rows(df.repartition(_par(df), F.col(id_col)), id_col,
+                         text_col, span_len, stride) \
+        .withColumnRenamed(id_col, "__id")
     dup_spans = (windows.groupBy("span")
                  .agg(F.countDistinct("__id").alias("__nd"))
                  .filter(F.col("__nd") >= 2)
@@ -898,24 +939,20 @@ def remove_duplicated_spans(
     frequency prefilter before removal, as in duplicated_spans.
     """
     t = F.col(text_col)
-    n = F.length(t) - (span_len - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)) \
-        .otherwise(F.array_repeat(F.lit(1), 0))
-    windows = df.repartition(_par(df), F.col(id_col)).select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.transform(
-            idx, lambda i: t.substr(i, F.lit(span_len)))).alias("__p0",
-                                                                "span"))
+    windows = _span_rows(df.repartition(_par(df), F.col(id_col)), id_col,
+                         text_col, span_len, with_pos=True) \
+        .select(F.col(id_col).alias("__id"), F.col("pos").alias("__p1"),
+                "span")
     occ = windows.groupBy("span").agg(
-        F.collect_list(F.struct("__id", "__p0")).alias("__occ"))
+        F.collect_list(F.struct("__id", "__p1")).alias("__occ"))
     n_docs = F.size(F.array_distinct(
         F.transform(F.col("__occ"), lambda o: o["__id"])))
     # duplicated intervals, 1-based inclusive [s, e]
     hits = (occ.filter(n_docs >= min_docs)
             .select(F.explode("__occ").alias("o"))
             .select(F.col("o.__id").alias("__id"),
-                    (F.col("o.__p0") + 1).alias("s"),
-                    (F.col("o.__p0") + span_len).alias("e")))
+                    F.col("o.__p1").alias("s"),
+                    (F.col("o.__p1") + span_len - 1).alias("e")))
     # gaps-and-islands: an interval starts a new island when it begins
     # past the running max end of everything before it
     w_ord = Window.partitionBy("__id").orderBy("s", "e")
