@@ -147,6 +147,62 @@ def word_ngrams(col: str | Column, n: int = 2) -> Column:
     return ngrams_of(tokens(col), n)
 
 
+def word_ngram_table(df: DataFrame, id_col: str, text_col: str, n: int,
+                     distinct: bool = True) -> DataFrame:
+    """(id, gs: array<string>) word n-grams in one Arrow stage —
+    semantics of ``array_distinct(word_ngrams(text, n))`` exactly
+    (whitespace tokens via the explicit ASCII class, space-joined
+    n-grams, first-seen-order dedup, null text → null array, fewer than
+    ``n`` tokens → empty array).
+
+    The Column rendering (zip_with over shifted slices) is interpreted —
+    higher-order functions are CodegenFallback — and its ~n passes per
+    document dominated q69's contamination scan; here it is one C-backed
+    slicing pass per document with Arrow list output built from flat
+    buffers.
+    """
+    import re
+
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    id_type = df.schema[id_col].dataType.simpleString()
+    pa_id = {"bigint": pa.int64(), "int": pa.int32(),
+             "string": pa.string()}.get(id_type, pa.int64())
+
+    def gen(batches):
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids, offs, flat, valid = [], [0], [], []
+            for did, t in zip(tbl[id_col], tbl[text_col]):
+                ids.append(did)
+                if t is None:
+                    valid.append(False)
+                    offs.append(len(flat))
+                    continue
+                valid.append(True)
+                toks = [x for x in ws.split(t) if x]
+                grams = (" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1))
+                if distinct:
+                    flat.extend(dict.fromkeys(grams))
+                else:
+                    flat.extend(grams)
+                offs.append(len(flat))
+            off_arr = pa.array(
+                [None if not v else o
+                 for v, o in zip(valid + [True], offs)]
+                if not all(valid) else offs, pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa_id),
+                 pa.ListArray.from_arrays(off_arr,
+                                          pa.array(flat, pa.string()))],
+                names=[id_col, "gs"])
+
+    return df.select(id_col, text_col).mapInArrow(
+        gen, f"{id_col} {id_type}, gs array<string>")
+
+
 def ngram_repetition(col: str | Column, n: int = 2) -> tuple[Column, Column, Column]:
     """Gopher-style repetition stats over word n-grams:
     (total_ngrams, distinct_ngrams, dup_fraction). dup_fraction =

@@ -2980,11 +2980,16 @@ def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact and partial (>=4-token span) benchmark leakage.",
 )
 def q69_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from league_of_legends_data_pipeline_spark.operators.text import word_ngrams
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        word_ngram_table,
+    )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    grams = documents.select(
-        "doc_id", F.array_distinct(word_ngrams("text", 4)).alias("gs"))
+    grams = word_ngram_table(
+        documents.repartition(spark.sparkContext.defaultParallelism,
+                              "doc_id"),
+        "doc_id", "text", 4).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
     bench = (grams.filter(F.col("doc_id") % 11 == 0)
              .select(F.explode("gs").alias("g")).distinct())
     corpus = (grams.filter(F.col("doc_id") % 11 != 0)

@@ -1636,3 +1636,31 @@ def test_simhash_table_matches_split_path(spark):
                       hashed, "doc_id", "ht", bits=60).collect()}
     assert fused == split_path
     assert fused[102] is None and fused[100] == 0 and fused[101] == 0
+
+
+def test_word_ngram_table_matches_column_form(spark):
+    """Fused Arrow n-gram table == array_distinct(word_ngrams(text, n))
+    exactly: token class, space joining, first-seen dedup order, null
+    text -> null array, < n tokens -> empty array."""
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        word_ngram_table,
+        word_ngrams,
+    )
+
+    import random
+
+    rng = random.Random(69)
+    words = ["alpha", "beta", "gamma", "delta", "alpha", "ée", "漢字"]
+    docs = []
+    for i in range(30):
+        k = rng.randrange(0, 12)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(k))))
+    docs += [(100, ""), (101, "  \t "), (102, None), (103, "one two")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n in (2, 4):
+        fused = {r["doc_id"]: r["gs"] for r in word_ngram_table(
+            df, "doc_id", "text", n).collect()}
+        col = {r["doc_id"]: r["gs"] for r in df.select(
+            "doc_id",
+            F.array_distinct(word_ngrams("text", n)).alias("gs")).collect()}
+        assert fused == col, f"n={n}"
