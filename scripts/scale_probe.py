@@ -61,6 +61,16 @@ PROBE_QUERIES = [
     "q107_media_neardup",
     # one hash shuffle + per-shard sort; must track the data ratio
     "q108_training_shuffle",
+    # round-5 additions:
+    # rolling-CDC chunk stats: map-only after one id exchange; the scan
+    # is O(bytes), so the factor must track the data ratio
+    "q117_cdc_rolling",
+    # duplicated-span REMOVAL: window count ∝ characters (same span
+    # groupBy as q103) + per-doc interval merge whose rows are int pairs
+    "q118_span_removal",
+    # bipartite minhash decontamination: both corpora hash linearly;
+    # candidate volume governed by band collisions, never a self-join
+    "q120_cross_corpus_neardup",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
