@@ -830,3 +830,55 @@ def pq_topk(
         .select("query_id", "neighbor_id", "rank",
                 F.round("__d2", 6).alias("dist2"))
     )
+
+
+def label_centroid_pairs(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Pairwise separation of per-label embedding centroids:
+    (label_a, label_b, cosine, l2) for every unordered label pair — the
+    cluster-quality / class-contrast report a curation pipeline runs to
+    check that sources or quality tiers occupy distinct embedding regions.
+
+    Scale shape: the corpus-sized work is ONE aggregation — posexplode to
+    (label, dim, value) and sum per (label, dim) with map-side partial
+    aggregation, so the shuffle carries labels x dim rows of integer
+    micro-units, never embeddings. Everything after (centroids, the
+    pairwise self-join, the per-pair fold) is labels x dim sized — tiny at
+    any corpus scale. All cross-row sums are 6dp/12dp integer micro-units
+    so both the centroid means and the pair distances are
+    summation-order-independent (engine-portable; see kmeans_refine's
+    rationale for why raw double sums are not).
+    """
+    elems = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("__pos", "__v"),
+    )
+    cent = (elems.groupBy("__lbl", "__pos")
+            .agg((F.sum(F.round(F.col("__v") * 1_000_000).cast("long"))
+                  / (F.count(F.lit(1)) * 1_000_000.0)).alias("__c")))
+    a = cent.select(F.col("__lbl").alias("label_a"), "__pos",
+                    F.col("__c").alias("__ca"))
+    bb = cent.select(F.col("__lbl").alias("label_b"), "__pos",
+                     F.col("__c").alias("__cb"))
+    TERA = 1_000_000_000_000
+    joined = (a.join(bb, "__pos")
+              .filter(F.col("label_a") < F.col("label_b"))
+              .select(
+                  "label_a", "label_b",
+                  F.round(F.col("__ca") * F.col("__cb") * TERA)
+                   .cast("long").alias("__dot"),
+                  F.round(F.col("__ca") * F.col("__ca") * TERA)
+                   .cast("long").alias("__na"),
+                  F.round(F.col("__cb") * F.col("__cb") * TERA)
+                   .cast("long").alias("__nb"),
+                  F.round((F.col("__ca") - F.col("__cb"))
+                          * (F.col("__ca") - F.col("__cb")) * TERA)
+                   .cast("long").alias("__d2")))
+    return (joined.groupBy("label_a", "label_b")
+            .agg(F.round(F.sum("__dot")
+                         / F.sqrt(F.sum("__na").cast("double")
+                                  * F.sum("__nb")), 6).alias("cosine"),
+                 F.round(F.sqrt(F.sum("__d2") / float(TERA)), 6).alias("l2")))

@@ -316,6 +316,100 @@ def tfidf_scores(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval scores for a constant query against the corpus:
+    (id, score) for every document matching >= 1 query term.
+
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)); per-term contribution
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Scale shape: the token explode is filtered to the query terms BEFORE
+    any shuffle (an `isin` over a literal array, evaluated map-side), so
+    the exchanges move only (doc, query-term, count) rows — for a 5-term
+    query over 100 TB that is a few rows per matching document, never
+    text. Document length is a map-only projection; N and avgdl ride in
+    as a 1-row broadcast; the per-term document frequencies are a
+    query-term-sized broadcast. The per-document sum adds 6dp-rounded
+    integer micro-units so the score is summation-order-independent
+    (engine-portable — see q86's rationale).
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        token_count(text_col).alias("__dl"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = toks.groupBy("__doc", "__dl", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    stats = df.select(F.count(F.lit(1)).alias("__n"),
+                      F.sum(token_count(text_col)).alias("__toks"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__avgdl", F.col("__toks") / F.col("__n"))
+        .withColumn("__idf", F.log(
+            1.0 + (F.col("__n") - F.col("dfreq") + 0.5)
+            / (F.col("dfreq") + 0.5)))
+        .withColumn("__c", F.col("__idf") * F.col("tf") * (k1 + 1.0)
+                    / (F.col("tf") + k1 * (1.0 - b + b * F.col("__dl")
+                                           / F.col("__avgdl"))))
+    )
+    micro = F.round(F.col("__c") * 1_000_000).cast("long")
+    return (contrib.groupBy(F.col("__doc").alias(id_col))
+            .agg(F.round(F.sum(micro) / 1_000_000.0, 6).alias("score")))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 64,
+) -> DataFrame:
+    """Per-document out-of-vocabulary stats against a corpus-derived
+    vocabulary: (id, n_tokens, oov_tokens, oov_rate). The vocabulary is
+    the top-``vocab_size`` lowercased words by total occurrences (ties to
+    the lexicographically smaller word) — the tokenizer-coverage audit a
+    training pipeline runs before committing to a vocab/tokenizer.
+
+    Scale shape: one token explode feeds both the vocabulary aggregation
+    and the per-document counts (counts shuffle, text does not). The
+    vocabulary itself is vocab_size rows — a TakeOrdered on the term
+    counts — and joins back as a broadcast left-semi, so the second pass
+    over the corpus tokens never shuffles on the term. oov_rate 0.0 for
+    empty documents.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.transform(tokens(text_col), F.lower)).alias("term"),
+    )
+    vocab = (toks.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
+             .orderBy(F.col("__cnt").desc(), F.col("term").asc())
+             .limit(vocab_size).select("term"))
+    in_vocab = (toks.join(F.broadcast(vocab), "term")
+                .groupBy("__doc").agg(F.count(F.lit(1)).alias("__iv")))
+    totals = df.select(F.col(id_col),
+                       token_count(text_col).alias("n_tokens"))
+    return (
+        totals.join(in_vocab, totals[id_col] == in_vocab["__doc"], "left")
+        .withColumn("oov_tokens",
+                    F.col("n_tokens") - F.coalesce(F.col("__iv"), F.lit(0)))
+        .withColumn("oov_rate",
+                    F.when(F.col("n_tokens") > 0,
+                           F.round(F.col("oov_tokens")
+                                   / F.col("n_tokens"), 6))
+                    .otherwise(F.lit(0.0)))
+        .select(id_col, "n_tokens", "oov_tokens", "oov_rate")
+    )
+
+
 def document_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document stat projection: token count, char count, quality,
     predicted language, fingerprint."""

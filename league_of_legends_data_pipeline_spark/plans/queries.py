@@ -5946,3 +5946,220 @@ def q123_event_sequence_corpus(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("sequence"))
             .filter(F.col("n_events") >= 3)
             .orderBy("user_id", "session_id"))
+
+
+@_register(
+    "q124_bm25_retrieval",
+    """
+    -- Okapi BM25 retrieval: score every document against a constant
+    -- 4-term query, top-15 by score (ties to smaller id).
+    -- idf = ln(1 + (N - df + 0.5)/(df + 0.5)); k1 = 1.2, b = 0.75;
+    -- per-doc score sums 6dp integer micro-units (order-independent).
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, sum(len(tk)) AS total_toks FROM toks
+    ), q AS (
+      SELECT unnest(['spark', 'window', 'stream', 'vector']) AS term
+    ), tfc AS (
+      SELECT t.doc_id, t.dl, t.term, count(*) AS tf
+      FROM (SELECT doc_id, len(tk) AS dl, lower(unnest(tk)) AS term
+            FROM toks) t
+      JOIN q USING (term)
+      GROUP BY t.doc_id, t.dl, t.term
+    ), dfreq AS (
+      SELECT term, count(*) AS dfreq FROM tfc GROUP BY term
+    ), contrib AS (
+      SELECT doc_id,
+             ln(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                            / (total_toks / (n * 1.0)))) AS c
+      FROM tfc JOIN dfreq USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(round(sum(CAST(round(c * 1000000) AS BIGINT)) / 1000000.0,
+                      6) AS DOUBLE) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """,
+    doc="Okapi BM25 top-k retrieval (operators/text.py::bm25_scores) — "
+        "the corpus-search primitive behind retrieval-based curation and "
+        "RAG indexing. The token explode is filtered to the query terms "
+        "map-side BEFORE any exchange, so shuffles carry a few (doc, "
+        "term, count) rows per matching doc, never text; df and N/avgdl "
+        "ride in as broadcasts; top-15 is a TakeOrdered, no global sort.",
+)
+def q124_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import bm25_scores
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(documents, "doc_id", "text",
+                         ["spark", "window", "stream", "vector"])
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+                 .limit(15)
+
+
+@_register(
+    "q125_boilerplate_ngrams",
+    """
+    -- boilerplate detection: the 20 word 5-grams occurring in the most
+    -- documents (doc frequency over distinct per-doc grams, ties to the
+    -- lexicographically smaller gram) — the CCNet-style shared-shingle
+    -- report that surfaces template/boilerplate text across a corpus.
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 5 THEN []
+                  ELSE list_distinct(list_transform(range(1, len(tk) - 3),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                            || tk[i+3] || ' ' || tk[i+4]))
+             END AS gs
+      FROM toks
+    )
+    SELECT g AS gram, count(*) AS dfreq
+    FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+    GROUP BY g
+    ORDER BY dfreq DESC, gram
+    LIMIT 20
+    """,
+    doc="Cross-document boilerplate n-gram heavy hitters: per-doc "
+        "distinct 5-grams come out of the fused Arrow stage "
+        "(word_ngram_table, one C pass per doc), then one count "
+        "aggregation keyed on the gram (map-side partial agg) and a "
+        "TakeOrdered top-20 — the corpus text is scanned once and only "
+        "(gram, count) rows shuffle. The output feeds a removal filter "
+        "the same way q69's benchmark set does.",
+)
+def q125_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        word_ngram_table,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    grams = word_ngram_table(
+        documents.repartition(spark.sparkContext.defaultParallelism,
+                              "doc_id"),
+        "doc_id", "text", 5)
+    return (grams.select(F.explode("gs").alias("gram"))
+            .groupBy("gram").agg(F.count(F.lit(1)).alias("dfreq"))
+            .orderBy(F.col("dfreq").desc(), F.col("gram").asc())
+            .limit(20))
+
+
+@_register(
+    "q126_vocab_coverage",
+    """
+    -- tokenizer-coverage audit: vocabulary = top-16 words by corpus
+    -- frequency (ties to the smaller word); per-source report of doc
+    -- count, mean OOV rate (6dp micro-units, order-independent), and
+    -- docs with > 50% OOV tokens.
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), words AS (
+      SELECT doc_id, lower(unnest(tk)) AS term FROM toks
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM words GROUP BY term
+        ORDER BY cnt DESC, term LIMIT 16)
+    ), iv AS (
+      SELECT doc_id, count(*) AS iv
+      FROM words JOIN vocab USING (term) GROUP BY doc_id
+    ), per_doc AS (
+      SELECT t.source, len(t.tk) AS n_tokens,
+             len(t.tk) - coalesce(iv.iv, 0) AS oov,
+             CASE WHEN len(t.tk) > 0
+                  THEN round((len(t.tk) - coalesce(iv.iv, 0))
+                             / (len(t.tk) * 1.0), 6)
+                  ELSE 0.0 END AS oov_rate
+      FROM toks t LEFT JOIN iv USING (doc_id)
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(round(sum(CAST(round(oov_rate * 1000000) AS BIGINT))
+                      / (count(*) * 1000000.0), 6) AS DOUBLE)
+               AS mean_oov_rate,
+           CAST(sum(CASE WHEN oov_rate > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS high_oov_docs
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    doc="Vocabulary / OOV coverage (operators/text.py::vocab_coverage): "
+        "ONE token explode feeds both the vocab aggregation (top-V "
+        "TakeOrdered over term counts) and the per-doc in-vocab counts; "
+        "the vocab joins back as a V-row broadcast so the corpus pass "
+        "never shuffles on the term. The per-source mean sums 6dp "
+        "micro-units so it is summation-order-independent.",
+)
+def q126_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import vocab_coverage
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    cov = vocab_coverage(documents, "doc_id", "text", vocab_size=16)
+    src = documents.select("doc_id", "source")
+    micro = F.round(F.col("oov_rate") * 1_000_000).cast("long")
+    return (
+        cov.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.round(F.sum(micro) / (F.count(F.lit(1)) * 1_000_000.0), 6)
+              .alias("mean_oov_rate"),
+             F.sum(F.when(F.col("oov_rate") > 0.5, 1).otherwise(0))
+              .alias("high_oov_docs"))
+        .orderBy("source")
+    )
+
+
+@_register(
+    "q127_centroid_separation",
+    """
+    -- embedding-space class contrast: per-label centroids (element-wise
+    -- means over 6dp micro-units), then cosine and L2 between every
+    -- unordered label pair — the cluster-quality report for curation.
+    WITH elems AS (
+      SELECT label AS lbl, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT lbl, pos,
+             sum(CAST(round(v * 1000000) AS BIGINT))
+               / (count(*) * 1000000.0) AS c
+      FROM elems GROUP BY lbl, pos
+    ), pairs AS (
+      SELECT a.lbl AS label_a, b.lbl AS label_b,
+             CAST(round(a.c * b.c * 1000000000000) AS BIGINT) AS dotm,
+             CAST(round(a.c * a.c * 1000000000000) AS BIGINT) AS nam,
+             CAST(round(b.c * b.c * 1000000000000) AS BIGINT) AS nbm,
+             CAST(round((a.c - b.c) * (a.c - b.c) * 1000000000000)
+                  AS BIGINT) AS d2m
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.lbl < b.lbl
+    )
+    SELECT label_a, label_b,
+           CAST(round(sum(dotm) / sqrt(CAST(sum(nam) AS DOUBLE) * sum(nbm)),
+                      6) AS DOUBLE) AS cosine,
+           CAST(round(sqrt(sum(d2m) / 1000000000000.0), 6) AS DOUBLE) AS l2
+    FROM pairs GROUP BY label_a, label_b
+    ORDER BY label_a, label_b
+    """,
+    doc="Per-label centroid separation (operators/similarity.py::"
+        "label_centroid_pairs): the only corpus-sized pass is one "
+        "posexplode + (label, dim) aggregation with map-side partials — "
+        "the shuffle carries labels x dim integer micro-unit rows, never "
+        "embeddings; the pairwise join and fold run on the labels x dim "
+        "centroid table (tiny at any scale). Integer micro-units make "
+        "both means and distances summation-order-independent.",
+)
+def q127_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        label_centroid_pairs,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return (label_centroid_pairs(embeddings, "label", "embedding")
+            .orderBy("label_a", "label_b"))

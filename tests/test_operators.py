@@ -1664,3 +1664,103 @@ def test_word_ngram_table_matches_column_form(spark):
             "doc_id",
             F.array_distinct(word_ngrams("text", n)).alias("gs")).collect()}
         assert fused == col, f"n={n}"
+
+
+def test_bm25_matches_python_oracle(spark):
+    """Textbook BM25 computed in pure python (same micro-unit rounding)
+    must equal the operator row for row."""
+    import math
+
+    from league_of_legends_data_pipeline_spark.operators.text import bm25_scores
+
+    docs = [
+        (0, "spark window spark table"),
+        (1, "stream stream stream window"),
+        (2, "vector"),
+        (3, "other words only here"),
+        (4, ""),
+        (5, "spark vector window stream spark spark"),
+    ]
+    terms = ["spark", "window", "stream", "vector"]
+    k1, b = 1.2, 0.75
+    toks = {i: [t for t in txt.split() if t] for i, txt in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    expect = {}
+    for i, tk in toks.items():
+        micro = 0
+        for t in terms:
+            tf = tk.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+            micro += round(c * 1_000_000)
+        if micro:
+            expect[i] = round(micro / 1_000_000.0, 6)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in bm25_scores(df, "doc_id", "text", terms).collect()}
+    assert got == expect
+
+
+def test_vocab_coverage_counts_and_empty_doc(spark):
+    """Hand oracle: vocab_size=2 picks the two most frequent words (ties
+    to smaller); OOV counts are per-doc; empty doc gets rate 0.0."""
+    from league_of_legends_data_pipeline_spark.operators.text import vocab_coverage
+
+    docs = [
+        (0, "a a b z"),      # a:2 b:1 z:1 -> vocab {a, b}
+        (1, "z z z b"),
+        (2, ""),
+        (3, "A b"),          # lowercased in-vocab
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_tokens"], r["oov_tokens"], r["oov_rate"])
+           for r in vocab_coverage(df, "doc_id", "text", vocab_size=2)
+           .collect()}
+    # corpus counts: a=3 b=3 z=4 -> top2 by (count desc, word asc) = z, a
+    assert out == {
+        0: (4, 1, 0.25),   # b is OOV
+        1: (4, 1, 0.25),   # b is OOV
+        2: (0, 0, 0.0),
+        3: (2, 1, 0.5),    # "A" lowers to a (in), b OOV
+    }
+
+
+def test_label_centroid_pairs_matches_numpy(spark):
+    """Centroid cosine/L2 must match a numpy reference computed with the
+    same micro-unit rounding pipeline."""
+    import numpy as np
+
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        label_centroid_pairs,
+    )
+
+    rng = np.random.default_rng(127)
+    rows, vecs = [], {}
+    for lbl in range(3):
+        vs = rng.normal(size=(4, 6)).astype(np.float32)
+        vecs[lbl] = vs
+        for i, v in enumerate(vs):
+            rows.append((lbl, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    cents = {}
+    for lbl, vs in vecs.items():
+        micro = np.round(vs.astype(np.float64) * 1_000_000).sum(axis=0)
+        cents[lbl] = micro / (len(vs) * 1_000_000.0)
+    expect = {}
+    for a in range(3):
+        for bl in range(a + 1, 3):
+            ca, cb = cents[a], cents[bl]
+            dot = int(sum(int(round(x * y * 1e12)) for x, y in zip(ca, cb)))
+            na = int(sum(int(round(x * x * 1e12)) for x in ca))
+            nb = int(sum(int(round(x * x * 1e12)) for x in cb))
+            d2 = int(sum(int(round((x - y) ** 2 * 1e12))
+                         for x, y in zip(ca, cb)))
+            expect[(a, bl)] = (round(dot / (na * float(nb)) ** 0.5, 6),
+                               round((d2 / 1e12) ** 0.5, 6))
+    got = {(r["label_a"], r["label_b"]): (r["cosine"], r["l2"])
+           for r in label_centroid_pairs(df, "label", "embedding").collect()}
+    assert got == expect
