@@ -6163,3 +6163,104 @@ def q127_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return (label_centroid_pairs(embeddings, "label", "embedding")
             .orderBy("label_a", "label_b"))
+
+
+@_register(
+    "q128_quality_classifier",
+    """
+    -- fastText-style quality-classifier training (the CCNet / GPT-3
+    -- recipe's "reference-like vs crawl" step): 3 batch-GD iterations of
+    -- logistic regression on (length score, en-stopword ratio, bias)
+    -- predicting lang='en'; gradients summed as 6dp integer micro-units
+    -- so the fitted weights replicate exactly; accuracy via margin sign.
+    WITH feats AS (
+      SELECT least(1.0, len(tk) / 50.0) AS x0,
+             len(list_filter(tk, t -> list_contains(
+                 ['the','a','of','and','to','in','is'], lower(t))))
+               / greatest(len(tk), 1) AS x1,
+             1.0 AS x2,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM (SELECT lang,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents)
+    ), i1 AS (
+      SELECT count(*) AS n,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x0 + 0.0*x1
+                 + 0.0*x2)))) * x0 * 1000000) AS BIGINT)) AS g0,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x0 + 0.0*x1
+                 + 0.0*x2)))) * x1 * 1000000) AS BIGINT)) AS g1,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x0 + 0.0*x1
+                 + 0.0*x2)))) * x2 * 1000000) AS BIGINT)) AS g2
+      FROM feats
+    ), w1 AS (
+      SELECT n, 0.0 + 1.0 * (g0 / (n * 1000000.0)) AS wa,
+                0.0 + 1.0 * (g1 / (n * 1000000.0)) AS wb,
+                0.0 + 1.0 * (g2 / (n * 1000000.0)) AS wc
+      FROM i1
+    ), i2 AS (
+      SELECT w1.n, w1.wa, w1.wb, w1.wc,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + w1.wa*x0 + w1.wb*x1
+                 + w1.wc*x2)))) * x0 * 1000000) AS BIGINT)) AS g0,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + w1.wa*x0 + w1.wb*x1
+                 + w1.wc*x2)))) * x1 * 1000000) AS BIGINT)) AS g1,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + w1.wa*x0 + w1.wb*x1
+                 + w1.wc*x2)))) * x2 * 1000000) AS BIGINT)) AS g2
+      FROM feats CROSS JOIN w1 GROUP BY w1.n, w1.wa, w1.wb, w1.wc
+    ), w2 AS (
+      SELECT n, wa + 1.0 * (g0 / (n * 1000000.0)) AS wa,
+                wb + 1.0 * (g1 / (n * 1000000.0)) AS wb,
+                wc + 1.0 * (g2 / (n * 1000000.0)) AS wc
+      FROM i2
+    ), i3 AS (
+      SELECT w2.n, w2.wa, w2.wb, w2.wc,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + w2.wa*x0 + w2.wb*x1
+                 + w2.wc*x2)))) * x0 * 1000000) AS BIGINT)) AS g0,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + w2.wa*x0 + w2.wb*x1
+                 + w2.wc*x2)))) * x1 * 1000000) AS BIGINT)) AS g1,
+             sum(CAST(round((y - 1.0/(1.0 + exp(-(0.0 + w2.wa*x0 + w2.wb*x1
+                 + w2.wc*x2)))) * x2 * 1000000) AS BIGINT)) AS g2
+      FROM feats CROSS JOIN w2 GROUP BY w2.n, w2.wa, w2.wb, w2.wc
+    ), w3 AS (
+      SELECT n, wa + 1.0 * (g0 / (n * 1000000.0)) AS wa,
+                wb + 1.0 * (g1 / (n * 1000000.0)) AS wb,
+                wc + 1.0 * (g2 / (n * 1000000.0)) AS wc
+      FROM i3
+    )
+    SELECT w3.n AS n,
+           CAST(round(w3.wa, 6) AS DOUBLE) AS w0,
+           CAST(round(w3.wb, 6) AS DOUBLE) AS w1,
+           CAST(round(w3.wc, 6) AS DOUBLE) AS w2,
+           CAST(round(sum(CASE WHEN
+               (CASE WHEN 0.0 + w3.wa*x0 + w3.wb*x1 + w3.wc*x2 >= 0
+                     THEN 1 ELSE 0 END) = CAST(y AS INT)
+               THEN 1 ELSE 0 END) / count(*), 6) AS DOUBLE)
+               AS train_accuracy
+    FROM feats CROSS JOIN w3
+    GROUP BY w3.n, w3.wa, w3.wb, w3.wc
+    """,
+    doc="Distributed quality-classifier training (operators/classifier.py"
+        "::logistic_fit_report): each GD iteration is ONE corpus aggregate "
+        "with map-side partial aggregation — the shuffle carries "
+        "num_features integer partials per partition, the driver holds "
+        "only the weight vector (the kmeans_refine size-gated "
+        "driver-scalar pattern). Micro-unit gradient sums make the fit "
+        "order-independent; the oracle unrolls the identical 3 "
+        "iterations in SQL and lands on bit-identical weights.",
+)
+def q128_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.classifier import (
+        logistic_fit_report,
+    )
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        STOPWORDS, stopword_ratio, tokens,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    x0 = F.least(F.lit(1.0), F.size(toks) / F.lit(50.0))
+    x1 = stopword_ratio(toks, STOPWORDS["en"])
+    x2 = F.lit(1.0)
+    y = (F.col("lang") == "en").cast("int")
+    return logistic_fit_report(documents, [x0, x1, x2], y,
+                               iterations=3, lr=1.0)
