@@ -6264,3 +6264,125 @@ def q128_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = (F.col("lang") == "en").cast("int")
     return logistic_fit_report(documents, [x0, x1, x2], y,
                                iterations=3, lr=1.0)
+
+
+@_register(
+    "q129_curation_funnel",
+    """
+    -- the whole pretraining-data recipe as ONE declarative plan, with the
+    -- per-stage attrition report every curation run publishes:
+    -- raw -> normalized exact dedup -> quality filter -> benchmark
+    -- decontamination (4-gram overlap >= 0.5) -> per-source quota (40).
+    WITH base AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), s1 AS (
+      SELECT * FROM (
+        SELECT base.*, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(regexp_replace(
+                regexp_replace(lower(text), '[ \t\n\r]', ' ', 'g'),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+        FROM base) WHERE rn = 1
+    ), s2 AS (
+      SELECT * FROM s1
+      WHERE round((
+          least(1.0, len(tk) / 50.0)
+          + CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                 AS DOUBLE) / greatest(length(text), 1)
+          + least(1.0, (CAST(length(list_aggregate(tk, 'string_agg', ''))
+                             AS DOUBLE) / greatest(len(tk), 1)) / 8.0)
+      ) / 3, 6) >= 0.5
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 4 THEN []
+                  ELSE list_distinct(list_transform(range(1, len(tk) - 2),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+                            || tk[i+3]))
+             END AS gs
+      FROM base
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 11 = 0
+    ), hits AS (
+      SELECT doc_id, count(*) AS hit
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams) eg
+      JOIN bench USING (g) GROUP BY doc_id
+    ), s3 AS (
+      SELECT s2.* FROM s2
+      LEFT JOIN (SELECT doc_id, len(gs) AS tg FROM grams) sz USING (doc_id)
+      LEFT JOIN hits USING (doc_id)
+      WHERE coalesce(hit, 0) * 1.0 / greatest(tg, 1) < 0.5
+    ), s4 AS (
+      SELECT * FROM (
+        SELECT s3.*, row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn2
+        FROM s3) WHERE rn2 <= 40
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+             count(*) AS n_docs, CAST(sum(len(tk)) AS BIGINT) AS total_tokens
+      FROM base
+      UNION ALL SELECT CAST(1 AS BIGINT), 'normalized_dedup', count(*),
+             CAST(sum(len(tk)) AS BIGINT) FROM s1
+      UNION ALL SELECT CAST(2 AS BIGINT), 'quality_filter', count(*),
+             CAST(sum(len(tk)) AS BIGINT) FROM s2
+      UNION ALL SELECT CAST(3 AS BIGINT), 'decontaminated', count(*),
+             CAST(sum(len(tk)) AS BIGINT) FROM s3
+      UNION ALL SELECT CAST(4 AS BIGINT), 'source_quota', count(*),
+             CAST(sum(len(tk)) AS BIGINT) FROM s4
+    ) ORDER BY stage
+    """,
+    doc="Capstone v2 — the full curation recipe as one plan with the "
+        "per-stage attrition funnel: normalize_text digest dedup (q119), "
+        "quality_score gate (q51), 4-gram benchmark decontamination "
+        "(q69's fused-Arrow gram table, broadcast bench), per-source "
+        "quota window (q122). Every stage's corpus pass shuffles "
+        "digests/counts, never text; the five stage aggregates share "
+        "lineage so AQE reuses the materialized exchanges across "
+        "branches instead of recomputing the chain.",
+)
+def q129_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        normalize_text, quality_score, token_count, word_ngram_table,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    base = documents.withColumn("__ntok", token_count("text"))
+    w1 = W.partitionBy(F.md5(normalize_text("text"))).orderBy("doc_id")
+    s1 = (base.withColumn("__rn", F.row_number().over(w1))
+          .filter(F.col("__rn") == 1).drop("__rn"))
+    s2 = s1.filter(quality_score("text") >= 0.5)
+    grams = word_ngram_table(
+        documents.repartition(spark.sparkContext.defaultParallelism,
+                              "doc_id"),
+        "doc_id", "text", 4)
+    bench = (grams.filter(F.col("doc_id") % 11 == 0)
+             .select(F.explode("gs").alias("g")).distinct())
+    hits = (grams.select("doc_id", F.explode("gs").alias("g"))
+            .join(F.broadcast(bench), "g")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("__hit")))
+    sizes = grams.select("doc_id", F.size("gs").alias("__tg"))
+    s3 = (s2.join(sizes, "doc_id", "left").join(hits, "doc_id", "left")
+          .filter(F.coalesce(F.col("__hit"), F.lit(0)) * 1.0
+                  / F.greatest(F.col("__tg"), F.lit(1)) < 0.5)
+          .drop("__tg", "__hit"))
+    w4 = W.partitionBy("source").orderBy(F.col("n_chars").desc(),
+                                         F.col("doc_id").asc())
+    s4 = (s3.withColumn("__rn2", F.row_number().over(w4))
+          .filter(F.col("__rn2") <= 40).drop("__rn2"))
+
+    def tier(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return (df.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("__ntok").alias("__tt"))
+                .select(F.lit(stage).cast("long").alias("stage"),
+                        F.lit(name).alias("stage_name"), "n_docs",
+                        F.coalesce(F.col("__tt"), F.lit(0)).cast("long")
+                         .alias("total_tokens")))
+
+    return (tier(base, 0, "raw")
+            .unionByName(tier(s1, 1, "normalized_dedup"))
+            .unionByName(tier(s2, 2, "quality_filter"))
+            .unionByName(tier(s3, 3, "decontaminated"))
+            .unionByName(tier(s4, 4, "source_quota"))
+            .orderBy("stage"))
