@@ -233,3 +233,62 @@ def dataset_diff(
             .when(F.col("__fo") == F.col("__fn"), F.lit("unchanged"))
             .otherwise(F.lit("changed")).alias("status"))
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    features: list,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Population-Stability-Index drift report between a reference corpus
+    version and a new one: per (feature, bin) the smoothed frequencies
+    and PSI contribution, plus the feature-level PSI — the monitoring
+    gate a continuously-refreshed training corpus runs before promoting
+    a new version.
+
+    ``features`` is a list of (name, bin_expr) pairs where bin_expr maps
+    a row to an integer bin (both DataFrames must be able to evaluate
+    it). PSI per feature = sum over bins of (p - q) * ln(p / q) with
+    Laplace smoothing over the union bin-universe B (bins observed in
+    either side): p = (n_ref + s) / (N_ref + s*B).
+
+    Scale shape: each corpus pass is one map-only projection exploding F
+    (feature, bin) pairs per row into a partial-aggregated count — the
+    shuffle carries (feature, bin, count), never rows. Everything after
+    operates on the features x bins count table (tiny at any scale); the
+    windows run there, not on the corpus. The PSI sum adds 6dp integer
+    micro-units, so the reported drift is summation-order-independent.
+    """
+    def side_counts(df: DataFrame, out: str) -> DataFrame:
+        pairs = F.explode(F.array(*[
+            F.struct(F.lit(name).alias("feature"),
+                     bin_expr.cast("long").alias("bin"))
+            for name, bin_expr in features
+        ])).alias("__p")
+        return (df.select(pairs)
+                .select("__p.feature", "__p.bin")
+                .groupBy("feature", "bin")
+                .agg(F.count(F.lit(1)).alias(out)))
+
+    r = side_counts(ref, "n_ref")
+    n = side_counts(new, "n_new")
+    joined = (r.join(n, ["feature", "bin"], "full_outer")
+              .select("feature", "bin",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                      F.coalesce("n_new", F.lit(0)).alias("n_new")))
+    wf = W.partitionBy("feature")
+    s = float(smoothing)
+    p = (F.col("n_ref") + s) / (F.col("__tot_ref") + s * F.col("__b"))
+    q = (F.col("n_new") + s) / (F.col("__tot_new") + s * F.col("__b"))
+    with_tot = (joined
+                .withColumn("__b", F.count(F.lit(1)).over(wf))
+                .withColumn("__tot_ref", F.sum("n_ref").over(wf))
+                .withColumn("__tot_new", F.sum("n_new").over(wf))
+                .withColumn("__contrib", (p - q) * F.log(p / q)))
+    micro = F.round(F.col("__contrib") * 1_000_000).cast("long")
+    return (with_tot
+            .withColumn("contrib", F.round(F.col("__contrib"), 6))
+            .withColumn("psi",
+                        F.round(F.sum(micro).over(wf) / 1_000_000.0, 6))
+            .select("feature", "bin", "n_ref", "n_new", "contrib", "psi"))

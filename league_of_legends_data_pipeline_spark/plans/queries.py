@@ -6386,3 +6386,69 @@ def q129_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(tier(s3, 3, "decontaminated"))
             .unionByName(tier(s4, 4, "source_quota"))
             .orderBy("stage"))
+
+
+@_register(
+    "q130_distribution_drift",
+    """
+    -- corpus-version drift monitoring (PSI): even doc_ids stand in for
+    -- the reference version, odd for the refresh; per (feature, bin)
+    -- smoothed frequencies and PSI contribution, plus feature-level PSI
+    -- (6dp micro-unit sum) — the promote/block gate for a corpus refresh.
+    WITH base AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '')) AS ntok
+      FROM documents
+    ), pairs AS (
+      SELECT doc_id % 2 AS side, 'n_chars_bin' AS feature,
+             CAST(least(floor(n_chars / 100), 7) AS BIGINT) AS bin FROM base
+      UNION ALL
+      SELECT doc_id % 2, 'n_tokens_bin',
+             CAST(least(floor(ntok / 20), 7) AS BIGINT) FROM base
+    ), counts AS (
+      SELECT feature, bin,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_new
+      FROM pairs GROUP BY feature, bin
+    ), tot AS (
+      SELECT feature, bin, n_ref, n_new,
+             count(*) OVER wf AS b,
+             sum(n_ref) OVER wf AS tot_ref,
+             sum(n_new) OVER wf AS tot_new
+      FROM counts WINDOW wf AS (PARTITION BY feature)
+    ), c AS (
+      SELECT feature, bin, n_ref, n_new,
+             ((n_ref + 1.0) / (tot_ref + 1.0 * b)
+              - (n_new + 1.0) / (tot_new + 1.0 * b))
+             * ln(((n_ref + 1.0) / (tot_ref + 1.0 * b))
+                  / ((n_new + 1.0) / (tot_new + 1.0 * b))) AS contrib
+      FROM tot
+    )
+    SELECT feature, bin, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(round(contrib, 6) AS DOUBLE) AS contrib,
+           CAST(round(sum(CAST(round(contrib * 1000000) AS BIGINT))
+                OVER (PARTITION BY feature) / 1000000.0, 6) AS DOUBLE) AS psi
+    FROM c ORDER BY feature, bin
+    """,
+    doc="Distribution-drift monitoring (operators/joins.py::psi_drift): "
+        "each corpus pass is one map-only (feature, bin) explode into a "
+        "partial-aggregated count — shuffles carry (feature, bin, count) "
+        "rows, never documents; the Laplace smoothing, windows, and PSI "
+        "sum all run on the features x bins table (tiny at any scale). "
+        "Micro-unit sums keep the reported PSI order-independent.",
+)
+def q130_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import psi_drift
+    from league_of_legends_data_pipeline_spark.operators.text import token_count
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ref = documents.filter(F.col("doc_id") % 2 == 0)
+    new = documents.filter(F.col("doc_id") % 2 == 1)
+    feats = [
+        ("n_chars_bin", F.least(F.floor(F.col("n_chars") / 100), F.lit(7))),
+        ("n_tokens_bin", F.least(F.floor(token_count("text") / 20),
+                                 F.lit(7))),
+    ]
+    return psi_drift(ref, new, feats).orderBy("feature", "bin")

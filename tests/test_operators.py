@@ -1793,3 +1793,37 @@ def test_logistic_fit_matches_local_reference(spark):
                               iterations=4, lr=2.0).collect()[0]
     assert rep["n"] == 300
     assert rep["train_accuracy"] >= 0.6  # beats the 0.5 base rate
+
+
+def test_psi_drift_matches_python_oracle(spark):
+    """PSI with Laplace smoothing over the union bin-universe, including
+    a bin present on only one side."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from league_of_legends_data_pipeline_spark.operators.joins import psi_drift
+
+    ref_vals = [0, 0, 1, 1, 1, 2]
+    new_vals = [0, 1, 1, 3, 3, 3, 3]        # bin 2 missing, bin 3 new
+    ref = spark.createDataFrame([(v,) for v in ref_vals], "v int")
+    new = spark.createDataFrame([(v,) for v in new_vals], "v int")
+    out = psi_drift(ref, new, [("v", F.col("v"))]).collect()
+
+    from collections import Counter
+    cr, cn = Counter(ref_vals), Counter(new_vals)
+    bins = sorted(set(cr) | set(cn))
+    b, tr, tn = len(bins), len(ref_vals), len(new_vals)
+    contribs = {}
+    for x in bins:
+        p = (cr.get(x, 0) + 1.0) / (tr + 1.0 * b)
+        q = (cn.get(x, 0) + 1.0) / (tn + 1.0 * b)
+        contribs[x] = (p - q) * math.log(p / q)
+    psi = round(sum(int(round(c * 1e6)) for c in contribs.values()) / 1e6, 6)
+    got = {r["bin"]: r for r in out}
+    assert sorted(got) == bins
+    for x in bins:
+        assert got[x]["n_ref"] == cr.get(x, 0)
+        assert got[x]["n_new"] == cn.get(x, 0)
+        assert got[x]["contrib"] == round(contribs[x], 6)
+        assert got[x]["psi"] == psi
