@@ -292,3 +292,38 @@ def psi_drift(
             .withColumn("psi",
                         F.round(F.sum(micro).over(wf) / 1_000_000.0, 6))
             .select("feature", "bin", "n_ref", "n_new", "contrib", "psi"))
+
+
+def decayed_group_sum(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    t_ref: str,
+    lam_per_day: float,
+) -> DataFrame:
+    """Exponential time-decay aggregation: per key, sum of
+    value * exp(-lam * age_days) at reference time ``t_ref`` — the
+    recency-weighted activity score used to weight users/sources when
+    sampling fresh training data (and the batch dual of a streaming
+    decayed counter).
+
+    Map-only projection + one partial-aggregated groupBy — shuffles carry
+    (key, micro-sum, count), never events. Per-event contributions round
+    to 6dp integer micro-units before summing, so the score is
+    summation-order-independent (and engine-exp-difference-tolerant: a
+    1-ulp exp() divergence only matters if a contribution sits within
+    1e-17 of a micro-unit boundary). Pass ``lam_per_day`` as a decimal
+    literal you also write into any SQL dual — don't derive it from
+    ln(2)/half_life at runtime, engines' ln() may differ by a ulp.
+
+    Age is a timestamp DIFFERENCE (micros), so a session-timezone shift
+    applies to both terms and cancels.
+    """
+    age_days = (F.unix_micros(F.lit(t_ref).cast("timestamp"))
+                - F.unix_micros(F.col(ts_col))) / 86_400_000_000.0
+    micro = F.round(F.col(value_col) * F.exp(-F.lit(lam_per_day) * age_days)
+                    * 1_000_000).cast("long")
+    return (df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(micro) / 1_000_000.0, 6).alias("decayed_sum")))

@@ -6452,3 +6452,42 @@ def q130_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.lit(7))),
     ]
     return psi_drift(ref, new, feats).orderBy("feature", "bin")
+
+
+@_register(
+    "q131_decayed_activity",
+    """
+    -- recency-weighted activity scores (7-day half-life, lam written as
+    -- the shared decimal literal 0.099021): per user the exponentially
+    -- decayed value sum at the reference instant — the freshness weight
+    -- for sampling users/sources; top-20 by score.
+    WITH d AS (
+      SELECT user_id,
+             CAST(round(value * exp(-0.099021 *
+                 (epoch_us(TIMESTAMP '2024-02-01 00:00:00' - ts)
+                  / 86400000000.0)) * 1000000) AS BIGINT) AS m
+      FROM events
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(round(sum(m) / 1000000.0, 6) AS DOUBLE) AS decayed_sum
+    FROM d GROUP BY user_id
+    ORDER BY decayed_sum DESC, user_id
+    LIMIT 20
+    """,
+    doc="Exponential time-decay aggregation (operators/joins.py::"
+        "decayed_group_sum): map-only decay projection + one partial-"
+        "aggregated groupBy — (key, micro-sum) rows shuffle, never "
+        "events; top-20 is a TakeOrdered. Decay contributions are 6dp "
+        "micro-units (order-independent, exp-ulp-tolerant); age is a "
+        "timestamp difference so session-timezone shifts cancel.",
+)
+def q131_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        decayed_group_sum,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (decayed_group_sum(events, "user_id", "value", "ts",
+                              "2024-02-01 00:00:00", 0.099021)
+            .orderBy(F.col("decayed_sum").desc(), F.col("user_id").asc())
+            .limit(20))

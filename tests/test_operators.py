@@ -1827,3 +1827,37 @@ def test_psi_drift_matches_python_oracle(spark):
         assert got[x]["n_new"] == cn.get(x, 0)
         assert got[x]["contrib"] == round(contribs[x], 6)
         assert got[x]["psi"] == psi
+
+
+def test_decayed_group_sum_matches_python_oracle(spark):
+    """Decay weighting against a hand-computed reference (same micro-unit
+    rounding and the same decimal lam literal)."""
+    import datetime as dt
+    import math
+
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        decayed_group_sum,
+    )
+
+    t_ref = dt.datetime(2024, 2, 1)
+    rows = [
+        (1, 10.0, dt.datetime(2024, 1, 31)),   # 1 day old
+        (1, 10.0, dt.datetime(2024, 1, 18)),   # 14 days old
+        (2, 5.0, dt.datetime(2024, 2, 1)),     # age 0 -> weight 1
+        (2, -3.0, dt.datetime(2024, 1, 25)),   # negative values decay too
+    ]
+    lam = 0.099021
+    expect = {}
+    for uid, v, ts in rows:
+        age = (t_ref - ts).total_seconds() / 86400.0
+        m = int(math.floor(abs(v * math.exp(-lam * age) * 1e6) + 0.5)
+                * (1 if v >= 0 else -1))
+        n, s = expect.get(uid, (0, 0))
+        expect[uid] = (n + 1, s + m)
+    expect = {u: (n, round(s / 1e6, 6)) for u, (n, s) in expect.items()}
+    df = spark.createDataFrame(rows, "user_id long, value double, ts timestamp")
+    got = {r["user_id"]: (r["n_events"], r["decayed_sum"])
+           for r in decayed_group_sum(df, "user_id", "value", "ts",
+                                      "2024-02-01 00:00:00",
+                                      lam).collect()}
+    assert got == expect
