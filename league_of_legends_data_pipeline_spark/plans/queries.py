@@ -6491,3 +6491,119 @@ def q131_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "2024-02-01 00:00:00", 0.099021)
             .orderBy(F.col("decayed_sum").desc(), F.col("user_id").asc())
             .limit(20))
+
+
+# deterministic +-1 query vector for q132: sign from the last md5 hex digit
+# of "q:{i}" (engine-replicable; |q| = sqrt(64) = 8 exactly)
+def _q132_query_vec() -> list[float]:
+    import hashlib
+
+    return [1.0 if int(hashlib.md5(f"q:{i}".encode()).hexdigest()[31], 16)
+            % 2 == 0 else -1.0 for i in range(64)]
+
+
+_Q132_QSGN = ("CASE WHEN CAST(('0x' || substr(md5('q:' || CAST(i - 1 AS "
+              "VARCHAR)), 32, 1)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END")
+
+
+@_register(
+    "q132_hybrid_retrieval_rrf",
+    f"""
+    -- hybrid retrieval: BM25 lexical ranking (the q124 scorer) fused
+    -- with embedding-cosine semantic ranking against a deterministic
+    -- +-1 query vector, via reciprocal-rank fusion
+    -- rrf = 1/(60+r_lex) + 1/(60+r_sem); top-15.
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n, sum(len(tk)) AS total_toks FROM toks
+    ), q AS (
+      SELECT unnest(['spark', 'window', 'stream', 'vector']) AS term
+    ), tfc AS (
+      SELECT t.doc_id, t.dl, t.term, count(*) AS tf
+      FROM (SELECT doc_id, len(tk) AS dl, lower(unnest(tk)) AS term
+            FROM toks) t
+      JOIN q USING (term)
+      GROUP BY t.doc_id, t.dl, t.term
+    ), dfreq AS (
+      SELECT term, count(*) AS dfreq FROM tfc GROUP BY term
+    ), contrib AS (
+      SELECT doc_id,
+             ln(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                            / (total_toks / (n * 1.0)))) AS c
+      FROM tfc JOIN dfreq USING (term) CROSS JOIN stats
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM (SELECT doc_id,
+                   round(sum(CAST(round(c * 1000000) AS BIGINT))
+                         / 1000000.0, 6) AS score
+            FROM contrib GROUP BY doc_id)
+    ), qv AS (
+      SELECT list({_Q132_QSGN} ORDER BY i) AS s FROM range(1, 65) ti(i)
+    ), sem AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cos DESC, vec_id) AS sem_rank
+      FROM (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(e[CAST(i AS INT)] AS DOUBLE)
+                        * s[CAST(i AS INT)]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(e[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(e[CAST(i AS INT)] AS DOUBLE)))) * 8.0) AS cos
+        FROM (SELECT vec_id, embedding AS e FROM embeddings) CROSS JOIN qv)
+    )
+    SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+           l.lex_rank AS lex_rank, s.sem_rank AS sem_rank,
+           CAST(round(coalesce(1.0 / (60 + l.lex_rank), 0.0)
+                      + coalesce(1.0 / (60 + s.sem_rank), 0.0), 6)
+                AS DOUBLE) AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 15
+    """,
+    doc="Hybrid retrieval (BM25 + dense cosine, reciprocal-rank fusion — "
+        "the standard two-tower serving recipe): both rankers are the "
+        "engine's existing scale paths (bm25_scores' term-filtered "
+        "explode; one map-only sequential-fold dot per embedding against "
+        "a broadcast-literal query vector), fused by a full-outer "
+        "id-equi-join of two rank projections. Ranks, not raw scores, "
+        "cross the fusion boundary, so the engines' score scales never "
+        "need reconciling; top-15 is a TakeOrdered.",
+)
+def q132_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        _as_double, dot, l2_norm,
+    )
+    from league_of_legends_data_pipeline_spark.operators.text import bm25_scores
+
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    lex = bm25_scores(documents, "doc_id", "text",
+                      ["spark", "window", "stream", "vector"])
+    w_lex = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex.select("doc_id",
+                     F.row_number().over(w_lex).cast("long")
+                      .alias("lex_rank"))
+    qv = F.array(*[F.lit(x) for x in _q132_query_vec()])
+    e = _as_double(F.col("embedding"))
+    cos = dot(e, qv) / (l2_norm(e) * 8.0)
+    w_sem = W.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    sem = (embeddings.select("vec_id", cos.alias("cos"))
+           .select("vec_id",
+                   F.row_number().over(w_sem).cast("long")
+                    .alias("sem_rank")))
+    fused = (lex.join(sem, lex["doc_id"] == sem["vec_id"], "full_outer")
+             .select(
+                 F.coalesce(lex["doc_id"], sem["vec_id"]).alias("doc_id"),
+                 "lex_rank", "sem_rank",
+                 F.round(F.coalesce(1.0 / (60 + F.col("lex_rank")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (60 + F.col("sem_rank")),
+                                      F.lit(0.0)), 6).alias("rrf")))
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()) \
+                .limit(15)
