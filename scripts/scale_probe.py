@@ -71,6 +71,18 @@ PROBE_QUERIES = [
     # bipartite minhash decontamination: both corpora hash linearly;
     # candidate volume governed by band collisions, never a self-join
     "q120_cross_corpus_neardup",
+    # round-5 late additions:
+    # BM25: term-filtered explode + broadcast stats — linear in corpus
+    # tokens, shuffle volume bounded by matching (doc, term) pairs
+    "q124_bm25_retrieval",
+    # gram heavy hitters: fused Arrow gram pass + count aggregation;
+    # linear in tokens, shuffle carries (gram, count)
+    "q125_boilerplate_ngrams",
+    # classifier training: 3 GD iterations = 3 linear corpus aggregates
+    "q128_quality_classifier",
+    # the 5-stage funnel: every stage is a linear scan/shuffle; AQE
+    # exchange reuse must keep the branch count from multiplying cost
+    "q129_curation_funnel",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
