@@ -518,8 +518,9 @@ def canary_scan(
     corpus is scanned once and each row evaluates `contains` per canary
     inside codegen — no shuffle of text, only (canary, id) hits reach the
     count. For canary sets too large for per-row contains (thousands+),
-    swap the predicate join for an Aho-Corasick pass in an Arrow-batched
-    mapInPandas stage — the plan around it is unchanged.
+    use ``canary_scan_ac`` — a single Aho-Corasick pass per document in
+    an Arrow-batched stage; the plan around it is unchanged
+    (pytest-pinned to produce identical output to this form).
     """
     c = df.select(F.col(id_col).alias("__cid"),
                   F.col(text_col).alias("__ctext"))
@@ -528,6 +529,90 @@ def canary_scan(
     hits = c.join(F.broadcast(canaries.select(canary_col).distinct()),
                   F.expr(f"contains(__ctext, {canary_col})"))
     return (hits.groupBy(canary_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("__cid").alias("first_doc_id")))
+
+
+def _ac_automaton(patterns: list) -> tuple[list, list, list]:
+    """Aho-Corasick automaton as flat tables: (goto: list[dict],
+    fail: list[int], out: list[list[int]]) over pattern indexes."""
+    goto: list = [{}]
+    out: list = [[]]
+    for idx, p in enumerate(patterns):
+        s = 0
+        for ch in p:
+            if ch not in goto[s]:
+                goto.append({})
+                out.append([])
+                goto[s][ch] = len(goto) - 1
+            s = goto[s][ch]
+        out[s].append(idx)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    queue = deque(goto[0].values())
+    while queue:
+        s = queue.popleft()
+        for ch, t in goto[s].items():
+            queue.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+            out[t].extend(out[fail[t]])
+    return goto, fail, out
+
+
+def canary_scan_ac(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    canaries: DataFrame,
+    canary_col: str = "canary",
+) -> DataFrame:
+    """``canary_scan`` for LARGE canary sets: one Aho-Corasick automaton
+    pass per document instead of C per-row ``contains`` evaluations —
+    O(len(text) + hits) per doc regardless of canary count.
+
+    The canary list is collected to the driver (bounded by nature — the
+    same size class every broadcast join already assumes) and shipped in
+    the closure; each Python worker builds the automaton once per task
+    batch iterator. The corpus-side plan is identical to ``canary_scan``:
+    an Arrow-batched stage emits distinct (canary, id) hit pairs, one
+    partial-aggregated groupBy counts them — text never shuffles.
+    Output is pytest-pinned identical to ``canary_scan``.
+    """
+    pats = sorted({r[0] for r in
+                   canaries.select(canary_col).distinct().collect()
+                   if r[0] is not None})
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def gen(batches):
+        goto, fail, out = _ac_automaton(pats)
+        import pandas as pd
+
+        for pdf in batches:
+            ids, hits = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                s = 0
+                found: set = set()
+                for ch in t:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    if out[s]:
+                        found.update(out[s])
+                for idx in found:
+                    ids.append(did)
+                    hits.append(pats[idx])
+            yield pd.DataFrame({"__cid": pd.Series(ids, dtype="object"),
+                                canary_col: pd.Series(hits, dtype="object")})
+
+    pairs = df.select(id_col, text_col).mapInPandas(
+        gen, f"__cid {id_type}, {canary_col} string")
+    return (pairs.groupBy(canary_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("__cid").alias("first_doc_id")))
 

@@ -1861,3 +1861,30 @@ def test_decayed_group_sum_matches_python_oracle(spark):
                                       "2024-02-01 00:00:00",
                                       lam).collect()}
     assert got == expect
+
+
+def test_canary_scan_ac_matches_contains_path(spark):
+    """The Aho-Corasick scale lever must return EXACTLY what the
+    broadcast-contains form returns — including overlapping patterns,
+    patterns that are substrings of each other, duplicates in the canary
+    list, and docs with no hits."""
+    import random
+
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        canary_scan, canary_scan_ac,
+    )
+
+    rng = random.Random(109)
+    alpha = "abc"
+    docs = [(i, "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 60))))
+            for i in range(80)]
+    pats = ["a", "ab", "ba", "abc", "cab", "bb", "zzz", "abab", "b"]
+    cdf = spark.createDataFrame([(p,) for p in pats + pats[:3]],
+                                "canary string")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {r["canary"]: (r["n_docs"], r["first_doc_id"])
+            for r in canary_scan(df, "doc_id", "text", cdf).collect()}
+    got = {r["canary"]: (r["n_docs"], r["first_doc_id"])
+           for r in canary_scan_ac(df, "doc_id", "text", cdf).collect()}
+    assert got == want
+    assert "zzz" not in got          # no-hit canary absent in both forms
