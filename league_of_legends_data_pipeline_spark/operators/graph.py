@@ -237,3 +237,53 @@ def best_representatives(
         .select("doc_id", "component", "cluster_size", "score",
                 (F.col("__rn") == 1).alias("keep"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Bounded-iteration PageRank over an edge list — the link-centrality
+    signal web-corpus curation uses as a document-quality prior (the
+    Common-Crawl-rank feature in quality classifiers). Returns
+    (node, rank, deg) for every node with at least one outgoing edge.
+
+    r_0 = 1/N; r_{i+1}(v) = (1-d)/N + d * sum_{u->v} r_i(u)/deg(u).
+    Nodes without outgoing edges are excluded from the graph (callers
+    with dangling nodes should symmetrize or pre-prune; the co-occurrence
+    graphs this engine builds are symmetric, so none dangle).
+
+    Scale shape: a FIXED iteration count, each iteration one equi-join of
+    the (node, rank) table onto the edge list plus one partial-aggregated
+    groupBy on the destination — shuffles carry (node, long) pairs, never
+    payloads; N rides in as a 1-row broadcast, nothing is collected. Per-
+    edge contributions round to 1e-9 integer units before summing, so
+    ranks are summation-order-independent (engine-replicable: q133's
+    oracle unrolls the same iterations in SQL and matches exactly).
+    """
+    GIGA = 1_000_000_000
+    e = edges.select(F.col(src_col).alias("__src"),
+                     F.col(dst_col).alias("__dst"))
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = (deg.crossJoin(F.broadcast(n))
+             .select(F.col("__src").alias("node"),
+                     (F.lit(1.0) / F.col("__n")).alias("rank")))
+    for _ in range(iterations):
+        contrib = (e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+                   .join(deg, "__src")
+                   .select(F.col("__dst").alias("node"),
+                           F.round(F.col("rank") / F.col("deg") * GIGA)
+                            .cast("long").alias("__m")))
+        ranks = (contrib.groupBy("node").agg(F.sum("__m").alias("__m"))
+                 .crossJoin(F.broadcast(n))
+                 .select("node",
+                         (F.lit(1.0 - damping) / F.col("__n")
+                          + F.lit(damping) * (F.col("__m") / float(GIGA)))
+                         .alias("rank")))
+    return (ranks.join(deg.select(F.col("__src").alias("node"), "deg"),
+                       "node")
+            .select("node", "rank", "deg"))

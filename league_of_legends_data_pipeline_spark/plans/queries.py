@@ -6607,3 +6607,126 @@ def q132_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       F.lit(0.0)), 6).alias("rrf")))
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()) \
                 .limit(15)
+
+
+@_register(
+    "q133_supplier_pagerank",
+    """
+    -- link-analysis centrality (the web-graph quality prior in corpus
+    -- curation, run here on the supplier co-supply graph): 2 unrolled
+    -- PageRank iterations, d = 0.85, per-edge contributions as 1e-9
+    -- integer units; top-20 by rank. All float constants forced to
+    -- DOUBLE so decimal-literal arithmetic cannot diverge from IEEE.
+    WITH pairs AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey <> b.l_suppkey
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM pairs GROUP BY src
+    ), nn AS (
+      SELECT count(*) AS n FROM deg
+    ), r0 AS (
+      SELECT src AS node, CAST(1.0 AS DOUBLE) / n AS r
+      FROM deg CROSS JOIN nn
+    ), i1 AS (
+      SELECT p.dst AS node,
+             sum(CAST(round(r0.r / d.deg * 1000000000) AS BIGINT)) AS m
+      FROM pairs p JOIN r0 ON p.src = r0.node JOIN deg d ON p.src = d.src
+      GROUP BY p.dst
+    ), r1 AS (
+      SELECT node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+             + CAST(0.85 AS DOUBLE) * (m / 1000000000.0) AS r
+      FROM i1 CROSS JOIN nn
+    ), i2 AS (
+      SELECT p.dst AS node,
+             sum(CAST(round(r1.r / d.deg * 1000000000) AS BIGINT)) AS m
+      FROM pairs p JOIN r1 ON p.src = r1.node JOIN deg d ON p.src = d.src
+      GROUP BY p.dst
+    ), r2 AS (
+      SELECT node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+             + CAST(0.85 AS DOUBLE) * (m / 1000000000.0) AS r
+      FROM i2 CROSS JOIN nn
+    )
+    SELECT r2.node AS node,
+           CAST(round(r2.r, 9) AS DOUBLE) AS rank,
+           deg.deg AS deg
+    FROM r2 JOIN deg ON r2.node = deg.src
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """,
+    doc="PageRank (operators/graph.py::pagerank) on the supplier "
+        "co-supply graph: fixed iteration count, each iteration one "
+        "equi-join of (node, rank) onto the edge list + one partial-"
+        "aggregated groupBy on dst — shuffles carry (node, long) pairs; "
+        "N is a 1-row broadcast, nothing collects to the driver. The "
+        "1e-9 integer contribution units make ranks order-independent; "
+        "the oracle unrolls both iterations and matches exactly.",
+)
+def q133_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import pagerank
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    a = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_suppkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_suppkey").alias("dst"))
+    edges = (a.join(b, "ok").filter(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+    ranked = pagerank(edges, iterations=2, damping=0.85)
+    return (ranked.select("node", F.round("rank", 9).alias("rank"), "deg")
+            .orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(20))
+
+
+@_register(
+    "q134_robust_outliers",
+    """
+    -- robust outlier screen (median/MAD, the data-quality rule that
+    -- survives the outliers it hunts, unlike mean/stddev): per event
+    -- type flag |value - median| > 3 * 1.4826 * MAD (4.4478, one
+    -- decimal literal so both engines multiply the same double).
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY event_type
+    ), j AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ), madt AS (
+      SELECT event_type, median(dev) AS mad FROM j GROUP BY event_type
+    )
+    SELECT j.event_type, count(*) AS n,
+           CAST(sum(CASE WHEN j.dev > 4.4478 * madt.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(round(min(j.med), 6) AS DOUBLE) AS med,
+           CAST(round(min(madt.mad), 6) AS DOUBLE) AS mad
+    FROM j JOIN madt USING (event_type)
+    GROUP BY j.event_type
+    ORDER BY event_type
+    """,
+    doc="Median/MAD robust outlier detection: two grouped exact "
+        "percentiles (each one shuffle of (type, value) pairs; the "
+        "per-type value buffers are the exact-median cost — swap in "
+        "percentile_approx for the unbounded-cardinality path, same "
+        "plan) and the group medians broadcast back onto the scan so "
+        "the flagging pass is map-side. The threshold constant 4.4478 "
+        "(3 x 1.4826) is a single decimal literal in both engines.",
+)
+def q134_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    j = (events.join(F.broadcast(med), "event_type")
+         .withColumn("dev", F.abs(F.col("value") - F.col("med"))))
+    madt = j.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad"))
+    return (j.join(F.broadcast(madt), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("dev") > 4.4478 * F.col("mad"), 1)
+                       .otherwise(0)).alias("n_outliers"),
+                 F.round(F.min("med"), 6).alias("med"),
+                 F.round(F.min("mad"), 6).alias("mad"))
+            .orderBy("event_type"))

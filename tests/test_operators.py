@@ -1888,3 +1888,36 @@ def test_canary_scan_ac_matches_contains_path(spark):
            for r in canary_scan_ac(df, "doc_id", "text", cdf).collect()}
     assert got == want
     assert "zzz" not in got          # no-hit canary absent in both forms
+
+
+def test_pagerank_matches_python_oracle(spark):
+    """2-iteration PageRank on a small directed graph vs a hand-rolled
+    reference with the same 1e-9 integer contribution rounding."""
+    from league_of_legends_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 2), (4, 1), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (round(r["rank"], 9), r["deg"])
+           for r in pagerank(df, iterations=2, damping=0.85).collect()}
+
+    import math
+    from collections import defaultdict
+    out = defaultdict(list)
+    deg = defaultdict(int)
+    for s, d in edges:
+        out[s].append(d)
+        deg[s] += 1
+    n = len(deg)
+    r = {u: 1.0 / n for u in deg}
+    for _ in range(2):
+        m = defaultdict(int)
+        for u in deg:
+            c = int(math.floor(abs(r[u] / deg[u] * 1e9) + 0.5))
+            for v in out[u]:
+                m[v] += c
+        r = {v: (1.0 - 0.85) / n + 0.85 * (mv / 1e9)
+             for v, mv in m.items()}
+    want = {u: (round(r[u], 9), deg[u]) for u in r}
+    assert got == want
+    # symmetric triangle {1,2,3} + pendant 4: node 1 (the hub) ranks top
+    assert max(got, key=lambda u: got[u][0]) == 1
