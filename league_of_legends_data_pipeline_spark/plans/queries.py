@@ -6730,3 +6730,98 @@ def q134_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("med"), 6).alias("med"),
                  F.round(F.min("mad"), 6).alias("mad"))
             .orderBy("event_type"))
+
+
+@_register(
+    "q135_zipf_fit",
+    """
+    -- corpus-statistics sanity check: fit the Zipf power-law exponent
+    -- (slope of ln(freq) ~ ln(rank)) over the word frequency table —
+    -- a natural corpus shows alpha near -1; synthetic/duplicated text
+    -- shows a flat or broken curve. One row: slope, r2, vocab size.
+    WITH freq AS (
+      SELECT term, count(*) AS f
+      FROM (SELECT lower(unnest(list_filter(
+                string_split_regex(text, '\\s+'), t -> t <> ''))) AS term
+            FROM documents)
+      GROUP BY term
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE))
+                 AS lr,
+             ln(CAST(f AS DOUBLE)) AS lf
+      FROM freq
+    )
+    SELECT CAST(round(regr_slope(lf, lr), 6) AS DOUBLE) AS alpha,
+           CAST(round(regr_r2(lf, lr), 6) AS DOUBLE) AS r2,
+           count(*) AS vocab_size
+    FROM ranked
+    """,
+    doc="Zipf power-law fit over the word-frequency table: one token "
+        "explode + count aggregation (the corpus-sized pass — counts "
+        "shuffle, text does not), a rank window over the VOCABULARY "
+        "(vocab-sized, tiny relative to the corpus), then the built-in "
+        "covar/var regression aggregate (single distributed pass, "
+        "mergeable state — the q31 precedent). The curation smoke test "
+        "that a corpus still looks like natural language after heavy "
+        "filtering.",
+)
+def q135_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    freq = (documents.select(F.explode(F.transform(tokens("text"), F.lower))
+                             .alias("term"))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("f")))
+    w = W.orderBy(F.col("f").desc(), F.col("term").asc())
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("f").cast("double")).alias("lf"))
+    return ranked.agg(
+        F.round(F.regr_slope("lf", "lr"), 6).alias("alpha"),
+        F.round(F.regr_r2("lf", "lr"), 6).alias("r2"),
+        F.count(F.lit(1)).alias("vocab_size"))
+
+
+@_register(
+    "q136_event_debounce",
+    """
+    -- burst debounce (the retry/duplicate-click guard an event pipeline
+    -- applies before training on behavioral data): within each user,
+    -- events under 5 minutes after their PREDECESSOR chain into a burst
+    -- and collapse to the burst head (= sessionize with gap >= 5 min,
+    -- keep session heads); report per-user kept/dropped counts.
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts - lag(ts) OVER w) >= 300000000
+                  THEN 1 ELSE 0 END AS head
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(head) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(head) AS BIGINT) AS n_dropped
+    FROM marked
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Event debounce: one lag window keyed on the user (the q36 "
+        "sessionization machinery with the gap rule inverted — burst "
+        "membership is transitive through the previous event, so the "
+        "lag-gap head marker IS the kept set; no iterative scan needed). "
+        "(user, ts, id) triples shuffle once; at 100 TB this is the same "
+        "single window pass every sessionization already pays.",
+)
+def q136_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    head = F.when(prev.isNull() | (gap >= 300_000_000), 1).otherwise(0)
+    return (events.withColumn("head", head)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("head").alias("n_kept"),
+                 (F.count(F.lit(1)) - F.sum("head")).alias("n_dropped"))
+            .orderBy("user_id"))
