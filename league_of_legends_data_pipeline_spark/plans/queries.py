@@ -6825,3 +6825,81 @@ def q136_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("head").alias("n_kept"),
                  (F.count(F.lit(1)) - F.sum("head")).alias("n_dropped"))
             .orderBy("user_id"))
+
+
+@_register(
+    "q137_tokenize_encode",
+    """
+    -- tokenizer application — the step that turns curated text into the
+    -- integer sequences training actually consumes: encode each doc
+    -- against the corpus top-16 vocabulary (rank-1 ids, OOV = -1) and
+    -- emit per-doc token count, OOV count, and the id-sequence digest
+    -- (order-preserving, so the digest certifies the exact encoding).
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), posed AS (
+      SELECT doc_id, generate_subscripts(tk, 1) AS pos,
+             lower(unnest(tk)) AS term
+      FROM toks
+    ), vocab AS (
+      SELECT term, row_number() OVER (ORDER BY cnt DESC, term) - 1 AS vid
+      FROM (SELECT term, count(*) AS cnt FROM posed GROUP BY term
+            ORDER BY cnt DESC, term LIMIT 16)
+    ), enc AS (
+      SELECT p.doc_id, p.pos, coalesce(v.vid, -1) AS id
+      FROM posed p LEFT JOIN vocab v USING (term)
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov,
+             md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos))
+                 AS seq_digest
+      FROM enc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_oov, 0) AS n_oov,
+           coalesce(p.seq_digest, md5('')) AS seq_digest
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc="Tokenizer application at scale: posexplode once, LEFT join the "
+        "V-row broadcast vocabulary (no shuffle on the term), reassemble "
+        "the id sequence per doc via sort_array(collect_list(struct(pos, "
+        "id))) — deterministic order without a global sort, the partial "
+        "aggregation keeps per-doc rows local. Only (doc, pos, id) ints "
+        "shuffle; the digest certifies the exact encoded sequence so a "
+        "re-run (or another engine) can prove byte-identical encodes.",
+)
+def q137_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    posed = documents.select(
+        "doc_id",
+        F.posexplode(F.transform(tokens("text"), F.lower))
+         .alias("pos0", "term")).withColumn("pos", F.col("pos0") + 1)
+    wv = W.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    vocab = (posed.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(16)
+             .select("term", (F.row_number().over(wv) - 1).alias("vid")))
+    enc = (posed.join(F.broadcast(vocab), "term", "left")
+           .select("doc_id", "pos",
+                   F.coalesce(F.col("vid"), F.lit(-1)).alias("id")))
+    seq = F.concat_ws(",", F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "id"))),
+        lambda x: x["id"].cast("string")))
+    per_doc = (enc.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("id") == -1, 1).otherwise(0))
+                     .alias("n_oov"),
+                    F.md5(seq).alias("seq_digest")))
+    return (documents.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+                    F.coalesce("seq_digest", F.md5(F.lit("")))
+                     .alias("seq_digest"))
+            .orderBy("doc_id"))
