@@ -83,6 +83,12 @@ PROBE_QUERIES = [
     # the 5-stage funnel: every stage is a linear scan/shuffle; AQE
     # exchange reuse must keep the branch count from multiplying cost
     "q129_curation_funnel",
+    # PageRank: edge build is one self-join on the order key; each
+    # iteration joins (node, rank) onto edges — linear in edges
+    "q133_supplier_pagerank",
+    # tokenizer encode: posexplode + broadcast vocab + positional
+    # reassembly — linear in tokens
+    "q137_tokenize_encode",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
