@@ -203,3 +203,66 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     rows = {r["matchId"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert set(rows) == {"m1", "m2", "m3"}
     assert rows["m1"] == 1  # first occurrence won; replays dropped
+
+
+def test_decayed_counter_stream_matches_batch(spark, tmp_path):
+    """Batch/stream duality: the keyed-state decayed counter over two
+    micro-batches must converge to the batch decayed_group_sum result on
+    the same rows (within the batch side's 1e-6 micro-unit rounding)."""
+    import json
+    import time
+
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        decayed_group_sum,
+    )
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        decayed_counter,
+    )
+
+    rows = [
+        {"user_id": 1, "ts": "2024-01-31 00:00:00", "value": 10.0},
+        {"user_id": 1, "ts": "2024-01-18 12:00:00", "value": 4.0},
+        {"user_id": 2, "ts": "2024-01-25 06:30:00", "value": -3.0},
+        {"user_id": 1, "ts": "2024-01-05 00:00:00", "value": 7.5},
+        {"user_id": 2, "ts": "2024-01-29 18:00:00", "value": 2.25},
+        {"user_id": 3, "ts": "2024-01-02 03:00:00", "value": 100.0},
+    ]
+    src = tmp_path / "events"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:3]))
+    time.sleep(1.1)
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows[3:]))
+
+    schema = "user_id long, ts timestamp, value double"
+    lam, t_ref = 0.099021, "2024-02-01 00:00:00"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out = decayed_counter(stream, ["user_id"], "ts", "value", t_ref, lam)
+    q = (out.writeStream.format("memory").queryName("decay_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    # latest emission per key = highest n_events
+    emitted = {}
+    for r in spark.table("decay_test").collect():
+        prev = emitted.get(r["user_id"])
+        if prev is None or r["n_events"] > prev["n_events"]:
+            emitted[r["user_id"]] = r
+
+    import datetime as dt
+
+    batch_df = spark.createDataFrame(
+        [(r["user_id"],
+          dt.datetime.strptime(r["ts"], "%Y-%m-%d %H:%M:%S"),
+          r["value"]) for r in rows], schema)
+    want = {r["user_id"]: r for r in decayed_group_sum(
+        batch_df, "user_id", "value", "ts", t_ref, lam).collect()}
+
+    assert set(emitted) == set(want) == {1, 2, 3}
+    for uid in want:
+        assert emitted[uid]["n_events"] == want[uid]["n_events"]
+        # batch side rounds per-event micro-units; stream sums raw doubles
+        assert abs(emitted[uid]["decayed_sum"] - want[uid]["decayed_sum"]) \
+            < 1e-5 * max(1.0, abs(want[uid]["decayed_sum"]))
+    # state really carried across batches: user 1 saw rows in both files
+    assert emitted[1]["n_events"] == 3
