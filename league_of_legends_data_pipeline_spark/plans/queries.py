@@ -6903,3 +6903,72 @@ def q137_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("seq_digest", F.md5(F.lit("")))
                      .alias("seq_digest"))
             .orderBy("doc_id"))
+
+
+@_register(
+    "q138_point_in_time_join",
+    """
+    -- point-in-time (AS OF fact time) lookup against the SCD2 dimension:
+    -- probe events (event_id % 17 = 0) retrieve the user's state
+    -- interval covering their timestamp — the temporal-correctness join
+    -- every feature-store / training-snapshot pipeline needs (no leakage
+    -- of future attribute values into training rows).
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ), dim AS (
+      SELECT user_id, event_type AS attr,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to
+      FROM changes
+    ), probes AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_id % 17 = 0
+    )
+    SELECT d.attr,
+           count(*) AS n_probes,
+           count(DISTINCT p.user_id) AS n_users
+    FROM probes p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    GROUP BY d.attr
+    ORDER BY d.attr
+    """,
+    doc="Point-in-time correctness join (feature-store AS-OF semantics "
+        "over the q60 SCD2 intervals): equi-join on the dimension key "
+        "with the interval predicate as a residual filter — per-key "
+        "interval counts are small by construction (change-only rows), "
+        "so fan-out is bounded; a high-churn dimension switches to the "
+        "range_join bucketing (q23) to fold time into the join key. Each "
+        "probe matches EXACTLY one interval (half-open [from, to) "
+        "intervals partition the timeline), asserted by the oracle's "
+        "equality of probe and join cardinalities.",
+)
+def q138_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.withColumn("prev_type", F.lag("event_type").over(w))
+    changes = ordered.filter(F.col("prev_type").isNull()
+                             | (F.col("event_type") != F.col("prev_type")))
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("attr"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"))
+    probes = (events.filter(F.col("event_id") % 17 == 0)
+              .select("user_id", "ts", "event_id"))
+    joined = probes.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))))
+    return (joined.groupBy("attr")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("attr"))
