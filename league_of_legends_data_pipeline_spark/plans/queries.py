@@ -6972,3 +6972,72 @@ def q138_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_probes"),
                  F.countDistinct("user_id").alias("n_users"))
             .orderBy("attr"))
+
+
+@_register(
+    "q139_funnel_analysis",
+    """
+    -- ordered-sequence funnel (view -> click -> purchase): per user the
+    -- deepest step reached IN ORDER (each step's first occurrence must
+    -- be strictly after the previous step's), plus per-step user counts
+    -- and conversion from the previous step.
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT step, n_users,
+           CAST(round(n_users * 1.0 / lag(n_users, 1, n_users)
+                          OVER (ORDER BY step), 6) AS DOUBLE) AS conversion
+    FROM (
+      SELECT 1 AS step, (SELECT count(*) FROM v) AS n_users
+      UNION ALL SELECT 2, (SELECT count(*) FROM c)
+      UNION ALL SELECT 3, (SELECT count(*) FROM p)
+    ) s
+    ORDER BY step
+    """,
+    doc="Behavioral funnel with STRICT event ordering (first click after "
+        "first view, first purchase after that click) — the sequence "
+        "semantics a naive 'has all three types' join gets wrong. Three "
+        "user-keyed min aggregates chained by equi-joins (each stage's "
+        "output is users-sized, far below the event count, and arrives "
+        "pre-partitioned on user_id from the previous stage's shuffle); "
+        "the 3-row summary + lag window is driver-trivial. At 100 TB "
+        "nothing but (user, ts) pairs ever shuffles.",
+)
+def q139_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    v = (events.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (events.filter(F.col("event_type") == "click").alias("e")
+         .join(v, "user_id")
+         .filter(F.col("ts") > F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (events.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts") > F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    counts = (v.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit(1).alias("step"), "n_users")
+              .unionByName(c.agg(F.count(F.lit(1)).alias("n_users"))
+                           .select(F.lit(2).alias("step"), "n_users"))
+              .unionByName(p.agg(F.count(F.lit(1)).alias("n_users"))
+                           .select(F.lit(3).alias("step"), "n_users")))
+    wl = W.orderBy("step")
+    return (counts
+            .withColumn("conversion",
+                        F.round(F.col("n_users") * 1.0
+                                / F.lag("n_users", 1,
+                                        None).over(wl).cast("double"), 6))
+            .withColumn("conversion",
+                        F.coalesce(F.col("conversion"), F.lit(1.0)))
+            .orderBy("step"))
