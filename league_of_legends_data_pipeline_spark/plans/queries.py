@@ -7041,3 +7041,125 @@ def q139_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("conversion",
                         F.coalesce(F.col("conversion"), F.lit(1.0)))
             .orderBy("step"))
+
+
+# Baked base-2 rank discounts (1/log2(rank+1), 9dp) and their sum: engine
+# log2() implementations may differ by a ulp, identical decimal literals
+# cannot.
+_Q140_DISC = [1.0, 0.630929754, 0.5, 0.430676558, 0.386852807,
+              0.356207187, 0.333333333, 0.315464877, 0.301029996,
+              0.289064826]
+_Q140_IDCG = 4.543559338
+
+
+@_register(
+    "q140_retrieval_eval",
+    f"""
+    -- retrieval-quality evaluation of the similarity stack: exact cosine
+    -- top-10 for probes vec_id < 10, relevance = label match, report
+    -- MRR and mean nDCG@10 (binary gains; every label has >= 10 corpus
+    -- members, so IDCG is the constant {_Q140_IDCG}).
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    ), scored AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS c_label,
+               round(list_sum(list_transform(range(1, len(q.e) + 1),
+                     i -> q.e[CAST(i AS INT)] * c.e[CAST(i AS INT)]))
+                     / (q.nrm * c.nrm), 6) AS cosine
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+    ), ranked AS (
+        SELECT query_id,
+               CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS rel,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ), topk AS (
+        SELECT query_id, rel, rank,
+               CAST(([{', '.join(str(d) for d in _Q140_DISC)}])[rank]
+                    AS DOUBLE) AS disc
+        FROM ranked WHERE rank <= 10
+    ), per_probe AS (
+        SELECT query_id,
+               sum(CAST(round(rel * disc * CAST(1000000000 AS DOUBLE))
+                        AS BIGINT)) AS dcgm,
+               min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        FROM topk GROUP BY query_id
+    )
+    SELECT count(*) AS n_queries,
+           CAST(round(sum(CAST(round(coalesce(
+                        CAST(1.0 AS DOUBLE) / first_rel, 0.0)
+                    * CAST(1000000000 AS DOUBLE)) AS BIGINT))
+                    / (count(*) * CAST(1000000000.0 AS DOUBLE)),
+                    6) AS DOUBLE) AS mrr,
+           CAST(round(sum(dcgm)
+                    / (count(*) * CAST(1000000000.0 AS DOUBLE)
+                       * CAST({_Q140_IDCG} AS DOUBLE)), 6)
+                AS DOUBLE) AS ndcg_at_10
+    FROM per_probe
+    """,
+    doc="Retrieval evaluation (MRR, nDCG@10) over the exact cosine "
+        "ranking with label-match relevance — the metric harness that "
+        "audits ANY ranker in the stack (swap the exact top-k for "
+        "ann_lsh_topk/ivf_topk/pq_topk and the metrics quantify the "
+        "approximation, the q82/q84 pattern generalized to graded "
+        "ranking quality). Rank discounts are baked 9dp literals "
+        "(engine log2 may differ by a ulp; decimal literals cannot); "
+        "per-probe DCG and RR sum as integer nano-units.",
+)
+def q140_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        _as_double, dot, l2_norm,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    n = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+    n = n.withColumn("nrm", l2_norm(F.col("e")))
+    q = (n.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("q_label"),
+                 F.col("e").alias("qe"), F.col("nrm").alias("qn")))
+    c = (n.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("label").alias("c_label"),
+                  F.col("e").alias("ce"), F.col("nrm").alias("cn")))
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "q_label", "neighbor_id", "c_label",
+                      F.round(dot(F.col("qe"), F.col("ce"))
+                              / (F.col("qn") * F.col("cn")), 6)
+                       .alias("cosine")))
+    wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                           F.col("neighbor_id").asc())
+    disc_arr = F.array(*[F.lit(d) for d in _Q140_DISC])
+    ranked = (scored
+              .withColumn("rank", F.row_number().over(wr))
+              .filter(F.col("rank") <= 10)
+              .select("query_id",
+                      F.when(F.col("q_label") == F.col("c_label"), 1)
+                       .otherwise(0).alias("rel"),
+                      "rank",
+                      F.element_at(disc_arr, F.col("rank")).alias("disc")))
+    per_probe = (ranked.groupBy("query_id")
+                 .agg(F.sum(F.round(F.col("rel") * F.col("disc")
+                                    * 1_000_000_000).cast("long"))
+                       .alias("dcgm"),
+                      F.min(F.when(F.col("rel") == 1, F.col("rank")))
+                       .alias("first_rel")))
+    rr_micro = F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))
+                       * 1_000_000_000).cast("long")
+    return per_probe.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.sum(rr_micro) / (F.count(F.lit(1)) * 1_000_000_000.0), 6)
+         .alias("mrr"),
+        F.round(F.sum("dcgm")
+                / (F.count(F.lit(1)) * 1_000_000_000.0 * _Q140_IDCG), 6)
+         .alias("ndcg_at_10"))

@@ -344,3 +344,28 @@ def test_cdc_boundary_stability_under_random_edits(spark):
                     assert dg in edited_digests, \
                         f"{mode} doc {i} {kind}@{p} m={m} chunk [{a},{b})"
         assert n_guaranteed > 200  # the bound was actually exercised
+
+
+@given(st.lists(st.text(alphabet=" \t\nAbZz09!?.,-éα", max_size=60),
+                max_size=12))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_normalize_text_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x): the dedup digest is a
+    fixed point, so re-normalizing an already-clean corpus cannot split
+    or merge digest groups."""
+    from pyspark.sql import functions as F
+
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        normalize_text,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = df.select(
+        normalize_text("t").alias("once"),
+        normalize_text(normalize_text("t")).alias("twice")).collect()
+    for r in out:
+        assert r["once"] == r["twice"]
