@@ -7163,3 +7163,170 @@ def q140_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("dcgm")
                 / (F.count(F.lit(1)) * 1_000_000_000.0 * _Q140_IDCG), 6)
          .alias("ndcg_at_10"))
+
+
+@_register(
+    "q141_cross_source_dup_matrix",
+    """
+    -- who copies from whom: for every source pair (a < b), how many
+    -- distinct word 4-grams they share — the provenance diagnostic that
+    -- surfaces mirror sites / scraped aggregators before quota
+    -- decisions. (Exact-digest overlap is the degenerate case; shingle
+    -- overlap catches partial copying too.)
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(CASE WHEN len(tk) < 4 THEN []
+                    ELSE list_distinct(list_transform(range(1, len(tk) - 2),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                              || ' ' || tk[i+3]))
+               END) AS g
+        FROM toks)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS shared_grams
+    FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY shared_grams DESC, source_a, source_b
+    LIMIT 25
+    """,
+    doc="Cross-source duplication matrix: the corpus pass reduces to "
+        "DISTINCT (source, 4-gram) pairs via the fused Arrow gram stage "
+        "— text never shuffles after it — then a gram-keyed self-join "
+        "restricted to a < b whose fan-out is bounded by sources-per-"
+        "gram (<= source count), never corpus size. At 100 TB the gram "
+        "strings become 8-byte hashes before the join (the exact-dedup "
+        "digest discipline) and rare-gram filtering (df >= 2 via the "
+        "first groupBy) prunes the join input to actual collisions.",
+)
+def q141_cross_source_dup_matrix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        word_ngram_table,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    grams = word_ngram_table(
+        documents.repartition(spark.sparkContext.defaultParallelism,
+                              "doc_id"),
+        "doc_id", "text", 4)
+    src = documents.select("doc_id", "source")
+    sg = (grams.join(src, "doc_id")
+          .select("source", F.explode("gs").alias("g")).distinct())
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    return (a.join(b, "g")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("shared_grams"))
+            .orderBy(F.col("shared_grams").desc(), "source_a", "source_b")
+            .limit(25))
+
+
+@_register(
+    "q142_calendar_gap_fill",
+    """
+    -- calendar-spine gap fill: daily purchase totals with EVERY day of
+    -- January present — days with no events appear as zeros (the
+    -- time-series regularization step before any windowed model sees
+    -- the data; a missing row and a zero row are different facts).
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2024-01-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+             CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY CAST(ts AS DATE)
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           coalesce(daily.n, 0) AS n,
+           coalesce(daily.total_value, CAST(0.0 AS DOUBLE)) AS total_value
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    ORDER BY day
+    """,
+    doc="Calendar-spine gap fill: the spine is generated IN-PLAN "
+        "(sequence() over a literal date range exploded — 31 rows, no "
+        "driver loop, broadcast side of the left join); the daily "
+        "aggregate is one shuffle of (day, count, sum). Zero-filled days "
+        "are explicit rows, so downstream RANGE windows and regressions "
+        "(q66, q31) see a dense series.",
+)
+def q142_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(F.lit("2024-01-01").cast("date"),
+                             F.lit("2024-01-31").cast("date"))).alias("day"))
+    daily = (events.filter(F.col("event_type") == "purchase")
+             .groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 6).alias("total_value")))
+    return (F.broadcast(spine).join(daily, "day", "left")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.coalesce("n", F.lit(0)).alias("n"),
+                    F.coalesce("total_value", F.lit(0.0))
+                     .alias("total_value"))
+            .orderBy("day"))
+
+
+@_register(
+    "q143_incremental_snapshot_dedup",
+    """
+    -- incremental ingest dedup: a new batch (doc_id % 7 = 0 stands in
+    -- for the arriving partition) is admitted only where its content
+    -- digest is absent from the existing corpus snapshot (the rest) —
+    -- per-source admit/reject accounting. The every-refresh front door
+    -- of a deduplicated corpus store.
+    WITH batch AS (
+      SELECT doc_id, source,
+             md5('V' || CAST(length(text) AS VARCHAR) || ':' || text)
+                 AS digest
+      FROM documents WHERE doc_id % 7 = 0
+    ), snapshot AS (
+      SELECT DISTINCT
+             md5('V' || CAST(length(text) AS VARCHAR) || ':' || text)
+                 AS digest
+      FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT b.source,
+           count(*) AS n_batch,
+           CAST(sum(CASE WHEN s.digest IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted,
+           CAST(sum(CASE WHEN s.digest IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_rejected
+    FROM batch b LEFT JOIN snapshot s ON b.digest = s.digest
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+    doc="Incremental snapshot dedup (batch-vs-corpus, the exact-digest "
+        "dual of q120's fuzzy bipartite check): both sides reduce to "
+        "16-byte digests before the join, and the join is batch-sized "
+        "on one side — at 100 TB the snapshot side is a bucketed digest "
+        "index (sinks.write_bucketed) or a bloom pre-filter (q104) so "
+        "the arriving partition never scans the full store. LEFT join "
+        "+ null test = anti/semi accounting in one pass.",
+)
+def q143_incremental_snapshot_dedup(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.concat(F.lit("V"),
+                            F.length("text").cast("string"),
+                            F.lit(":"), F.col("text")))
+    batch = (documents.filter(F.col("doc_id") % 7 == 0)
+             .select("doc_id", "source", digest.alias("digest")))
+    snapshot = (documents.filter(F.col("doc_id") % 7 != 0)
+                .select(digest.alias("s_digest")).distinct())
+    return (batch.join(snapshot,
+                       batch["digest"] == snapshot["s_digest"], "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_batch"),
+                 F.sum(F.when(F.col("s_digest").isNull(), 1).otherwise(0))
+                  .alias("n_admitted"),
+                 F.sum(F.when(F.col("s_digest").isNull(), 0).otherwise(1))
+                  .alias("n_rejected"))
+            .orderBy("source"))
