@@ -7330,3 +7330,62 @@ def q143_incremental_snapshot_dedup(spark: SparkSession,
                  F.sum(F.when(F.col("s_digest").isNull(), 0).otherwise(1))
                   .alias("n_rejected"))
             .orderBy("source"))
+
+
+@_register(
+    "q144_ingest_anomaly_scan",
+    """
+    -- ingest-volume anomaly scan: daily event counts vs the TRAILING
+    -- 7-day window (excluding today); flag days beyond 2 sigma.
+    -- Variance comes from integer SUM/SUMSQ windows — exact on both
+    -- engines — never from an engine's streaming stddev kernel.
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY CAST(ts AS DATE)
+    ), w AS (
+      SELECT day, n,
+             sum(n) OVER t AS s,
+             sum(n * n) OVER t AS ss,
+             count(*) OVER t AS k
+      FROM daily
+      WINDOW t AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           CAST(round(s / (k * 1.0), 6) AS DOUBLE) AS trailing_mean,
+           CAST(round(sqrt(greatest(ss / (k * 1.0)
+                                    - (s / (k * 1.0)) * (s / (k * 1.0)),
+                                    0.0)), 6) AS DOUBLE) AS trailing_std,
+           CAST(abs(n - s / (k * 1.0))
+                > 2.0 * sqrt(greatest(ss / (k * 1.0)
+                                      - (s / (k * 1.0)) * (s / (k * 1.0)),
+                                      0.0)) AS BOOLEAN) AS is_anomaly
+    FROM w WHERE k >= 3
+    ORDER BY day
+    """,
+    doc="Ingest-volume anomaly scan (the ops gate before a corpus "
+        "refresh is trusted): ONE day-keyed aggregate over the corpus, "
+        "then trailing-window stats over the DAYS table (tiny at any "
+        "scale). Variance is derived from integer sum/sum-of-squares "
+        "windows — bit-exact on any engine — instead of stddev_samp, "
+        "whose streaming kernels differ across engines; population "
+        "variance with a max(.,0) floor guards float cancellation.",
+)
+def q144_ingest_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    t = W.orderBy("day").rowsBetween(-7, -1)
+    w = (daily
+         .withColumn("s", F.sum("n").over(t))
+         .withColumn("ss", F.sum(F.col("n") * F.col("n")).over(t))
+         .withColumn("k", F.count(F.lit(1)).over(t))
+         .filter(F.col("k") >= 3))
+    mean = F.col("s") / (F.col("k") * 1.0)
+    var = F.greatest(F.col("ss") / (F.col("k") * 1.0) - mean * mean,
+                     F.lit(0.0))
+    return (w.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n",
+        F.round(mean, 6).alias("trailing_mean"),
+        F.round(F.sqrt(var), 6).alias("trailing_std"),
+        (F.abs(F.col("n") - mean) > 2.0 * F.sqrt(var)).alias("is_anomaly"))
+        .orderBy("day"))
