@@ -7389,3 +7389,114 @@ def q144_ingest_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(var), 6).alias("trailing_std"),
         (F.abs(F.col("n") - mean) > 2.0 * F.sqrt(var)).alias("is_anomaly"))
         .orderBy("day"))
+
+
+@_register(
+    "q145_policy_filter_report",
+    """
+    -- policy filtering with per-rule accounting (the compliance front
+    -- door: source blocklist, phrase blocklist, length cap): every rule
+    -- reports its hit count, and a doc is admitted only if NO rule
+    -- fires (rules overlap, so admitted != total - sum of hits).
+    WITH flagged AS (
+      SELECT doc_id,
+             CASE WHEN source IN ('src3', 'src7', 'src13')
+                  THEN 1 ELSE 0 END AS hit_source,
+             CASE WHEN contains(text, 'customer table')
+                    OR contains(text, 'merge batch')
+                  THEN 1 ELSE 0 END AS hit_phrase,
+             CASE WHEN n_chars > 450 THEN 1 ELSE 0 END AS hit_length
+      FROM documents
+    )
+    SELECT rulename, n_hit FROM (
+      SELECT 'blocked_source' AS rulename,
+             CAST(sum(hit_source) AS BIGINT) AS n_hit, 1 AS ord
+      FROM flagged
+      UNION ALL SELECT 'blocked_phrase', CAST(sum(hit_phrase) AS BIGINT), 2
+      FROM flagged
+      UNION ALL SELECT 'over_length', CAST(sum(hit_length) AS BIGINT), 3
+      FROM flagged
+      UNION ALL SELECT 'admitted',
+             CAST(sum(CASE WHEN hit_source = 0 AND hit_phrase = 0
+                           AND hit_length = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT), 4
+      FROM flagged
+    ) r ORDER BY ord
+    """,
+    doc="Policy filter with per-rule attribution: ONE map-only flagging "
+        "projection (broadcast-literal source set, codegen contains, "
+        "length predicate) feeds every rule counter and the admit "
+        "predicate — the corpus is scanned once, only four counters "
+        "aggregate. The shape every takedown/compliance pass uses; "
+        "rules extend by adding flag columns, not passes.",
+)
+def q145_policy_filter_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    flagged = documents.select(
+        F.when(F.col("source").isin("src3", "src7", "src13"), 1)
+         .otherwise(0).alias("hit_source"),
+        F.when(F.col("text").contains("customer table")
+               | F.col("text").contains("merge batch"), 1)
+         .otherwise(0).alias("hit_phrase"),
+        F.when(F.col("n_chars") > 450, 1).otherwise(0).alias("hit_length"))
+
+    def rule(name: str, col: Column, ord_: int) -> DataFrame:
+        return flagged.agg(F.sum(col).alias("n_hit")).select(
+            F.lit(name).alias("rulename"), "n_hit",
+            F.lit(ord_).alias("__ord"))
+
+    admitted = F.when((F.col("hit_source") == 0) & (F.col("hit_phrase") == 0)
+                      & (F.col("hit_length") == 0), 1).otherwise(0)
+    return (rule("blocked_source", F.col("hit_source"), 1)
+            .unionByName(rule("blocked_phrase", F.col("hit_phrase"), 2))
+            .unionByName(rule("over_length", F.col("hit_length"), 3))
+            .unionByName(rule("admitted", admitted, 4))
+            .orderBy("__ord").select("rulename", "n_hit"))
+
+
+def _q146_oracle() -> str:
+    return f"""
+    WITH base AS ({_dedup_clusters_oracle().replace('ORDER BY doc_id', '')})
+    SELECT CAST(length(bin(cluster_size)) - 1 AS BIGINT) AS size_bucket,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS removable_docs
+    FROM (SELECT component, max(cluster_size) AS cluster_size
+          FROM base GROUP BY component)
+    GROUP BY 1 ORDER BY size_bucket
+    """
+
+
+@_register(
+    "q146_cluster_size_histogram",
+    _q146_oracle(),
+    doc="Near-dup cluster size distribution (log2 buckets): the shape "
+        "report that decides dedup policy — a corpus dominated by "
+        "2-clusters dedups cheaply, a heavy tail means boilerplate "
+        "families worth removing wholesale. Reuses the q44 component "
+        "machinery (size-aware CC); everything after is a components-"
+        "sized aggregate. removable_docs = sum(size-1) is the exact "
+        "doc count cluster dedup would delete.",
+)
+def q146_cluster_size_histogram(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import simhash_pairs
+    from league_of_legends_data_pipeline_spark.operators.graph import dedup_clusters
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(documents, "doc_id", "text", bits=60, chunks=6,
+                          max_hamming=5, band_cols=["lang"],
+                          max_bucket_size=1_000_000)
+    clusters = dedup_clusters(documents, pairs, "doc_id")
+    comp = (clusters.groupBy("component")
+            .agg(F.max("cluster_size").alias("cluster_size")))
+    # exact integer log2 (binary-digit count): floor(ln/ln2) can flip a
+    # ulp at powers of two across engines' ln() kernels
+    return (comp.groupBy(
+        (F.length(F.conv(F.col("cluster_size").cast("string"), 10, 2)) - 1)
+        .cast("long").alias("size_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("cluster_size").alias("n_docs"),
+                 F.sum(F.col("cluster_size") - 1).alias("removable_docs"))
+            .orderBy("size_bucket"))
