@@ -87,9 +87,15 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     m = edges0.count()
-    if m <= driver_max_edges:
-        # each undirected edge appears in both orientations; one suffices
-        rows = edges0.filter(F.col("src") < F.col("dst")).collect()
+    # edges0 holds BOTH orientations of every non-loop edge, so the true
+    # undirected edge count is ~m/2 — compare against 2× the documented
+    # cap so the cutoff matches its "1M edges" meaning, not half of it
+    if m <= 2 * driver_max_edges:
+        # each undirected edge appears in both orientations; one
+        # orientation suffices — <= (not <) so self-loop-only nodes are
+        # kept and emitted as their own singleton components, exactly as
+        # the distributed path below would return them
+        rows = edges0.filter(F.col("src") <= F.col("dst")).collect()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -254,7 +260,12 @@ def pagerank(
     r_0 = 1/N; r_{i+1}(v) = (1-d)/N + d * sum_{u->v} r_i(u)/deg(u).
     Nodes without outgoing edges are excluded from the graph (callers
     with dangling nodes should symmetrize or pre-prune; the co-occurrence
-    graphs this engine builds are symmetric, so none dangle).
+    graphs this engine builds are symmetric, so none dangle). Nodes with
+    outgoing but no incoming edges ARE kept: each iteration left-joins
+    the contribution sums back onto the full node set, so a source-only
+    node holds rank (1-d)/N and keeps feeding its successors — dropping
+    it after iteration 1 would silently delete its rank mass from the
+    rest of the walk.
 
     Scale shape: a FIXED iteration count, each iteration one equi-join of
     the (node, rank) table onto the edge list plus one partial-aggregated
@@ -278,11 +289,18 @@ def pagerank(
                    .select(F.col("__dst").alias("node"),
                            F.round(F.col("rank") / F.col("deg") * GIGA)
                             .cast("long").alias("__m")))
-        ranks = (contrib.groupBy("node").agg(F.sum("__m").alias("__m"))
+        # left-join the sums onto the FULL node set: a node with outgoing
+        # but no incoming edges receives no contributions, but must stay
+        # in `ranks` at (1-d)/N or its outgoing mass vanishes next round
+        ranks = (deg.select(F.col("__src").alias("node"))
+                 .join(contrib.groupBy("node").agg(F.sum("__m").alias("__m")),
+                       "node", "left")
                  .crossJoin(F.broadcast(n))
                  .select("node",
                          (F.lit(1.0 - damping) / F.col("__n")
-                          + F.lit(damping) * (F.col("__m") / float(GIGA)))
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("__m"), F.lit(0))
+                             / float(GIGA)))
                          .alias("rank")))
     return (ranks.join(deg.select(F.col("__src").alias("node"), "deg"),
                        "node")

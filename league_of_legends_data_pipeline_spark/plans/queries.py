@@ -6634,20 +6634,22 @@ def q132_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs p JOIN r0 ON p.src = r0.node JOIN deg d ON p.src = d.src
       GROUP BY p.dst
     ), r1 AS (
-      SELECT node,
+      -- LEFT JOIN onto the full node set: source-only nodes (outgoing
+      -- edges, no incoming) keep rank (1-d)/N instead of vanishing
+      SELECT d.src AS node,
              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
-             + CAST(0.85 AS DOUBLE) * (m / 1000000000.0) AS r
-      FROM i1 CROSS JOIN nn
+             + CAST(0.85 AS DOUBLE) * (coalesce(i1.m, 0) / 1000000000.0) AS r
+      FROM deg d CROSS JOIN nn LEFT JOIN i1 ON i1.node = d.src
     ), i2 AS (
       SELECT p.dst AS node,
              sum(CAST(round(r1.r / d.deg * 1000000000) AS BIGINT)) AS m
       FROM pairs p JOIN r1 ON p.src = r1.node JOIN deg d ON p.src = d.src
       GROUP BY p.dst
     ), r2 AS (
-      SELECT node,
+      SELECT d.src AS node,
              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
-             + CAST(0.85 AS DOUBLE) * (m / 1000000000.0) AS r
-      FROM i2 CROSS JOIN nn
+             + CAST(0.85 AS DOUBLE) * (coalesce(i2.m, 0) / 1000000000.0) AS r
+      FROM deg d CROSS JOIN nn LEFT JOIN i2 ON i2.node = d.src
     )
     SELECT r2.node AS node,
            CAST(round(r2.r, 9) AS DOUBLE) AS rank,
@@ -7033,13 +7035,16 @@ def q139_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
               .unionByName(p.agg(F.count(F.lit(1)).alias("n_users"))
                            .select(F.lit(3).alias("step"), "n_users")))
     wl = W.orderBy("step")
+    # lag default = the row's own n_users, mirroring the oracle's
+    # lag(n_users, 1, n_users): step 1 reads n/n = 1.0, and a genuine
+    # 0-users previous step yields x/0 = NULL in BOTH engines — a
+    # blanket coalesce(…, 1.0) would mask that divide-by-zero as 100%
+    # conversion out of an empty step
+    prev = F.coalesce(F.lag("n_users", 1).over(wl), F.col("n_users"))
     return (counts
             .withColumn("conversion",
                         F.round(F.col("n_users") * 1.0
-                                / F.lag("n_users", 1,
-                                        None).over(wl).cast("double"), 6))
-            .withColumn("conversion",
-                        F.coalesce(F.col("conversion"), F.lit(1.0)))
+                                / prev.cast("double"), 6))
             .orderBy("step"))
 
 

@@ -449,7 +449,7 @@ def jdbc_evolve_append(
                 stmt.executeUpdate(
                     f"ALTER TABLE {table} ADD COLUMN {q} {ddl_type}")
             for name, want in widen_cols:
-                _jdbc_widen_column(stmt, table, name,
+                _jdbc_widen_column(conn, stmt, table, name,
                                    _JDBC_DDL_TYPES[want])
             stmt.close()
         finally:
@@ -476,31 +476,60 @@ def jdbc_evolve_append(
                batch_size=batch_size)
 
 
-def _jdbc_widen_column(stmt, table: str, name: str, ddl_type: str) -> None:
+def _jdbc_widen_column(conn, stmt, table: str, name: str,
+                       ddl_type: str) -> None:
     """Widen one column's declared type via driver-side DDL.
 
-    Tries the engine's native ``ALTER COLUMN ... SET DATA TYPE`` first
-    (Postgres ``TYPE``/MySQL ``MODIFY`` dialects are spelled the same or
-    accept it); engines that restrict it (Derby allows it only for
-    VARCHAR length growth) fall back to the portable add-copy-swap dance:
-    ADD a column of the wider type, one engine-side UPDATE to copy (runs
-    inside the database — no data crosses Spark), DROP the old column,
-    RENAME the new one into place. Column order may change; Spark's JDBC
-    writer lists column names on INSERT, so order is irrelevant.
+    Tries the engine's native in-place widen first, across the three
+    common dialect spellings (``ALTER COLUMN … SET DATA TYPE`` —
+    standard/Derby/DB2; ``ALTER COLUMN … TYPE`` — Postgres;
+    ``MODIFY`` — MySQL/MariaDB). Engines that restrict all of them
+    (Derby allows SET DATA TYPE only for VARCHAR length growth) fall
+    back to the add-copy-swap dance: ADD a column of the wider type, one
+    engine-side UPDATE to copy (runs inside the database — no data
+    crosses Spark), DROP the old column, RENAME the new one into place.
+
+    The whole fallback runs in ONE transaction (autocommit off,
+    commit/rollback): a failure mid-dance — e.g. an engine whose RENAME
+    dialect is not one of the two tried — rolls the table back to its
+    pre-widen shape instead of stranding data in a half-swapped
+    ``__widen_*`` column with the original column already dropped.
+    Engines with non-transactional DDL (MySQL implicitly commits each
+    DDL statement) never reach the fallback: MODIFY succeeds in-place
+    above. Column order may change; Spark's JDBC writer lists column
+    names on INSERT, so order is irrelevant.
     """
     q = '"' + name.replace('"', '""') + '"'
-    try:
-        stmt.executeUpdate(
-            f"ALTER TABLE {table} ALTER COLUMN {q} SET DATA TYPE {ddl_type}")
-        return
-    except Exception:
-        pass
+    for widen_sql in (
+        f"ALTER TABLE {table} ALTER COLUMN {q} SET DATA TYPE {ddl_type}",
+        f"ALTER TABLE {table} ALTER COLUMN {q} TYPE {ddl_type}",
+        f"ALTER TABLE {table} MODIFY {q} {ddl_type}",
+    ):
+        try:
+            stmt.executeUpdate(widen_sql)
+            return
+        except Exception:
+            pass
     tmp = f"__widen_{name}"
     qt = '"' + tmp.replace('"', '""') + '"'
-    stmt.executeUpdate(f"ALTER TABLE {table} ADD COLUMN {qt} {ddl_type}")
-    stmt.executeUpdate(f"UPDATE {table} SET {qt} = {q}")
-    stmt.executeUpdate(f"ALTER TABLE {table} DROP COLUMN {q}")
-    stmt.executeUpdate(f"RENAME COLUMN {table}.{qt} TO {q}")
+    conn.setAutoCommit(False)
+    try:
+        stmt.executeUpdate(f"ALTER TABLE {table} ADD COLUMN {qt} {ddl_type}")
+        stmt.executeUpdate(f"UPDATE {table} SET {qt} = {q}")
+        stmt.executeUpdate(f"ALTER TABLE {table} DROP COLUMN {q}")
+        try:
+            # standard / Postgres / MySQL 8 / Oracle spelling first
+            stmt.executeUpdate(
+                f"ALTER TABLE {table} RENAME COLUMN {qt} TO {q}")
+        except Exception:
+            # Derby's spelling
+            stmt.executeUpdate(f"RENAME COLUMN {table}.{qt} TO {q}")
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.setAutoCommit(True)
 
 
 def jdbc_read(

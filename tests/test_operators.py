@@ -230,6 +230,26 @@ def test_connected_components_chain_and_islands(spark):
     assert got_dist == expect
 
 
+def test_connected_components_self_loops(spark):
+    """A node appearing only in a self-loop pair is its own singleton
+    component — and BOTH strategies agree (the driver union-find must not
+    drop (a, a) edges on its one-orientation filter)."""
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame([(5, 5), (1, 2), (2, 2)],
+                                  ["id_a", "id_b"])
+    expect = {5: 5, 1: 1, 2: 1}
+    got = {r["node"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == expect
+    got_dist = {r["node"]: r["component"]
+                for r in connected_components(
+                    pairs, driver_max_edges=0).collect()}
+    assert got_dist == expect
+
+
 def test_dedup_clusters_singletons_and_representatives(spark):
     from league_of_legends_data_pipeline_spark.operators.graph import dedup_clusters
 
@@ -1915,9 +1935,46 @@ def test_pagerank_matches_python_oracle(spark):
             c = int(math.floor(abs(r[u] / deg[u] * 1e9) + 0.5))
             for v in out[u]:
                 m[v] += c
-        r = {v: (1.0 - 0.85) / n + 0.85 * (mv / 1e9)
-             for v, mv in m.items()}
+        r = {v: (1.0 - 0.85) / n + 0.85 * (m.get(v, 0) / 1e9)
+             for v in deg}
     want = {u: (round(r[u], 9), deg[u]) for u in r}
     assert got == want
     # symmetric triangle {1,2,3} + pendant 4: node 1 (the hub) ranks top
     assert max(got, key=lambda u: got[u][0]) == 1
+
+
+def test_pagerank_keeps_source_only_nodes(spark):
+    """A node with outgoing but no incoming edges must survive every
+    iteration at rank (1-d)/N — dropping it after iteration 1 would also
+    delete its contribution to its successors from iteration 2 on."""
+    from league_of_legends_data_pipeline_spark.operators.graph import pagerank
+
+    # 3 -> 1 is the only edge touching 3; 1 <-> 2 cycle
+    edges = [(1, 2), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["rank"], r["deg"])
+           for r in pagerank(df, iterations=3, damping=0.85).collect()}
+    assert set(got) == {1, 2, 3}
+    assert abs(got[3][0] - (1.0 - 0.85) / 3) < 1e-12
+    # node 1 receives 3's 0.05 * 0.85 every round on top of 2's rank:
+    # strictly above 2, which only receives from 1
+    assert got[1][0] > got[2][0]
+    # rank from a python oracle with the same coalesce-0 semantics
+    import math
+    from collections import defaultdict
+    out, deg = defaultdict(list), defaultdict(int)
+    for s, d in edges:
+        out[s].append(d)
+        deg[s] += 1
+    n = len(deg)
+    r = {u: 1.0 / n for u in deg}
+    for _ in range(3):
+        m = defaultdict(int)
+        for u in deg:
+            c = int(math.floor(abs(r[u] / deg[u] * 1e9) + 0.5))
+            for v in out[u]:
+                m[v] += c
+        r = {v: (1.0 - 0.85) / n + 0.85 * (m.get(v, 0) / 1e9)
+             for v in deg}
+    assert {u: round(v, 9) for u, v in r.items()} \
+        == {u: round(v[0], 9) for u, v in got.items()}
