@@ -5590,18 +5590,86 @@ def q116_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q117_cdc_rolling",
-    None,  # rows-only driver check: wraparound-uint64 Rabin-Karp has no
-           # engine-portable SQL rendering; boundaries are pinned by the
-           # direct per-window reference + edit-stability property tests
-           # (tests/test_operators.py, tests/test_properties.py)
+    """
+    -- Rabin-Karp rolling-CDC boundaries rendered EXACTLY in HUGEINT
+    -- modular arithmetic: the window hash is the plain polynomial
+    -- sum(byte_j * base^(15-j)) mod 2^64 (the baked pw literals are
+    -- base^15..base^0 mod 2^64), and the 128-bit finalizer multiply
+    -- h * MIX mod 2^64 is split hi/lo so every intermediate stays
+    -- below 2^127. Byte values come from ascii() — the documents
+    -- testdata is pure ASCII (codepoint == UTF-8 byte, length ==
+    -- octet_length), the same documented assumption as q107/q114.
+    WITH pwt AS (SELECT [CAST(2442422338666789947 AS HUGEINT),
+      CAST(104005896588101465 AS HUGEINT),
+      CAST(10372170898125509827 AS HUGEINT),
+      CAST(17673114087473428657 AS HUGEINT),
+      CAST(3510945102848213515 AS HUGEINT),
+      CAST(1775861927039214153 AS HUGEINT),
+      CAST(10622396531520239123 AS HUGEINT),
+      CAST(2232315406967589409 AS HUGEINT),
+      CAST(14218562807570617051 AS HUGEINT),
+      CAST(15895002104753931833 AS HUGEINT),
+      CAST(913917546033277539 AS HUGEINT),
+      CAST(11527715348014283921 AS HUGEINT),
+      CAST(624165263380053675 AS HUGEINT),
+      CAST(956575116354345 AS HUGEINT),
+      CAST(1099511628211 AS HUGEINT),
+      CAST(1 AS HUGEINT)] AS pw),
+    d AS (
+      SELECT doc_id, text, length(text) AS L
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), pos AS (
+      SELECT doc_id, text, unnest(range(16, L + 1)) AS i
+      FROM d WHERE L >= 16
+    ), h AS (
+      SELECT doc_id, i,
+             list_sum(list_transform(range(1, 17),
+                 j -> ascii(substr(text, CAST(i - 16 + j AS INT), 1))
+                      * pw[CAST(j AS INT)]))
+             % 18446744073709551616 AS hv
+      FROM pos CROSS JOIN pwt
+    ), cut AS (
+      SELECT doc_id, i FROM h
+      WHERE ((hv // 4294967296 * 11400714819323198485
+              % 18446744073709551616 * 4294967296
+              + hv % 4294967296 * 11400714819323198485)
+             % 18446744073709551616 // 4294967296) % 64 = 0
+    ), cl AS (
+      SELECT doc_id, list_sort(list(i)) AS cs FROM cut GROUP BY doc_id
+    ), withcuts AS (
+      SELECT d.doc_id, d.text, d.L, coalesce(cl.cs, []) AS cs
+      FROM d LEFT JOIN cl USING (doc_id)
+    ), chunks AS (
+      SELECT doc_id,
+        unnest(list_filter(
+          list_transform(range(1, len(cs) + 2),
+            k -> substr(text,
+                 CAST((CASE WHEN k = 1 THEN 0
+                       ELSE cs[CAST(k - 1 AS INT)] END) + 1 AS INT),
+                 CAST((CASE WHEN k = len(cs) + 1 THEN L
+                       ELSE cs[CAST(k AS INT)] END)
+                    - (CASE WHEN k = 1 THEN 0
+                       ELSE cs[CAST(k - 1 AS INT)] END) AS INT))),
+          c -> length(c) > 0)) AS chunk
+      FROM withcuts
+    )
+    SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(length(chunk)) AS BIGINT) AS n_bytes,
+           count(DISTINCT md5(chunk)) AS n_unique
+    FROM chunks GROUP BY doc_id ORDER BY doc_id
+    """,
     doc="Production-tier CDC (operators/dedup.py::cdc_chunks "
         "mode='rolling'): true Rabin-Karp over UTF-8 bytes, O(1)/byte via "
         "the prefix form H_i = base^i*(T_i - T_{i-w}) in wraparound "
         "uint64 — ONE vectorized numpy pass per Arrow batch over the "
         "concatenated batch bytes, cross-document windows masked by "
         "position. Per-doc chunk-store stats; n_bytes == doc byte length "
-        "by construction (chunks partition the document exactly), which "
-        "the pytest oracle asserts.",
+        "by construction (chunks partition the document exactly). The "
+        "oracle renders the identical wraparound-uint64 hash in DuckDB "
+        "HUGEINT (direct polynomial per window; hi/lo-split finalizer "
+        "multiply), valid because the testdata is pure ASCII so "
+        "codepoint == byte.",
 )
 def q117_cdc_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.dedup import (
