@@ -700,12 +700,23 @@ def ngram_jaccard_pairs(
     length_col: str | None = None,
     length_tolerance: int = 5,
     threshold: float = 0.3,
+    max_block_size: int = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over a bounded candidate set.
 
     Candidates = pairs agreeing on ``band_cols`` with |length difference|
     <= tolerance (blocking). For unconstrained all-pairs at scale, use
     ``minhash_lsh_pairs`` — this operator is the exact verifier.
+
+    ``max_block_size`` is the quadratic-blowup guard (the q105
+    ``max_codewords`` precedent): verification cost inside one block of
+    size s is O(s²) shingle-set intersections, so a degenerate blocking
+    key (one language, all lengths equal) silently turns the "bounded"
+    verifier into all-pairs. Any (band, length-bucket) block larger than
+    the cap raises with the offending block named — route such corpora
+    through ``minhash_lsh_pairs`` + ``jaccard_verified_pairs`` instead.
+    ``max_block_size=None`` disables the check (and the one small count
+    aggregate it costs) for callers that have already bounded the blocks.
     """
     band_cols = band_cols or []
     # Order of operations matters for both parallelism and shuffle bytes:
@@ -729,6 +740,23 @@ def ngram_jaccard_pairs(
     # bucket, and the hash lookup prunes non-candidates instead of the join
     # condition evaluating per same-band pair.
     w = max(length_tolerance, 1)
+    if max_block_size is not None:
+        # one count over (band, bucket) key rows — no shingles, no text —
+        # against the same exchange the join reuses
+        over = (raw.groupBy(*band_cols,
+                            F.floor(F.col("__len") / w).alias("__lb"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_block_size)
+                .orderBy(F.col("__n").desc())
+                .first())
+        if over is not None:
+            key = {c: over[c] for c in band_cols} | {"len_bucket": over["__lb"]}
+            raise ValueError(
+                f"ngram_jaccard_pairs: block {key} holds {over['__n']} "
+                f"docs (> max_block_size={max_block_size}); exact "
+                f"verification is O(n²) per block — prune candidates "
+                f"with minhash_lsh_pairs first, or raise/disable "
+                f"max_block_size if the quadratic cost is intended")
     a = docs.select(
         *band_cols, F.col("doc_id").alias("id_a"),
         F.col("__len").alias("len_a"), F.col("shingles").alias("sh_a"),

@@ -4,12 +4,13 @@ with decode / feature-extraction as Arrow-batched Pandas UDFs.
 Design (per the 100 TB training-data-pipeline requirement): media travels
 as a ``binary`` column next to typed metadata columns; Spark never
 interprets the bytes except inside explicitly-batched ``mapInPandas``
-stages. Real decoders (PIL/librosa/av) are not available in this
-environment — ``decode_image`` is a clearly-marked stub behind an
-import-try — but the Spark-side plumbing (schema, batching, partitioning,
-UDF signatures) is real and tested, and ``byte_features`` is a genuine
-Arrow-batched feature extractor over the raw bytes (deterministic, so it
-is DuckDB-oracle-checkable).
+stages. Full-coverage decoders (PIL/librosa/av) are not available in this
+environment, so ``decode_image`` vendors dependency-free PPM/PGM/BMP
+decoders that run for real in-container (payload-validated, not header
+sniffing), falls through to Pillow when importable, and degrades to P12
+error rows otherwise; ``byte_features`` is a genuine Arrow-batched
+feature extractor over the raw bytes (deterministic, so it is
+DuckDB-oracle-checkable).
 """
 
 from __future__ import annotations
@@ -72,51 +73,130 @@ def byte_features(df: DataFrame, id_col: str, bin_col: str,
     return df.select(id_col, bin_col).mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def _decode_image_native(raw: bytes):
+    """Dependency-free decoder for the two trivial formats the container
+    can exercise for real: binary PPM/PGM (netpbm P6/P5) and BMP
+    (BITMAPINFOHEADER). Returns (width, height, mode) on success, None
+    when the magic is not one of ours (caller falls through to the
+    optional real library), raises ValueError for a recognized magic
+    with a corrupt body — a genuine decode, not header sniffing: pixel
+    payload length is validated against the declared dimensions.
+    """
+    import struct
+
+    if raw[:2] in (b"P5", b"P6"):
+        # netpbm header: magic, then 3 ASCII ints (width, height, maxval)
+        # separated by whitespace, '#' comments running to end-of-line,
+        # then a SINGLE whitespace byte, then the raster
+        pos, fields = 2, []
+        try:
+            while len(fields) < 3:
+                while raw[pos] in b" \t\r\n":
+                    pos += 1
+                if raw[pos] == 0x23:  # '#' comment
+                    while raw[pos] not in b"\r\n":
+                        pos += 1
+                    continue
+                start = pos
+                while raw[pos] in b"0123456789":
+                    pos += 1
+                if pos == start:
+                    raise ValueError("netpbm: malformed header int")
+                fields.append(int(raw[start:pos]))
+            pos += 1  # the single whitespace byte before the raster
+        except IndexError:
+            raise ValueError("netpbm: truncated header") from None
+        width, height, maxval = fields
+        if width <= 0 or height <= 0:
+            raise ValueError("netpbm: non-positive dimensions")
+        if not 0 < maxval < 256:
+            raise ValueError("netpbm: unsupported maxval (only 1-byte "
+                             "samples)")
+        channels = 3 if raw[:2] == b"P6" else 1
+        if len(raw) - pos < width * height * channels:
+            raise ValueError("netpbm: truncated raster")
+        return width, height, ("RGB" if channels == 3 else "L")
+    if raw[:2] == b"BM":
+        if len(raw) < 54:
+            raise ValueError("bmp: truncated header")
+        # BITMAPINFOHEADER: i32 width @18, i32 height @22 (negative =
+        # top-down), u16 bpp @28
+        width, height = struct.unpack_from("<ii", raw, 18)
+        (bpp,) = struct.unpack_from("<H", raw, 28)
+        height = abs(height)
+        if width <= 0 or height == 0:
+            raise ValueError("bmp: non-positive dimensions")
+        mode = {1: "1", 8: "L", 24: "RGB", 32: "RGBA"}.get(bpp)
+        if mode is None:
+            raise ValueError(f"bmp: unsupported bit depth {bpp}")
+        (data_off,) = struct.unpack_from("<I", raw, 10)
+        row_bytes = (width * bpp + 31) // 32 * 4  # rows pad to 4 bytes
+        if len(raw) - data_off < row_bytes * height:
+            raise ValueError("bmp: truncated raster")
+        return width, height, mode
+    return None
+
+
 def decode_image(df: DataFrame, id_col: str, bin_col: str,
                  missing_decoder: str = "error_rows") -> DataFrame:
-    """Image decode → (id, width, height, mode, error). STUB decode body:
-    requires a real imaging library; the container has none. The
-    mapInPandas plumbing is identical to :func:`byte_features` — swap the
-    extractor body.
+    """Image decode → (id, width, height, mode, error), Arrow-batched
+    via ``mapInPandas`` (the :func:`byte_features` plumbing).
 
-    When the decoder library is absent the default (``missing_decoder=
-    "error_rows"``) degrades gracefully instead of raising: every row
-    comes back with null dimensions and ``error='DecoderMissing'`` — the
-    engine's P12 error-row convention (sentinel rows, never drops, never
-    surprise exceptions mid-pipeline). Pass ``missing_decoder="raise"``
-    to fail fast at plan-build time instead.
+    Two decode tiers inside the batch loop:
+
+    - vendored dependency-free decoders for binary PPM/PGM and BMP
+      (:func:`_decode_image_native`) — these run for REAL in this
+      container, pixel-payload validation included;
+    - any other format falls through to Pillow when importable; when it
+      is not (this container), the row degrades to the engine's P12
+      error-row convention: null dimensions, ``error='DecoderMissing'``
+      — sentinel rows, never drops, never surprise exceptions
+      mid-pipeline. A recognized-but-corrupt payload is
+      ``error='DecodeError:...'`` either way.
+
+    ``missing_decoder="raise"`` keeps the fail-fast contract for callers
+    that require FULL format coverage: plan-build-time
+    ``NotImplementedError`` when the real imaging library is absent
+    (the vendored formats alone are not "an imaging library").
     """
     out_schema = "id bigint, width int, height int, mode string, error string"
     try:
         import PIL.Image  # noqa: F401
+        have_pil = True
     except ImportError as e:
+        have_pil = False
         if missing_decoder == "raise":
             raise NotImplementedError(
-                "decode_image requires an imaging library (e.g. Pillow); "
-                "not available in this environment. Use byte_features for "
-                "the tested plumbing pattern.") from e
-        return df.select(
-            F.col(id_col).cast("bigint").alias("id"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("string").alias("mode"),
-            F.lit("DecoderMissing").alias("error"),
-        )
+                "decode_image requires an imaging library (e.g. Pillow) "
+                "for full format coverage; only the vendored PPM/PGM/BMP "
+                "decoders are available in this environment.") from e
 
-    import io
-
-    from PIL import Image
-
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        if have_pil:
+            from PIL import Image  # pragma: no cover
         for pdf in batches:
             rows = []
             for i, raw in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(raw)
                 try:
-                    with Image.open(io.BytesIO(raw)) as im:
-                        rows.append((i, im.width, im.height, im.mode, None))
-                except Exception as exc:  # undecodable payload → error row
+                    native = _decode_image_native(raw)
+                except ValueError as exc:
                     rows.append((i, None, None, None,
-                                 f"DecodeError:{type(exc).__name__}"))
+                                 f"DecodeError:{exc}"))
+                    continue
+                if native is not None:
+                    rows.append((i, *native, None))
+                elif have_pil:  # pragma: no cover
+                    try:
+                        with Image.open(io.BytesIO(raw)) as im:
+                            rows.append((i, im.width, im.height, im.mode,
+                                         None))
+                    except Exception as exc:
+                        rows.append((i, None, None, None,
+                                     f"DecodeError:{type(exc).__name__}"))
+                else:
+                    rows.append((i, None, None, None, "DecoderMissing"))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "mode", "error"])
 

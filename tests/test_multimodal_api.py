@@ -54,6 +54,54 @@ def test_decode_missing_decoder_modes(spark):
         decode_image(df, "id", "bin", missing_decoder="raise")
 
 
+def _ppm(w, h, *, comment=False, truncate=0, gray=False):
+    magic = b"P5" if gray else b"P6"
+    hdr = magic + (b"\n# a comment\n" if comment else b"\n")
+    hdr += f"{w} {h}\n255\n".encode()
+    body = bytes((x * 7) % 256
+                 for x in range(w * h * (1 if gray else 3) - truncate))
+    return hdr + body
+
+
+def _bmp(w, h, bpp=24, truncate=0):
+    import struct
+    row = (w * bpp + 31) // 32 * 4
+    body = bytes(row * h - truncate)
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, bpp, 0,
+                         len(body), 2835, 2835, 0, 0))
+    return hdr + body
+
+
+def test_decode_image_vendored_formats_end_to_end(spark):
+    """Real bytes through the real mapInPandas decode path — no library,
+    no stub: PPM/PGM/BMP dimensions come from parsing the payload, and
+    corrupt payloads surface as DecodeError rows, not exceptions."""
+    payloads = [
+        (1, _ppm(5, 4)),                       # P6 RGB
+        (2, _ppm(3, 2, comment=True)),         # header comment skipped
+        (3, _ppm(7, 2, gray=True)),            # P5 grayscale
+        (4, _bmp(6, 3)),                       # BMP 24bpp, top-down height
+        (5, _bmp(2, 2, bpp=32)),               # BMP RGBA
+        (6, _ppm(5, 4, truncate=1)),           # short raster -> error
+        (7, _bmp(6, 3, truncate=5)),           # short raster -> error
+        (8, b"GIF89a not ours"),               # unknown magic
+    ]
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads], ["id", "bin"])
+    got = {r["id"]: (r["width"], r["height"], r["mode"], r["error"])
+           for r in decode_image(df, "id", "bin").collect()}
+    assert got[1] == (5, 4, "RGB", None)
+    assert got[2] == (3, 2, "RGB", None)
+    assert got[3] == (7, 2, "L", None)
+    assert got[4] == (6, 3, "RGB", None)
+    assert got[5] == (2, 2, "RGBA", None)
+    assert got[6][3] == "DecodeError:netpbm: truncated raster"
+    assert got[7][3] == "DecodeError:bmp: truncated raster"
+    assert got[8][:3] == (None, None, None) and got[8][3] in (
+        "DecoderMissing",) or got[8][3].startswith("DecodeError")
+
+
 def test_frame_sample_slices_and_strides(spark):
     # 70 bytes, 32-byte frames -> frames at offsets 0 and 32 (tail dropped);
     # every_nth=2 on a 5-frame payload keeps frames 0, 2, 4

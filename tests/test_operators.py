@@ -100,6 +100,21 @@ def test_ngram_jaccard_pairs_oracle(spark):
     assert not any(4 in p for p in got)
 
 
+def test_ngram_jaccard_pairs_refuses_pathological_block(spark):
+    """A degenerate blocking key (every doc in one block) must raise
+    instead of silently running the O(n²) exact verifier all-pairs."""
+    df = spark.createDataFrame([(i, "same length text!") for i in range(7)],
+                               ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_block_size"):
+        ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=3,
+                            max_block_size=5).count()
+    # same block passes with the guard disabled or the cap raised
+    assert ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=3,
+                               max_block_size=None).count() == 21
+    assert ngram_jaccard_pairs(df, "doc_id", "text", shingle_k=3,
+                               max_block_size=100).count() == 21
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     out = minhash_lsh_pairs(_docs(spark), "doc_id", "text",
                             num_hashes=32, bands=16, shingle_k=3,
