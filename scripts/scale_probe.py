@@ -89,6 +89,31 @@ PROBE_QUERIES = [
     # tokenizer encode: posexplode + broadcast vocab + positional
     # reassembly — linear in tokens
     "q137_tokenize_encode",
+    # round-6 probes for the round-5 tail:
+    # SCD2 as-of join: sorted merge within user partitions; rows are
+    # (user, ts) pairs — must track the event count
+    "q138_point_in_time_join",
+    # 3 chained user-keyed min aggregates; stage outputs are users-sized
+    "q139_funnel_analysis",
+    # bounded probe set (vec_id < 10): corpus side scans linearly, the
+    # per-probe top-k is a fixed-size heap over the scan
+    "q140_retrieval_eval",
+    # cross-source gram co-occurrence: candidate volume bounded by the
+    # per-gram fan-out cap — watch this one (bounded self-join)
+    "q141_cross_source_dup_matrix",
+    # calendar spine × key set sequence-explode + left join — linear in
+    # (key, day) cells
+    "q142_calendar_gap_fill",
+    # snapshot-vs-batch digest anti-join: digests shuffle, never text —
+    # watch the digest join's growth
+    "q143_incremental_snapshot_dedup",
+    # per-partition volume stats + robust flags: one groupBy of date
+    # cells
+    "q144_ingest_anomaly_scan",
+    # policy rule scan is map-side over docs; attribution is one groupBy
+    "q145_policy_filter_report",
+    # CC + histogram: the q44 machinery plus one extra groupBy
+    "q146_cluster_size_histogram",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

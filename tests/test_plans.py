@@ -212,3 +212,54 @@ def test_q97_nested_in_becomes_semi_joins(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- cross-SF plan-shape snapshots (round-5 verdict item 8) ----------------
+#
+# The five most expensive declared queries must keep the SAME physical
+# shape at sf0.001 and sf0.1 (a 100x data ratio): a join strategy that
+# flips with stats, or an exchange that appears only at scale, is exactly
+# the AQE/threshold regression that bench noise would otherwise hide.
+# Join-strategy counts are pinned as goldens so a broadcast silently
+# degrading to a shuffle join fails here, not in the 100 TB run;
+# exchange counts are asserted EQUAL across SFs but not pinned absolute
+# (they shift by one with the session's shuffle-partition config).
+# (BroadcastNestedLoopJoin entries are the documented scalar-broadcast
+# crossJoins — 1-row/k-row frames, not data joins.)
+
+PLAN_SHAPE_GOLDENS = {
+    "q133_supplier_pagerank": {"SortMergeJoin": 7, "BroadcastHashJoin": 11,
+                               "BroadcastNestedLoopJoin": 3},
+    "q82_lsh_recall": {"SortMergeJoin": 1, "BroadcastHashJoin": 3,
+                       "BroadcastNestedLoopJoin": 1},
+    "q101_semantic_dedup": {"SortMergeJoin": 2, "BroadcastHashJoin": 2,
+                            "BroadcastNestedLoopJoin": 3},
+    "q44_dedup_clusters": {"SortMergeJoin": 3},
+    "q103_duplicated_spans": {},
+}
+
+_SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+              r"BroadcastNestedLoopJoin|CartesianProduct|WindowGroupLimit)\b")
+
+
+def _plan_shape(spark, name: str, sf_dir: str) -> dict:
+    import re
+    from collections import Counter
+
+    plan = QUERIES[name].spark(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    c = Counter(re.findall(_SHAPE_OPS, plan))
+    c["Exchange"] = len(re.findall(
+        r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition)",
+        plan))
+    return {k: v for k, v in c.items() if v}
+
+
+def test_expensive_query_plan_shapes_stable_across_sf(spark):
+    for name, want in PLAN_SHAPE_GOLDENS.items():
+        small = _plan_shape(spark, name, "/root/testdata/sf0.001")
+        large = _plan_shape(spark, name, "/root/testdata/sf0.1")
+        assert small == large, \
+            f"{name} shape differs across SF: {small} vs {large}"
+        joins = {k: v for k, v in small.items() if k != "Exchange"}
+        assert joins == want, f"{name} join strategies drifted: {joins}"
