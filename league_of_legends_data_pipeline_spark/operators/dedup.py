@@ -773,6 +773,75 @@ def ngram_jaccard_pairs(
     return jaccard_verified_pairs(cands, "sh_a", "sh_b", threshold)
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    band_cols: list[str] | None = None,
+    length_col: str | None = None,
+    length_tolerance: int = 2,
+    max_distance: int = 5,
+    max_block_size: int = 10_000,
+) -> DataFrame:
+    """Levenshtein near-dup pairs over a bounded candidate set:
+    (id_a, id_b, distance) for blocked pairs with edit distance
+    <= ``max_distance``. The typo/OCR-noise dedup tier: catches pairs
+    whose shingle Jaccard stays high-ish but whose bytes differ by a
+    handful of character edits (the case exact-digest dedup misses and
+    full Jaccard over-triggers on).
+
+    Same blocking/guard scheme as :func:`ngram_jaccard_pairs` — equal
+    ``band_cols`` + length-bucketed |len diff| <= tolerance (a valid
+    prune: edit distance >= length difference, so pairs outside the
+    tolerance cannot be within ``max_distance`` when ``length_tolerance
+    >= max_distance`` ... callers wanting that guarantee set them equal;
+    the default keeps the candidate set tighter). Verification is the
+    JVM ``levenshtein`` expression — O(len²) per candidate pair, which
+    is why ``max_block_size`` refuses degenerate blocks just like the
+    Jaccard verifier.
+    """
+    band_cols = band_cols or []
+    raw = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in band_cols],
+        (F.col(length_col) if length_col else F.length(text_col))
+        .alias("__len"),
+        F.col(text_col).alias("__text"),
+    ).repartition(_par(df), "doc_id")
+    w = max(length_tolerance, 1)
+    if max_block_size is not None:
+        over = (raw.groupBy(*band_cols,
+                            F.floor(F.col("__len") / w).alias("__lb"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > max_block_size)
+                .orderBy(F.col("__n").desc())
+                .first())
+        if over is not None:
+            key = {c: over[c] for c in band_cols} | {"len_bucket": over["__lb"]}
+            raise ValueError(
+                f"edit_distance_pairs: block {key} holds {over['__n']} "
+                f"docs (> max_block_size={max_block_size}); levenshtein "
+                f"verification is O(n²·len²) per block — prune candidates "
+                f"first or raise/disable max_block_size")
+    a = raw.select(
+        *band_cols, F.col("doc_id").alias("id_a"),
+        F.col("__len").alias("len_a"), F.col("__text").alias("text_a"),
+        F.explode(F.array(*[F.floor(F.col("__len") / w) + d
+                            for d in (-1, 0, 1)])).alias("__lb"))
+    b = raw.select(*band_cols, F.col("doc_id").alias("id_b"),
+                   F.col("__len").alias("len_b"),
+                   F.col("__text").alias("text_b"),
+                   F.floor(F.col("__len") / w).alias("__lb"))
+    return (a.join(b, band_cols + ["__lb"])
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.abs(F.col("len_a") - F.col("len_b"))
+                       <= length_tolerance))
+            .select("id_a", "id_b",
+                    F.levenshtein("text_a", "text_b").alias("distance"))
+            .filter(F.col("distance") <= max_distance))
+
+
 def _span_rows(df: DataFrame, id_col: str, text_col: str, span_len: int,
                stride: int = 1, with_pos: bool = False) -> DataFrame:
     """Exploded (id[, pos], span) window rows in one Arrow stage.

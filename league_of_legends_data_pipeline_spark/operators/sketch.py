@@ -1,0 +1,171 @@
+"""Streaming-mergeable sketches: HyperLogLog cardinality and Count-Min
+frequency — the fixed-memory summaries a 100 TB profiling pass is built
+from (per-partition distinct counts, vocabulary heavy hitters, join-key
+cardinality estimates feeding broadcast decisions).
+
+Why not ``approx_count_distinct``: Spark's HLL++ and any other engine's
+HLL use different hash functions and bias tables, so their estimates are
+not comparable — unusable when the estimate must be reproducible across
+engines (regression-pinned profiles, A/B'd pipelines) or checked by an
+oracle. These sketches use the repo's portable md5-based 60-bit hash
+(operators/dedup.py::portable_hash64), so the register/bucket tables —
+and therefore the estimates — are BIT-IDENTICAL in any engine with md5:
+the DuckDB oracles replay them exactly.
+
+Engine-exactness details (the conventions hard-won in rounds 2–5):
+
+- Register sums are INTEGER: the HLL denominator sum(2^-M_j) is summed
+  as ``2^(RHO_MAX - M_j)`` longs (max 64 * 2^54 < 2^61), because a
+  float sum of mixed-magnitude powers of two rounds differently under
+  different summation orders. The single float division happens once,
+  on identical integers, in both engines.
+- ``rho`` (leading-zero rank) comes from binary-digit count —
+  ``length(conv(w, 10, 2))`` / ``length(bin(w))`` — which is exact
+  integer math; ``floor(log2())`` can flip a ulp at powers of two.
+- The only transcendental is linear counting's ``ln(m/V)`` on small
+  cardinalities, rounded to 4 dp (1-ulp engine differences flip a 4 dp
+  rounding only within ~1e-17 of a boundary).
+
+No reference parity: the reference has no profiling surface; this module
+is beyond-reference LLM-pipeline surface (BASELINE.json north star).
+
+Scale shape: both sketches are partial-aggregated groupBys whose OUTPUT
+size is fixed by the sketch geometry (m registers / d*w buckets), not
+the data — the classic sketch contract. Shuffles carry (group, register,
+small-int) rows; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark.operators.dedup import (
+    portable_hash64,
+)
+
+# p=6: m=64 registers. Small enough that a per-group sketch row set is
+# negligible, accurate to ~1.04/sqrt(64) = 13% — the profiling tier.
+# RHO_MAX = (60 - p) + 1: the hash contributes 54 bits after the
+# register index, so rho ranges 1..55.
+HLL_P = 6
+HLL_M = 1 << HLL_P
+HLL_RHO_MAX = 60 - HLL_P + 1
+# alpha_64 = 0.7213/(1 + 1.079/64) to 4 dp, baked as ONE shared decimal
+# literal (both engines multiply the same double; deriving it at runtime
+# would reintroduce the division)
+HLL_ALPHA_64 = 0.7090
+
+
+def hll_registers(df: DataFrame, group_cols: list[str], value_col: str,
+                  seed: int = 42) -> DataFrame:
+    """HLL register table: (group_cols..., j, mj) — register index and
+    max leading-zero rank. Fixed ≤64 rows per group; mergeable by
+    further ``max`` (union register tables, groupBy, max — the sketch
+    union used for incremental/streaming profiles)."""
+    h = portable_hash64(
+        F.concat(F.lit(f"hll{seed}:"), F.col(value_col).cast("string")))
+    # high 54 bits via shift — h/64 in float would round above 2^53
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.conv(w, 10, 2)))
+    return (df.filter(F.col(value_col).isNotNull())
+            .select(*group_cols, (h % HLL_M).alias("j"), rho.alias("rho"))
+            .groupBy(*group_cols, "j").agg(F.max("rho").alias("mj")))
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Cardinality estimate per group from a register table:
+    (group_cols..., estimate, n_empty). Standard HLL: harmonic-mean raw
+    estimate, linear counting below 2.5·m when registers are empty."""
+    two_pow_max = 1 << HLL_RHO_MAX
+    agg = registers.groupBy(*group_cols).agg(
+        (F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_MAX} - mj)"))
+         + (F.lit(HLL_M) - F.count(F.lit(1))) * F.lit(two_pow_max)
+         ).alias("__sint"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("n_empty"))
+    raw = (F.lit(HLL_ALPHA_64 * HLL_M * HLL_M) * F.lit(float(two_pow_max))
+           / F.col("__sint"))
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("n_empty"))
+    est = F.when((raw <= F.lit(2.5 * HLL_M)) & (F.col("n_empty") > 0), lc) \
+        .otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("estimate"),
+                      "n_empty")
+
+
+def cms_table(df: DataFrame, token_col: str, depth: int = 4,
+              width: int = 1024, seed: int = 42) -> DataFrame:
+    """Count-Min sketch table over a token column: (row, bucket, cnt),
+    ≤ depth·width rows regardless of corpus size. Each token occurrence
+    increments one bucket per hash row; ``cnt`` sums are exact longs, so
+    tables from different corpus slices merge by groupBy-sum."""
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 (portable_hash64(F.concat(F.lit(f"cms{seed}:{i}:"),
+                                           F.col(token_col)))
+                  % width).alias("bucket"))
+        for i in range(depth)]))
+    return (df.filter(F.col(token_col).isNotNull())
+            .select(rows.alias("__rb"))
+            .groupBy(F.col("__rb.row").alias("row"),
+                     F.col("__rb.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_lookup(table: DataFrame, queries: DataFrame, token_col: str,
+               depth: int = 4, width: int = 1024,
+               seed: int = 42) -> DataFrame:
+    """Point estimates for query tokens against a CMS table:
+    (token, estimate). estimate = min over hash rows of the bucket count
+    (never under the true count — the CMS guarantee the q148 harness
+    asserts). The table is broadcast: it is ≤ depth·width rows by
+    construction, so the probe side never shuffles."""
+    probes = queries.select(
+        F.col(token_col).alias("token"),
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     (portable_hash64(F.concat(F.lit(f"cms{seed}:{i}:"),
+                                               F.col(token_col)))
+                      % width).alias("bucket"))
+            for i in range(depth)])).alias("__rb")) \
+        .select("token", F.col("__rb.row").alias("row"),
+                F.col("__rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(table), ["row", "bucket"], "left") \
+        .select("token", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    return joined.groupBy("token").agg(F.min("cnt").alias("estimate"))
+
+
+def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton/Z-order key interleaving the low ``bits`` of two integer
+    columns — the multi-dimensional data-layout lever: range-partition +
+    sort by this key and BOTH dimensions become clustered, so min/max
+    file statistics prune scans on either predicate (the Delta/Iceberg
+    OPTIMIZE ZORDER BY layout, as a pure Column expression).
+
+    Pure bit arithmetic (shift/and/or), identical in any engine with
+    64-bit integers; bit b of x lands at position 2b, of y at 2b+1.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xc.cast("long"), b).bitwiseAND(F.lit(1)),
+                        2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yc.cast("long"), b).bitwiseAND(F.lit(1)),
+                        2 * b + 1))
+    return z
+
+
+def zorder_repartition(df: DataFrame, x: str, y: str, num_partitions: int,
+                       bits: int = 16) -> DataFrame:
+    """Lay ``df`` out in Z-order over (x, y): range-partition by the
+    interleaved key, sort within partitions. Files written from the
+    result carry tight min/max stats on BOTH columns — the layout a
+    100 TB table needs for two-dimensional partition pruning (e.g.
+    (user_id, event_time) point-lookups AND time-range scans against
+    the same copy of the data)."""
+    keyed = df.withColumn("__z", zorder_key(x, y, bits))
+    return (keyed.repartitionByRange(num_partitions, "__z")
+            .sortWithinPartitions("__z").drop("__z"))

@@ -7573,3 +7573,473 @@ def q146_cluster_size_histogram(spark: SparkSession,
                  F.sum("cluster_size").alias("n_docs"),
                  F.sum(F.col("cluster_size") - 1).alias("removable_docs"))
             .orderBy("size_bucket"))
+
+
+# --- round-6 additions: sketches, layout, fuzzy/containment dedup, ---------
+# --- inverted-index similarity, session analytics ---------------------------
+
+# HLL constants shared with operators/sketch.py — the numerator
+# alpha_64 * m^2 * 2^55 is baked as ONE literal (python-computed, both
+# engines parse the identical double); 2^55 scaling is exact so the
+# value equals the operator's lit product exactly.
+_Q147_NUM = "1.0462993238608057e+20"
+
+
+def _q147_metric_sql(value_col: str, metric: str) -> str:
+    return f"""
+      SELECT '{metric}' AS metric, x.event_type,
+             CAST(x.estimate AS DOUBLE) AS estimate,
+             CAST(x.n_empty AS BIGINT) AS n_empty,
+             d.exact_n,
+             CAST(round(abs(x.estimate - d.exact_n) / d.exact_n, 6)
+                  AS DOUBLE) AS rel_error
+      FROM (
+        SELECT event_type,
+               CASE WHEN raw <= 160.0 AND n_empty > 0
+                    THEN round(64.0 * ln(64.0 / n_empty), 4)
+                    ELSE round(raw, 4) END AS estimate,
+               n_empty
+        FROM (
+          SELECT event_type,
+                 CAST({_Q147_NUM} AS DOUBLE) / sint AS raw, n_empty
+          FROM (
+            SELECT event_type,
+                   sum(CAST(1 AS BIGINT) << (55 - mj))
+                     + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS sint,
+                   64 - count(*) AS n_empty
+            FROM (
+              SELECT event_type, hv % 64 AS j,
+                     max(CASE WHEN hv // 64 = 0 THEN 55
+                         ELSE 55 - length(bin(hv // 64)) END) AS mj
+              FROM (
+                SELECT event_type,
+                       CAST(('0x' || substr(md5('hll42:'
+                            || CAST({value_col} AS VARCHAR)), 1, 15))
+                            AS BIGINT) AS hv
+                FROM events WHERE {value_col} IS NOT NULL
+              ) GROUP BY event_type, hv % 64
+            ) GROUP BY event_type
+          )
+        )
+      ) x JOIN (
+        SELECT event_type, count(DISTINCT {value_col}) AS exact_n
+        FROM events GROUP BY event_type
+      ) d USING (event_type)
+    """
+
+
+@_register(
+    "q147_hll_cardinality",
+    f"""
+    -- engine-portable HyperLogLog (p=6, md5 60-bit hash): per event
+    -- type, sketch-estimated vs exact distinct user_id (small
+    -- cardinality -> linear-counting branch) AND distinct event_id
+    -- (large -> raw harmonic-mean branch). Register sums are INTEGER
+    -- 2^(55-rho) units so no float summation order exists; ln() only
+    -- in linear counting, rounded 4dp.
+    {_q147_metric_sql('user_id', 'users')}
+    UNION ALL
+    {_q147_metric_sql('event_id', 'events')}
+    ORDER BY metric, event_type
+    """,
+    doc="HLL cardinality sketch (operators/sketch.py::hll_registers/"
+        "hll_estimate): fixed 64-register table per group from one "
+        "partial-aggregated groupBy — the profiling pass that sizes "
+        "broadcast decisions at 100 TB. Unlike approx_count_distinct, "
+        "the md5-based registers are BIT-identical across engines, so "
+        "the oracle replays the sketch exactly (both code branches "
+        "exercised: users ~30/group -> linear counting, event ids "
+        "~2k/group -> raw estimator).",
+)
+def q147_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        hll_estimate, hll_registers,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+
+    def one(value_col: str, metric: str) -> DataFrame:
+        est = hll_estimate(hll_registers(events, ["event_type"], value_col),
+                           ["event_type"])
+        exact = events.groupBy("event_type").agg(
+            F.countDistinct(value_col).alias("exact_n"))
+        return (est.join(exact, "event_type")
+                .select(F.lit(metric).alias("metric"), "event_type",
+                        "estimate", "n_empty", "exact_n",
+                        F.round(F.abs(F.col("estimate") - F.col("exact_n"))
+                                / F.col("exact_n"), 6).alias("rel_error")))
+
+    return (one("user_id", "users").unionByName(one("event_id", "events"))
+            .orderBy("metric", "event_type"))
+
+
+_Q148_BUCKET = ("CAST(('0x' || substr(md5('cms42:' || CAST({i} AS VARCHAR) "
+                "|| ':' || token), 1, 15)) AS BIGINT) % 1024")
+
+
+@_register(
+    "q148_cms_heavy_hitters",
+    f"""
+    -- Count-Min sketch (d=4, w=1024, md5 hashes): build the fixed-size
+    -- table over all document tokens, then read the exact top-15 tokens
+    -- back through the sketch. overestimate = estimate - exact is >= 0
+    -- by the CMS guarantee (never undercounts).
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ), tab AS (
+      SELECT row, bucket, count(*) AS cnt FROM (
+        SELECT i.i AS row,
+               {_Q148_BUCKET.format(i='i.i')} AS bucket
+        FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+      ) GROUP BY row, bucket
+    ), ex AS (
+      SELECT token, count(*) AS exact_count FROM toks GROUP BY token
+      ORDER BY exact_count DESC, token LIMIT 15
+    ), probe AS (
+      SELECT ex.token, i.i AS row,
+             {_Q148_BUCKET.format(i='i.i')} AS bucket
+      FROM ex CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+    ), est AS (
+      SELECT token, min(coalesce(tab.cnt, 0)) AS cms_estimate
+      FROM probe LEFT JOIN tab USING (row, bucket) GROUP BY token
+    )
+    SELECT ex.token, ex.exact_count, est.cms_estimate,
+           est.cms_estimate - ex.exact_count AS overestimate
+    FROM ex JOIN est USING (token)
+    ORDER BY exact_count DESC, token
+    """,
+    doc="Count-Min heavy hitters (operators/sketch.py::cms_table/"
+        "cms_lookup): the sketch table is <= 4096 rows regardless of "
+        "corpus size (one partial-aggregated groupBy builds it; slices "
+        "merge by sum), and the probe side joins against it BROADCAST "
+        "— the fixed-memory vocabulary profile of a 100 TB corpus. The "
+        "exact top-15 here is the harness ground truth; the oracle "
+        "replays table and probes bit-for-bit (md5 bucket hashes).",
+)
+def q148_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        cms_lookup, cms_table,
+    )
+    from league_of_legends_data_pipeline_spark.operators.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select(F.explode(tokens("text")).alias("token"))
+    table = cms_table(toks, "token", depth=4, width=1024)
+    exact = (toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+             .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+             .limit(15))
+    est = cms_lookup(table, exact.select("token"), "token",
+                     depth=4, width=1024)
+    return (exact.join(est, "token")
+            .select("token", "exact_count",
+                    F.col("estimate").alias("cms_estimate"),
+                    (F.col("estimate") - F.col("exact_count"))
+                    .alias("overestimate"))
+            .orderBy(F.col("exact_count").desc(), "token"))
+
+
+@_register(
+    "q149_zorder_locality",
+    """
+    -- Morton/Z-order layout audit: interleave the low 16 bits of
+    -- user_id and event_id, bucket by the top 10 bits of the 32-bit
+    -- key, and report per-bucket spans of BOTH dimensions — the
+    -- bounded-span property is exactly why a Z-ordered file layout
+    -- prunes scans on either column. Pure bit arithmetic, identical
+    -- in any 64-bit engine.
+    WITH k AS (
+      SELECT user_id % 65536 AS x, event_id % 65536 AS y FROM events
+    ), z AS (
+      -- CAST: list_sum yields HUGEINT, which pandas lands as float64
+      SELECT x, y,
+             CAST(list_sum(list_transform(range(0, 16),
+                 b -> (((x >> b) & 1) << (2 * b))
+                    + (((y >> b) & 1) << (2 * b + 1)))) AS BIGINT) AS zk
+      FROM k
+    )
+    SELECT zk >> 22 AS z_bucket, count(*) AS n,
+           CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y, CAST(max(y) AS BIGINT) AS max_y,
+           CAST(max(x) - min(x) AS BIGINT) AS span_x,
+           CAST(max(y) - min(y) AS BIGINT) AS span_y
+    FROM z GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    doc="Z-order data layout (operators/sketch.py::zorder_key/"
+        "zorder_repartition): the multi-dimensional clustering lever — "
+        "range-partition + sort by the interleaved key and min/max file "
+        "stats stay tight on BOTH dimensions, so a 100 TB table serves "
+        "user-id point lookups AND event-id range scans off one copy. "
+        "The query audits the property the layout promises: per "
+        "Z-bucket, both dimensions' spans are bounded (~2^11 of a 2^16 "
+        "domain at 10-bit buckets), where a 1-D sort leaves the other "
+        "dimension's span at the full domain.",
+)
+def q149_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        zorder_key,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    k = events.select((F.col("user_id") % 65536).alias("x"),
+                      (F.col("event_id") % 65536).alias("y"))
+    z = k.select("x", "y", zorder_key("x", "y", 16).alias("zk"))
+    return (z.groupBy(F.shiftright("zk", 22).alias("z_bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                 F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+                 (F.max("x") - F.min("x")).alias("span_x"),
+                 (F.max("y") - F.min("y")).alias("span_y"))
+            .orderBy("z_bucket"))
+
+
+@_register(
+    "q150_edit_distance_pairs",
+    """
+    -- Levenshtein near-dup tier (typo/OCR-noise dedup): chunk-splice a
+    -- 3-char edit into every document (q116's edited-copy harness
+    -- shape) and recover the (original, edited) pairs at distance <= 5
+    -- through lang + length blocking. Raw corpus pairs all sit at
+    -- distance >= 39, so the harness edit is what the verifier must
+    -- find — and nothing else.
+    WITH u AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, lang,
+             substr(text, 1, 4) || '@#$' || substr(text, 8)
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS distance
+    FROM u a JOIN u b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 2
+    WHERE levenshtein(a.text, b.text) <= 5
+    ORDER BY id_a, id_b
+    """,
+    doc="Edit-distance near-dup pairs (operators/dedup.py::"
+        "edit_distance_pairs): same blocking + max_block_size guard as "
+        "the Jaccard verifier, JVM levenshtein as the verification "
+        "expression — the dedup tier that catches few-character edits "
+        "digest dedup misses. Length blocking is a VALID prune here "
+        "(edit distance >= length difference).",
+)
+def q150_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    base = documents.select("doc_id", "lang", "text")
+    edited = base.select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "lang",
+        F.concat(F.substring("text", 1, 4), F.lit("@#$"),
+                 F.expr("substring(text, 8)")).alias("text"))
+    u = base.unionByName(edited)
+    return (edit_distance_pairs(u, "doc_id", "text", band_cols=["lang"],
+                                length_tolerance=2, max_distance=5)
+            .select("id_a", "id_b", F.col("distance").cast("long")
+                    .alias("distance"))
+            .orderBy("id_a", "id_b"))
+
+
+@_register(
+    "q151_session_transitions",
+    """
+    -- user-journey Markov transitions: per user order events by time,
+    -- count (event_type -> next event_type) bigrams, and report each
+    -- source type's transition probabilities — the behavioral summary
+    -- a curation pipeline uses to spot bot-like repetition.
+    WITH nxt AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ), cnt AS (
+      SELECT src, dst, count(*) AS n FROM nxt
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ), tot AS (
+      SELECT src, sum(n) AS n_src FROM cnt GROUP BY src
+    )
+    SELECT cnt.src, cnt.dst, cnt.n,
+           CAST(round(cnt.n / tot.n_src, 6) AS DOUBLE) AS prob
+    FROM cnt JOIN tot USING (src)
+    ORDER BY src, dst
+    """,
+    doc="Session transition matrix: one lead() window per user (events "
+        "arrive pre-partitioned on user_id from the shuffle) + two "
+        "small aggregates — shuffles carry (user, ts) then (type, "
+        "type) pairs. The (ts, event_id) ordering is a total order, so "
+        "bigrams are deterministic under ties.",
+)
+def q151_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = (events.select(F.col("event_type").alias("src"),
+                         F.lead("event_type").over(w).alias("dst"))
+           .filter(F.col("dst").isNotNull()))
+    cnt = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (cnt.join(tot, "src")
+            .select("src", "dst", "n",
+                    F.round(F.col("n") / F.col("n_src"), 6).alias("prob"))
+            .orderBy("src", "dst"))
+
+
+@_register(
+    "q152_tfidf_cosine_pairs",
+    """
+    -- TF-IDF cosine similarity join via an inverted index: postings
+    -- (doc, term, weight) with a df cap (terms in > 100 docs carry no
+    -- signal and quadratic join cost — the stop-term prune IS the
+    -- scale lever), pair partial dot products through the term join,
+    -- cosine from integer milli-unit sums. Rational idf
+    -- (N - df + 0.5)/(df + 0.5) instead of ln(N/df): exact in both
+    -- engines, no transcendental drift inside cross-row sums.
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), nn AS (
+      SELECT count(*) AS n FROM documents
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ((nn.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) AS wt
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+      WHERE dfreq.df <= 100
+    ), nrm AS (
+      SELECT doc_id,
+             sum(CAST(round(wt * wt * 1000) AS BIGINT)) AS sq_int
+      FROM w GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(CAST(round(a.wt * b.wt * 1000) AS BIGINT)) AS dot_int,
+             count(*) AS n_shared_terms
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared_terms,
+           CAST(round(dot_int / (sqrt(na.sq_int) * sqrt(nb.sq_int)), 6)
+                AS DOUBLE) AS cosine
+    FROM dots
+    JOIN nrm na ON na.doc_id = id_a
+    JOIN nrm nb ON nb.doc_id = id_b
+    ORDER BY cosine DESC, id_a, id_b
+    LIMIT 15
+    """,
+    doc="Inverted-index TF-IDF cosine join: the classic sparse "
+        "similarity-join shape — shuffle is bounded by posting-list "
+        "sizes (df-capped), never all-pairs; per-pair work is one "
+        "partial-aggregated groupBy over shared terms. Integer "
+        "milli-unit dot/norm sums make cosines summation-order-"
+        "independent; the rational idf keeps ln() out of cross-row "
+        "arithmetic entirely.",
+)
+def q152_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    toks = documents.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    nn = documents.agg(F.count(F.lit(1)).alias("n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (tf.join(dfreq, "term").filter(F.col("df") <= 100)
+         .crossJoin(F.broadcast(nn))
+         .select("doc_id", "term",
+                 (F.col("tf") * ((F.col("n") - F.col("df") + 0.5)
+                                 / (F.col("df") + 0.5))).alias("wt")))
+    nrm = w.groupBy("doc_id").agg(
+        F.sum(F.round(F.col("wt") * F.col("wt") * 1000).cast("long"))
+        .alias("sq_int"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term",
+                 F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term",
+                 F.col("wt").alias("wb"))
+    dots = (a.join(b, "term").filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.round(F.col("wa") * F.col("wb") * 1000)
+                       .cast("long")).alias("dot_int"),
+                 F.count(F.lit(1)).alias("n_shared_terms")))
+    na = nrm.select(F.col("doc_id").alias("id_a"),
+                    F.col("sq_int").alias("sq_a"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"),
+                    F.col("sq_int").alias("sq_b"))
+    return (dots.join(na, "id_a").join(nb, "id_b")
+            .select("id_a", "id_b", "n_shared_terms",
+                    F.round(F.col("dot_int")
+                            / (F.sqrt("sq_a") * F.sqrt("sq_b")), 6)
+                    .alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+            .limit(15))
+
+
+@_register(
+    "q153_containment_pairs",
+    """
+    -- asymmetric near-dup: Jaccard CONTAINMENT |A∩B|/|A| over 5-char
+    -- shingle sets for (lang, source)-blocked pairs — catches
+    -- sub/superset duplication (a doc embedded in a longer one) that
+    -- symmetric Jaccard scores low because the union is dominated by
+    -- the longer side.
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+                 range(1, greatest(length(text) - 4, 1) + 1),
+                 i -> substr(text, CAST(i AS INT), 5))) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+               AS n_shared,
+           CAST(round(CAST(len(list_intersect(a.shingles, b.shingles))
+                           AS DOUBLE) / len(a.shingles), 6) AS DOUBLE)
+               AS containment_a,
+           CAST(round(CAST(len(list_intersect(a.shingles, b.shingles))
+                           AS DOUBLE) / len(b.shingles), 6) AS DOUBLE)
+               AS containment_b
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / least(len(a.shingles), len(b.shingles)) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Containment near-dup pairs: |A∩B|/|A| and /|B| over char-5 "
+        "shingles, emitted when the higher direction >= 0.5 (i.e. "
+        "intersection >= half the SMALLER set). (lang, source) "
+        "blocking bounds the verifier (~110 docs/block at sf0.1 — the "
+        "LSH-banded candidates are the unbounded-corpus path, exactly "
+        "as q25 vs q35); the intersection is computed once per pair "
+        "and reused for both directions.",
+)
+def q153_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        char_shingles,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sh = documents.select(
+        "doc_id", "lang", "source",
+        char_shingles("text", 5).alias("shingles"),
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    a = sh.select("lang", "source", F.col("doc_id").alias("id_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select("lang", "source", F.col("doc_id").alias("id_b"),
+                  F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    pairs = (a.join(b, ["lang", "source"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("n_shared", inter.cast("long"))
+             .filter(F.col("n_shared")
+                     / F.least(F.size("sh_a"), F.size("sh_b")) >= 0.5))
+    return (pairs.select(
+        "id_a", "id_b", "n_shared",
+        F.round(F.col("n_shared").cast("double") / F.size("sh_a"), 6)
+        .alias("containment_a"),
+        F.round(F.col("n_shared").cast("double") / F.size("sh_b"), 6)
+        .alias("containment_b"))
+        .orderBy("id_a", "id_b"))

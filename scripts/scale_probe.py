@@ -114,6 +114,23 @@ PROBE_QUERIES = [
     "q145_policy_filter_report",
     # CC + histogram: the q44 machinery plus one extra groupBy
     "q146_cluster_size_histogram",
+    # round-6 additions:
+    # HLL: one partial-aggregated groupBy; register table fixed-size
+    "q147_hll_cardinality",
+    # CMS: fixed-size table build + broadcast probe
+    "q148_cms_heavy_hitters",
+    # z-order audit: map-only bit math + one groupBy
+    "q149_zorder_locality",
+    # levenshtein verifier over blocked candidates: candidate volume
+    # governed by block sizes (guarded) — watch like q25
+    "q150_edit_distance_pairs",
+    # one lead() window + two aggregates
+    "q151_session_transitions",
+    # inverted-index cosine: posting-list-bounded term join — watch the
+    # df-cap's effectiveness
+    "q152_tfidf_cosine_pairs",
+    # blocked containment verifier — same watch as q25
+    "q153_containment_pairs",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

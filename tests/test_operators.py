@@ -1993,3 +1993,121 @@ def test_pagerank_keeps_source_only_nodes(spark):
              for v in deg}
     assert {u: round(v, 9) for u, v in r.items()} \
         == {u: round(v[0], 9) for u, v in got.items()}
+
+
+# --- sketches / layout / edit-distance (round 6) ----------------------------
+
+def test_hll_matches_python_replica_and_merges(spark):
+    """Register table and estimate replicate the md5-based python HLL
+    bit-for-bit, and two slices' register tables merge by max into the
+    whole corpus's sketch (the mergeability contract)."""
+    import hashlib
+    import math
+
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        HLL_ALPHA_64, HLL_M, HLL_RHO_MAX, hll_estimate, hll_registers,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [(i % 2, f"v{i * 13 % 700}") for i in range(3000)]
+    df = spark.createDataFrame(vals, ["g", "v"])
+    got = {r["g"]: (r["estimate"], r["n_empty"])
+           for r in hll_estimate(hll_registers(df, ["g"], "v"),
+                                 ["g"]).collect()}
+
+    regs: dict = {}
+    for g, v in vals:
+        h = int(hashlib.md5(f"hll42:{v}".encode()).hexdigest()[:15], 16)
+        j, w = h % HLL_M, h >> 6
+        rho = HLL_RHO_MAX if w == 0 else HLL_RHO_MAX - w.bit_length()
+        regs.setdefault(g, {})[j] = max(regs.get(g, {}).get(j, 0), rho)
+    for g, m in regs.items():
+        sint = sum(1 << (HLL_RHO_MAX - mj) for mj in m.values()) \
+            + (HLL_M - len(m)) * (1 << HLL_RHO_MAX)
+        v_empty = HLL_M - len(m)
+        raw = HLL_ALPHA_64 * HLL_M * HLL_M * float(1 << HLL_RHO_MAX) / sint
+        e = HLL_M * math.log(HLL_M / v_empty) \
+            if (raw <= 2.5 * HLL_M and v_empty > 0) else raw
+        assert got[g] == (round(e, 4), v_empty)
+
+    # mergeability: sketch(first half) ∪ sketch(second half), max-merged,
+    # equals sketch(all)
+    half1 = spark.createDataFrame(vals[:1500], ["g", "v"])
+    half2 = spark.createDataFrame(vals[1500:], ["g", "v"])
+    merged = (hll_registers(half1, ["g"], "v")
+              .unionByName(hll_registers(half2, ["g"], "v"))
+              .groupBy("g", "j").agg(F.max("mj").alias("mj")))
+    whole = {(r["g"], r["j"]): r["mj"]
+             for r in hll_registers(df, ["g"], "v").collect()}
+    assert {(r["g"], r["j"]): r["mj"] for r in merged.collect()} == whole
+
+
+def test_cms_never_undercounts(spark):
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        cms_lookup, cms_table,
+    )
+
+    words = ("alpha beta alpha gamma alpha beta delta epsilon zeta eta "
+             * 50).split()
+    toks = spark.createDataFrame([(w,) for w in words], ["t"])
+    # width 2 pigeonholes 7 distinct words into 2 buckets per row, so
+    # some estimate genuinely overcounts (deterministic md5 hashing
+    # makes the collision pattern fixed)
+    table = cms_table(toks, "t", depth=3, width=2)
+    import collections
+    exact = collections.Counter(words)
+    q = spark.createDataFrame([(w,) for w in set(words) | {"unseen"}], ["t"])
+    est = {r["token"]: r["estimate"]
+           for r in cms_lookup(table, q, "t", depth=3, width=2).collect()}
+    for w, c in exact.items():
+        assert est[w] >= c          # the CMS guarantee
+    assert est["unseen"] >= 0
+    assert sum(est[w] - exact[w] for w in exact) > 0  # collisions exist
+
+
+def test_zorder_key_and_repartition(spark):
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        zorder_key, zorder_repartition,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y"))
+    got = {(r["x"], r["y"]): r["z"]
+           for r in df.select("x", "y",
+                              zorder_key("x", "y", 4).alias("z")).collect()}
+    for (x, y), z in got.items():
+        want = sum((((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+                   for b in range(4))
+        assert z == want
+    # z-order curve property: all 256 keys distinct, covering 0..255
+    assert sorted(got.values()) == list(range(256))
+    # layout: range partition + sort by the key, key column dropped
+    out = zorder_repartition(df, "x", "y", 4, bits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan and "Sort" in plan
+    assert out.columns == ["x", "y"]
+
+
+def test_edit_distance_pairs_finds_planted_edits(spark):
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+    import pytest as _pytest
+
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy hog"),   # 1 edit
+            (3, "the quick brown fox jumped over a lazy hog"),    # few edits
+            (4, "completely different content with other words here")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in edit_distance_pairs(df, "doc_id", "text",
+                                        length_tolerance=2,
+                                        max_distance=5).collect()}
+    assert got[(1, 2)] == 1
+    assert (1, 4) not in got and (2, 4) not in got
+    # degenerate block refusal
+    big = spark.createDataFrame([(i, "same") for i in range(9)],
+                                ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="max_block_size"):
+        edit_distance_pairs(big, "doc_id", "text", max_block_size=4).count()
