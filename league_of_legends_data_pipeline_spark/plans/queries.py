@@ -8043,3 +8043,49 @@ def q153_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_shared").cast("double") / F.size("sh_b"), 6)
         .alias("containment_b"))
         .orderBy("id_a", "id_b"))
+
+
+@_register(
+    "q154_incremental_agg_merge",
+    """
+    -- the incremental-rollup contract, proved by the oracle: the Spark
+    -- side maintains per-batch PARTIAL aggregate states (count,
+    -- micro-unit sum, min, max) and merges them; the oracle is the
+    -- DIRECT single-pass recompute over all events. Hash equality
+    -- between the two is exactly "absorbing a new batch into stored
+    -- states equals rescanning history" — integer micro-unit sums make
+    -- the merged average bit-equal to the direct one regardless of
+    -- grouping or summation order.
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(round(value * 1000000) AS BIGINT))
+                      / 1000000.0 / count(*), 6) AS DOUBLE) AS avg_value,
+           CAST(round(min(value), 6) AS DOUBLE) AS min_value,
+           CAST(round(max(value), 6) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Algebraic aggregate-state maintenance: partial states per "
+        "(group, batch) merged into finals — count/min/max merge "
+        "natively, sums merge because they are integer micro-units, and "
+        "avg is DERIVED from merged sums at the end (never averaged "
+        "across batches). At 100 TB this is the daily-rollup pattern: "
+        "store the per-partition state table, merge the new batch's "
+        "states in, never rescan history. The oracle recomputes from "
+        "scratch, so the driver hash check IS the merge==recompute "
+        "proof.",
+)
+def q154_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    partials = (
+        events.withColumn("batch", F.col("event_id") % 3)
+        .groupBy("event_type", "batch")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.sum(F.round(F.col("value") * 1000000).cast("long"))
+             .alias("sum_micro"),
+             F.min("value").alias("mn"), F.max("value").alias("mx")))
+    return (partials.groupBy("event_type")
+            .agg(F.sum("cnt").alias("n"),
+                 F.round(F.sum("sum_micro") / 1000000.0 / F.sum("cnt"), 6)
+                 .alias("avg_value"),
+                 F.round(F.min("mn"), 6).alias("min_value"),
+                 F.round(F.max("mx"), 6).alias("max_value"))
+            .orderBy("event_type"))

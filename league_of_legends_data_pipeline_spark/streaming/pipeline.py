@@ -167,3 +167,44 @@ def dedup_stream_within_watermark(
     """
     return stream.withWatermark(ts_col, watermark) \
                  .dropDuplicatesWithinWatermark(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval bound —
+    the attribution join (impression ⋈ click-within-N-minutes) that only
+    works at scale because BOTH state stores are bounded.
+
+    Unbounded stream-stream joins buffer every row of both sides forever.
+    Two things bound the state here, and both are required:
+
+    - watermarks on BOTH inputs: a buffered row is dropped once the other
+      side's watermark guarantees no future match can arrive for it;
+    - the interval condition ``right_ts ∈ [left_ts, left_ts + max_delay]``
+      in the JOIN CONDITION itself (not a post-filter): Spark derives the
+      state-eviction bound from the time-range predicate, so each side
+      holds only ~(watermark + max_delay) of data per key.
+
+    State shards by the equi-join keys across executors — the same
+    shuffle partitioning as a batch join, but with a rolling time-bounded
+    buffer instead of the whole table.
+    """
+    l_ = left.withWatermark(left_ts, watermark).alias("l")
+    r_ = right.withWatermark(right_ts, watermark).alias("r")
+    key_cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    time_cond = [
+        F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"),
+        F.col(f"r.{right_ts}")
+        <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"),
+    ]
+    cond = key_cond[0]
+    for c in key_cond[1:] + time_cond:
+        cond = cond & c
+    return l_.join(r_, cond, "inner")

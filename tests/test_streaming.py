@@ -266,3 +266,69 @@ def test_decayed_counter_stream_matches_batch(spark, tmp_path):
             < 1e-5 * max(1.0, abs(want[uid]["decayed_sum"]))
     # state really carried across batches: user 1 saw rows in both files
     assert emitted[1]["n_events"] == 3
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    """Impression ⋈ click-within-10-min as a real two-stream join: both
+    sides watermarked, the time bound in the join condition (bounded
+    state), matches exactly the batch interval join on the same data."""
+    import json
+    import os
+
+    from league_of_legends_data_pipeline_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    os.makedirs(imp_dir)
+    os.makedirs(clk_dir)
+
+    def write(d, name, rows):
+        with open(os.path.join(d, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write(imp_dir, "a.json", [
+        {"user": "u1", "ad": "a1", "ts": "2024-01-01T10:00:00.000Z"},
+        {"user": "u2", "ad": "a2", "ts": "2024-01-01T10:01:00.000Z"},
+        {"user": "u3", "ad": "a3", "ts": "2024-01-01T10:02:00.000Z"},
+    ])
+    write(clk_dir, "b.json", [
+        # u1 clicks 5 min after impression -> match
+        {"user": "u1", "ts": "2024-01-01T10:05:00.000Z"},
+        # u2 clicks 20 min after -> outside the interval, no match
+        {"user": "u2", "ts": "2024-01-01T10:21:00.000Z"},
+        # u3 clicks 1 min BEFORE its impression -> no match
+        {"user": "u3", "ts": "2024-01-01T10:01:00.000Z"},
+    ])
+    imp_schema = "user STRING, ad STRING, ts STRING"
+    clk_schema = "user STRING, ts STRING"
+    imps = (spark.readStream.schema(imp_schema).json(imp_dir)
+            .withColumn("imp_ts", F.to_timestamp("ts")).drop("ts"))
+    clks = (spark.readStream.schema(clk_schema).json(clk_dir)
+            .withColumn("clk_ts", F.to_timestamp("ts")).drop("ts"))
+    joined = stream_interval_join(imps, clks, ["user"], "imp_ts", "clk_ts",
+                                  max_delay="10 minutes",
+                                  watermark="10 minutes")
+    out = joined.select("l.user", "ad", "imp_ts", "clk_ts")
+    name = "attrib_join"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = spark.table(name).collect()
+    assert [(r["user"], r["ad"]) for r in rows] == [("u1", "a1")]
+    # batch dual: identical result from the same condition on static reads
+    bi = (spark.read.schema(imp_schema).json(imp_dir)
+          .withColumn("imp_ts", F.to_timestamp("ts")).drop("ts"))
+    bc = (spark.read.schema(clk_schema).json(clk_dir)
+          .withColumn("clk_ts", F.to_timestamp("ts")).drop("ts"))
+    batch = (bi.alias("l").join(
+        bc.alias("r"),
+        (F.col("l.user") == F.col("r.user"))
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("INTERVAL 10 minutes")),
+        "inner").select("l.user", "ad", "imp_ts", "clk_ts").collect())
+    assert sorted((r["user"], r["ad"]) for r in batch) \
+        == sorted((r["user"], r["ad"]) for r in rows)
