@@ -362,6 +362,68 @@ def minhash_lsh_pairs(
     return jaccard_verified_pairs(pairs, "sh_a", "sh_b", jaccard_threshold)
 
 
+def minhash_lsh_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+    containment_threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup pairs: Jaccard CONTAINMENT |A∩B|/|A| (and
+    /|B|) over LSH-banded candidates — catches sub/superset duplication
+    (one doc embedded in a longer one) that symmetric Jaccard scores low
+    because the union is dominated by the longer side, and classifies
+    each surviving pair by its asymmetry.
+
+    Same sub-quadratic candidate machinery as :func:`minhash_lsh_pairs`
+    (banded signatures, bucket equi-join, bucket-size cap) — the scale
+    path, vs the blocked all-pairs verifier tier. Known recall note:
+    MinHash bands recall high-JACCARD pairs, so an extreme subset (tiny
+    doc inside a huge one) can evade the bands even at containment 1.0;
+    widen recall with more bands / fewer rows per band when hunting
+    aggressive subset duplication. Emits pairs where
+    ``|A∩B| / min(|A|, |B|)`` >= the threshold, with both directions'
+    containments.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
+                         f"into bands ({bands})")
+    rows = num_hashes // bands
+    hashed, banded = _minhash_banded(df, id_col, text_col, shingle_k,
+                                     num_hashes, bands, rows, seed)
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_id", "band_hash")
+        banded = banded.withColumn("__bc", F.count(F.lit(1)).over(bw)) \
+                       .filter(F.col("__bc") <= max_bucket_size).drop("__bc")
+    a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
+    b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
+    cands = (a.join(b, ["band_id", "band_hash"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    pairs = cands.join(hashed.select(F.col("doc_id").alias("id_a"),
+                                     F.col("hm").alias("sh_a")), "id_a") \
+                 .join(hashed.select(F.col("doc_id").alias("id_b"),
+                                     F.col("hm").alias("sh_b")), "id_b")
+    # alias the intersection before filtering (the jaccard_verified_pairs
+    # rationale): one array_intersect per pair feeds both directions
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return (pairs.withColumn("n_shared", inter)
+            .filter(F.col("n_shared")
+                    / F.least(F.size("sh_a"), F.size("sh_b"))
+                    >= containment_threshold)
+            .select("id_a", "id_b", "n_shared",
+                    F.round(F.col("n_shared").cast("double")
+                            / F.size("sh_a"), 6).alias("containment_a"),
+                    F.round(F.col("n_shared").cast("double")
+                            / F.size("sh_b"), 6).alias("containment_b")))
+
+
 def minhash_lsh_pairs_bipartite(
     left: DataFrame,
     right: DataFrame,

@@ -1319,11 +1319,14 @@ def _minhash_slot_sql(a: int, b: int) -> str:
 def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_k: int,
                         threshold: float,
                         source: str = "documents",
-                        bipartite: tuple[str, str] | None = None) -> str:
+                        bipartite: tuple[str, str] | None = None,
+                        metric: str = "jaccard") -> str:
     """Full MinHash+LSH replication in DuckDB SQL (seed-42 coefficients
     embedded). ``bipartite=(left_pred, right_pred)`` swaps the self-join's
     ``a.doc_id < b.doc_id`` for cross-corpus membership predicates over
-    ``a.doc_id`` / ``b.doc_id``."""
+    ``a.doc_id`` / ``b.doc_id``. ``metric='containment'`` verifies
+    |A∩B|/min(|A|,|B|) and emits both directions' containments instead
+    of symmetric Jaccard."""
     from league_of_legends_data_pipeline_spark.operators.dedup import (
         minhash_coefficients,
     )
@@ -1365,7 +1368,24 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_k: int,
         FROM exploded a JOIN exploded b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash
          AND {pair_pred}
-    )
+    ){_lsh_verify_sql(metric, threshold)}"""
+
+
+def _lsh_verify_sql(metric: str, threshold: float) -> str:
+    if metric == "containment":
+        return f"""
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(hm_a, hm_b)) AS BIGINT) AS n_shared,
+           CAST(round(CAST(len(list_intersect(hm_a, hm_b)) AS DOUBLE)
+               / len(hm_a), 6) AS DOUBLE) AS containment_a,
+           CAST(round(CAST(len(list_intersect(hm_a, hm_b)) AS DOUBLE)
+               / len(hm_b), 6) AS DOUBLE) AS containment_b
+    FROM cands
+    WHERE CAST(len(list_intersect(hm_a, hm_b)) AS DOUBLE)
+          / least(len(hm_a), len(hm_b)) >= {threshold}
+    ORDER BY id_a, id_b
+    """
+    return f"""
     SELECT id_a, id_b,
            CAST(round(CAST(len(list_intersect(hm_a, hm_b)) AS DOUBLE)
                / (len(hm_a) + len(hm_b) - len(list_intersect(hm_a, hm_b))), 6)
@@ -7980,68 +8000,29 @@ def q152_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q153_containment_pairs",
-    """
-    -- asymmetric near-dup: Jaccard CONTAINMENT |A∩B|/|A| over 5-char
-    -- shingle sets for (lang, source)-blocked pairs — catches
-    -- sub/superset duplication (a doc embedded in a longer one) that
-    -- symmetric Jaccard scores low because the union is dominated by
-    -- the longer side.
-    WITH sh AS (
-      SELECT doc_id, lang, source,
-             list_distinct(list_transform(
-                 range(1, greatest(length(text) - 4, 1) + 1),
-                 i -> substr(text, CAST(i AS INT), 5))) AS shingles
-      FROM documents
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
-               AS n_shared,
-           CAST(round(CAST(len(list_intersect(a.shingles, b.shingles))
-                           AS DOUBLE) / len(a.shingles), 6) AS DOUBLE)
-               AS containment_a,
-           CAST(round(CAST(len(list_intersect(a.shingles, b.shingles))
-                           AS DOUBLE) / len(b.shingles), 6) AS DOUBLE)
-               AS containment_b
-    FROM sh a JOIN sh b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-          / least(len(a.shingles), len(b.shingles)) >= 0.5
-    ORDER BY id_a, id_b
-    """,
-    doc="Containment near-dup pairs: |A∩B|/|A| and /|B| over char-5 "
-        "shingles, emitted when the higher direction >= 0.5 (i.e. "
-        "intersection >= half the SMALLER set). (lang, source) "
-        "blocking bounds the verifier (~110 docs/block at sf0.1 — the "
-        "LSH-banded candidates are the unbounded-corpus path, exactly "
-        "as q25 vs q35); the intersection is computed once per pair "
-        "and reused for both directions.",
+    _minhash_lsh_oracle(num_hashes=16, bands=4, shingle_k=5, threshold=0.5,
+                        metric="containment"),
+    doc="Asymmetric near-dup (operators/dedup.py::"
+        "minhash_lsh_containment_pairs): Jaccard CONTAINMENT |A∩B|/|A| "
+        "and /|B| over hashed 5-char shingles, emitted when "
+        "intersection >= half the SMALLER set — catches sub/superset "
+        "duplication symmetric Jaccard under-scores, and classifies "
+        "each pair's asymmetry. Candidates come from the SAME banded "
+        "MinHash machinery as q35 (bucket equi-join, bucket-size cap) — "
+        "sub-quadratic at any corpus size, vs a blocked all-pairs "
+        "verifier whose cost is quadratic in block growth. The oracle "
+        "replays every stage (seed-42 signatures, banding, candidate "
+        "join, containment verify) bit-for-bit.",
 )
 def q153_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.dedup import (
-        char_shingles,
+        minhash_lsh_containment_pairs,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    sh = documents.select(
-        "doc_id", "lang", "source",
-        char_shingles("text", 5).alias("shingles"),
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    a = sh.select("lang", "source", F.col("doc_id").alias("id_a"),
-                  F.col("shingles").alias("sh_a"))
-    b = sh.select("lang", "source", F.col("doc_id").alias("id_b"),
-                  F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    pairs = (a.join(b, ["lang", "source"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("n_shared", inter.cast("long"))
-             .filter(F.col("n_shared")
-                     / F.least(F.size("sh_a"), F.size("sh_b")) >= 0.5))
-    return (pairs.select(
-        "id_a", "id_b", "n_shared",
-        F.round(F.col("n_shared").cast("double") / F.size("sh_a"), 6)
-        .alias("containment_a"),
-        F.round(F.col("n_shared").cast("double") / F.size("sh_b"), 6)
-        .alias("containment_b"))
+    return (minhash_lsh_containment_pairs(
+        documents, "doc_id", "text", shingle_k=5, num_hashes=16,
+        bands=4, containment_threshold=0.5)
         .orderBy("id_a", "id_b"))
 
 

@@ -2111,3 +2111,41 @@ def test_edit_distance_pairs_finds_planted_edits(spark):
                                 ["doc_id", "text"])
     with _pytest.raises(ValueError, match="max_block_size"):
         edit_distance_pairs(big, "doc_id", "text", max_block_size=4).count()
+
+
+def test_containment_pairs_detect_subset_docs(spark):
+    """A document embedded inside a longer one: containment of the
+    smaller side ~1.0 while symmetric Jaccard is low — the asymmetric
+    signal minhash_lsh_containment_pairs exists to surface."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_containment_pairs, minhash_lsh_pairs,
+    )
+
+    core = ("the training corpus contains this exact paragraph verbatim "
+            "and the dedup pass should notice that fact immediately ")
+    long_doc = ("unrelated preamble text sits here first. " + core
+                + " and then a long unrelated tail follows with plenty of "
+                  "additional filler content to dominate the union of the "
+                  "two shingle sets so plain jaccard stays low for sure "
+                  "while containment of the smaller document stays high.")
+    docs = spark.createDataFrame(
+        [(1, long_doc), (2, core),
+         (3, "совершенно другой текст without any shared shingles at")],
+        ["doc_id", "text"])
+    # bands=16 (1 row/band): the docstring's recall lever for subset
+    # hunts — default 4x4 bands want high JACCARD, which subset pairs
+    # deliberately lack
+    got = {(r["id_a"], r["id_b"]): r
+           for r in minhash_lsh_containment_pairs(
+               docs, "doc_id", "text", bands=16,
+               containment_threshold=0.8).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    # containment_b (the embedded doc) ~1.0; containment_a much lower
+    assert r["containment_b"] >= 0.95
+    assert r["containment_a"] < 0.6
+    assert (1, 3) not in got and (2, 3) not in got
+    # and symmetric jaccard misses it at the same bar
+    j = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        docs, "doc_id", "text", jaccard_threshold=0.8).collect()}
+    assert (1, 2) not in j
