@@ -369,7 +369,7 @@ def minhash_lsh_containment_pairs(
     *,
     shingle_k: int = 5,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int | None = None,
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     containment_threshold: float = 0.5,
@@ -382,14 +382,22 @@ def minhash_lsh_containment_pairs(
 
     Same sub-quadratic candidate machinery as :func:`minhash_lsh_pairs`
     (banded signatures, bucket equi-join, bucket-size cap) — the scale
-    path, vs the blocked all-pairs verifier tier. Known recall note:
-    MinHash bands recall high-JACCARD pairs, so an extreme subset (tiny
-    doc inside a huge one) can evade the bands even at containment 1.0;
-    widen recall with more bands / fewer rows per band when hunting
-    aggressive subset duplication. Emits pairs where
+    path, vs the blocked all-pairs verifier tier. Recall note: MinHash
+    band-collision probability is ~J^rows where J is the SYMMETRIC
+    Jaccard, and the pairs this operator exists to find (one doc
+    embedded in a much longer one) have LOW symmetric Jaccard even at
+    containment 1.0 — multi-row bands would recall almost none of them.
+    ``bands`` therefore defaults to ``num_hashes`` (one signature row
+    per band, collision prob ~J per band — the permissive end of the
+    S-curve), trading more candidate pairs for the recall the operator
+    is for; the exact containment verifier below prunes the extras.
+    Callers that want a tighter candidate set (higher-J subsets only)
+    pass a smaller ``bands`` explicitly. Emits pairs where
     ``|A∩B| / min(|A|, |B|)`` >= the threshold, with both directions'
     containments.
     """
+    if bands is None:
+        bands = num_hashes
     if num_hashes % bands:
         raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
                          f"into bands ({bands})")
@@ -842,7 +850,7 @@ def edit_distance_pairs(
     *,
     band_cols: list[str] | None = None,
     length_col: str | None = None,
-    length_tolerance: int = 2,
+    length_tolerance: int | None = None,
     max_distance: int = 5,
     max_block_size: int = 10_000,
 ) -> DataFrame:
@@ -855,14 +863,18 @@ def edit_distance_pairs(
 
     Same blocking/guard scheme as :func:`ngram_jaccard_pairs` — equal
     ``band_cols`` + length-bucketed |len diff| <= tolerance (a valid
-    prune: edit distance >= length difference, so pairs outside the
-    tolerance cannot be within ``max_distance`` when ``length_tolerance
-    >= max_distance`` ... callers wanting that guarantee set them equal;
-    the default keeps the candidate set tighter). Verification is the
-    JVM ``levenshtein`` expression — O(len²) per candidate pair, which
-    is why ``max_block_size`` refuses degenerate blocks just like the
-    Jaccard verifier.
+    prune: edit distance >= length difference, so the blocking is
+    LOSSLESS exactly when ``length_tolerance >= max_distance``).
+    ``length_tolerance`` therefore defaults to ``max_distance`` — the
+    no-missed-pairs condition — so default-parameter output is complete;
+    callers who knowingly accept missing long-insertion pairs for a
+    tighter candidate set pass a smaller tolerance explicitly.
+    Verification is the JVM ``levenshtein`` expression — O(len²) per
+    candidate pair, which is why ``max_block_size`` refuses degenerate
+    blocks just like the Jaccard verifier.
     """
+    if length_tolerance is None:
+        length_tolerance = max_distance
     band_cols = band_cols or []
     raw = df.select(
         F.col(id_col).alias("doc_id"),

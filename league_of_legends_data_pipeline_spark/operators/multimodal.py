@@ -119,6 +119,20 @@ def _decode_image_native(raw: bytes):
     if raw[:2] == b"BM":
         if len(raw) < 54:
             raise ValueError("bmp: truncated header")
+        # The width/height/bpp offsets below are BITMAPINFOHEADER layout;
+        # an OS/2 BITMAPCOREHEADER (DIB size 12, u16 dims at different
+        # offsets) would silently decode garbage from them, and a
+        # compressed raster (BI_RLE8/RLE4/BITFIELDS...) breaks the
+        # uncompressed row-stride size check. Return None for both so the
+        # payload falls through to Pillow (or a DecoderMissing error row)
+        # instead of reporting wrong dimensions / a bogus "truncated
+        # raster".
+        (dib_size,) = struct.unpack_from("<I", raw, 14)
+        if dib_size not in (40, 52, 56, 108, 124):
+            return None
+        (compression,) = struct.unpack_from("<I", raw, 30)
+        if compression != 0:  # only BI_RGB (uncompressed) is vendored
+            return None
         # BITMAPINFOHEADER: i32 width @18, i32 height @22 (negative =
         # top-down), u16 bpp @28
         width, height = struct.unpack_from("<ii", raw, 18)

@@ -517,11 +517,32 @@ def _jdbc_widen_column(conn, stmt, table: str, name: str,
         stmt.executeUpdate(f"ALTER TABLE {table} ADD COLUMN {qt} {ddl_type}")
         stmt.executeUpdate(f"UPDATE {table} SET {qt} = {q}")
         stmt.executeUpdate(f"ALTER TABLE {table} DROP COLUMN {q}")
+        # The two RENAME spellings are tried in the SAME open transaction,
+        # and PostgreSQL-style engines abort the whole transaction on the
+        # first statement error — a bare retry would then fail with
+        # "transaction aborted" and the widen would always roll back on
+        # exactly the engines that need the second spelling. Bracket the
+        # first attempt in a savepoint: release on success, rollback-to on
+        # failure so the transaction is live again for the Derby spelling.
+        # Engines without savepoint support raise from setSavepoint itself;
+        # for those, fall back to the bare try/except (they are also the
+        # engines whose error handling doesn't poison the transaction).
+        try:
+            sp = conn.setSavepoint()
+        except Exception:
+            sp = None
         try:
             # standard / Postgres / MySQL 8 / Oracle spelling first
             stmt.executeUpdate(
                 f"ALTER TABLE {table} RENAME COLUMN {qt} TO {q}")
+            if sp is not None:
+                try:
+                    conn.releaseSavepoint(sp)
+                except Exception:
+                    pass  # release is advisory; commit below subsumes it
         except Exception:
+            if sp is not None:
+                conn.rollback(sp)
             # Derby's spelling
             stmt.executeUpdate(f"RENAME COLUMN {table}.{qt} TO {q}")
         conn.commit()

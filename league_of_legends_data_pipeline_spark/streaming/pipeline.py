@@ -207,4 +207,12 @@ def stream_interval_join(
     cond = key_cond[0]
     for c in key_cond[1:] + time_cond:
         cond = cond & c
-    return l_.join(r_, cond, "inner")
+    joined = l_.join(r_, cond, "inner")
+    # The raw-condition join carries BOTH sides' identically-named equi-key
+    # columns, making any unqualified downstream reference to a key column
+    # ambiguous. Emit each key once (left side) plus the right side's
+    # non-key columns, so the result behaves like an equi-join on `keys`.
+    return joined.select(
+        "l.*",
+        *[F.col(f"r.{c}") for c in right.columns if c not in keys],
+    )

@@ -63,13 +63,24 @@ def _ppm(w, h, *, comment=False, truncate=0, gray=False):
     return hdr + body
 
 
-def _bmp(w, h, bpp=24, truncate=0):
+def _bmp(w, h, bpp=24, truncate=0, compression=0):
     import struct
     row = (w * bpp + 31) // 32 * 4
     body = bytes(row * h - truncate)
     hdr = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-           + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, bpp, 0,
+           + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, bpp, compression,
                          len(body), 2835, 2835, 0, 0))
+    return hdr + body
+
+
+def _bmp_os2(w, h, bpp=24):
+    # OS/2 BITMAPCOREHEADER: DIB size 12, u16 width/height — the
+    # BITMAPINFOHEADER field offsets decode garbage from this layout
+    import struct
+    row = (w * bpp + 31) // 32 * 4
+    body = bytes(row * h)
+    hdr = (b"BM" + struct.pack("<IHHI", 26 + len(body), 0, 0, 26)
+           + struct.pack("<IHHHH", 12, w, h, 1, bpp))
     return hdr + body
 
 
@@ -86,6 +97,8 @@ def test_decode_image_vendored_formats_end_to_end(spark):
         (6, _ppm(5, 4, truncate=1)),           # short raster -> error
         (7, _bmp(6, 3, truncate=5)),           # short raster -> error
         (8, b"GIF89a not ours"),               # unknown magic
+        (9, _bmp_os2(6, 3)),                   # OS/2 core header -> not ours
+        (10, _bmp(6, 3, compression=1)),       # BI_RLE8 -> not ours
     ]
     df = spark.createDataFrame(
         [(i, bytearray(p)) for i, p in payloads], ["id", "bin"])
@@ -100,6 +113,12 @@ def test_decode_image_vendored_formats_end_to_end(spark):
     assert got[7][3] == "DecodeError:bmp: truncated raster"
     assert got[8][:3] == (None, None, None) and got[8][3] in (
         "DecoderMissing",) or got[8][3].startswith("DecodeError")
+    # OS/2 / compressed BMPs must NOT be mis-decoded with the
+    # BITMAPINFOHEADER offsets — they fall through (DecoderMissing here,
+    # Pillow when present), never a silently-wrong width/height
+    for i in (9, 10):
+        assert got[i][:2] == (None, None) or got[i][:2] == (6, 3)
+        assert got[i][:2] != (0, 0)
 
 
 def test_frame_sample_slices_and_strides(spark):

@@ -2106,6 +2106,15 @@ def test_edit_distance_pairs_finds_planted_edits(spark):
                                         max_distance=5).collect()}
     assert got[(1, 2)] == 1
     assert (1, 4) not in got and (2, 4) not in got
+    # default length_tolerance = max_distance (the lossless-blocking
+    # condition): a 3-char insertion (length diff 3 > the old default
+    # tolerance of 2) must be found with DEFAULT parameters
+    df2 = spark.createDataFrame(
+        docs + [(5, docs[0][1] + "xyz")], ["doc_id", "text"])
+    got2 = {(r["id_a"], r["id_b"]): r["distance"]
+            for r in edit_distance_pairs(df2, "doc_id", "text",
+                                         max_distance=5).collect()}
+    assert got2[(1, 5)] == 3
     # degenerate block refusal
     big = spark.createDataFrame([(i, "same") for i in range(9)],
                                 ["doc_id", "text"])
@@ -2132,12 +2141,13 @@ def test_containment_pairs_detect_subset_docs(spark):
         [(1, long_doc), (2, core),
          (3, "совершенно другой текст without any shared shingles at")],
         ["doc_id", "text"])
-    # bands=16 (1 row/band): the docstring's recall lever for subset
-    # hunts — default 4x4 bands want high JACCARD, which subset pairs
-    # deliberately lack
+    # DEFAULT parameters must detect the embedded doc: bands defaults to
+    # num_hashes (1 row/band), the permissive S-curve end subset pairs
+    # need — multi-row bands want high symmetric JACCARD, which subset
+    # pairs deliberately lack
     got = {(r["id_a"], r["id_b"]): r
            for r in minhash_lsh_containment_pairs(
-               docs, "doc_id", "text", bands=16,
+               docs, "doc_id", "text",
                containment_threshold=0.8).collect()}
     assert (1, 2) in got
     r = got[(1, 2)]

@@ -310,7 +310,9 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     joined = stream_interval_join(imps, clks, ["user"], "imp_ts", "clk_ts",
                                   max_delay="10 minutes",
                                   watermark="10 minutes")
-    out = joined.select("l.user", "ad", "imp_ts", "clk_ts")
+    # the join emits each equi-key ONCE — unqualified references resolve
+    assert joined.columns.count("user") == 1
+    out = joined.select("user", "ad", "imp_ts", "clk_ts")
     name = "attrib_join"
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append")
