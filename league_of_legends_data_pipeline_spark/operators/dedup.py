@@ -907,13 +907,19 @@ def edit_distance_pairs(
                    F.col("__len").alias("len_b"),
                    F.col("__text").alias("text_b"),
                    F.floor(F.col("__len") / w).alias("__lb"))
+    # thresholded levenshtein (Spark 3.5+): banded DP that only fills the
+    # 2k+1 diagonal and bails out (returns -1) once the distance provably
+    # exceeds max_distance — O(len·k) per pair instead of O(len²), which
+    # is the difference between "verifier" and "bottleneck" when candidate
+    # texts are hundreds of chars and k is single-digit.
     return (a.join(b, band_cols + ["__lb"])
             .filter((F.col("id_a") < F.col("id_b"))
                     & (F.abs(F.col("len_a") - F.col("len_b"))
                        <= length_tolerance))
             .select("id_a", "id_b",
-                    F.levenshtein("text_a", "text_b").alias("distance"))
-            .filter(F.col("distance") <= max_distance))
+                    F.levenshtein("text_a", "text_b", max_distance)
+                    .alias("distance"))
+            .filter(F.col("distance") >= 0))
 
 
 def _span_rows(df: DataFrame, id_col: str, text_col: str, span_len: int,
