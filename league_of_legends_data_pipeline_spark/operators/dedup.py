@@ -290,6 +290,50 @@ def _minhash_banded(df: DataFrame, id_col: str, text_col: str,
     return base.select("doc_id", "hm"), banded
 
 
+def _cap_buckets(banded: DataFrame, max_bucket_size: int,
+                 observation=None) -> DataFrame:
+    """Drop (band_id, band_hash) buckets larger than ``max_bucket_size``.
+
+    The cap is the hot-bucket guard (a bucket of m docs yields m^2/2
+    candidate pairs), implemented as a window count — it exchanges on the
+    same (band_id, band_hash) key the candidate self-join needs, so the
+    sort/exchange is computed once and reused.
+
+    The cap is also a silent recall eater: every dropped bucket is a set
+    of candidates that will never be verified, and the caller otherwise
+    has no signal that it fired. Pass a ``pyspark.sql.Observation`` as
+    ``observation`` to surface, piggybacked on the caller's own action
+    (zero extra jobs — ``observe`` is a streaming-safe CollectMetrics
+    node, not a count):
+
+    - ``banded_rows``: total (doc, band) rows entering the cap;
+    - ``rows_in_dropped_buckets``: rows discarded by the cap;
+    - ``dropped_buckets``: number of distinct over-cap buckets
+      (CollectMetrics forbids DISTINCT aggregates, so each over-cap row
+      contributes 1/bucket_size — the per-bucket sum is exactly 1).
+
+    After the action: ``observation.get["rows_in_dropped_buckets"]`` etc.
+    A nonzero drop count on a recall-sensitive path (containment pairs
+    with the permissive ``bands=num_hashes`` default especially) means
+    the cap is eating the recall the default was chosen for — raise
+    ``max_bucket_size`` or pre-filter boilerplate shingles.
+    """
+    bw = Window.partitionBy("band_id", "band_hash")
+    banded = banded.withColumn("__bc", F.count(F.lit(1)).over(bw))
+    if observation is not None:
+        over = F.col("__bc") > max_bucket_size
+        banded = banded.observe(
+            observation,
+            F.count(F.lit(1)).alias("banded_rows"),
+            F.sum(F.when(over, 1).otherwise(0)).alias(
+                "rows_in_dropped_buckets"),
+            F.round(F.sum(F.when(over, 1.0 / F.col("__bc"))
+                          .otherwise(0.0))).cast("long").alias(
+                "dropped_buckets"),
+        )
+    return banded.filter(F.col("__bc") <= max_bucket_size).drop("__bc")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -301,6 +345,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     jaccard_threshold: float = 0.5,
+    bucket_cap_observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, exact-Jaccard verified.
 
@@ -336,13 +381,9 @@ def minhash_lsh_pairs(
     #     duplicated candidate.
     hashed, banded = _minhash_banded(df, id_col, text_col, shingle_k,
                                      num_hashes, bands, rows, seed)
-    # cap degenerate buckets (a bucket of m docs yields m^2/2 pairs) with a
-    # window count — it exchanges on the same (band_id, band_hash) key the
-    # self-join needs, so the sort/exchange is computed once and reused
     if max_bucket_size is not None:
-        bw = Window.partitionBy("band_id", "band_hash")
-        banded = banded.withColumn("__bc", F.count(F.lit(1)).over(bw)) \
-                       .filter(F.col("__bc") <= max_bucket_size).drop("__bc")
+        banded = _cap_buckets(banded, max_bucket_size,
+                              bucket_cap_observation)
 
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
@@ -373,6 +414,7 @@ def minhash_lsh_containment_pairs(
     seed: int = 42,
     max_bucket_size: int | None = 1000,
     containment_threshold: float = 0.5,
+    bucket_cap_observation=None,
 ) -> DataFrame:
     """Asymmetric near-dup pairs: Jaccard CONTAINMENT |A∩B|/|A| (and
     /|B|) over LSH-banded candidates — catches sub/superset duplication
@@ -392,9 +434,17 @@ def minhash_lsh_containment_pairs(
     S-curve), trading more candidate pairs for the recall the operator
     is for; the exact containment verifier below prunes the extras.
     Callers that want a tighter candidate set (higher-J subsets only)
-    pass a smaller ``bands`` explicitly. Emits pairs where
-    ``|A∩B| / min(|A|, |B|)`` >= the threshold, with both directions'
-    containments.
+    pass a smaller ``bands`` explicitly.
+
+    The flip side of the permissive default: single-hash bands collide
+    with probability ~J, so corpora with common boilerplate shingles grow
+    hot buckets, and ``max_bucket_size`` silently drops them — exactly
+    the recall the default buys. Pass a ``pyspark.sql.Observation`` as
+    ``bucket_cap_observation`` to surface dropped-bucket/row counts on
+    your own action (see :func:`_cap_buckets`); nonzero drops mean raise
+    the cap, strip boilerplate shingles, or accept the recall loss
+    knowingly. Emits pairs where ``|A∩B| / min(|A|, |B|)`` >= the
+    threshold, with both directions' containments.
     """
     if bands is None:
         bands = num_hashes
@@ -405,9 +455,8 @@ def minhash_lsh_containment_pairs(
     hashed, banded = _minhash_banded(df, id_col, text_col, shingle_k,
                                      num_hashes, bands, rows, seed)
     if max_bucket_size is not None:
-        bw = Window.partitionBy("band_id", "band_hash")
-        banded = banded.withColumn("__bc", F.count(F.lit(1)).over(bw)) \
-                       .filter(F.col("__bc") <= max_bucket_size).drop("__bc")
+        banded = _cap_buckets(banded, max_bucket_size,
+                              bucket_cap_observation)
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
     cands = (a.join(b, ["band_id", "band_hash"])
@@ -444,6 +493,7 @@ def minhash_lsh_pairs_bipartite(
     seed: int = 42,
     max_bucket_size: int | None = None,
     jaccard_threshold: float = 0.5,
+    bucket_cap_observation=None,
 ) -> DataFrame:
     """Cross-CORPUS near-duplicate pairs: (id_a ∈ left, id_b ∈ right,
     jaccard) — fuzzy decontamination, the near-dup generalization of
@@ -472,10 +522,8 @@ def minhash_lsh_pairs_bipartite(
     hashed_r, banded_r = _minhash_banded(right, id_col, text_col, shingle_k,
                                          num_hashes, bands, rows, seed)
     if max_bucket_size is not None:
-        bw = Window.partitionBy("band_id", "band_hash")
-        banded_l = banded_l.withColumn("__bc", F.count(F.lit(1)).over(bw)) \
-                           .filter(F.col("__bc") <= max_bucket_size) \
-                           .drop("__bc")
+        banded_l = _cap_buckets(banded_l, max_bucket_size,
+                                bucket_cap_observation)
     cands = (
         banded_l.select("band_id", "band_hash",
                         F.col("doc_id").alias("id_a"))

@@ -73,7 +73,7 @@ def byte_features(df: DataFrame, id_col: str, bin_col: str,
     return df.select(id_col, bin_col).mapInPandas(extract, FEATURE_SCHEMA)
 
 
-def _decode_image_native(raw: bytes):
+def _decode_image_native(raw: bytes, want_pixels: bool = False):
     """Dependency-free decoder for the two trivial formats the container
     can exercise for real: binary PPM/PGM (netpbm P6/P5) and BMP
     (BITMAPINFOHEADER). Returns (width, height, mode) on success, None
@@ -81,6 +81,15 @@ def _decode_image_native(raw: bytes):
     optional real library), raises ValueError for a recognized magic
     with a corrupt body — a genuine decode, not header sniffing: pixel
     payload length is validated against the declared dimensions.
+
+    ``want_pixels=True`` returns (width, height, mode, pixels) where
+    ``pixels`` is the NORMALIZED raster: top-down scanline order,
+    channel order RGB/RGBA/L, row padding stripped — i.e. BMP's
+    bottom-up rows are flipped, its BGR(A) byte order swapped, and its
+    4-byte row alignment removed, so the same image encoded as PPM and
+    as BMP digests identically. (1-bpp BMP rows are de-padded but left
+    bit-packed.) This is what makes the decode oracle-checkable: the
+    pixel bytes round-trip exactly, not just the header fields.
     """
     import struct
 
@@ -115,10 +124,13 @@ def _decode_image_native(raw: bytes):
         channels = 3 if raw[:2] == b"P6" else 1
         if len(raw) - pos < width * height * channels:
             raise ValueError("netpbm: truncated raster")
-        return width, height, ("RGB" if channels == 3 else "L")
+        mode = "RGB" if channels == 3 else "L"
+        if want_pixels:
+            # netpbm raster is already normalized: top-down, RGB/L order
+            return width, height, mode, \
+                raw[pos:pos + width * height * channels]
+        return width, height, mode
     if raw[:2] == b"BM":
-        if len(raw) < 54:
-            raise ValueError("bmp: truncated header")
         # The width/height/bpp offsets below are BITMAPINFOHEADER layout;
         # an OS/2 BITMAPCOREHEADER (DIB size 12, u16 dims at different
         # offsets) would silently decode garbage from them, and a
@@ -126,18 +138,27 @@ def _decode_image_native(raw: bytes):
         # uncompressed row-stride size check. Return None for both so the
         # payload falls through to Pillow (or a DecoderMissing error row)
         # instead of reporting wrong dimensions / a bogus "truncated
-        # raster".
+        # raster". Sniff the DIB size BEFORE any length floor: a small
+        # but complete OS/2 BMP (26-byte core header, ~30 bytes total for
+        # 1x1) must fall through, not error as "truncated" — only the
+        # 18 bytes that hold the DIB size field are required to decide.
+        if len(raw) < 18:
+            raise ValueError("bmp: truncated header")
         (dib_size,) = struct.unpack_from("<I", raw, 14)
         if dib_size not in (40, 52, 56, 108, 124):
             return None
+        # BITMAPINFOHEADER family confirmed: now the fixed 54-byte
+        # (14 file header + 40 info header) minimum applies.
+        if len(raw) < 54:
+            raise ValueError("bmp: truncated header")
         (compression,) = struct.unpack_from("<I", raw, 30)
         if compression != 0:  # only BI_RGB (uncompressed) is vendored
             return None
         # BITMAPINFOHEADER: i32 width @18, i32 height @22 (negative =
         # top-down), u16 bpp @28
-        width, height = struct.unpack_from("<ii", raw, 18)
+        width, raw_height = struct.unpack_from("<ii", raw, 18)
         (bpp,) = struct.unpack_from("<H", raw, 28)
-        height = abs(height)
+        height = abs(raw_height)
         if width <= 0 or height == 0:
             raise ValueError("bmp: non-positive dimensions")
         mode = {1: "1", 8: "L", 24: "RGB", 32: "RGBA"}.get(bpp)
@@ -147,14 +168,76 @@ def _decode_image_native(raw: bytes):
         row_bytes = (width * bpp + 31) // 32 * 4  # rows pad to 4 bytes
         if len(raw) - data_off < row_bytes * height:
             raise ValueError("bmp: truncated raster")
+        if want_pixels:
+            # normalize: positive height = bottom-up storage -> flip to
+            # top-down; strip the 4-byte row padding; swap BGR(A)->RGB(A)
+            used = (width * bpp + 7) // 8
+            order = (range(height - 1, -1, -1) if raw_height > 0
+                     else range(height))
+            rows = [raw[data_off + r * row_bytes:
+                        data_off + r * row_bytes + used] for r in order]
+            px = bytearray(b"".join(rows))
+            if bpp == 24:
+                px[0::3], px[2::3] = px[2::3], px[0::3]
+            elif bpp == 32:
+                px[0::4], px[2::4] = px[2::4], px[0::4]
+            return width, height, mode, bytes(px)
         return width, height, mode
     return None
 
 
+def encode_ppm(pixels: bytes, width: int, height: int,
+               gray: bool = False) -> bytes:
+    """Inverse of the vendored netpbm decoder: normalized pixels (top-down
+    RGB, or single-channel when ``gray``) → binary P6/P5 payload. The
+    encode/decode pair round-trips byte-exactly — the property the
+    decoder's oracle query pins."""
+    channels = 1 if gray else 3
+    need = width * height * channels
+    if len(pixels) < need:
+        raise ValueError("encode_ppm: not enough pixel bytes")
+    magic = b"P5" if gray else b"P6"
+    return magic + b"\n%d %d\n255\n" % (width, height) + pixels[:need]
+
+
+def encode_bmp24(pixels: bytes, width: int, height: int) -> bytes:
+    """Inverse of the vendored BMP decoder for the 24-bpp BI_RGB case:
+    normalized pixels (top-down RGB, no padding) → a bottom-up BGR
+    4-byte-row-aligned BITMAPINFOHEADER payload. Deliberately exercises
+    every normalization the decoder must undo (row flip, channel swap,
+    padding strip), so decode(encode(px)) == px proves the raster path,
+    not just the header fields."""
+    import struct
+
+    need = width * height * 3
+    if len(pixels) < need:
+        raise ValueError("encode_bmp24: not enough pixel bytes")
+    row_bytes = (width * 3 + 3) // 4 * 4
+    pad = b"\x00" * (row_bytes - width * 3)
+    rows = []
+    for r in range(height - 1, -1, -1):        # bottom-up storage
+        row = bytearray(pixels[r * width * 3:(r + 1) * width * 3])
+        row[0::3], row[2::3] = row[2::3], row[0::3]  # RGB -> BGR
+        rows.append(bytes(row) + pad)
+    raster = b"".join(rows)
+    data_off = 14 + 40
+    header = (b"BM"
+              + struct.pack("<IHHI", data_off + len(raster), 0, 0, data_off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(raster), 2835, 2835, 0, 0))
+    return header + raster
+
+
 def decode_image(df: DataFrame, id_col: str, bin_col: str,
-                 missing_decoder: str = "error_rows") -> DataFrame:
+                 missing_decoder: str = "error_rows",
+                 with_pixel_digest: bool = False) -> DataFrame:
     """Image decode → (id, width, height, mode, error), Arrow-batched
     via ``mapInPandas`` (the :func:`byte_features` plumbing).
+    ``with_pixel_digest=True`` appends ``pixel_md5``: the md5 of the
+    NORMALIZED raster (top-down, RGB/RGBA/L, padding stripped — see
+    :func:`_decode_image_native`) for vendored-format rows, null for
+    error / fall-through rows — content-addressed proof the pixel bytes
+    decoded correctly, not just the header.
 
     Two decode tiers inside the batch loop:
 
@@ -174,6 +257,8 @@ def decode_image(df: DataFrame, id_col: str, bin_col: str,
     (the vendored formats alone are not "an imaging library").
     """
     out_schema = "id bigint, width int, height int, mode string, error string"
+    if with_pixel_digest:
+        out_schema += ", pixel_md5 string"
     try:
         import PIL.Image  # noqa: F401
         have_pil = True
@@ -186,33 +271,48 @@ def decode_image(df: DataFrame, id_col: str, bin_col: str,
                 "decoders are available in this environment.") from e
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
         import io
         if have_pil:
             from PIL import Image  # pragma: no cover
+        cols = ["id", "width", "height", "mode", "error"]
+        if with_pixel_digest:
+            cols.append("pixel_md5")
+
+        def emit(rows, i, w, h, m, err, pixels=None):
+            row = (i, w, h, m, err)
+            if with_pixel_digest:
+                row += (hashlib.md5(pixels).hexdigest()
+                        if pixels is not None else None,)
+            rows.append(row)
+
         for pdf in batches:
             rows = []
             for i, raw in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(raw)
                 try:
-                    native = _decode_image_native(raw)
+                    native = _decode_image_native(
+                        raw, want_pixels=with_pixel_digest)
                 except ValueError as exc:
-                    rows.append((i, None, None, None,
-                                 f"DecodeError:{exc}"))
+                    emit(rows, i, None, None, None, f"DecodeError:{exc}")
                     continue
                 if native is not None:
-                    rows.append((i, *native, None))
+                    w, h, m = native[:3]
+                    emit(rows, i, w, h, m, None,
+                         native[3] if with_pixel_digest else None)
                 elif have_pil:  # pragma: no cover
                     try:
                         with Image.open(io.BytesIO(raw)) as im:
-                            rows.append((i, im.width, im.height, im.mode,
-                                         None))
+                            emit(rows, i, im.width, im.height, im.mode,
+                                 None,
+                                 im.tobytes() if with_pixel_digest
+                                 else None)
                     except Exception as exc:
-                        rows.append((i, None, None, None,
-                                     f"DecodeError:{type(exc).__name__}"))
+                        emit(rows, i, None, None, None,
+                             f"DecodeError:{type(exc).__name__}")
                 else:
-                    rows.append((i, None, None, None, "DecoderMissing"))
-            yield pd.DataFrame(
-                rows, columns=["id", "width", "height", "mode", "error"])
+                    emit(rows, i, None, None, None, "DecoderMissing")
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, bin_col).mapInPandas(decode, out_schema)
 

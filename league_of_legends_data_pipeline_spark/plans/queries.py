@@ -8070,3 +8070,81 @@ def q154_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.min("mn"), 6).alias("min_value"),
                  F.round(F.max("mx"), 6).alias("max_value"))
             .orderBy("event_type"))
+
+
+@_register(
+    "q155_image_decode",
+    """
+    -- vendored image decoders pinned by the oracle: payloads are REAL
+    -- PPM/PGM/BMP bytes built from each document's first bytes (pure
+    -- ASCII testdata: character codes == bytes), decoded back by the
+    -- engine's dependency-free decoders. The md5 below is over the
+    -- ORIGINAL pixel bytes, so a hash match proves the decoder undid
+    -- every encoding artifact (BMP bottom-up rows, BGR order, 4-byte
+    -- row padding) byte-exactly — not just read the header.
+    WITH d AS (
+        SELECT doc_id,
+               2 + doc_id % 5 AS w,
+               1 + (doc_id // 5) % 3 AS h,
+               doc_id % 3 AS fmt,
+               text
+        FROM documents
+        WHERE octet_length(encode(text)) >= 54
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CASE WHEN fmt = 1 THEN 'L' ELSE 'RGB' END AS mode,
+           CAST(NULL AS VARCHAR) AS error,
+           md5(substr(text, 1,
+                      CAST(CASE WHEN fmt = 1 THEN w * h
+                           ELSE w * h * 3 END AS INT))) AS pixel_md5
+    FROM d
+    ORDER BY doc_id
+    """,
+    doc="Real in-container image decode, oracle-verified to the PIXEL "
+        "level (operators/multimodal.py decode_image + encode_ppm/"
+        "encode_bmp24): documents' leading bytes become genuine P6/P5/"
+        "BMP24 payloads (id-derived dims; BMP stored bottom-up BGR "
+        "padded — the decoder must normalize all three), decoded in the "
+        "Arrow-batched mapInPandas stage with pixel_md5 digests. Only "
+        "54 JVM-sliced bytes per row cross into Python, so the stage "
+        "is constant-width at any corpus scale.",
+)
+def q155_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        decode_image, encode_bmp24, encode_ppm,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    # slice JVM-side: only the 54 payload-feeding bytes enter Python
+    src = (documents.filter(F.octet_length("text") >= 54)
+           .select("doc_id", F.substring("text", 1, 54).alias("px_src")))
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, text in zip(pdf["doc_id"], pdf["px_src"]):
+                did = int(did)
+                data = text.encode("utf-8")
+                w = 2 + did % 5
+                h = 1 + (did // 5) % 3
+                fmt = did % 3
+                if fmt == 0:
+                    payload = encode_ppm(data, w, h)
+                elif fmt == 1:
+                    payload = encode_ppm(data, w, h, gray=True)
+                else:
+                    payload = encode_bmp24(data, w, h)
+                ids.append(did)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bin = src.mapInPandas(build, "doc_id bigint, payload binary")
+    out = decode_image(with_bin, "doc_id", "payload",
+                       with_pixel_digest=True)
+    return (out.select(F.col("id").alias("doc_id"), "width", "height",
+                       "mode", "error", "pixel_md5")
+            .orderBy("doc_id"))

@@ -542,7 +542,17 @@ def _jdbc_widen_column(conn, stmt, table: str, name: str,
                     pass  # release is advisory; commit below subsumes it
         except Exception:
             if sp is not None:
-                conn.rollback(sp)
+                try:
+                    conn.rollback(sp)
+                except Exception:
+                    # Rollback-to-savepoint can itself fail (e.g. the
+                    # engine invalidated the savepoint via an implicit
+                    # DDL commit). Don't let that mask the RENAME
+                    # failure or skip the Derby spelling: proceed to the
+                    # second attempt — if the transaction really is dead
+                    # it surfaces its own error there, and the outer
+                    # handler still restores the table.
+                    pass
             # Derby's spelling
             stmt.executeUpdate(f"RENAME COLUMN {table}.{qt} TO {q}")
         conn.commit()

@@ -161,3 +161,51 @@ def test_jdbc_evolve_append_widens_drifting_types(spark, derby_home):
     bad = spark.createDataFrame([(7, "oops")], "k int, v string")
     with pytest.raises(ValueError, match="not a lossless widening"):
         jdbc_evolve_append(spark, bad, url, "widen", driver=DERBY_DRIVER)
+
+
+def test_widen_rollback_failure_does_not_mask_derby_spelling():
+    """Round-7 ADVICE: if rollback-to-savepoint itself fails (engine
+    invalidated the savepoint via an implicit DDL commit), the Derby
+    RENAME spelling must still be attempted instead of the rollback
+    error masking the original failure. Duck-typed JDBC fakes — the
+    function only touches conn/stmt through their JDBC methods."""
+    from league_of_legends_data_pipeline_spark.sinks import _jdbc_widen_column
+
+    executed = []
+
+    class FakeStmt:
+        def executeUpdate(self, sql):
+            executed.append(sql)
+            if "ALTER COLUMN" in sql or " MODIFY " in sql:
+                raise RuntimeError("in-place widen unsupported")
+            if sql.startswith("ALTER TABLE") and "RENAME COLUMN" in sql:
+                raise RuntimeError("standard RENAME unsupported")
+            return 1  # ADD / UPDATE / DROP / Derby RENAME succeed
+
+    class FakeConn:
+        committed = False
+        full_rollback = False
+
+        def setAutoCommit(self, v):
+            pass
+
+        def setSavepoint(self):
+            return object()
+
+        def releaseSavepoint(self, sp):
+            pass
+
+        def rollback(self, sp=None):
+            if sp is not None:  # rollback-to-savepoint: engine killed it
+                raise RuntimeError("savepoint no longer exists")
+            self.full_rollback = True
+
+        def commit(self):
+            self.committed = True
+
+    conn = FakeConn()
+    _jdbc_widen_column(conn, FakeStmt(), "T", "v", "BIGINT")
+    # the Derby spelling ran and the widen committed — the rollback
+    # failure neither masked the path nor aborted the dance
+    assert any(s.startswith("RENAME COLUMN T.") for s in executed)
+    assert conn.committed and not conn.full_rollback

@@ -121,6 +121,29 @@ def test_decode_image_vendored_formats_end_to_end(spark):
         assert got[i][:2] != (0, 0)
 
 
+def test_bmp_dib_sniff_before_length_floor():
+    """A SMALL but complete OS/2 BMP (26-byte core header; 1x1 is ~30
+    bytes total, under the 54-byte BITMAPINFOHEADER minimum) must fall
+    through as not-ours (None), not error as 'truncated' — the DIB-size
+    sniff needs only 18 bytes and must run before the 54-byte floor.
+    Round-7 ADVICE: the floor ran first and mislabeled these."""
+    import struct
+
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        _decode_image_native,
+    )
+    tiny_os2 = _bmp_os2(1, 1)
+    assert len(tiny_os2) < 54          # the case the old order mishandled
+    assert _decode_image_native(tiny_os2) is None
+    # genuinely truncated payloads still error, at both tiers:
+    with pytest.raises(ValueError):    # can't even read the DIB size
+        _decode_image_native(b"BM" + bytes(10))
+    info_truncated = (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+                      + struct.pack("<I", 40))   # dib=40 claimed, 22 bytes
+    with pytest.raises(ValueError):
+        _decode_image_native(info_truncated)
+
+
 def test_frame_sample_slices_and_strides(spark):
     # 70 bytes, 32-byte frames -> frames at offsets 0 and 32 (tail dropped);
     # every_nth=2 on a 5-frame payload keeps frames 0, 2, 4

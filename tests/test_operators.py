@@ -2159,3 +2159,63 @@ def test_containment_pairs_detect_subset_docs(spark):
     j = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
         docs, "doc_id", "text", jaccard_threshold=0.8).collect()}
     assert (1, 2) not in j
+
+
+def test_bucket_cap_observation_surfaces_dropped_buckets(spark):
+    """Round-7 ADVICE: the hot-bucket cap silently eats recall (worst
+    with the permissive bands=num_hashes containment default). The
+    Observation channel must report exactly which volume was dropped,
+    piggybacked on the caller's own action — no extra job."""
+    from pyspark.sql import Observation
+
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_containment_pairs,
+    )
+
+    # 8 identical docs -> an 8-row bucket in EVERY band (identical text,
+    # identical signature); 4 distinct docs -> singleton buckets
+    docs = ([(i, "the shared viral boilerplate sentence that repeats "
+                 "across this entire crawl snapshot") for i in range(8)]
+            + [(100 + i, f"standalone document number {i} carrying its "
+                         f"own entirely unrelated vocabulary")
+               for i in range(4)])
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    obs = Observation("bucket_cap")
+    pairs = minhash_lsh_containment_pairs(
+        df, "doc_id", "text", num_hashes=16, max_bucket_size=4,
+        bucket_cap_observation=obs)
+    dup_pairs = [r for r in pairs.collect()
+                 if r["id_a"] < 100 and r["id_b"] < 100]
+    # the identical family's buckets exceed the cap in all 16 bands, so
+    # none of its 28 pairs survive — that's the silent recall loss...
+    assert dup_pairs == []
+    # ...and the observation is the signal: 12 docs x 16 single-hash
+    # bands in, the 8-doc bucket dropped in each band (a standalone doc
+    # that chance-collides into a hot band only grows that bucket, so
+    # >= the family's 8 rows per band, never fewer)
+    m = obs.get
+    assert m["banded_rows"] == 12 * 16
+    assert 8 * 16 <= m["rows_in_dropped_buckets"] <= 12 * 16
+    assert m["dropped_buckets"] == 16
+
+
+def test_bucket_cap_observation_zero_when_cap_idle(spark):
+    """No over-cap buckets -> all-zero drop metrics (callers key alerts
+    off nonzero, so idle must read as exactly zero)."""
+    from pyspark.sql import Observation
+
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"document {i} has a private vocabulary all of its own "
+             f"with marker token number{i}") for i in range(6)],
+        ["doc_id", "text"])
+    obs = Observation("bucket_cap_idle")
+    minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=1000,
+                      bucket_cap_observation=obs).collect()
+    m = obs.get
+    assert m["banded_rows"] > 0
+    assert m["rows_in_dropped_buckets"] == 0
+    assert m["dropped_buckets"] == 0
