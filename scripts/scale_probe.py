@@ -131,6 +131,11 @@ PROBE_QUERIES = [
     "q152_tfidf_cosine_pairs",
     # blocked containment verifier — same watch as q25
     "q153_containment_pairs",
+    # round-8 additions:
+    # partial-state merge: two chained groupBys, states not events
+    "q154_incremental_agg_merge",
+    # constant-width (54-byte) Arrow decode stage — must be pure-linear
+    "q155_image_decode",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

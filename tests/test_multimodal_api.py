@@ -144,6 +144,34 @@ def test_bmp_dib_sniff_before_length_floor():
         _decode_image_native(info_truncated)
 
 
+def test_encode_decode_pixel_roundtrip():
+    """encode_ppm/encode_bmp24 are exact inverses of the vendored
+    decoders at the PIXEL level: decode(encode(px)) == px for every
+    normalization the BMP path must undo (bottom-up rows, BGR order,
+    4-byte padding — odd widths exercise nonzero padding)."""
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        _decode_image_native, encode_bmp24, encode_ppm,
+    )
+    px = bytes((7 * i + 3) % 256 for i in range(6 * 3 * 3))
+    cases = [
+        (encode_ppm(px, 6, 3), (6, 3, "RGB"), 54),
+        (encode_ppm(px, 4, 3, gray=True), (4, 3, "L"), 12),
+        (encode_bmp24(px, 6, 3), (6, 3, "RGB"), 54),   # padding-free rows
+        (encode_bmp24(px, 5, 2), (5, 2, "RGB"), 30),   # 15->16 row pad
+        (encode_bmp24(px, 3, 1), (3, 1, "RGB"), 9),    # 9->12 row pad
+    ]
+    for payload, want_whm, n in cases:
+        got = _decode_image_native(payload, want_pixels=True)
+        assert got[:3] == want_whm
+        assert got[3] == px[:n]
+        # 3-tuple contract unchanged without want_pixels
+        assert _decode_image_native(payload) == want_whm
+    with pytest.raises(ValueError):
+        encode_bmp24(px[:10], 6, 3)
+    with pytest.raises(ValueError):
+        encode_ppm(px[:10], 6, 3)
+
+
 def test_frame_sample_slices_and_strides(spark):
     # 70 bytes, 32-byte frames -> frames at offsets 0 and 32 (tail dropped);
     # every_nth=2 on a 5-frame payload keeps frames 0, 2, 4

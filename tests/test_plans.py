@@ -236,6 +236,20 @@ PLAN_SHAPE_GOLDENS = {
                             "BroadcastNestedLoopJoin": 3},
     "q44_dedup_clusters": {"SortMergeJoin": 3},
     "q103_duplicated_spans": {},
+    # round-8: the q147-q155 sketch/layout/pairs tier (round-7 verdict
+    # item 4) — the containment plan especially, whose bands=num_hashes
+    # recall default must stay a capped broadcast-banded join, and the
+    # HLL/CMS sketches, whose probes must stay broadcasts
+    "q147_hll_cardinality": {"BroadcastHashJoin": 2},
+    "q148_cms_heavy_hitters": {"BroadcastHashJoin": 2},
+    "q149_zorder_locality": {},
+    "q150_edit_distance_pairs": {"BroadcastHashJoin": 1},
+    "q151_session_transitions": {"BroadcastHashJoin": 1},
+    "q152_tfidf_cosine_pairs": {"BroadcastHashJoin": 7,
+                                "BroadcastNestedLoopJoin": 4},
+    "q153_containment_pairs": {"BroadcastHashJoin": 3},
+    "q154_incremental_agg_merge": {},
+    "q155_image_decode": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
