@@ -5,10 +5,10 @@ Design (per the 100 TB training-data-pipeline requirement): media travels
 as a ``binary`` column next to typed metadata columns; Spark never
 interprets the bytes except inside explicitly-batched ``mapInPandas``
 stages. Full-coverage decoders (PIL/librosa/av) are not available in this
-environment, so ``decode_image`` vendors dependency-free PPM/PGM/BMP
+environment, so ``decode_image`` vendors dependency-free PPM/PGM/BMP/PNG
 decoders that run for real in-container (payload-validated, not header
-sniffing), falls through to Pillow when importable, and degrades to P12
-error rows otherwise; ``byte_features`` is a genuine Arrow-batched
+sniffing; PNG via stdlib zlib per the public spec), falls through to
+Pillow when importable, and degrades to P12 error rows otherwise; ``byte_features`` is a genuine Arrow-batched
 feature extractor over the raw bytes (deterministic, so it is
 DuckDB-oracle-checkable).
 """
@@ -74,9 +74,10 @@ def byte_features(df: DataFrame, id_col: str, bin_col: str,
 
 
 def _decode_image_native(raw: bytes, want_pixels: bool = False):
-    """Dependency-free decoder for the two trivial formats the container
-    can exercise for real: binary PPM/PGM (netpbm P6/P5) and BMP
-    (BITMAPINFOHEADER). Returns (width, height, mode) on success, None
+    """Dependency-free decoder for the formats the container can
+    exercise for real: binary PPM/PGM (netpbm P6/P5), BMP
+    (BITMAPINFOHEADER), and 8-bit non-interlaced PNG (stdlib zlib).
+    Returns (width, height, mode) on success, None
     when the magic is not one of ours (caller falls through to the
     optional real library), raises ValueError for a recognized magic
     with a corrupt body — a genuine decode, not header sniffing: pixel
@@ -183,6 +184,85 @@ def _decode_image_native(raw: bytes, want_pixels: bool = False):
                 px[0::4], px[2::4] = px[2::4], px[0::4]
             return width, height, mode, bytes(px)
         return width, height, mode
+    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG per the public spec (RFC 2083 / ISO 15948): chunk walk,
+        # IDAT inflate via stdlib zlib, per-row unfilter. Vendored tier
+        # covers 8-bit greyscale/truecolor/truecolor+alpha without
+        # interlace; palette, 16-bit, and Adam7 fall through (None) to
+        # Pillow rather than half-decoding. Like the BMP path this is a
+        # genuine decode: the raster is inflated and length-validated
+        # even when only dimensions are wanted.
+        import zlib
+
+        pos, ihdr, idat = 8, None, bytearray()
+        while pos + 8 <= len(raw):
+            (ln,) = struct.unpack_from(">I", raw, pos)
+            ctype = raw[pos + 4:pos + 8]
+            data = raw[pos + 8:pos + 8 + ln]
+            if len(data) < ln:
+                raise ValueError("png: truncated chunk")
+            if ctype == b"IHDR":
+                ihdr = data
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+            pos += 12 + ln
+        if ihdr is None or len(ihdr) < 13:
+            raise ValueError("png: missing IHDR")
+        width, height = struct.unpack_from(">II", ihdr, 0)
+        bitdepth, colortype, comp, filt, interlace = ihdr[8:13]
+        if (bitdepth != 8 or interlace != 0 or comp != 0 or filt != 0
+                or colortype not in (0, 2, 6)):
+            return None  # palette / 16-bit / Adam7: not vendored
+        if width <= 0 or height <= 0:
+            raise ValueError("png: non-positive dimensions")
+        channels = {0: 1, 2: 3, 6: 4}[colortype]
+        mode = {0: "L", 2: "RGB", 6: "RGBA"}[colortype]
+        try:
+            scan = zlib.decompress(bytes(idat))
+        except zlib.error as exc:
+            raise ValueError(f"png: bad IDAT ({exc})") from None
+        stride = width * channels
+        if len(scan) < (stride + 1) * height:
+            raise ValueError("png: truncated raster")
+        if not want_pixels:
+            return width, height, mode
+        # unfilter (filters are defined on the PRIOR decoded row/pixel,
+        # so this is inherently sequential in x for sub/avg/paeth —
+        # fine for the vendored small-image tier; Pillow's C loops are
+        # the throughput path when installed)
+        out = bytearray(stride * height)
+        prev = bytes(stride)
+        for y in range(height):
+            f = scan[y * (stride + 1)]
+            row = bytearray(
+                scan[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+            if f == 1:      # Sub
+                for x in range(channels, stride):
+                    row[x] = (row[x] + row[x - channels]) & 0xFF
+            elif f == 2:    # Up
+                for x in range(stride):
+                    row[x] = (row[x] + prev[x]) & 0xFF
+            elif f == 3:    # Average
+                for x in range(stride):
+                    a = row[x - channels] if x >= channels else 0
+                    row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:    # Paeth
+                for x in range(stride):
+                    a = row[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else \
+                        (b if pb <= pc else c)
+                    row[x] = (row[x] + pr) & 0xFF
+            elif f != 0:
+                raise ValueError(f"png: unknown filter {f}")
+            out[y * stride:(y + 1) * stride] = row
+            prev = row
+        return width, height, mode, bytes(out)
     return None
 
 
@@ -228,6 +308,32 @@ def encode_bmp24(pixels: bytes, width: int, height: int) -> bytes:
     return header + raster
 
 
+def encode_png(pixels: bytes, width: int, height: int,
+               mode: str = "RGB") -> bytes:
+    """Inverse of the vendored PNG decoder: normalized pixels → an
+    8-bit non-interlaced PNG (filter 0 rows, one zlib IDAT). Modes:
+    ``L`` / ``RGB`` / ``RGBA``."""
+    import struct
+    import zlib
+
+    channels = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+    colortype = {"L": 0, "RGB": 2, "RGBA": 6}[mode]
+    need = width * height * channels
+    if len(pixels) < need:
+        raise ValueError("encode_png: not enough pixel bytes")
+    stride = width * channels
+    scan = b"".join(b"\x00" + pixels[y * stride:(y + 1) * stride]
+                    for y in range(height))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+
+
 def decode_image(df: DataFrame, id_col: str, bin_col: str,
                  missing_decoder: str = "error_rows",
                  with_pixel_digest: bool = False) -> DataFrame:
@@ -241,9 +347,10 @@ def decode_image(df: DataFrame, id_col: str, bin_col: str,
 
     Two decode tiers inside the batch loop:
 
-    - vendored dependency-free decoders for binary PPM/PGM and BMP
-      (:func:`_decode_image_native`) — these run for REAL in this
-      container, pixel-payload validation included;
+    - vendored dependency-free decoders for binary PPM/PGM, BMP, and
+      8-bit non-interlaced PNG (:func:`_decode_image_native`) — these
+      run for REAL in this container, pixel-payload validation
+      included;
     - any other format falls through to Pillow when importable; when it
       is not (this container), the row degrades to the engine's P12
       error-row convention: null dimensions, ``error='DecoderMissing'``

@@ -8076,17 +8076,18 @@ def q154_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q155_image_decode",
     """
     -- vendored image decoders pinned by the oracle: payloads are REAL
-    -- PPM/PGM/BMP bytes built from each document's first bytes (pure
-    -- ASCII testdata: character codes == bytes), decoded back by the
-    -- engine's dependency-free decoders. The md5 below is over the
+    -- PPM/PGM/BMP/PNG bytes built from each document's first bytes
+    -- (pure ASCII testdata: character codes == bytes), decoded back by
+    -- the engine's dependency-free decoders. The md5 below is over the
     -- ORIGINAL pixel bytes, so a hash match proves the decoder undid
     -- every encoding artifact (BMP bottom-up rows, BGR order, 4-byte
-    -- row padding) byte-exactly — not just read the header.
+    -- row padding; PNG zlib inflate + unfilter) byte-exactly — not
+    -- just read the header.
     WITH d AS (
         SELECT doc_id,
                2 + doc_id % 5 AS w,
                1 + (doc_id // 5) % 3 AS h,
-               doc_id % 3 AS fmt,
+               doc_id % 4 AS fmt,
                text
         FROM documents
         WHERE octet_length(encode(text)) >= 54
@@ -8104,18 +8105,19 @@ def q154_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Real in-container image decode, oracle-verified to the PIXEL "
         "level (operators/multimodal.py decode_image + encode_ppm/"
-        "encode_bmp24): documents' leading bytes become genuine P6/P5/"
-        "BMP24 payloads (id-derived dims; BMP stored bottom-up BGR "
-        "padded — the decoder must normalize all three), decoded in the "
-        "Arrow-batched mapInPandas stage with pixel_md5 digests. Only "
-        "54 JVM-sliced bytes per row cross into Python, so the stage "
-        "is constant-width at any corpus scale.",
+        "encode_bmp24/encode_png): documents' leading bytes become "
+        "genuine P6/P5/BMP24/PNG payloads (id-derived dims; BMP stored "
+        "bottom-up BGR padded, PNG zlib-deflated — the decoder must "
+        "normalize/inflate all of it), decoded in the Arrow-batched "
+        "mapInPandas stage with pixel_md5 digests. Only 54 JVM-sliced "
+        "bytes per row cross into Python, so the stage is "
+        "constant-width at any corpus scale.",
 )
 def q155_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from league_of_legends_data_pipeline_spark.operators.multimodal import (
-        decode_image, encode_bmp24, encode_ppm,
+        decode_image, encode_bmp24, encode_png, encode_ppm,
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
@@ -8131,13 +8133,15 @@ def q155_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data = text.encode("utf-8")
                 w = 2 + did % 5
                 h = 1 + (did // 5) % 3
-                fmt = did % 3
+                fmt = did % 4
                 if fmt == 0:
                     payload = encode_ppm(data, w, h)
                 elif fmt == 1:
                     payload = encode_ppm(data, w, h, gray=True)
-                else:
+                elif fmt == 2:
                     payload = encode_bmp24(data, w, h)
+                else:
+                    payload = encode_png(data, w, h)
                 ids.append(did)
                 payloads.append(payload)
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})

@@ -172,6 +172,79 @@ def test_encode_decode_pixel_roundtrip():
         encode_ppm(px[:10], 6, 3)
 
 
+def test_png_decode_all_filters_and_fallthrough():
+    """Vendored PNG tier: encode/decode roundtrip for L/RGB/RGBA, every
+    scanline filter (Sub/Up/Average/Paeth) decoded against hand-filtered
+    reference rows, palette PNG falls through (None), corrupt IDAT is a
+    loud DecodeError — a real decode via stdlib zlib, not sniffing."""
+    import struct
+    import zlib
+
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        _decode_image_native, encode_png,
+    )
+
+    px = bytes((11 * i + 5) % 256 for i in range(8 * 4 * 4))
+    for mode, ch in [("L", 1), ("RGB", 3), ("RGBA", 4)]:
+        got = _decode_image_native(encode_png(px, 8, 4, mode),
+                                   want_pixels=True)
+        assert got == (8, 4, mode, px[:8 * 4 * ch])
+        assert _decode_image_native(encode_png(px, 8, 4, mode)) == \
+            (8, 4, mode)
+
+    # one row per filter type, filtered by hand (the encode direction
+    # our filter-0-only encoder never produces)
+    w, h, ch = 5, 5, 3
+    stride = w * ch
+    raw_px = bytes((7 * i + 13) % 256 for i in range(stride * h))
+    rows = [raw_px[y * stride:(y + 1) * stride] for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    scan, prev = bytearray(), bytes(stride)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row, out = rows[y], bytearray(rows[y])
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 1:
+                out[x] = (row[x] - a) & 0xFF
+            elif f == 2:
+                out[x] = (row[x] - b) & 0xFF
+            elif f == 3:
+                out[x] = (row[x] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                out[x] = (row[x] - paeth(a, b, c)) & 0xFF
+        scan += bytes([f]) + bytes(out)
+        prev = row
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (sig + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(scan)))
+               + chunk(b"IEND", b""))
+    assert _decode_image_native(payload, want_pixels=True) == \
+        (w, h, "RGB", raw_px)
+
+    pal_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = (sig + chunk(b"IHDR", pal_ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+           + chunk(b"IEND", b""))
+    assert _decode_image_native(pal) is None
+    bad = (sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"\x01\x02")
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        _decode_image_native(bad)
+
+
 def test_frame_sample_slices_and_strides(spark):
     # 70 bytes, 32-byte frames -> frames at offsets 0 and 32 (tail dropped);
     # every_nth=2 on a 5-frame payload keeps frames 0, 2, 4
