@@ -5,10 +5,11 @@ Design (per the 100 TB training-data-pipeline requirement): media travels
 as a ``binary`` column next to typed metadata columns; Spark never
 interprets the bytes except inside explicitly-batched ``mapInPandas``
 stages. Full-coverage decoders (PIL/librosa/av) are not available in this
-environment, so ``decode_image`` vendors dependency-free PPM/PGM/BMP/PNG
-decoders that run for real in-container (payload-validated, not header
-sniffing; PNG via stdlib zlib per the public spec), falls through to
-Pillow when importable, and degrades to P12 error rows otherwise; ``byte_features`` is a genuine Arrow-batched
+environment, so ``decode_image`` vendors dependency-free decoders for
+PPM/PGM, BMP, PNG (stdlib zlib), and baseline JPEG (``operators/jpeg.py``,
+public T.81 subset) that run for real in-container (payload-validated,
+not header sniffing), falls through to Pillow when importable, and
+degrades to P12 error rows otherwise; ``byte_features`` is a genuine Arrow-batched
 feature extractor over the raw bytes (deterministic, so it is
 DuckDB-oracle-checkable).
 """
@@ -76,7 +77,8 @@ def byte_features(df: DataFrame, id_col: str, bin_col: str,
 def _decode_image_native(raw: bytes, want_pixels: bool = False):
     """Dependency-free decoder for the formats the container can
     exercise for real: binary PPM/PGM (netpbm P6/P5), BMP
-    (BITMAPINFOHEADER), and 8-bit non-interlaced PNG (stdlib zlib).
+    (BITMAPINFOHEADER), 8-bit non-interlaced PNG (stdlib zlib), and
+    baseline JPEG (vendored T.81 subset, ``operators/jpeg.py``).
     Returns (width, height, mode) on success, None
     when the magic is not one of ours (caller falls through to the
     optional real library), raises ValueError for a recognized magic
@@ -263,6 +265,23 @@ def _decode_image_native(raw: bytes, want_pixels: bool = False):
             out[y * stride:(y + 1) * stride] = row
             prev = row
         return width, height, mode, bytes(out)
+    if raw[:2] == b"\xFF\xD8":
+        # baseline JPEG via the vendored codec (operators/jpeg.py —
+        # public T.81 subset: SOF0, 8-bit, Huffman, 1:1 sampling).
+        # Progressive / subsampled / arithmetic streams return None and
+        # fall through to Pillow; corrupt streams raise. A full decode
+        # runs even for dimension-only calls — same no-sniffing stance
+        # as the PNG tier.
+        from league_of_legends_data_pipeline_spark.operators.jpeg import (
+            decode_jpeg_baseline,
+        )
+        decoded = decode_jpeg_baseline(raw)
+        if decoded is None:
+            return None
+        width, height, mode, px = decoded
+        if want_pixels:
+            return width, height, mode, px
+        return width, height, mode
     return None
 
 
@@ -347,10 +366,10 @@ def decode_image(df: DataFrame, id_col: str, bin_col: str,
 
     Two decode tiers inside the batch loop:
 
-    - vendored dependency-free decoders for binary PPM/PGM, BMP, and
-      8-bit non-interlaced PNG (:func:`_decode_image_native`) — these
-      run for REAL in this container, pixel-payload validation
-      included;
+    - vendored dependency-free decoders for binary PPM/PGM, BMP, 8-bit
+      non-interlaced PNG, and baseline JPEG
+      (:func:`_decode_image_native`) — these run for REAL in this
+      container, pixel-payload validation included;
     - any other format falls through to Pillow when importable; when it
       is not (this container), the row degrades to the engine's P12
       error-row convention: null dimensions, ``error='DecoderMissing'``

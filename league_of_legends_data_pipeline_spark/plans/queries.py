@@ -8152,3 +8152,68 @@ def q155_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("id").alias("doc_id"), "width", "height",
                        "mode", "error", "pixel_md5")
             .orderBy("doc_id"))
+
+
+@_register(
+    "q156_jpeg_decode",
+    """
+    -- vendored baseline-JPEG codec pinned by the oracle through its
+    -- EXACTNESS window: a flat 8x8 block has DC = 8*(v-128) and zero
+    -- AC, and the emitted DC quant step (16) divides it exactly for
+    -- even v — so encode->decode of a flat greyscale image is
+    -- bit-exact despite JPEG being lossy in general. v is kept even
+    -- and < 128 so DuckDB's chr() emits the same single byte the
+    -- decoder produces. A hash match proves the whole entropy path:
+    -- DHT-defined Huffman tables, zigzag, dequant, IDCT, level shift.
+    SELECT doc_id,
+           CAST(5 + doc_id % 9 AS INT) AS width,
+           CAST(2 + (doc_id // 9) % 9 AS INT) AS height,
+           'L' AS mode,
+           CAST(NULL AS VARCHAR) AS error,
+           md5(repeat(chr(CAST(2 + 2 * ((doc_id * 7) % 63) AS INT)),
+                      CAST((5 + doc_id % 9) * (2 + (doc_id // 9) % 9)
+                           AS INT))) AS pixel_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Vendored baseline JPEG (operators/jpeg.py, public T.81 subset: "
+        "SOF0/Huffman/4:4:4, stream-defined DHT tables) decoded in the "
+        "decode_image mapInPandas tier and oracle-verified to the pixel "
+        "byte via the flat-block exactness window (even grey values "
+        "quantize exactly at DC step 16). Dims cross the 8px block "
+        "boundary so multi-block tiling + edge-crop are exercised. "
+        "Payload build is id-derived (no bytes cross into Python "
+        "beyond the ids), decode is the real entropy pipeline.",
+)
+def q156_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+    )
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    src = documents.select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 5 + did % 9
+                h = 2 + (did // 9) % 9
+                v = 2 + 2 * ((did * 7) % 63)       # even, 2..126
+                payloads.append(
+                    encode_jpeg_baseline(bytes([v]) * (w * h), w, h, "L"))
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bin = src.mapInPandas(build, "doc_id bigint, payload binary")
+    out = decode_image(with_bin, "doc_id", "payload",
+                       with_pixel_digest=True)
+    return (out.select(F.col("id").alias("doc_id"), "width", "height",
+                       "mode", "error", "pixel_md5")
+            .orderBy("doc_id"))

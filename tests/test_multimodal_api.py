@@ -245,6 +245,61 @@ def test_png_decode_all_filters_and_fallthrough():
         _decode_image_native(bad)
 
 
+def test_jpeg_baseline_codec():
+    """Vendored T.81 baseline subset: flat greyscale round-trips
+    EXACTLY (the q156 oracle window — even values, DC step 16), smooth
+    content round-trips within quant-step error bounds, non-baseline
+    streams fall through (None), corrupt streams error loudly."""
+    import numpy as np
+
+    from league_of_legends_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_baseline,
+    )
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        _decode_image_native,
+    )
+
+    # exact window, incl. dims crossing the 8px block boundary
+    for v, w, h in [(100, 8, 8), (42, 13, 5), (126, 9, 10), (2, 3, 2)]:
+        raw = encode_jpeg_baseline(bytes([v]) * (w * h), w, h, "L")
+        assert decode_jpeg_baseline(raw) == (w, h, "L",
+                                             bytes([v]) * (w * h))
+        # and through the decode_image tier dispatcher
+        assert _decode_image_native(raw) == (w, h, "L")
+        assert _decode_image_native(raw, want_pixels=True)[3] == \
+            bytes([v]) * (w * h)
+
+    # lossy-but-bounded on a gradient (error < quant step)
+    w, h = 24, 16
+    grad = bytes((x * 255) // (w - 1) for _ in range(h) for x in range(w))
+    _, _, _, px = decode_jpeg_baseline(
+        encode_jpeg_baseline(grad, w, h, "L"))
+    err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                 - np.frombuffer(grad, np.uint8).astype(int))
+    assert err.max() <= 24
+
+    # RGB path: YCbCr round-trip on blocky content stays close
+    rng = np.random.default_rng(7)
+    blocky = rng.integers(60, 200, (4, 4, 3)).repeat(4, 0).repeat(4, 1) \
+        .astype(np.uint8)
+    gw, gh, gm, px = decode_jpeg_baseline(
+        encode_jpeg_baseline(blocky.tobytes(), 16, 16, "RGB"))
+    assert (gw, gh, gm) == (16, 16, "RGB")
+    err = np.abs(np.frombuffer(px, np.uint8).astype(int)
+                 - blocky.reshape(-1).astype(int))
+    assert err.max() <= 64 and err.mean() < 12
+
+    # progressive (SOF2) falls through as not-ours, never half-decodes
+    raw = bytearray(encode_jpeg_baseline(bytes(64), 8, 8, "L"))
+    sof0 = raw.find(b"\xFF\xC0")
+    raw[sof0 + 1] = 0xC2
+    assert decode_jpeg_baseline(bytes(raw)) is None
+    # truncated scan errors loudly
+    good = encode_jpeg_baseline(bytes(range(0, 128, 2)), 8, 8, "L")
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(good[:len(good) - 6])
+
+
 def test_frame_sample_slices_and_strides(spark):
     # 70 bytes, 32-byte frames -> frames at offsets 0 and 32 (tail dropped);
     # every_nth=2 on a 5-frame payload keeps frames 0, 2, 4
