@@ -8217,3 +8217,161 @@ def q156_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("id").alias("doc_id"), "width", "height",
                        "mode", "error", "pixel_md5")
             .orderBy("doc_id"))
+
+
+@_register(
+    "q157_audio_features",
+    """
+    -- vendored WAV/PCM16 decode + integer-exact audio features. PCM is
+    -- LOSSLESS, so unlike the image tier there is no exactness window
+    -- to carve out: the synthesized samples (odd-valued, never zero, so
+    -- the zero-crossing convention reduces to a plain sign-change
+    -- count) round-trip bit-for-bit and every feature is exact BIGINT
+    -- arithmetic — energy as a sum of squares, peak, signed crossings.
+    WITH d AS (
+        SELECT doc_id,
+               CAST(50 + doc_id % 100 AS BIGINT) AS n,
+               CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n, rate,
+               unnest(generate_series(0, n - 1)) AS i
+        FROM d
+    ), v AS (
+        SELECT doc_id, n, rate, i,
+               2 * ((doc_id * 31 + i * 7919) % 32768) - 32767 AS smp
+        FROM s
+    ), f AS (
+        SELECT doc_id, n, rate, smp,
+               lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM v
+    )
+    SELECT doc_id,
+           CAST(any_value(rate) AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(any_value(n) AS BIGINT) AS n_frames,
+           CAST(any_value(n) * 1000 // any_value(rate) AS BIGINT)
+               AS duration_ms,
+           CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+           CAST(max(abs(smp)) AS INT) AS peak,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                         AND sign(smp) != sign(prev)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(NULL AS VARCHAR) AS error
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Audio modality plumbing (operators/audio.py): id-derived int16 "
+        "PCM becomes a REAL RIFF/WAVE payload (encode_wav_pcm16), "
+        "decoded and feature-extracted in one Arrow-batched mapInPandas "
+        "stage (decode_wav_pcm16 + audio_features — rate/frames/"
+        "duration, exact sum-of-squares energy, peak, zero crossings). "
+        "Lossless PCM means the oracle needs no tolerance anywhere: "
+        "every output is exact integer arithmetic both engines "
+        "replicate. Compressed codecs fall through as DecoderMissing "
+        "rows (the P12 convention).",
+)
+def q157_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.operators.audio import (
+        audio_features, encode_wav_pcm16,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    src = documents.select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 50 + did % 100
+                rate = 8000 + (did % 4) * 4000
+                i = np.arange(n, dtype=np.int64)
+                smp = (2 * ((did * 31 + i * 7919) % 32768) - 32767) \
+                    .astype("<i2")
+                payloads.append(encode_wav_pcm16(smp, rate, channels=1))
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bin = src.mapInPandas(build, "doc_id bigint, payload binary")
+    out = audio_features(with_bin, "doc_id", "payload")
+    return (out.select(F.col("id").alias("doc_id"), "sample_rate",
+                       "channels", "n_frames", "duration_ms", "sum_sq",
+                       "peak", "zero_crossings", "error")
+            .orderBy("doc_id"))
+
+
+@_register(
+    "q158_video_metadata",
+    """
+    -- ISO BMFF (MP4) metadata walk pinned by the oracle: payloads are
+    -- REAL box trees (ftyp + moov(mvhd + trak(tkhd))) built from
+    -- id-derived parameters, parsed back by the vendored container
+    -- walk. duration goes movie-ms -> mvhd ticks -> ms through TWO
+    -- floor divisions (encode then parse), and the oracle replicates
+    -- both, so a hash match pins the exact integer semantics, not just
+    -- 'roughly the duration'. Non-1000 timescales (90kHz video clock,
+    -- 600 the legacy QuickTime default) make the truncation visible.
+    WITH d AS (
+        SELECT doc_id,
+               1000 + (doc_id * 137) % 600000 AS ms,
+               CASE doc_id % 3 WHEN 0 THEN 1000
+                    WHEN 1 THEN 90000 ELSE 600 END AS ts,
+               160 * (1 + doc_id % 8) AS w,
+               90 * (1 + doc_id % 8) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+               AS major_brand,
+           CAST(ts AS INT) AS timescale,
+           CAST((ms * ts // 1000) * 1000 // ts AS BIGINT) AS duration_ms,
+           CAST(1 AS INT) AS n_tracks,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(NULL AS VARCHAR) AS error
+    FROM d
+    ORDER BY doc_id
+    """,
+    doc="Video modality plumbing (operators/video.py): id-derived "
+        "parameters become a REAL ISO/IEC 14496-12 box tree "
+        "(encode_mp4_stub), walked back by parse_mp4_metadata in the "
+        "Arrow-batched video_metadata stage — major brand, timescale, "
+        "floor-div duration, track count, 16.16 fixed-point dims. "
+        "Container metadata needs no codec; frame decode is the "
+        "explicitly-out-of-scope slot frame_sample's plumbing feeds "
+        "when a real media library is present.",
+)
+def q158_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.operators.video import (
+        encode_mp4_stub, video_metadata,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    src = documents.select("doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ms = 1000 + (did * 137) % 600000
+                ts = (1000, 90000, 600)[did % 3]
+                k = 1 + did % 8
+                brand = b"isom" if did % 2 == 0 else b"mp42"
+                payloads.append(encode_mp4_stub(
+                    160 * k, 90 * k, ms, timescale=ts,
+                    major_brand=brand))
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bin = src.mapInPandas(build, "doc_id bigint, payload binary")
+    out = video_metadata(with_bin, "doc_id", "payload")
+    return (out.select(F.col("id").alias("doc_id"), "major_brand",
+                       "timescale", "duration_ms", "n_tracks", "width",
+                       "height", "error")
+            .orderBy("doc_id"))

@@ -533,3 +533,99 @@ def test_resize_payloads_python_oracle(spark):
     for i, p in enumerate(payloads):
         assert got[i] == (len(p), py_resize(p)), i
     assert got[99] == (0, "00" * T)
+
+
+def test_wav_pcm16_roundtrip_and_conventions(spark):
+    """Vendored audio tier: lossless PCM roundtrip (mono + stereo),
+    forward-fill zero-crossing convention on signals WITH zeros,
+    non-PCM fallthrough, corrupt-payload error rows."""
+    import numpy as np
+
+    from league_of_legends_data_pipeline_spark.operators.audio import (
+        audio_features, decode_wav_pcm16, encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32768, 100).astype("<i2")
+    rate, nch, nfr, got = decode_wav_pcm16(encode_wav_pcm16(mono, 16000))
+    assert (rate, nch, nfr) == (16000, 1, 100)
+    assert np.array_equal(got, mono)
+    stereo = rng.integers(-32768, 32768, 120).astype("<i2")
+    rate, nch, nfr, got = decode_wav_pcm16(
+        encode_wav_pcm16(stereo, 44100, channels=2))
+    assert (rate, nch, nfr) == (44100, 2, 60)
+    assert np.array_equal(got, stereo)
+
+    # features via the Spark stage: zeros inherit the previous sign
+    # (forward fill), so [3, 0, 0, -5, 0, 2] has crossings at -5 and 2
+    sig = np.array([3, 0, 0, -5, 0, 2], dtype="<i2")
+    wav = encode_wav_pcm16(sig, 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)),
+         (2, bytearray(b"ID3\x04mp3-ish payload")),   # not RIFF
+         (3, bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt "))],  # truncated
+        ["id", "bin"])
+    rows = {r["id"]: r for r in audio_features(df, "id", "bin").collect()}
+    assert rows[1]["zero_crossings"] == 2
+    assert rows[1]["sum_sq"] == 9 + 25 + 4
+    assert rows[1]["peak"] == 5
+    assert rows[1]["n_frames"] == 6
+    assert rows[1]["error"] is None
+    assert rows[2]["error"] == "DecoderMissing"
+    assert rows[3]["error"].startswith("DecodeError:")
+
+    # float-WAV (format 3) falls through rather than mis-decoding
+    import struct
+    f32 = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000,
+                                   32000, 4, 32)
+           + b"data" + struct.pack("<I", 0))
+    assert decode_wav_pcm16(f32) is None
+
+
+def test_mp4_metadata_walk(spark):
+    """Vendored video tier: box-tree roundtrip (v0 headers, 16.16 dims,
+    non-1000 timescales), v1 64-bit header parse, non-BMFF fallthrough,
+    corrupt-tree error rows — all through the Spark stage."""
+    import struct
+
+    from league_of_legends_data_pipeline_spark.operators.video import (
+        encode_mp4_stub, parse_mp4_metadata, video_metadata,
+    )
+
+    good = encode_mp4_stub(1280, 720, 90125, timescale=90000,
+                           major_brand=b"mp42")
+    df = spark.createDataFrame(
+        [(1, bytearray(good)),
+         (2, bytearray(b"\x1aE\xdf\xa3 webm-ish")),       # not BMFF
+         (3, bytearray(good[:40]))],                      # corrupt tree
+        ["id", "bin"])
+    rows = {r["id"]: r for r in video_metadata(df, "id", "bin").collect()}
+    r1 = rows[1]
+    assert (r1["major_brand"], r1["timescale"], r1["n_tracks"],
+            r1["width"], r1["height"]) == ("mp42", 90000, 1, 1280, 720)
+    # ms -> ticks -> ms floor-div roundtrip
+    assert r1["duration_ms"] == (90125 * 90000 // 1000) * 1000 // 90000
+    assert rows[2]["error"] == "DecoderMissing"
+    assert rows[3]["error"].startswith("DecodeError:")
+
+    # version-1 mvhd (64-bit times) parses via the v1 layout
+    raw = bytearray(encode_mp4_stub(320, 240, 2000, timescale=1000))
+    mvhd_at = raw.find(b"mvhd")
+    v0_payload = bytes(raw[mvhd_at + 4:mvhd_at + 4 + 100])
+    ts, dur = struct.unpack_from(">II", v0_payload, 12)
+    v1_payload = (b"\x01\x00\x00\x00"
+                  + struct.pack(">QQIQ", 0, 0, ts, dur)
+                  + v0_payload[20:])
+    v1_box = struct.pack(">I", 8 + len(v1_payload)) + b"mvhd" + v1_payload
+    # splice: rebuild moov with the v1 mvhd (sizes change)
+    old_box = struct.pack(">I", 108) + b"mvhd" + v0_payload
+    assert bytes(raw).count(old_box) == 1
+    new = bytes(raw).replace(old_box, v1_box)
+    # fix moov size (+12 bytes of v1 growth)
+    moov_at = new.find(b"moov") - 4
+    (moov_sz,) = struct.unpack_from(">I", new, moov_at)
+    new = (new[:moov_at] + struct.pack(">I", moov_sz + 12)
+           + new[moov_at + 4:])
+    m = parse_mp4_metadata(new)
+    assert m["timescale"] == 1000 and m["duration_ms"] == 2000
