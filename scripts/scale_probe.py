@@ -136,6 +136,11 @@ PROBE_QUERIES = [
     "q154_incremental_agg_merge",
     # constant-width (54-byte) Arrow decode stage — must be pure-linear
     "q155_image_decode",
+    # per-row codec/parser stages (JPEG entropy, WAV features, MP4 box
+    # walk): constant work per row, must track the row count
+    "q156_jpeg_decode",
+    "q157_audio_features",
+    "q158_video_metadata",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

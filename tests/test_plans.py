@@ -250,6 +250,9 @@ PLAN_SHAPE_GOLDENS = {
     "q153_containment_pairs": {"BroadcastHashJoin": 3},
     "q154_incremental_agg_merge": {},
     "q155_image_decode": {},
+    "q156_jpeg_decode": {},
+    "q157_audio_features": {},
+    "q158_video_metadata": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
