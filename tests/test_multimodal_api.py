@@ -629,3 +629,38 @@ def test_mp4_metadata_walk(spark):
            + new[moov_at + 4:])
     m = parse_mp4_metadata(new)
     assert m["timescale"] == 1000 and m["duration_ms"] == 2000
+
+
+def test_jpeg_chroma_subsampling():
+    """4:2:0 and 4:2:2 layouts (the dominant real-world shapes) decode
+    through the generalized interleaved-MCU path: dims exact for
+    non-multiple-of-16 sizes, flat color near-exact, smooth content
+    bounded — and a 4:4:4 stream still round-trips the exact window."""
+    import numpy as np
+
+    from league_of_legends_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(3)
+    for sub in ("420", "422"):
+        for w, h in [(16, 16), (20, 12), (17, 9)]:
+            blocky = rng.integers(60, 200,
+                                  ((h + 3) // 4, (w + 3) // 4, 3)) \
+                .repeat(4, 0).repeat(4, 1)[:h, :w].astype(np.uint8)
+            got = decode_jpeg_baseline(encode_jpeg_baseline(
+                blocky.tobytes(), w, h, "RGB", subsampling=sub))
+            assert got is not None and got[:3] == (w, h, "RGB")
+            err = np.abs(np.frombuffer(got[3], np.uint8).astype(int)
+                         - blocky.reshape(-1).astype(int))
+            assert err.mean() < 16, (sub, w, h, err.mean())
+    flat = bytes([120, 64, 200]) * (16 * 16)
+    got = decode_jpeg_baseline(encode_jpeg_baseline(
+        flat, 16, 16, "RGB", subsampling="420"))
+    err = np.abs(np.frombuffer(got[3], np.uint8).astype(int)
+                 - np.frombuffer(flat, np.uint8).astype(int))
+    assert err.max() <= 2
+    # the q156 exactness window is untouched by the generalization
+    assert decode_jpeg_baseline(encode_jpeg_baseline(
+        bytes([42]) * (13 * 5), 13, 5, "L")) == \
+        (13, 5, "L", bytes([42]) * (13 * 5))
