@@ -334,6 +334,47 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int,
     return banded.filter(F.col("__bc") <= max_bucket_size).drop("__bc")
 
 
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int | None = None,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Standalone LSH bucket-health report: one row of
+    (n_buckets, banded_rows, dropped_buckets, rows_in_dropped_buckets,
+    max_bucket) for the SAME banding a ``minhash_lsh_*`` call with these
+    parameters would build. ``dropped_*`` counts what the
+    ``max_bucket_size`` cap would silently discard — the monitoring dual
+    of the inline ``bucket_cap_observation`` channel (:func:`_cap_buckets`):
+    run this periodically over a corpus to size the cap BEFORE a dedup
+    pass, or to alert when boilerplate growth starts eating recall.
+    One extra aggregate over (band_id, band_hash) — no pair join, so it
+    is safe at any corpus size."""
+    if bands is None:
+        bands = num_hashes
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
+                         f"into bands ({bands})")
+    rows = num_hashes // bands
+    _, banded = _minhash_banded(df, id_col, text_col, shingle_k,
+                                num_hashes, bands, rows, seed)
+    per_bucket = banded.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("c"))
+    over = F.col("c") > max_bucket_size
+    return per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").alias("banded_rows"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+        F.sum(F.when(over, F.col("c")).otherwise(0))
+        .alias("rows_in_dropped_buckets"),
+        F.max("c").alias("max_bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

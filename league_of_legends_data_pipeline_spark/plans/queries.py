@@ -8123,7 +8123,8 @@ def q155_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     # slice JVM-side: only the 54 payload-feeding bytes enter Python
     src = (documents.filter(F.octet_length("text") >= 54)
-           .select("doc_id", F.substring("text", 1, 54).alias("px_src")))
+           .select("doc_id", F.substring("text", 1, 54).alias("px_src"))
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
 
     def build(batches):
         for pdf in batches:
@@ -8196,7 +8197,11 @@ def q156_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    src = documents.select("doc_id")
+    # ids-only exchange so the per-row codec stage runs cluster-wide
+    # (a single input split would otherwise serialize it; the q26
+    # "exchange raw inputs below the Arrow stage" pattern)
+    src = documents.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
 
     def build(batches):
         for pdf in batches:
@@ -8279,7 +8284,11 @@ def q157_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    src = documents.select("doc_id")
+    # ids-only exchange so the per-row codec stage runs cluster-wide
+    # (a single input split would otherwise serialize it; the q26
+    # "exchange raw inputs below the Arrow stage" pattern)
+    src = documents.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
 
     def build(batches):
         for pdf in batches:
@@ -8352,7 +8361,11 @@ def q158_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (documents,) = _t(spark, sf_dir, "documents")
-    src = documents.select("doc_id")
+    # ids-only exchange so the per-row codec stage runs cluster-wide
+    # (a single input split would otherwise serialize it; the q26
+    # "exchange raw inputs below the Arrow stage" pattern)
+    src = documents.select("doc_id").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
 
     def build(batches):
         for pdf in batches:
@@ -8375,3 +8388,71 @@ def q158_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "timescale", "duration_ms", "n_tracks", "width",
                        "height", "error")
             .orderBy("doc_id"))
+
+
+@_register(
+    "q159_lsh_bucket_stats",
+    """
+    -- LSH bucket-health report, oracle-exact: the DuckDB side rebuilds
+    -- the SAME seeded minhash banding (md5 60-bit prefix % 2^31-1,
+    -- a*h+b coefficients for seed 42, band hash = md5 of the slot
+    -- rendered in decimal) and aggregates bucket sizes. This is the
+    -- monitoring dual of the inline bucket_cap_observation channel:
+    -- dropped_* is exactly what a minhash_lsh_* pass with
+    -- max_bucket_size=5 would silently discard on this corpus.
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(length(text) - 4, 1) + 1),
+            i -> substr(text, CAST(i AS INT), 5))) AS shingles
+        FROM documents
+    ), hv AS (
+        SELECT doc_id, list_transform(shingles,
+            s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                 % 2147483647) AS hs
+        FROM sh
+    ), mh AS (
+        SELECT doc_id,
+            list_min(list_transform(hs,
+                h -> (1373158607 * h + 239081663) % 2147483647)) AS m0,
+            list_min(list_transform(hs,
+                h -> (53710185 * h + 1592467581) % 2147483647)) AS m1,
+            list_min(list_transform(hs,
+                h -> (590620972 * h + 525901256) % 2147483647)) AS m2,
+            list_min(list_transform(hs,
+                h -> (479341424 * h + 299655412) % 2147483647)) AS m3
+        FROM hv
+    ), b AS (
+        SELECT 0 AS band_id, md5(CAST(m0 AS VARCHAR)) AS bh FROM mh
+        UNION ALL SELECT 1, md5(CAST(m1 AS VARCHAR)) FROM mh
+        UNION ALL SELECT 2, md5(CAST(m2 AS VARCHAR)) FROM mh
+        UNION ALL SELECT 3, md5(CAST(m3 AS VARCHAR)) FROM mh
+    ), g AS (
+        SELECT band_id, bh, count(*) AS c FROM b GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(c) AS BIGINT) AS banded_rows,
+           CAST(sum(CASE WHEN c > 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dropped_buckets,
+           CAST(sum(CASE WHEN c > 5 THEN c ELSE 0 END) AS BIGINT)
+               AS rows_in_dropped_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket
+    FROM g
+    """,
+    doc="LSH bucket-health report (operators/dedup.py lsh_bucket_stats — "
+        "round-7 ADVICE made cap drops observable inline via "
+        "Observation; this is the standalone monitoring query): same "
+        "banded minhash front end as minhash_lsh_pairs, one "
+        "(band_id, band_hash) aggregate, no pair join — linear at any "
+        "corpus size. The cap (5 here) is deliberately small so the "
+        "testdata's boilerplate hot bucket shows up in dropped_*: the "
+        "oracle proves the drop accounting, not just the plumbing.",
+)
+def q159_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        lsh_bucket_stats,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return lsh_bucket_stats(documents, "doc_id", "text",
+                            shingle_k=5, num_hashes=4, bands=4,
+                            seed=42, max_bucket_size=5)
