@@ -141,6 +141,8 @@ PROBE_QUERIES = [
     "q156_jpeg_decode",
     "q157_audio_features",
     "q158_video_metadata",
+    # banded-minhash groupBy, no pair join — linear by construction
+    "q159_lsh_bucket_stats",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -253,6 +253,7 @@ PLAN_SHAPE_GOLDENS = {
     "q156_jpeg_decode": {},
     "q157_audio_features": {},
     "q158_video_metadata": {},
+    "q159_lsh_bucket_stats": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
