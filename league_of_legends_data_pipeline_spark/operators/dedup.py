@@ -303,8 +303,9 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int,
     of candidates that will never be verified, and the caller otherwise
     has no signal that it fired. Pass a ``pyspark.sql.Observation`` as
     ``observation`` to surface, piggybacked on the caller's own action
-    (zero extra jobs — ``observe`` is a streaming-safe CollectMetrics
-    node, not a count):
+    (zero extra jobs — ``observe`` plants a CollectMetrics node, not a
+    count; the ``Observation``-object form is batch-only, which these
+    batch dedup passes are):
 
     - ``banded_rows``: total (doc, band) rows entering the cap;
     - ``rows_in_dropped_buckets``: rows discarded by the cap;
