@@ -369,3 +369,85 @@ def test_normalize_text_idempotent(spark, texts):
         normalize_text(normalize_text("t")).alias("twice")).collect()
     for r in out:
         assert r["once"] == r["twice"]
+
+
+@given(st.integers(1, 12), st.integers(1, 10),
+       st.sampled_from(["L", "RGB", "RGBA"]), st.data())
+@SLOW
+def test_png_roundtrip_lossless_any_pixels(w, h, mode, data):
+    """PNG is lossless: decode(encode(px)) == px for ARBITRARY pixel
+    bytes at any small dimension/mode — the invariant hypothesis can
+    hit with byte patterns (0x00/0xFF runs, filter-edge values) that
+    fixed fixtures never cover."""
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        _decode_image_native, encode_png,
+    )
+    nch = {"L": 1, "RGB": 3, "RGBA": 4}[mode]
+    px = bytes(data.draw(st.binary(min_size=w * h * nch,
+                                   max_size=w * h * nch)))
+    assert _decode_image_native(encode_png(px, w, h, mode),
+                                want_pixels=True) == (w, h, mode, px)
+
+
+@given(st.integers(1, 10), st.integers(1, 8), st.data())
+@SLOW
+def test_bmp_roundtrip_lossless_any_pixels(w, h, data):
+    """BMP24 roundtrip over arbitrary bytes: row flip + BGR swap +
+    padding strip must be exact inverses at every width mod 4."""
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        _decode_image_native, encode_bmp24,
+    )
+    px = bytes(data.draw(st.binary(min_size=w * h * 3,
+                                   max_size=w * h * 3)))
+    assert _decode_image_native(encode_bmp24(px, w, h),
+                                want_pixels=True) == (w, h, "RGB", px)
+
+
+@given(st.integers(1, 2), st.integers(1, 60),
+       st.sampled_from([8000, 16000, 44100]), st.data())
+@SLOW
+def test_wav_roundtrip_lossless_any_samples(nch, nfr, rate, data):
+    """PCM WAV is lossless for arbitrary int16 frames, mono or stereo."""
+    import numpy as np
+
+    from league_of_legends_data_pipeline_spark.operators.audio import (
+        decode_wav_pcm16, encode_wav_pcm16,
+    )
+    vals = data.draw(st.lists(st.integers(-32768, 32767),
+                              min_size=nch * nfr, max_size=nch * nfr))
+    samples = np.array(vals, dtype="<i2")
+    got = decode_wav_pcm16(encode_wav_pcm16(samples, rate, channels=nch))
+    assert got[:3] == (rate, nch, nfr)
+    assert np.array_equal(got[3], samples)
+
+
+@given(st.integers(1, 4096), st.integers(1, 2160),
+       st.integers(0, 10**7), st.sampled_from([600, 1000, 90000]),
+       st.sampled_from([b"isom", b"mp42", b"avc1"]))
+@SLOW
+def test_mp4_metadata_roundtrip(w, h, ms, ts, brand):
+    """MP4 metadata roundtrip: parsed fields equal encoded fields, with
+    duration passing through the documented ms->ticks->ms floor-div."""
+    from league_of_legends_data_pipeline_spark.operators.video import (
+        encode_mp4_stub, parse_mp4_metadata,
+    )
+    m = parse_mp4_metadata(encode_mp4_stub(w, h, ms, timescale=ts,
+                                           major_brand=brand))
+    assert (m["major_brand"], m["timescale"], m["n_tracks"],
+            m["width"], m["height"]) == (brand.decode(), ts, 1, w, h)
+    assert m["duration_ms"] == (ms * ts // 1000) * 1000 // ts
+
+
+@given(st.integers(1, 20), st.integers(1, 16), st.integers(0, 127))
+@SLOW
+def test_jpeg_flat_even_exactness_window(w, h, half):
+    """The q156 oracle window as a PROPERTY: every flat greyscale image
+    with an even value round-trips bit-exactly through the lossy codec,
+    at every dimension (block-boundary crossings included)."""
+    from league_of_legends_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg_baseline, encode_jpeg_baseline,
+    )
+    v = 2 * half
+    px = bytes([v]) * (w * h)
+    assert decode_jpeg_baseline(encode_jpeg_baseline(px, w, h, "L")) == \
+        (w, h, "L", px)
