@@ -664,3 +664,38 @@ def test_jpeg_chroma_subsampling():
     assert decode_jpeg_baseline(encode_jpeg_baseline(
         bytes([42]) * (13 * 5), 13, 5, "L")) == \
         (13, 5, "L", bytes([42]) * (13 * 5))
+
+
+def test_jpeg_restart_marker_stream():
+    """DRI/RSTn handling: the entropy stream is 1-padded to a byte
+    boundary before each restart marker, so the decoder must DISCARD
+    pad bits before expecting the marker (reading them as data swallows
+    the boundary — the round-8 fix). Stream built from the codec's own
+    primitives: two flat MCUs, independent DC predictors, RST0 between."""
+    import struct
+
+    import numpy as np
+
+    from league_of_legends_data_pipeline_spark.operators.jpeg import (
+        _AC_BITS, _AC_VALS, _BitWriter, _DC_BITS, _DC_VALS, _QT_LUMA,
+        _dht, _dqt, _encode_block, _seg, decode_jpeg_baseline,
+    )
+
+    chunks = []
+    for v in (100, 60):
+        bw = _BitWriter()
+        _encode_block(bw, np.full((8, 8), v), _QT_LUMA, 0)
+        chunks.append(bw.flush())
+    out = bytearray(b"\xFF\xD8")
+    out += _dqt(0, _QT_LUMA)
+    out += _seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1)
+                + bytes([1, 0x11, 0]))
+    out += _dht(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht(1, 0, _AC_BITS, _AC_VALS)
+    out += _seg(0xDD, struct.pack(">H", 1))          # DRI: interval 1
+    out += _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3F\x00")
+    out += chunks[0] + b"\xFF\xD0" + chunks[1] + b"\xFF\xD9"
+    got = decode_jpeg_baseline(bytes(out))
+    assert got is not None and got[:3] == (16, 8, "L")
+    px = np.frombuffer(got[3], np.uint8).reshape(8, 16)
+    assert (px[:, :8] == 100).all() and (px[:, 8:] == 60).all()
