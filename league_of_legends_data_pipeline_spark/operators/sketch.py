@@ -169,3 +169,69 @@ def zorder_repartition(df: DataFrame, x: str, y: str, num_partitions: int,
     keyed = df.withColumn("__z", zorder_key(x, y, bits))
     return (keyed.repartitionByRange(num_partitions, "__z")
             .sortWithinPartitions("__z").drop("__z"))
+
+
+def kmv_bottom_k(df: DataFrame, hash_col: Column | str,
+                 k: int = 256) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) sketch: one row holding the
+    ``k`` smallest DISTINCT 60-bit hashes of the column, sorted
+    ascending. The classic mergeable distinct-value summary (Bar-Yossef
+    et al.): union two sketches by merging arrays and re-taking the
+    bottom k; estimate |A| as (k-1) * 2^60 / kth_min.
+
+    Scale shape: ``dropDuplicates`` partial-aggregates map-side, the
+    bottom-k is a ``TakeOrdered`` (per-partition heap of k, then a
+    k-sized merge on one reducer) — no full sort, no unbounded
+    collect_list; the output is a single k-sized array row regardless
+    of corpus size."""
+    col = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    top = df.select(col.alias("h")).dropDuplicates(["h"]) \
+            .orderBy("h").limit(k)
+    return top.agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+
+
+def kmv_overlap_estimate(left: DataFrame, right: DataFrame,
+                         hash_col: str, k: int = 256) -> DataFrame:
+    """Cross-corpus overlap ESTIMATE from two KMV sketches — the
+    planning query that decides whether the expensive cross-corpus
+    near-dup pass (minhash_lsh_pairs_bipartite) is worth running, at
+    the cost of two TakeOrdered scans instead of any join.
+
+    Estimator: with S = bottom-k of A∪B (= bottom-k of the merged
+    sketches), est_jaccard = |S ∩ kmv(A) ∩ kmv(B)| / |S| — exact set
+    arithmetic on three k-sized arrays, so the result is bit-identical
+    in any engine with the same hashes (membership of an x ∈ S in A
+    implies x ∈ kmv(A): the kth order statistic of the union is <= the
+    kth of A). Output also carries each side's sketch cardinality
+    estimate. All math on longs; the two divisions are rounded to 6 dp
+    at the end."""
+    ka = kmv_bottom_k(left, hash_col, k).select(F.col("kmv").alias("ka"))
+    kb = kmv_bottom_k(right, hash_col, k).select(F.col("kmv").alias("kb"))
+    both = ka.crossJoin(F.broadcast(kb))     # two 1-row frames
+    union_k = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, k)
+    shared = F.array_intersect(union_k,
+                               F.array_intersect("ka", "kb"))
+    kth = F.element_at(F.col("s"), F.size("s"))
+
+    def card_est(arr):
+        # (n-1) * 2^60 / max(arr): standard KMV cardinality estimator,
+        # exact when the corpus has < k distinct values (arr holds all)
+        n = F.size(arr)
+        return F.round(
+            F.when(n < k, n.cast("double"))
+            .otherwise((n.cast("double") - 1) * F.lit(float(2 ** 60))
+                       / F.element_at(arr, n).cast("double")), 4)
+
+    return (both.select(
+        F.lit(k).cast("int").alias("k"),
+        union_k.alias("s"), F.col("ka"), F.col("kb"),
+        shared.alias("shared"))
+        .select(
+            "k",
+            F.size("s").cast("long").alias("union_sketch_size"),
+            F.size("shared").cast("long").alias("shared_in_sketch"),
+            F.round(F.size("shared").cast("double") / F.size("s"), 6)
+            .alias("est_jaccard"),
+            card_est(F.col("ka")).alias("est_card_a"),
+            card_est(F.col("kb")).alias("est_card_b"),
+            kth.alias("kth_min")))

@@ -8456,3 +8456,122 @@ def q159_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_stats(documents, "doc_id", "text",
                             shingle_k=5, num_hashes=4, bands=4,
                             seed=42, max_bucket_size=5)
+
+
+@_register(
+    "q160_kmv_corpus_overlap",
+    """
+    -- KMV (bottom-k) cross-corpus overlap estimate next to its exact
+    -- dual (the q82 harness pattern): even-doc_id docs vs odd-doc_id
+    -- docs, 5-gram shingle universes, portable 60-bit hashes. The
+    -- estimator is EXACT SET ARITHMETIC over three k-sized sorted hash
+    -- arrays (bottom-k of A, of B, of A-union-B), so est_jaccard is
+    -- bit-identical cross-engine; true_jaccard is the exact
+    -- distinct-set computation the sketch approximates.
+    WITH sh AS (
+        SELECT doc_id % 2 AS side,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(length(text) - 4, 1) + 1),
+                   i -> substr(text, CAST(i AS INT), 5)))) AS s
+        FROM documents
+    ), h AS (
+        SELECT DISTINCT side,
+               CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv
+        FROM sh
+    ), ka AS (
+        SELECT hv FROM h WHERE side = 0 ORDER BY hv LIMIT 256
+    ), kb AS (
+        SELECT hv FROM h WHERE side = 1 ORDER BY hv LIMIT 256
+    ), su AS (
+        SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb) u
+        ORDER BY hv LIMIT 256
+    ), shared AS (
+        SELECT count(*) AS c FROM su
+        WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb)
+    ), sketch AS (
+        SELECT (SELECT count(*) FROM su) AS union_sketch_size,
+               (SELECT c FROM shared) AS shared_in_sketch,
+               (SELECT max(hv) FROM su) AS kth_min,
+               (SELECT count(*) FROM ka) AS na,
+               (SELECT max(hv) FROM ka) AS maxa,
+               (SELECT count(*) FROM kb) AS nb,
+               (SELECT max(hv) FROM kb) AS maxb
+    ), exact AS (
+        SELECT
+            (SELECT count(DISTINCT hv) FROM h) AS true_union,
+            (SELECT count(*) FROM
+                (SELECT hv FROM h WHERE side = 0
+                 INTERSECT SELECT hv FROM h WHERE side = 1) i)
+                AS true_shared,
+            (SELECT count(*) FROM h WHERE side = 0) AS true_card_a,
+            (SELECT count(*) FROM h WHERE side = 1) AS true_card_b
+    )
+    SELECT CAST(256 AS INT) AS k,
+           CAST(union_sketch_size AS BIGINT) AS union_sketch_size,
+           CAST(shared_in_sketch AS BIGINT) AS shared_in_sketch,
+           CAST(round(CAST(shared_in_sketch AS DOUBLE)
+                      / union_sketch_size, 6) AS DOUBLE) AS est_jaccard,
+           CAST(round(CASE WHEN na < 256 THEN CAST(na AS DOUBLE)
+                ELSE (CAST(na AS DOUBLE) - 1) * 1152921504606846976.0
+                     / CAST(maxa AS DOUBLE) END, 4) AS DOUBLE)
+               AS est_card_a,
+           CAST(round(CASE WHEN nb < 256 THEN CAST(nb AS DOUBLE)
+                ELSE (CAST(nb AS DOUBLE) - 1) * 1152921504606846976.0
+                     / CAST(maxb AS DOUBLE) END, 4) AS DOUBLE)
+               AS est_card_b,
+           CAST(kth_min AS BIGINT) AS kth_min,
+           CAST(round(CAST(true_shared AS DOUBLE) / true_union, 6)
+                AS DOUBLE) AS true_jaccard,
+           CAST(true_card_a AS BIGINT) AS true_card_a,
+           CAST(true_card_b AS BIGINT) AS true_card_b
+    FROM sketch, exact
+    """,
+    doc="KMV bottom-k overlap planning sketch (operators/sketch.py "
+        "kmv_bottom_k / kmv_overlap_estimate): decides whether the "
+        "expensive cross-corpus near-dup pass (q120's bipartite LSH) is "
+        "worth running — two TakeOrdered scans, zero joins, one k-array "
+        "row per corpus, mergeable by array-union+re-take. est vs true "
+        "side-by-side is the q82 harness convention: the exact dual's "
+        "cost is bounded here (distinct hash counts), and at 100 TB "
+        "only the sketch path runs. 2^60 literal baked, divisions "
+        "rounded (6dp jaccard / 4dp cardinality).",
+)
+def q160_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        char_shingles, portable_hash64,
+    )
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        kmv_overlap_estimate,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    hashed = documents.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(char_shingles("text", 5)).alias("s"),
+    ).select("side", portable_hash64(F.col("s")).alias("hv"))
+    left = hashed.filter(F.col("side") == 0)
+    right = hashed.filter(F.col("side") == 1)
+    est = kmv_overlap_estimate(left, right, "hv", k=256)
+
+    # exact dual (bounded: distinct 60-bit hashes, counts only)
+    da = left.select("hv").distinct()
+    db = right.select("hv").distinct()
+    true_row = (
+        da.unionByName(db).distinct().agg(
+            F.count(F.lit(1)).alias("true_union"))
+        .crossJoin(F.broadcast(da.intersect(db).agg(
+            F.count(F.lit(1)).alias("true_shared"))))
+        .crossJoin(F.broadcast(da.agg(
+            F.count(F.lit(1)).alias("true_card_a"))))
+        .crossJoin(F.broadcast(db.agg(
+            F.count(F.lit(1)).alias("true_card_b")))))
+    return (est.crossJoin(F.broadcast(true_row))
+            .select("k", "union_sketch_size", "shared_in_sketch",
+                    "est_jaccard", "est_card_a", "est_card_b", "kth_min",
+                    F.round(F.col("true_shared").cast("double")
+                            / F.col("true_union"), 6)
+                    .alias("true_jaccard"),
+                    F.col("true_card_a").cast("long")
+                    .alias("true_card_a"),
+                    F.col("true_card_b").cast("long")
+                    .alias("true_card_b")))

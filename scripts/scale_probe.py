@@ -143,6 +143,8 @@ PROBE_QUERIES = [
     "q158_video_metadata",
     # banded-minhash groupBy, no pair join — linear by construction
     "q159_lsh_bucket_stats",
+    # two TakeOrdered bottom-k scans + k-array set math; output fixed
+    "q160_kmv_corpus_overlap",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -2219,3 +2219,44 @@ def test_bucket_cap_observation_zero_when_cap_idle(spark):
     assert m["banded_rows"] > 0
     assert m["rows_in_dropped_buckets"] == 0
     assert m["dropped_buckets"] == 0
+
+
+def test_kmv_sketch_estimates_and_merge_semantics(spark):
+    """KMV bottom-k: the sketch is the k smallest distinct hashes;
+    overlap estimate equals the exact Jaccard when both universes fit
+    inside k (the sketch degenerates to the exact sets), and membership
+    set-math matches a python oracle on a constructed overlap."""
+    from pyspark.sql import functions as SF
+
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        kmv_bottom_k, kmv_overlap_estimate,
+    )
+
+    a_vals = list(range(100, 400, 3))          # 100 hashes
+    b_vals = list(range(100, 400, 5))          # 60 hashes, overlap = %15
+    a = spark.createDataFrame([(v,) for v in a_vals], ["hv"])
+    b = spark.createDataFrame([(v,) for v in b_vals], ["hv"])
+
+    got = kmv_bottom_k(a, "hv", k=16).collect()[0]["kmv"]
+    assert got == sorted(a_vals)[:16]
+
+    # k large enough to hold everything -> estimator is EXACT
+    row = kmv_overlap_estimate(a, b, "hv", k=256).collect()[0]
+    inter = len(set(a_vals) & set(b_vals))
+    union = len(set(a_vals) | set(b_vals))
+    assert row["union_sketch_size"] == union
+    assert row["shared_in_sketch"] == inter
+    assert row["est_jaccard"] == round(inter / union, 6)
+    assert row["est_card_a"] == float(len(a_vals))
+    assert row["est_card_b"] == float(len(b_vals))
+
+    # k smaller than the union: sketch membership math still matches
+    # the python oracle computed from the same bottom-k arrays
+    k = 16
+    row = kmv_overlap_estimate(a, b, "hv", k=k).collect()[0]
+    ka, kb = sorted(a_vals)[:k], sorted(b_vals)[:k]
+    s = sorted(set(ka) | set(kb))[:k]
+    shared = [x for x in s if x in set(ka) and x in set(kb)]
+    assert row["union_sketch_size"] == len(s)
+    assert row["shared_in_sketch"] == len(shared)
+    assert row["kth_min"] == s[-1]

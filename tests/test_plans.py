@@ -254,6 +254,10 @@ PLAN_SHAPE_GOLDENS = {
     "q157_audio_features": {},
     "q158_video_metadata": {},
     "q159_lsh_bucket_stats": {},
+    # 5 BNLJ = the documented scalar-broadcast crossJoins of 1-row
+    # frames (sketch row x exact-dual rows), 1 BHJ = the intersect
+    "q160_kmv_corpus_overlap": {"BroadcastNestedLoopJoin": 5,
+                                "BroadcastHashJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
