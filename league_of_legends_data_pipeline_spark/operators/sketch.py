@@ -235,3 +235,48 @@ def kmv_overlap_estimate(left: DataFrame, right: DataFrame,
             card_est(F.col("ka")).alias("est_card_a"),
             card_est(F.col("kb")).alias("est_card_b"),
             kth.alias("kth_min")))
+
+
+def frequent_tokens(df: DataFrame, id_col: str, text_col: str,
+                    threshold: int, num_buckets: int = 32) -> DataFrame:
+    """Distributed exact heavy hitters: every token with global count
+    >= ``threshold``, found without ever shuffling the full token
+    stream into one global aggregate of the whole vocabulary.
+
+    Two-phase frequent-items (the exact, provably-lossless cousin of
+    SpaceSaving/Misra-Gries, per the classic distributed heavy-hitters
+    pigeonhole): documents are assigned to ``num_buckets`` groups by id;
+    phase 1 counts tokens per (bucket, token) — a partial aggregate whose
+    map-side combine already collapses each partition's stream — and any
+    token whose count in SOME bucket reaches ceil(threshold/num_buckets)
+    becomes a candidate. Pigeonhole guarantee: if every bucket-local
+    count were below that, the global count would be at most
+    num_buckets * (ceil(T/B) - 1) <= T - 1 — so NO true heavy hitter is
+    ever pruned (false positives are re-checked, false negatives are
+    impossible). Phase 2 recounts ONLY candidate tokens exactly via a
+    broadcast semi-join on the token stream.
+
+    Output: one row per heavy hitter (token, cnt) plus the phase-1
+    candidate-set size as a constant column (the pruning observability
+    the round-7 ADVICE convention asks for: callers see how much the
+    pigeonhole phase actually cut).
+
+    100 TB shape: phase 1's shuffle key is (bucket, token) — vocabulary
+    x buckets rows AFTER map-side combine, not the token stream; the
+    candidate set (bounded by num_buckets * corpus_tokens / threshold
+    by a counting argument) broadcasts; phase 2 shuffles only candidate
+    tokens. No global all-token aggregate ever materializes on one key.
+    """
+    toks = df.select(
+        (F.col(id_col) % num_buckets).alias("b"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    local_threshold = -(-threshold // num_buckets)  # ceil(T / B)
+    candidates = (toks.groupBy("b", "tok").agg(F.count(F.lit(1)).alias("c"))
+                  .filter(F.col("c") >= local_threshold)
+                  .select("tok").distinct())
+    exact = (toks.join(F.broadcast(candidates), "tok", "left_semi")
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+             .filter(F.col("cnt") >= threshold))
+    n_cand = candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return exact.crossJoin(F.broadcast(n_cand))

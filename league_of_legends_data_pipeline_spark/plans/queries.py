@@ -8575,3 +8575,411 @@ def q160_kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("true_card_a"),
                     F.col("true_card_b").cast("long")
                     .alias("true_card_b")))
+
+
+@_register(
+    "q161_html_text_extraction",
+    """
+    -- HTML text-extraction roundtrip oracle: the SQL side does NOT run
+    -- the regex pipeline — it constructs the ground-truth extraction
+    -- analytically from the same columns the HTML was synthesized from.
+    -- If the Spark-side strip_html chain mishandles any stage
+    -- (script/style content, comments, tag boundaries, entities,
+    -- whitespace), n_exact / sum_chars diverge from the analytic truth
+    -- and the row hash fails.
+    WITH truth AS (
+        SELECT source,
+               trim(regexp_replace(
+                   source || ' & co ' || text || ' lang: ' || lang
+                          || ' <b>',
+                   '\\s+', ' ', 'g')) AS expected
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(length(expected)) AS BIGINT) AS sum_chars
+    FROM truth
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="HTML text extraction (operators/cleaning.py strip_html): "
+        "documents are wrapped in a synthetic HTML page (head with style "
+        "+ script blocks, h1/p/div body, entities, a comment) derived "
+        "deterministically from (doc_id, source, lang, text), then "
+        "extracted back by the C4-style cleaning chain: script/style "
+        "containers WITH content dropped, comments dropped, tags -> "
+        "spaces, 6-entity decode, whitespace collapse. Pure Column "
+        "projection (5 regexp_replace + 6 replace, all RE2-compatible) — "
+        "map-only, linear at any corpus size. n_exact counts documents "
+        "whose extraction is byte-identical to the analytic expectation; "
+        "the oracle asserts n_exact == n_docs.",
+)
+def q161_html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        strip_html,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    ids = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><style>p { margin: 0; }</style><script>var t = "),
+        ids,
+        F.lit("; if (t &lt; 0) {}</script></head><body><h1>"),
+        F.col("source"),
+        F.lit(" &amp; co</h1><p>"),
+        F.col("text"),
+        F.lit('</p><div class="m">lang: '),
+        F.col("lang"),
+        F.lit(" &lt;b&gt;</div><!-- id "),
+        ids,
+        F.lit(" --></body></html>"),
+    )
+    expected = F.trim(F.regexp_replace(
+        F.concat(F.col("source"), F.lit(" & co "), F.col("text"),
+                 F.lit(" lang: "), F.col("lang"), F.lit(" <b>")),
+        r"\s+", " "))
+    per_doc = documents.select(
+        "source",
+        strip_html(html).alias("extracted"),
+        expected.alias("expected"),
+    )
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("extracted") == F.col("expected"))
+                       .cast("long")).alias("n_exact"),
+                 F.sum(F.length("extracted")).alias("sum_chars"))
+            .orderBy("source"))
+
+
+@_register(
+    "q162_url_canonical_dedup",
+    """
+    -- URL canonicalization oracle, analytic dual: the SQL side builds
+    -- the ground-truth canonical form directly from the generator
+    -- parameters (b = doc_id // 4 drives host shard, item id, query
+    -- param; four surface variants per group differ only in case,
+    -- default port, tracking params, param order, trailing slash and
+    -- fragment). The Spark side runs the real canonical_url pipeline
+    -- over the raw URL strings; any canonicalization bug breaks the
+    -- per-domain distinct counts against this analytic truth.
+    WITH u AS (
+        SELECT doc_id,
+               doc_id // 4 AS b,
+               CASE WHEN doc_id % 4 IN (0, 1)
+                    THEN 'example.com'
+                    ELSE 'site' || CAST((doc_id // 4) % 3 AS VARCHAR)
+                         || '.org' END AS domain,
+               CASE WHEN doc_id % 4 IN (0, 1)
+                    THEN 'https://www.shard'
+                         || CAST((doc_id // 4) % 7 AS VARCHAR)
+                         || '.example.com/item/'
+                         || CAST((doc_id // 4) * 31 % 1000 AS VARCHAR)
+                         || '?a=1&q=' || CAST((doc_id // 4) % 5 AS VARCHAR)
+                    ELSE 'http://mirror.site'
+                         || CAST((doc_id // 4) % 3 AS VARCHAR)
+                         || '.org/p/' || CAST((doc_id // 4) % 50 AS VARCHAR)
+                    END AS canonical
+        FROM documents
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(round(CAST(count(*) AS DOUBLE)
+                      / count(DISTINCT canonical), 6) AS DOUBLE)
+               AS dedup_ratio
+    FROM u
+    GROUP BY domain
+    ORDER BY domain
+    """,
+    doc="URL canonicalization + URL-level source dedup "
+        "(operators/cleaning.py canonical_url / registered_domain): each "
+        "document carries one of four synthetic raw-URL variants "
+        "(uppercase host+scheme with :443 and utm_/fragment noise; "
+        "clean https; http with :80 and trailing slash; http with "
+        "all-tracking query) built from b = doc_id // 4, so each 4-doc "
+        "group collapses to exactly 2 canonical URLs. The pipeline "
+        "lowercases scheme/host, drops default ports, strips "
+        "utm_*/fbclid/gclid/msclkid/ref params, sorts survivors, drops "
+        "fragments, and trims trailing slashes — all regexp_extract / "
+        "array ops, map-only; the per-domain aggregate is the only "
+        "shuffle. Registered domain is the last-2-labels heuristic "
+        "(public-suffix broadcast dim is the production refinement).",
+)
+def q162_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        canonical_url, registered_domain,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    b = F.floor(F.col("doc_id") / 4).cast("long")
+    m7 = (b % 7).cast("string")
+    p = ((b * 31) % 1000).cast("string")
+    q5 = (b % 5).cast("string")
+    m3 = (b % 3).cast("string")
+    m50 = (b % 50).cast("string")
+    case = F.col("doc_id") % 4
+    url = (
+        F.when(case == 0, F.concat(
+            F.lit("https://WWW.Shard"), m7, F.lit(".Example.COM:443/item/"),
+            p, F.lit("/?utm_source=feed&q="), q5, F.lit("&a=1#top")))
+        .when(case == 1, F.concat(
+            F.lit("https://www.shard"), m7, F.lit(".example.com/item/"),
+            p, F.lit("?a=1&q="), q5))
+        .when(case == 2, F.concat(
+            F.lit("http://Mirror.Site"), m3, F.lit(".ORG:80/p/"),
+            m50, F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("http://mirror.site"), m3, F.lit(".org/p/"),
+            m50, F.lit("?gclid=xyz&ref=tw")))
+    )
+    urls = documents.select(
+        canonical_url(url).alias("canonical"),
+        registered_domain(url).alias("domain"),
+    )
+    return (urls.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.countDistinct("canonical").alias("n_canonical"),
+                 F.round(F.count(F.lit(1)).cast("double")
+                         / F.countDistinct("canonical"), 6)
+                 .alias("dedup_ratio"))
+            .orderBy("domain"))
+
+
+@_register(
+    "q163_pii_scrub_report",
+    """
+    -- PII scrub-report oracle, analytic dual: deterministic PII
+    -- snippets (email / phone / IPv4 / SSN / one Luhn-valid plus one
+    -- Luhn-broken 16-digit card) are appended to each document by
+    -- doc_id modulo rules; the SQL side asserts the expected hit
+    -- counts and redaction byte-deltas ANALYTICALLY (the base corpus
+    -- is letters-only, so every expected match is known in closed
+    -- form). The Spark side runs the real regex detectors, the real
+    -- Luhn aggregate, and the real redaction chain — a drift in any
+    -- regex boundary, the checksum parity, or the replace order shows
+    -- up as a count or chars_removed mismatch.
+    WITH d AS (
+        SELECT source,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS he,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS hp,
+               CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS hi,
+               CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS hs,
+               CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END AS hc,
+               length(CAST(doc_id AS VARCHAR)) AS lid,
+               length(CAST(doc_id % 256 AS VARCHAR))
+                   + length(CAST((doc_id * 7) % 256 AS VARCHAR))
+                   + length(CAST((doc_id * 13) % 256 AS VARCHAR)) AS lip
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(he) AS BIGINT) AS n_email,
+           CAST(sum(hi) AS BIGINT) AS n_ipv4,
+           CAST(sum(hp) AS BIGINT) AS n_phone,
+           CAST(sum(hs) AS BIGINT) AS n_ssn,
+           CAST(sum(hc) AS BIGINT) AS n_cc_valid,
+           CAST(2 * sum(hc) AS BIGINT) AS n_cc_seen,
+           CAST(sum(he * (14 + lid) + hp * 5 + hi * (1 + lip)
+                    + hs * 6 + hc * 20) AS BIGINT) AS chars_removed
+    FROM d
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="PII detection + redaction report (operators/cleaning.py "
+        "pii_counts / redact_pii / luhn_valid): regex detectors for "
+        "email, IPv4 (octet-exact), phone (3-3-4), SSN (3-2-4), and "
+        "16-digit card runs gated by a Luhn checksum implemented as an "
+        "index-parity transform+aggregate (no sequential fold, exact "
+        "integers). Detection is precision-first (Luhn gate halves "
+        "numeric false positives), redaction recall-first (any "
+        "card-shaped run is scrubbed). All patterns RE2-compatible and "
+        "shared verbatim with the oracle's convention. Map-only per-row "
+        "work, one per-source aggregate — linear at any corpus size. "
+        "The synthetic valid card is base15 + computed check digit; its "
+        "sibling (check+1) MUST be rejected, which pins the checksum "
+        "parity, not just the regex.",
+)
+def q163_pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        pii_counts, redact_pii,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ids = did.cast("string")
+    base15 = F.lpad(((did * 99991) % F.lit(10 ** 15)).cast("string"), 15, "0")
+
+    def dig(i):
+        return base15.substr(i, F.lit(1)).cast("int")
+
+    weighted = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(15)),
+            lambda i: F.when(
+                (i % 2) == 1,
+                F.when(dig(i) > 4, dig(i) * 2 - 9).otherwise(dig(i) * 2),
+            ).otherwise(dig(i)),
+        ),
+        F.lit(0), lambda acc, x: acc + x)
+    check = (10 - (weighted % 10)) % 10
+    valid_cc = F.concat(base15, check.cast("string"))
+    broken_cc = F.concat(base15, ((check + 1) % 10).cast("string"))
+
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, F.concat(
+            F.lit(" contact user"), ids, F.lit("@mail.example.com")))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.concat(
+            F.lit(" call 555-"), ((did % 900) + 100).cast("string"),
+            F.lit("-"), ((did % 9000) + 1000).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" from 10."), (did % 256).cast("string"), F.lit("."),
+            ((did * 7) % 256).cast("string"), F.lit("."),
+            ((did * 13) % 256).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" ssn "), ((did % 900) + 100).cast("string"),
+            F.lit("-"), ((did % 90) + 10).cast("string"),
+            F.lit("-"), ((did % 9000) + 1000).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.concat(
+            F.lit(" card "), valid_cc, F.lit(" and "), broken_cc))
+        .otherwise(F.lit("")),
+    )
+    counts = pii_counts(aug)
+    per_doc = documents.select(
+        "source",
+        *[v.alias(k) for k, v in counts.items()],
+        (F.length(aug) - F.length(redact_pii(aug))).alias("delta"),
+    )
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_email").cast("long").alias("n_email"),
+                 F.sum("n_ipv4").cast("long").alias("n_ipv4"),
+                 F.sum("n_phone").cast("long").alias("n_phone"),
+                 F.sum("n_ssn").cast("long").alias("n_ssn"),
+                 F.sum("n_cc_valid").cast("long").alias("n_cc_valid"),
+                 F.sum("n_cc_seen").cast("long").alias("n_cc_seen"),
+                 F.sum("delta").cast("long").alias("chars_removed"))
+            .orderBy("source"))
+
+
+@_register(
+    "q164_paragraph_dedup",
+    """
+    -- C4-style global paragraph dedup, full pipeline dual: the SQL
+    -- side rebuilds the same fixed 15-token spans (parallel unnest
+    -- zips position and span), ranks occurrences of each distinct span
+    -- by (doc_id, position) — a total order, so the survivor is
+    -- unique — and reassembles surviving text per document in span
+    -- order. kept_hash pins the reassembled bytes, not just counts.
+    WITH sp AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(CAST(ceil(
+                   len(string_split(text, ' ')) / 15.0) AS BIGINT), 1)))
+                   AS pos,
+               unnest(list_transform(
+                   range(0, greatest(CAST(ceil(
+                       len(string_split(text, ' ')) / 15.0) AS BIGINT), 1)),
+                   b -> array_to_string(
+                       string_split(text, ' ')[b*15+1 : b*15+15], ' ')))
+                   AS span
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY span
+                                  ORDER BY doc_id, pos) AS rk
+        FROM sp WHERE span <> ''
+    )
+    SELECT doc_id,
+           md5(coalesce(string_agg(span, ' ' ORDER BY pos)
+                        FILTER (WHERE rk = 1), '')) AS kept_hash,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dropped
+    FROM ranked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Paragraph-level first-occurrence dedup (operators/cleaning.py "
+        "paragraph_dedup — the C4 line-dedup pass, with fixed 15-token "
+        "spans standing in for newline paragraphs on this corpus): "
+        "explode spans, ONE window over the span key ordered by "
+        "(doc_id, pos), keep rank 1, re-aggregate per document. No "
+        "joins, no driver state; shuffle volume is the span stream "
+        "keyed by span text, each window group is one span's occurrence "
+        "list (skew = boilerplate spans; window groups sort-spill, they "
+        "never collect corpus-wide). On this low-entropy corpus most "
+        "15-grams repeat across documents, so n_dropped is large — the "
+        "empty-survivor documents mirror C4's follow-up empty-doc "
+        "filter.",
+)
+def q164_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        paragraph_dedup,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = paragraph_dedup(documents, "doc_id", "text", span_tokens=15)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("kept_text")).alias("kept_hash"),
+        "n_spans", "n_kept", "n_dropped",
+    ).orderBy("doc_id")
+
+
+@_register(
+    "q165_heavy_hitters",
+    """
+    -- Distributed exact heavy hitters, full pipeline dual: the SQL
+    -- side rebuilds BOTH phases — per-bucket local counts (buckets =
+    -- doc_id % 32), the ceil(T/B) pigeonhole candidate cut, and the
+    -- exact recount restricted to candidates — so n_candidates pins
+    -- the pruning phase, not just the final counts. ceil(500/32) = 16.
+    WITH toks AS (
+        SELECT doc_id % 32 AS b, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), t AS (
+        SELECT b, tok FROM toks WHERE tok <> ''
+    ), loc AS (
+        SELECT b, tok, count(*) AS c FROM t GROUP BY b, tok
+    ), cand AS (
+        SELECT DISTINCT tok FROM loc WHERE c >= 16
+    ), g AS (
+        SELECT tok, count(*) AS cnt FROM t
+        WHERE tok IN (SELECT tok FROM cand) GROUP BY tok
+    ), n AS (
+        SELECT count(*) AS n_candidates FROM cand
+    )
+    SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM g, n WHERE cnt >= 500
+    ORDER BY cnt DESC, tok
+    """,
+    doc="Exact distributed heavy hitters (operators/sketch.py "
+        "frequent_tokens): two-phase frequent-items with the pigeonhole "
+        "guarantee — phase 1 aggregates (bucket, token) local counts "
+        "(map-side combine collapses the token stream; shuffle rows are "
+        "vocab x buckets, never the stream), any token reaching "
+        "ceil(T/B) in some bucket is a candidate (no false negatives: "
+        "all-buckets-below implies global <= T-1), phase 2 recounts "
+        "candidates exactly behind a broadcast semi-join that prunes "
+        "the shuffle to candidate tokens only. n_candidates rides along "
+        "as the pruning-observability column. T=500 at sf0.01 splits "
+        "this corpus's vocabulary: rare tokens die in phase 1.",
+)
+def q165_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        frequent_tokens,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = frequent_tokens(documents, "doc_id", "text",
+                          threshold=500, num_buckets=32)
+    return out.select("tok", "cnt", "n_candidates") \
+              .orderBy(F.col("cnt").desc(), "tok")

@@ -2260,3 +2260,121 @@ def test_kmv_sketch_estimates_and_merge_semantics(spark):
     assert row["union_sketch_size"] == len(s)
     assert row["shared_in_sketch"] == len(shared)
     assert row["kth_min"] == s[-1]
+
+
+# ---------------------------------------------------------------------------
+# cleaning tier: HTML extraction, URL canonicalization, PII, paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def test_strip_html_handles_containers_entities_comments(spark):
+    from league_of_legends_data_pipeline_spark.operators.cleaning import strip_html
+    import pyspark.sql.functions as F
+
+    cases = [
+        # script content with a '<' inside must vanish entirely
+        ("<p>a</p><script>if(1<2){x()}</script><p>b</p>", "a b"),
+        ("<style>p > em { color: red }</style>hi", "hi"),
+        ("<!-- drop --><b>keep</b>", "keep"),
+        ("x &amp;&lt;&gt;&quot;&#39;&nbsp; y", "x &<>\"' y"),
+        ("<div>a</div><div>b</div>", "a b"),  # tags become word breaks
+        ("  already   clean  ", "already clean"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               ["i", "html"])
+    got = {r["i"]: r["t"]
+           for r in df.select("i", strip_html("html").alias("t")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_canonical_url_rules(spark):
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        canonical_url, registered_domain)
+
+    cases = [
+        ("https://WWW.Ex.COM:443/a/?utm_source=x&b=2&a=1#f",
+         "https://www.ex.com/a?a=1&b=2", "ex.com"),
+        ("http://Host.ORG:80/p/", "http://host.org/p", "host.org"),
+        # non-default port survives; root path normalizes to "/"
+        ("https://h.net:8443", "https://h.net:8443/", "h.net"),
+        # all-tracking query drops entirely
+        ("http://a.b.c.io/x?gclid=1&ref=t&fbclid=2", "http://a.b.c.io/x",
+         "c.io"),
+        # plain param named utm survives only if not utm_* prefixed
+        ("http://e.co/x?utmost=1", "http://e.co/x?utmost=1", "e.co"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _, _) in enumerate(cases)],
+                               ["i", "url"])
+    got = {r["i"]: (r["c"], r["d"]) for r in df.select(
+        "i", canonical_url("url").alias("c"),
+        registered_domain("url").alias("d")).collect()}
+    for i, (_, want_c, want_d) in enumerate(cases):
+        assert got[i] == (want_c, want_d), (i, got[i], (want_c, want_d))
+
+
+def test_luhn_and_pii_detection(spark):
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        luhn_valid, pii_counts, redact_pii)
+    import pyspark.sql.functions as F
+
+    # classic known Luhn vectors
+    df = spark.createDataFrame(
+        [("4111111111111111", True), ("4111111111111112", False),
+         ("79927398713", True), ("79927398710", False)], ["d", "want"])
+    for r in df.select("want", luhn_valid("d").alias("got")).collect():
+        assert r["got"] == r["want"]
+
+    txt = ("mail a.b+c@ex.org and x@y.io call 555-867-5309 ssn 219-09-9999 "
+           "ip 192.168.0.255 not-ip 999.1.1.1 card 4111111111111111 "
+           "fake 1234567812345678")
+    df2 = spark.createDataFrame([(txt,)], ["t"])
+    row = df2.select(
+        *[v.alias(k) for k, v in pii_counts("t").items()],
+        redact_pii("t").alias("red")).collect()[0]
+    assert row["n_email"] == 2
+    assert row["n_phone"] == 1
+    assert row["n_ssn"] == 1
+    # 999.1.1.1 must NOT count (octet range), 192.168.0.255 must
+    assert row["n_ipv4"] == 1
+    assert row["n_cc_seen"] == 2 and row["n_cc_valid"] == 1
+    red = row["red"]
+    assert "[EMAIL]" in red and "@" not in red
+    assert "[PHONE]" in red and "[SSN]" in red and "[IP]" in red
+    # redaction is recall-first: both card-shaped runs scrubbed
+    assert red.count("[CARD]") == 2
+
+
+def test_paragraph_dedup_first_occurrence_total_order(spark):
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        paragraph_dedup)
+
+    # doc 1 repeats its own first span; doc 2 repeats doc 1's span
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c x y z"),
+         (2, "a b c q r s")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in paragraph_dedup(docs, "doc_id", "text",
+                                    span_tokens=3).collect()}
+    assert out[1]["n_spans"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == "a b c x y z"  # within-doc repeat dropped
+    assert out[2]["n_kept"] == 1 and out[2]["kept_text"] == "q r s"
+
+
+def test_frequent_tokens_pigeonhole_is_lossless(spark):
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        frequent_tokens)
+
+    # 40 docs: 'hot' appears 3x/doc (120 total), 'warm' 1x/doc (40),
+    # 'rare<i>' once each. threshold 100 -> only 'hot'.
+    rows = [(i, "hot hot hot warm rare%d" % i) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = frequent_tokens(docs, "doc_id", "text",
+                          threshold=100, num_buckets=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["tok"] == "hot" and r["cnt"] == 120
+    # phase-1 pruning visibly cut the candidate set: ceil(100/8)=13
+    # per-bucket; 'warm' peaks at 5/bucket, rare* at 1 -> only 'hot'
+    assert r["n_candidates"] == 1

@@ -258,6 +258,15 @@ PLAN_SHAPE_GOLDENS = {
     # frames (sketch row x exact-dual rows), 1 BHJ = the intersect
     "q160_kmv_corpus_overlap": {"BroadcastNestedLoopJoin": 5,
                                 "BroadcastHashJoin": 1},
+    # round-8 cleaning tier: q161-q164 are map-only projections plus one
+    # aggregate/window — zero joins by design; q165's only joins are the
+    # candidate broadcast semi-join and the 1-row n_candidates broadcast
+    "q161_html_text_extraction": {},
+    "q162_url_canonical_dedup": {},
+    "q163_pii_scrub_report": {},
+    "q164_paragraph_dedup": {},
+    "q165_heavy_hitters": {"BroadcastHashJoin": 1,
+                           "BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
