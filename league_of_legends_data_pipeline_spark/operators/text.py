@@ -649,3 +649,215 @@ def calibrated_quality_filter(
     cut = scored.agg(agg.cast("double").alias("cutoff"))
     return (scored.crossJoin(F.broadcast(cut))
             .filter(F.col("quality") >= F.col("cutoff")))
+
+
+def bpe_train(df: DataFrame, text_col: str, num_merges: int = 5,
+              min_freq: int = 1) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al.; the dual of
+    the q137 encode path): learn the first ``num_merges`` byte-pair
+    merges from the corpus, returning one row per merge:
+    (step, pair, new_symbol, pair_count, avg_tokens) where avg_tokens is
+    the frequency-weighted mean symbols-per-word AFTER applying the
+    merge (the compression trajectory).
+
+    The standard scalable formulation: the corpus-sized work is ONE
+    word-frequency aggregate (explode + groupBy, map-side combined);
+    the merge loop then runs on the (word, freq) vocabulary table —
+    bounded by distinct-word count, further cut by ``min_freq`` (the
+    production lever at web scale, where hapax legomena dominate the
+    vocab but cannot win a merge).
+
+    Engine-portable merge application: a word is held as a
+    delimiter-wrapped symbol string (``banana`` -> ``<b><a><n><a><n><a>``)
+    so applying merge (a,n) is a PLAIN global string replace of
+    ``<a><n>`` with ``<an>`` — non-overlapping leftmost-first in both
+    Spark and DuckDB, which is exactly BPE's greedy semantics
+    (``aaa`` + (a,a) -> ``aa a``, never ``a aa``). No sequential fold,
+    no UDF; the winning pair each round is a 1-row broadcast
+    (crossJoin) onto the vocab, never a driver collect.
+
+    Tiebreak: (count DESC, pair ASC) — total order, both engines.
+    """
+    words = (df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+             .filter(F.col("w") != "")
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .filter(F.col("freq") >= min_freq))
+    # localCheckpoint per round (the pagerank/CC convention,
+    # operators/graph.py): each round's vocab is vocabulary-sized, and
+    # without truncation round k's pair aggregate replays rounds 1..k-1
+    # (and the corpus word count) once per downstream branch.
+    vocab = words.select(
+        "freq", F.regexp_replace(F.col("w"), "(.)", "<$1>").alias("enc"))
+    vocab = vocab.localCheckpoint(eager=True)
+
+    def syms(enc: Column) -> Column:
+        return F.split(F.btrim(enc, F.lit("<>")), "><")
+
+    total = vocab.agg(F.sum("freq").alias("tw"))
+
+    steps = []
+    for step in range(1, num_merges + 1):
+        s = syms(F.col("enc"))
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(s) - 1),
+                    lambda i: F.concat(
+                        F.lit("<"), F.element_at(s, i), F.lit("><"),
+                        F.element_at(s, i + 1), F.lit(">")),
+                )
+            ).alias("pair"),
+        ).filter(F.size(s) > 1)
+        winner = (pairs.groupBy("pair")
+                  .agg(F.sum("freq").alias("pair_count"))
+                  .orderBy(F.col("pair_count").desc(), F.col("pair"))
+                  .limit(1)
+                  .select(F.lit(step).alias("step"), "pair", "pair_count"))
+        vocab = (vocab.crossJoin(F.broadcast(winner))
+                 .select(
+                     "freq",
+                     F.replace(
+                         F.col("enc"), F.col("pair"),
+                         F.replace(F.col("pair"), F.lit("><"), F.lit("")))
+                     .alias("enc"),
+                     "step", "pair", "pair_count"))
+        after = (vocab.groupBy("step", "pair", "pair_count")
+                 .agg(F.sum(F.col("freq") * F.size(syms(F.col("enc"))))
+                      .alias("tok")))
+        steps.append(after)
+        vocab = vocab.select("freq", "enc").localCheckpoint(eager=True)
+
+    merges = steps[0]
+    for s_df in steps[1:]:
+        merges = merges.unionByName(s_df)
+    return (merges.crossJoin(F.broadcast(total))
+            .select(
+                "step", "pair",
+                F.btrim(F.replace(F.col("pair"), F.lit("><"), F.lit("")),
+                        F.lit("<>")).alias("new_symbol"),
+                "pair_count",
+                F.round(F.col("tok").cast("double") / F.col("tw"), 6)
+                .alias("avg_tokens"))
+            .orderBy("step"))
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Interpolated bigram LM quality score — the KenLM-style rung one
+    step above :func:`unigram_logprob_scores`: fit corpus bigram +
+    unigram counts, score each document by the mean negative log2 of
+    P(w2 | w1) = lam * C(w1 w2)/C(w1) + (1-lam) * C(w2)/N
+    (Jelinek-Mercer interpolation; ``lam`` is a shared decimal literal,
+    never derived at runtime, per the engine-portability conventions).
+    Documents whose word transitions are unlike the corpus (shuffled
+    text, boilerplate floods, wrong-language) score in the tail.
+
+    Returns (``id_col``, n_bigrams, mean_neg_logprob) with the mean
+    accumulated in integer micro-units (6dp) so summation order cannot
+    produce last-ulp drift between engines.
+
+    Scale shape: bigram pairs are built by a map-only array transform
+    (no window, no self-join); model tables are (token, long) and
+    (token-pair, long) partial aggregates; scoring joins the bigram
+    stream to the three count tables on their natural keys. N is the
+    single scalar that reaches the driver. Linear in corpus tokens at
+    any scale; the count-table joins shuffle (pair, long) rows, never
+    documents.
+    """
+    arr = F.split(F.lower(F.col(text_col)), " ")
+    pairs = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("w1"),
+                        F.element_at(arr, i + 1).alias("w2")),
+                ),
+                lambda s: (s["w1"] != "") & ~F.isnull(s["w2"]) & (s["w2"] != ""),
+            )
+        ).alias("bg"),
+    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    total = int(toks.count())
+
+    p = (F.lit(lam) * F.col("cb") / F.col("c1")
+         + F.lit(1.0 - lam) * F.col("c2") / F.lit(float(total)))
+    micro = F.round(-F.log2(p) * 1_000_000).cast("long")
+    return (pairs
+            .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1")),
+                  "w1")
+            .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2")),
+                  "w2")
+            .join(bi, ["w1", "w2"])
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum(micro) / F.count(F.lit(1)) / 1_000_000.0, 6)
+                 .alias("mean_neg_logprob"))
+            .select(F.col("__id").alias(id_col), "n_bigrams",
+                    "mean_neg_logprob"))
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrases: list[str],
+) -> DataFrame:
+    """Positional-index phrase search: count token-exact occurrences of
+    each multi-word phrase per document via positional postings
+    intersection — term k of the phrase must appear at position
+    (start + k). This is the inverted-positional-index operation of a
+    retrieval stack (and counts OVERLAPPING occurrences, which a
+    regex/substring scan cannot): ``a a a`` contains ``a a`` twice.
+
+    Implementation: one positional token explode FILTERED to the terms
+    any phrase uses (an `isin` against a small literal set — predicate
+    prunes the posting stream before any shuffle), then for each phrase
+    k-1 equi-joins on (doc, position+offset, term). Phrase list is
+    query-side metadata (small); the posting stream is corpus-sized but
+    term-filtered. Output: (id, phrase, n_occurrences) for every
+    (document, phrase) with at least one hit.
+
+    100 TB shape: the join keys are (doc, position) — co-partitioned
+    after the first shuffle, so the k-1 position joins are narrow;
+    posting volume is bounded by the query terms' document frequency,
+    exactly an inverted index's posting-list cost.
+    """
+    all_terms = sorted({t for p in phrases for t in p.split()})
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("p", "tok"),
+    ).filter(F.col("tok").isin(all_terms))
+
+    outs = []
+    for phrase in phrases:
+        terms = phrase.split()
+        cur = (pos.filter(F.col("tok") == terms[0])
+               .select("__id", F.col("p").alias("p0")))
+        for k, t in enumerate(terms[1:], start=1):
+            nxt = (pos.filter(F.col("tok") == t)
+                   .select(F.col("__id").alias("__id2"),
+                           (F.col("p") - k).alias("p0k")))
+            cur = cur.join(
+                nxt,
+                (cur["__id"] == nxt["__id2"]) & (cur["p0"] == nxt["p0k"]),
+            ).select("__id", "p0")
+        outs.append(
+            cur.groupBy("__id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .select("__id", F.lit(phrase).alias("phrase"), "n_occurrences"))
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(F.col("__id").alias(id_col), "phrase", "n_occurrences")

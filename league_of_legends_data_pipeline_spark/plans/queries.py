@@ -8983,3 +8983,198 @@ def q165_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                           threshold=500, num_buckets=32)
     return out.select("tok", "cnt", "n_candidates") \
               .orderBy(F.col("cnt").desc(), "tok")
+
+
+def _q166_oracle(steps: int = 5) -> str:
+    """Unrolled BPE-training oracle: DuckDB replays each merge round as a
+    CTE triple (pair explode -> argmax winner -> vocab rewrite), exactly
+    the GD/PageRank unrolling convention. Generated programmatically so
+    the round count stays in lockstep with the Spark call."""
+    sql = [
+        "WITH words AS (",
+        "    SELECT tok AS w, count(*) AS freq FROM (",
+        "        SELECT unnest(string_split(text, ' ')) AS tok",
+        "        FROM documents",
+        "    ) WHERE tok <> '' GROUP BY tok",
+        "), tw AS (SELECT sum(freq) AS tw FROM words),",
+        "v0 AS (SELECT freq,"
+        " regexp_replace(w, '(.)', '<\\1>', 'g') AS enc FROM words)",
+    ]
+    for k in range(1, steps + 1):
+        p = k - 1
+        sql.append(f""",
+p{k} AS (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+        i -> '<' || syms[CAST(i AS INT)] || '><'
+             || syms[CAST(i AS INT) + 1] || '>')) AS pair
+    FROM (SELECT freq, string_split(trim(enc, '<>'), '><') AS syms
+          FROM v{p})
+), w{k} AS (
+    SELECT pair, sum(freq) AS c FROM p{k} GROUP BY pair
+    ORDER BY c DESC, pair LIMIT 1
+), v{k} AS (
+    SELECT freq, replace(enc, (SELECT pair FROM w{k}),
+                 replace((SELECT pair FROM w{k}), '><', '')) AS enc
+    FROM v{p}
+), a{k} AS (
+    SELECT {k} AS step, (SELECT pair FROM w{k}) AS pair,
+           (SELECT c FROM w{k}) AS pair_count,
+           sum(freq * len(string_split(trim(enc, '<>'), '><'))) AS tok
+    FROM v{k}
+)""")
+        sql.append("")
+    sql.append("SELECT CAST(step AS INT) AS step, pair,")
+    sql.append("       trim(replace(pair, '><', ''), '<>') AS new_symbol,")
+    sql.append("       CAST(pair_count AS BIGINT) AS pair_count,")
+    sql.append("       CAST(round(CAST(tok AS DOUBLE) / (SELECT tw FROM tw),"
+               " 6) AS DOUBLE) AS avg_tokens")
+    sql.append("FROM (" + " UNION ALL ".join(
+        f"SELECT * FROM a{k}" for k in range(1, steps + 1)) + ")")
+    sql.append("ORDER BY step")
+    return "\n".join(sql)
+
+
+@_register(
+    "q166_bpe_train",
+    _q166_oracle(5),
+    doc="Distributed BPE tokenizer TRAINING (operators/text.py "
+        "bpe_train; the learning dual of q137's encode): 5 merge rounds "
+        "learned from the corpus. Corpus-sized work is ONE "
+        "word-frequency aggregate; each round then runs on the bounded "
+        "(word, freq) vocabulary — pair explode + one groupBy + a 1-row "
+        "winner broadcast (crossJoin), no driver collect, no sequential "
+        "fold: words are delimiter-wrapped symbol strings so merge "
+        "application is a plain global replace with BPE's exact greedy "
+        "leftmost semantics in both engines. min_freq is the web-scale "
+        "vocab lever (hapax words can't win a merge). Output pins the "
+        "merge sequence AND the weighted compression trajectory "
+        "(avg_tokens after each round).",
+)
+def q166_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import bpe_train
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return bpe_train(documents, "text", num_merges=5)
+
+
+@_register(
+    "q167_bigram_lm_scores",
+    """
+    -- interpolated bigram LM quality scores, full pipeline dual: same
+    -- count tables, same Jelinek-Mercer mixture with the shared 0.75 /
+    -- 0.25 decimal literals, same integer micro-unit accumulation.
+    -- Bigram pairs come from zipping the token array against its own
+    -- 1-shift (parallel unnest) — identical pairing to the Spark side's
+    -- array transform.
+    WITH arrs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS arr
+        FROM documents
+    ), toks AS (
+        SELECT unnest(arr) AS w FROM arrs
+    ), uni AS (
+        SELECT w, count(*) AS cu FROM toks WHERE w <> '' GROUP BY w
+    ), tot AS (
+        SELECT sum(cu) AS n FROM uni
+    ), pairs AS (
+        SELECT doc_id,
+               unnest(arr[1:len(arr)-1]) AS w1,
+               unnest(arr[2:len(arr)]) AS w2
+        FROM arrs
+    ), bg AS (
+        SELECT doc_id, w1, w2 FROM pairs WHERE w1 <> '' AND w2 <> ''
+    ), bi AS (
+        SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+    ), scored AS (
+        SELECT bg.doc_id,
+               CAST(round(-log2(
+                   (0.75 * bi.cb) / u1.cu
+                   + (0.25 * u2.cu) / (SELECT n FROM tot)
+               ) * 1000000) AS BIGINT) AS micro
+        FROM bg
+        JOIN uni u1 ON bg.w1 = u1.w
+        JOIN uni u2 ON bg.w2 = u2.w
+        JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(round(sum(micro) / count(*) / 1000000.0, 6) AS DOUBLE)
+               AS mean_neg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Interpolated bigram LM scoring (operators/text.py "
+        "bigram_logprob_scores — the KenLM-style rung above the q-series "
+        "unigram LM): P(w2|w1) = 0.75 C(w1w2)/C(w1) + 0.25 C(w2)/N, "
+        "mean -log2 per document in integer micro-units. Map-only pair "
+        "construction (array self-zip, no window/self-join); count "
+        "tables are (token, long)/(pair, long) partial aggregates; "
+        "three natural-key joins put model probabilities back on the "
+        "bigram stream. Linear in corpus tokens; only N reaches the "
+        "driver.",
+)
+def q167_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        bigram_logprob_scores,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return bigram_logprob_scores(documents, "doc_id", "text",
+                                 lam=0.75).orderBy("doc_id")
+
+
+@_register(
+    "q168_phrase_search",
+    """
+    -- positional-index phrase search, full pipeline dual: positions
+    -- from zipping tokens with their index (parallel unnest), then one
+    -- equi-join per extra phrase term on (doc, position + offset).
+    -- Counts OVERLAPPING occurrences — the thing a non-overlapping
+    -- regex count gets wrong — so the oracle replays the joins rather
+    -- than regexp_count.
+    WITH pos AS (
+        SELECT doc_id,
+               unnest(range(0, len(string_split(text, ' ')))) AS p,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), hits AS (
+        SELECT a.doc_id, 'hash join' AS phrase
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.tok = 'hash' AND b.tok = 'join'
+        UNION ALL
+        SELECT a.doc_id, 'sort merge' AS phrase
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.tok = 'sort' AND b.tok = 'merge'
+        UNION ALL
+        SELECT a.doc_id, 'table scan' AS phrase
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        WHERE a.tok = 'table' AND b.tok = 'scan'
+    )
+    SELECT phrase,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM hits GROUP BY phrase ORDER BY phrase
+    """,
+    doc="Positional-index phrase search (operators/text.py "
+        "phrase_occurrences): token-exact multi-word phrase hits via "
+        "positional postings intersection — term k must sit at position "
+        "start+k, so overlapping occurrences count (regex scans "
+        "cannot). One positional explode filtered by an isin over the "
+        "phrases' term set (posting stream pruned before any shuffle), "
+        "then k-1 (doc, position+offset) equi-joins per phrase — the "
+        "inverted positional index's posting-list cost, bounded by the "
+        "query terms' document frequency, not the corpus.",
+)
+def q168_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        phrase_occurrences,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    hits = phrase_occurrences(documents, "doc_id", "text",
+                              ["hash join", "sort merge", "table scan"])
+    return (hits.groupBy("phrase")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("n_occurrences").alias("n_occurrences"))
+            .orderBy("phrase"))

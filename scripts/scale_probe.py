@@ -145,6 +145,27 @@ PROBE_QUERIES = [
     "q159_lsh_bucket_stats",
     # two TakeOrdered bottom-k scans + k-array set math; output fixed
     "q160_kmv_corpus_overlap",
+    # round-8 cleaning tier:
+    # regex pipeline + entity decode: map-only, O(bytes)
+    "q161_html_text_extraction",
+    # regexp_extract/array canonicalization + per-domain aggregate
+    "q162_url_canonical_dedup",
+    # 5 detectors + Luhn transform/aggregate + redaction chain: map-only
+    "q163_pii_scrub_report",
+    # span explode + one window on span key + per-doc re-aggregate:
+    # shuffle volume is the span stream — must track characters
+    "q164_paragraph_dedup",
+    # two-phase heavy hitters: (bucket, token) partial agg + broadcast
+    # semi-join recount — shuffle rows are vocab x buckets, not tokens
+    "q165_heavy_hitters",
+    # one corpus word-freq aggregate, then merge rounds on the bounded
+    # vocab table — factor should track distinct-word growth, not rows
+    "q166_bpe_train",
+    # map-only pair build + (token,long)/(pair,long) model joins: linear
+    "q167_bigram_lm_scores",
+    # term-filtered positional postings + (doc,pos) equi-joins: bounded
+    # by query-term document frequency
+    "q168_phrase_search",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

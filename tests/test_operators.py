@@ -2378,3 +2378,66 @@ def test_frequent_tokens_pigeonhole_is_lossless(spark):
     # phase-1 pruning visibly cut the candidate set: ceil(100/8)=13
     # per-bucket; 'warm' peaks at 5/bucket, rare* at 1 -> only 'hot'
     assert r["n_candidates"] == 1
+
+
+def test_bpe_train_merge_sequence_and_trajectory(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import bpe_train
+
+    # Sennrich-style toy corpus: low x3, lower x2, newest x1.
+    # Round 1: (l,o)=5 ties (o,w)=5 -> pair-ASC tiebreak picks <l><o>.
+    # Round 2: (lo,w)=5 wins. Weighted avg tokens: 20/6 then 15/6.
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower"), (3, "newest")],
+        ["doc_id", "text"])
+    out = [r.asDict() for r in bpe_train(docs, "text", num_merges=2).collect()]
+    assert [r["step"] for r in out] == [1, 2]
+    assert out[0]["pair"] == "<l><o>" and out[0]["new_symbol"] == "lo"
+    assert out[0]["pair_count"] == 5
+    assert out[0]["avg_tokens"] == round(20 / 6, 6)
+    assert out[1]["pair"] == "<lo><w>" and out[1]["new_symbol"] == "low"
+    assert out[1]["pair_count"] == 5
+    assert out[1]["avg_tokens"] == 2.5
+
+
+def test_bpe_merge_application_is_greedy_leftmost(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import bpe_train
+
+    # 'aaa': pair (a,a) has weighted count 2; greedy leftmost BPE gives
+    # 'aa a' (2 symbols), never 'a aa' — and never 1 symbol (overlap).
+    docs = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
+    out = bpe_train(docs, "text", num_merges=1).collect()[0]
+    assert out["pair"] == "<a><a>" and out["pair_count"] == 2
+    assert out["avg_tokens"] == 2.0
+
+
+def test_bigram_lm_scores_jelinek_mercer_exact(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        bigram_logprob_scores)
+    import math
+
+    # corpus: doc1 'a a', doc2 'a b'. uni a=3 b=1, N=4.
+    # P(a|a)=.75*1/3+.25*3/4=0.4375  P(b|a)=.75*1/3+.25*1/4=0.3125
+    docs = spark.createDataFrame([(1, "a a"), (2, "a b")],
+                                 ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in bigram_logprob_scores(docs, "doc_id", "text",
+                                          lam=0.75).collect()}
+    want1 = round(round(-math.log2(0.4375) * 1e6) / 1e6, 6)
+    want2 = round(round(-math.log2(0.3125) * 1e6) / 1e6, 6)
+    assert out[1]["n_bigrams"] == 1 and out[1]["mean_neg_logprob"] == want1
+    assert out[2]["n_bigrams"] == 1 and out[2]["mean_neg_logprob"] == want2
+
+
+def test_phrase_occurrences_counts_overlaps(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        phrase_occurrences)
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"),            # 'a a' overlaps: 2 hits
+         (2, "x y x y x"),        # 'x y x' overlaps at 0 and 2: 2 hits
+         (3, "no match here")],
+        ["doc_id", "text"])
+    out = {(r["doc_id"], r["phrase"]): r["n_occurrences"]
+           for r in phrase_occurrences(docs, "doc_id", "text",
+                                       ["a a", "x y x"]).collect()}
+    assert out == {(1, "a a"): 2, (2, "x y x"): 2}
