@@ -14,6 +14,8 @@ part of the beyond-reference LLM-pipeline surface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -380,3 +382,83 @@ def mixture_sample_tokens(
             .join(F.broadcast(budgets), group_col)
             .filter(F.col("__cum") <= F.col("__budget"))
             .drop("__cum", "__budget"))
+
+
+# Poisson(1) CDF as 60-bit integer thresholds: t_k = floor(CDF(k) * 2^60),
+# k = 0..9 (truncation mass past 9 is ~1e-7). Baked literals per the
+# no-runtime-transcendentals convention: the bootstrap weight for a draw u
+# in [0, 2^60) is |{k : t_k <= u}| — pure integer comparisons, so the
+# replicate weights are bit-identical in any engine with md5.
+POISSON1_CDF_T60 = (
+    424136118829305344, 848272237658610688, 1060340297073263360,
+    1131029650211480960, 1148701988496035328, 1152236456152946176,
+    1152825534095764608, 1152909688087595776, 1152920207336574720,
+    1152921376142016768,
+)
+
+
+def poisson_bootstrap_means(df: DataFrame, id_col: str, value_col: str,
+                            n_replicates: int = 40,
+                            seed: int = 7) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al.) replicate means of an integer
+    metric column — THE distributed bootstrap: classical resampling
+    needs global coordination to draw n-of-n with replacement, but for
+    large n the multinomial factorizes into independent Poisson(1)
+    counts per (row, replicate), so every row computes its own weights
+    from a hash and the estimator is one aggregate. Used to put
+    confidence intervals on corpus metrics (mean doc length, dedup
+    rate) without assuming normality.
+
+    Weights are deterministic (md5 60-bit draw per (id, replicate)
+    against baked Poisson CDF thresholds — no rand(), reproducible
+    across re-runs/partitionings). Returns one row per replicate:
+    (replicate, n_eff, est) with est = sum(w*x)/sum(w) rounded 6 dp.
+
+    Scale shape: the explode is a bounded n_replicates-times row
+    multiplier feeding a partial-aggregated groupBy with n_replicates
+    output rows; nothing is global except the final tiny aggregate. At
+    petabyte scale you fold the replicate loop into one pass exactly
+    like this — this IS the production shape.
+    """
+    reps = (df.select(F.col(id_col).alias("__id"),
+                      F.col(value_col).cast("long").alias("__x"))
+            .withColumn("__b", F.explode(
+                F.sequence(F.lit(1), F.lit(n_replicates)))))
+    u = hash_long(F.concat_ws("|", F.col("__id"), F.col("__b")), seed=seed)
+    w = None
+    for t in POISSON1_CDF_T60:
+        term = (u >= F.lit(t)).cast("int")
+        w = term if w is None else w + term
+    return (reps.withColumn("__w", w)
+            .groupBy(F.col("__b").alias("replicate"))
+            .agg(F.sum("__w").alias("n_eff"),
+                 F.round(F.sum(F.col("__w") * F.col("__x"))
+                         / F.sum("__w"), 6).alias("est")))
+
+
+def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str,
+                         n_replicates: int = 40, seed: int = 7,
+                         alpha: float = 0.05) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col``: order-statistic bounds over the Poisson replicate
+    means (k_lo = floor(alpha/2 * B) + 1, k_hi = ceil((1-alpha/2) * B),
+    computed in exact integer arithmetic driver-side). Output is a
+    single row (n_replicates, point_est, ci_lo, ci_hi); the point
+    estimate is the plain corpus mean. The order-statistic selection
+    runs over the B-row replicate table — a window over B rows, not
+    the corpus."""
+    b = n_replicates
+    k_lo = math.floor(alpha / 2 * b) + 1
+    k_hi = math.ceil((1 - alpha / 2) * b)
+    means = poisson_bootstrap_means(df, id_col, value_col, b, seed)
+    w = Window.orderBy(F.col("est").asc(), F.col("replicate").asc())
+    ranked = means.withColumn("__rn", F.row_number().over(w))
+    lo = ranked.filter(F.col("__rn") == k_lo) \
+               .select(F.col("est").alias("ci_lo"))
+    hi = ranked.filter(F.col("__rn") == k_hi) \
+               .select(F.col("est").alias("ci_hi"))
+    point = df.agg(F.round(F.avg(F.col(value_col).cast("long")), 6)
+                   .alias("point_est"))
+    return (point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+            .select(F.lit(b).cast("int").alias("n_replicates"),
+                    "point_est", "ci_lo", "ci_hi"))

@@ -37,7 +37,7 @@ small-int) rows; nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from league_of_legends_data_pipeline_spark.operators.dedup import (
@@ -280,3 +280,75 @@ def frequent_tokens(df: DataFrame, id_col: str, text_col: str,
              .filter(F.col("cnt") >= threshold))
     n_cand = candidates.agg(F.count(F.lit(1)).alias("n_candidates"))
     return exact.crossJoin(F.broadcast(n_cand))
+
+
+def ddsketch_table(df: DataFrame, cents_col: Column | str,
+                   group_cols: list[str] | None = None,
+                   sub_buckets: int = 16) -> DataFrame:
+    """DDSketch-style log-linear histogram over a positive INTEGER value
+    column (prices in cents, byte sizes, token counts): bucket key =
+    (octave, sub) where octave is the exact bit length of the value and
+    sub splits each octave into ``sub_buckets`` linear cells — relative
+    error bounded by 1/sub_buckets per octave (~6% at 16). Completes the
+    profiling-sketch suite (HLL cardinality, CMS frequency, KMV overlap,
+    and now quantiles), and like the others it is MERGEABLE: sketches of
+    shards/partitions/days combine by summing counts on the bucket key,
+    which is exactly a partial-aggregated ``groupBy`` — the property
+    ``percentile_approx`` state does not give you across engines.
+
+    Engine-exactness: the octave is binary-digit count (``length(bin)``,
+    never ``floor(log2)``); the sub-cell division's divisor is the
+    octave base 2^(b-1) — a power of two, so the float division is
+    EXACT and the bucket assignment bit-identical in any engine.
+
+    Scale shape: one groupBy whose output is bounded by the bucket
+    geometry (≤ 64 * sub_buckets rows per group), not the data.
+    """
+    c = F.col(cents_col) if isinstance(cents_col, str) else cents_col
+    keys = (group_cols or []) + ["octave", "sub"]
+    keyed = (df.select(*(group_cols or []), c.cast("long").alias("__c"))
+             .withColumn("octave", F.expr("cast(length(bin(__c)) as int)"))
+             .withColumn("__base",
+                         F.expr("shiftleft(cast(1 as bigint), octave - 1)"))
+             .withColumn("sub", F.expr(
+                 f"cast(floor((__c - __base) * {sub_buckets} / __base)"
+                 " as int)")))
+    return keyed.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def ddsketch_quantiles(sketch: DataFrame, qs: list[tuple[int, int]],
+                       sub_buckets: int = 16) -> DataFrame:
+    """Quantile estimates from a (merged) :func:`ddsketch_table`: for
+    each quantile num/den, the representative value (integer midpoint of
+    the bucket's [lo, hi) cell) of the first bucket, in (octave, sub)
+    order, whose cumulative count reaches rank ceil(q*N). Quantile ranks
+    are integer arithmetic — ``(num*N + den - 1) div den`` — never
+    ``ceil(q * N)`` on a float product, which engines' decimal-vs-double
+    literal folding can land on either side of an exact integer.
+
+    The cumulative window runs over the bucket table (≤ 64*sub_buckets
+    rows), not the data. Returns (q_num, q_den, est).
+    """
+    w = (Window.orderBy("octave", "sub")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (sketch.groupBy("octave", "sub")
+           .agg(F.sum("cnt").alias("cnt"))
+           .withColumn("cum", F.sum("cnt").over(w)))
+    total = cum.agg(F.sum("cnt").alias("n"))
+
+    base = F.expr("shiftleft(cast(1 as bigint), octave - 1)")
+    lo = base + F.floor(F.col("sub") * base / sub_buckets)
+    hi = base + F.floor((F.col("sub") + 1) * base / sub_buckets)
+    rep = F.floor((lo + hi) / F.lit(2.0)).cast("long")
+
+    out = None
+    for num, den in qs:
+        rank = F.expr(f"({num} * n + {den} - 1) div {den}")
+        est = (cum.crossJoin(F.broadcast(total))
+               .filter(F.col("cum") >= rank)
+               .orderBy("octave", "sub").limit(1)
+               .select(F.lit(num).cast("int").alias("q_num"),
+                       F.lit(den).cast("int").alias("q_den"),
+                       rep.alias("est")))
+        out = est if out is None else out.unionByName(est)
+    return out

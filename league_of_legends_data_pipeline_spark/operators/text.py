@@ -787,21 +787,34 @@ def bigram_logprob_scores(
 
     toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    total = int(toks.count())
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
 
+    # Score each DISTINCT bigram once on the vocab-sized model table,
+    # then make ONE join back to the per-doc bigram counts — the
+    # corpus-sized stream is shuffled once (plus its two groupBys)
+    # instead of through three model joins. Σ_occurrences micro ==
+    # Σ_pairs cnt*micro exactly (integer arithmetic), so the rewrite is
+    # value-identical. N stays in-plan as a 1-row broadcast, never a
+    # driver count().
+    doc_bi = pairs.groupBy("__id", "w1", "w2") \
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+    bi = doc_bi.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
     p = (F.lit(lam) * F.col("cb") / F.col("c1")
-         + F.lit(1.0 - lam) * F.col("c2") / F.lit(float(total)))
-    micro = F.round(-F.log2(p) * 1_000_000).cast("long")
-    return (pairs
-            .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1")),
-                  "w1")
-            .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2")),
-                  "w2")
-            .join(bi, ["w1", "w2"])
+         + F.lit(1.0 - lam) * F.col("c2") / F.col("n"))
+    scored = (bi
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("cu").alias("c1")), "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("cu").alias("c2")), "w2")
+              .crossJoin(F.broadcast(total))
+              .select("w1", "w2",
+                      F.round(-F.log2(p) * 1_000_000).cast("long")
+                      .alias("micro")))
+    return (doc_bi.join(scored, ["w1", "w2"])
             .groupBy("__id")
-            .agg(F.count(F.lit(1)).alias("n_bigrams"),
-                 F.round(F.sum(micro) / F.count(F.lit(1)) / 1_000_000.0, 6)
+            .agg(F.sum("cnt").alias("n_bigrams"),
+                 F.round(F.sum(F.col("cnt") * F.col("micro"))
+                         / F.sum("cnt") / 1_000_000.0, 6)
                  .alias("mean_neg_logprob"))
             .select(F.col("__id").alias(id_col), "n_bigrams",
                     "mean_neg_logprob"))
@@ -861,3 +874,51 @@ def phrase_occurrences(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.select(F.col("__id").alias(id_col), "phrase", "n_occurrences")
+
+
+def entropy_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   low_char_entropy: float = 3.5) -> DataFrame:
+    """Shannon-entropy quality signals per document: character-level and
+    word-level entropy in bits — the standard cheap detectors for
+    degenerate text (repeated-character floods and template spam sit at
+    low char entropy; natural prose sits near 4–4.5 bits/char, random
+    base64-ish noise near 6). Complements the ratio-based filters
+    (repetition_filter, top_word_fraction) with a distribution-shape
+    signal neither captures.
+
+    Engine-exactness: H = log2(N) - (1/N) * sum(n_i * log2(n_i)) where
+    the per-symbol terms are rounded to integer micro-units (6 dp)
+    BEFORE the cross-symbol sum — integer summation is order-free, and
+    micro-rounding absorbs 1-ulp libm log differences between engines.
+    The final H is rounded to 6 dp.
+
+    Scale shape: two explode+groupBy passes whose shuffle rows are
+    (doc, symbol, count) — linear in corpus bytes; no windows, no joins
+    beyond a per-doc count merge; the classifier threshold is a shared
+    decimal literal.
+    """
+    def sym_entropy(sym_df: DataFrame, n_col: str) -> DataFrame:
+        counts = (sym_df.groupBy("__id", "s")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        micro = F.round(F.col("c") * F.log2("c") * 1_000_000).cast("long")
+        return (counts.groupBy("__id")
+                .agg(F.sum("c").alias("__n"), F.sum(micro).alias("__t"))
+                .select("__id", F.col("__n").alias(n_col),
+                        F.round(F.log2("__n")
+                                - (F.col("__t") / 1_000_000.0) / F.col("__n"),
+                                6).alias(n_col.replace("n_", "h_"))))
+
+    chars = df.select(F.col(id_col).alias("__id"),
+                      F.explode(F.split(F.col(text_col), "")).alias("s")) \
+              .filter(F.col("s") != "")
+    words = df.select(F.col(id_col).alias("__id"),
+                      F.explode(tokens(F.col(text_col))).alias("s"))
+    ce = sym_entropy(chars, "n_chars")
+    we = sym_entropy(words, "n_words")
+    return (ce.join(we, "__id")
+            .select(F.col("__id").alias(id_col),
+                    "n_chars", F.col("h_chars").alias("char_entropy"),
+                    "n_words", F.col("h_words").alias("word_entropy"),
+                    F.when(F.col("h_chars") < low_char_entropy, F.lit("low"))
+                    .otherwise(F.lit("ok")).alias("entropy_flag")))

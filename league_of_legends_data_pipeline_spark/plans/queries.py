@@ -9178,3 +9178,233 @@ def q168_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("doc_id").alias("n_docs"),
                  F.sum("n_occurrences").alias("n_occurrences"))
             .orderBy("phrase"))
+
+
+@_register(
+    "q169_ddsketch_quantiles",
+    """
+    -- DDSketch log-linear quantile sketch, full replay: bucket key =
+    -- (binary digit count, power-of-two-exact linear sub-cell), merged
+    -- across the per-priority partial sketches by the bucket groupBy,
+    -- quantile ranks in pure integer arithmetic, representative =
+    -- integer cell midpoint. Exact side ranks cents directly.
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ), sk AS (
+        SELECT CAST(length(bin(c)) AS INT) AS octave,
+               CAST(floor(((c - (CAST(1 AS BIGINT) << (length(bin(c)) - 1))) * 16)
+                          / (CAST(1 AS BIGINT) << (length(bin(c)) - 1))) AS INT) AS sub,
+               count(*) AS cnt
+        FROM cents GROUP BY 1, 2
+    ), cum AS (
+        SELECT octave, sub,
+               sum(cnt) OVER (ORDER BY octave, sub
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+        FROM sk
+    ), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+    ranks AS (
+        SELECT q_num, q_den,
+               CAST((q_num * (SELECT n FROM tot) + q_den - 1) // q_den
+                    AS BIGINT) AS k
+        FROM (VALUES (1, 2), (9, 10), (99, 100)) t(q_num, q_den)
+    ), est AS (
+        SELECT r.q_num, r.q_den,
+               (SELECT CAST(floor((
+                   ((CAST(1 AS BIGINT) << (octave - 1))
+                    + CAST(floor((sub * (CAST(1 AS BIGINT) << (octave - 1)))
+                                 / 16.0) AS BIGINT))
+                   + ((CAST(1 AS BIGINT) << (octave - 1))
+                    + CAST(floor(((sub + 1) * (CAST(1 AS BIGINT) << (octave - 1)))
+                                 / 16.0) AS BIGINT))
+               ) / 2.0) AS BIGINT)
+                FROM cum WHERE cum >= r.k
+                ORDER BY octave, sub LIMIT 1) AS est_cents
+        FROM ranks r
+    ), ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c) AS rn FROM cents
+    ), exact AS (
+        SELECT r.q_num, r.q_den,
+               (SELECT c FROM ranked WHERE rn >= r.k
+                ORDER BY rn LIMIT 1) AS exact_cents
+        FROM ranks r
+    )
+    SELECT CAST(e.q_num AS INT) AS q_num, CAST(e.q_den AS INT) AS q_den,
+           CAST(e.est_cents AS BIGINT) AS est_cents,
+           CAST(x.exact_cents AS BIGINT) AS exact_cents,
+           CAST(round((e.est_cents - x.exact_cents)
+                      / CAST(x.exact_cents AS DOUBLE), 6) AS DOUBLE) AS rel_err
+    FROM est e JOIN exact x ON e.q_num = x.q_num AND e.q_den = x.q_den
+    ORDER BY e.q_den
+    """,
+    doc="DDSketch-style mergeable quantile sketch (operators/sketch.py "
+        "ddsketch_table/ddsketch_quantiles — completes the profiling "
+        "suite: HLL cardinality, CMS frequency, KMV overlap, DDSketch "
+        "quantiles): per-priority partial sketches merged by a bucket-key "
+        "groupBy, p50/p90/p99 estimated from the ≤64*16-row bucket table "
+        "and checked against the exact rank — rel_err bounded by the "
+        "1/16-per-octave cell width. Octave = binary digit count (never "
+        "floor(log2)); every division's divisor is a power of two, so "
+        "bucket assignment is float-exact in both engines; quantile "
+        "ranks are integer arithmetic, never ceil(q*N) on a float.",
+)
+def q169_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        ddsketch_quantiles, ddsketch_table,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    vals = orders.select(cents.alias("c"), "o_orderpriority")
+    sk = ddsketch_table(vals, "c", ["o_orderpriority"])
+    qs = [(1, 2), (9, 10), (99, 100)]
+    est = ddsketch_quantiles(sk, qs)
+    total = vals.agg(F.count(F.lit(1)).alias("n"))
+    ranked = vals.select("c").withColumn(
+        "rn", F.row_number().over(W.orderBy("c")))
+    ex = None
+    for num, den in qs:
+        k = F.expr(f"cast(({num} * n + {den} - 1) div {den} as bigint)")
+        row = (ranked.crossJoin(F.broadcast(total))
+               .filter(F.col("rn") >= k).orderBy("rn").limit(1)
+               .select(F.lit(num).cast("int").alias("q_num"),
+                       F.lit(den).cast("int").alias("q_den"),
+                       F.col("c").alias("exact_cents")))
+        ex = row if ex is None else ex.unionByName(row)
+    return (est.join(ex, ["q_num", "q_den"])
+            .select("q_num", "q_den", F.col("est").alias("est_cents"),
+                    "exact_cents",
+                    F.round((F.col("est") - F.col("exact_cents"))
+                            / F.col("exact_cents").cast("double"), 6)
+                    .alias("rel_err"))
+            .orderBy("q_den"))
+
+
+@_register(
+    "q170_poisson_bootstrap",
+    """
+    -- Poisson bootstrap replay: per-(doc, replicate) md5 draw against
+    -- the baked Poisson(1) CDF thresholds (floor(CDF(k) * 2^60) — pure
+    -- integer comparisons), replicate means, then order-statistic CI
+    -- bounds (rn 2 and 39 of 40) broadcast onto every replicate row.
+    WITH draws AS (
+        SELECT d.doc_id, d.n_chars, t.b,
+               CAST(('0x' || substr(md5('7:' || CAST(d.doc_id AS VARCHAR)
+                     || '|' || CAST(t.b AS VARCHAR)), 1, 15)) AS BIGINT) AS u
+        FROM documents d CROSS JOIN range(1, 41) t(b)
+    ), weighted AS (
+        SELECT b, n_chars,
+              (CASE WHEN u >= 424136118829305344 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 848272237658610688 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1060340297073263360 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1131029650211480960 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1148701988496035328 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1152236456152946176 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1152825534095764608 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1152909688087595776 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1152920207336574720 THEN 1 ELSE 0 END
+             + CASE WHEN u >= 1152921376142016768 THEN 1 ELSE 0 END) AS w
+        FROM draws
+    ), reps AS (
+        SELECT CAST(b AS INT) AS replicate,
+               CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST(round(CAST(sum(w * n_chars) AS DOUBLE)
+                          / CAST(sum(w) AS DOUBLE), 6) AS DOUBLE) AS est
+        FROM weighted GROUP BY b
+    ), ranked AS (
+        SELECT est, row_number() OVER (ORDER BY est, replicate) AS rn
+        FROM reps
+    ), ci AS (
+        SELECT (SELECT est FROM ranked WHERE rn = 2) AS ci_lo,
+               (SELECT est FROM ranked WHERE rn = 39) AS ci_hi
+    ), pt AS (
+        SELECT CAST(round(avg(n_chars), 6) AS DOUBLE) AS point_est
+        FROM documents
+    )
+    SELECT r.replicate, r.n_eff, r.est, pt.point_est, ci.ci_lo, ci.ci_hi
+    FROM reps r CROSS JOIN pt CROSS JOIN ci
+    ORDER BY r.replicate
+    """,
+    doc="Poisson bootstrap CI (operators/sampling.py "
+        "poisson_bootstrap_means/_ci — Chamandy et al., the distributed "
+        "bootstrap): per-(row, replicate) Poisson(1) weights from the "
+        "md5 60-bit draw against baked CDF thresholds (no rand(), no "
+        "runtime transcendentals — reproducible across re-runs and "
+        "partitionings), replicate means of mean doc length in one "
+        "partial-aggregated groupBy with B output rows, percentile CI "
+        "from exact integer order statistics. Output: all 40 replicate "
+        "rows with the CI broadcast on, pinning both operators.",
+)
+def q170_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_ci, poisson_bootstrap_means,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    means = poisson_bootstrap_means(documents, "doc_id", "n_chars",
+                                    n_replicates=40, seed=7)
+    ci = poisson_bootstrap_ci(documents, "doc_id", "n_chars",
+                              n_replicates=40, seed=7, alpha=0.05)
+    return (means.crossJoin(F.broadcast(ci.drop("n_replicates")))
+            .orderBy("replicate"))
+
+
+@_register(
+    "q171_entropy_scores",
+    """
+    -- Shannon entropy replay: per-(doc, symbol) counts, per-symbol
+    -- n*log2(n) terms rounded to integer micro-units BEFORE the
+    -- cross-symbol sum (order-free integer summation), H = log2(N) -
+    -- (sum/1e6)/N rounded 6 dp. Chars via positional substr, words via
+    -- the repo's whitespace tokenizer convention.
+    WITH chars AS (
+        SELECT doc_id, substr(text, CAST(i AS INT), 1) AS s
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) + 1)) AS i
+              FROM documents)
+    ), cc AS (
+        SELECT doc_id, s, count(*) AS c FROM chars GROUP BY doc_id, s
+    ), ce AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+               CAST(round(log2(CAST(sum(c) AS BIGINT))
+                    - (CAST(sum(CAST(round(c * log2(c) * 1000000) AS BIGINT))
+                            AS BIGINT) / 1000000.0)
+                      / CAST(sum(c) AS BIGINT), 6) AS DOUBLE) AS char_entropy
+        FROM cc GROUP BY doc_id
+    ), toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS s
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, s, count(*) AS c FROM toks GROUP BY doc_id, s
+    ), we AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(round(log2(CAST(sum(c) AS BIGINT))
+                    - (CAST(sum(CAST(round(c * log2(c) * 1000000) AS BIGINT))
+                            AS BIGINT) / 1000000.0)
+                      / CAST(sum(c) AS BIGINT), 6) AS DOUBLE) AS word_entropy
+        FROM wc GROUP BY doc_id
+    )
+    SELECT ce.doc_id, ce.n_chars, ce.char_entropy,
+           we.n_words, we.word_entropy,
+           CASE WHEN ce.char_entropy < 3.5 THEN 'low' ELSE 'ok' END
+               AS entropy_flag
+    FROM ce JOIN we ON ce.doc_id = we.doc_id
+    ORDER BY ce.doc_id
+    """,
+    doc="Character- and word-level Shannon entropy quality signals "
+        "(operators/text.py entropy_scores): distribution-shape "
+        "detectors for degenerate text that the ratio filters "
+        "(repetition, top-word fraction) miss. Two explode+groupBy "
+        "passes, shuffle rows are (doc, symbol, count); per-symbol "
+        "n*log2(n) terms micro-rounded before the order-free integer "
+        "sum; classifier threshold is a shared decimal literal.",
+)
+def q171_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        entropy_scores,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return entropy_scores(documents).orderBy("doc_id")

@@ -2441,3 +2441,76 @@ def test_phrase_occurrences_counts_overlaps(spark):
            for r in phrase_occurrences(docs, "doc_id", "text",
                                        ["a a", "x y x"]).collect()}
     assert out == {(1, "a a"): 2, (2, "x y x"): 2}
+
+
+def test_ddsketch_bucket_exactness_and_merge(spark):
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        ddsketch_quantiles, ddsketch_table)
+    import pyspark.sql.functions as F
+
+    # values 1..1000: p50 exact = 500, p99 exact = 990. Cell width at
+    # octave b is 2^(b-1)/16, so the representative is within ~1/16
+    # relative error of the true quantile.
+    df = spark.range(1, 1001).select(F.col("id").alias("v"),
+                                     (F.col("id") % 4).alias("g"))
+    merged = ddsketch_table(df, "v")                     # one pass
+    parts = ddsketch_table(df, "v", ["g"])               # sharded build
+    remerged = parts.groupBy("octave", "sub") \
+                    .agg(F.sum("cnt").alias("cnt"))
+    a = {(r["octave"], r["sub"]): r["cnt"] for r in merged.collect()}
+    b = {(r["octave"], r["sub"]): r["cnt"] for r in remerged.collect()}
+    assert a == b  # mergeability: sum of shard sketches == whole sketch
+
+    est = {(r["q_num"], r["q_den"]): r["est"]
+           for r in ddsketch_quantiles(merged,
+                                       [(1, 2), (99, 100)]).collect()}
+    assert abs(est[(1, 2)] - 500) / 500 <= 1 / 16 + 0.01
+    assert abs(est[(99, 100)] - 990) / 990 <= 1 / 16 + 0.01
+
+
+def test_poisson_bootstrap_weights_and_ci(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        poisson_bootstrap_ci, poisson_bootstrap_means)
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 400).select(F.col("id").alias("doc_id"),
+                                    (F.col("id") % 7).alias("x"))
+    means = poisson_bootstrap_means(df, "doc_id", "x",
+                                    n_replicates=20, seed=3)
+    rows = means.collect()
+    assert len(rows) == 20
+    # Poisson(1) weights: n_eff concentrates near n (sd ~ sqrt(400)=20)
+    for r in rows:
+        assert 300 < r["n_eff"] < 500
+    # determinism: same seed, same replicate means
+    again = {r["replicate"]: r["est"]
+             for r in poisson_bootstrap_means(df, "doc_id", "x",
+                                              20, seed=3).collect()}
+    assert {r["replicate"]: r["est"] for r in rows} == again
+
+    ci = poisson_bootstrap_ci(df, "doc_id", "x",
+                              n_replicates=20, seed=3).collect()[0]
+    ests = sorted(r["est"] for r in rows)
+    # B=20, alpha=.05: k_lo = floor(.025*20)+1 = 1, k_hi = ceil(.975*20)=20
+    assert ci["ci_lo"] == ests[0] and ci["ci_hi"] == ests[-1]
+    assert ci["ci_lo"] <= ci["point_est"] <= ci["ci_hi"]
+
+
+def test_entropy_scores_known_distributions(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        entropy_scores)
+
+    docs = spark.createDataFrame(
+        [(1, "abcd" * 8),          # uniform over 4 chars: H = 2 bits
+         (2, "aaaa aaaa aaaa")],   # 12 a's + 2 spaces: low entropy
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in entropy_scores(docs).collect()}
+    assert out[1]["char_entropy"] == 2.0 and out[1]["entropy_flag"] == "low"
+    assert out[1]["n_chars"] == 32
+    # doc 2: p(a)=12/14, p(' ')=2/14 -> H = log2(14) - (12*log2(12)+0)/14
+    import math
+    t = round(12 * math.log2(12) * 1e6) + round(2 * math.log2(2) * 1e6)
+    want = round(math.log2(14) - (t / 1e6) / 14, 6)
+    assert out[2]["char_entropy"] == want
+    # word side: 3 identical tokens -> word entropy 0
+    assert out[2]["n_words"] == 3 and out[2]["word_entropy"] == 0.0
