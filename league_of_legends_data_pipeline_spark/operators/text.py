@@ -922,3 +922,102 @@ def entropy_scores(df: DataFrame, id_col: str = "doc_id",
                     "n_words", F.col("h_words").alias("word_entropy"),
                     F.when(F.col("h_chars") < low_char_entropy, F.lit("low"))
                     .otherwise(F.lit("ok")).alias("entropy_flag")))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 16, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS local fingerprinting algorithm): hash every character k-gram,
+    slide a window of ``w`` consecutive hashes over the sequence, and in
+    each window select the minimum hash — rightmost occurrence on ties.
+    Guarantees every shared substring of length >= k + w - 1 contributes
+    at least one shared fingerprint, at ~2/(w+1) storage density.
+
+    Returns (id, pos, fp) — pos is the 1-based k-gram position of each
+    selected fingerprint, fp the 32-bit k-gram hash.
+
+    Engine-exactness: the hash is the first 8 md5 hex chars (32 bits,
+    portable); the rightmost-min tie rule is encoded arithmetically as
+    ``key = fp * 2^20 + (2^20 - 1 - pos)`` so a single integer
+    ``array_min`` per window picks (min hash, max pos). The 2^20 pos
+    field bounds documents to ~1M characters — longer inputs must be
+    chunked first (chunk_documents), which a 100 TB corpus does anyway.
+
+    Scale shape: map-only per-row Column pipeline (k-gram keys array +
+    O(n*w) window mins) — no shuffle, no UDF, no window-function
+    sort; the distinct over selected positions happens inside the row
+    (array_distinct). Docs shorter than w k-grams still emit their
+    global-min fingerprint (the window at p = n covers all n); docs
+    shorter than k emit nothing.
+    """
+    if w < 1 or k < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    POS = 1 << 20
+    c = F.col(text_col)
+    n = F.length(c) - F.lit(k - 1)  # number of k-grams
+    fp32 = lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    keys = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: fp32(c.substr(i, F.lit(k))) * POS + (F.lit(POS - 1) - i),
+    )
+    from league_of_legends_data_pipeline_spark.operators._util import (
+        default_parallelism,
+    )
+
+    # single-file parquet arrives as one split; spread the O(n*w)
+    # interpreted key computation across cores before it runs
+    rows = (df.filter(F.length(c) >= k)
+            .repartition(default_parallelism(df), F.col(id_col))
+            .select(F.col(id_col).alias("__id"), keys.alias("__keys")))
+    # window ending at p covers [max(p-w+1, 1), p]; valid ends start at
+    # min(w, n) so short docs keep their single all-covering window
+    sel = F.array_distinct(F.transform(
+        F.sequence(F.least(F.lit(w), F.size("__keys")), F.size("__keys")),
+        lambda p: F.array_min(F.slice(
+            "__keys", F.greatest(p - F.lit(w - 1), F.lit(1)),
+            p - F.greatest(p - F.lit(w - 1), F.lit(1)) + 1)),
+    ))
+    return (rows.select("__id", F.explode(sel).alias("__key"))
+            .select(F.col("__id").alias(id_col),
+                    (F.lit(POS - 1) - F.col("__key") % POS).alias("pos"),
+                    (F.col("__key") / POS).cast("long").alias("fp")))
+
+
+def winnow_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
+                            k: int = 16, w: int = 4,
+                            max_doc_freq: int = 50,
+                            min_shared: int = 2) -> DataFrame:
+    """Document-pair similarity from shared winnowing fingerprints — the
+    MOSS plagiarism/near-dup report: (id_a, id_b, shared, coverage_a,
+    coverage_b) for pairs sharing >= ``min_shared`` distinct selected
+    fingerprints, coverage_* = shared / |fingerprint set|.
+
+    ``max_doc_freq`` is the boilerplate filter (and the scale guard):
+    a fingerprint selected by more than that many documents is corpus
+    boilerplate (license headers, templates) and is dropped BEFORE the
+    pair join — exactly MOSS's "ignore matches in too many documents"
+    rule, and what bounds the self-join fan-out: every surviving bucket
+    yields <= C(max_doc_freq, 2) pairs, so the join is linear in
+    (#fingerprints * max_doc_freq^2), never quadratic in corpus size.
+    """
+    fps = (winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+           .select(F.col(id_col).alias("__id"), "fp").distinct())
+    sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    kept = (fps.join(df_counts.filter(F.col("__df") <= max_doc_freq)
+                     .select("fp"), "fp"))
+    a = kept.select(F.col("__id").alias("id_a"), "fp")
+    b = kept.select(F.col("__id").alias("id_b"), "fp")
+    pairs = (a.join(b, "fp")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("shared"))
+             .filter(F.col("shared") >= min_shared))
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__sb"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", "shared",
+                    F.round(F.col("shared") / F.col("__sa"), 6)
+                    .alias("coverage_a"),
+                    F.round(F.col("shared") / F.col("__sb"), 6)
+                    .alias("coverage_b")))

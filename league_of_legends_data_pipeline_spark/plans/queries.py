@@ -9408,3 +9408,69 @@ def q171_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return entropy_scores(documents).orderBy("doc_id")
+
+
+@_register(
+    "q172_winnow_fingerprint_pairs",
+    """
+    -- Winnowing (MOSS) replay: per-doc k-gram keys (32-bit md5 hash in
+    -- the high bits, 2^20-complement position in the low bits so one
+    -- integer list_min per window == rightmost-min tie rule), window
+    -- mins over every w-window, distinct selected fingerprints, the
+    -- max_doc_freq boilerplate cut, then the shared-fingerprint pair
+    -- join. DuckDB list slices are 1-based inclusive; range() is
+    -- end-exclusive (len-16+2 == len-14).
+    WITH d AS (SELECT doc_id, text FROM documents WHERE len(text) >= 16),
+    keys AS (
+      SELECT doc_id,
+             list_transform(range(1, len(text) - 14),
+                i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INT),
+                     16)), 1, 8)) AS BIGINT) * 1048576
+                     + (1048575 - i)) AS ks
+      FROM d
+    ),
+    sel AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(least(4, len(ks)), len(ks) + 1),
+          p -> list_min(ks[greatest(CAST(p AS INT) - 3, 1)
+                           : CAST(p AS INT)])))) AS key
+      FROM keys
+    ),
+    fps AS (SELECT DISTINCT doc_id, key // 1048576 AS fp FROM sel),
+    szs AS (SELECT doc_id, count(*) AS sz FROM fps GROUP BY doc_id),
+    dfc AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN dfc USING (fp)),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 8
+    )
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+           CAST(round(shared / sa.sz, 6) AS DOUBLE) AS coverage_a,
+           CAST(round(shared / sb.sz, 6) AS DOUBLE) AS coverage_b
+    FROM pairs
+    JOIN szs sa ON pairs.id_a = sa.doc_id
+    JOIN szs sb ON pairs.id_b = sb.doc_id
+    ORDER BY id_a, id_b
+    """,
+    doc="Winnowing fingerprint near-dup pairs (operators/text.py "
+        "winnow_fingerprints + winnow_similarity_pairs — the MOSS local "
+        "algorithm, the positional-guarantee complement to MinHash: any "
+        "shared substring >= k+w-1 chars is caught). Fingerprint "
+        "selection is a map-only per-row Column pipeline (no shuffle, "
+        "no WindowExec, no UDF); the max_doc_freq=50 boilerplate cut "
+        "bounds every fingerprint bucket before the pair self-join, so "
+        "candidate volume is linear in fingerprints times a constant — "
+        "the same cap discipline as the LSH tiers.",
+)
+def q172_winnow_fingerprint_pairs(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        winnow_similarity_pairs,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (winnow_similarity_pairs(documents, "doc_id", "text",
+                                    k=16, w=4, max_doc_freq=50,
+                                    min_shared=8)
+            .orderBy("id_a", "id_b"))

@@ -2514,3 +2514,75 @@ def test_entropy_scores_known_distributions(spark):
     assert out[2]["char_entropy"] == want
     # word side: 3 identical tokens -> word entropy 0
     assert out[2]["n_words"] == 3 and out[2]["word_entropy"] == 0.0
+
+
+def test_winnow_fingerprints_guarantee_and_tie_rule(spark):
+    """Winnowing invariants: (a) matches a direct python reference with
+    the rightmost-min tie rule, (b) the positional guarantee — two docs
+    sharing a substring of length >= k+w-1 share a fingerprint, (c) docs
+    with fewer than w k-grams still emit their global min."""
+    import hashlib
+
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_similarity_pairs,
+    )
+
+    k, w = 4, 3
+    shared = "zqxjvkwpfy"  # >= k+w-1 = 6 chars, rare letters
+    rows = [
+        (1, "aaaa bbbb " + shared + " cccc"),
+        (2, "dddd " + shared + " eeee ffff"),
+        (3, "short"),        # 2 k-grams < w: still fingerprints
+        (4, "abc"),          # shorter than k: nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.pos, r.fp)
+           for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w)
+           .collect()}
+
+    def ref(text):
+        n = len(text) - k + 1
+        if n < 1:
+            return set()
+        hs = [int(hashlib.md5(text[i:i + k].encode()).hexdigest()[:8], 16)
+              for i in range(n)]
+        out = set()
+        for p in range(min(w, n), n + 1):
+            lo = max(p - w + 1, 1)
+            win = [(hs[j - 1], j) for j in range(lo, p + 1)]
+            m = min(h for h, _ in win)
+            out.add((max(j for h, j in win if h == m), m))
+        return out
+
+    exp = {(d, pos, fp) for d, t in rows for pos, fp in ref(t)}
+    assert got == exp
+    assert any(d == 3 for d, _, _ in got)
+    assert not any(d == 4 for d, _, _ in got)
+
+    by_doc = {}
+    for d, _, fp in got:
+        by_doc.setdefault(d, set()).add(fp)
+    assert by_doc[1] & by_doc[2]  # the positional guarantee
+
+    pairs = winnow_similarity_pairs(df, "doc_id", "text", k=k, w=w,
+                                    max_doc_freq=10, min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(1, 2)}
+    p12 = next(r for r in pairs if (r.id_a, r.id_b) == (1, 2))
+    assert p12.shared == len(by_doc[1] & by_doc[2])
+
+
+def test_winnow_boilerplate_cut_bounds_buckets(spark):
+    """A fingerprint present in more than max_doc_freq docs is dropped
+    before the pair join (the MOSS boilerplate rule == the scale guard)."""
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        winnow_similarity_pairs,
+    )
+
+    boiler = "commonheaderstring"
+    rows = [(i, boiler + f" unique{i}tail{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # every doc shares the boilerplate fingerprints; df cap of 3 kills them
+    pairs = winnow_similarity_pairs(df, "doc_id", "text", k=6, w=2,
+                                    max_doc_freq=3, min_shared=1).collect()
+    assert pairs == []
