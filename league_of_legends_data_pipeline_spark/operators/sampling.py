@@ -462,3 +462,69 @@ def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str,
     return (point.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
             .select(F.lit(b).cast("int").alias("n_replicates"),
                     "point_est", "ci_lo", "ci_hi"))
+
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                rank_col: str = "rank",
+                num_partitions: int | None = None) -> DataFrame:
+    """Distributed EXACT global rank (1-based, dense over a total order)
+    without the single-partition WindowExec a bare
+    ``row_number() OVER (ORDER BY ...)`` plans.
+
+    Range-partition on the order columns, per-partition local
+    ``row_number``, then add each partition's cumulative row offset —
+    the DataFrame form of ``zipWithIndex``. Only the per-partition
+    COUNTS reach the driver (``num_partitions`` longs); rows never
+    collapse to one task, so this is the 100 TB path for exact ranking.
+
+    ``order_cols`` must be a total order (include a unique id as the
+    final tiebreak); equal keys land in one range partition, so ranks
+    are deterministic regardless of the sampled partition boundaries.
+    """
+    ranked, _ = _global_rank_with_total(df, order_cols, rank_col,
+                                        num_partitions)
+    return ranked
+
+
+def _global_rank_with_total(df: DataFrame, order_cols: list[str],
+                            rank_col: str,
+                            num_partitions: int | None
+                            ) -> tuple[DataFrame, int]:
+    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (df.repartitionByRange(P, *[F.col(c) for c in order_cols])
+             .withColumn("__pid", F.spark_partition_id()))
+    counts = {r["__pid"]: r["c"] for r in
+              parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    offsets, acc = {}, 0
+    for pid in range(P):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off = F.element_at(
+        F.array(*[F.lit(offsets.get(p, 0)) for p in range(P)]),
+        F.col("__pid") + 1)
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    ranked = (parts.withColumn(
+        rank_col, (off + F.row_number().over(w)).cast("long"))
+        .drop("__pid"))
+    return ranked, acc
+
+
+def exact_ntile(df: DataFrame, order_cols: list[str], n: int,
+                bucket_col: str = "bucket",
+                num_partitions: int | None = None) -> DataFrame:
+    """Distributed exact NTILE(n) over a total order: bucket of the row
+    with global rank r (1-based, N rows) is ``floor((r-1)*n/N) + 1`` —
+    algebraically identical to SQL NTILE's first-(N mod n)-buckets-get-
+    ceil(N/n) rule, but computed from ``global_rank`` (range partition +
+    offsets) instead of a single-partition window. Exact complement to
+    ``approx_ntile`` (sketch boundaries, map-only assignment).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    ranked, total = _global_rank_with_total(df, order_cols, "__r",
+                                            num_partitions)
+    return (ranked.withColumn(
+        bucket_col,
+        (F.floor((F.col("__r") - 1) * n / F.lit(total)) + 1).cast("long"))
+        .drop("__r"))

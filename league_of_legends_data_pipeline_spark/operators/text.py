@@ -1021,3 +1021,42 @@ def winnow_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
                     .alias("coverage_a"),
                     F.round(F.col("shared") / F.col("__sb"), 6)
                     .alias("coverage_b")))
+
+
+def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_buckets: int = 3,
+                       lam: float = 0.75) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    interpolated bigram LM, rank the corpus by (score, id), cut it into
+    ``n_buckets`` exact NTILE buckets, and report each bucket — for 3,
+    the classic head / middle / tail split CCNet feeds to its mixture
+    (head = lowest perplexity = cleanest text).
+
+    Returns (bucket, label, n_docs, min_score, max_score, mean_score).
+
+    Scale shape: scoring is q167's linear pipeline; ranking uses
+    ``exact_ntile`` (range partition + per-partition offsets — only
+    partition counts touch the driver, no single-partition window);
+    mean_score accumulates integer micro-units (scores are 6 dp-rounded,
+    so micro recovery is exact) for order-free cross-row summation.
+    """
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        exact_ntile,
+    )
+
+    scored = bigram_logprob_scores(df, id_col, text_col, lam=lam)
+    b = exact_ntile(scored, ["mean_neg_logprob", id_col], n_buckets)
+    labels = {1: "head", 2: "middle", 3: "tail"} if n_buckets == 3 else {}
+    label = F.col("bucket").cast("string")
+    for k, v in labels.items():
+        label = F.when(F.col("bucket") == k, F.lit(v)).otherwise(label)
+    micro = F.round(F.col("mean_neg_logprob") * 1_000_000).cast("long")
+    return (b.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("mean_neg_logprob").alias("min_score"),
+                 F.max("mean_neg_logprob").alias("max_score"),
+                 F.sum(micro).alias("__t"))
+            .withColumn("label", label)
+            .select("bucket", "label", "n_docs", "min_score", "max_score",
+                    F.round(F.col("__t") / F.col("n_docs") / 1_000_000.0, 6)
+                    .alias("mean_score")))

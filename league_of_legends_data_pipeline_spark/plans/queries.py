@@ -9474,3 +9474,79 @@ def q172_winnow_fingerprint_pairs(spark: SparkSession,
                                     k=16, w=4, max_doc_freq=50,
                                     min_shared=8)
             .orderBy("id_a", "id_b"))
+
+
+@_register(
+    "q173_perplexity_buckets",
+    """
+    -- CCNet head/middle/tail replay: q167's bigram-LM scoring CTEs
+    -- verbatim, then NTILE(3) over the (score, doc_id) total order —
+    -- DuckDB's window NTILE cross-checks the engine's DISTRIBUTED exact
+    -- ntile (range partition + per-partition offsets; floor((r-1)*n/N)+1
+    -- is algebraically NTILE's uneven-bucket rule). Bucket means
+    -- accumulate the 6dp micro-units of the already-rounded scores.
+    WITH arrs AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS arr
+        FROM documents
+    ), toks AS (
+        SELECT unnest(arr) AS w FROM arrs
+    ), uni AS (
+        SELECT w, count(*) AS cu FROM toks WHERE w <> '' GROUP BY w
+    ), tot AS (
+        SELECT sum(cu) AS n FROM uni
+    ), pairs AS (
+        SELECT doc_id,
+               unnest(arr[1:len(arr)-1]) AS w1,
+               unnest(arr[2:len(arr)]) AS w2
+        FROM arrs
+    ), bg AS (
+        SELECT doc_id, w1, w2 FROM pairs WHERE w1 <> '' AND w2 <> ''
+    ), bi AS (
+        SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2
+    ), sc AS (
+        SELECT bg.doc_id,
+               CAST(round(-log2(
+                   (0.75 * bi.cb) / u1.cu
+                   + (0.25 * u2.cu) / (SELECT n FROM tot)
+               ) * 1000000) AS BIGINT) AS micro
+        FROM bg
+        JOIN uni u1 ON bg.w1 = u1.w
+        JOIN uni u2 ON bg.w2 = u2.w
+        JOIN bi ON bg.w1 = bi.w1 AND bg.w2 = bi.w2
+    ), scored AS (
+        SELECT doc_id,
+               CAST(round(sum(micro) / count(*) / 1000000.0, 6) AS DOUBLE)
+                   AS s
+        FROM sc GROUP BY doc_id
+    ), bk AS (
+        SELECT doc_id, s,
+               NTILE(3) OVER (ORDER BY s, doc_id) AS bucket
+        FROM scored
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS label,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(s) AS min_score, max(s) AS max_score,
+           CAST(round(sum(CAST(round(s * 1000000) AS BIGINT))
+                      / count(*) / 1000000.0, 6) AS DOUBLE) AS mean_score
+    FROM bk GROUP BY bucket ORDER BY bucket
+    """,
+    doc="CCNet perplexity bucketing (operators/text.py perplexity_buckets "
+        "over operators/sampling.py exact_ntile/global_rank): the corpus "
+        "is scored by the interpolated bigram LM, exact-NTILE'd into "
+        "head/middle/tail, and summarized per bucket. exact_ntile is the "
+        "new DISTRIBUTED exact-ranking primitive — range-partition on "
+        "(score, id), per-partition row_number plus broadcast cumulative "
+        "offsets (the DataFrame zipWithIndex); only partition counts "
+        "reach the driver, vs q55's single-partition window (exact, "
+        "small inputs) and q100's approx_ntile (sketch boundaries).",
+)
+def q173_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        perplexity_buckets,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(documents, "doc_id", "text",
+                              n_buckets=3, lam=0.75).orderBy("bucket")

@@ -2586,3 +2586,34 @@ def test_winnow_boilerplate_cut_bounds_buckets(spark):
     pairs = winnow_similarity_pairs(df, "doc_id", "text", k=6, w=2,
                                     max_doc_freq=3, min_shared=1).collect()
     assert pairs == []
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """The distributed range-partition + offset rank must agree with the
+    single-partition window form exactly — including uneven N % n bucket
+    sizes and the (score, id) tiebreak — at several awkward sizes."""
+    from pyspark.sql import Window
+
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        exact_ntile,
+        global_rank,
+    )
+
+    for n_rows, n_buckets in [(10, 3), (11, 3), (5, 3), (97, 4), (8, 8)]:
+        rows = [(i, (i * 37) % 13) for i in range(n_rows)]  # heavy ties
+        df = spark.createDataFrame(rows, ["id", "score"])
+        got = {(r.id, r.bucket) for r in
+               exact_ntile(df, ["score", "id"], n_buckets,
+                           num_partitions=4).collect()}
+        w = Window.orderBy("score", "id")
+        exp = {(r.id, r.b) for r in
+               df.withColumn("b", F.ntile(n_buckets).over(w)).collect()}
+        assert got == exp, (n_rows, n_buckets)
+
+    df = spark.createDataFrame([(i, (i * 7) % 5) for i in range(50)],
+                               ["id", "score"])
+    ranked = global_rank(df, ["score", "id"], num_partitions=6).collect()
+    w = Window.orderBy("score", "id")
+    exp_rank = {r.id: r.r for r in
+                df.withColumn("r", F.row_number().over(w)).collect()}
+    assert {r.id: r.rank for r in ranked} == exp_rank
