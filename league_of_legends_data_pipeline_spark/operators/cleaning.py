@@ -334,3 +334,68 @@ def paragraph_dedup(
             F.sum((F.col("rk") != 1).cast("long")).alias("n_dropped"),
         )
     )
+
+
+# code-detection keyword list: language-agnostic tokens that are rare in
+# prose; matched as substrings with their trailing delimiter so 'variable'
+# does not hit 'var '
+CODE_KEYWORDS = ["def ", "return ", "import ", "function ", "var ",
+                 "const ", "class ", "void ", "#include", "public ",
+                 "});", "=>", "()"]
+CODE_SYMBOLS = "[^{}()\\[\\];=<>|&]"  # regexp_replace keep-class
+
+
+def code_signals(col: str | Column) -> dict[str, Column]:
+    """Per-document code-vs-prose signals (the corpus-cleaning heuristic
+    for routing source code out of a prose training mix — FastText-style
+    classifiers start from exactly these features):
+
+    - ``n_symbols``: count of code-y punctuation ``{}()[];=<>|&``
+    - ``keyword_hits``: total occurrences of :data:`CODE_KEYWORDS`
+      (delimiter-suffixed substring counts via replace-length arithmetic
+      — portable, no regex dialect)
+    - ``indent_lines``: lines starting with two spaces or a tab
+    - ``is_code``: integer cross-multiplied classification — symbols
+      exceed 3% of characters OR >= 2 keyword hits OR any indented line.
+      Pure integer predicates: no float threshold can straddle an engine
+      rounding boundary.
+
+    All pure Column expressions — the 100 TB shape is a map-only scan.
+    """
+    c = _c(col)
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    n_symbols = F.length(F.regexp_replace(c, CODE_SYMBOLS, ""))
+    hits = None
+    for kw in CODE_KEYWORDS:
+        h = ((F.length(c) - F.length(F.replace(c, F.lit(kw), F.lit(""))))
+             / F.lit(len(kw))).cast("long")
+        hits = h if hits is None else hits + h
+    lines = F.split(c, "\n")
+    indent = F.size(F.filter(
+        lines, lambda ln: ln.startswith("  ") | ln.startswith("\t")))
+    is_code = ((n_symbols * 100 > n_chars * 3) | (hits >= 2)
+               | (indent >= 1))
+    return {
+        "n_symbols": n_symbols.cast("long"),
+        "keyword_hits": hits,
+        "indent_lines": indent.cast("long"),
+        "is_code": is_code,
+    }
+
+
+def code_detection_report(df: DataFrame, id_col: str, text_col: str,
+                          group_col: str) -> DataFrame:
+    """Corpus code-contamination report grouped by ``group_col``:
+    (group, n_docs, n_code, n_symbols, keyword_hits) — the routing table
+    a mixture pipeline uses to decide which sources need a code split.
+    Map-only signals + one partial-aggregating groupBy."""
+    s = code_signals(text_col)
+    return (df.select(F.col(group_col).alias("grp"),
+                      s["n_symbols"].alias("ns"),
+                      s["keyword_hits"].alias("kh"),
+                      s["is_code"].cast("long").alias("ic"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ic").alias("n_code"),
+                 F.sum("ns").alias("n_symbols"),
+                 F.sum("kh").alias("keyword_hits")))

@@ -9550,3 +9550,85 @@ def q173_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = _t(spark, sf_dir, "documents")
     return perplexity_buckets(documents, "doc_id", "text",
                               n_buckets=3, lam=0.75).orderBy("bucket")
+
+
+@_register(
+    "q174_code_detection",
+    """
+    -- code-vs-prose replay: symbol counts via the keep-class regex,
+    -- keyword hits via replace-length arithmetic (integer // — the
+    -- counts are exact multiples), indented-line counts over a chr(10)
+    -- split, and the integer cross-multiplied classifier
+    -- (symbols*100 > chars*3 OR hits >= 2 OR indent >= 1); then the
+    -- same per-group rollup over both corpora.
+    WITH sig AS (
+        SELECT 'documents' AS corpus, source AS grp,
+               length(regexp_replace(text,
+                   '[^{}()\\[\\];=<>|&]', '', 'g')) AS ns,
+               (length(text) - length(replace(text, 'def ', ''))) // 4
+             + (length(text) - length(replace(text, 'return ', ''))) // 7
+             + (length(text) - length(replace(text, 'import ', ''))) // 7
+             + (length(text) - length(replace(text, 'function ', ''))) // 9
+             + (length(text) - length(replace(text, 'var ', ''))) // 4
+             + (length(text) - length(replace(text, 'const ', ''))) // 6
+             + (length(text) - length(replace(text, 'class ', ''))) // 6
+             + (length(text) - length(replace(text, 'void ', ''))) // 5
+             + (length(text) - length(replace(text, '#include', ''))) // 8
+             + (length(text) - length(replace(text, 'public ', ''))) // 7
+             + (length(text) - length(replace(text, '});', ''))) // 3
+             + (length(text) - length(replace(text, '=>', ''))) // 2
+             + (length(text) - length(replace(text, '()', ''))) // 2 AS kh,
+               len(list_filter(string_split(text, chr(10)),
+                   ln -> ln LIKE '  %' OR ln LIKE chr(9) || '%')) AS ind,
+               greatest(length(text), 1) AS nc
+        FROM documents
+        UNION ALL
+        SELECT 'event_props', event_type,
+               length(regexp_replace(props,
+                   '[^{}()\\[\\];=<>|&]', '', 'g')),
+               (length(props) - length(replace(props, 'def ', ''))) // 4
+             + (length(props) - length(replace(props, 'return ', ''))) // 7
+             + (length(props) - length(replace(props, 'import ', ''))) // 7
+             + (length(props) - length(replace(props, 'function ', ''))) // 9
+             + (length(props) - length(replace(props, 'var ', ''))) // 4
+             + (length(props) - length(replace(props, 'const ', ''))) // 6
+             + (length(props) - length(replace(props, 'class ', ''))) // 6
+             + (length(props) - length(replace(props, 'void ', ''))) // 5
+             + (length(props) - length(replace(props, '#include', ''))) // 8
+             + (length(props) - length(replace(props, 'public ', ''))) // 7
+             + (length(props) - length(replace(props, '});', ''))) // 3
+             + (length(props) - length(replace(props, '=>', ''))) // 2
+             + (length(props) - length(replace(props, '()', ''))) // 2,
+               len(list_filter(string_split(props, chr(10)),
+                   ln -> ln LIKE '  %' OR ln LIKE chr(9) || '%')),
+               greatest(length(props), 1)
+        FROM events
+    )
+    SELECT corpus, grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ns * 100 > nc * 3 OR kh >= 2 OR ind >= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+           CAST(sum(ns) AS BIGINT) AS n_symbols,
+           CAST(sum(kh) AS BIGINT) AS keyword_hits
+    FROM sig GROUP BY corpus, grp ORDER BY corpus, grp
+    """,
+    doc="Code-vs-prose detection report (operators/cleaning.py "
+        "code_signals + code_detection_report): the mixture-routing "
+        "heuristic that keeps source code out of a prose training mix. "
+        "Two corpora exercise both outcomes — documents.text (prose: "
+        "zero signals) and events.props (JSON: symbol-ratio trips the "
+        "classifier). All signals are map-only Column arithmetic with "
+        "integer cross-multiplied thresholds; one partial-aggregating "
+        "groupBy per corpus.",
+)
+def q174_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        code_detection_report,
+    )
+
+    documents, events = _t(spark, sf_dir, "documents", "events")
+    d = (code_detection_report(documents, "doc_id", "text", "source")
+         .select(F.lit("documents").alias("corpus"), "*"))
+    e = (code_detection_report(events, "event_id", "props", "event_type")
+         .select(F.lit("event_props").alias("corpus"), "*"))
+    return d.unionByName(e).orderBy("corpus", "grp")

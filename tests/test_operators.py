@@ -2617,3 +2617,28 @@ def test_exact_ntile_matches_window_ntile(spark):
     exp_rank = {r.id: r.r for r in
                 df.withColumn("r", F.row_number().over(w)).collect()}
     assert {r.id: r.rank for r in ranked} == exp_rank
+
+
+def test_code_signals_classify_code_vs_prose(spark):
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        code_signals,
+    )
+
+    rows = [
+        (1, "def add(a, b):\n  return a + b\n"),              # python
+        (2, "const f = (x) => { return x * 2; };"),            # js
+        (3, "plain english prose with no markup at all here"),  # prose
+        (4, "a variable discussion of variance in returns"),    # near-miss
+        (5, "\tindented line only"),                            # tab indent
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    s = code_signals("text")
+    got = {r.id: r for r in df.select(
+        "id", s["is_code"].alias("is_code"),
+        s["keyword_hits"].alias("kh"), s["n_symbols"].alias("ns"),
+        s["indent_lines"].alias("ind")).collect()}
+    assert got[1].is_code and got[1].ind == 1 and got[1].kh >= 2
+    assert got[2].is_code and got[2].ns >= 8
+    assert not got[3].is_code and got[3].ns == 0 and got[3].kh == 0
+    assert not got[4].is_code  # 'variable'/'returns' must not hit var/return
+    assert got[5].is_code and got[5].ind == 1
