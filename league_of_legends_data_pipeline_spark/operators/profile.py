@@ -1,0 +1,101 @@
+"""One-pass column profiling — the ANALYZE/data-quality surface: per-column
+row/null/NDV counts, min/max, means. A training-data pipeline runs this on
+every ingested source before mixing (null explosions, constant columns, and
+cardinality surprises are the three classic upstream-feed failures).
+
+Engine-exactness: numeric means accumulate integer micro-units for double
+columns (order-free summation) and exact integer sums for integral columns;
+min/max stay in their native type, rounded to 6 dp only at the edge. NDV is
+exact ``count(distinct)`` by default — ONE aggregate with Spark's expand
+strategy (a corpus scan widened by #profiled-columns, not one scan per
+column); ``exact_ndv=False`` swaps in the mergeable HyperLogLog
+``approx_count_distinct`` for the 100 TB path where a widened expand
+shuffle is the wrong trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_FLOATING = {"float", "double"}
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None,
+                    exact_ndv: bool = True) -> DataFrame:
+    """Profile ``cols`` (default: all integral/floating/string columns) in
+    ONE distributed aggregate. Returns one row per column:
+
+    (column, kind, n_rows, n_nulls, ndv, min_num, max_num, mean_num,
+     min_str, max_str, avg_len)
+
+    ``kind`` is 'integral' | 'floating' | 'string'; the num_* fields are
+    null for string columns and the str_* fields null for numeric ones.
+    Integral means are exact integer sums (caller beware: sums of 1e6-row
+    id columns approach int64 near 1e13-scale values); floating means are
+    6 dp micro-unit accumulations.
+    """
+    dtypes = dict(df.dtypes)
+    if cols is None:
+        cols = [c for c, t in df.dtypes
+                if t in _INTEGRAL | _FLOATING or t == "string"]
+    for c in cols:
+        if dtypes[c] not in _INTEGRAL | _FLOATING and dtypes[c] != "string":
+            raise ValueError(f"profile_columns: unsupported type "
+                             f"{dtypes[c]} for {c}")
+
+    ndv = F.count_distinct if exact_ndv else F.approx_count_distinct
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        t = dtypes[c]
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(ndv(F.col(c)).alias(f"{c}__ndv"))
+        if t in _INTEGRAL:
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+            aggs.append(F.sum(c).alias(f"{c}__sum"))
+        elif t in _FLOATING:
+            aggs.append(F.min(c).alias(f"{c}__mn"))
+            aggs.append(F.max(c).alias(f"{c}__mx"))
+            aggs.append(F.sum(F.round(F.col(c) * 1_000_000).cast("long"))
+                        .alias(f"{c}__micro"))
+        else:
+            aggs.append(F.min(c).alias(f"{c}__smn"))
+            aggs.append(F.max(c).alias(f"{c}__smx"))
+            aggs.append(F.sum(F.length(c)).alias(f"{c}__len"))
+    wide = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in cols:
+        t = dtypes[c]
+        kind = ("integral" if t in _INTEGRAL
+                else "floating" if t in _FLOATING else "string")
+        nn = F.col(f"{c}__nn")
+        if kind == "integral":
+            mean = F.round(F.col(f"{c}__sum") / nn, 6)
+            mn, mx = F.round(f"{c}__mn", 6), F.round(f"{c}__mx", 6)
+            smn = smx = null_s
+            alen = null_d
+        elif kind == "floating":
+            mean = F.round(F.col(f"{c}__micro") / nn / 1_000_000.0, 6)
+            mn, mx = F.round(f"{c}__mn", 6), F.round(f"{c}__mx", 6)
+            smn = smx = null_s
+            alen = null_d
+        else:
+            mean = mn = mx = null_d
+            smn, smx = F.col(f"{c}__smn"), F.col(f"{c}__smx")
+            alen = F.round(F.col(f"{c}__len") / nn, 6)
+        structs.append(F.struct(
+            F.lit(c).alias("column"), F.lit(kind).alias("kind"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - nn).cast("long").alias("n_nulls"),
+            F.col(f"{c}__ndv").cast("long").alias("ndv"),
+            mn.alias("min_num"), mx.alias("max_num"),
+            mean.alias("mean_num"),
+            smn.alias("min_str"), smx.alias("max_str"),
+            alen.alias("avg_len")))
+    return (wide.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.*"))

@@ -9632,3 +9632,64 @@ def q174_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (code_detection_report(events, "event_id", "props", "event_type")
          .select(F.lit("event_props").alias("corpus"), "*"))
     return d.unionByName(e).orderBy("corpus", "grp")
+
+
+def _q175_col(c: str, kind: str) -> str:
+    """One profile row for the q175 oracle, matching profile_columns'
+    per-kind field population exactly."""
+    if kind == "integral":
+        num = (f"CAST(round(min({c}), 6) AS DOUBLE) AS min_num, "
+               f"CAST(round(max({c}), 6) AS DOUBLE) AS max_num, "
+               f"CAST(round(sum({c}) / count({c}), 6) AS DOUBLE) "
+               "AS mean_num, NULL AS min_str, NULL AS max_str, "
+               "CAST(NULL AS DOUBLE) AS avg_len")
+    elif kind == "floating":
+        num = (f"CAST(round(min({c}), 6) AS DOUBLE) AS min_num, "
+               f"CAST(round(max({c}), 6) AS DOUBLE) AS max_num, "
+               f"CAST(round(sum(CAST(round({c} * 1000000) AS BIGINT)) "
+               f"/ count({c}) / 1000000.0, 6) AS DOUBLE) AS mean_num, "
+               "NULL AS min_str, NULL AS max_str, "
+               "CAST(NULL AS DOUBLE) AS avg_len")
+    else:
+        num = ("CAST(NULL AS DOUBLE) AS min_num, "
+               "CAST(NULL AS DOUBLE) AS max_num, "
+               f"CAST(NULL AS DOUBLE) AS mean_num, min({c}) AS min_str, "
+               f"max({c}) AS max_str, "
+               f"CAST(round(sum(length({c})) / count({c}), 6) AS DOUBLE) "
+               "AS avg_len")
+    return (f"SELECT '{c}' AS \"column\", '{kind}' AS kind, "
+            f"CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS ndv, {num} "
+            "FROM lineitem")
+
+
+_Q175_KINDS = [("l_orderkey", "integral"), ("l_partkey", "integral"),
+               ("l_quantity", "floating"), ("l_extendedprice", "floating"),
+               ("l_discount", "floating"), ("l_returnflag", "string"),
+               ("l_linestatus", "string")]
+
+
+@_register(
+    "q175_column_profile",
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"({_q175_col(c, k)})" for c, k in _Q175_KINDS)
+    + "\n) ORDER BY \"column\"",
+    doc="One-pass column profiling (operators/profile.py profile_columns "
+        "— the ANALYZE surface): row/null/exact-NDV counts, min/max, and "
+        "means for 7 lineitem columns in ONE aggregate (Spark's expand "
+        "strategy widens the scan by #columns instead of re-scanning per "
+        "column; exact_ndv=False swaps HLL approx_count_distinct in for "
+        "the 100 TB shuffle trade). Floating means accumulate integer "
+        "micro-units; integral means are exact integer sums; the oracle "
+        "is a per-column UNION ALL replaying each field rule.",
+)
+def q175_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        profile_columns,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return profile_columns(
+        lineitem, [c for c, _ in _Q175_KINDS]).orderBy("column")

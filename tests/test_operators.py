@@ -2642,3 +2642,29 @@ def test_code_signals_classify_code_vs_prose(spark):
     assert not got[3].is_code and got[3].ns == 0 and got[3].kh == 0
     assert not got[4].is_code  # 'variable'/'returns' must not hit var/return
     assert got[5].is_code and got[5].ind == 1
+
+
+def test_profile_columns_nulls_ndv_and_kinds(spark):
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        profile_columns,
+    )
+
+    rows = [(1, 2.5, "aa"), (2, None, "bbb"), (2, 7.25, None),
+            (None, 7.25, "aa")]
+    df = spark.createDataFrame(rows, ["k", "v", "s"])
+    p = {r.column: r for r in profile_columns(df).collect()}
+    assert set(p) == {"k", "v", "s"}
+    assert p["k"].kind == "integral" and p["k"].n_rows == 4
+    assert p["k"].n_nulls == 1 and p["k"].ndv == 2
+    assert p["k"].min_num == 1.0 and p["k"].max_num == 2.0
+    assert abs(p["k"].mean_num - 5 / 3) < 1e-6
+    assert p["v"].kind == "floating" and p["v"].n_nulls == 1
+    assert p["v"].ndv == 2 and p["v"].mean_num == round((2.5 + 14.5) / 3, 6)
+    assert p["s"].kind == "string" and p["s"].min_str == "aa"
+    assert p["s"].max_str == "bbb" and p["s"].avg_len == round(7 / 3, 6)
+    assert p["s"].min_num is None and p["k"].min_str is None
+
+    # approx mode still returns every field, ndv close to exact
+    pa_ = {r.column: r for r in
+           profile_columns(df, ["k"], exact_ndv=False).collect()}
+    assert abs(pa_["k"].ndv - 2) <= 1
