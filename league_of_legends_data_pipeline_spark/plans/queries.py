@@ -9693,3 +9693,71 @@ def q175_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     return profile_columns(
         lineitem, [c for c, _ in _Q175_KINDS]).orderBy("column")
+
+
+@_register(
+    "q176_compaction_plan",
+    """
+    -- compaction-planning replay: the synthetic file listing (one
+    -- "file" per (event_type, day) = a streaming sink's partition
+    -- output; size = payload bytes), the first-fit-in-order bin rule
+    -- via a window cumsum (bin = floor((cum - size)/target) + 1), the
+    -- per-bin rollup, and the small-file trigger metrics joined on.
+    WITH listing AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+               CAST(sum(length(props) + 16) AS BIGINT) AS size_bytes
+        FROM events GROUP BY 1, 2
+    ), planned AS (
+        SELECT event_type, dt, size_bytes,
+               CAST(sum(size_bytes) OVER (PARTITION BY event_type
+                    ORDER BY dt ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW) AS BIGINT) AS cum
+        FROM listing
+    ), bins AS (
+        SELECT event_type,
+               CAST((cum - size_bytes) // 4096 + 1 AS BIGINT) AS bin,
+               count(*) AS n_files,
+               CAST(sum(size_bytes) AS BIGINT) AS total_bytes
+        FROM planned GROUP BY 1, 2
+    ), health AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_files_total,
+               CAST(sum(CASE WHEN size_bytes < 1024 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small
+        FROM listing GROUP BY 1
+    )
+    SELECT b.event_type, b.bin, CAST(b.n_files AS BIGINT) AS n_files,
+           b.total_bytes, b.n_files >= 2 AS compactable,
+           h.n_files_total, h.n_small
+    FROM bins b JOIN health h ON b.event_type = h.event_type
+    ORDER BY b.event_type, b.bin
+    """,
+    doc="Small-file compaction planning (operators/maintenance.py "
+        "plan_compaction/compaction_report/small_file_stats — the "
+        "lakehouse OPTIMIZE planner): a per-(event_type, day) file "
+        "listing is binned first-fit-in-write-order to a 4 KiB target "
+        "via ONE per-partition window cumsum; per-bin rollups plus the "
+        "small-file trigger metric ride along. Plans stay metadata-"
+        "sized and fully distributed — a million files is a million "
+        "rows; the group window never sees data bytes.",
+)
+def q176_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.maintenance import (
+        compaction_report,
+        small_file_stats,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    listing = (events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg((F.sum(F.length("props") + 16)).cast("long")
+             .alias("size_bytes")))
+    bins = compaction_report(listing, ["event_type"], "size_bytes",
+                             ["dt"], target_bytes=4096)
+    health = (small_file_stats(listing, ["event_type"], "size_bytes",
+                               small_bytes=1024)
+              .select("event_type",
+                      F.col("n_files").alias("n_files_total"), "n_small"))
+    return (bins.join(health, "event_type")
+            .select("event_type", "bin", "n_files", "total_bytes",
+                    "compactable", "n_files_total", "n_small")
+            .orderBy("event_type", "bin"))

@@ -2668,3 +2668,36 @@ def test_profile_columns_nulls_ndv_and_kinds(spark):
     pa_ = {r.column: r for r in
            profile_columns(df, ["k"], exact_ndv=False).collect()}
     assert abs(pa_["k"].ndv - 2) <= 1
+
+
+def test_plan_compaction_first_fit_and_oversize(spark):
+    from league_of_legends_data_pipeline_spark.operators.maintenance import (
+        compaction_report,
+        plan_compaction,
+        small_file_stats,
+    )
+
+    # group g: 3 small files pack into bin 1 (100+200+300 < 1000),
+    # then an oversize file lands alone, then packing restarts
+    rows = [("g", 1, 100), ("g", 2, 200), ("g", 3, 300),
+            ("g", 4, 2500), ("g", 5, 50), ("g", 6, 60),
+            ("h", 1, 999), ("h", 2, 1)]
+    df = spark.createDataFrame(rows, ["grp", "seq", "sz"])
+    planned = {(r.grp, r.seq): r.bin for r in
+               plan_compaction(df, ["grp"], "sz", ["seq"], 1000).collect()}
+    assert planned[("g", 1)] == planned[("g", 2)] == planned[("g", 3)] == 1
+    assert planned[("g", 4)] == 1  # starts at offset 600, crosses alone
+    assert planned[("g", 5)] == 4  # offset 3100 -> floor/1000+1
+    assert planned[("g", 5)] == planned[("g", 6)]
+    assert planned[("h", 1)] == 1 and planned[("h", 2)] == 1
+
+    rep = {(r.grp, r.bin): r for r in
+           compaction_report(df, ["grp"], "sz", ["seq"], 1000).collect()}
+    assert rep[("g", 1)].n_files == 4 and rep[("g", 1)].compactable
+    assert rep[("g", 4)].n_files == 2
+    assert rep[("h", 1)].total_bytes == 1000
+
+    st = {r.grp: r for r in
+          small_file_stats(df, ["grp"], "sz", 100).collect()}
+    assert st["g"].n_small == 2 and st["g"].n_files == 6
+    assert st["h"].small_fraction == 0.5
