@@ -99,3 +99,57 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
             alen.alias("avg_len")))
     return (wide.select(F.explode(F.array(*structs)).alias("p"))
             .select("p.*"))
+
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — baked integer micro-unit
+# literals per the engine-portability conventions (never computed via
+# libm at runtime); they sum to exactly 1_000_000
+BENFORD_MICRO = [301030, 176091, 124939, 96910, 79181,
+                 66947, 57992, 51153, 45757]
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit scan over a positive numeric column —
+    the classic fraud/synthetic-data detector (naturally occurring
+    multiplicative quantities follow P(d) = log10(1 + 1/d); fabricated
+    or uniformly-generated ones don't). Returns one row per digit:
+
+    (digit, n_obs, expected, dev_micro, chi2)
+
+    ``expected`` = N * P(d) (6 dp), ``dev_micro`` = the digit's
+    (obs - exp)^2 / exp chi-square term in integer micro-units, and
+    ``chi2`` the total statistic repeated on every row (ride-along
+    scalar, the repo's report convention). Values < 1 are excluded
+    (their leading digit lives below the decimal point).
+
+    Scale shape: one groupBy(digit) count (9 groups), a broadcast of
+    the 9-row expectation literal, and two 1-row scalar crossJoins —
+    linear scan, constant-size everything else. Chi-square terms are
+    micro-rounded before the cross-digit sum (order-free).
+    """
+    v = F.col(value_col)
+    # values are filtered >= 1, so the first char IS the leading digit
+    digit = F.substring(F.floor(v).cast("bigint").cast("string"), 1, 1)
+    obs = (df.filter(v >= 1)
+           .groupBy(digit.cast("int").alias("digit"))
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    total = obs.agg(F.sum("n_obs").alias("__N"))
+    spark = df.sparkSession
+    expect = spark.createDataFrame(
+        [(d + 1, m) for d, m in enumerate(BENFORD_MICRO)],
+        ["digit", "__p_micro"])
+    joined = (expect.join(obs, "digit", "left")
+              .withColumn("n_obs", F.coalesce("n_obs", F.lit(0)))
+              .join(F.broadcast(total))
+              .withColumn("__exp",
+                          F.col("__N") * F.col("__p_micro") / 1_000_000.0)
+              .withColumn("expected", F.round("__exp", 6))
+              .withColumn(
+                  "dev_micro",
+                  F.round((F.col("n_obs") - F.col("__exp"))
+                          * (F.col("n_obs") - F.col("__exp"))
+                          / F.col("__exp") * 1_000_000).cast("long")))
+    chi2 = joined.agg(
+        F.round(F.sum("dev_micro") / 1_000_000.0, 6).alias("chi2"))
+    return (joined.join(F.broadcast(chi2))
+            .select("digit", "n_obs", "expected", "dev_micro", "chi2"))

@@ -9761,3 +9761,56 @@ def q176_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "bin", "n_files", "total_bytes",
                     "compactable", "n_files_total", "n_small")
             .orderBy("event_type", "bin"))
+
+
+@_register(
+    "q177_benford_scan",
+    """
+    -- Benford replay: leading digit of floor(value), observed counts
+    -- left-joined onto the 9-row micro-unit expectation literals
+    -- (round(log10(1+1/d)*1e6), baked — they sum to exactly 1e6),
+    -- expected = N*p/1e6, chi-square terms micro-rounded before the
+    -- order-free total. l_extendedprice is the naturally-multiplicative
+    -- column; every value >= 1 at all SFs.
+    WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INT) AS digit,
+               count(*) AS n_obs
+        FROM lineitem WHERE l_extendedprice >= 1
+        GROUP BY 1
+    ), n AS (SELECT sum(n_obs) AS N FROM obs),
+    expect AS (
+        SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+            (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+            (9, 45757)) AS t(digit, p_micro)
+    ), j AS (
+        SELECT e.digit,
+               CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+               (SELECT N FROM n) * e.p_micro / 1000000.0 AS exp_raw
+        FROM expect e LEFT JOIN obs o ON e.digit = o.digit
+    ), dev AS (
+        SELECT digit, n_obs,
+               CAST(round(exp_raw, 6) AS DOUBLE) AS expected,
+               CAST(round((n_obs - exp_raw) * (n_obs - exp_raw)
+                    / exp_raw * 1000000) AS BIGINT) AS dev_micro
+        FROM j
+    )
+    SELECT digit, n_obs, expected, dev_micro,
+           CAST(round((SELECT sum(dev_micro) FROM dev) / 1000000.0, 6)
+                AS DOUBLE) AS chi2
+    FROM dev ORDER BY digit
+    """,
+    doc="Benford's-law first-digit anomaly scan (operators/profile.py "
+        "benford_report): the fraud/synthetic-data detector over "
+        "l_extendedprice. One 9-group count aggregate, a broadcast "
+        "9-row expectation literal, two 1-row scalar broadcasts; "
+        "chi-square terms in integer micro-units before the cross-digit "
+        "sum. Linear scan, constant-size everything downstream.",
+)
+def q177_benford_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        benford_report,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    return benford_report(lineitem, "l_extendedprice").orderBy("digit")

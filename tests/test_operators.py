@@ -2701,3 +2701,38 @@ def test_plan_compaction_first_fit_and_oversize(spark):
           small_file_stats(df, ["grp"], "sz", 100).collect()}
     assert st["g"].n_small == 2 and st["g"].n_files == 6
     assert st["h"].small_fraction == 0.5
+
+
+def test_benford_report_exact_law_and_missing_digits(spark):
+    import math
+
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        BENFORD_MICRO,
+        benford_report,
+    )
+
+    # the baked micro literals ARE round(log10(1+1/d)*1e6) and sum to 1e6
+    assert BENFORD_MICRO == [
+        round(math.log10(1 + 1 / d) * 1e6) for d in range(1, 10)]
+    assert sum(BENFORD_MICRO) == 1_000_000
+
+    # perfectly Benford-ish sample: value = 10^(k/100) for k=0..199
+    # spans 1..~100 log-uniformly -> low chi2
+    vals = [(i, 10 ** (k / 100)) for i, k in enumerate(range(200))]
+    df = spark.createDataFrame(vals, ["id", "v"])
+    rep = {r.digit: r for r in benford_report(df, "v").collect()}
+    assert set(rep) == set(range(1, 10))
+    assert sum(r.n_obs for r in rep.values()) == 200
+    assert rep[1].chi2 < 1.0  # log-uniform follows the law closely
+
+    # all-constant leading digit: digit 5 only; others emit n_obs=0 and
+    # chi2 explodes
+    df2 = spark.createDataFrame([(i, 5.0 + i / 100) for i in range(90)],
+                                ["id", "v"])
+    rep2 = {r.digit: r for r in benford_report(df2, "v").collect()}
+    assert rep2[5].n_obs == 90 and rep2[1].n_obs == 0
+    assert rep2[5].chi2 > 100
+    # sub-1 values are excluded
+    df3 = spark.createDataFrame([(1, 0.5), (2, 2.0)], ["id", "v"])
+    rep3 = {r.digit: r.n_obs for r in benford_report(df3, "v").collect()}
+    assert rep3[2] == 1 and sum(rep3.values()) == 1
