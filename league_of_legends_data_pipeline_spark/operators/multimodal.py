@@ -611,3 +611,53 @@ def resize_payloads(df: DataFrame, id_col: str, bin_col: str,
 
     return df.select(id_col, bin_col).mapInPandas(
         resize, "media_id long, n_in long, resized string")
+
+
+def wht_hash_table(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """(id, sig) 63-bit Walsh–Hadamard perceptual fingerprints — the
+    frequency-domain pHash sibling of :func:`ahash_signature_table`,
+    with the DCT swapped for the 2-D Hadamard transform so every
+    coefficient is an INTEGER (± sums of pixel blocks; H[i,j] =
+    (-1)^popcount(i & j)). Signs of the 63 non-DC coefficients pack
+    into a 64-bit signature (bit c-1 = coef_c > 0, row-major); like
+    pHash, bits capture coarse spatial structure, so re-encoded /
+    lightly-corrupted images land within a few bits.
+
+    Payload contract: bytes are folded into an 8x8 grid of equal block
+    sums — the first ``64 * (len // 64)`` bytes split into 64 equal
+    blocks (a decoded 8x8 grayscale image is the identity case). Equal
+    block lengths mean block SUMS carry the same signs as means: the
+    transform stays division-free, hence exactly replicable in ANSI SQL
+    (bit_count parity for the sign matrix). Empty/short payloads (< 64
+    bytes) get the 0 sentinel. Pair with dedup.hamming_pairs
+    (bits=64) for near-dup detection.
+
+    Arrow-batched mapInPandas; per row one reshape + two 8x8 integer
+    matmuls — constant work per payload byte, embarrassingly parallel.
+    """
+    import numpy as np
+
+    # H8 natural order: (-1)^popcount(i & j)
+    pops = np.array([[bin(i & j).count("1") for j in range(8)]
+                     for i in range(8)], dtype=np.int64)
+    H8 = np.where(pops % 2 == 0, 1, -1).astype(np.int64)
+    powers = np.int64(1) << np.arange(63, dtype=np.int64)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf[bin_col]:
+                if raw is None or len(raw) < 64:
+                    out.append(0)
+                    continue
+                n = (len(raw) // 64) * 64
+                a = (np.frombuffer(raw[:n], dtype=np.uint8)
+                     .astype(np.int64).reshape(64, -1).sum(axis=1)
+                     .reshape(8, 8))
+                coefs = (H8 @ a @ H8).reshape(64)[1:]
+                out.append(int(((coefs > 0).astype(np.int64)
+                                * powers).sum()))
+            yield pd.DataFrame({"id": pdf[id_col], "sig": out})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        sig, f"id {dict(df.dtypes)[id_col]}, sig bigint")

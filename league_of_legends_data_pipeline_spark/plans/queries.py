@@ -9814,3 +9814,67 @@ def q177_benford_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (lineitem,) = _t(spark, sf_dir, "lineitem")
     return benford_report(lineitem, "l_extendedprice").orderBy("digit")
+
+
+@_register(
+    "q178_wht_perceptual_pairs",
+    """
+    -- Walsh-Hadamard pHash replay: 64 leading bytes as the 8x8 grid
+    -- (pure-ASCII testdata: ascii() == byte), coefficient (u,v) = sum
+    -- of +/- pixels with sign = parity of popcount(u&r) + popcount(v&c)
+    -- (the Hadamard matrix definition), 63 non-DC sign bits packed
+    -- little-endian, then the EXACT all-pairs hamming scan the engine's
+    -- pigeonhole banding must reproduce losslessly at <= 4 bits.
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 64) AS s
+        FROM documents WHERE length(text) >= 64
+    ), px AS (
+        SELECT doc_id,
+               list_transform(range(0, 64),
+                   i -> ascii(substr(s, CAST(i AS INT) + 1, 1))) AS p
+        FROM d
+    ), hs AS (
+        SELECT doc_id, CAST(list_sum(list_transform(range(1, 64), c ->
+            CASE WHEN CAST(list_sum(list_transform(range(0, 64), i ->
+                p[CAST(i AS INT) + 1] * CASE WHEN
+                    (bit_count(CAST((i // 8) & (c // 8) AS BIGINT))
+                   + bit_count(CAST((i % 8) & (c % 8) AS BIGINT))) % 2 = 0
+                THEN 1 ELSE -1 END)) AS BIGINT) > 0
+            THEN (CAST(1 AS BIGINT) << (CAST(c AS INT) - 1))
+            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        FROM px
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    ORDER BY id_a, id_b
+    """,
+    doc="Walsh-Hadamard perceptual-hash near-dup pairs "
+        "(operators/multimodal.py wht_hash_table + dedup.hamming_pairs): "
+        "the frequency-domain pHash with the DCT swapped for the integer "
+        "Hadamard transform — coefficients are +/- pixel sums, so the "
+        "63-bit sign fingerprint is division-free and oracle-exact. The "
+        "Spark side is the 100 TB shape (Arrow hash stage + lossless "
+        "pigeonhole chunk banding with bucket caps); the oracle is the "
+        "quadratic ground truth, proving the banding drops nothing at "
+        "hamming <= 4 with 8 chunks.",
+)
+def q178_wht_perceptual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+    )
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        wht_hash_table,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    src = (documents.filter(F.length("text") >= 64)
+           .select("doc_id",
+                   F.substring("text", 1, 64).cast("binary").alias("img"))
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    sigs = wht_hash_table(src, "doc_id", "img")
+    return (hamming_pairs(sigs, "id", "sig", bits=64, chunks=8,
+                          max_hamming=4)
+            .withColumn("hamming", F.col("hamming").cast("int"))
+            .orderBy("id_a", "id_b"))

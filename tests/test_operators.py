@@ -2736,3 +2736,47 @@ def test_benford_report_exact_law_and_missing_digits(spark):
     df3 = spark.createDataFrame([(1, 0.5), (2, 2.0)], ["id", "v"])
     rep3 = {r.digit: r.n_obs for r in benford_report(df3, "v").collect()}
     assert rep3[2] == 1 and sum(rep3.values()) == 1
+
+
+def test_wht_hash_transform_properties(spark):
+    """WHT fingerprint invariants: constant image -> all-zero signature
+    (no non-DC energy); single-bright-pixel vs constant differ in many
+    bits; a 1-byte brightness jitter moves few bits (perceptual
+    locality); short payloads sentinel to 0; 128-byte payloads fold two
+    bytes per block."""
+    import numpy as np
+
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        wht_hash_table,
+    )
+
+    import random
+
+    flat = bytes([100] * 64)
+    spike = bytes([100] * 32 + [250] + [100] * 31)
+    rng = random.Random(7)
+    noisy = bytes(rng.randrange(256) for _ in range(64))  # generic coefs
+    jitter = bytes([min(noisy[0] + 1, 255)]) + noisy[1:]  # one byte +1
+    short = bytes([1, 2, 3])
+    folded = bytes([100, 100] * 64)  # 128 bytes -> same grid as flat*2
+    rows = [(1, flat), (2, spike), (3, noisy), (4, short), (5, folded),
+            (6, jitter)]
+    df = spark.createDataFrame(rows, ["id", "img"])
+    got = {r.id: r.sig for r in wht_hash_table(df, "id", "img").collect()}
+
+    assert got[1] == 0          # constant image: every non-DC coef == 0
+    assert got[4] == 0          # sentinel
+    assert got[5] == 0          # folded constant == constant
+    assert bin(got[2]).count("1") >= 16  # spike spreads energy everywhere
+    # perceptual locality: +1 on one pixel of a STRUCTURED image (large
+    # coefficient magnitudes) flips few sign bits
+    assert bin(got[3] ^ got[6]).count("1") <= 4
+
+    # python reference replay (H @ A @ H sign bits)
+    pops = np.array([[bin(i & j).count("1") for j in range(8)]
+                     for i in range(8)])
+    H = np.where(pops % 2 == 0, 1, -1).astype(np.int64)
+    A = np.frombuffer(spike, dtype=np.uint8).astype(np.int64).reshape(8, 8)
+    coefs = (H @ A @ H).reshape(64)[1:]
+    exp = int(sum((1 << k) for k, c in enumerate(coefs) if c > 0))
+    assert got[2] == exp
