@@ -1060,3 +1060,47 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
             .select("bucket", "label", "n_docs", "min_score", "max_score",
                     F.round(F.col("__t") / F.col("n_docs") / 1_000_000.0, 6)
                     .alias("mean_score")))
+
+
+def pmi_collocations(df: DataFrame, text_col: str,
+                     min_count: int = 5, top_k: int = 50) -> DataFrame:
+    """Pointwise-mutual-information collocation mining — the classic
+    vocabulary/phrase-induction signal (Mikolov et al.'s word2vec
+    phrase pass scores exactly this): PMI(w1, w2) =
+    log2(C(w1 w2) * N / (C(w1) * C(w2))), over adjacent token pairs,
+    kept when the pair count clears ``min_count`` (rare-pair PMI is
+    noise), top ``top_k`` by (pmi desc, w1, w2).
+
+    Returns (w1, w2, pair_count, pmi) with pmi rounded to 6 dp BEFORE
+    the ordering, so the cutoff ranks identically in any engine.
+
+    Scale shape: identical to the bigram-LM pipeline — map-only array
+    self-zip for pairs, two token-count aggregates, two natural-key
+    joins to put marginals on the pair table; N is a 1-row broadcast.
+    The integer product C12*N stays < 2^63 up to ~3e9-token corpora per
+    count cell; beyond that, swap the ratio to double before the
+    multiply (documented lever, same signs).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    pairs = (df.select(
+        F.explode(F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))))
+        .alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    uni = (df.select(F.explode(toks).alias("w")).filter(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n = uni.agg(F.sum("c").alias("__N"))
+    bi = (pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+          .filter(F.col("pair_count") >= min_count))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    return (bi.join(u1, "w1").join(u2, "w2")
+            .join(F.broadcast(n))
+            .select("w1", "w2", "pair_count",
+                    F.round(F.log2(F.col("pair_count") * F.col("__N")
+                                   / (F.col("__c1") * F.col("__c2"))), 6)
+                    .alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(top_k))

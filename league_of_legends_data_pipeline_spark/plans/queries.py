@@ -9878,3 +9878,47 @@ def q178_wht_perceptual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                           max_hamming=4)
             .withColumn("hamming", F.col("hamming").cast("int"))
             .orderBy("id_a", "id_b"))
+
+
+@_register(
+    "q179_pmi_collocations",
+    """
+    -- PMI replay: pairs from the parallel-unnest array self-zip,
+    -- marginal counts joined back on, pmi = log2(c12*N/(c1*c2))
+    -- rounded to 6 dp BEFORE the (pmi desc, w1, w2) cutoff ordering so
+    -- the top-k boundary ranks identically in both engines.
+    WITH arrs AS (
+        SELECT string_split(lower(text), ' ') AS arr FROM documents
+    ), uni AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(arr) AS w FROM arrs) WHERE w <> '' GROUP BY w
+    ), n AS (SELECT sum(c) AS N FROM uni),
+    bi AS (
+        SELECT w1, w2, count(*) AS pair_count FROM (
+            SELECT unnest(arr[1:len(arr)-1]) AS w1,
+                   unnest(arr[2:len(arr)]) AS w2
+            FROM arrs)
+        WHERE w1 <> '' AND w2 <> '' GROUP BY w1, w2
+        HAVING count(*) >= 5
+    )
+    SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+           CAST(round(log2(pair_count * (SELECT N FROM n)
+                / (u1.c * u2.c)), 6) AS DOUBLE) AS pmi
+    FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+    ORDER BY pmi DESC, w1, w2 LIMIT 50
+    """,
+    doc="PMI collocation mining (operators/text.py pmi_collocations — "
+        "the word2vec phrase-induction signal): adjacent-pair counts "
+        "vs unigram marginals, log2 ratio of pure integer products, "
+        "6 dp-rounded before the top-k ordering. Map-only pair "
+        "construction, two count aggregates, two natural-key joins, "
+        "1-row N broadcast — the q167 pipeline shape with a ranking "
+        "head.",
+)
+def q179_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return pmi_collocations(documents, "text", min_count=5, top_k=50)

@@ -2780,3 +2780,28 @@ def test_wht_hash_transform_properties(spark):
     coefs = (H @ A @ H).reshape(64)[1:]
     exp = int(sum((1 << k) for k, c in enumerate(coefs) if c > 0))
     assert got[2] == exp
+
+
+def test_pmi_collocations_known_corpus(spark):
+    import math
+
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    # 'new york' always together (high PMI); 'the cat'/'the dog' mixed
+    docs = [("new york " * 6).strip(), ("the cat " * 6).strip(),
+            ("the dog " * 6).strip()]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               ["doc_id", "text"])
+    got = {(r.w1, r.w2): r for r in
+           pmi_collocations(df, "text", min_count=2, top_k=100).collect()}
+    # counts: each doc has 6 occurrences of its word pair; tokens: 36
+    # unigrams: new=6, york=6, the=12, cat=6, dog=6; bigrams:
+    # (new,york)=6, (york,new)=5, (the,cat)=6, (cat,the)=5, ...
+    assert got[("new", "york")].pair_count == 6
+    exp = round(math.log2(6 * 36 / (6 * 6)), 6)
+    assert got[("new", "york")].pmi == exp
+    # (the, cat): 6*36/(12*6) -> PMI 1.0 < new-york's log2(6)
+    assert got[("the", "cat")].pmi == round(math.log2(3.0), 6)
+    assert got[("new", "york")].pmi > got[("the", "cat")].pmi
