@@ -528,3 +528,51 @@ def exact_ntile(df: DataFrame, order_cols: list[str], n: int,
         bucket_col,
         (F.floor((F.col("__r") - 1) * n / F.lit(total)) + 1).cast("long"))
         .drop("__r"))
+
+
+def negative_samples(df: DataFrame, id_col: str, k: int = 3,
+                     seed: int = 42,
+                     anchor_filter: Column | None = None) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-random OTHER rows drawn uniformly
+    from the corpus — reproducibly (same corpus -> same negatives, no
+    rand(), no partitioning dependence), the property resumable
+    training-data builds need.
+
+    Mechanics: ``global_rank`` densifies the id space to 1..N (range
+    partition + offsets — no single-partition window); negative j of an
+    anchor maps ``h = md5-hash(id:j:seed) mod (N-1)`` into 1..N-1 and
+    bumps values >= the anchor's own rank by one — exactly uniform over
+    the N-1 other rows, self-pairing impossible by construction. One
+    equi-join on rank fetches each negative's id.
+
+    Returns (anchor, neg_idx, negative). ``anchor_filter`` restricts
+    which rows get negatives (the universe stays the full corpus).
+
+    Scale shape: rank once (counts-only driver traffic), explode k per
+    anchor, one shuffle join on rank — linear in N*k.
+    """
+    if k < 1:
+        raise ValueError("negative_samples: k must be >= 1")
+    ranked, total = _global_rank_with_total(
+        df.select(id_col), [id_col], "__rank", None)
+    if total < 2:
+        raise ValueError("negative_samples: need >= 2 rows")
+    anchors = ranked if anchor_filter is None else ranked.filter(anchor_filter)
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("anchor").cast("string"),
+        F.col("neg_idx").cast("string"), F.lit(str(seed)))), 1, 15),
+        16, 10).cast("long")
+    exploded = (anchors
+                .select(F.col(id_col).alias("anchor"), "__rank",
+                        F.explode(F.sequence(F.lit(1), F.lit(k)))
+                        .alias("neg_idx"))
+                .withColumn("__n", F.lit(1) + F.pmod(h.cast("long"),
+                                                     F.lit(total - 1)))
+                .withColumn("__n", F.when(F.col("__n") >= F.col("__rank"),
+                                          F.col("__n") + 1)
+                            .otherwise(F.col("__n"))))
+    negs = ranked.select(F.col(id_col).alias("negative"),
+                         F.col("__rank").alias("__n"))
+    return (exploded.join(negs, "__n")
+            .select("anchor", "neg_idx", "negative"))

@@ -9922,3 +9922,51 @@ def q179_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = _t(spark, sf_dir, "documents")
     return pmi_collocations(documents, "text", min_count=5, top_k=50)
+
+
+@_register(
+    "q180_negative_samples",
+    """
+    -- negative-sampling replay: dense ranks via row_number over the id
+    -- total order, h = md5-60bit(anchor:j:42) mod (N-1) mapped into
+    -- 1..N-1 with the >=-own-rank bump (uniform over others, never
+    -- self), one equi-join on rank. Anchors: doc_id % 50 = 0.
+    WITH ranked AS (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+        FROM documents
+    ), n AS (SELECT count(*) AS N FROM ranked),
+    ex AS (
+        SELECT doc_id AS anchor, r, j AS neg_idx,
+               1 + CAST(('0x' || substr(md5(doc_id || ':' || j || ':42'),
+                   1, 15)) AS BIGINT)
+                   % ((SELECT N FROM n) - 1) AS n0
+        FROM ranked, (SELECT unnest(range(1, 4)) AS j)
+        WHERE doc_id % 50 = 0
+    ), mapped AS (
+        SELECT anchor, neg_idx,
+               CASE WHEN n0 >= r THEN n0 + 1 ELSE n0 END AS nn
+        FROM ex
+    )
+    SELECT m.anchor, CAST(m.neg_idx AS INT) AS neg_idx,
+           rk.doc_id AS negative
+    FROM mapped m JOIN ranked rk ON m.nn = rk.r
+    ORDER BY anchor, neg_idx
+    """,
+    doc="Deterministic negative sampling (operators/sampling.py "
+        "negative_samples over global_rank): k uniform corpus negatives "
+        "per anchor, reproducible across runs/partitionings (md5-keyed, "
+        "no rand()), self-pairing structurally impossible via the "
+        "rank-bump construction. Rank once (distributed, counts-only "
+        "driver traffic), explode k, one rank equi-join — linear in "
+        "N*k at any corpus size.",
+)
+def q180_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return (negative_samples(documents, "doc_id", k=3, seed=42,
+                             anchor_filter=F.col("doc_id") % 50 == 0)
+            .withColumn("neg_idx", F.col("neg_idx").cast("int"))
+            .orderBy("anchor", "neg_idx"))

@@ -166,6 +166,28 @@ PROBE_QUERIES = [
     # term-filtered positional postings + (doc,pos) equi-joins: bounded
     # by query-term document frequency
     "q168_phrase_search",
+    # fixed 128-bucket sketch aggregate + merge: output constant
+    "q169_ddsketch_quantiles",
+    # 40 replicate weighted sums in one aggregate: linear scan
+    "q170_poisson_bootstrap",
+    # two explode+groupBy passes over (doc, symbol) counts
+    "q171_entropy_scores",
+    # map-only winnow selection; df-capped fingerprint pair join
+    "q172_winnow_fingerprint_pairs",
+    # q167 scoring + range-partitioned exact ntile (counts-only driver)
+    "q173_perplexity_buckets",
+    # map-only signal arithmetic + one groupBy per corpus
+    "q174_code_detection",
+    # ONE expand aggregate over 7 columns (exact NDV widens the scan)
+    "q175_column_profile",
+    # metadata-sized listing + per-group window cumsum
+    "q176_compaction_plan",
+    # 9-group digit count + broadcast literals
+    "q177_benford_scan",
+    # Arrow WHT hash stage + pigeonhole chunk join with bucket caps
+    "q178_wht_perceptual_pairs",
+    # pair/unigram aggregates + two marginal joins + top-k
+    "q179_pmi_collocations",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -2805,3 +2805,24 @@ def test_pmi_collocations_known_corpus(spark):
     # (the, cat): 6*36/(12*6) -> PMI 1.0 < new-york's log2(6)
     assert got[("the", "cat")].pmi == round(math.log2(3.0), 6)
     assert got[("new", "york")].pmi > got[("the", "cat")].pmi
+
+
+def test_negative_samples_uniform_never_self_deterministic(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], ["id"])
+    a = negative_samples(df, "id", k=5, seed=1).collect()
+    b = negative_samples(df, "id", k=5, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert len(a) == 100
+    assert all(r.anchor != r.negative for r in a)          # never self
+    assert all(0 <= r.negative < 20 for r in a)
+    # different seed -> different draw (overwhelmingly)
+    c = negative_samples(df, "id", k=5, seed=2).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+    # anchor_filter restricts anchors but keeps the full universe
+    d = negative_samples(df, "id", k=3, seed=1,
+                         anchor_filter=F.col("id") < 2).collect()
+    assert {r.anchor for r in d} == {0, 1} and len(d) == 6
