@@ -9970,3 +9970,82 @@ def q180_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                              anchor_filter=F.col("doc_id") % 50 == 0)
             .withColumn("neg_idx", F.col("neg_idx").cast("int"))
             .orderBy("anchor", "neg_idx"))
+
+
+@_register(
+    "q181_audio_fingerprint_pairs",
+    """
+    -- audio-fingerprint replay: the shared sample formula over the 64
+    -- leading text bytes (ascii == byte under pure-ASCII testdata),
+    -- frame length 1 so energies are squared samples, bit f =
+    -- E[f+1] > E[f] packed little-endian, then the exact all-pairs
+    -- hamming ground truth the engine's pigeonhole banding must match.
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 64) AS s
+        FROM documents WHERE length(text) >= 64
+    ), e AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), i ->
+                   CAST(power(2 * ((ascii(substr(s, CAST(i AS INT) + 1, 1))
+                        * 257 + i * 7919) % 32768) - 32767, 2) AS BIGINT))
+                   AS en
+        FROM d
+    ), hs AS (
+        SELECT doc_id, CAST(list_sum(list_transform(range(1, 64), f ->
+            CASE WHEN en[CAST(f AS INT) + 1] > en[CAST(f AS INT)]
+            THEN (CAST(1 AS BIGINT) << (CAST(f AS INT) - 1))
+            ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+        FROM e
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 4
+    ORDER BY id_a, id_b
+    """,
+    doc="Audio near-dup fingerprint pairs (operators/audio.py "
+        "audio_fingerprint_table + dedup.hamming_pairs — the "
+        "Haitsma-Kalker energy-contour hash, division-free): id-derived "
+        "text bytes become REAL RIFF/WAVE PCM16 payloads, the Arrow "
+        "stage decodes them and fingerprints the energy deltas, and the "
+        "lossless pigeonhole chunk join finds all pairs within 4 bits. "
+        "The oracle rebuilds the fingerprints from the shared sample "
+        "formula and runs the quadratic ground truth — proving both the "
+        "codec roundtrip and the banding's zero loss.",
+)
+def q181_audio_fingerprint_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.operators.audio import (
+        audio_fingerprint_table, encode_wav_pcm16,
+    )
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    src = (documents.filter(F.length("text") >= 64)
+           .select("doc_id", F.substring("text", 1, 64).alias("s"))
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+
+    def build(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, s in zip(pdf["doc_id"], pdf["s"]):
+                b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8) \
+                    .astype(np.int64)
+                i = np.arange(64, dtype=np.int64)
+                smp = (2 * ((b * 257 + i * 7919) % 32768) - 32767) \
+                    .astype("<i2")
+                payloads.append(encode_wav_pcm16(smp, 8000, channels=1))
+                ids.append(int(did))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    with_bin = src.mapInPandas(build, "doc_id bigint, payload binary")
+    sigs = audio_fingerprint_table(with_bin, "doc_id", "payload", frames=64)
+    return (hamming_pairs(sigs, "id", "sig", bits=64, chunks=8,
+                          max_hamming=4)
+            .withColumn("hamming", F.col("hamming").cast("int"))
+            .orderBy("id_a", "id_b"))

@@ -2826,3 +2826,40 @@ def test_negative_samples_uniform_never_self_deterministic(spark):
     d = negative_samples(df, "id", k=3, seed=1,
                          anchor_filter=F.col("id") < 2).collect()
     assert {r.anchor for r in d} == {0, 1} and len(d) == 6
+
+
+def test_audio_fingerprint_contour_and_sentinels(spark):
+    import numpy as np
+
+    from league_of_legends_data_pipeline_spark.operators.audio import (
+        audio_fingerprint_table,
+        encode_wav_pcm16,
+    )
+
+    def wav(samples):
+        return encode_wav_pcm16(np.asarray(samples, dtype="<i2"), 8000, 1)
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(-30000, 30000, 256).astype("<i2")
+    noisy = (base + rng.randint(-50, 50, 256)).clip(-32768, 32767) \
+        .astype("<i2")
+    rows = [
+        (1, wav(base)),
+        (2, wav(noisy)),                      # light noise: close sig
+        (3, wav(rng.randint(-30000, 30000, 256).astype("<i2"))),
+        (4, wav([5] * 10)),                   # < frames samples: sentinel
+        (5, b"not audio"),                    # decode failure: sentinel
+    ]
+    df = spark.createDataFrame(rows, ["id", "payload"])
+    got = {r.id: r.sig for r in
+           audio_fingerprint_table(df, "id", "payload", frames=64)
+           .collect()}
+    assert got[4] == 0 and got[5] == 0
+    close = bin(got[1] ^ got[2]).count("1")
+    far = bin(got[1] ^ got[3]).count("1")
+    assert close <= 8 < far  # contour robustness vs unrelated audio
+
+    # python reference: frame energies over 4-sample frames
+    e = (base.astype(np.int64)[:256].reshape(64, 4) ** 2).sum(axis=1)
+    exp = int(sum(1 << f for f in range(63) if e[f + 1] > e[f]))
+    assert got[1] == exp
