@@ -22,9 +22,11 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def _boxes(raw: bytes, start: int, end: int):
@@ -162,3 +164,50 @@ def video_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
     return df.select(id_col, bin_col).mapInPandas(extract,
                                                   VIDEO_META_SCHEMA)
+
+
+def scene_cuts(df: DataFrame, id_col: str, bin_col: str,
+               frame_bytes: int = 32, threshold: int = 150) -> DataFrame:
+    """Scene-change detection over fixed-stride frames — the classic
+    luminance-delta cut detector, reduced to its integer-exact core:
+    per frame an exact byte-sum "luminance", a cut wherever the
+    absolute delta to the previous frame exceeds ``threshold``.
+    Returns a per-video summary: (id, n_frames, n_cuts, max_delta).
+
+    Composition shape (the multimodal pipeline pattern): frame slicing
+    is ``frame_sample`` — JVM sequence+explode+substring, whole-stage
+    codegen, no Python; the per-frame byte reduce is one Arrow
+    ``mapInPandas`` (constant work per frame byte); the temporal delta
+    is a lag() window partitioned by video (groups = frames of ONE
+    video, never the corpus). Linear at any scale; a real container
+    format swaps frame_sample for a parsing Arrow stage, everything
+    downstream unchanged.
+    """
+    from league_of_legends_data_pipeline_spark.operators.multimodal import (
+        frame_sample,
+    )
+
+    frames = frame_sample(df, id_col, bin_col, frame_bytes=frame_bytes)
+    id_t = dict(df.dtypes)[id_col]
+
+    def lum(batches):
+        for pdf in batches:
+            sums = [int(np.frombuffer(bytes(b), dtype=np.uint8)
+                        .astype(np.int64).sum())
+                    for b in pdf["frame"]]
+            yield pd.DataFrame({"id": pdf[id_col],
+                                "frame_idx": pdf["frame_idx"],
+                                "lum": sums})
+
+    stats = frames.select(id_col, "frame_idx", "frame").mapInPandas(
+        lum, f"id {id_t}, frame_idx int, lum bigint")
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    deltas = (stats
+              .withColumn("__prev", F.lag("lum").over(w))
+              .withColumn("__delta", F.abs(F.col("lum") - F.col("__prev"))))
+    return (deltas.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum(F.when(F.col("__delta") > threshold, 1)
+                       .otherwise(0)).cast("long").alias("n_cuts"),
+                 F.coalesce(F.max("__delta"), F.lit(0)).cast("long")
+                 .alias("max_delta")))

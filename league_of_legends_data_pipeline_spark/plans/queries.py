@@ -10049,3 +10049,56 @@ def q181_audio_fingerprint_pairs(spark: SparkSession,
                           max_hamming=4)
             .withColumn("hamming", F.col("hamming").cast("int"))
             .orderBy("id_a", "id_b"))
+
+
+@_register(
+    "q182_scene_cuts",
+    """
+    -- scene-cut replay: 32-byte frame luminance = exact ascii sums over
+    -- the substring windows (pure-ASCII testdata), lag() delta per
+    -- video, cuts where |delta| > 150, per-video rollup.
+    WITH d AS (
+        SELECT doc_id, substr(text, 1, 256) AS v
+        FROM documents WHERE length(text) >= 256
+    ), fr AS (
+        SELECT doc_id, f,
+               CAST(list_sum(list_transform(range(1, 33), i ->
+                   ascii(substr(v, CAST(f AS INT) * 32 + CAST(i AS INT),
+                                1)))) AS BIGINT) AS lum
+        FROM d, (SELECT unnest(range(0, 8)) AS f)
+    ), dl AS (
+        SELECT doc_id, lum,
+               abs(lum - lag(lum) OVER (PARTITION BY doc_id ORDER BY f))
+                   AS delta
+        FROM fr
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN delta > 150 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cuts,
+           CAST(coalesce(max(delta), 0) AS BIGINT) AS max_delta
+    FROM dl GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Scene-change detection (operators/video.py scene_cuts over "
+        "multimodal.frame_sample): fixed-stride frame slicing stays "
+        "JVM-side (sequence+explode+substring, whole-stage codegen), "
+        "ONE Arrow stage reduces each frame to its exact byte-sum "
+        "luminance, and a per-video lag() window flags cuts where the "
+        "delta exceeds the threshold. Window groups are one video's "
+        "frames, never the corpus — linear at any scale, and the "
+        "integer luminance makes the detector oracle-exact.",
+)
+def q182_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.video import (
+        scene_cuts,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    src = (documents.filter(F.length("text") >= 256)
+           .select("doc_id",
+                   F.substring("text", 1, 256).cast("binary").alias("v"))
+           .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
+    out = scene_cuts(src, "doc_id", "v", frame_bytes=32, threshold=150)
+    return (out.select(F.col("id").alias("doc_id"), "n_frames",
+                       "n_cuts", "max_delta")
+            .orderBy("doc_id"))

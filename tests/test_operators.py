@@ -2863,3 +2863,25 @@ def test_audio_fingerprint_contour_and_sentinels(spark):
     e = (base.astype(np.int64)[:256].reshape(64, 4) ** 2).sum(axis=1)
     exp = int(sum(1 << f for f in range(63) if e[f + 1] > e[f]))
     assert got[1] == exp
+
+
+def test_scene_cuts_detects_planted_transition(spark):
+    from league_of_legends_data_pipeline_spark.operators.video import (
+        scene_cuts,
+    )
+
+    # video 1: two flat 'scenes' (frames of 10s then frames of 200s) ->
+    # exactly one cut at the boundary; video 2: constant -> zero cuts;
+    # video 3: shorter than one frame -> excluded by frame_sample
+    v1 = bytes([10] * 64 + [200] * 64)
+    v2 = bytes([50] * 128)
+    v3 = bytes([1] * 5)
+    df = spark.createDataFrame([(1, v1), (2, v2), (3, v3)],
+                               ["vid", "payload"])
+    got = {r.id: r for r in
+           scene_cuts(df, "vid", "payload", frame_bytes=32,
+                      threshold=1000).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_frames == 4 and got[1].n_cuts == 1
+    assert got[1].max_delta == (200 - 10) * 32
+    assert got[2].n_cuts == 0 and got[2].max_delta == 0
