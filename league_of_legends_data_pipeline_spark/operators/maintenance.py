@@ -73,3 +73,57 @@ def small_file_stats(files: DataFrame, group_cols: list[str],
                     "total_bytes",
                     F.round(F.col("total_bytes") / F.col("n_files"), 6)
                     .alias("avg_bytes")))
+
+
+def zone_map_stats(df: DataFrame, group_cols: list[str],
+                   value_col: str) -> DataFrame:
+    """Per-"file" zone-map statistics — (group..., vmin, vmax, n_rows)
+    for a value column, i.e. what parquet row-group footers / Iceberg
+    manifests store. One partial-aggregating groupBy over metadata-sized
+    groups."""
+    return (df.groupBy(*group_cols)
+            .agg(F.min(value_col).alias("vmin"),
+                 F.max(value_col).alias("vmax"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+def zone_map_pruning_report(df: DataFrame, group_cols: list[str],
+                            value_col: str,
+                            predicates: list[tuple[float, float]]
+                            ) -> DataFrame:
+    """Scan-planning effectiveness report: for each half-open range
+    predicate ``[lo, hi)`` over ``value_col``, how many files the zone
+    maps prune (``vmax < lo OR vmin >= hi``), how many rows the
+    surviving files would scan, and how many rows actually match —
+    the data the layout optimizer (z-order, q149) is trying to improve.
+
+    Returns (pred_id, lo, hi, n_files, n_pruned, rows_scanned,
+    rows_matched). Two linear passes: the zone-map aggregate (metadata-
+    sized), and ONE conditional-sum aggregate for all predicates' true
+    match counts; predicates broadcast as a literal frame.
+    """
+    stats = zone_map_stats(df, group_cols, value_col)
+    spark = df.sparkSession
+    preds = spark.createDataFrame(
+        [(i, float(lo), float(hi)) for i, (lo, hi) in enumerate(predicates)],
+        ["pred_id", "lo", "hi"])
+    pruned = (stats.join(F.broadcast(preds))
+              .withColumn("__p", (F.col("vmax") < F.col("lo"))
+                          | (F.col("vmin") >= F.col("hi")))
+              .groupBy("pred_id", "lo", "hi")
+              .agg(F.count(F.lit(1)).alias("n_files"),
+                   F.sum(F.col("__p").cast("long")).alias("n_pruned"),
+                   F.sum(F.when(~F.col("__p"), F.col("n_rows"))
+                         .otherwise(0)).cast("long").alias("rows_scanned")))
+    v = F.col(value_col)
+    matched = df.agg(*[
+        F.sum(((v >= F.lit(float(lo))) & (v < F.lit(float(hi))))
+              .cast("long")).alias(f"__m{i}")
+        for i, (lo, hi) in enumerate(predicates)])
+    long_matched = (matched.select(F.explode(F.array(*[
+        F.struct(F.lit(i).alias("pred_id"),
+                 F.col(f"__m{i}").alias("rows_matched"))
+        for i in range(len(predicates))])).alias("s")).select("s.*"))
+    return (pruned.join(F.broadcast(long_matched), "pred_id")
+            .select("pred_id", "lo", "hi", "n_files", "n_pruned",
+                    "rows_scanned", "rows_matched"))

@@ -10102,3 +10102,62 @@ def q182_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (out.select(F.col("id").alias("doc_id"), "n_frames",
                        "n_cuts", "max_delta")
             .orderBy("doc_id"))
+
+
+@_register(
+    "q183_zone_map_pruning",
+    """
+    -- zone-map replay: per-(event_type, day) min/max/count "footers",
+    -- prune rule vmax < lo OR vmin >= hi per range predicate, scanned
+    -- rows from the survivors, true matches from one conditional pass.
+    WITH stats AS (
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+               min(value) AS vmin, max(value) AS vmax,
+               count(*) AS n_rows
+        FROM events GROUP BY 1, 2
+    ), preds AS (
+        SELECT * FROM (VALUES (0, 0.0, 10.0), (1, 10.0, 50.0),
+            (2, 50.0, 100.0), (3, 100.0, 500.0), (4, 250.0, 260.0))
+            AS t(pred_id, lo, hi)
+    ), pr AS (
+        SELECT pred_id, lo, hi,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN vmax < lo OR vmin >= hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+               CAST(sum(CASE WHEN NOT (vmax < lo OR vmin >= hi)
+                        THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned
+        FROM stats, preds GROUP BY 1, 2, 3
+    ), m AS (
+        SELECT p.pred_id,
+               CAST(sum(CASE WHEN e.value >= p.lo AND e.value < p.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+        FROM events e, preds p GROUP BY p.pred_id
+    )
+    SELECT pr.pred_id, pr.lo, pr.hi, pr.n_files, pr.n_pruned,
+           pr.rows_scanned, m.rows_matched
+    FROM pr JOIN m ON pr.pred_id = m.pred_id
+    ORDER BY pr.pred_id
+    """,
+    doc="Zone-map pruning planner (operators/maintenance.py "
+        "zone_map_stats + zone_map_pruning_report — the scan-planning "
+        "dual of the q149 z-order layout optimizer): per-partition "
+        "min/max/count footers, the standard prune rule per range "
+        "predicate, scanned-vs-matched effectiveness. One metadata "
+        "aggregate + one conditional-sum pass for ALL predicates; "
+        "predicate and match frames broadcast. The report is what "
+        "decides whether a table needs re-clustering.",
+)
+def q183_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.maintenance import (
+        zone_map_pruning_report,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    files = events.select("event_type",
+                          F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+                          "value")
+    return (zone_map_pruning_report(
+        files, ["event_type", "dt"], "value",
+        [(0.0, 10.0), (10.0, 50.0), (50.0, 100.0), (100.0, 500.0),
+         (250.0, 260.0)])
+        .orderBy("pred_id"))

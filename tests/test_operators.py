@@ -2885,3 +2885,27 @@ def test_scene_cuts_detects_planted_transition(spark):
     assert got[1].n_frames == 4 and got[1].n_cuts == 1
     assert got[1].max_delta == (200 - 10) * 32
     assert got[2].n_cuts == 0 and got[2].max_delta == 0
+
+
+def test_zone_map_pruning_rule_and_counts(spark):
+    from league_of_legends_data_pipeline_spark.operators.maintenance import (
+        zone_map_pruning_report,
+    )
+
+    # file A: values 0..9, file B: 100..109, file C: 50..59
+    rows = [("A", float(v)) for v in range(10)] + \
+           [("B", float(v)) for v in range(100, 110)] + \
+           [("C", float(v)) for v in range(50, 60)]
+    df = spark.createDataFrame(rows, ["f", "v"])
+    rep = {r.pred_id: r for r in zone_map_pruning_report(
+        df, ["f"], "v", [(0.0, 10.0), (55.0, 105.0), (200.0, 300.0)])
+        .collect()}
+    # pred 0 hits only file A: B and C pruned
+    assert rep[0].n_pruned == 2 and rep[0].rows_scanned == 10
+    assert rep[0].rows_matched == 10
+    # pred 1 overlaps C (55..59) and B (100..104): A pruned
+    assert rep[1].n_pruned == 1 and rep[1].rows_scanned == 20
+    assert rep[1].rows_matched == 5 + 5
+    # pred 2 matches nothing: all pruned, zero scanned
+    assert rep[2].n_pruned == 3 and rep[2].rows_scanned == 0
+    assert rep[2].rows_matched == 0
