@@ -327,3 +327,40 @@ def decayed_group_sum(
     return (df.groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum(micro) / 1_000_000.0, 6).alias("decayed_sum")))
+
+
+def cohort_retention(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Weekly cohort-retention matrix — the standard growth-analytics
+    rollup: users are cohorted by the Monday of their first-seen week;
+    for every (cohort, week offset) cell, the count of cohort members
+    active that week and the retention ratio.
+
+    Returns (cohort_week, week_offset, cohort_size, n_active,
+    retention) with cohort_week as an ISO date string (engines render
+    native dates differently; strings hash identically).
+
+    Scale shape: one min-aggregate per user (first touch), one distinct
+    over (user, week) — both partial-aggregating shuffles keyed by
+    user — then a user-keyed equi-join of activity onto cohorts and a
+    cells rollup. No windows, no self-joins; cells are
+    cohorts x offsets, metadata-sized.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    first = (df.groupBy(F.col(user_col).alias("__u"))
+             .agg(F.min(week).alias("__cw")))
+    active = (df.select(F.col(user_col).alias("__u"),
+                        week.alias("__aw")).distinct())
+    cohort_sizes = first.groupBy("__cw").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    cells = (active.join(first, "__u")
+             .groupBy("__cw", "__aw")
+             .agg(F.count(F.lit(1)).alias("n_active"))
+             .withColumn("week_offset",
+                         (F.datediff(F.col("__aw"), F.col("__cw")) / 7)
+                         .cast("long")))
+    return (cells.join(cohort_sizes, "__cw")
+            .select(F.date_format("__cw", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    "week_offset", "cohort_size", "n_active",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention")))

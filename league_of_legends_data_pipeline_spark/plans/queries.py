@@ -10161,3 +10161,49 @@ def q183_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0.0, 10.0), (10.0, 50.0), (50.0, 100.0), (100.0, 500.0),
          (250.0, 260.0)])
         .orderBy("pred_id"))
+
+
+@_register(
+    "q184_cohort_retention",
+    """
+    -- cohort replay: Monday-truncated first-seen week per user, distinct
+    -- (user, week) activity, cells = cohort x active week with the /7
+    -- offset, ratios rounded 6 dp. date_trunc('week') is Monday in both
+    -- engines; ISO strings cross the hash boundary, never native dates.
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+        FROM events
+    ), first AS (
+        SELECT user_id, min(aw) AS cw FROM act GROUP BY user_id
+    ), sizes AS (
+        SELECT cw, count(*) AS cohort_size FROM first GROUP BY cw
+    ), cells AS (
+        SELECT f.cw, a.aw, count(*) AS n_active
+        FROM act a JOIN first f ON a.user_id = f.user_id
+        GROUP BY f.cw, a.aw
+    )
+    SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cw, c.aw) // 7 AS BIGINT)
+               AS week_offset,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           CAST(round(c.n_active / CAST(s.cohort_size AS DOUBLE), 6)
+                AS DOUBLE) AS retention
+    FROM cells c JOIN sizes s ON c.cw = s.cw
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly cohort-retention matrix (operators/joins.py "
+        "cohort_retention): first-touch cohorting, distinct weekly "
+        "activity, cells rollup with retention ratios. Two user-keyed "
+        "partial aggregates + one user equi-join; the cell table is "
+        "cohorts x offsets (metadata-sized) — no windows or self-joins "
+        "at any corpus scale.",
+)
+def q184_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        cohort_retention,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    return (cohort_retention(events, "user_id", "ts")
+            .orderBy("cohort_week", "week_offset"))

@@ -2909,3 +2909,28 @@ def test_zone_map_pruning_rule_and_counts(spark):
     # pred 2 matches nothing: all pruned, zero scanned
     assert rep[2].n_pruned == 3 and rep[2].rows_scanned == 0
     assert rep[2].rows_matched == 0
+
+
+def test_cohort_retention_matrix(spark):
+    import datetime as dt
+
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        cohort_retention,
+    )
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 8)),   # cohort w1, active w1+w2
+        (2, d(2024, 1, 3)),                        # cohort w1, only w1
+        (3, d(2024, 1, 10)), (3, d(2024, 1, 22)),  # cohort w2, w2 and w4
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {(r.cohort_week, r.week_offset): r for r in
+           cohort_retention(df, "user_id", "ts").collect()}
+    assert got[("2024-01-01", 0)].cohort_size == 2
+    assert got[("2024-01-01", 0)].n_active == 2
+    assert got[("2024-01-01", 1)].n_active == 1
+    assert got[("2024-01-01", 1)].retention == 0.5
+    assert got[("2024-01-08", 0)].cohort_size == 1
+    assert got[("2024-01-08", 2)].n_active == 1  # Jan 22 is +2 weeks
+    assert ("2024-01-08", 1) not in got
