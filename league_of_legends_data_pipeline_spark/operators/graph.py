@@ -305,3 +305,49 @@ def pagerank(
     return (ranks.join(deg.select(F.col("__src").alias("node"), "deg"),
                        "node")
             .select("node", "rank", "deg"))
+
+
+def label_propagation(edges: DataFrame, src_col: str = "src",
+                      dst_col: str = "dst",
+                      iterations: int = 3) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (Raghavan et al.) —
+    the community-detection rung between connected components (pure
+    reachability) and PageRank (centrality): every node starts with its
+    own id as label; each round it adopts the MOST FREQUENT label among
+    its neighbors, ties broken by the smallest label (the deterministic
+    variant — the classic random tie-break is not replayable). Unlike
+    CC, majority voting lets dense subgraphs keep distinct labels across
+    sparse bridges — communities, not components.
+
+    Returns (node, label) after ``iterations`` rounds. Directed input is
+    used as-is; symmetrize first for undirected semantics. Nodes that
+    receive no messages in a round keep their label (left join +
+    coalesce, the pagerank convention). Synchronous updates oscillate
+    on bipartite structures (a lone edge pair swaps labels every round
+    — the textbook caveat); callers wanting a fixed point there use the
+    async/semi-synchronous variant or read the label pair as one
+    community.
+
+    Scale shape: FIXED rounds; per round one equi-join of (node, label)
+    onto the edges + one (dst, label) count aggregate + one
+    deterministic argmax via min(struct(-count, label)) — shuffles carry
+    (node, long) pairs, nothing collects to the driver.
+    """
+    e = edges.select(F.col(src_col).alias("__src"),
+                     F.col(dst_col).alias("__dst"))
+    nodes = (e.select(F.col("__src").alias("node"))
+             .union(e.select("__dst")).distinct())
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        msgs = (e.join(labels.withColumnRenamed("node", "__src"), "__src")
+                .groupBy(F.col("__dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("__c")))
+        best = (msgs.groupBy("node")
+                .agg(F.min(F.struct((-F.col("__c")).alias("nc"),
+                                    F.col("label").alias("lbl")))
+                     .alias("__b"))
+                .select("node", F.col("__b.lbl").alias("__new")))
+        labels = (labels.join(best, "node", "left")
+                  .select("node", F.coalesce("__new", "label")
+                          .alias("label")))
+    return labels

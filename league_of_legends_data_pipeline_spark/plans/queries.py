@@ -10207,3 +10207,73 @@ def q184_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     return (cohort_retention(events, "user_id", "ts")
             .orderBy("cohort_week", "week_offset"))
+
+
+def _q185_oracle(iters: int = 3) -> str:
+    """Unrolled label-propagation oracle: per round a (dst, label) count
+    CTE, a QUALIFY argmax with the (count desc, label asc) determinism
+    rule, and a left-join carry for message-less nodes — the GD/PageRank
+    unrolling convention."""
+    sql = ["""WITH e0 AS (
+    SELECT a.c_custkey AS src, b.c_custkey AS dst
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND (b.c_custkey = a.c_custkey + 1 OR b.c_custkey = a.c_custkey + 2)
+), e AS (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), l0 AS (
+    SELECT node, node AS label FROM (
+        SELECT DISTINCT src AS node FROM e
+        UNION SELECT DISTINCT dst FROM e)
+)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        sql.append(f""", m{k} AS (
+    SELECT e.dst AS node, l.label, count(*) AS c
+    FROM e JOIN l{p} l ON e.src = l.node GROUP BY 1, 2
+), b{k} AS (
+    SELECT node, label FROM m{k}
+    QUALIFY row_number() OVER (PARTITION BY node
+                               ORDER BY c DESC, label) = 1
+), l{k} AS (
+    SELECT l.node, coalesce(b.label, l.label) AS label
+    FROM l{p} l LEFT JOIN b{k} b ON l.node = b.node
+)""")
+    sql.append(f"\nSELECT node, label FROM l{iters} ORDER BY node")
+    return "".join(sql)
+
+
+@_register(
+    "q185_label_propagation",
+    _q185_oracle(3),
+    doc="Synchronous label-propagation communities (operators/graph.py "
+        "label_propagation — the rung between q44's connected components "
+        "and q133's PageRank; deterministic smallest-label tie-break): "
+        "3 rounds over the symmetrized same-nation customer-chain graph "
+        "(edges built by two equi-joins on custkey+delta — LINEAR, no "
+        "range self-join). Per round one label join + one (dst, label) "
+        "count aggregate + a min(struct) argmax; shuffles carry (node, "
+        "long) pairs, nothing collects. The oracle unrolls the same "
+        "rounds with QUALIFY argmax CTEs.",
+)
+def q185_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    c = customer.select("c_custkey", "c_nationkey")
+    halves = []
+    for delta in (1, 2):
+        b = c.select((F.col("c_custkey") - delta).alias("__k"),
+                     F.col("c_custkey").alias("dst"),
+                     F.col("c_nationkey").alias("__n2"))
+        halves.append(
+            c.join(b, (F.col("c_custkey") == F.col("__k"))
+                   & (F.col("c_nationkey") == F.col("__n2")))
+            .select(F.col("c_custkey").alias("src"), "dst"))
+    e0 = halves[0].unionByName(halves[1])
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    return (label_propagation(edges, "src", "dst", iterations=3)
+            .orderBy("node"))

@@ -2934,3 +2934,34 @@ def test_cohort_retention_matrix(spark):
     assert got[("2024-01-08", 0)].cohort_size == 1
     assert got[("2024-01-08", 2)].n_active == 1  # Jan 22 is +2 weeks
     assert ("2024-01-08", 1) not in got
+
+
+def test_label_propagation_communities_vs_components(spark):
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # two 4-cliques bridged by ONE edge: CC merges them, LPA keeps two
+    # communities (the bridge minority never outvotes the clique)
+    cl1, cl2 = [1, 2, 3, 4], [10, 11, 12, 13]
+    e = [(a, b) for a in cl1 for b in cl1 if a != b] + \
+        [(a, b) for a in cl2 for b in cl2 if a != b] + \
+        [(4, 10), (10, 4)]
+    df = spark.createDataFrame(e, ["src", "dst"])
+    got = {r.node: r.label for r in
+           label_propagation(df, iterations=4).collect()}
+    assert len({got[n] for n in cl1}) == 1
+    assert len({got[n] for n in cl2}) == 1
+    assert got[1] != got[10]  # bridge did not merge the cliques
+    assert got[1] == 1 and got[10] == 10  # smallest-label determinism
+
+    # isolated edge pair: synchronous updates SWAP every round (the
+    # textbook bipartite oscillation) -> odd rounds exchanged, even
+    # rounds back to self
+    df2 = spark.createDataFrame([(7, 8), (8, 7)], ["src", "dst"])
+    got_odd = {r.node: r.label for r in
+               label_propagation(df2, iterations=3).collect()}
+    assert got_odd == {7: 8, 8: 7}
+    got_even = {r.node: r.label for r in
+                label_propagation(df2, iterations=4).collect()}
+    assert got_even == {7: 7, 8: 8}
