@@ -188,6 +188,18 @@ PROBE_QUERIES = [
     "q178_wht_perceptual_pairs",
     # pair/unigram aggregates + two marginal joins + top-k
     "q179_pmi_collocations",
+    # rank once (counts-only driver) + explode k + one rank equi-join
+    "q180_negative_samples",
+    # WAV codec Arrow stage + pigeonhole chunk join
+    "q181_audio_fingerprint_pairs",
+    # JVM frame explode + Arrow byte-sum + per-video lag window
+    "q182_scene_cuts",
+    # metadata zone-map agg + one conditional-sum pass
+    "q183_zone_map_pruning",
+    # two user-keyed aggregates + one user equi-join
+    "q184_cohort_retention",
+    # 3 rounds of label join + count agg + struct argmax
+    "q185_label_propagation",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -267,6 +267,38 @@ PLAN_SHAPE_GOLDENS = {
     "q164_paragraph_dedup": {},
     "q165_heavy_hitters": {"BroadcastHashJoin": 1,
                            "BroadcastNestedLoopJoin": 1},
+    # round-8 late tier: tokenizer/LM/statistics + the winnow/ntile/
+    # profile/maintenance/perceptual additions. BNLJ entries are the
+    # scalar 1-row broadcasts (N totals, chi2, winner rows); q185's
+    # 60/14 join counts are the 3 unrolled label-propagation rounds
+    # re-planning the growing lineage (the pagerank pattern).
+    "q166_bpe_train": {"BroadcastNestedLoopJoin": 6},
+    "q167_bigram_lm_scores": {"BroadcastHashJoin": 3,
+                              "BroadcastNestedLoopJoin": 1},
+    "q168_phrase_search": {"BroadcastHashJoin": 3},
+    "q169_ddsketch_quantiles": {"BroadcastHashJoin": 1,
+                                "BroadcastNestedLoopJoin": 6},
+    "q170_poisson_bootstrap": {"BroadcastNestedLoopJoin": 3},
+    "q171_entropy_scores": {"BroadcastHashJoin": 1},
+    "q172_winnow_fingerprint_pairs": {"BroadcastHashJoin": 5},
+    "q173_perplexity_buckets": {"BroadcastHashJoin": 3,
+                                "BroadcastNestedLoopJoin": 1},
+    "q174_code_detection": {},
+    "q175_column_profile": {},
+    "q176_compaction_plan": {"BroadcastHashJoin": 1},
+    "q177_benford_scan": {"BroadcastNestedLoopJoin": 3,
+                          "BroadcastHashJoin": 2},
+    "q178_wht_perceptual_pairs": {"BroadcastHashJoin": 3},
+    "q179_pmi_collocations": {"BroadcastNestedLoopJoin": 1,
+                              "BroadcastHashJoin": 2},
+    "q180_negative_samples": {"BroadcastHashJoin": 1},
+    "q181_audio_fingerprint_pairs": {"BroadcastHashJoin": 3},
+    "q182_scene_cuts": {},
+    "q183_zone_map_pruning": {"BroadcastHashJoin": 1,
+                              "BroadcastNestedLoopJoin": 1},
+    "q184_cohort_retention": {"BroadcastHashJoin": 2},
+    "q185_label_propagation": {"SortMergeJoin": 14,
+                               "BroadcastHashJoin": 60},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
