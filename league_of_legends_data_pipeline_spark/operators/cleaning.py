@@ -399,3 +399,44 @@ def code_detection_report(df: DataFrame, id_col: str, text_col: str,
                  F.sum("ic").alias("n_code"),
                  F.sum("ns").alias("n_symbols"),
                  F.sum("kh").alias("keyword_hits")))
+
+
+def encoding_signals(col: str | Column) -> dict[str, Column]:
+    """Mojibake / encoding-damage signals — the cheap first gate of a
+    web-corpus cleaning pass (docs that went through a wrong-charset
+    decode carry U+FFFD replacement chars; binary-contaminated docs
+    carry C0 control bytes): per-doc ratios, each a pure Column
+    (codegen, map-only, no UDF).
+
+    Character classes are spelled as explicit code-point ranges so the
+    Java-regex Spark side and any RE2-style oracle agree character for
+    character (``\\p{Cc}``-class shorthands differ across engines);
+    tab/newline/CR are deliberately EXCLUDED from the control class —
+    they are structure, not damage.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c), F.lit(1))
+
+    def _ratio(pattern: str) -> Column:
+        return F.round(
+            (F.length(c) - F.length(F.regexp_replace(c, pattern, ""))) / n, 6)
+
+    return {
+        "n_chars": F.length(c),
+        "replacement_ratio": _ratio("�"),
+        "control_ratio": _ratio("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"),
+        "non_ascii_ratio": _ratio("[^\\x00-\\x7F]"),
+        "letter_ratio": _ratio("[A-Za-z]"),
+    }
+
+
+def encoding_verdict(signals: dict[str, Column],
+                     max_replacement: float = 0.0,
+                     max_control: float = 0.001) -> Column:
+    """Classify a doc from its :func:`encoding_signals`: ``bad`` when
+    replacement chars are present beyond tolerance (the doc's original
+    bytes are unrecoverable), ``suspect`` when raw control bytes leak
+    through, else ``ok``."""
+    return (F.when(signals["replacement_ratio"] > max_replacement, "bad")
+            .when(signals["control_ratio"] > max_control, "suspect")
+            .otherwise("ok"))

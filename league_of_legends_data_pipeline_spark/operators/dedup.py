@@ -1509,3 +1509,99 @@ def _cdc_chunks_rolling(df: DataFrame, id_col: str, text_col: str,
 
     return df.select(id_col, text_col).mapInPandas(
         scan, _cdc_out_schema(df, id_col))
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """LOSSLESS sub-quadratic set-similarity self-join via prefix
+    filtering (AllPairs/PPJoin family, Bayardo et al. WWW'07 /
+    Xiao et al. WWW'08): (id_a, id_b, jaccard) for every pair of docs
+    whose word-set Jaccard >= ``threshold`` — exact recall, unlike the
+    probabilistic MinHash tier (``minhash_lsh_pairs``).
+
+    Principle: order the token universe globally by ascending document
+    frequency (rarest first, token string as tie-break). If
+    J(A, B) >= t then |A ∩ B| >= ceil(t·max(|A|,|B|)), so A and B must
+    share at least one token within each one's first
+    ``|T| - ceil(t·|T|) + 1`` tokens under that global order (the
+    "prefix"). Candidates are therefore generated by an equi-join on
+    PREFIX tokens only — and because the prefix holds each doc's RAREST
+    tokens, join buckets are self-limiting: a token appearing in k docs
+    fans out at most k² candidate slots, and high-frequency tokens
+    (the quadratic killers) are exactly the ones the ordering pushes
+    OUT of prefixes. The size filter min >= t·max prunes length-skewed
+    candidates before verification; exact Jaccard on the distinct-token
+    arrays verifies survivors.
+
+    Shuffle discipline mirrors ``minhash_lsh_pairs``: the candidate
+    join moves (token_rank, doc_id, size) rows only — never arrays —
+    and the token arrays are re-attached by two doc_id equi-joins for
+    single-transfer verification.
+
+    100 TB shape: one explode + one token-frequency aggregate + one
+    per-doc window (partitioned by doc — no global sort) + one
+    prefix-token equi-join. Everything is linear in corpus size except
+    the candidate join, whose fan-out is bounded by prefix-token
+    rarity; corpora with degenerate vocabularies (every doc the same
+    tokens) degrade gracefully to the same cost as their true output
+    size, which is inherently quadratic for such corpora.
+
+    Float guard: prefix length and the size filter subtract 1e-9
+    before ceil/compare so binary-float dust (0.4*5 = 2.0000...4)
+    can only lengthen a prefix, never shorten one — losslessness is
+    preserved for any threshold.
+
+    ``shingle_n`` picks the set representation: 1 = word unigrams
+    (bag-of-words similarity), n>1 = space-joined word n-grams
+    (sequence-aware — the right feature when the vocabulary is small
+    relative to the corpus and unigram sets saturate).
+    """
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        tokens, word_ngrams,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+    elems = (tokens(text_col) if shingle_n <= 1
+             else word_ngrams(text_col, shingle_n))
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(F.array_distinct(elems)).alias("toks"),
+    ).filter(F.size("toks") > 0).repartition(_par(df), "doc_id")
+    tok_rows = docs.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
+    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    ranked = (
+        tok_rows.join(freq, "tok")
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("dfc", "tok")))
+        .filter(F.col("rnk") <=
+                F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - 1e-9) + 1)
+        .select("tok", "doc_id", "sz")
+    )
+    a = ranked.select("tok", F.col("doc_id").alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    b = ranked.select("tok", F.col("doc_id").alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    cands = (
+        a.join(b, "tok")
+        .filter((F.col("id_a") < F.col("id_b"))
+                & (F.least("sz_a", "sz_b")
+                   >= F.lit(t) * F.greatest("sz_a", "sz_b") - 1e-9))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = (
+        cands.join(docs.select(F.col("doc_id").alias("id_a"),
+                               F.col("toks").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"),
+                          F.col("toks").alias("sh_b")), "id_b")
+    )
+    return jaccard_verified_pairs(pairs, "sh_a", "sh_b", t)

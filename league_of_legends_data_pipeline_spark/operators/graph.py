@@ -351,3 +351,53 @@ def label_propagation(edges: DataFrame, src_col: str = "src",
                   .select("node", F.coalesce("__new", "label")
                           .alias("label")))
     return labels
+
+
+def triangle_count(edges: DataFrame, src_col: str = "src",
+                   dst_col: str = "dst") -> DataFrame:
+    """Exact triangle count over an undirected graph, degree-ordered
+    (the Cohen / Suri-Vassilvitskii MapReduce scheme): 1-row DataFrame
+    ``(triangles, wedges_checked)``.
+
+    Input edges are treated as undirected (duplicates / reverses / self
+    loops normalized away). Each edge is ORIENTED from its lower
+    (degree, id) endpoint to the higher; wedges are enumerated only at
+    each triangle's lowest-(degree, id) vertex, so every triangle is
+    produced exactly once, and the per-vertex wedge fan-out is bounded
+    by the ORIENTED out-degree — O(sqrt(|E|)) for any graph, which is
+    what makes this survive power-law hubs at 100 TB: a hub with
+    degree d contributes d wedges only toward HIGHER-degree partners,
+    not d² wedges. Three shuffles total (degree agg, wedge self-join,
+    closing-edge semi-join); nothing collects to the driver.
+    """
+    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    # orientation key: (degree, id) lexicographic, packed as a struct so
+    # one comparison orders both components
+    with_k = (e.join(deg.select(F.col("node").alias("u"),
+                                F.col("deg").alias("du")), "u")
+              .join(deg.select(F.col("node").alias("v"),
+                               F.col("deg").alias("dv")), "v"))
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = with_k.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(ku < kv, ku).otherwise(kv).alias("klo"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(ku < kv, kv).otherwise(ku).alias("khi"),
+    )
+    w1 = oriented.select("lo", F.col("hi").alias("m"), F.col("khi").alias("km"))
+    w2 = oriented.select("lo", F.col("hi").alias("w"), F.col("khi").alias("kw"))
+    wedges = (w1.join(w2, "lo")
+              .filter(F.col("km") < F.col("kw"))
+              .select(F.col("m").alias("lo"), F.col("w").alias("hi")))
+    closing = oriented.select("lo", "hi")
+    tri = wedges.join(closing, ["lo", "hi"], "left_semi")
+    return (tri.agg(F.count(F.lit(1)).alias("triangles"))
+            .crossJoin(F.broadcast(
+                wedges.agg(F.count(F.lit(1)).alias("wedges_checked")))))

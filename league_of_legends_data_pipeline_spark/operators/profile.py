@@ -153,3 +153,99 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
         F.round(F.sum("dev_micro") / 1_000_000.0, 6).alias("chi2"))
     return (joined.join(F.broadcast(chi2))
             .select("digit", "n_obs", "expected", "dev_micro", "chi2"))
+
+
+def robust_group_outliers(df: DataFrame, group_col: str, value_col: str,
+                          k: float = 3.0) -> DataFrame:
+    """Median/MAD outlier detection per group — the robust quality-gate
+    variant of z-scoring (mean/stddev break down exactly when the data
+    is dirty, which is when an outlier scan runs): rows whose absolute
+    deviation from their group's EXACT median exceeds ``k`` times the
+    group's median-absolute-deviation, with the group stats attached.
+
+    Two grouped EXACT-median aggregates (Spark's ``median`` — a
+    single-pass sort-based aggregate, not the approx percentile sketch)
+    and two broadcast-friendly joins of the tiny per-group stat frames
+    back onto the corpus; no windows over the full data, no collect.
+    Groups with MAD = 0 (over half the group identical) flag every
+    deviating row — the conventional MAD semantics; callers wanting
+    leniency there pre-filter such groups on the returned ``mad``.
+    """
+    med = df.groupBy(group_col).agg(F.median(value_col).alias("med"))
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (with_med
+           .groupBy(group_col)
+           .agg(F.median(F.abs(F.col(value_col) - F.col("med")))
+                .alias("mad")))
+    return (with_med.join(F.broadcast(mad), group_col)
+            .withColumn("abs_dev", F.abs(F.col(value_col) - F.col("med")))
+            .filter(F.col("abs_dev") > k * F.col("mad")))
+
+
+def k_anonymity_report(df: DataFrame, qi_cols: list[str],
+                       k: int = 5) -> DataFrame:
+    """k-anonymity risk summary over quasi-identifier columns: 1-row
+    DataFrame with the dataset's effective k (smallest equivalence
+    class), class counts/rows below the ``k`` threshold, and the
+    at-risk row fraction. The privacy pre-release gate for training
+    corpora carrying demographic-ish columns: a release is k-anonymous
+    iff ``k_effective >= k``, i.e. ``classes_below_k = 0``.
+
+    One groupBy over the QI tuple + one tiny aggregate over class
+    sizes — linear, mergeable, no row leaves the cluster.
+    """
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__n"))
+    return classes.agg(
+        F.min("__n").alias("k_effective"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0))
+         .alias("classes_below_k"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+         .alias("rows_below_k"),
+        F.round(F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+                / F.sum("__n"), 6).alias("risk_fraction"),
+    )
+
+
+def woe_iv(df: DataFrame, value_col: str, event_col: Column,
+           order_tiebreak: str, bins: int = 4,
+           laplace: float = 0.5) -> DataFrame:
+    """Weight-of-evidence / information-value report for one numeric
+    feature against a binary event: exact equal-frequency bins (via
+    the distributed exact NTILE — range partition + offset ranks, no
+    single-partition window), then per-bin
+    ``woe = ln(event_share / nonevent_share)`` and
+    ``iv_term = (event_share - nonevent_share) * woe``; the feature's
+    total IV is attached to every row (broadcast of a 1-row frame).
+    Laplace smoothing keeps WOE finite for pure bins.
+
+    The feature-screening step of a quality-classifier build: IV < 0.02
+    → drop the feature; > 0.5 → suspiciously strong, check leakage.
+    """
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        exact_ntile,
+    )
+
+    binned = exact_ntile(df.withColumn("__evt", event_col.cast("int")),
+                         [value_col, order_tiebreak], bins,
+                         bucket_col="bin")
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__evt").alias("n_event"),
+        F.sum(F.lit(1) - F.col("__evt")).alias("n_nonevent"))
+    tot = per_bin.agg(F.sum("n_event").alias("__te"),
+                      F.sum("n_nonevent").alias("__tn"),
+                      F.count(F.lit(1)).alias("__nb"))
+    out = per_bin.crossJoin(F.broadcast(tot))
+    e_share = (F.col("n_event") + laplace) / (F.col("__te")
+                                              + laplace * F.col("__nb"))
+    n_share = (F.col("n_nonevent") + laplace) / (F.col("__tn")
+                                                 + laplace * F.col("__nb"))
+    out = out.withColumn("woe", F.log(e_share / n_share)) \
+             .withColumn("iv_term", (e_share - n_share) * F.col("woe"))
+    iv = out.agg(F.round(F.sum("iv_term"), 6).alias("iv_total"))
+    return (out.crossJoin(F.broadcast(iv))
+            .select("bin", "n_rows", "n_event", "n_nonevent",
+                    F.round("woe", 6).alias("woe"),
+                    F.round("iv_term", 6).alias("iv_term"),
+                    "iv_total"))

@@ -490,18 +490,63 @@ def _global_rank_with_total(df: DataFrame, order_cols: list[str],
                             rank_col: str,
                             num_partitions: int | None
                             ) -> tuple[DataFrame, int]:
+    """Bucketing must be a DETERMINISTIC FUNCTION OF THE ROW, not of a
+    sampled partitioner: ``repartitionByRange`` samples its boundaries
+    per-execution (seeded by RDD id), and the offsets branch and the
+    ranked branch of this plan each materialize their own exchange
+    (column pruning defeats ReuseExchange) — observed as exact_ntile
+    emitting n+1 buckets with run-to-run size drift. So buckets come
+    from ``percentile_approx`` boundaries (a deterministic aggregate —
+    same data, same sketch, same boundaries, on EVERY re-execution)
+    via a monotone boundaries-below-value count; rows then shuffle
+    ONCE (hash on bucket — the old path paid range + hash), local
+    ``row_number`` per bucket, plus broadcast cumulative offsets from
+    a P-row aggregate. Approximation affects only bucket BALANCE,
+    never rank correctness. Nulls in the first order column land in
+    bucket 0, matching ASC NULLS FIRST.
+
+    The boundary column must be numeric; otherwise fall back to the
+    single-partition window (correct, but the driver-sized-sort path —
+    callers ranking by a string key should rank by a numeric digest).
+
+    Because the bucketing is a pure function of the DATA, collecting
+    the boundaries and per-bucket counts to the driver is safe (they
+    are re-derivable facts, unlike the old partition-id counts) — and
+    it keeps the consumer's plan a single linear pipeline: literal
+    boundaries + literal offsets + one hash exchange on the bucket,
+    instead of in-plan branches that re-derive the whole upstream
+    lineage once per branch (observed tripling q173's join count).
+    The two driver actions carry P-1 doubles and <=P longs.
+    """
+    from pyspark.sql.types import NumericType
+
     P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parts = (df.repartitionByRange(P, *[F.col(c) for c in order_cols])
-             .withColumn("__pid", F.spark_partition_id()))
-    counts = {r["__pid"]: r["c"] for r in
-              parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
+    first = order_cols[0]
+    if not isinstance(df.schema[first].dataType, NumericType):
+        total = df.count()
+        w = Window.orderBy(*order_cols)
+        return (df.withColumn(rank_col,
+                              F.row_number().over(w).cast("long")),
+                total)
+    qs = [i / P for i in range(1, P)]
+    bounds = df.agg(
+        F.percentile_approx(first, qs, 10_000).alias("__b")).first()["__b"]
+    bounds = sorted(set(bounds or []))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b <= F.col(first)))
+    else:
+        pid = F.lit(0)
+    parts = df.withColumn("__pid", pid)
+    counts = {r["__pid"]: r["__c"] for r in
+              parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
               .collect()}
     offsets, acc = {}, 0
-    for pid in range(P):
-        offsets[pid] = acc
-        acc += counts.get(pid, 0)
+    for p in range(len(bounds) + 1):
+        offsets[p] = acc
+        acc += counts.get(p, 0)
     off = F.element_at(
-        F.array(*[F.lit(offsets.get(p, 0)) for p in range(P)]),
+        F.array(*[F.lit(offsets[p]) for p in range(len(bounds) + 1)]),
         F.col("__pid") + 1)
     w = Window.partitionBy("__pid").orderBy(*order_cols)
     ranked = (parts.withColumn(
@@ -576,3 +621,62 @@ def negative_samples(df: DataFrame, id_col: str, k: int = 3,
                          F.col("__rank").alias("__n"))
     return (exploded.join(negs, "__n")
             .select("anchor", "neg_idx", "negative"))
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    *,
+    buckets: int = 256,
+    laplace: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    hashed n-gram variant): score every NON-target doc by how
+    target-like its token distribution is, so a raw crawl can be
+    filtered toward a high-quality target domain without training a
+    classifier.
+
+    Token occurrences (not distinct tokens — DSIR models the unigram
+    DISTRIBUTION) hash into ``buckets`` feature buckets; the target
+    rows estimate p(bucket), the raw rows q(bucket), both
+    Laplace-smoothed; a raw doc's score is its summed log importance
+    ratio  Σ_tokens ln(p_b / q_b)  — high = target-like. Returns
+    (id, n_tokens, score) for raw docs only.
+
+    Shape: one explode + one (bucket, side) aggregate whose result is
+    ``buckets`` rows — broadcast back onto the token stream — and one
+    per-doc sum. Linear end to end; the model IS the tiny bucket
+    table, so the same broadcast join scores any future corpus without
+    touching the target again.
+    """
+    from league_of_legends_data_pipeline_spark.operators.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("__tgt"),
+        F.explode(tokens(text_col)).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("tok"))), 1, 15),
+            16, 10).cast("long") % buckets
+    ).alias("bucket")
+    bt = toks.select("doc_id", "__tgt", bucket)
+    dist = bt.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__p"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__q"))
+    tot = dist.agg(F.sum("__p").alias("__tp"), F.sum("__q").alias("__tq"))
+    ratio = (dist.crossJoin(F.broadcast(tot))
+             .select("bucket", F.log(
+                 ((F.col("__p") + laplace)
+                  / (F.col("__tp") + laplace * buckets))
+                 / ((F.col("__q") + laplace)
+                    / (F.col("__tq") + laplace * buckets))).alias("__lr")))
+    return (bt.filter(~F.col("__tgt"))
+            .join(F.broadcast(ratio), "bucket")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.sum("__lr"), 6).alias("score")))

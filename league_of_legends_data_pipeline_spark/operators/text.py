@@ -1104,3 +1104,67 @@ def pmi_collocations(df: DataFrame, text_col: str,
                     .alias("pmi"))
             .orderBy(F.col("pmi").desc(), "w1", "w2")
             .limit(top_k))
+
+
+def token_group_chi2(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    *,
+    min_df: int = 10,
+    max_df_frac: float = 0.95,
+    top_k: int = 5,
+) -> DataFrame:
+    """Chi-square keyword extraction: the ``top_k`` tokens most
+    associated with each group (source/domain/language) by the 2x2
+    presence/absence chi-square statistic — the classic supervised
+    feature-selection signal, and the fast way to see WHAT makes one
+    corpus slice different from the rest before mixing.
+
+    Doc-level presence (distinct tokens per doc), global df floor
+    ``min_df`` to keep the contingency stable (and ceiling
+    ``max_df_frac`` — a token in EVERY doc zeroes the (c+d) margin and
+    the statistic degenerates to 0/0), then for each
+    (token, group): a = docs in group containing token, and the 2x2
+    completion b/c/d from the token's global df, the group's size and
+    N. chi2 = N(ad-bc)²/((a+b)(c+d)(a+c)(b+d)), computed in DOUBLE
+    from the first multiply (the cross term overflows int64 on
+    trillion-doc corpora). Rounded 6dp; ties broken by token string.
+
+    Shape: explode-distinct + three aggregates (token df, group sizes,
+    (token, group) counts) + one broadcast of the tiny group-size
+    frame. The (token, group) frame is vocab x groups — linear in
+    corpus, never quadratic.
+    """
+    pres = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(group_col).alias("grp"),
+                     F.explode(F.array_distinct(tokens(text_col)))
+                     .alias("tok"))
+    n_total = df.select(F.count(F.lit(1)).alias("__N"))
+    tok_df = (pres.groupBy("tok").agg(F.count(F.lit(1)).alias("t_df"))
+              .filter(F.col("t_df") >= min_df)
+              .crossJoin(F.broadcast(n_total))
+              .filter(F.col("t_df") <= max_df_frac * F.col("__N"))
+              .select("tok", "t_df"))
+    grp_sz = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("g_n"))
+    tg = (pres.join(F.broadcast(tok_df), "tok")
+          .groupBy("tok", "grp").agg(F.count(F.lit(1)).alias("a"),
+                                     F.first("t_df").alias("t_df")))
+    x = (tg.join(F.broadcast(grp_sz), "grp")
+         .crossJoin(F.broadcast(n_total)))
+    a = F.col("a").cast("double")
+    b = (F.col("t_df") - F.col("a")).cast("double")
+    c = (F.col("g_n") - F.col("a")).cast("double")
+    d = (F.col("__N") - F.col("t_df") - F.col("g_n")
+         + F.col("a")).cast("double")
+    n = F.col("__N").cast("double")
+    chi2 = (n * (a * d - b * c) * (a * d - b * c)
+            / ((a + b) * (c + d) * (a + c) * (b + d)))
+    scored = x.select("grp", "tok", "a", "t_df",
+                      F.round(chi2, 6).alias("chi2"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("grp").orderBy(F.col("chi2").desc(), "tok")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k))

@@ -10277,3 +10277,456 @@ def q185_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      F.col("src").alias("dst")))
     return (label_propagation(edges, "src", "dst", iterations=3)
             .orderBy("node"))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: lossless similarity join, graph analytics, robust quality gates,
+# importance selection, privacy, keyword extraction, feature screening
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q186_prefix_filter_pairs",
+    """
+    -- ORACLE IS BRUTE FORCE on purpose: prefix filtering is a LOSSLESS
+    -- candidate pruner, so the sub-quadratic Spark plan must reproduce the
+    -- all-pairs result EXACTLY — the comparison proves zero missed pairs.
+    -- Sets are word 3-gram shingles (unigram sets saturate on this
+    -- small-vocabulary corpus: ~74% of ALL pairs clear J>=0.5 on words,
+    -- vs exactly the 25 true near-dup pairs on 3-grams).
+    WITH t0 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS w
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM t0 WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.ts, b.ts)) AS i,
+               len(a.ts) AS sa, len(b.ts) AS sb
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(round(CAST(i AS DOUBLE) / (sa + sb - i), 6) AS DOUBLE)
+               AS jaccard
+    FROM pairs
+    WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    doc="Lossless sub-quadratic set-similarity self-join via prefix "
+        "filtering (operators/dedup.py prefix_filter_pairs; AllPairs/"
+        "PPJoin, Bayardo WWW'07): global rarest-first token order, "
+        "per-doc prefix of length |T|-ceil(t|T|)+1, candidate equi-join "
+        "on prefix tokens only, min>=t*max size prune, exact Jaccard "
+        "verify. Exact-recall complement to the probabilistic MinHash "
+        "tier (q26) — the oracle is deliberately brute-force all-pairs.",
+)
+def q186_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = prefix_filter_pairs(documents, "doc_id", "text",
+                              threshold=0.5, shingle_n=3)
+    return _sorted_small(out, "id_a", "id_b")
+
+
+@_register(
+    "q187_triangle_count",
+    """
+    -- triangles: brute-force 3-way join over canonical u<v edges (each
+    -- triangle a<b<c matched exactly once); wedges: the degree-oriented
+    -- wedge total Σ C(outdeg,2) the distributed counter actually enumerates
+    WITH c AS (SELECT c_custkey AS k, c_nationkey AS n FROM customer),
+    e AS (
+        SELECT a.k AS u, b.k AS v
+        FROM c a JOIN c b ON b.k = a.k + 1 AND b.n = a.n
+        UNION
+        SELECT a.k AS u, b.k AS v
+        FROM c a JOIN c b ON b.k = a.k + 2 AND b.n = a.n
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ),
+    oriented AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS lo
+        FROM e
+        JOIN (SELECT node AS u, d AS du FROM deg) USING (u)
+        JOIN (SELECT node AS v, d AS dv FROM deg) USING (v)
+    ),
+    outd AS (SELECT lo, count(*) AS od FROM oriented GROUP BY lo),
+    tri AS (
+        SELECT count(*) AS triangles
+        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT triangles,
+           (SELECT CAST(sum(od * (od - 1) / 2) AS BIGINT) FROM outd)
+               AS wedges_checked
+    FROM tri
+    """,
+    doc="Exact distributed triangle count, degree-ordered wedge "
+        "enumeration (operators/graph.py triangle_count; Suri-"
+        "Vassilvitskii WWW'11): each triangle produced once at its "
+        "lowest-(degree,id) vertex, wedge fan-out bounded by ORIENTED "
+        "out-degree (O(sqrt|E|) even at power-law hubs). Graph = q185's "
+        "same-nation customer chain (deltas +1/+2), whose triangles are "
+        "the nation runs of length 3.",
+)
+def q187_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    c = customer.select("c_custkey", "c_nationkey")
+    halves = []
+    for delta in (1, 2):
+        b = c.select((F.col("c_custkey") - delta).alias("__k"),
+                     F.col("c_custkey").alias("dst"),
+                     F.col("c_nationkey").alias("__n2"))
+        halves.append(
+            c.join(b, (F.col("c_custkey") == F.col("__k"))
+                   & (F.col("c_nationkey") == F.col("__n2")))
+            .select(F.col("c_custkey").alias("src"), "dst"))
+    edges = halves[0].unionByName(halves[1])
+    return triangle_count(edges, "src", "dst")
+
+
+@_register(
+    "q188_mad_outliers",
+    """
+    -- robust (median/MAD) length outliers per language: the quality gate
+    -- that survives the dirty data it is hunting (mean/stddev do not)
+    WITH med AS (
+        SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang
+    ),
+    j AS (
+        SELECT d.doc_id, d.lang, d.n_chars, m.med
+        FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (
+        SELECT lang, median(abs(n_chars - med)) AS mad FROM j GROUP BY lang
+    )
+    SELECT j.doc_id, j.lang, j.n_chars,
+           CAST(round(j.med, 6) AS DOUBLE) AS med,
+           CAST(round(mad.mad, 6) AS DOUBLE) AS mad,
+           CAST(round(abs(j.n_chars - j.med), 6) AS DOUBLE) AS abs_dev
+    FROM j JOIN mad USING (lang)
+    WHERE abs(j.n_chars - j.med) > 2.0 * mad.mad
+    ORDER BY j.lang, j.doc_id
+    """,
+    doc="Median/MAD robust outlier EXTRACTION per group (operators/"
+        "profile.py robust_group_outliers): the row-level companion to "
+        "q134's per-type outlier COUNT report — returns the flagged "
+        "rows themselves with their group stats attached (the form a "
+        "cleaning pipeline consumes: quarantine these docs), as a "
+        "reusable operator rather than an inline plan. Same robust "
+        "machinery: EXACT grouped medians, tiny stat frames broadcast "
+        "back, |x-med| > 2*MAD flag; two grouped aggregates + two "
+        "broadcast joins, no full-data windows.",
+)
+def q188_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        robust_group_outliers,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = robust_group_outliers(
+        documents.select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", k=2.0)
+    return (out.select(
+        "doc_id", "lang", "n_chars",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round("abs_dev", 6).alias("abs_dev"))
+        .orderBy("lang", "doc_id"))
+
+
+@_register(
+    "q189_encoding_quality",
+    """
+    -- mojibake/encoding-damage audit per source: replacement-char and
+    -- C0-control ratios (tab/newline/CR excluded: structure, not damage)
+    WITH sig AS (
+        SELECT source,
+               round((length(text) - length(regexp_replace(text, '�', '', 'g')))
+                     / greatest(length(text), 1), 6) AS replacement_ratio,
+               round((length(text) - length(regexp_replace(text,
+                     '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))
+                     / greatest(length(text), 1), 6) AS control_ratio,
+               round((length(text) - length(regexp_replace(text,
+                     '[^\\x00-\\x7F]', '', 'g')))
+                     / greatest(length(text), 1), 6) AS non_ascii_ratio,
+               round((length(text) - length(regexp_replace(text,
+                     '[A-Za-z]', '', 'g')))
+                     / greatest(length(text), 1), 6) AS letter_ratio
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN replacement_ratio > 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           CAST(sum(CASE WHEN replacement_ratio <= 0.0
+                     AND control_ratio > 0.001 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect,
+           CAST(round(avg(replacement_ratio), 6) AS DOUBLE) AS avg_replacement,
+           CAST(round(avg(control_ratio), 6) AS DOUBLE) AS avg_control,
+           CAST(round(avg(non_ascii_ratio), 6) AS DOUBLE) AS avg_non_ascii,
+           CAST(round(avg(letter_ratio), 6) AS DOUBLE) AS avg_letter
+    FROM sig
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Encoding-damage audit (operators/cleaning.py encoding_signals/"
+        "encoding_verdict): U+FFFD replacement-char, C0-control, "
+        "non-ASCII and letter ratios as pure Column arithmetic (map-only, "
+        "codegen, explicit code-point classes so regex dialects agree), "
+        "rolled up per source with bad/suspect verdict counts.",
+)
+def q189_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        encoding_signals, encoding_verdict,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    sig = encoding_signals("text")
+    scored = documents.select(
+        "source",
+        sig["replacement_ratio"].alias("replacement_ratio"),
+        sig["control_ratio"].alias("control_ratio"),
+        sig["non_ascii_ratio"].alias("non_ascii_ratio"),
+        sig["letter_ratio"].alias("letter_ratio"),
+    )
+    v = encoding_verdict({k: F.col(k) for k in
+                          ("replacement_ratio", "control_ratio")})
+    return (scored.withColumn("verdict", v)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("verdict") == "bad", 1).otherwise(0))
+                  .alias("n_bad"),
+                 F.sum(F.when(F.col("verdict") == "suspect", 1).otherwise(0))
+                  .alias("n_suspect"),
+                 F.round(F.avg("replacement_ratio"), 6).alias("avg_replacement"),
+                 F.round(F.avg("control_ratio"), 6).alias("avg_control"),
+                 F.round(F.avg("non_ascii_ratio"), 6).alias("avg_non_ascii"),
+                 F.round(F.avg("letter_ratio"), 6).alias("avg_letter"))
+            .orderBy("source"))
+
+
+@_register(
+    "q190_dsir_selection",
+    """
+    -- DSIR (Xie et al. 2023): hashed-unigram importance weights select the
+    -- most target-like raw docs; target = the 'en' slice
+    WITH tok AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id, tgt,
+               CAST(('0x' || substr(md5('42:' || tok), 1, 15)) AS BIGINT)
+                   % 256 AS bucket
+        FROM tok
+    ),
+    dist AS (
+        SELECT bucket,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS p,
+               sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS q
+        FROM bt GROUP BY bucket
+    ),
+    tot AS (SELECT sum(p) AS tp, sum(q) AS tq FROM dist),
+    ratio AS (
+        SELECT bucket,
+               ln(((p + 0.5) / (tp + 0.5 * 256))
+                  / ((q + 0.5) / (tq + 0.5 * 256))) AS lr
+        FROM dist, tot
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           CAST(round(sum(lr), 6) AS DOUBLE) AS score
+    FROM bt JOIN ratio USING (bucket)
+    WHERE NOT tgt
+    GROUP BY doc_id
+    ORDER BY round(sum(lr), 6) DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Data Selection via Importance Resampling (operators/sampling.py "
+        "dsir_scores; Xie et al. 2023 hashed-ngram variant): token "
+        "occurrences hash into 256 buckets, target/raw bucket "
+        "distributions Laplace-smoothed, raw docs scored by summed log "
+        "importance ratio. The 'model' is a 256-row broadcast — scoring "
+        "any future corpus is one map-side join, linear end to end.",
+)
+def q190_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        dsir_scores,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = dsir_scores(documents, "doc_id", "text",
+                      is_target=F.col("lang") == "en",
+                      buckets=256, laplace=0.5, seed=42)
+    return out.orderBy(F.col("score").desc(), "doc_id").limit(20)
+
+
+@_register(
+    "q191_k_anonymity",
+    """
+    -- k-anonymity pre-release gate over quasi-identifiers
+    -- (nation x market segment): release is k-anonymous iff k_effective >= k
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT min(n) AS k_effective,
+           count(*) AS n_classes,
+           CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+           CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           CAST(round(sum(CASE WHEN n < 10 THEN n ELSE 0 END)
+                      / CAST(sum(n) AS DOUBLE), 6) AS DOUBLE) AS risk_fraction
+    FROM classes
+    """,
+    doc="k-anonymity risk report (operators/profile.py "
+        "k_anonymity_report): equivalence-class sizes over the QI tuple, "
+        "effective k, at-risk class/row counts and fraction. One groupBy "
+        "+ one tiny aggregate — linear, mergeable, no row leaves the "
+        "cluster.",
+)
+def q191_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        k_anonymity_report,
+    )
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(customer, ["c_nationkey", "c_mktsegment"],
+                              k=10)
+
+
+@_register(
+    "q192_chi2_tokens",
+    """
+    -- chi-square keyword extraction: top-5 tokens most associated with
+    -- each source (2x2 presence/absence contingency vs the rest)
+    WITH pres AS (
+        SELECT doc_id, source AS grp,
+               unnest(list_distinct(list_filter(
+                   string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS nn FROM documents),
+    tokdf AS (
+        SELECT tok, count(*) AS t_df FROM pres GROUP BY tok
+        HAVING count(*) >= 10
+           AND count(*) <= 0.95 * (SELECT nn FROM n)
+    ),
+    grpsz AS (SELECT source AS grp, count(*) AS g_n FROM documents GROUP BY source),
+    tg AS (
+        SELECT grp, tok, count(*) AS a
+        FROM pres JOIN tokdf USING (tok) GROUP BY grp, tok
+    ),
+    x AS (
+        SELECT grp, tok, a, t_df, g_n, nn,
+               CAST(a AS DOUBLE) AS ad,
+               CAST(t_df - a AS DOUBLE) AS bd,
+               CAST(g_n - a AS DOUBLE) AS cd,
+               CAST(nn - t_df - g_n + a AS DOUBLE) AS dd
+        FROM tg JOIN tokdf USING (tok) JOIN grpsz USING (grp), n
+    ),
+    scored AS (
+        SELECT grp, tok, a, t_df,
+               round(CAST(nn AS DOUBLE) * (ad * dd - bd * cd) * (ad * dd - bd * cd)
+                     / ((ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)), 6) AS chi2
+        FROM x
+    )
+    SELECT grp, tok, a, t_df, CAST(chi2 AS DOUBLE) AS chi2,
+           CAST(row_number() OVER (PARTITION BY grp
+                                   ORDER BY chi2 DESC, tok) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 5
+    ORDER BY grp, rnk
+    """,
+    doc="Chi-square keyword extraction per corpus slice (operators/"
+        "text.py token_group_chi2): doc-level token presence, df floor/"
+        "ceiling, 2x2 chi-square in DOUBLE from the first multiply (the "
+        "cross term overflows int64 at trillion-doc scale), top-5 per "
+        "source. Three linear aggregates + broadcasts of the tiny "
+        "group-size/total frames; the scored frame is vocab x groups.",
+)
+def q192_chi2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        token_group_chi2,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = token_group_chi2(documents, "doc_id", "text", "source",
+                           min_df=10, max_df_frac=0.95, top_k=5)
+    return (out.select("grp", "tok", "a", "t_df", "chi2",
+                       F.col("rnk").cast("long").alias("rnk"))
+            .orderBy("grp", "rnk"))
+
+
+@_register(
+    "q193_woe_iv",
+    """
+    -- WOE / IV feature screening: exact quartile bins of order value vs
+    -- the 'order fulfilled' event — the feature-selection step of a
+    -- quality-classifier build
+    WITH binned AS (
+        SELECT ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS evt
+        FROM orders
+    ),
+    per AS (
+        SELECT bin, count(*) AS n_rows,
+               CAST(sum(evt) AS BIGINT) AS n_event,
+               CAST(count(*) - sum(evt) AS BIGINT) AS n_nonevent
+        FROM binned GROUP BY bin
+    ),
+    tot AS (
+        SELECT sum(n_event) AS te, sum(n_nonevent) AS tn, count(*) AS nb
+        FROM per
+    ),
+    woe AS (
+        SELECT bin, n_rows, n_event, n_nonevent,
+               ln(((n_event + 0.5) / (te + 0.5 * nb))
+                  / ((n_nonevent + 0.5) / (tn + 0.5 * nb))) AS woe_raw,
+               (((n_event + 0.5) / (te + 0.5 * nb))
+                - ((n_nonevent + 0.5) / (tn + 0.5 * nb)))
+               * ln(((n_event + 0.5) / (te + 0.5 * nb))
+                    / ((n_nonevent + 0.5) / (tn + 0.5 * nb))) AS iv_raw
+        FROM per, tot
+    ),
+    iv AS (SELECT CAST(round(sum(iv_raw), 6) AS DOUBLE) AS iv_total FROM woe)
+    SELECT bin, n_rows, n_event, n_nonevent,
+           CAST(round(woe_raw, 6) AS DOUBLE) AS woe,
+           CAST(round(iv_raw, 6) AS DOUBLE) AS iv_term,
+           iv_total
+    FROM woe, iv
+    ORDER BY bin
+    """,
+    doc="Weight-of-evidence / information-value feature report "
+        "(operators/profile.py woe_iv): exact equal-frequency bins via "
+        "the distributed exact NTILE (range partition + offset ranks — "
+        "no single-partition window), Laplace-smoothed per-bin WOE and "
+        "IV terms, total IV broadcast onto every row.",
+)
+def q193_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import woe_iv
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    out = woe_iv(orders, "o_totalprice",
+                 event_col=F.col("o_orderstatus") == "F",
+                 order_tiebreak="o_orderkey", bins=4, laplace=0.5)
+    return out.orderBy("bin")

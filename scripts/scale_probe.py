@@ -200,6 +200,22 @@ PROBE_QUERIES = [
     "q184_cohort_retention",
     # 3 rounds of label join + count agg + struct argmax
     "q185_label_propagation",
+    # prefix-token equi-join + exact verify; output grows with true dups
+    "q186_prefix_filter_pairs",
+    # degree agg + wedge self-join + closing semi-join
+    "q187_triangle_count",
+    # two exact grouped medians + two broadcast joins
+    "q188_mad_outliers",
+    # map-only regex ratios + one source aggregate
+    "q189_encoding_quality",
+    # explode + 256-bucket agg + broadcast score join + per-doc sum
+    "q190_dsir_selection",
+    # one QI groupBy + one tiny aggregate
+    "q191_k_anonymity",
+    # explode-distinct + three linear aggregates + QUALIFY top-k
+    "q192_chi2_tokens",
+    # exact-ntile (boundary agg + count agg + bucketed window) + bin agg
+    "q193_woe_iv",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

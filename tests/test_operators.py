@@ -2965,3 +2965,178 @@ def test_label_propagation_communities_vs_components(spark):
     got_even = {r.node: r.label for r in
                 label_propagation(df2, iterations=4).collect()}
     assert got_even == {7: 7, 8: 8}
+
+
+def test_prefix_filter_pairs_is_lossless_vs_bruteforce(spark):
+    """Prefix filtering is a LOSSLESS pruner: the sub-quadratic join must
+    reproduce brute-force all-pairs Jaccard exactly, at an awkward
+    threshold (0.4: float dust in ceil(t*|T|) shrinks prefixes without
+    the epsilon guard) and with docs of very different sizes."""
+    from itertools import combinations
+
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),          # J=2/3 with 1
+        (3, "a b c d e"),          # J=1 with 1
+        (4, "x y z"),
+        (5, "x y z w v u t s"),    # J=3/8 with 4
+        (6, "q r"),
+        (7, "a b"),                # subset of 1: J=2/5
+        (8, ""),                   # empty: dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    t = 0.4
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in prefix_filter_pairs(df, "doc_id", "text",
+                                        threshold=t).collect()}
+    sets = {i: set(s.split()) for i, s in rows if s}
+    exp = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        j = i / (len(sets[a]) + len(sets[b]) - i)
+        if j >= t:
+            exp[(a, b)] = round(j, 6)
+    assert got == exp
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (4, 5) not in got  # 3/8 < 0.4
+
+
+def test_prefix_filter_pairs_shingles(spark):
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the cat sat on the hat"),
+            (3, "dogs bark loudly at night always")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b) for r in
+           prefix_filter_pairs(df, "doc_id", "text", threshold=0.3,
+                               shingle_n=3).collect()}
+    # docs 1/2 share 3 of their 4 word-3-grams each: J = 3/5 = 0.6
+    assert got == {(1, 2)}
+
+
+def test_triangle_count_known_graph(spark):
+    """Two triangles sharing an edge + a pendant edge + noise duplicates/
+    reverses/self-loops: count must be exactly 2 under any orientation."""
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3),          # triangle 1-2-3
+             (2, 4), (3, 4),                  # triangle 2-3-4 (shares 2-3)
+             (4, 5),                          # pendant
+             (2, 1), (1, 1), (3, 2)]          # reverse dup, self loop, dup
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    assert row.triangles == 2
+    assert row.wedges_checked >= 2  # every triangle is a checked wedge
+
+
+def test_robust_group_outliers_flags_extremes(spark):
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        robust_group_outliers,
+    )
+
+    rows = ([("a", float(v)) for v in [10, 11, 12, 13, 14]] +
+            [("a", 100.0), ("b", 5.0), ("b", 6.0), ("b", 7.0)])
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = robust_group_outliers(df, "grp", "v", k=3.0).collect()
+    # group a: med=12.5, MAD=1.5 -> only 100 deviates > 4.5
+    assert [(r.grp, r.v) for r in out] == [("a", 100.0)]
+    assert out[0].med == 12.5 and out[0].mad == 1.5
+
+
+def test_k_anonymity_report(spark):
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        k_anonymity_report,
+    )
+
+    rows = [("us", "m")] * 5 + [("us", "f")] * 2 + [("de", "m")] * 1
+    df = spark.createDataFrame(rows, ["country", "seg"])
+    r = k_anonymity_report(df, ["country", "seg"], k=3).collect()[0]
+    assert r.k_effective == 1
+    assert r.n_classes == 3
+    assert r.classes_below_k == 2
+    assert r.rows_below_k == 3
+    assert abs(r.risk_fraction - 3 / 8) < 1e-9
+
+
+def test_encoding_signals_and_verdict(spark):
+    from league_of_legends_data_pipeline_spark.operators.cleaning import (
+        encoding_signals, encoding_verdict,
+    )
+
+    rows = [(1, "clean ascii text"),
+            (2, "broken �� decode"),
+            (3, "ctl\x01\x02 bytes here padded out"),
+            (4, "café naïve")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    sig = encoding_signals("text")
+    out = {r.id: r for r in df.select(
+        "id", *[v.alias(k) for k, v in sig.items()],
+        encoding_verdict(sig).alias("verdict")).collect()}
+    assert out[1].verdict == "ok" and out[1].replacement_ratio == 0.0
+    assert out[2].verdict == "bad" and out[2].replacement_ratio > 0
+    assert out[3].verdict == "suspect" and out[3].control_ratio > 0.001
+    assert out[4].verdict == "ok" and out[4].non_ascii_ratio > 0
+
+
+def test_dsir_scores_prefer_targetlike_docs(spark):
+    """Raw docs sharing the target's vocabulary must outscore raw docs
+    from a disjoint vocabulary; target docs are excluded from output."""
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        dsir_scores,
+    )
+
+    tgt = [(i, "alpha beta gamma delta", True) for i in range(10)]
+    raw_like = [(100, "alpha beta gamma", False)]
+    raw_unlike = [(101, "zeta eta theta", False)]
+    df = spark.createDataFrame(tgt + raw_like + raw_unlike,
+                               ["id", "text", "tgt"])
+    out = {r.doc_id: r.score for r in
+           dsir_scores(df, "id", "text", F.col("tgt")).collect()}
+    assert set(out) == {100, 101}
+    assert out[100] > out[101]
+
+
+def test_token_group_chi2_finds_group_keywords(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        token_group_chi2,
+    )
+
+    rows = ([(i, "spark shuffle common", "eng") for i in range(10)] +
+            [(i + 10, "poem verse common", "lit") for i in range(10)])
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src"])
+    out = token_group_chi2(df, "doc_id", "text", "src",
+                           min_df=2, top_k=2).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.grp, []).append(r.tok)
+    # 'common' (in every doc) is excluded by max_df_frac; the perfectly
+    # separating tokens win both slots per group
+    assert set(by_grp["eng"]) == {"spark", "shuffle"}
+    assert set(by_grp["lit"]) == {"poem", "verse"}
+
+
+def test_woe_iv_separating_feature(spark):
+    """A perfectly separating feature must yield a large IV and
+    monotone WOE; bin sizes follow SQL NTILE."""
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        woe_iv,
+    )
+
+    rows = [(i, float(i), i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "v", "evt"])
+    out = {r.bin: r for r in
+           woe_iv(df, "v", F.col("evt"), "id", bins=4).collect()}
+    assert sorted(out) == [1, 2, 3, 4]
+    assert all(out[b].n_rows == 25 for b in out)
+    assert out[1].n_event == 0 and out[4].n_event == 25
+    assert out[1].woe < 0 < out[4].woe
+    assert out[1].iv_total > 1.0  # "suspiciously strong" range

@@ -299,6 +299,20 @@ PLAN_SHAPE_GOLDENS = {
     "q184_cohort_retention": {"BroadcastHashJoin": 2},
     "q185_label_propagation": {"SortMergeJoin": 14,
                                "BroadcastHashJoin": 60},
+    # round-8 similarity/graph/quality/privacy tier. q187_triangle_count
+    # is deliberately NOT pinned: its wedge self-join and closing
+    # semi-join sides grow with the graph, so AQE correctly flips them
+    # between broadcast (sf0.001) and sort-merge (sf0.1) — pinning would
+    # freeze the wrong strategy at one of the scales.
+    "q186_prefix_filter_pairs": {"BroadcastHashJoin": 5},
+    "q188_mad_outliers": {"BroadcastHashJoin": 3},
+    "q189_encoding_quality": {},
+    "q190_dsir_selection": {"BroadcastHashJoin": 1,
+                            "BroadcastNestedLoopJoin": 1},
+    "q191_k_anonymity": {},
+    "q192_chi2_tokens": {"WindowGroupLimit": 2, "BroadcastHashJoin": 2,
+                         "BroadcastNestedLoopJoin": 2},
+    "q193_woe_iv": {"BroadcastNestedLoopJoin": 3},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
