@@ -401,3 +401,71 @@ def triangle_count(edges: DataFrame, src_col: str = "src",
     return (tri.agg(F.count(F.lit(1)).alias("triangles"))
             .crossJoin(F.broadcast(
                 wedges.agg(F.count(F.lit(1)).alias("wedges_checked")))))
+
+
+def hits_scores(edges: DataFrame, src_col: str = "src",
+                dst_col: str = "dst", iterations: int = 3,
+                scale: int = 1_000_000) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list, max-normalized, ``iterations`` synchronous rounds:
+    (node, hub_mu, auth_mu) in integer MICRO-UNITS (value * ``scale``,
+    rounded). Complements PageRank (global prestige) with the
+    dual hub/authority split that matters for link-farm and
+    boilerplate-hub detection in web corpora.
+
+    Integer micro-units are the engine-parity trick (the q177 chi-square
+    precedent): each round quantizes the normalized scores to 1e-6
+    grid BIGINTs, so the next round's aggregations are ORDER-FREE
+    integer sums — bit-identical across engines and executions —
+    instead of order-dependent double sums that drift in the last ulp.
+    Quantization error is 5e-7 per round, far below any ranking use.
+
+    Per round: one join + one aggregate per direction. The round's max
+    (a single BIGINT — deterministic, unlike a sampled partitioning)
+    is COLLECTED and folded back as a literal divisor rather than
+    crossJoined in-plan, and each round's (node, long) score frame is
+    localCheckpointed (the connected-components precedent) so the
+    max-collect of round i does not re-derive rounds 1..i-1: a data-dependent scalar frame per round makes
+    every later round re-derive the max's whole upstream too, tripling
+    the re-derived lineage per round (measured 28 s for 3 rounds on
+    the 15k-node chain graph vs ~2 s with literal divisors). Shuffles
+    carry (node, long) pairs; only one long per half-round reaches the
+    driver.
+    """
+    # the edge list and node set are re-read by every round AND by every
+    # max-collect: materialize both once (CC precedent), so rounds join
+    # against checkpointed (long, long) frames instead of re-running the
+    # caller's edge-building joins a dozen times
+    e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+         .distinct().localCheckpoint(eager=True))
+    nodes = (e.select(F.col("s").alias("node"))
+             .unionAll(e.select(F.col("d").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    hub = nodes.withColumn("h", F.lit(scale).cast("long"))
+    auth = None
+    for _ in range(iterations):
+        # authority pass: a(i) = sum of hub(j) over edges j -> i
+        a_raw = (e.join(hub.withColumnRenamed("node", "s"), "s")
+                 .groupBy(F.col("d").alias("node"))
+                 .agg(F.sum("h").alias("__a")))
+        a_max = a_raw.agg(F.max("__a")).first()[0]
+        auth = (nodes.join(a_raw, "node", "left")
+                .select("node",
+                        F.round(F.coalesce(F.col("__a"), F.lit(0))
+                                * F.lit(float(scale)) / F.lit(float(a_max)))
+                        .cast("long").alias("a"))
+                .localCheckpoint(eager=True))
+        # hub pass: h(j) = sum of auth(i) over edges j -> i
+        h_raw = (e.join(auth.withColumnRenamed("node", "d"), "d")
+                 .groupBy(F.col("s").alias("node"))
+                 .agg(F.sum("a").alias("__h")))
+        h_max = h_raw.agg(F.max("__h")).first()[0]
+        hub = (nodes.join(h_raw, "node", "left")
+               .select("node",
+                       F.round(F.coalesce(F.col("__h"), F.lit(0))
+                               * F.lit(float(scale)) / F.lit(float(h_max)))
+                       .cast("long").alias("h"))
+               .localCheckpoint(eager=True))
+    return (hub.join(auth, "node")
+            .select("node", F.col("h").alias("hub_mu"),
+                    F.col("a").alias("auth_mu")))

@@ -364,3 +364,48 @@ def cohort_retention(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
                     "week_offset", "cohort_size", "n_active",
                     F.round(F.col("n_active") / F.col("cohort_size"), 6)
                     .alias("retention")))
+
+
+def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
+                  group_a: str, group_b: str,
+                  critical_coeff: float = 1.358) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test — the
+    distribution-shape complement to :func:`psi_drift` (PSI bins and
+    weights; KS finds the single worst CDF gap, catching shifts PSI's
+    coarse bins smear out): 1-row DataFrame with both sample sizes, the
+    exact D statistic (sup |F_a - F_b|), the alpha-level critical value
+    ``c * sqrt((n_a+n_b)/(n_a*n_b))`` (c = 1.358 for alpha = .05), and
+    the drift verdict.
+
+    Shape: one (value, group) count aggregate collapses the corpus to
+    its DISTINCT VALUES, and the cumulative window runs over that
+    distinct-value frame only — bounded by the value domain, not the
+    row count (a billion rows over a 10k-point domain cost one
+    aggregate plus a 10k-row window). D is evaluated at every distinct
+    value, which is exactly the full KS supremum (the empirical CDF
+    only steps there).
+    """
+    flagged = df.filter(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(value_col).alias("__v"),
+        (F.col(group_col) == group_a).cast("int").alias("__a"))
+    per_value = flagged.groupBy("__v").agg(
+        F.sum("__a").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__a")).alias("__cb"))
+    cum = W.orderBy("__v").rowsBetween(W.unboundedPreceding, 0)
+    tot = per_value.agg(F.sum("__ca").alias("__na"),
+                        F.sum("__cb").alias("__nb"))
+    stepped = (per_value
+               .withColumn("__fa", F.sum("__ca").over(cum))
+               .withColumn("__fb", F.sum("__cb").over(cum))
+               .crossJoin(F.broadcast(tot)))
+    return (stepped.agg(
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+        F.round(F.max(F.abs(F.col("__fa") / F.col("__na")
+                            - F.col("__fb") / F.col("__nb"))), 6)
+        .alias("ks_d"))
+        .withColumn("ks_crit",
+                    F.round(critical_coeff
+                            * F.sqrt((F.col("n_a") + F.col("n_b"))
+                                     / (F.col("n_a") * F.col("n_b"))), 6))
+        .withColumn("drift", F.col("ks_d") > F.col("ks_crit")))

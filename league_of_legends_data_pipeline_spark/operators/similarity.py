@@ -882,3 +882,38 @@ def label_centroid_pairs(
                          / F.sqrt(F.sum("__na").cast("double")
                                   * F.sum("__nb")), 6).alias("cosine"),
                  F.round(F.sqrt(F.sum("__d2") / float(TERA)), 6).alias("l2")))
+
+
+def kcenter_coreset(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    k: int = 4) -> list[tuple]:
+    """Greedy k-center coreset selection (Gonzalez 1985 2-approximation
+    — the farthest-point heuristic behind active-learning/coreset data
+    selection): pick the ``k`` embeddings that minimize (within 2x) the
+    maximum distance from any corpus vector to its nearest pick.
+    Returns ``[(step, center_id, sep), ...]`` where ``sep`` is the
+    selected point's min-distance to the already-chosen set (step 1 =
+    the deterministic min-id seed, sep 0.0) — the sequence every
+    other 100 TB scan can reuse as broadcast anchors.
+
+    Per step ONE argmax aggregate over the corpus (a 1-row collect —
+    the k-means precedent: only k center vectors ever reach the
+    driver) and one map-side running-min distance update against the
+    newly chosen center's broadcast literal; no joins, no windows,
+    k scans total. Distances are sequential-fold squared L2
+    (engine-replicable order), surfaced as round(sqrt, 6).
+    """
+    v = df.select(F.col(id_col).alias("vid"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    seed = v.orderBy("vid").first()
+    centers = [(1, seed["vid"], 0.0)]
+    lit_seed = F.array(*[F.lit(float(x)) for x in seed["v"]])
+    cur = v.withColumn("__d", _l2_sq(F.col("v"), lit_seed))
+    for step in range(2, k + 1):
+        far = cur.orderBy(F.col("__d").desc(), "vid").first()
+        centers.append((step, far["vid"],
+                        round(float(far["__d"]) ** 0.5, 6)))
+        lit_c = F.array(*[F.lit(float(x)) for x in far["v"]])
+        cur = cur.withColumn(
+            "__d", F.least(F.col("__d"), _l2_sq(F.col("v"), lit_c)))
+    return centers

@@ -10730,3 +10730,324 @@ def q193_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
                  event_col=F.col("o_orderstatus") == "F",
                  order_tiebreak="o_orderkey", bins=4, laplace=0.5)
     return out.orderBy("bin")
+
+
+@_register(
+    "q194_sorted_neighborhood",
+    """
+    -- sorted-neighborhood blocking (SNM): rank by the base-37 packed
+    -- 8-char normalized prefix, compare docs <= 5 ranks apart, exact
+    -- 3-gram Jaccard verify. Oracle replicates the same blocking.
+    WITH keyed AS (
+        SELECT doc_id,
+               (SELECT CAST(sum(
+                   CASE WHEN ascii(substr(n, i, 1)) BETWEEN 48 AND 57
+                            THEN (ascii(substr(n, i, 1)) - 47)
+                        WHEN ascii(substr(n, i, 1)) BETWEEN 97 AND 122
+                            THEN (ascii(substr(n, i, 1)) - 86)
+                        ELSE 0 END * power(37, 8 - i)) AS BIGINT)
+                FROM range(1, 9) t(i)) AS key,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS w
+        FROM (
+            SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       lower(substr(text, 1, 64)), '[ \t\n\r]', ' ', 'g'),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+            FROM documents
+        )
+    ),
+    ranked AS (
+        SELECT doc_id, w,
+               row_number() OVER (ORDER BY key, doc_id) AS r
+        FROM keyed
+    ),
+    sh AS (
+        SELECT doc_id, r,
+               list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                              for i in range(1, len(w) - 1)]) AS ts
+        FROM ranked
+    ),
+    cands AS (
+        SELECT least(a.doc_id, b.doc_id) AS id_a,
+               greatest(a.doc_id, b.doc_id) AS id_b,
+               len(list_intersect(a.ts, b.ts)) AS i,
+               len(a.ts) + len(b.ts) AS s
+        FROM sh a JOIN sh b
+          ON b.r BETWEEN a.r + 1 AND a.r + 5
+    )
+    SELECT DISTINCT id_a, id_b,
+           CAST(round(CAST(i AS DOUBLE) / (s - i), 6) AS DOUBLE) AS jaccard
+    FROM cands
+    WHERE s - i > 0 AND CAST(i AS DOUBLE) / (s - i) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+    doc="Sorted-neighborhood near-dup blocking (operators/dedup.py "
+        "sorted_neighborhood_pairs; Hernandez-Stolfo SIGMOD'95): "
+        "base-37 order-preserving packed prefix key -> distributed "
+        "exact rank (slim id+key shuffle only) -> rank-offset explode "
+        "equi-join (w=5) -> exact 3-gram Jaccard verify with arrays "
+        "attached by id joins. Third candidate family next to MinHash "
+        "banding (probabilistic) and prefix filtering (lossless).",
+)
+def q194_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = sorted_neighborhood_pairs(documents, "doc_id", "text",
+                                    window=5, prefix_len=8,
+                                    threshold=0.3, shingle_n=3)
+    return _sorted_small(out, "id_a", "id_b")
+
+
+@_register(
+    "q195_ks_drift",
+    """
+    -- exact two-sample Kolmogorov-Smirnov: distribution drift of event
+    -- value, purchase vs click (PSI's shape-sensitive complement)
+    WITH flagged AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    per_value AS (
+        SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+               CAST(count(*) - sum(a) AS BIGINT) AS cb
+        FROM flagged GROUP BY v
+    ),
+    stepped AS (
+        SELECT sum(ca) OVER (ORDER BY v) AS fa,
+               sum(cb) OVER (ORDER BY v) AS fb,
+               (SELECT sum(ca) FROM per_value) AS na,
+               (SELECT sum(cb) FROM per_value) AS nb
+        FROM per_value
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           CAST(round(max(abs(CAST(fa AS DOUBLE) / na
+                              - CAST(fb AS DOUBLE) / nb)), 6) AS DOUBLE)
+               AS ks_d,
+           CAST(round(1.358 * sqrt((max(na) + max(nb))
+                                   / (CAST(max(na) AS DOUBLE) * max(nb))), 6)
+                AS DOUBLE) AS ks_crit,
+           CAST(round(max(abs(CAST(fa AS DOUBLE) / na
+                              - CAST(fb AS DOUBLE) / nb)), 6) AS DOUBLE)
+               > CAST(round(1.358 * sqrt((max(na) + max(nb))
+                     / (CAST(max(na) AS DOUBLE) * max(nb))), 6) AS DOUBLE)
+               AS drift
+    FROM stepped
+    """,
+    doc="Exact two-sample KS drift test (operators/joins.py "
+        "ks_two_sample): one (value, group) aggregate collapses the "
+        "corpus to its distinct values; the CDF window runs over that "
+        "bounded distinct-value frame, so D is the true supremum at "
+        "every CDF step while the window never sees raw rows. "
+        "Shape-sensitive complement to q130's PSI.",
+)
+def q195_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        ks_two_sample,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    return ks_two_sample(events, "value", "event_type",
+                         "purchase", "click")
+
+
+def _q196_oracle(k: int = 4) -> str:
+    """Unrolled Gonzalez k-center CTE ladder (the q185 unroll pattern):
+    step i+1's min-distance column folds the step-i center in, and each
+    argmax is a QUALIFY row_number over (dist DESC, vid ASC)."""
+    dist = ("list_sum(list_transform(range(1, len(a.v) + 1), "
+            "i -> (a.v[CAST(i AS INT)] - {c}.v[CAST(i AS INT)]) "
+            "* (a.v[CAST(i AS INT)] - {c}.v[CAST(i AS INT)])))")
+    ctes = ["""v AS (
+        SELECT vec_id AS vid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c1 AS (SELECT vid, v FROM v ORDER BY vid LIMIT 1),
+    d1 AS (
+        SELECT a.vid, a.v, """ + dist.format(c="c1") + """ AS d
+        FROM v a, c1
+    )"""]
+    sel = ["SELECT 1 AS step, (SELECT vid FROM c1) AS center_id, "
+           "CAST(0.0 AS DOUBLE) AS sep"]
+    for s in range(2, k + 1):
+        prev = f"d{s-1}"
+        ctes.append(f"""c{s} AS (
+        SELECT vid, v, d FROM {prev}
+        QUALIFY row_number() OVER (ORDER BY d DESC, vid) = 1
+    ),
+    d{s} AS (
+        SELECT a.vid, a.v, least(a.d, {dist.format(c=f"c{s}")}) AS d
+        FROM {prev} a, c{s}
+    )""")
+        sel.append(f"SELECT {s} AS step, (SELECT vid FROM c{s}) AS center_id, "
+                   f"CAST(round(sqrt((SELECT d FROM c{s})), 6) AS DOUBLE) "
+                   f"AS sep")
+    return ("WITH " + ",\n    ".join(ctes) + "\n    "
+            + "\nUNION ALL\n".join(sel) + "\nORDER BY step")
+
+
+@_register(
+    "q196_kcenter_coreset",
+    _q196_oracle(4),
+    doc="Greedy k-center coreset selection (operators/similarity.py "
+        "kcenter_coreset; Gonzalez 1985 farthest-point, the "
+        "active-learning/coreset data-selection primitive): min-id "
+        "seed, then per step one argmax aggregate over the corpus and "
+        "a map-side running-min update against the new center's "
+        "broadcast literal — k corpus scans, only k vectors reach the "
+        "driver (the k-means precedent). Oracle unrolls the 4 steps "
+        "as QUALIFY-argmax CTEs.",
+)
+def q196_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    centers = kcenter_coreset(embeddings, "vec_id", "embedding", k=4)
+    return spark.createDataFrame(
+        [(int(s), int(c), float(d)) for s, c, d in centers],
+        "step bigint, center_id bigint, sep double").orderBy("step")
+
+
+def _q197_oracle(iterations: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled HITS rounds in integer micro-units: every sum is over
+    BIGINTs (order-free), every normalize is round(x*scale/max)."""
+    ctes = ["""c AS (SELECT c_custkey AS k, c_nationkey AS n FROM customer),
+    e AS MATERIALIZED (
+        SELECT a.k AS s, b.k AS d
+        FROM c a JOIN c b ON b.k = a.k + 1 AND b.n = a.n
+        UNION
+        SELECT a.k AS s, b.k AS d
+        FROM c a JOIN c b ON b.k = a.k + 2 AND b.n = a.n
+    ),
+    nodes AS (SELECT DISTINCT node FROM
+              (SELECT s AS node FROM e UNION ALL SELECT d AS node FROM e)),
+    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes)""".format(
+        scale=scale)]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""ar{i} AS MATERIALIZED (
+        SELECT e.d AS node, CAST(sum(h) AS BIGINT) AS a_raw
+        FROM e JOIN h{i-1} ON h{i-1}.node = e.s GROUP BY e.d
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(round(coalesce(a_raw, 0) * {scale}.0
+                          / (SELECT max(a_raw) FROM ar{i})) AS BIGINT) AS a
+        FROM nodes n LEFT JOIN ar{i} USING (node)
+    ),
+    hr{i} AS MATERIALIZED (
+        SELECT e.s AS node, CAST(sum(a) AS BIGINT) AS h_raw
+        FROM e JOIN a{i} ON a{i}.node = e.d GROUP BY e.s
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT n.node,
+               CAST(round(coalesce(h_raw, 0) * {scale}.0
+                          / (SELECT max(h_raw) FROM hr{i})) AS BIGINT) AS h
+        FROM nodes n LEFT JOIN hr{i} USING (node)
+    )""")
+    return ("WITH " + ",\n    ".join(ctes) + f"""
+    SELECT h{iterations}.node, h AS hub_mu, a AS auth_mu
+    FROM h{iterations} JOIN a{iterations} USING (node)
+    ORDER BY node""")
+
+
+@_register(
+    "q197_hits_scores",
+    _q197_oracle(3),
+    doc="HITS hubs/authorities (operators/graph.py hits_scores; "
+        "Kleinberg 1999), 3 max-normalized rounds over the directed "
+        "same-nation customer-chain graph — the dual-score complement "
+        "to q133's PageRank for link-farm/boilerplate-hub detection. "
+        "Integer micro-unit quantization per round makes every "
+        "aggregate an order-free BIGINT sum: bit-identical parity with "
+        "no float hashing risk. Per round one join + one aggregate per "
+        "direction; shuffles carry (node, long) pairs.",
+)
+def q197_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        hits_scores,
+    )
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    c = customer.select("c_custkey", "c_nationkey")
+    halves = []
+    for delta in (1, 2):
+        b = c.select((F.col("c_custkey") - delta).alias("__k"),
+                     F.col("c_custkey").alias("dst"),
+                     F.col("c_nationkey").alias("__n2"))
+        halves.append(
+            c.join(b, (F.col("c_custkey") == F.col("__k"))
+                   & (F.col("c_nationkey") == F.col("__n2")))
+            .select(F.col("c_custkey").alias("src"), "dst"))
+    edges = halves[0].unionByName(halves[1])
+    return hits_scores(edges, "src", "dst", iterations=3).orderBy("node")
+
+
+@_register(
+    "q198_mutual_knn",
+    """
+    -- mutual k-nearest-neighbor pairs (vec_id < 200 slice, k=5): the
+    -- reciprocal-NN filter that turns one-sided cosine affinity into the
+    -- high-precision pair set clustering/dedup pipelines consume
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < 200
+    ), n AS (
+        SELECT vec_id, e,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    ), scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, len(q.e) + 1),
+                     i -> q.e[CAST(i AS INT)] * c.e[CAST(i AS INT)]))
+                     / (q.nrm * c.nrm), 6) AS cosine
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+    ), knn AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    )
+    SELECT a.query_id AS id_a, a.neighbor_id AS id_b,
+           CAST(a.cosine AS DOUBLE) AS cosine,
+           CAST(a.rank AS BIGINT) AS rank_ab,
+           CAST(b.rank AS BIGINT) AS rank_ba
+    FROM knn a JOIN knn b
+      ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+    WHERE a.query_id < a.neighbor_id
+    ORDER BY id_a, id_b
+    """,
+    doc="Mutual (reciprocal) kNN pairs: exact cosine top-5 both "
+        "directions (operators/similarity.py cosine_topk composed with "
+        "itself), kept only when each endpoint ranks the other — the "
+        "precision filter for graph-based semantic dedup/clustering. "
+        "Deliberately bounded to the vec_id<200 slice: all-pairs exact "
+        "kNN is the verifier tier; the scale path feeds the same "
+        "mutual filter from q42's IVF candidates.",
+)
+def q198_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    sub = embeddings.filter(F.col("vec_id") < 200)
+    knn = cosine_topk(sub, sub, "vec_id", "embedding", k=5)
+    a = knn.select(F.col("query_id").alias("id_a"),
+                   F.col("neighbor_id").alias("id_b"),
+                   "cosine", F.col("rank").cast("long").alias("rank_ab"))
+    b = knn.select(F.col("query_id").alias("id_b"),
+                   F.col("neighbor_id").alias("id_a"),
+                   F.col("rank").cast("long").alias("rank_ba"))
+    return (a.join(b, ["id_a", "id_b"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "cosine", "rank_ab", "rank_ba")
+            .orderBy("id_a", "id_b"))

@@ -216,6 +216,14 @@ PROBE_QUERIES = [
     "q192_chi2_tokens",
     # exact-ntile (boundary agg + count agg + bucketed window) + bin agg
     "q193_woe_iv",
+    # slim (id,key) global rank + w-fold rank-offset equi-join + verify
+    "q194_sorted_neighborhood",
+    # one (value,group) agg + distinct-value-domain CDF window
+    "q195_ks_drift",
+    # k corpus scans (argmax aggregate + map-side running min each)
+    "q196_kcenter_coreset",
+    # 3 checkpointed rounds: join + agg per direction, literal max divisors
+    "q197_hits_scores",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

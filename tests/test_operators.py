@@ -3140,3 +3140,78 @@ def test_woe_iv_separating_feature(spark):
     assert out[1].n_event == 0 and out[4].n_event == 25
     assert out[1].woe < 0 < out[4].woe
     assert out[1].iv_total > 1.0  # "suspiciously strong" range
+
+
+def test_sorted_neighborhood_finds_prefix_dups(spark):
+    """Docs sharing a long prefix must land in adjacent ranks and be
+    caught; docs outside the rank window must not be compared."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # prefix dup of 1
+            (3, "zulu yankee xray whiskey victor uniform"),
+            (4, "mike november oscar papa quebec romeo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b) for r in
+           sorted_neighborhood_pairs(df, "doc_id", "text", window=1,
+                                     threshold=0.3, shingle_n=3).collect()}
+    assert got == {(1, 2)}
+
+
+def test_ks_two_sample_detects_shift(spark):
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        ks_two_sample,
+    )
+
+    rows = ([("a", float(v)) for v in range(100)] +
+            [("b", float(v) + 50.0) for v in range(100)])
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    r = ks_two_sample(df, "v", "grp", "a", "b").collect()[0]
+    assert r.n_a == 100 and r.n_b == 100
+    assert abs(r.ks_d - 0.5) < 1e-9       # 50/100 offset -> D = 0.5
+    assert r.drift                        # crit ~ 0.192
+    same = ks_two_sample(df.filter("grp = 'a'")
+                         .unionAll(df.filter("grp = 'a'")
+                                   .withColumn("grp", F.lit("b"))),
+                         "v", "grp", "a", "b").collect()[0]
+    assert same.ks_d == 0.0 and not same.drift
+
+
+def test_kcenter_coreset_picks_extremes(spark):
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    # three tight clusters far apart: greedy must visit all three first
+    pts = ([(i, [0.0, 0.0]) for i in range(5)] +
+           [(10 + i, [100.0, 0.0]) for i in range(5)] +
+           [(20 + i, [0.0, 100.0]) for i in range(5)])
+    df = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    centers = kcenter_coreset(df, "vec_id", "embedding", k=3)
+    assert [s for s, _, _ in centers] == [1, 2, 3]
+    assert centers[0][1] == 0              # min-id seed
+    picked_clusters = {cid // 10 for _, cid, _ in centers}
+    assert picked_clusters == {0, 1, 2}    # one per cluster
+    assert centers[1][2] == 100.0          # farthest-point separations
+    assert centers[2][2] == 100.0
+
+
+def test_hits_scores_hub_vs_authority(spark):
+    """A pure source pointing at everything is the max hub; a pure sink
+    receiving from everything is the max authority."""
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        hits_scores,
+    )
+
+    edges = [(0, 9), (1, 9), (2, 9),   # 9: authority
+             (5, 6), (5, 7), (5, 9)]   # 5: hub
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.node: (r.hub_mu, r.auth_mu) for r in
+           hits_scores(df, iterations=2).collect()}
+    assert out[5][0] == 1_000_000          # max hub
+    assert out[9][1] == 1_000_000          # max authority
+    assert out[9][0] == 0                  # sink: no out-edges
+    assert out[5][1] == 0                  # source: no in-edges
+    assert max(v for v, _ in out.values()) == 1_000_000

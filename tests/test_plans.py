@@ -313,6 +313,15 @@ PLAN_SHAPE_GOLDENS = {
     "q192_chi2_tokens": {"WindowGroupLimit": 2, "BroadcastHashJoin": 2,
                          "BroadcastNestedLoopJoin": 2},
     "q193_woe_iv": {"BroadcastNestedLoopJoin": 3},
+    # q197's pinned shape is the FINAL join only: each HITS round is
+    # localCheckpoint-truncated, so the executed plan tree cannot grow
+    # with iterations by construction.
+    "q194_sorted_neighborhood": {"BroadcastHashJoin": 3},
+    "q195_ks_drift": {"BroadcastNestedLoopJoin": 1},
+    "q196_kcenter_coreset": {},
+    "q197_hits_scores": {"SortMergeJoin": 1},
+    "q198_mutual_knn": {"SortMergeJoin": 1, "WindowGroupLimit": 4,
+                        "BroadcastNestedLoopJoin": 2},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
