@@ -409,3 +409,42 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
                             * F.sqrt((F.col("n_a") + F.col("n_b"))
                                      / (F.col("n_a") * F.col("n_b"))), 6))
         .withColumn("drift", F.col("ks_d") > F.col("ks_crit")))
+
+
+def inter_arrival_stats(df: DataFrame, key_col: str, ts_col: str,
+                        tiebreak_col: str,
+                        min_gaps: int = 10) -> DataFrame:
+    """Per-key inter-arrival burstiness — the bot/scraper signature
+    scan (humans are bursty: B > 0; timers and rate-limited crawlers
+    are regular: B < 0): gaps between consecutive events per key,
+    summarized as mean, sample stddev, and the burstiness coefficient
+    B = (sigma - mu)/(sigma + mu) (Goh & Barabasi 2008).
+
+    Gap seconds are INTEGERS (epoch-second lag differences), so the
+    moment sums are exact BIGINTs (order-free, engine-identical) and
+    the one float division per key happens at the very end. One lag
+    window partitioned by key + one grouped aggregate; keys below
+    ``min_gaps`` gaps are dropped (their sigma is noise).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    sec = F.unix_timestamp(F.col(ts_col))
+    gaps = (df.withColumn("__gap", sec - F.lag(sec).over(w))
+            .filter(F.col("__gap").isNotNull()))
+    agg = gaps.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("__gap").cast("long").alias("__s1"),
+        F.sum(F.col("__gap") * F.col("__gap")).cast("long").alias("__s2"))
+    n, s1, s2 = F.col("n_gaps"), F.col("__s1"), F.col("__s2")
+    mu = s1 / n
+    # s1 enters the cross term as DOUBLE (one rounding) — the identical
+    # float path the SQL oracle takes, and no s1*s1 BIGINT overflow for
+    # long-lived keys
+    var = (s2 - s1.cast("double") * s1 / n) / (n - 1)
+    sd = F.sqrt(var)
+    return (agg.filter(n >= min_gaps)
+            .select(key_col, "n_gaps",
+                    F.round(mu, 6).alias("mean_gap_s"),
+                    F.round(sd, 6).alias("sd_gap_s"),
+                    F.round((sd - mu) / (sd + mu), 6).alias("burstiness")))

@@ -249,3 +249,24 @@ def woe_iv(df: DataFrame, value_col: str, event_col: Column,
                     F.round("woe", 6).alias("woe"),
                     F.round("iv_term", 6).alias("iv_term"),
                     "iv_total"))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
+                       tiebreak_col: str,
+                       out_col: str = "qnorm") -> DataFrame:
+    """Within-group quantile normalization — the cross-source score
+    harmonization step before mixing corpora: a raw quality/perplexity
+    score is comparable across sources only as its POSITION in its own
+    source's distribution (source A's 0.3 may be elite, source B's 0.3
+    garbage). Appends ``out_col`` = percent_rank within ``group_col``
+    over (value, tiebreak) — exact, in [0, 1], distribution-free.
+
+    One window partitioned BY GROUP (parallel across groups; no global
+    sort, no single-partition stage). The group cardinality bounds the
+    skew: a corpus dominated by one source ranks that source in one
+    task — pre-split such groups or rank on a salted sub-key.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))

@@ -680,3 +680,39 @@ def dsir_scores(
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round(F.sum("__lr"), 6).alias("score")))
+
+
+def padding_efficiency(df: DataFrame, token_count_col: str | Column,
+                       bucket_widths: list[int]) -> DataFrame:
+    """Length-bucketed batching plan: assign every sequence to the
+    smallest bucket width that holds it (longer sequences truncate to
+    the largest bucket) and report, per bucket, the padding waste a
+    fixed-shape training batch would pay — the infra-planning query
+    behind choosing bucket boundaries before packing (q92's
+    ``pack_sequences`` is the execution step; this is the sizing step).
+
+    Returns (bucket_width, n_seqs, real_tokens, padded_tokens,
+    waste_ratio): real = sum of min(len, width), padded = n * width,
+    waste = 1 - real/padded. Pure CASE-ladder projection + one groupBy
+    over len(bucket_widths) groups — map-side combinable, linear.
+    """
+    widths = sorted(set(bucket_widths))
+    if not widths or widths[0] <= 0:
+        raise ValueError("bucket_widths must be positive")
+    tc = (F.col(token_count_col) if isinstance(token_count_col, str)
+          else token_count_col)
+    bucket = F.lit(widths[-1])
+    for w in reversed(widths[:-1]):
+        bucket = F.when(tc <= w, w).otherwise(bucket)
+    kept = F.least(tc, F.lit(widths[-1]))
+    return (df.select(bucket.cast("long").alias("bucket_width"),
+                      kept.alias("__kept"))
+            .groupBy("bucket_width")
+            .agg(F.count(F.lit(1)).alias("n_seqs"),
+                 F.sum("__kept").cast("long").alias("real_tokens"))
+            .withColumn("padded_tokens",
+                        (F.col("n_seqs") * F.col("bucket_width"))
+                        .cast("long"))
+            .withColumn("waste_ratio",
+                        F.round(F.lit(1.0) - F.col("real_tokens")
+                                / F.col("padded_tokens"), 6)))

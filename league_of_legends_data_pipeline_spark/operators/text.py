@@ -1044,7 +1044,13 @@ def perplexity_buckets(df: DataFrame, id_col: str = "doc_id",
         exact_ntile,
     )
 
-    scored = bigram_logprob_scores(df, id_col, text_col, lam=lam)
+    # Checkpoint the scored frame (slim: id + score) before ranking:
+    # exact_ntile drives two driver actions (boundary sketch, bucket
+    # counts) plus the final plan, and each would re-run the whole LM
+    # scoring chain otherwise — measured 3x the query cost at sf0.1.
+    scored = (bigram_logprob_scores(df, id_col, text_col, lam=lam)
+              .select(id_col, "mean_neg_logprob")
+              .localCheckpoint(eager=True))
     b = exact_ntile(scored, ["mean_neg_logprob", id_col], n_buckets)
     labels = {1: "head", 2: "middle", 3: "tail"} if n_buckets == 3 else {}
     label = F.col("bucket").cast("string")
@@ -1168,3 +1174,30 @@ def token_group_chi2(
     w = Window.partitionBy("grp").orderBy(F.col("chi2").desc(), "tok")
     return (scored.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= top_k))
+
+
+def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty against the ids-before-it corpus:
+    the fraction of a doc's distinct word n-grams whose FIRST corpus
+    occurrence (minimum doc id) is this doc — the diversity/memorization
+    signal curation uses to find docs that only restate earlier content
+    (novelty ~ 0: boilerplate/mirror; ~ 1: genuinely new text).
+    Returns (id, n_grams, n_novel, novelty); docs with fewer than ``n``
+    words have no n-grams and are excluded.
+
+    One explode + one (gram -> min id) aggregate + one join back on the
+    gram: linear in total gram count, and the gram table is the same
+    frame an inverted index or winnowing pass would build anyway.
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"))
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_id"))
+    return (grams.join(firsts, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("first_id") == F.col("doc_id"), 1)
+                       .otherwise(0)).alias("n_novel"))
+            .withColumn("novelty",
+                        F.round(F.col("n_novel") / F.col("n_grams"), 6)))

@@ -11051,3 +11051,177 @@ def q198_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "cosine", "rank_ab", "rank_ba")
             .orderBy("id_a", "id_b"))
+
+
+@_register(
+    "q199_quantile_normalize",
+    """
+    -- within-source quantile normalization: a raw length/quality score is
+    -- cross-source comparable only as its position in its source's own
+    -- distribution
+    SELECT doc_id, source, n_chars,
+           CAST(round(percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id), 6) AS DOUBLE)
+               AS qnorm
+    FROM documents
+    ORDER BY source, doc_id
+    """,
+    doc="Within-group quantile normalization (operators/profile.py "
+        "quantile_normalize): exact percent_rank per source over "
+        "(value, id) — the score-harmonization step before mixing "
+        "corpora. One window PARTITIONED BY GROUP: parallel across "
+        "sources, no global sort.",
+)
+def q199_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        quantile_normalize,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = quantile_normalize(
+        documents.select("doc_id", "source", "n_chars"),
+        "source", "n_chars", "doc_id")
+    return out.orderBy("source", "doc_id")
+
+
+@_register(
+    "q200_padding_efficiency",
+    """
+    -- length-bucketed batching plan: padding waste per bucket width —
+    -- the sizing step before q92's sequence packing
+    WITH toks AS (
+        SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS tc
+        FROM documents
+    ),
+    assigned AS (
+        SELECT CASE WHEN tc <= 64 THEN 64
+                    WHEN tc <= 128 THEN 128
+                    WHEN tc <= 256 THEN 256
+                    ELSE 512 END AS bucket_width,
+               least(tc, 512) AS kept
+        FROM toks
+    )
+    SELECT bucket_width, count(*) AS n_seqs,
+           CAST(sum(kept) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket_width AS BIGINT) AS padded_tokens,
+           CAST(round(1.0 - CAST(sum(kept) AS DOUBLE)
+                      / (count(*) * bucket_width), 6) AS DOUBLE)
+               AS waste_ratio
+    FROM assigned
+    GROUP BY bucket_width
+    ORDER BY bucket_width
+    """,
+    doc="Length-bucketed batching plan (operators/sampling.py "
+        "padding_efficiency): smallest-fitting bucket per sequence "
+        "(overflow truncates to the largest), per-bucket padding-waste "
+        "report. Pure CASE-ladder projection + one tiny groupBy — the "
+        "infra sizing query behind choosing packing bucket widths.",
+)
+def q200_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        padding_efficiency,
+    )
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        token_count,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = padding_efficiency(
+        documents.select(token_count("text").alias("tc")), "tc",
+        [64, 128, 256, 512])
+    return out.orderBy("bucket_width")
+
+
+@_register(
+    "q201_ngram_novelty",
+    """
+    -- per-doc 3-gram novelty vs the ids-before-it corpus: docs that only
+    -- restate earlier content score ~0 (mirror/boilerplate signal)
+    WITH t0 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in range(1, len(w) - 1)])) AS g
+        FROM t0 WHERE len(w) >= 3
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(round(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS novelty
+    FROM grams JOIN firsts USING (g)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Per-document n-gram novelty (operators/text.py ngram_novelty): "
+        "fraction of a doc's distinct word 3-grams whose first corpus "
+        "occurrence (min doc id) is the doc itself — the diversity/"
+        "restatement signal. One explode + one gram->min-id aggregate + "
+        "one join back; linear in total gram count.",
+)
+def q201_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    return ngram_novelty(documents, "doc_id", "text", n=3).orderBy("doc_id")
+
+
+@_register(
+    "q202_burstiness",
+    """
+    -- per-user inter-arrival burstiness B = (sd - mean)/(sd + mean):
+    -- timers/rate-limited crawlers are regular (B < 0), humans bursty
+    WITH gaps AS (
+        SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id, count(*) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS s1,
+               CAST(sum(gap * gap) AS BIGINT) AS s2
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           CAST(round(CAST(s1 AS DOUBLE) / n_gaps, 6) AS DOUBLE)
+               AS mean_gap_s,
+           CAST(round(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+                           / (n_gaps - 1)), 6) AS DOUBLE) AS sd_gap_s,
+           CAST(round((sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+                            / (n_gaps - 1))
+                       - CAST(s1 AS DOUBLE) / n_gaps)
+                      / (sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_gaps)
+                              / (n_gaps - 1))
+                         + CAST(s1 AS DOUBLE) / n_gaps), 6) AS DOUBLE)
+               AS burstiness
+    FROM agg WHERE n_gaps >= 10
+    ORDER BY user_id
+    """,
+    doc="Inter-arrival burstiness per user (operators/joins.py "
+        "inter_arrival_stats; Goh-Barabasi coefficient): integer "
+        "epoch-second gap moments (exact order-free BIGINT sums), one "
+        "float division per key at the edge. One lag window partitioned "
+        "by user + one grouped aggregate — the bot/scraper signature "
+        "scan for event-stream hygiene.",
+)
+def q202_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        inter_arrival_stats,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    return inter_arrival_stats(events, "user_id", "ts", "event_id",
+                               min_gaps=10).orderBy("user_id")

@@ -224,6 +224,14 @@ PROBE_QUERIES = [
     "q196_kcenter_coreset",
     # 3 checkpointed rounds: join + agg per direction, literal max divisors
     "q197_hits_scores",
+    # group-partitioned percent_rank window
+    "q199_quantile_normalize",
+    # CASE-ladder projection + len(buckets)-group aggregate
+    "q200_padding_efficiency",
+    # explode + gram->min-id agg + join back
+    "q201_ngram_novelty",
+    # per-key lag window + integer moment aggregate
+    "q202_burstiness",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -3215,3 +3215,72 @@ def test_hits_scores_hub_vs_authority(spark):
     assert out[9][0] == 0                  # sink: no out-edges
     assert out[5][1] == 0                  # source: no in-edges
     assert max(v for v, _ in out.values()) == 1_000_000
+
+
+def test_quantile_normalize_positions(spark):
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        quantile_normalize,
+    )
+
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 30),
+            ("b", 4, 5), ("b", 5, 500)]
+    df = spark.createDataFrame(rows, ["src", "id", "v"])
+    out = {r.id: r.qnorm for r in
+           quantile_normalize(df, "src", "v", "id").collect()}
+    # within-group positions: extremes at 0/1 regardless of raw scale
+    assert out[1] == 0.0 and out[3] == 1.0 and out[2] == 0.5
+    assert out[4] == 0.0 and out[5] == 1.0
+
+
+def test_padding_efficiency_buckets_and_truncation(spark):
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        padding_efficiency,
+    )
+
+    rows = [(3,), (4,), (7,), (100,)]  # last truncates to max bucket 8
+    df = spark.createDataFrame(rows, ["tc"])
+    out = {r.bucket_width: r for r in
+           padding_efficiency(df, "tc", [4, 8]).collect()}
+    assert out[4].n_seqs == 2 and out[4].real_tokens == 7
+    assert out[4].padded_tokens == 8 and abs(out[4].waste_ratio - 0.125) < 1e-9
+    assert out[8].n_seqs == 2 and out[8].real_tokens == 15  # 7 + min(100,8)
+
+
+def test_ngram_novelty_first_occurrence_credit(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    rows = [(1, "a b c d"),          # grams: "a b c", "b c d" — all novel
+            (2, "a b c d"),          # exact restatement: novelty 0
+            (3, "a b c x y z")]      # "a b c" seen; "b c x"... novel
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in
+           ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    assert out[3].n_grams == 4 and out[3].n_novel == 3
+    assert out[3].novelty == 0.75
+
+
+def test_inter_arrival_burstiness_regular_vs_bursty(spark):
+    import datetime
+
+    from league_of_legends_data_pipeline_spark.operators.joins import (
+        inter_arrival_stats,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    regular = [("r", i, base + datetime.timedelta(seconds=60 * i))
+               for i in range(20)]
+    bursty_gaps = ([1] * 15 + [3000, 1, 1, 2500])
+    t, bursty = 0, []
+    for i, g in enumerate(bursty_gaps):
+        t += g
+        bursty.append(("b", 100 + i, base + datetime.timedelta(seconds=t)))
+    df = spark.createDataFrame(regular + bursty, ["k", "eid", "ts"])
+    out = {r.k: r for r in
+           inter_arrival_stats(df, "k", "ts", "eid", min_gaps=10).collect()}
+    assert out["r"].sd_gap_s == 0.0 and out["r"].burstiness == -1.0
+    assert out["b"].burstiness > 0.4  # heavy-tailed gaps -> bursty
+    assert out["r"].n_gaps == 19

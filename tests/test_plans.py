@@ -281,8 +281,11 @@ PLAN_SHAPE_GOLDENS = {
     "q170_poisson_bootstrap": {"BroadcastNestedLoopJoin": 3},
     "q171_entropy_scores": {"BroadcastHashJoin": 1},
     "q172_winnow_fingerprint_pairs": {"BroadcastHashJoin": 5},
-    "q173_perplexity_buckets": {"BroadcastHashJoin": 3,
-                                "BroadcastNestedLoopJoin": 1},
+    # q173's final plan is {} since the scored frame localCheckpoints
+    # before ranking (the LM-scoring joins live upstream of the
+    # checkpoint; re-deriving them 3x for exact_ntile's actions was 3x
+    # the query cost)
+    "q173_perplexity_buckets": {},
     "q174_code_detection": {},
     "q175_column_profile": {},
     "q176_compaction_plan": {"BroadcastHashJoin": 1},
@@ -322,6 +325,10 @@ PLAN_SHAPE_GOLDENS = {
     "q197_hits_scores": {"SortMergeJoin": 1},
     "q198_mutual_knn": {"SortMergeJoin": 1, "WindowGroupLimit": 4,
                         "BroadcastNestedLoopJoin": 2},
+    "q199_quantile_normalize": {},
+    "q200_padding_efficiency": {},
+    "q201_ngram_novelty": {"BroadcastHashJoin": 1},
+    "q202_burstiness": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
