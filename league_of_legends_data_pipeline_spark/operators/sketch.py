@@ -352,3 +352,56 @@ def ddsketch_quantiles(sketch: DataFrame, qs: list[tuple[int, int]],
                        rep.alias("est")))
         out = est if out is None else out.unionByName(est)
     return out
+
+
+def kmv_by_group(df: DataFrame, group_col: str, hash_col: str | Column,
+                 k: int = 256) -> DataFrame:
+    """One KMV (bottom-k) sketch PER GROUP — (group, kmv: array<long>)
+    with each group's ``k`` smallest distinct hashes sorted ascending.
+    The grouped form of :func:`kmv_bottom_k`: a per-source corpus
+    summary small enough (k longs/group) to pairwise-compare every
+    source against every other without touching the corpus again.
+
+    Shape: distinct on (group, hash) partial-aggregates map-side, one
+    row_number window partitioned BY GROUP (parallel across groups),
+    and a k-bounded collect_list per group — output is #groups rows
+    regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    h = F.col(hash_col) if isinstance(hash_col, str) else hash_col
+    w = Window.partitionBy("grp").orderBy("__h")
+    return (df.select(F.col(group_col).alias("grp"), h.alias("__h"))
+            .dropDuplicates(["grp", "__h"])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .groupBy("grp")
+            .agg(F.array_sort(F.collect_list("__h")).alias("kmv")))
+
+
+def kmv_overlap_matrix(df: DataFrame, group_col: str,
+                       hash_col: str | Column, k: int = 256) -> DataFrame:
+    """Pairwise overlap-estimate matrix across ALL groups from their KMV
+    sketches: (grp_a, grp_b, union_sketch_size, shared_in_sketch,
+    est_jaccard) for every unordered group pair — the O(groups²·k)
+    planning table that says WHICH source pairs deserve the expensive
+    cross-corpus dedup pass, computed from one corpus scan.
+
+    Estimator per pair (same as :func:`kmv_overlap_estimate`): with
+    S = bottom-k of the merged sketches, est_jaccard = |S ∩ A ∩ B|/|S|
+    — exact set arithmetic on k-sized long arrays, bit-identical in
+    any engine sharing the hashes. The pair join is #groups × #groups
+    over sketch rows only (the corpus is long gone).
+    """
+    sk = kmv_by_group(df, group_col, hash_col, k)
+    a = sk.select(F.col("grp").alias("grp_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("grp").alias("grp_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    union_k = F.slice(F.array_sort(F.array_union("ka", "kb")), 1, k)
+    shared = F.size(F.array_intersect(
+        union_k, F.array_intersect("ka", "kb")))
+    return pairs.select(
+        "grp_a", "grp_b",
+        F.size(union_k).cast("long").alias("union_sketch_size"),
+        shared.cast("long").alias("shared_in_sketch"),
+        F.round(shared / F.size(union_k), 6).alias("est_jaccard"))

@@ -11225,3 +11225,223 @@ def q202_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     return inter_arrival_stats(events, "user_id", "ts", "event_id",
                                min_gaps=10).orderBy("user_id")
+
+
+@_register(
+    "q203_source_overlap_matrix",
+    """
+    -- pairwise KMV overlap matrix across all sources (k=128, word
+    -- 3-gram universes): which source pairs deserve the expensive
+    -- cross-corpus dedup pass — one corpus scan, then sketch-only math
+    WITH t0 AS (
+        SELECT source,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT source,
+               unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                     for i in range(1, len(w) - 1)])) AS g
+        FROM t0 WHERE len(w) >= 3
+    ),
+    h AS (
+        SELECT DISTINCT source AS grp,
+               CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS hv
+        FROM grams
+    ),
+    sk AS (
+        SELECT grp, list_sort(list(hv ORDER BY hv)) AS kmv
+        FROM (
+            SELECT grp, hv,
+                   row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+            FROM h QUALIFY rn <= 128
+        ) GROUP BY grp
+    )
+    SELECT a.grp AS grp_a, b.grp AS grp_b,
+           CAST(len(list_sort(list_distinct(a.kmv || b.kmv))[1:128])
+                AS BIGINT) AS union_sketch_size,
+           CAST(len(list_intersect(
+               list_sort(list_distinct(a.kmv || b.kmv))[1:128],
+               list_intersect(a.kmv, b.kmv))) AS BIGINT)
+               AS shared_in_sketch,
+           CAST(round(len(list_intersect(
+                   list_sort(list_distinct(a.kmv || b.kmv))[1:128],
+                   list_intersect(a.kmv, b.kmv)))
+               / CAST(len(list_sort(list_distinct(a.kmv || b.kmv))[1:128])
+                      AS DOUBLE), 6) AS DOUBLE) AS est_jaccard
+    FROM sk a JOIN sk b ON a.grp < b.grp
+    ORDER BY grp_a, grp_b
+    """,
+    doc="Pairwise source-overlap planning matrix (operators/sketch.py "
+        "kmv_by_group / kmv_overlap_matrix): one KMV sketch per source "
+        "from a single corpus scan (group-partitioned bottom-k window), "
+        "then exact set arithmetic on k-sized long arrays for every "
+        "source pair — the O(groups² k) table that routes the expensive "
+        "bipartite dedup (q120) to the pairs that need it.",
+)
+def q203_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        kmv_overlap_matrix,
+    )
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        word_ngrams,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    grams = documents.select(
+        "source",
+        F.explode(F.array_distinct(word_ngrams("text", 3))).alias("g"))
+    hashed = grams.select(
+        "source",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("long").alias("hv"))
+    out = kmv_overlap_matrix(hashed, "source", "hv", k=128)
+    return out.orderBy("grp_a", "grp_b")
+
+
+@_register(
+    "q204_dataset_card",
+    """
+    -- one-query dataset card: the corpus-level numbers a dataset README
+    -- reports, all from linear aggregates
+    WITH norm AS (
+        SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                   lower(text), '[ \\t\\n\\r]', ' ', 'g'),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS dg,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS n_toks
+        FROM documents
+    ),
+    docs AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT dg) AS n_unique,
+               CAST(sum(n_toks) AS BIGINT) AS total_tokens
+        FROM norm
+    ),
+    dl AS (SELECT count(DISTINCT lang) AS n_langs,
+                  count(DISTINCT source) AS n_sources FROM documents),
+    ev AS (SELECT count(*) AS n_events,
+                  count(DISTINCT user_id) AS n_users FROM events),
+    em AS (SELECT count(*) AS n_vectors FROM embeddings)
+    SELECT metric, CAST(value AS DOUBLE) AS value FROM (
+        SELECT 'docs.n_docs' AS metric, n_docs AS value FROM docs
+        UNION ALL SELECT 'docs.dup_rate',
+            round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) FROM docs
+        UNION ALL SELECT 'docs.total_ws_tokens', total_tokens FROM docs
+        UNION ALL SELECT 'docs.n_langs', n_langs FROM dl
+        UNION ALL SELECT 'docs.n_sources', n_sources FROM dl
+        UNION ALL SELECT 'events.n_events', n_events FROM ev
+        UNION ALL SELECT 'events.n_users', n_users FROM ev
+        UNION ALL SELECT 'embeddings.n_vectors', n_vectors FROM em
+    ) ORDER BY metric
+    """,
+    doc="Dataset-card generator: the README-header numbers (doc count, "
+        "normalization-aware dup rate, token total, lang/source "
+        "cardinalities, event/user/vector counts) as one UNION of "
+        "linear aggregates over three tables — each a mergeable "
+        "map-side-combinable count, nothing wider than a digest "
+        "distinct.",
+)
+def q204_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        normalize_text, token_count,
+    )
+
+    documents, events, embeddings = _t(spark, sf_dir,
+                                       "documents", "events", "embeddings")
+    norm = documents.select(
+        F.md5(normalize_text("text")).alias("dg"),
+        token_count("text").alias("n_toks"))
+    docs = norm.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.count_distinct("dg").alias("n_unique"),
+                    F.sum("n_toks").cast("long").alias("total_tokens"))
+    dl = documents.agg(F.count_distinct("lang").alias("n_langs"),
+                       F.count_distinct("source").alias("n_sources"))
+    ev = events.agg(F.count(F.lit(1)).alias("n_events"),
+                    F.count_distinct("user_id").alias("n_users"))
+    em = embeddings.agg(F.count(F.lit(1)).alias("n_vectors"))
+
+    def row(metric, col):
+        return F.struct(F.lit(metric).alias("metric"),
+                        col.cast("double").alias("value"))
+
+    card = (docs.crossJoin(F.broadcast(dl)).crossJoin(F.broadcast(ev))
+            .crossJoin(F.broadcast(em))
+            .select(F.explode(F.array(
+                row("docs.n_docs", F.col("n_docs")),
+                row("docs.dup_rate",
+                    F.round(F.lit(1.0) - F.col("n_unique") / F.col("n_docs"),
+                            6)),
+                row("docs.total_ws_tokens", F.col("total_tokens")),
+                row("docs.n_langs", F.col("n_langs")),
+                row("docs.n_sources", F.col("n_sources")),
+                row("events.n_events", F.col("n_events")),
+                row("events.n_users", F.col("n_users")),
+                row("embeddings.n_vectors", F.col("n_vectors")),
+            )).alias("r"))
+            .select("r.*"))
+    return card.orderBy("metric")
+
+
+@_register(
+    "q205_vocab_coverage",
+    """
+    -- vocabulary coverage curve: corpus-token share covered by the top
+    -- 10/100/1000 types — the vocab-size sizing query for tokenizer
+    -- and OOV-budget decisions
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+        FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+                   count(*) AS vocab_size FROM vocab)
+    SELECT cutoff,
+           CAST((SELECT sum(c) FROM vocab WHERE rnk <= cutoff) AS BIGINT)
+               AS covered_tokens,
+           (SELECT total_tokens FROM tot) AS total_tokens,
+           (SELECT CAST(vocab_size AS BIGINT) FROM tot) AS vocab_size,
+           CAST(round((SELECT sum(c) FROM vocab WHERE rnk <= cutoff)
+                      / CAST((SELECT total_tokens FROM tot) AS DOUBLE), 6)
+                AS DOUBLE) AS coverage
+    FROM (SELECT unnest([10, 100, 1000]) AS cutoff)
+    ORDER BY cutoff
+    """,
+    doc="Vocabulary coverage curve: token share of the top-10/100/1000 "
+        "types. One token-count aggregate, a distributed exact rank "
+        "over (count DESC, token) — numeric-first-column range "
+        "bucketing, no single-partition sort — and ONE conditional-sum "
+        "aggregate producing every cutoff at once.",
+)
+def q205_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        global_rank,
+    )
+    from league_of_legends_data_pipeline_spark.operators.text import tokens
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    cutoffs = [10, 100, 1000]
+    vocab = (documents.select(F.explode(tokens("text")).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+             .withColumn("__negc", -F.col("c")))
+    ranked = global_rank(vocab, ["__negc", "tok"], rank_col="rnk")
+    agg = ranked.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        *[F.sum(F.when(F.col("rnk") <= c, F.col("c")).otherwise(0))
+          .cast("long").alias(f"__cov{c}") for c in cutoffs])
+    out = agg.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("cutoff"),
+                 F.col(f"__cov{c}").alias("covered_tokens"),
+                 F.col("total_tokens").alias("total_tokens"),
+                 F.col("vocab_size").alias("vocab_size"),
+                 F.round(F.col(f"__cov{c}") / F.col("total_tokens"), 6)
+                 .alias("coverage"))
+        for c in cutoffs])).alias("r")).select("r.*")
+    return out.orderBy("cutoff")

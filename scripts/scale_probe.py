@@ -232,6 +232,12 @@ PROBE_QUERIES = [
     "q201_ngram_novelty",
     # per-key lag window + integer moment aggregate
     "q202_burstiness",
+    # gram explode + per-group bottom-k window + sketch-only pair join
+    "q203_source_overlap_matrix",
+    # union of linear aggregates over three tables
+    "q204_dataset_card",
+    # token-count agg + slim global rank + one conditional-sum agg
+    "q205_vocab_coverage",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

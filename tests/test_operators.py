@@ -3284,3 +3284,31 @@ def test_inter_arrival_burstiness_regular_vs_bursty(spark):
     assert out["r"].sd_gap_s == 0.0 and out["r"].burstiness == -1.0
     assert out["b"].burstiness > 0.4  # heavy-tailed gaps -> bursty
     assert out["r"].n_gaps == 19
+
+
+def test_kmv_overlap_matrix_identical_vs_disjoint(spark):
+    """Identical groups estimate J=1; disjoint groups J=0; the sketch
+    is exact when group universes fit inside k."""
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        kmv_overlap_matrix,
+    )
+
+    rows = ([("a", h) for h in range(100)] +
+            [("b", h) for h in range(100)] +          # identical to a
+            [("c", h) for h in range(1000, 1100)])    # disjoint
+    df = spark.createDataFrame(rows, ["grp", "hv"])
+    out = {(r.grp_a, r.grp_b): r.est_jaccard for r in
+           kmv_overlap_matrix(df, "grp", "hv", k=256).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == 0.0 and out[("b", "c")] == 0.0
+
+
+def test_kmv_by_group_bounded_and_sorted(spark):
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        kmv_by_group,
+    )
+
+    df = spark.createDataFrame([("g", h % 50) for h in range(500)],
+                               ["grp", "hv"])
+    row = kmv_by_group(df, "grp", "hv", k=16).collect()[0]
+    assert row.kmv == list(range(16))  # 16 smallest DISTINCT values

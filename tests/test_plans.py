@@ -329,6 +329,10 @@ PLAN_SHAPE_GOLDENS = {
     "q200_padding_efficiency": {},
     "q201_ngram_novelty": {"BroadcastHashJoin": 1},
     "q202_burstiness": {},
+    "q203_source_overlap_matrix": {"BroadcastNestedLoopJoin": 1,
+                                   "WindowGroupLimit": 4},
+    "q204_dataset_card": {"BroadcastNestedLoopJoin": 3},
+    "q205_vocab_coverage": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
