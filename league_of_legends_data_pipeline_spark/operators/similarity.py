@@ -917,3 +917,43 @@ def kcenter_coreset(df: DataFrame, id_col: str = "vec_id",
         cur = cur.withColumn(
             "__d", F.least(F.col("__d"), _l2_sq(F.col("v"), lit_c)))
     return centers
+
+
+def embedding_health(df: DataFrame, label_col: str,
+                     vec_col: str = "embedding",
+                     scale: int = 1_000_000) -> DataFrame:
+    """Per-label embedding-space health check — the collapse/anisotropy
+    screen run before trusting embeddings for dedup or retrieval:
+    (label, n, mean_norm, anisotropy) where anisotropy is the exact
+    mean pairwise cosine of the label's NORMALIZED vectors, via the
+    identity  mean_cos = (||Σu||² - n) / (n(n-1)).  Healthy diverse
+    embeddings sit near 0; a collapsed/anisotropic space (all vectors
+    pointing one way — the classic bad-pooling symptom) nears 1.
+
+    Engine-exactness: unit vectors quantize to 1e-6 integer grid
+    per dimension BEFORE summation (posexplode → per-(label, dim)
+    BIGINT sums — order-free), so ||Σu||² is exact integer arithmetic
+    both engines replicate; one float division at the edge. Shuffle
+    carries (label, dim, long) rows: corpus × dim, linear.
+    """
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    u_micro = F.transform(v, lambda x: F.round(x / n * scale).cast("long"))
+    dims = (df.select(F.col(label_col).alias("label"),
+                      F.round(n * scale).cast("long").alias("__nrm"),
+                      F.posexplode(u_micro).alias("dim", "__u")))
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum("__u").alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__nrm").alias("__nrm_sum"))
+    return (per_dim.groupBy("label")
+            .agg(F.first("__n").alias("n"),
+                 F.round(F.first("__nrm_sum")
+                         / F.first("__n") / scale, 6).alias("mean_norm"),
+                 F.sum(F.col("__s") * F.col("__s")).alias("__ss"))
+            .withColumn(
+                "anisotropy",
+                F.round((F.col("__ss") / F.lit(float(scale)) / scale
+                         - F.col("n")) / (F.col("n") * (F.col("n") - 1)),
+                        6))
+            .select("label", "n", "mean_norm", "anisotropy"))

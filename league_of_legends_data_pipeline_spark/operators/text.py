@@ -1201,3 +1201,68 @@ def ngram_novelty(df: DataFrame, id_col: str, text_col: str,
                        .otherwise(0)).alias("n_novel"))
             .withColumn("novelty",
                         F.round(F.col("n_novel") / F.col("n_grams"), 6)))
+
+
+def threshold_sweep(df: DataFrame, score_col: str | Column,
+                    group_col: str,
+                    thresholds: list[float]) -> DataFrame:
+    """Keep-rate sensitivity curve for a quality threshold: for every
+    candidate cutoff, how many docs (and what fraction) each group
+    keeps — the report read BEFORE freezing a filter threshold, so the
+    cliff (a cutoff that silently deletes a language) is visible ahead
+    of time. Returns (group, threshold, n_kept, keep_rate).
+
+    ONE conditional-sum aggregate computes every threshold at once
+    (len(thresholds) sums riding the same grouped scan), then a
+    struct-explode unpivots — no per-threshold scans, no joins.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.when(s >= t, 1).otherwise(0)).alias(f"__k{i}")
+          for i, t in enumerate(thresholds)])
+    return (agg.select("grp", F.explode(F.array(*[
+        F.struct(F.lit(t).alias("threshold"),
+                 F.col(f"__k{i}").cast("long").alias("n_kept"),
+                 F.round(F.col(f"__k{i}") / F.col("__n"), 6)
+                 .alias("keep_rate"))
+        for i, t in enumerate(thresholds)])).alias("r"))
+        .select("grp", "r.*"))
+
+
+def structure_fingerprint(col: str | Column) -> Column:
+    """Template fingerprint: collapse letter runs to ``w``, digit runs
+    to ``#``, lowercase first — so 'Order #1234 shipped' and
+    'Order #98 shipped' collapse to the same shape. The
+    template/boilerplate detector exact dedup misses (every instance
+    differs) and near-dup over-triggers on (shared vocabulary, not
+    shared structure). Pure Column regex pipeline, explicit ASCII
+    classes (engine-portable).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, "[0-9]+", "#")
+    c = F.regexp_replace(c, "[a-z]+", "w")
+    c = F.regexp_replace(c, "[ \t\n\r]+", " ")
+    return F.trim(c)
+
+
+def template_report(df: DataFrame, id_col: str, text_col: str,
+                    min_count: int = 3) -> DataFrame:
+    """Top templates by instance count: structure fingerprints with
+    >= ``min_count`` instances, their coverage of the corpus, and a
+    sample doc id per template (min id — deterministic). One digest
+    groupBy; the fingerprint column is map-only.
+    """
+    fp = structure_fingerprint(text_col)
+    n_total = df.select(F.count(F.lit(1)).alias("__N"))
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.md5(fp).alias("template_digest"))
+            .groupBy("template_digest")
+            .agg(F.count(F.lit(1)).alias("n_instances"),
+                 F.min("doc_id").alias("sample_doc_id"))
+            .filter(F.col("n_instances") >= min_count)
+            .crossJoin(F.broadcast(n_total))
+            .withColumn("corpus_share",
+                        F.round(F.col("n_instances") / F.col("__N"), 6))
+            .drop("__N"))

@@ -11445,3 +11445,152 @@ def q205_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("coverage"))
         for c in cutoffs])).alias("r")).select("r.*")
     return out.orderBy("cutoff")
+
+
+_QUALITY_SQL = """(
+               least(1.0, len(list_filter(string_split_regex(text, '\\s+'),
+                                          t -> t <> '')) / 50.0)
+               + CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+                      AS DOUBLE) / greatest(length(text), 1)
+               + least(1.0, (CAST(length(list_aggregate(
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> ''), 'string_agg', ''))
+                       AS DOUBLE)
+                   / greatest(len(list_filter(string_split_regex(text,
+                       '\\s+'), t -> t <> '')), 1)) / 8.0)
+           ) / 3"""
+
+
+@_register(
+    "q206_threshold_sweep",
+    f"""
+    -- keep-rate sensitivity curve: per-language doc survival at every
+    -- candidate quality cutoff — read BEFORE freezing a filter threshold
+    -- (a cliff that deletes a language is visible here, not in prod)
+    WITH scored AS (
+        SELECT lang, round({_QUALITY_SQL}, 6) AS q FROM documents
+    )
+    SELECT lang AS grp, threshold,
+           CAST(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(round(sum(CASE WHEN q >= threshold THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS keep_rate
+    FROM scored, (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS threshold)
+    GROUP BY lang, threshold
+    ORDER BY grp, threshold
+    """,
+    doc="Quality-threshold sensitivity sweep (operators/text.py "
+        "threshold_sweep): per-language keep counts/rates for five "
+        "candidate cutoffs from ONE conditional-sum grouped aggregate "
+        "(no per-threshold scans), struct-explode unpivot.",
+)
+def q206_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        quality_score, threshold_sweep,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select("lang", quality_score("text").alias("q"))
+    out = threshold_sweep(scored, "q", "lang", [0.3, 0.4, 0.5, 0.6, 0.7])
+    return out.orderBy("grp", "threshold")
+
+
+@_register(
+    "q207_template_detection",
+    """
+    -- template/boilerplate detection via structure fingerprints: digit
+    -- runs -> '#', letter runs -> 'w' — instances differ byte-wise but
+    -- share the shape exact dedup misses
+    WITH fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(regexp_replace(
+                   lower(text), '[0-9]+', '#', 'g'),
+                   '[a-z]+', 'w', 'g'),
+                   '[ \\t\\n\\r]+', ' ', 'g'))) AS template_digest
+        FROM documents
+    ),
+    n AS (SELECT count(*) AS nn FROM documents)
+    SELECT template_digest,
+           count(*) AS n_instances,
+           min(doc_id) AS sample_doc_id,
+           CAST(round(count(*) / CAST((SELECT nn FROM n) AS DOUBLE), 6)
+                AS DOUBLE) AS corpus_share
+    FROM fp
+    GROUP BY template_digest
+    HAVING count(*) >= 3
+    ORDER BY n_instances DESC, template_digest
+    """,
+    doc="Structure-fingerprint template detection (operators/text.py "
+        "structure_fingerprint / template_report): letter/digit runs "
+        "collapse to shape symbols, instances group by md5(shape) — "
+        "catches generated boilerplate exact dedup misses (every "
+        "instance differs) and near-dup over-triggers on. Map-only "
+        "fingerprint + one digest groupBy.",
+)
+def q207_template_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        template_report,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    out = template_report(documents, "doc_id", "text", min_count=3)
+    return out.orderBy(F.col("n_instances").desc(), "template_digest")
+
+
+@_register(
+    "q208_embedding_health",
+    """
+    -- embedding-space health per label: mean norm + exact mean pairwise
+    -- cosine of unit vectors (anisotropy/collapse screen) via
+    -- mean_cos = (||sum(u)||^2 - n) / (n(n-1)), unit vectors quantized
+    -- to the 1e-6 grid so the dimension sums are order-free BIGINTs
+    WITH v AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    normed AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm, e
+        FROM v
+    ),
+    dims AS (
+        SELECT label,
+               CAST(round(nrm * 1000000) AS BIGINT) AS nrm_micro,
+               i - 1 AS dim,
+               CAST(round(e[CAST(i AS INT)] / nrm * 1000000) AS BIGINT) AS u
+        FROM normed, unnest(range(1, len(e) + 1)) AS t(i)
+    ),
+    per_dim AS (
+        SELECT label, dim,
+               CAST(sum(u) AS BIGINT) AS s,
+               count(*) AS n,
+               CAST(sum(nrm_micro) AS BIGINT) AS nrm_sum
+        FROM dims GROUP BY label, dim
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(round(CAST(max(nrm_sum) AS DOUBLE) / max(n) / 1000000, 6)
+                AS DOUBLE) AS mean_norm,
+           CAST(round((sum(CAST(s AS DOUBLE) * s) / 1000000.0 / 1000000
+                       - max(n)) / (max(n) * (max(n) - 1)), 6) AS DOUBLE)
+               AS anisotropy
+    FROM per_dim
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="Embedding-space health screen (operators/similarity.py "
+        "embedding_health): per-label mean norm and EXACT mean pairwise "
+        "cosine of unit vectors via ||sum u||^2 identity — the collapse/"
+        "anisotropy check before trusting embeddings for dedup or "
+        "retrieval. Unit vectors quantize to 1e-6-grid BIGINTs before "
+        "the (label, dim) sums (order-free, engine-identical); shuffle "
+        "is corpus x dim (long) rows, linear.",
+)
+def q208_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    return embedding_health(embeddings, "label").orderBy("label")

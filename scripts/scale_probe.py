@@ -238,6 +238,12 @@ PROBE_QUERIES = [
     "q204_dataset_card",
     # token-count agg + slim global rank + one conditional-sum agg
     "q205_vocab_coverage",
+    # one conditional-sum grouped aggregate (all thresholds in one scan)
+    "q206_threshold_sweep",
+    # map-only shape fingerprint + digest groupBy
+    "q207_template_detection",
+    # posexplode + (label, dim) BIGINT sums
+    "q208_embedding_health",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

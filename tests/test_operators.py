@@ -3312,3 +3312,48 @@ def test_kmv_by_group_bounded_and_sorted(spark):
                                ["grp", "hv"])
     row = kmv_by_group(df, "grp", "hv", k=16).collect()[0]
     assert row.kmv == list(range(16))  # 16 smallest DISTINCT values
+
+
+def test_threshold_sweep_monotone(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        threshold_sweep,
+    )
+
+    rows = [("a", s / 10.0) for s in range(10)]
+    df = spark.createDataFrame(rows, ["grp", "q"])
+    out = {r.threshold: r.n_kept for r in
+           threshold_sweep(df, "q", "grp", [0.2, 0.5, 0.8]).collect()}
+    assert out[0.2] == 8 and out[0.5] == 5 and out[0.8] == 2
+    # keep counts must be monotone non-increasing in the threshold
+    assert out[0.2] >= out[0.5] >= out[0.8]
+
+
+def test_structure_fingerprint_collapses_templates(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        template_report,
+    )
+
+    rows = [(1, "Order #1234 shipped to Alice"),
+            (2, "Order #98 shipped to Bob"),
+            (3, "Order #555 shipped to Carol"),
+            (4, "totally different content here today")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = template_report(df, "doc_id", "text", min_count=3).collect()
+    assert len(out) == 1
+    assert out[0].n_instances == 3 and out[0].sample_doc_id == 1
+    assert abs(out[0].corpus_share - 0.75) < 1e-9
+
+
+def test_embedding_health_collapse_vs_orthogonal(spark):
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        embedding_health,
+    )
+
+    collapsed = [("c", [1.0, 0.0, 0.0])] * 4          # identical: cos = 1
+    ortho = [("o", [1.0, 0.0, 0.0]), ("o", [0.0, 1.0, 0.0]),
+             ("o", [0.0, 0.0, 1.0])]                  # orthogonal: cos = 0
+    df = spark.createDataFrame(collapsed + ortho, ["label", "embedding"])
+    out = {r.label: r for r in embedding_health(df, "label").collect()}
+    assert out["c"].anisotropy == 1.0
+    assert abs(out["o"].anisotropy) < 1e-6
+    assert out["c"].n == 4 and abs(out["c"].mean_norm - 1.0) < 1e-6

@@ -333,6 +333,9 @@ PLAN_SHAPE_GOLDENS = {
                                    "WindowGroupLimit": 4},
     "q204_dataset_card": {"BroadcastNestedLoopJoin": 3},
     "q205_vocab_coverage": {},
+    "q206_threshold_sweep": {},
+    "q207_template_detection": {"BroadcastNestedLoopJoin": 1},
+    "q208_embedding_health": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
