@@ -11594,3 +11594,59 @@ def q208_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (embeddings,) = _t(spark, sf_dir, "embeddings")
     return embedding_health(embeddings, "label").orderBy("label")
+
+
+@_register(
+    "q209_stream_enrichment",
+    """
+    -- batch dual of the STREAM-STATIC broadcast enrichment: the Spark
+    -- side actually runs Structured Streaming (file stream of events,
+    -- stateless inner join against the static customer dim, memory
+    -- sink) and aggregates the sink — identical results because a
+    -- stream-static inner join is stateless per micro-batch
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           count(*) AS n_events,
+           CAST(round(sum(e.value), 6) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment, e.event_type
+    ORDER BY segment, event_type
+    """,
+    doc="Stream-static broadcast enrichment (SURVEY T-tier gap closed): "
+        "a REAL Structured Streaming run — events as a file stream, "
+        "stateless inner join against the broadcast static customer "
+        "dimension (no watermark, no state store: stream-static inner "
+        "joins are per-batch stateless), availableNow drain to a memory "
+        "sink, then the aggregate over the enriched rows. The oracle is "
+        "the batch dual, which the stateless join makes exactly equal.",
+)
+def q209_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    events, customer = _t(spark, sf_dir, "events", "customer")
+    work = tempfile.mkdtemp(prefix="q209_")
+    src = os.path.join(work, "in")
+    feed = events.select("event_id", "ts", "user_id", "event_type", "value")
+    feed.coalesce(4).write.mode("overwrite").parquet(src)
+
+    dim = customer.select("c_custkey", "c_mktsegment")
+    name = f"stream_q209_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(feed.schema).parquet(src)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select("c_mktsegment", "event_type", "value")
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (stream.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", os.path.join(work, "ckpt"))
+             .trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q209 streaming drain exceeded 300s")
+    return (spark.table(name)
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value"))
+            .orderBy("segment", "event_type"))

@@ -212,6 +212,19 @@ def merge_upsert(
     explicitly. Stock parquet has no multi-writer transaction; concurrent
     mergers need a table format (Delta/Iceberg) or an external lock.
     """
+    if not _table_exists(path):
+        # bootstrap: the first batch of a foreachBatch streaming MERGE
+        # arrives before any table exists — applying MERGE semantics to
+        # an empty target is exactly "insert the non-deletes"
+        inserts = updates
+        if delete_col is not None:
+            inserts = (updates.filter(~F.coalesce(F.col(delete_col),
+                                                  F.lit(False)))
+                       .drop(delete_col))
+        (inserts.repartition(*[F.col(c) for c in partition_cols])
+                .write.mode("overwrite")
+                .partitionBy(*partition_cols).parquet(path))
+        return
     parts = [tuple(r) for r in
              updates.select(*partition_cols).distinct().collect()]
     if not parts:

@@ -334,3 +334,53 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
         "inner").select("l.user", "ad", "imp_ts", "clk_ts").collect())
     assert sorted((r["user"], r["ad"]) for r in batch) \
         == sorted((r["user"], r["ad"]) for r in rows)
+
+
+def test_foreachbatch_streaming_merge_equals_batch_merges(spark, tmp_path):
+    """Streaming CDC upserts applied through foreachBatch + merge_upsert
+    must land the same final table as applying the same batches
+    sequentially in batch mode — the T-tier 'streaming MERGE sink'
+    (stock Structured Streaming has no MERGE sink; foreachBatch is the
+    documented composition point).
+
+    Two update files arrive as a stream: batch 1 inserts keys 1-3,
+    batch 2 updates key 2, deletes key 3, inserts key 4. Final table:
+    keys {1, 2(updated), 4}.
+    """
+    import pyspark.sql.functions as F
+
+    from league_of_legends_data_pipeline_spark.sinks import merge_upsert
+
+    target = str(tmp_path / "target")
+    src = str(tmp_path / "updates")
+    b1 = spark.createDataFrame(
+        [(1, "a", False), (2, "b", False), (3, "c", False)],
+        "k long, v string, is_delete boolean") \
+        .withColumn("year", F.lit(2026)).withColumn("month", F.lit(1)) \
+        .withColumn("day", F.lit(1))
+    b2 = spark.createDataFrame(
+        [(2, "b2", False), (3, None, True), (4, "d", False)],
+        "k long, v string, is_delete boolean") \
+        .withColumn("year", F.lit(2026)).withColumn("month", F.lit(1)) \
+        .withColumn("day", F.lit(1))
+    # two files, mtime-ordered so maxFilesPerTrigger=1 yields two batches
+    import os
+    b1.coalesce(1).write.mode("append").parquet(src)
+    for p in os.listdir(src):
+        if p.endswith(".parquet"):
+            os.utime(os.path.join(src, p), (1_000_000, 1_000_000))
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    def apply_batch(batch_df, batch_id):
+        merge_upsert(batch_df.sparkSession, batch_df, target,
+                     key_cols=["k"], delete_col="is_delete")
+
+    q = (spark.readStream.schema(b1.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)
+         .writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+
+    final = {r.k: r.v for r in spark.read.parquet(target).collect()}
+    assert final == {1: "a", 2: "b2", 4: "d"}
