@@ -11650,3 +11650,166 @@ def q209_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 6).alias("total_value"))
             .orderBy("segment", "event_type"))
+
+
+@_register(
+    "q210_grouping_sets",
+    """
+    -- explicit GROUPING SETS with grouping_id: per-nation, per-segment,
+    -- the cross, and the grand total in ONE pass (the report shapes
+    -- cube/rollup can't express selectively)
+    SELECT CAST(GROUPING(c_nationkey) * 2 + GROUPING(c_mktsegment)
+                AS BIGINT) AS gid,
+           c_nationkey, c_mktsegment,
+           count(*) AS n_customers,
+           CAST(round(sum(c_acctbal), 2) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_nationkey),
+                            (c_mktsegment), ())
+    ORDER BY gid, c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST
+    """,
+    doc="Explicit GROUPING SETS + grouping_id (SURVEY aggregation "
+        "surface beyond q19's cube/rollup): four selected grouping "
+        "shapes in ONE Expand pass — Spark plans a single scan widened "
+        "by the set count, identical partial-aggregation economics to "
+        "cube but with only the shapes asked for.",
+)
+def q210_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    customer.createOrReplaceTempView("q210_customer")
+    return spark.sql("""
+        SELECT CAST(GROUPING(c_nationkey) * 2 + GROUPING(c_mktsegment)
+                    AS BIGINT) AS gid,
+               c_nationkey, c_mktsegment,
+               count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_balance
+        FROM q210_customer
+        GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+                                (c_nationkey), (c_mktsegment), ())
+        ORDER BY gid, c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST
+    """)
+
+
+@_register(
+    "q211_dynamic_pivot",
+    """
+    -- dynamic pivot: event_type columns DISCOVERED from the data (the
+    -- two-phase pattern behind Spark's value-less pivot()), per-user
+    -- event-count matrix summarized per activity band
+    WITH counts AS (
+        SELECT user_id, event_type, count(*) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    wide AS (
+        SELECT user_id,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0) AS BIGINT) AS click,
+               CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN c END), 0) AS BIGINT) AS error,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN c END), 0) AS BIGINT) AS purchase,
+               CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN c END), 0) AS BIGINT) AS signup,
+               CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN c END), 0) AS BIGINT) AS view
+        FROM counts GROUP BY user_id
+    )
+    SELECT user_id, click, error, purchase, signup, view
+    FROM wide ORDER BY user_id LIMIT 200
+    """,
+    doc="Dynamic pivot (SURVEY P2's inverse generalized): pivot columns "
+        "DISCOVERED from the data — one distinct-values aggregate "
+        "(bounded: event types), then Spark's pivot() with the "
+        "collected value list so the plan is a single grouped Expand, "
+        "not a per-value scan. The oracle spells the discovered "
+        "columns explicitly.",
+)
+def q211_dynamic_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    types = sorted(r[0] for r in
+                   events.select("event_type").distinct().collect())
+    wide = (events.groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1))))
+    return (wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in types])
+        .orderBy("user_id").limit(200))
+
+
+@_register(
+    "q212_partition_digest_diff",
+    """
+    -- merkle-style partition reconciliation: order-free per-partition
+    -- row-hash sums locate WHICH month-partitions differ between two
+    -- table versions without comparing any rows — the anti-entropy
+    -- planning query for cross-site/cross-version sync
+    WITH rows_hashed AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS part,
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(round(o_totalprice, 2) AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2147483647 AS h,
+               (o_orderkey % 1000 = 0) AS touched
+        FROM orders
+    ),
+    v1 AS (
+        SELECT part, CAST(sum(h) AS BIGINT) AS digest, count(*) AS n
+        FROM rows_hashed GROUP BY part
+    ),
+    v2 AS (
+        -- version 2 = version 1 with every orderkey % 1000 = 0 row's
+        -- status flipped to 'X' (the deterministic injected change)
+        SELECT strftime(o_orderdate, '%Y-%m') AS part,
+               CAST(sum(CASE WHEN o_orderkey % 1000 = 0 THEN
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|X|' ||
+                   CAST(round(o_totalprice, 2) AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2147483647
+               ELSE
+               CAST(('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   o_orderstatus || '|' ||
+                   CAST(round(o_totalprice, 2) AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2147483647 END) AS BIGINT) AS digest,
+               count(*) AS n
+        FROM orders
+        GROUP BY part
+    )
+    SELECT v1.part,
+           v1.n AS n_rows_v1, v2.n AS n_rows_v2,
+           v1.digest <> v2.digest AS differs
+    FROM v1 JOIN v2 USING (part)
+    ORDER BY part
+    """,
+    doc="Merkle-style partition digest reconciliation: per-partition "
+        "order-free sums of 60-bit row hashes locate the partitions "
+        "where two table versions diverge — rows never cross the wire, "
+        "only #partitions digests. v2 is v1 with a deterministic "
+        "injected change (status flip on orderkey%1000=0), so the "
+        "report marks exactly the months containing touched keys.",
+)
+def q212_partition_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def row_hash(status_col):
+        # folded to 31 bits: the per-partition digest is a SUM of row
+        # hashes (order-free), and 2^31-sized terms keep that sum inside
+        # int64 up to ~4B rows per partition (a raw 60-bit term
+        # overflows at ~8 rows)
+        return (F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), status_col,
+            F.round("o_totalprice", 2).cast("string"))), 1, 15),
+            16, 10).cast("long") % 2147483647)
+
+    base = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("part"),
+        row_hash(F.col("o_orderstatus")).alias("h1"),
+        F.when(F.col("o_orderkey") % 1000 == 0,
+               row_hash(F.lit("X")))
+         .otherwise(row_hash(F.col("o_orderstatus"))).alias("h2"))
+    return (base.groupBy("part")
+            .agg(F.count(F.lit(1)).alias("n_rows_v1"),
+                 F.count(F.lit(1)).alias("n_rows_v2"),
+                 F.sum("h1").alias("__d1"),
+                 F.sum("h2").alias("__d2"))
+            .select("part", "n_rows_v1", "n_rows_v2",
+                    (F.col("__d1") != F.col("__d2")).alias("differs"))
+            .orderBy("part"))

@@ -244,6 +244,12 @@ PROBE_QUERIES = [
     "q207_template_detection",
     # posexplode + (label, dim) BIGINT sums
     "q208_embedding_health",
+    # one Expand-widened grouped scan (4 grouping shapes)
+    "q210_grouping_sets",
+    # distinct-values collect (bounded) + one grouped Expand pivot
+    "q211_dynamic_pivot",
+    # two digest sums in one grouped scan
+    "q212_partition_digest_diff",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

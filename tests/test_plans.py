@@ -336,6 +336,9 @@ PLAN_SHAPE_GOLDENS = {
     "q206_threshold_sweep": {},
     "q207_template_detection": {"BroadcastNestedLoopJoin": 1},
     "q208_embedding_health": {},
+    "q210_grouping_sets": {},
+    "q211_dynamic_pivot": {},
+    "q212_partition_digest_diff": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
