@@ -11813,3 +11813,113 @@ def q212_partition_digest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part", "n_rows_v1", "n_rows_v2",
                     (F.col("__d1") != F.col("__d2")).alias("differs"))
             .orderBy("part"))
+
+
+def _q213_ivf_sql(nprobe: int) -> str:
+    """q42's IVF oracle parameterized by nprobe (crk <= nprobe)."""
+    return f"""
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round(list_sum(list_transform(
+                           range(1, len(qe) + 1),
+                           i -> qe[CAST(i AS INT)] * ne[CAST(i AS INT)]))
+                           / (qn * nn), 6) DESC, neighbor_id) AS rank
+            FROM (
+                SELECT DISTINCT query_id, neighbor_id, qe, qn, ne, nn
+                FROM (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cid
+                      FROM scored_assign WHERE vec_id < 8
+                        AND crk <= {nprobe}) p
+                JOIN (SELECT vec_id AS neighbor_id, e AS ne, nrm AS nn, cid
+                      FROM scored_assign WHERE crk = 1) a USING (cid)
+                WHERE neighbor_id <> query_id
+            )
+        ) WHERE rank <= 5
+    """
+
+
+@_register(
+    "q213_ivf_nprobe_curve",
+    f"""
+    -- ANN tuning curve: recall@5 of IVF at nprobe = 1, 2, 3 vs the
+    -- exact kNN — the operational table behind choosing nprobe
+    WITH v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM v
+    ), c AS (
+        SELECT vec_id AS cid, e AS ce, nrm AS cn FROM n WHERE vec_id % 64 = 0
+    ), scored_assign AS (
+        SELECT n.vec_id, n.e, n.nrm, c.cid,
+               row_number() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY list_sum(list_transform(range(1, len(n.e) + 1),
+                       i -> n.e[CAST(i AS INT)] * c.ce[CAST(i AS INT)]))
+                       / (n.nrm * c.cn) DESC, c.cid) AS crk
+        FROM n JOIN c ON true
+    ), exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_sum(list_transform(
+                           range(1, len(q.e) + 1),
+                           i -> q.e[CAST(i AS INT)] * t.e[CAST(i AS INT)]))
+                           / (q.nrm * t.nrm), 6) DESC, t.vec_id) AS rank
+            FROM n q JOIN n t ON t.vec_id <> q.vec_id
+            WHERE q.vec_id < 8
+        ) WHERE rank <= 5
+    )
+    SELECT nprobe,
+           (SELECT count(*) FROM exact) AS n_exact,
+           n_hits,
+           CAST(round(n_hits / CAST((SELECT count(*) FROM exact) AS DOUBLE),
+                      6) AS DOUBLE) AS recall
+    FROM (
+        SELECT 1 AS nprobe, (SELECT count(*) FROM ({_q213_ivf_sql(1)}) a
+            JOIN exact USING (query_id, neighbor_id)) AS n_hits
+        UNION ALL
+        SELECT 2, (SELECT count(*) FROM ({_q213_ivf_sql(2)}) a
+            JOIN exact USING (query_id, neighbor_id))
+        UNION ALL
+        SELECT 3, (SELECT count(*) FROM ({_q213_ivf_sql(3)}) a
+            JOIN exact USING (query_id, neighbor_id))
+    )
+    ORDER BY nprobe
+    """,
+    doc="IVF nprobe tuning curve (composition of operators/similarity.py "
+        "ivf_topk at nprobe=1/2/3 against cosine_topk exact): recall@5 "
+        "per probe depth over the bounded query slice — the table an "
+        "ANN deployment reads to trade probe cost against recall. Each "
+        "IVF pass is the q42 machinery; the exact baseline is the q27 "
+        "verifier tier.",
+)
+def q213_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        cosine_topk, ivf_topk,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    queries = embeddings.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(embeddings, queries, "vec_id", "embedding", k=5) \
+        .select("query_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    curves = []
+    for nprobe in (1, 2, 3):
+        approx = ivf_topk(embeddings, queries, "vec_id", "embedding",
+                          k=5, centroid_stride=64, nprobe=nprobe) \
+            .select("query_id", "neighbor_id")
+        hits = (exact.join(approx, ["query_id", "neighbor_id"])
+                .agg(F.count(F.lit(1)).alias("n_hits"))
+                .withColumn("nprobe", F.lit(nprobe).cast("long")))
+        curves.append(hits)
+    out = curves[0].unionByName(curves[1]).unionByName(curves[2])
+    return (out.crossJoin(F.broadcast(n_exact))
+            .select("nprobe", "n_exact", "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_exact"), 6)
+                    .alias("recall"))
+            .orderBy("nprobe"))

@@ -339,6 +339,11 @@ PLAN_SHAPE_GOLDENS = {
     "q210_grouping_sets": {},
     "q211_dynamic_pivot": {},
     "q212_partition_digest_diff": {},
+    # 3 IVF passes + exact baseline + hit joins: the composition's join
+    # census is large but identical at both SFs (all sides bounded by
+    # the fixed query slice / centroid count)
+    "q213_ivf_nprobe_curve": {"BroadcastNestedLoopJoin": 11,
+                              "SortMergeJoin": 6, "WindowGroupLimit": 23},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
