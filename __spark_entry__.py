@@ -63,7 +63,15 @@ def _export_order() -> list[str]:
                    key=lambda n: (last_pass[n], names.index(n)))
     fresh = [n for n in names
              if max_rnd and last_pass.get(n) == max_rnd]
-    return never + stale + fresh
+    # VERY stale (newest green row >= 3 rounds / testdata generations
+    # old) outranks even never-verified: a new query carries a fresh
+    # local-parity pass from this session, while a 3-generations-old
+    # row is the suite's most rot-exposed signal (round-7 verdict: the
+    # q96/q97/q100/q101 hole persisted two rounds because never-first
+    # ordering kept crowding them out of the driver's 50-row window).
+    very_stale = [n for n in stale if max_rnd - last_pass[n] >= 3]
+    rest_stale = [n for n in stale if max_rnd - last_pass[n] < 3]
+    return very_stale + never + rest_stale + fresh
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -250,6 +250,8 @@ PROBE_QUERIES = [
     "q211_dynamic_pivot",
     # two digest sums in one grouped scan
     "q212_partition_digest_diff",
+    # 3 IVF passes + exact baseline over the fixed query slice
+    "q213_ivf_nprobe_curve",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
