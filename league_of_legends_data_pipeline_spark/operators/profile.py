@@ -270,3 +270,28 @@ def quantile_normalize(df: DataFrame, group_col: str, value_col: str,
 
     w = Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 6))
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col: str, tiebreak_col: str) -> DataFrame:
+    """Weighted (lower) median per group: the smallest value whose
+    cumulative weight reaches half the group's total — e.g. the
+    quality level below which half the corpus TOKENS (not documents)
+    sit, which is what a token-budgeted filter actually cuts at.
+    Returns (group, weighted_median, total_weight).
+
+    One window per group (cumulative weight over the (value, tiebreak)
+    order — parallel across groups) + one min aggregate over the
+    qualifying rows. Integer weights keep the cumulative sums exact.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col).orderBy(value_col, tiebreak_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = Window.partitionBy(group_col)
+    cum = df.withColumn("__cw", F.sum(weight_col).over(w)) \
+            .withColumn("__tw", F.sum(weight_col).over(tot))
+    return (cum.filter(2 * F.col("__cw") >= F.col("__tw"))
+            .groupBy(group_col)
+            .agg(F.min(value_col).alias("weighted_median"),
+                 F.first("__tw").alias("total_weight")))

@@ -558,21 +558,35 @@ def _global_rank_with_total(df: DataFrame, order_cols: list[str],
 def exact_ntile(df: DataFrame, order_cols: list[str], n: int,
                 bucket_col: str = "bucket",
                 num_partitions: int | None = None) -> DataFrame:
-    """Distributed exact NTILE(n) over a total order: bucket of the row
-    with global rank r (1-based, N rows) is ``floor((r-1)*n/N) + 1`` —
-    algebraically identical to SQL NTILE's first-(N mod n)-buckets-get-
-    ceil(N/n) rule, but computed from ``global_rank`` (range partition +
-    offsets) instead of a single-partition window. Exact complement to
-    ``approx_ntile`` (sketch boundaries, map-only assignment).
+    """Distributed exact NTILE(n) over a total order, computed from
+    ``global_rank`` (deterministic range buckets + offsets) instead of
+    a single-partition window. Exact complement to ``approx_ntile``
+    (sketch boundaries, map-only assignment).
+
+    Bucket arithmetic is SQL NTILE's EXACTLY: with N = q*n + rem, the
+    FIRST ``rem`` buckets hold q+1 rows and the rest q. The tempting
+    closed form ``floor((r-1)*n/N) + 1`` is NOT it — that spreads the
+    remainder evenly through the buckets (N=150, n=4 gives sizes
+    38/37/38/37 vs NTILE's 38/38/37/37; it happens to coincide when
+    rem <= 1 or rem divides the prefix evenly, which is exactly why
+    small hand-picked test sizes can miss the difference).
     """
     if n < 2:
         raise ValueError("n must be >= 2")
     ranked, total = _global_rank_with_total(df, order_cols, "__r",
                                             num_partitions)
-    return (ranked.withColumn(
-        bucket_col,
-        (F.floor((F.col("__r") - 1) * n / F.lit(total)) + 1).cast("long"))
-        .drop("__r"))
+    q, rem = divmod(total, n)
+    r = F.col("__r")
+    if q == 0:
+        bucket = r  # fewer rows than buckets: row r -> bucket r
+    elif rem == 0:
+        bucket = F.floor((r - 1) / q) + 1
+    else:
+        pivot = (q + 1) * rem  # rows 1..pivot fill the q+1-sized buckets
+        bucket = (F.when(r <= pivot, F.floor((r - 1) / (q + 1)) + 1)
+                  .otherwise(rem + F.floor((r - pivot - 1) / q) + 1))
+    return (ranked.withColumn(bucket_col, bucket.cast("long"))
+            .drop("__r"))
 
 
 def negative_samples(df: DataFrame, id_col: str, k: int = 3,

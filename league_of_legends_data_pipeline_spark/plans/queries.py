@@ -11923,3 +11923,173 @@ def q213_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_hits") / F.col("n_exact"), 6)
                     .alias("recall"))
             .orderBy("nprobe"))
+
+
+@_register(
+    "q214_weighted_median",
+    """
+    -- token-weighted quality median per language: the quality level
+    -- below which half the corpus TOKENS sit — what a token-budgeted
+    -- filter actually cuts at (doc-weighted medians mislead when doc
+    -- lengths vary)
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(""" + _QUALITY_SQL + """, 6) AS q,
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '')) AS w
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, q, doc_id,
+               sum(w) OVER (PARTITION BY lang ORDER BY q, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY lang) AS tw
+        FROM scored
+    )
+    SELECT lang,
+           CAST(min(q) AS DOUBLE) AS weighted_median,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Token-weighted quality median per language (operators/"
+        "profile.py weighted_median): cumulative-weight window per "
+        "group over (value, id), first value reaching half the total "
+        "weight. Integer token weights keep the cumulative sums exact; "
+        "the window parallelizes across groups.",
+)
+def q214_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        weighted_median,
+    )
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        quality_score, token_count,
+    )
+
+    (documents,) = _t(spark, sf_dir, "documents")
+    scored = documents.select(
+        "doc_id", "lang",
+        quality_score("text").alias("q"),
+        token_count("text").alias("w"))
+    out = weighted_median(scored, "lang", "q", "w", "doc_id")
+    return (out.select("lang",
+                       F.col("weighted_median").cast("double")
+                       .alias("weighted_median"),
+                       F.col("total_weight").cast("long")
+                       .alias("total_weight"))
+            .orderBy("lang"))
+
+
+@_register(
+    "q215_rfm_segments",
+    """
+    -- RFM user segmentation: recency/frequency/monetary quartile codes
+    -- (exact NTILE over each metric), rolled up per segment
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(floor(epoch((SELECT max(ts) FROM events)))
+                    AS BIGINT)
+               - CAST(floor(epoch(max(ts))) AS BIGINT) AS recency_s,
+               count(*) AS freq,
+               CAST(round(sum(value), 6) AS DOUBLE) AS monetary
+        FROM events GROUP BY user_id
+    ),
+    coded AS (
+        SELECT user_id, monetary,
+               ntile(4) OVER (ORDER BY recency_s, user_id) AS r,
+               ntile(4) OVER (ORDER BY freq, user_id) AS f,
+               ntile(4) OVER (ORDER BY monetary, user_id) AS m
+        FROM per_user
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           count(*) AS n_users,
+           CAST(round(avg(monetary), 6) AS DOUBLE) AS avg_monetary
+    FROM coded
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+    doc="RFM segmentation (recency/frequency/monetary quartiles per "
+        "user, rolled up per (r,f,m) cell): three exact NTILEs via the "
+        "distributed rank (numeric first columns — range-bucketed, no "
+        "single-partition sort), per-user metrics from one grouped "
+        "scan. The classic audience/cohort table, engine-exact.",
+)
+def q215_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        exact_ntile,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts").alias("__mx"))
+    per_user = (events.crossJoin(F.broadcast(max_ts))
+                .groupBy("user_id")
+                .agg((F.unix_timestamp(F.first("__mx"))
+                      - F.unix_timestamp(F.max("ts"))).alias("recency_s"),
+                     F.count(F.lit(1)).alias("freq"),
+                     F.round(F.sum("value"), 6).alias("monetary")))
+    coded = exact_ntile(per_user, ["recency_s", "user_id"], 4,
+                        bucket_col="r")
+    coded = exact_ntile(coded, ["freq", "user_id"], 4, bucket_col="f")
+    coded = exact_ntile(coded, ["monetary", "user_id"], 4, bucket_col="m")
+    return (coded.groupBy("r", "f", "m")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.round(F.avg("monetary"), 6).alias("avg_monetary"))
+            .orderBy("r", "f", "m"))
+
+
+@_register(
+    "q216_cusum_changepoint",
+    """
+    -- CUSUM change-point detection over the daily ingest series: the
+    -- day where the cumulative deviation from the global mean peaks —
+    -- catches sustained level shifts q144's per-day sigma gate smears
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY day
+    ),
+    stats AS (
+        SELECT CAST(sum(n) AS DOUBLE) / count(*) AS mu,
+               count(*) AS n_days FROM daily
+    ),
+    cusum AS (
+        SELECT day, n,
+               round(sum(n - (SELECT mu FROM stats))
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6)
+                   AS s
+        FROM daily
+    )
+    SELECT (SELECT CAST(n_days AS BIGINT) FROM stats) AS n_days,
+           CAST(round((SELECT mu FROM stats), 6) AS DOUBLE) AS mean_daily,
+           CAST(strftime(day, '%Y-%m-%d') AS VARCHAR) AS change_day,
+           CAST(round(abs(s), 6) AS DOUBLE) AS max_abs_cusum
+    FROM cusum
+    ORDER BY abs(s) DESC, day
+    LIMIT 1
+    """,
+    doc="CUSUM change-point scan over daily ingest volume: cumulative "
+        "deviation from the global mean, peak |S| marks the level "
+        "shift. One day-grouped count (bounded domain), one window "
+        "over the day series, one TakeOrdered(1) — the sustained-shift "
+        "complement to q144's per-day sigma gate.",
+)
+def q216_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"))
+    from pyspark.sql import Window
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (daily.crossJoin(F.broadcast(stats))
+             .withColumn("s", F.round(
+                 F.sum(F.col("n") - F.col("mu")).over(w), 6)))
+    return (cusum.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("mu", 6).alias("mean_daily"),
+        F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+        F.round(F.abs("s"), 6).alias("max_abs_cusum"))
+        .orderBy(F.abs(F.col("max_abs_cusum")).desc(), "change_day")
+        .limit(1))

@@ -252,6 +252,12 @@ PROBE_QUERIES = [
     "q212_partition_digest_diff",
     # 3 IVF passes + exact baseline over the fixed query slice
     "q213_ivf_nprobe_curve",
+    # group-partitioned cumulative-weight window
+    "q214_weighted_median",
+    # one user aggregate + three exact ntiles + cell rollup
+    "q215_rfm_segments",
+    # day-grouped count + bounded-domain window + TakeOrdered(1)
+    "q216_cusum_changepoint",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -2599,7 +2599,10 @@ def test_exact_ntile_matches_window_ntile(spark):
         global_rank,
     )
 
-    for n_rows, n_buckets in [(10, 3), (11, 3), (5, 3), (97, 4), (8, 8)]:
+    # 150/4 and 14/4 have remainder 2 — the sizes where the
+    # floor((r-1)*n/N)+1 closed form diverges from SQL NTILE
+    for n_rows, n_buckets in [(10, 3), (11, 3), (5, 3), (97, 4),
+                              (8, 8), (150, 4), (14, 4), (23, 5)]:
         rows = [(i, (i * 37) % 13) for i in range(n_rows)]  # heavy ties
         df = spark.createDataFrame(rows, ["id", "score"])
         got = {(r.id, r.bucket) for r in

@@ -344,6 +344,9 @@ PLAN_SHAPE_GOLDENS = {
     # the fixed query slice / centroid count)
     "q213_ivf_nprobe_curve": {"BroadcastNestedLoopJoin": 11,
                               "SortMergeJoin": 6, "WindowGroupLimit": 23},
+    "q214_weighted_median": {},
+    "q215_rfm_segments": {"BroadcastNestedLoopJoin": 1},
+    "q216_cusum_changepoint": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
