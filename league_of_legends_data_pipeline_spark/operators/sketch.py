@@ -405,3 +405,26 @@ def kmv_overlap_matrix(df: DataFrame, group_col: str,
         F.size(union_k).cast("long").alias("union_sketch_size"),
         shared.cast("long").alias("shared_in_sketch"),
         F.round(shared / F.size(union_k), 6).alias("est_jaccard"))
+
+
+def cms_inner_product(table_a: DataFrame, table_b: DataFrame) -> DataFrame:
+    """Inner-product estimate from two Count-Min tables (AMS/CM: for
+    each hash row, sum the bucketwise count products; take the min over
+    rows) — the size-of-a-join estimator: with both tables built over
+    the two sides' join keys, the estimate upper-bounds
+    |A JOIN B| = Σ_k cnt_A(k)·cnt_B(k), never undercounting (same
+    one-sided guarantee as CMS point estimates). With
+    ``table_b = table_a`` this is the second frequency moment F2 — the
+    SELF-join size, the planner statistic that decides whether a key
+    is safe to join on at all.
+
+    Both tables are ≤ depth·width rows by construction, so the whole
+    estimate is a broadcast join over sketch rows: the corpora are
+    long gone.
+    """
+    a = table_a.select("row", "bucket", F.col("cnt").alias("__ca"))
+    b = table_b.select("row", "bucket", F.col("cnt").alias("__cb"))
+    return (a.join(F.broadcast(b), ["row", "bucket"])
+            .groupBy("row")
+            .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__p"))
+            .agg(F.min("__p").cast("long").alias("inner_product_estimate")))

@@ -12093,3 +12093,64 @@ def q216_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs("s"), 6).alias("max_abs_cusum"))
         .orderBy(F.abs(F.col("max_abs_cusum")).desc(), "change_day")
         .limit(1))
+
+
+@_register(
+    "q217_selfjoin_size_estimate",
+    f"""
+    -- self-join size (second frequency moment F2) of the user_id key,
+    -- estimated from the Count-Min inner product vs computed exactly —
+    -- the planner statistic that decides whether a key is joinable
+    WITH toks AS (
+        SELECT CAST(user_id AS VARCHAR) AS token FROM events
+    ), tab AS (
+        SELECT row, bucket, count(*) AS cnt FROM (
+            SELECT i.i AS row,
+                   {{b}} AS bucket
+            FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+        ) GROUP BY row, bucket
+    ), est AS (
+        SELECT CAST(min(p) AS BIGINT) AS cms_estimate FROM (
+            SELECT row, sum(cnt * cnt) AS p FROM tab GROUP BY row
+        )
+    ), ex AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM (
+            SELECT count(*) AS c FROM toks GROUP BY token
+        )
+    )
+    SELECT exact_f2, cms_estimate,
+           cms_estimate >= exact_f2 AS never_undercounts,
+           CAST(round((cms_estimate - exact_f2)
+                      / CAST(exact_f2 AS DOUBLE), 6) AS DOUBLE)
+               AS rel_overestimate
+    FROM ex, est
+    """.format(b=_Q148_BUCKET.format(i='i.i')),
+    doc="Join-size estimation from sketches (operators/sketch.py "
+        "cms_inner_product; AMS/Count-Min inner product): F2 — the "
+        "self-join size of the user_id key — estimated from two "
+        "broadcast-sized CMS tables next to its exact dual, with the "
+        "never-undercounts guarantee asserted in-row. The planner "
+        "statistic for is-this-key-safe-to-join, computed without the "
+        "corpora ever meeting.",
+)
+def q217_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        cms_inner_product, cms_table,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    keys = events.select(F.col("user_id").cast("string").alias("token"))
+    tab = cms_table(keys, "token", depth=4, width=1024, seed=42)
+    est = cms_inner_product(tab, tab)
+    exact = (keys.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c")).cast("long")
+                  .alias("exact_f2")))
+    return (exact.crossJoin(F.broadcast(est))
+            .select("exact_f2",
+                    F.col("inner_product_estimate").alias("cms_estimate"),
+                    (F.col("inner_product_estimate") >= F.col("exact_f2"))
+                    .alias("never_undercounts"),
+                    F.round((F.col("inner_product_estimate")
+                             - F.col("exact_f2"))
+                            / F.col("exact_f2").cast("double"), 6)
+                    .alias("rel_overestimate")))

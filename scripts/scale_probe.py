@@ -258,6 +258,8 @@ PROBE_QUERIES = [
     "q215_rfm_segments",
     # day-grouped count + bounded-domain window + TakeOrdered(1)
     "q216_cusum_changepoint",
+    # CMS build (fixed table) + sketch-row inner product + exact dual
+    "q217_selfjoin_size_estimate",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -3360,3 +3360,18 @@ def test_embedding_health_collapse_vs_orthogonal(spark):
     assert out["c"].anisotropy == 1.0
     assert abs(out["o"].anisotropy) < 1e-6
     assert out["c"].n == 4 and abs(out["c"].mean_norm - 1.0) < 1e-6
+
+
+def test_cms_inner_product_never_undercounts_f2(spark):
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        cms_inner_product, cms_table,
+    )
+
+    rows = [(str(k),) for k in [1] * 10 + [2] * 5 + list(range(3, 40))]
+    df = spark.createDataFrame(rows, ["token"])
+    tab = cms_table(df, "token", depth=4, width=1024)
+    est = cms_inner_product(tab, tab).collect()[0].inner_product_estimate
+    exact = 10 * 10 + 5 * 5 + 37  # sum of squared counts
+    assert est >= exact
+    # 4x1024 buckets over 39 keys: collisions are rare, estimate tight
+    assert est <= exact * 1.5

@@ -347,6 +347,8 @@ PLAN_SHAPE_GOLDENS = {
     "q214_weighted_median": {},
     "q215_rfm_segments": {"BroadcastNestedLoopJoin": 1},
     "q216_cusum_changepoint": {"BroadcastNestedLoopJoin": 1},
+    "q217_selfjoin_size_estimate": {"BroadcastNestedLoopJoin": 1,
+                                    "BroadcastHashJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
