@@ -451,3 +451,39 @@ def test_jpeg_flat_even_exactness_window(w, h, half):
     px = bytes([v]) * (w * h)
     assert decode_jpeg_baseline(encode_jpeg_baseline(px, w, h, "L")) == \
         (w, h, "L", px)
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12)
+        .map(lambda chars: " ".join(chars)),
+        min_size=2, max_size=14),
+    threshold=st.sampled_from([0.25, 0.4, 0.5, 0.7, 1.0]),
+)
+def test_prefix_filter_pairs_lossless_property(spark, docs, threshold):
+    """Prefix filtering must equal brute-force all-pairs Jaccard for ANY
+    corpus and ANY threshold — the losslessness claim is an algebraic
+    guarantee, not a tuning outcome. Single-letter tokens from a tiny
+    alphabet maximize saturation/tie pathologies (shared rare tokens,
+    equal-size sets, thresholds landing exactly on achievable Jaccards,
+    float dust in ceil(t*|T|))."""
+    from itertools import combinations
+
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in prefix_filter_pairs(df, "doc_id", "text",
+                                        threshold=threshold).collect()}
+    sets = {i: set(t.split()) for i, t in rows if t.split()}
+    exp = {}
+    for a, b in combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        j = i / (len(sets[a]) + len(sets[b]) - i)
+        if j >= threshold:
+            exp[(a, b)] = round(j, 6)
+    assert got == exp
