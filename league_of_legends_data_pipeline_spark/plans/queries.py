@@ -12154,3 +12154,100 @@ def q217_selfjoin_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              - F.col("exact_f2"))
                             / F.col("exact_f2").cast("double"), 6)
                     .alias("rel_overestimate")))
+
+
+@_register(
+    "q218_robust_scaling",
+    """
+    -- robust feature scaling: clip at the exact per-language p05/p95,
+    -- then min-max scale the clipped value into [0,1] — the
+    -- outlier-immune normalization features get before model training
+    WITH stats AS (
+        SELECT lang,
+               quantile_cont(n_chars, 0.05) AS p05,
+               quantile_cont(n_chars, 0.95) AS p95
+        FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(round(CASE WHEN s.p95 = s.p05 THEN 0.5
+                ELSE (least(greatest(CAST(d.n_chars AS DOUBLE), s.p05),
+                            s.p95) - s.p05) / (s.p95 - s.p05)
+                END, 6) AS DOUBLE) AS scaled
+    FROM documents d JOIN stats s USING (lang)
+    ORDER BY d.lang, d.doc_id
+    """,
+    doc="Robust per-group feature scaling: EXACT p05/p95 (Spark's "
+        "percentile aggregate — interpolating, matching quantile_cont) "
+        "per language, broadcast back, clip + min-max into [0,1] "
+        "map-side; constant groups pin to 0.5. The outlier-immune "
+        "normalization step (plain min-max lets one outlier crush the "
+        "whole feature range).",
+)
+def q218_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    stats = documents.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"))
+    clipped = F.least(F.greatest(F.col("n_chars").cast("double"),
+                                 F.col("p05")), F.col("p95"))
+    scaled = F.when(F.col("p95") == F.col("p05"), 0.5).otherwise(
+        (clipped - F.col("p05")) / (F.col("p95") - F.col("p05")))
+    return (documents.join(F.broadcast(stats), "lang")
+            .select("doc_id", "lang", "n_chars",
+                    F.round(scaled, 6).alias("scaled"))
+            .orderBy("lang", "doc_id"))
+
+
+@_register(
+    "q219_last_touch_attribution",
+    """
+    -- last-touch revenue attribution: each purchase credits the most
+    -- recent PRIOR click/view by the same user ('direct' if none) —
+    -- the marketing-analytics companion to q75's funnel
+    WITH touched AS (
+        SELECT event_type, value,
+               coalesce(last_value(
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 'direct') AS touch
+        FROM events
+    ),
+    attributed AS (
+        SELECT touch, count(*) AS n_purchases,
+               CAST(round(sum(value), 6) AS DOUBLE) AS total_value
+        FROM touched WHERE event_type = 'purchase'
+        GROUP BY touch
+    )
+    SELECT touch, n_purchases, total_value,
+           CAST(round(total_value / sum(total_value) OVER (), 6) AS DOUBLE)
+               AS value_share
+    FROM attributed
+    ORDER BY touch
+    """,
+    doc="Last-touch attribution: one user-partitioned window carrying "
+        "the latest prior click/view (strictly-preceding frame, IGNORE "
+        "NULLS last_value) onto every event, then a touch-grouped "
+        "rollup of purchase value with shares. Window parallelizes "
+        "across users; no self-joins, no per-purchase probes.",
+)
+def q219_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    touch = F.coalesce(
+        F.last(F.when(F.col("event_type").isin("click", "view"),
+                      F.col("event_type")), ignorenulls=True).over(w),
+        F.lit("direct"))
+    attributed = (events.withColumn("touch", touch)
+                  .filter(F.col("event_type") == "purchase")
+                  .groupBy("touch")
+                  .agg(F.count(F.lit(1)).alias("n_purchases"),
+                       F.round(F.sum("value"), 6).alias("total_value")))
+    tot = attributed.agg(F.sum("total_value").alias("__t"))
+    return (attributed.crossJoin(F.broadcast(tot))
+            .select("touch", "n_purchases", "total_value",
+                    F.round(F.col("total_value") / F.col("__t"), 6)
+                    .alias("value_share"))
+            .orderBy("touch"))

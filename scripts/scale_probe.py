@@ -260,6 +260,10 @@ PROBE_QUERIES = [
     "q216_cusum_changepoint",
     # CMS build (fixed table) + sketch-row inner product + exact dual
     "q217_selfjoin_size_estimate",
+    # exact-percentile group agg + broadcast clip/scale projection
+    "q218_robust_scaling",
+    # one user-partitioned window + touch-grouped rollup
+    "q219_last_touch_attribution",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

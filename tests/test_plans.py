@@ -349,6 +349,8 @@ PLAN_SHAPE_GOLDENS = {
     "q216_cusum_changepoint": {"BroadcastNestedLoopJoin": 1},
     "q217_selfjoin_size_estimate": {"BroadcastNestedLoopJoin": 1,
                                     "BroadcastHashJoin": 1},
+    "q218_robust_scaling": {"BroadcastHashJoin": 1},
+    "q219_last_touch_attribution": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
