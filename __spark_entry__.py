@@ -63,15 +63,17 @@ def _export_order() -> list[str]:
                    key=lambda n: (last_pass[n], names.index(n)))
     fresh = [n for n in names
              if max_rnd and last_pass.get(n) == max_rnd]
-    # VERY stale (newest green row >= 3 rounds / testdata generations
-    # old) outranks even never-verified: a new query carries a fresh
-    # local-parity pass from this session, while a 3-generations-old
-    # row is the suite's most rot-exposed signal (round-7 verdict: the
-    # q96/q97/q100/q101 hole persisted two rounds because never-first
-    # ordering kept crowding them out of the driver's 50-row window).
+    # Round-9 rebalance: never-verified first again. With the r5 band
+    # (49 queries) now 3 rounds stale, very_stale-first would have
+    # crowded the 19 round-7/8 additions (q201-q219) out of the 50-row
+    # window entirely (only q201 made index 49). A query with ZERO hard
+    # driver signal ever beats one with a merely-old green row; the
+    # remaining window slots still drain the stalest band, and the
+    # round-10 window finishes it (19 never + 31 very_stale this round,
+    # 18 very_stale + refreshed next).
     very_stale = [n for n in stale if max_rnd - last_pass[n] >= 3]
     rest_stale = [n for n in stale if max_rnd - last_pass[n] < 3]
-    return very_stale + never + rest_stale + fresh
+    return never + very_stale + rest_stale + fresh
 
 
 def entry(spark: SparkSession) -> DataFrame:

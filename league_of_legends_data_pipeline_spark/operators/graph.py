@@ -432,6 +432,10 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
     carry (node, long) pairs; only one long per half-round reaches the
     driver.
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits_scores requires iterations >= 1, got {iterations}: "
+            "0 rounds would leave authority scores undefined")
     # the edge list and node set are re-read by every round AND by every
     # max-collect: materialize both once (CC precedent), so rounds join
     # against checkpointed (long, long) frames instead of re-running the
@@ -449,6 +453,10 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
                  .groupBy(F.col("d").alias("node"))
                  .agg(F.sum("h").alias("__a")))
         a_max = a_raw.agg(F.max("__a")).first()[0]
+        if not a_max:  # no edges reach any hub-scored source: degenerate
+            return nodes.select(
+                "node", F.lit(0).cast("long").alias("hub_mu"),
+                F.lit(0).cast("long").alias("auth_mu"))
         auth = (nodes.join(a_raw, "node", "left")
                 .select("node",
                         F.round(F.coalesce(F.col("__a"), F.lit(0))
@@ -460,6 +468,12 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
                  .groupBy(F.col("s").alias("node"))
                  .agg(F.sum("a").alias("__h")))
         h_max = h_raw.agg(F.max("__h")).first()[0]
+        if not h_max:  # unreachable when a_max > 0 (the max-auth node is
+            # an edge dst, so its source's hub sum is positive) — kept as
+            # a cheap belt-and-braces guard against a null/0 divisor
+            return (nodes.join(auth, "node")
+                    .select("node", F.lit(0).cast("long").alias("hub_mu"),
+                            F.col("a").alias("auth_mu")))
         hub = (nodes.join(h_raw, "node", "left")
                .select("node",
                        F.round(F.coalesce(F.col("__h"), F.lit(0))

@@ -523,15 +523,30 @@ def _global_rank_with_total(df: DataFrame, order_cols: list[str],
     P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     first = order_cols[0]
     if not isinstance(df.schema[first].dataType, NumericType):
+        # correct but a SCALE CLIFF: every row rides one partition's
+        # sort. Warn loudly so future callers ranking by a string key
+        # notice and rank by a numeric digest (xxhash64) instead.
+        import warnings
+        warnings.warn(
+            f"global_rank: order column {first!r} is non-numeric; "
+            "falling back to a SINGLE-PARTITION window sort (driver-"
+            "sized). Rank by a numeric digest for distributed ranking.",
+            RuntimeWarning, stacklevel=3)
         total = df.count()
         w = Window.orderBy(*order_cols)
         return (df.withColumn(rank_col,
                               F.row_number().over(w).cast("long")),
                 total)
-    qs = [i / P for i in range(1, P)]
-    bounds = df.agg(
-        F.percentile_approx(first, qs, 10_000).alias("__b")).first()["__b"]
-    bounds = sorted(set(bounds or []))
+    if P <= 1:
+        # one bucket: no boundaries to sketch — percentile_approx with
+        # an empty percentage list is an error, and the generic path
+        # below degenerates to this exact plan anyway
+        bounds = []
+    else:
+        qs = [i / P for i in range(1, P)]
+        bounds = df.agg(F.percentile_approx(first, qs, 10_000)
+                        .alias("__b")).first()["__b"]
+        bounds = sorted(set(bounds or []))
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         pid = F.size(F.filter(barr, lambda b: b <= F.col(first)))

@@ -424,7 +424,15 @@ def cms_inner_product(table_a: DataFrame, table_b: DataFrame) -> DataFrame:
     """
     a = table_a.select("row", "bucket", F.col("cnt").alias("__ca"))
     b = table_b.select("row", "bucket", F.col("cnt").alias("__cb"))
-    return (a.join(F.broadcast(b), ["row", "bucket"])
+    # LEFT join from table_a, not inner: a hash row whose non-zero cells
+    # share no bucket with table_b still contributes its (zero) product
+    # sum to the min — an inner join would silently drop it, loosening
+    # the estimate, and would return an EMPTY frame for fully disjoint
+    # key sets. The final coalesce keeps the 1-row contract (estimate 0)
+    # even when table_a itself is empty.
+    return (a.join(F.broadcast(b), ["row", "bucket"], "left")
             .groupBy("row")
-            .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__p"))
-            .agg(F.min("__p").cast("long").alias("inner_product_estimate")))
+            .agg(F.sum(F.col("__ca") * F.coalesce(F.col("__cb"), F.lit(0)))
+                 .alias("__p"))
+            .agg(F.coalesce(F.min("__p"), F.lit(0)).cast("long")
+                 .alias("inner_product_estimate")))

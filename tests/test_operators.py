@@ -3375,3 +3375,66 @@ def test_cms_inner_product_never_undercounts_f2(spark):
     assert est >= exact
     # 4x1024 buckets over 39 keys: collisions are rare, estimate tight
     assert est <= exact * 1.5
+
+
+def test_cms_inner_product_disjoint_corpora_is_zero(spark):
+    """Fully disjoint key sets must yield ONE row with estimate 0 (the
+    round-8 inner-join version returned an empty frame), and partially
+    overlapping rows must not be dropped from the min."""
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        cms_inner_product, cms_table,
+    )
+
+    a = cms_table(spark.createDataFrame(
+        [(f"a{k}",) for k in range(20)], ["token"]), "token",
+        depth=4, width=1 << 20)
+    b = cms_table(spark.createDataFrame(
+        [(f"b{k}",) for k in range(20)], ["token"]), "token",
+        depth=4, width=1 << 20)
+    rows = cms_inner_product(a, b).collect()
+    assert len(rows) == 1
+    # width 2^20 over 40 keys: a cross-collision between the two
+    # disjoint sets in EVERY one of the 4 hash rows is ~impossible,
+    # so the min is an exact 0
+    assert rows[0].inner_product_estimate == 0
+
+
+def test_hits_scores_degenerate_inputs(spark):
+    """Empty edge sets return zero scores instead of crashing on a None
+    divisor, and iterations=0 is rejected up front (ADVICE r8)."""
+    import pytest as _pytest
+
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        hits_scores,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits_scores(empty, iterations=2).collect() == []
+
+    df = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="iterations"):
+        hits_scores(df, iterations=0)
+
+
+def test_global_rank_p1_and_nonnumeric_warns(spark):
+    """P=1 short-circuits the boundary sketch (percentile_approx with an
+    empty list raises); a non-numeric first order column warns about the
+    single-partition fallback but still ranks correctly (ADVICE r8)."""
+    import warnings as _warnings
+
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame([(3,), (1,), (2,)], ["v"])
+    ranked = {r.v: r.rank for r in
+              global_rank(df, ["v"], num_partitions=1).collect()}
+    assert ranked == {1: 1, 2: 2, 3: 3}
+
+    sdf = spark.createDataFrame([("b", 1), ("a", 2)], ["k", "id"])
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        out = {r.k: r.rank for r in
+               global_rank(sdf, ["k"], num_partitions=4).collect()}
+    assert out == {"a": 1, "b": 2}
+    assert any("SINGLE-PARTITION" in str(w.message) for w in caught)
