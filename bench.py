@@ -46,8 +46,19 @@ def main() -> None:
     # Python/Arrow worker pool (one per core — measured ~6s of first-UDF
     # startup otherwise billed to whichever pandas query runs first)
     spark.range(1).collect()
+
+    def _warm(batches):
+        # pay the vendored-codec + numpy import cost in every pooled
+        # worker now (workers are reused, spark.python.worker.reuse):
+        # round-8 bench showed ~12 s of first-use import/JIT billed to
+        # whichever codec query ran first (q181 16.1 s cold vs 3.9 s warm)
+        from league_of_legends_data_pipeline_spark.operators import (  # noqa: F401
+            audio, jpeg, multimodal, video,
+        )
+        return batches
+
     (spark.range(64).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-     .mapInPandas(lambda it: it, "id long")
+     .mapInPandas(_warm, "id long")
      .write.format("noop").mode("overwrite").save())
 
     def run_once(spec) -> float:

@@ -9676,12 +9676,15 @@ _Q175_KINDS = [("l_orderkey", "integral"), ("l_partkey", "integral"),
     + "\nUNION ALL\n".join(
         f"({_q175_col(c, k)})" for c, k in _Q175_KINDS)
     + "\n) ORDER BY \"column\"",
-    doc="One-pass column profiling (operators/profile.py profile_columns "
-        "— the ANALYZE surface): row/null/exact-NDV counts, min/max, and "
-        "means for 7 lineitem columns in ONE aggregate (Spark's expand "
-        "strategy widens the scan by #columns instead of re-scanning per "
-        "column; exact_ndv=False swaps HLL approx_count_distinct in for "
-        "the 100 TB shuffle trade). Floating means accumulate integer "
+    doc="Exact column profiling (operators/profile.py profile_columns — "
+        "the ANALYZE surface): row/null/exact-NDV counts, min/max, and "
+        "means for 7 lineitem columns. Non-NDV stats ride ONE aggregate; "
+        "exact NDVs use the pruned per-column count_distinct union "
+        "(ndv_mode='exact_pruned', the r9 default — 11x faster at sf0.1 "
+        "than the former multi-count_distinct expand plan, whose "
+        "rows x (K+1) map-side replication is the wrong exact shape at "
+        "100 TB). q220 is the approx-NDV scale default with the "
+        "agreement harness. Floating means accumulate integer "
         "micro-units; integral means are exact integer sums; the oracle "
         "is a per-column UNION ALL replaying each field rule.",
 )
@@ -12251,3 +12254,111 @@ def q219_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("total_value") / F.col("__t"), 6)
                     .alias("value_share"))
             .orderBy("touch"))
+
+
+@_register(
+    "q220_column_profile_approx",
+    "SELECT *, CAST(1 AS BIGINT) AS ndv_ok FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"({_q175_col(c, k)})" for c, k in _Q175_KINDS)
+    + "\n) ORDER BY \"column\"",
+    doc="Scale-default column profiling (operators/profile.py, "
+        "ndv_mode='approx'): the q175 surface with HyperLogLog "
+        "approx_count_distinct riding the single non-NDV aggregate — no "
+        "expand, no extra jobs, the 100 TB profile path. Agreement "
+        "harness (q100 pattern): the exact per-column NDV (pruned "
+        "count_distinct union, exact_ndv_by_column) is broadcast-joined "
+        "on and the hash-compared payload carries the EXACT ndv plus "
+        "ndv_ok = |approx - exact| <= 15% of exact (3x the sketch's "
+        "default 5% rsd; Spark's HLL is deterministic, so the flag is "
+        "stable). The oracle replays the exact fields and asserts "
+        "ndv_ok = 1 by construction.",
+)
+def q220_column_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        exact_ndv_by_column,
+        profile_columns,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    cols = [c for c, _ in _Q175_KINDS]
+    approx = (profile_columns(lineitem, cols, ndv_mode="approx")
+              .withColumnRenamed("ndv", "__approx"))
+    exact = exact_ndv_by_column(lineitem, cols)
+    return (approx.join(F.broadcast(exact), "column")
+            .select("column", "kind", "n_rows", "n_nulls", "ndv",
+                    "min_num", "max_num", "mean_num",
+                    "min_str", "max_str", "avg_len",
+                    (F.abs(F.col("__approx") - F.col("ndv"))
+                     <= 0.15 * F.col("ndv")).cast("long").alias("ndv_ok"))
+            .orderBy("column"))
+
+
+@_register(
+    "q221_id_probe",
+    """
+    -- S8 sequential id-space probe: walk candidate ids 1..125% of the
+    -- known high key (the overshoot models probing past the collection
+    -- frontier), classify each probe through the status ladder
+    -- (simulated 429 every 97th probe -> retained client-error row;
+    -- hit -> collected; miss -> 404), and report the per-class rollup
+    -- plus the advanced request counter.
+    WITH bounds AS (
+        SELECT CAST(max(o_orderkey) AS BIGINT) AS hi,
+               CAST(max(o_orderkey) * 5 // 4 AS BIGINT) AS lim
+        FROM orders),
+    probe AS (
+        SELECT CAST(unnest(generate_series(1, lim)) AS BIGINT) AS id
+        FROM bounds
+    ), classified AS (
+        SELECT p.id,
+               CASE WHEN p.id % 97 = 0 THEN 'rate_limited'
+                    WHEN o.o_orderkey IS NOT NULL THEN 'collected'
+                    ELSE 'not_found' END AS status_class,
+               CASE WHEN p.id % 97 = 0 THEN 429
+                    WHEN o.o_orderkey IS NOT NULL THEN 200
+                    ELSE 404 END AS http_status
+        FROM probe p LEFT JOIN orders o ON p.id = o.o_orderkey
+    )
+    SELECT status_class, CAST(http_status AS BIGINT) AS http_status,
+           CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id,
+           (SELECT lim + 1 FROM bounds) AS high_water
+    FROM classified GROUP BY 1, 2 ORDER BY status_class
+    """,
+    doc="S8 sequential id-space probe "
+        "(CollectionTests/collection_test.py:91-133): the reference "
+        "walks game ids from a persisted counter for a fixed budget, "
+        "retains client-error responses as typed rows (status code + "
+        "message, the F3 ladder), appends hits, and persists the "
+        "advanced counter. Spark-first shape: spark.range GENERATES the "
+        "probe space (no scan), one equi-join against the collected key "
+        "set classifies hit/miss (uniform ids -> no skew; at 100 TB the "
+        "match table is bucketed on its key so the probe join "
+        "co-locates), the status ladder is pure Column CASE arithmetic, "
+        "and the counter high-water mark is the probe frontier + 1 "
+        "(state.py running-max semantics). Only one scalar (the max "
+        "key) reaches the driver to bound the range.",
+)
+def q221_id_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    lim = hi * 5 // 4
+    probe = spark.range(1, lim + 1)
+    keys = orders.select(F.col("o_orderkey").alias("id"),
+                         F.lit(1).alias("__hit"))
+    classified = probe.join(keys, "id", "left").select(
+        "id",
+        F.when(F.col("id") % 97 == 0, F.lit("rate_limited"))
+         .when(F.col("__hit").isNotNull(), F.lit("collected"))
+         .otherwise(F.lit("not_found")).alias("status_class"),
+        F.when(F.col("id") % 97 == 0, F.lit(429))
+         .when(F.col("__hit").isNotNull(), F.lit(200))
+         .otherwise(F.lit(404)).cast("long").alias("http_status"))
+    return (classified.groupBy("status_class", "http_status")
+            .agg(F.count(F.lit(1)).alias("n_probes"),
+                 F.min("id").alias("min_id"),
+                 F.max("id").alias("max_id"))
+            .withColumn("high_water", F.lit(lim + 1).cast("long"))
+            .orderBy("status_class"))

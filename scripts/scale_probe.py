@@ -264,6 +264,12 @@ PROBE_QUERIES = [
     "q218_robust_scaling",
     # one user-partitioned window + touch-grouped rollup
     "q219_last_touch_attribution",
+    # round-9 additions:
+    # approx-NDV profile (one HLL aggregate) + pruned exact-NDV union
+    # agreement join — every branch a column-pruned linear scan
+    "q220_column_profile_approx",
+    # generated probe range + one equi-join against the key set
+    "q221_id_probe",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -2672,6 +2672,42 @@ def test_profile_columns_nulls_ndv_and_kinds(spark):
            profile_columns(df, ["k"], exact_ndv=False).collect()}
     assert abs(pa_["k"].ndv - 2) <= 1
 
+    # the three ndv modes agree exactly on values for exact modes, and
+    # the pruned default's rows match the expand plan row-for-row
+    rows_pruned = sorted(profile_columns(df).collect())
+    rows_expand = sorted(
+        profile_columns(df, ndv_mode="exact_expand").collect())
+    assert rows_pruned == rows_expand
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ndv_mode"):
+        profile_columns(df, ndv_mode="bogus")
+
+
+def test_exact_ndv_by_column_prunes_scan(spark):
+    """Each NDV branch must read ONLY its own column (the whole point of
+    the pruned exact mode vs the expand plan)."""
+    import os
+    import tempfile
+
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        exact_ndv_by_column,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.parquet")
+        spark.createDataFrame(
+            [(1, "a", 2.0), (2, "a", 3.0)], ["x", "y", "z"]
+        ).write.parquet(path)
+        df = spark.read.parquet(path)
+        out = exact_ndv_by_column(df, ["x", "y"])
+        assert {r.column: r.ndv for r in out.collect()} == {"x": 2, "y": 1}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # no scan branch reads more than one field; z never appears
+        assert "z" not in plan
+        for line in plan.splitlines():
+            if "ReadSchema" in line:
+                assert ("struct<x:" in line) != ("struct<y:" in line)
+
 
 def test_plan_compaction_first_fit_and_oversize(spark):
     from league_of_legends_data_pipeline_spark.operators.maintenance import (

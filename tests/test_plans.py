@@ -287,7 +287,9 @@ PLAN_SHAPE_GOLDENS = {
     # the query cost)
     "q173_perplexity_buckets": {},
     "q174_code_detection": {},
-    "q175_column_profile": {},
+    # q175's BHJ is the pruned exact-NDV per-column union broadcast onto
+    # the single non-NDV stats aggregate (r9: replaced the expand plan)
+    "q175_column_profile": {"BroadcastHashJoin": 1},
     "q176_compaction_plan": {"BroadcastHashJoin": 1},
     "q177_benford_scan": {"BroadcastNestedLoopJoin": 3,
                           "BroadcastHashJoin": 2},
@@ -351,6 +353,13 @@ PLAN_SHAPE_GOLDENS = {
                                     "BroadcastHashJoin": 1},
     "q218_robust_scaling": {"BroadcastHashJoin": 1},
     "q219_last_touch_attribution": {"BroadcastNestedLoopJoin": 1},
+    # round-9 tier: q220's one BHJ is the 7-row exact-NDV broadcast onto
+    # the approx profile; q221's is the collected-key set broadcast onto
+    # the generated probe range (AQE would flip it to SMJ once the key
+    # table outgrows the broadcast threshold — correct at 100 TB, stable
+    # at both test SFs)
+    "q220_column_profile_approx": {"BroadcastHashJoin": 1},
+    "q221_id_probe": {"BroadcastHashJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
