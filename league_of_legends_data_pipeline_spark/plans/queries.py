@@ -12362,3 +12362,154 @@ def q221_id_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("id").alias("max_id"))
             .withColumn("high_water", F.lit(lim + 1).cast("long"))
             .orderBy("status_class"))
+
+
+@_register(
+    "q222_record_linkage",
+    """
+    -- Fellegi-Sunter record-linkage scoring over sorted-neighborhood
+    -- candidates: global sort key (nation, balance-cents), each record
+    -- compared to its 5 rank-successors within the same nation, per-
+    -- field agreement log-odds in integer milli-units, two-threshold
+    -- link / possible / non-link classification, per-class rollup.
+    WITH c AS (
+        SELECT c_custkey AS k, c_nationkey AS nat,
+               CAST(c_nationkey AS BIGINT) * 2097152
+                 + CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                   AS sortkey,
+               c_acctbal AS bal, c_mktsegment AS seg,
+               substr(c_name, length(c_name), 1) AS name_sfx
+        FROM customer
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY sortkey, k) AS r FROM c
+    ), pairs AS (
+        SELECT (CASE WHEN a.seg = b.seg THEN 1600 ELSE -400 END)
+             + (CASE WHEN abs(a.bal - b.bal) <= 50.0 THEN 2200
+                     ELSE -300 END)
+             + (CASE WHEN a.name_sfx = b.name_sfx THEN 900
+                     ELSE -150 END) AS w
+        FROM ranked a
+        JOIN ranked b ON b.r BETWEEN a.r + 1 AND a.r + 5
+        WHERE a.nat = b.nat
+    )
+    SELECT CASE WHEN w >= 3000 THEN 'link'
+                WHEN w >= 1000 THEN 'possible' ELSE 'non_link' END
+               AS classification,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(w) AS BIGINT) AS min_weight,
+           CAST(max(w) AS BIGINT) AS max_weight,
+           CAST(sum(w) AS BIGINT) AS sum_weight
+    FROM pairs GROUP BY 1 ORDER BY classification
+    """,
+    doc="Fellegi-Sunter record linkage (the probabilistic entity-"
+        "resolution decision model, Fellegi & Sunter 1969) on sorted-"
+        "neighborhood candidates (q194's family): the sort key packs "
+        "(nation, balance-cents) into one BIGINT so the exact global "
+        "ranker (operators/sampling.py::global_rank — deterministic "
+        "percentile-boundary buckets, never a single-partition window) "
+        "stays shuffle-parallel; candidates are the 5 rank-successors "
+        "via a rank-offset EXPLODE equi-join — pair volume is exactly "
+        "N x 5 at any scale, unlike fixed-key blocking whose "
+        "within-block pair count grows quadratically as blocks fill. "
+        "Per-field agreement weights are integer milli-log-odds "
+        "literals (engine-exact; in production the m/u probabilities "
+        "come from an EM fit on a labeled sample) and the two-threshold "
+        "rule classifies each pair. Nation-boundary pairs are dropped "
+        "post-join (a <=25-row leak per boundary, not a correctness "
+        "risk: the filter is in both engines).",
+)
+def q222_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        global_rank,
+    )
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    c = customer.select(
+        F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nat"),
+        (F.col("c_nationkey").cast("long") * 2097152
+         + F.round(F.col("c_acctbal") * 100).cast("long") + 100000)
+        .alias("sortkey"),
+        F.col("c_acctbal").alias("bal"), F.col("c_mktsegment").alias("seg"),
+        F.substring(F.col("c_name"), -1, 1).alias("name_sfx"))
+    ranked = global_rank(c, ["sortkey", "k"], rank_col="r")
+    probe = ranked.withColumn(
+        "d", F.explode(F.array(*[F.lit(i) for i in range(1, 6)])))
+    b = ranked.select(*[F.col(x).alias(f"b_{x}") for x in ranked.columns])
+    w = (F.when(F.col("seg") == F.col("b_seg"), 1600).otherwise(-400)
+         + F.when(F.abs(F.col("bal") - F.col("b_bal")) <= 50.0, 2200)
+            .otherwise(-300)
+         + F.when(F.col("name_sfx") == F.col("b_name_sfx"), 900)
+            .otherwise(-150))
+    pairs = (probe.join(b, (F.col("r") + F.col("d")) == F.col("b_r"))
+             .filter(F.col("nat") == F.col("b_nat"))
+             .select(w.alias("w")))
+    cls = (F.when(F.col("w") >= 3000, "link")
+           .when(F.col("w") >= 1000, "possible")
+           .otherwise("non_link"))
+    return (pairs.groupBy(cls.alias("classification"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min("w").cast("long").alias("min_weight"),
+                 F.max("w").cast("long").alias("max_weight"),
+                 F.sum("w").cast("long").alias("sum_weight"))
+            .orderBy("classification"))
+
+
+@_register(
+    "q223_seasonal_anomaly",
+    """
+    -- weekday-seasonal decomposition of the ingest series: per
+    -- event type, the ISO-weekday seasonal index (weekday mean over
+    -- overall mean) and each day's ratio to its weekday baseline;
+    -- days off by more than 2x either way are anomalies. Complements
+    -- q144 (trailing-window sigma) and q216 (CUSUM sustained shift)
+    -- with the seasonality-aware view.
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), seasoned AS (
+        SELECT event_type, day, n,
+               CAST(isodow(day) AS BIGINT) AS dow,
+               avg(n) OVER (PARTITION BY event_type) AS all_mean,
+               avg(n) OVER (PARTITION BY event_type, isodow(day))
+                   AS dow_mean
+        FROM daily
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, dow, n,
+           CAST(round(dow_mean / all_mean, 6) AS DOUBLE) AS seasonal_idx,
+           CAST(round(n / dow_mean, 6) AS DOUBLE) AS ratio,
+           CAST(n > 2.0 * dow_mean OR n < 0.5 * dow_mean AS BOOLEAN)
+               AS is_anomaly
+    FROM seasoned
+    ORDER BY event_type, day
+    """,
+    doc="Weekday-seasonal anomaly decomposition: ONE day-keyed corpus "
+        "aggregate (the only full-data pass), then whole-partition "
+        "window means over the tiny (type, day) table for the seasonal "
+        "index — classic multiplicative decomposition without a "
+        "time-series library. Means divide exact integer counts, so "
+        "both engines agree to the 6 dp rounding. At 100 TB the daily "
+        "rollup is the same single shuffle as q144; the window side is "
+        "days x types regardless of corpus size.",
+)
+def q223_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy("event_type",
+                            F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    dow = (F.weekday("day") + 1).cast("long")
+    all_mean = F.avg("n").over(W.partitionBy("event_type"))
+    dow_mean = F.avg("n").over(W.partitionBy("event_type", "dow"))
+    return (daily.withColumn("dow", dow)
+            .withColumn("all_mean", all_mean)
+            .withColumn("dow_mean", dow_mean)
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "dow", "n",
+                    F.round(F.col("dow_mean") / F.col("all_mean"), 6)
+                    .alias("seasonal_idx"),
+                    F.round(F.col("n") / F.col("dow_mean"), 6)
+                    .alias("ratio"),
+                    ((F.col("n") > 2.0 * F.col("dow_mean"))
+                     | (F.col("n") < 0.5 * F.col("dow_mean")))
+                    .alias("is_anomaly"))
+            .orderBy("event_type", "day"))

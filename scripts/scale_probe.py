@@ -270,6 +270,11 @@ PROBE_QUERIES = [
     "q220_column_profile_approx",
     # generated probe range + one equi-join against the key set
     "q221_id_probe",
+    # FS scoring on sorted-neighborhood candidates: global rank + N x 5
+    # rank-offset equi-join — pair volume linear by construction
+    "q222_record_linkage",
+    # one day-keyed corpus aggregate + windows over the days table
+    "q223_seasonal_anomaly",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -360,6 +360,10 @@ PLAN_SHAPE_GOLDENS = {
     # at both test SFs)
     "q220_column_profile_approx": {"BroadcastHashJoin": 1},
     "q221_id_probe": {"BroadcastHashJoin": 1},
+    # q222's one BHJ is the rank-offset neighborhood probe (pair volume
+    # fixed at N x 5 by construction); q223 is scan + tiny windows
+    "q222_record_linkage": {"BroadcastHashJoin": 1},
+    "q223_seasonal_anomaly": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"

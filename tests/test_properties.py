@@ -487,3 +487,27 @@ def test_prefix_filter_pairs_lossless_property(spark, docs, threshold):
         if j >= threshold:
             exp[(a, b)] = round(j, 6)
     assert got == exp
+
+
+@given(rows=st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(-1000, 1000)),
+              st.one_of(st.none(),
+                        st.floats(-100, 100, allow_nan=False).map(
+                            lambda x: round(x, 3))),
+              st.one_of(st.none(), st.text(alphabet="abc", max_size=4))),
+    min_size=1, max_size=25))
+@SLOW
+def test_profile_ndv_modes_agree(spark, rows):
+    """The pruned and expand exact-NDV plans are different physical
+    strategies for the SAME function — every profiled field must match
+    row-for-row, on any mix of nulls/dups/kinds."""
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(rows, "k int, v double, s string")
+    pruned = sorted(map(tuple, profile_columns(df).collect()))
+    expand = sorted(map(tuple,
+                        profile_columns(df, ndv_mode="exact_expand")
+                        .collect()))
+    assert pruned == expand
