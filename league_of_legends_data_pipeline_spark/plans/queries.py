@@ -12513,3 +12513,182 @@ def q223_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                      | (F.col("n") < 0.5 * F.col("dow_mean")))
                     .alias("is_anomaly"))
             .orderBy("event_type", "day"))
+
+
+@_register(
+    "q224_rolling_active_users",
+    f"""
+    -- rolling 7-day active users per day, BOTH ways: the exact dual
+    -- (distinct (day, user) pairs replicated to the <=7 windows they
+    -- serve) and the mergeable-sketch path (daily HLL register tables
+    -- max-merged across the window — the incremental pattern where
+    -- yesterday's registers are reused, not recomputed). The q147
+    -- md5 sketch is bit-identical across engines, so the oracle
+    -- replays BOTH columns.
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, user_id
+        FROM events WHERE user_id IS NOT NULL
+    ), spine AS (SELECT DISTINCT day FROM ev),
+    regs AS (
+        SELECT day, hv % 64 AS j,
+               max(CASE WHEN hv // 64 = 0 THEN 55
+                   ELSE 55 - length(bin(hv // 64)) END) AS mj
+        FROM (
+            SELECT day,
+                   CAST(('0x' || substr(md5('hll42:'
+                        || CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS hv
+            FROM ev
+        ) GROUP BY day, hv % 64
+    ), rolled AS (
+        SELECT s.day, r.j, max(r.mj) AS mj
+        FROM spine s JOIN regs r ON r.day BETWEEN s.day - 6 AND s.day
+        GROUP BY s.day, r.j
+    ), est AS (
+        SELECT day,
+               CASE WHEN raw <= 160.0 AND n_empty > 0
+                    THEN round(64.0 * ln(64.0 / n_empty), 4)
+                    ELSE round(raw, 4) END AS estimate,
+               n_empty
+        FROM (
+            SELECT day, CAST({_Q147_NUM} AS DOUBLE) / sint AS raw,
+                   n_empty
+            FROM (
+                SELECT day,
+                       sum(CAST(1 AS BIGINT) << (55 - mj))
+                         + (64 - count(*))
+                           * (CAST(1 AS BIGINT) << 55) AS sint,
+                       64 - count(*) AS n_empty
+                FROM rolled GROUP BY day
+            )
+        )
+    ), exact AS (
+        SELECT s.day, count(DISTINCT e.user_id) AS exact_users
+        FROM spine s JOIN ev e ON e.day BETWEEN s.day - 6 AND s.day
+        GROUP BY s.day
+    )
+    SELECT strftime(e.day, '%Y-%m-%d') AS day,
+           CAST(x.exact_users AS BIGINT) AS exact_users,
+           CAST(e.estimate AS DOUBLE) AS estimate,
+           CAST(e.n_empty AS BIGINT) AS n_empty,
+           CAST(round(abs(e.estimate - x.exact_users) / x.exact_users, 6)
+                AS DOUBLE) AS rel_error
+    FROM est e JOIN exact x USING (day) ORDER BY day
+    """,
+    doc="Rolling 7-day active users (the engagement/dedup-rate series "
+        "every corpus dashboard needs) computed twice in one plan: "
+        "exact — distinct (day, user) pairs exploded to the <=7 target "
+        "windows each serves, then count_distinct per day (shuffle "
+        "volume 7x the DEDUPED pairs, never 7x the events); sketch — "
+        "daily 64-register HLL tables (operators/sketch.py::"
+        "hll_registers) max-merged per window, the mergeable partial "
+        "state that makes the rolling series INCREMENTAL at 100 TB "
+        "(each new day contributes one fixed-size register table; "
+        "history is never re-scanned, the exact path's day-spans are). "
+        "Register arithmetic is integer md5 units (q147), so the "
+        "estimate column is engine-exact and the oracle replays both "
+        "paths.",
+)
+def q224_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sketch import (
+        hll_estimate, hll_registers,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    ev = (events.filter(F.col("user_id").isNotNull())
+          .select(F.col("ts").cast("date").alias("day"), "user_id"))
+    spine = ev.select("day").distinct()
+    offsets = F.explode(F.array(*[F.lit(i) for i in range(7)])).alias("d")
+
+    regs = hll_registers(ev, ["day"], "user_id")
+    rolled = (regs.select("*", offsets)
+              .select(F.date_add("day", F.col("d")).alias("day"), "j", "mj")
+              .join(spine, "day", "left_semi")
+              .groupBy("day", "j").agg(F.max("mj").alias("mj")))
+    est = hll_estimate(rolled, ["day"])
+
+    exact = (ev.distinct()
+             .select("*", offsets)
+             .select(F.date_add("day", F.col("d")).alias("day"), "user_id")
+             .join(spine, "day", "left_semi")
+             .groupBy("day")
+             .agg(F.count_distinct("user_id").alias("exact_users")))
+
+    return (est.join(exact, "day")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    "exact_users", "estimate", "n_empty",
+                    F.round(F.abs(F.col("estimate") - F.col("exact_users"))
+                            / F.col("exact_users"), 6).alias("rel_error"))
+            .orderBy("day"))
+
+
+_Q225_EDGES = [
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+]
+
+
+def _q225_edge_sql(fk: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+      SELECT '{fk}' AS fk,
+             CAST(count(*) AS BIGINT) AS n_child,
+             CAST(count(*) FILTER (WHERE {ck} IS NULL) AS BIGINT)
+                 AS n_null_keys,
+             CAST(count(*) FILTER (WHERE {ck} IS NOT NULL AND p.{pk} IS NULL)
+                 AS BIGINT) AS n_orphan_rows,
+             CAST(count(DISTINCT CASE WHEN {ck} IS NOT NULL
+                                       AND p.{pk} IS NULL
+                                      THEN {ck} END) AS BIGINT)
+                 AS n_orphan_keys
+      FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+        ON c.{ck} = p.{pk}
+    """
+
+
+@_register(
+    "q225_fk_integrity_audit",
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"({_q225_edge_sql(*e)})" for e in _Q225_EDGES)
+    + "\n) ORDER BY fk",
+    doc="Referential-integrity audit across the star schema's five FK "
+        "edges (the cross-table data-quality gate a pipeline runs "
+        "before trusting a refresh — null keys, orphan rows, distinct "
+        "orphan keys per edge). Scale shape: each edge is a key-only "
+        "LEFT join — both sides are single-column pruned scans, the "
+        "parent side pre-distincted (dimension-sized parents broadcast; "
+        "fact-fact edges shuffle 8-byte keys only), and the per-edge "
+        "rollup is one aggregate. Nothing but keys ever moves.",
+)
+def q225_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = {n: t for n, t in zip(
+        ["orders", "lineitem", "customer", "part", "supplier", "nation"],
+        _t(spark, sf_dir, "orders", "lineitem", "customer", "part",
+           "supplier", "nation"))}
+
+    def edge(fk: str, child: str, ck: str, parent: str, pk: str) -> DataFrame:
+        p = tables[parent].select(pk).distinct()
+        joined = tables[child].select(ck).join(
+            p, F.col(ck) == F.col(pk), "left")
+        orphan = F.col(ck).isNotNull() & F.col(pk).isNull()
+        return joined.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.col(ck).isNull().cast("long")).alias("n_null_keys"),
+            F.sum(orphan.cast("long")).alias("n_orphan_rows"),
+            F.count_distinct(F.when(orphan, F.col(ck))).alias(
+                "n_orphan_keys"),
+        ).select(F.lit(fk).alias("fk"), "n_child", "n_null_keys",
+                 "n_orphan_rows", "n_orphan_keys")
+
+    out = edge(*_Q225_EDGES[0])
+    for e in _Q225_EDGES[1:]:
+        out = out.unionByName(edge(*e))
+    return out.orderBy("fk")

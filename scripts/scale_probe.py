@@ -275,6 +275,11 @@ PROBE_QUERIES = [
     "q222_record_linkage",
     # one day-keyed corpus aggregate + windows over the days table
     "q223_seasonal_anomaly",
+    # deduped (day, user) pair explode + daily HLL register merge —
+    # shuffle volume 7x the deduped pairs, registers fixed-size
+    "q224_rolling_active_users",
+    # five key-only FK joins, parent sides distinct-then-broadcast
+    "q225_fk_integrity_audit",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

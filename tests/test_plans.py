@@ -364,6 +364,10 @@ PLAN_SHAPE_GOLDENS = {
     # fixed at N x 5 by construction); q223 is scan + tiny windows
     "q222_record_linkage": {"BroadcastHashJoin": 1},
     "q223_seasonal_anomaly": {},
+    # q224: 2 spine semi-joins + the est/exact day join (all day-sized);
+    # q225: one key-only join per FK edge, parents broadcast at test SF
+    "q224_rolling_active_users": {"BroadcastHashJoin": 3},
+    "q225_fk_integrity_audit": {"BroadcastHashJoin": 5},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
