@@ -12692,3 +12692,141 @@ def q225_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in _Q225_EDGES[1:]:
         out = out.unionByName(edge(*e))
     return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: recursive-CTE graph traversal, rank-based model evaluation,
+# time-bucket bars, association rules, bounded k-core, consistent sharding,
+# hashing-trick feature audit
+# ---------------------------------------------------------------------------
+
+_Q226_GRAPH_SQL = """
+    half AS (
+        -- same-nation adjacent-custkey chain graph (the q185/q44 family):
+        -- built by equi-join on custkey+delta, NOT a range self-join
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND b.c_custkey - a.c_custkey IN (1, 2)
+    ),
+    edges AS (
+        SELECT src, dst FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM half
+    ),
+    seeds AS (
+        SELECT c_custkey AS node FROM customer WHERE c_custkey % 100 = 0
+    )"""
+
+_Q226_BFS_SQL = """
+    bfs(node, lvl) AS (
+        SELECT node, 0 AS lvl FROM seeds
+        UNION ALL
+        SELECT e.dst AS node, b.lvl + 1 AS lvl
+        FROM bfs b JOIN edges e ON b.node = e.src
+        WHERE b.lvl < 4
+    )
+    SELECT node, CAST(min(lvl) AS INT) AS hop,
+           count(*) AS n_walks
+    FROM bfs
+    GROUP BY node
+    ORDER BY node"""
+
+
+@_register(
+    "q226_bfs_reachability",
+    "WITH RECURSIVE" + _Q226_GRAPH_SQL + ",\n" + _Q226_BFS_SQL,
+    doc="Multi-source BFS over the same-nation customer-chain graph via "
+        "Spark 4's RECURSIVE CTE (SPARK-24497) — the declarative form of "
+        "the iterative frontier expansion operators/graph.py implements by "
+        "hand for connected components. Depth-capped (4 hops) UNION ALL "
+        "walk enumeration, then min(level) per node = hop distance and "
+        "walk count as a recursion-semantics check. Scale shape: each "
+        "recursion step is one equi-join of the frontier against the edge "
+        "list (keys-only shuffle) and the cap bounds total work; walk "
+        "multiplicity on a degree-<=4 graph is <= 4^depth per seed. An "
+        "unbounded-diameter 100 TB BFS should use the frontier-DEDUPED "
+        "pointer-jumping loop (operators/graph.py:80 connected_components) "
+        "instead — UNION ALL recursion re-expands revisited nodes by "
+        "design, which is exactly what n_walks makes observable.",
+)
+def q226_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    c = customer.select("c_custkey", "c_nationkey")
+    halves = []
+    for delta in (1, 2):
+        b = c.select((F.col("c_custkey") - delta).alias("__k"),
+                     F.col("c_custkey").alias("dst"),
+                     F.col("c_nationkey").alias("__n2"))
+        halves.append(
+            c.join(b, (F.col("c_custkey") == F.col("__k"))
+                   & (F.col("c_nationkey") == F.col("__n2")))
+            .select(F.col("c_custkey").alias("src"), "dst"))
+    e0 = halves[0].unionByName(halves[1])
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    seeds = c.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("node"))
+    edges.createOrReplaceTempView("q226_edges")
+    seeds.createOrReplaceTempView("q226_seeds")
+    return spark.sql(
+        "WITH RECURSIVE edges AS (SELECT * FROM q226_edges),\n"
+        "seeds AS (SELECT * FROM q226_seeds),\n" + _Q226_BFS_SQL)
+
+
+@_register(
+    "q227_classifier_auc",
+    """
+    -- Mann-Whitney rank-sum AUC without a global sort: group by score
+    -- first (bounded 2-dp domain), then one cumulative window over the
+    -- per-score (pos, neg) table. U is kept in integer half-units
+    -- (2*neg_below + neg) so the only float op is the final division.
+    WITH by_score AS (
+        SELECT value AS s,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos,
+               sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END) AS neg
+        FROM events
+        GROUP BY value
+    ), cum AS (
+        SELECT s, pos, neg,
+               sum(neg) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - neg
+                   AS neg_below
+        FROM by_score
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           CAST(round(sum(pos * (2 * neg_below + neg))
+                      / (2.0 * sum(pos) * sum(neg)), 6) AS DOUBLE) AS auc
+    FROM cum
+    """,
+    doc="Distributed binary-classifier AUC (does event value predict "
+        "'purchase'?) via the Mann-Whitney U rank-sum identity with "
+        "midrank tie handling — the evaluation gate for q128-style "
+        "quality classifiers. Scale shape: NO global sort of raw rows — "
+        "a partial-aggregated groupBy collapses the corpus to one row "
+        "per distinct score (bounded 2-dp domain here; unbounded scores "
+        "pre-bin to fixed precision first), and the cumulative window "
+        "runs over that dimension-sized table. U accumulates in integer "
+        "half-units so the result is order-independent; the single float "
+        "division happens once at the end.",
+)
+def q227_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    by_score = (
+        events.groupBy(F.col("value").alias("s"))
+        .agg(F.sum((F.col("event_type") == "purchase").cast("long"))
+             .alias("pos"),
+             F.sum((F.col("event_type") != "purchase").cast("long"))
+             .alias("neg")))
+    w = (W.orderBy("s")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = by_score.withColumn(
+        "neg_below", F.sum("neg").over(w) - F.col("neg"))
+    return cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.round(F.sum(F.col("pos") * (2 * F.col("neg_below")
+                                      + F.col("neg")))
+                / (2.0 * F.sum("pos") * F.sum("neg")), 6)
+        .cast("double").alias("auc"))

@@ -368,6 +368,13 @@ PLAN_SHAPE_GOLDENS = {
     # q225: one key-only join per FK edge, parents broadcast at test SF
     "q224_rolling_active_users": {"BroadcastHashJoin": 3},
     "q225_fk_integrity_audit": {"BroadcastHashJoin": 5},
+    # q226: the recursive-CTE walk executes inside Spark's UnionLoop
+    # operator, whose per-step frontier joins don't surface in the outer
+    # plan's join census — the pin asserts exactly that (no unexpected
+    # top-level join materializes around the recursion); q227 is two
+    # aggregates and one dimension-sized window, joinless by design
+    "q226_bfs_reachability": {},
+    "q227_classifier_auc": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
