@@ -12830,3 +12830,106 @@ def q227_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       + F.col("neg")))
                 / (2.0 * F.sum("pos") * F.sum("neg")), 6)
         .cast("double").alias("auc"))
+
+
+@_register(
+    "q228_ohlc_bars",
+    """
+    -- open/close chosen by lexicographic (ts, event_id, value) struct
+    -- min/max — (ts, event_id) is a unique prefix, so the pick is total
+    -- without a per-group sort
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_ts,
+           (min(struct_pack(t := ts, e := event_id, v := value))).v
+               AS open,
+           CAST(round(max(value), 2) AS DOUBLE) AS high,
+           CAST(round(min(value), 2) AS DOUBLE) AS low,
+           (max(struct_pack(t := ts, e := event_id, v := value))).v
+               AS close,
+           CAST(round(sum(value), 2) AS DOUBLE) AS volume,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    ORDER BY event_type, bar_ts
+    """,
+    doc="Hourly OHLC downsampling bars per event type — the canonical "
+        "time-series compaction (open/high/low/close/volume). Scale "
+        "shape: ONE partial-aggregated groupBy; open/close come from "
+        "lexicographic struct min/max over (ts, event_id, value) — a "
+        "mergeable aggregate, so first/last-in-bucket costs the same as "
+        "min/max and needs NO per-group window sort (the naive "
+        "row_number formulation sorts every group; this one doesn't). "
+        "(ts, event_id) is a unique prefix, making the pick total.",
+)
+def q228_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    pick = F.struct("ts", "event_id", "value")
+    return (
+        events.groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("bar_ts"))
+        .agg(F.min(pick)["value"].alias("open"),
+             F.round(F.max("value"), 2).cast("double").alias("high"),
+             F.round(F.min("value"), 2).cast("double").alias("low"),
+             F.max(pick)["value"].alias("close"),
+             F.round(F.sum("value"), 2).cast("double").alias("volume"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "bar_ts"))
+
+
+@_register(
+    "q229_association_rules",
+    """
+    -- A-priori downward-closure prune (frequent items first), THEN the
+    -- per-basket pair expansion — mirrors operators/mining.py exactly
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), item_cnt AS (
+        SELECT it, count(*) AS cnt FROM b GROUP BY it
+    ), frequent AS (
+        SELECT it, cnt FROM item_cnt WHERE cnt >= 5
+    ), fb AS (
+        SELECT b.bk, b.it FROM b JOIN frequent USING (it)
+    ), n AS (
+        SELECT count(DISTINCT bk) AS n_baskets FROM b
+    ), pairs AS (
+        SELECT a.it AS p1, c.it AS p2, count(*) AS pair_cnt
+        FROM fb a JOIN fb c ON a.bk = c.bk AND a.it < c.it
+        GROUP BY a.it, c.it
+        HAVING count(*) >= 2
+    )
+    SELECT p1, p2, pair_cnt, f1.cnt AS cnt1, f2.cnt AS cnt2,
+           CAST(round(pair_cnt / (1.0 * n_baskets), 6) AS DOUBLE)
+               AS support,
+           CAST(round(pair_cnt / (1.0 * f1.cnt), 6) AS DOUBLE)
+               AS conf_1_2,
+           CAST(round(pair_cnt / (1.0 * f2.cnt), 6) AS DOUBLE)
+               AS conf_2_1,
+           CAST(round(pair_cnt * n_baskets / (1.0 * f1.cnt * f2.cnt), 6)
+               AS DOUBLE) AS lift
+    FROM pairs
+    JOIN frequent f1 ON f1.it = p1
+    JOIN frequent f2 ON f2.it = p2
+    CROSS JOIN n
+    ORDER BY p1, p2
+    """,
+    doc="Market-basket association rules over parts-per-order baskets "
+        "(operators/mining.py association_rules): canonical p1<p2 pairs "
+        "meeting item- and pair-support floors, with exact support / "
+        "confidence / lift. Scale shape: the only quadratic step (the "
+        "per-basket pair self-join) runs AFTER the A-priori "
+        "downward-closure item prune (broadcast semi-join) and an "
+        "optional max_basket_size cap — a single 100k-item basket would "
+        "otherwise emit 5e9 pairs; pair counting shuffles (item, item) "
+        "keys only, and the basket-universe size is a 1-row broadcast, "
+        "never a driver constant.",
+)
+def q229_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.mining import (
+        association_rules,
+    )
+
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    rules = association_rules(
+        lineitem, "l_orderkey", "l_partkey",
+        min_item_support=5, min_pair_support=2)
+    return rules.orderBy("p1", "p2")

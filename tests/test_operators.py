@@ -3477,3 +3477,45 @@ def test_global_rank_p1_and_nonnumeric_warns(spark):
                global_rank(sdf, ["k"], num_partitions=4).collect()}
     assert out == {"a": 1, "b": 2}
     assert any("SINGLE-PARTITION" in str(w.message) for w in caught)
+
+
+# ---------------------------------------------------------------------------
+# mining.association_rules (q229)
+# ---------------------------------------------------------------------------
+
+def test_association_rules_counts_and_metrics(spark):
+    from league_of_legends_data_pipeline_spark.operators.mining import (
+        association_rules,
+    )
+    # baskets: {a,b,c}, {a,b}, {a,b}, {c}, plus a duplicate (1,a) row that
+    # presence semantics must collapse
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"), (3, "a"), (3, "b"), (4, "c")]
+    b = spark.createDataFrame(rows, ["bk", "it"])
+    out = {(r.p1, r.p2): r for r in association_rules(
+        b, "bk", "it", min_item_support=2, min_pair_support=2).collect()}
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert (r.pair_cnt, r.cnt1, r.cnt2) == (3, 3, 3)
+    assert r.support == 0.75            # 3 of 4 baskets
+    assert r.conf_1_2 == 1.0 and r.conf_2_1 == 1.0
+    assert r.lift == round(3 * 4 / 9, 6)
+
+
+def test_association_rules_basket_cap_drops_mega_baskets(spark):
+    from league_of_legends_data_pipeline_spark.operators.mining import (
+        association_rules,
+    )
+    small = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    mega = [(9, f"t{i}") for i in range(10)] + [(9, "a"), (9, "b")]
+    b = spark.createDataFrame(small + mega, ["bk", "it"])
+    capped = association_rules(b, "bk", "it", min_item_support=2,
+                               min_pair_support=2, max_basket_size=5)
+    rows = {(r.p1, r.p2): r.pair_cnt for r in capped.collect()}
+    # the 12-item basket is excluded everywhere: pair count AND item
+    # supports come from the surviving baskets only
+    assert rows == {("a", "b"): 2}
+    uncapped = association_rules(b, "bk", "it", min_item_support=2,
+                                 min_pair_support=2)
+    assert {(r.p1, r.p2): r.pair_cnt for r in uncapped.collect()}[
+        ("a", "b")] == 3

@@ -375,6 +375,14 @@ PLAN_SHAPE_GOLDENS = {
     # aggregates and one dimension-sized window, joinless by design
     "q226_bfs_reachability": {},
     "q227_classifier_auc": {},
+    # q228 is one partial-aggregated groupBy (struct min/max replaces the
+    # per-group window sort — no join, no WindowGroupLimit); q229's BNLJ
+    # is the 1-row basket-universe broadcast, the five BHJs are the
+    # frequent-item semi-join prune + pair/count attach joins (AQE would
+    # shift them to SMJ when the frequent-item table outgrows broadcast)
+    "q228_ohlc_bars": {},
+    "q229_association_rules": {"BroadcastNestedLoopJoin": 1,
+                               "BroadcastHashJoin": 5},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
