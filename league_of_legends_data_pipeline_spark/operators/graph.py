@@ -483,3 +483,43 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
     return (hub.join(auth, "node")
             .select("node", F.col("h").alias("hub_mu"),
                     F.col("a").alias("auth_mu")))
+
+
+def k_core(edges: DataFrame, k: int, rounds: int,
+           src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Bounded-round k-core peel: repeatedly drop nodes with degree < k
+    and the edges touching them (Matula-Beck peeling, the degeneracy
+    decomposition's inner loop) — the standard spam/noise filter before
+    community detection or graph-based dedup clustering.
+
+    Input is a DIRECTED adjacency; symmetrize first for undirected
+    semantics (the label_propagation convention). Duplicate edges are
+    collapsed so degree counts neighbors, not multi-edges. Returns the
+    (node, degree) table of the residual graph after exactly ``rounds``
+    peels — a fixed-round prefix of the true k-core, which a production
+    run extends to the fixpoint by looping until the surviving-node
+    count stops changing (one extra count() action per round; the count
+    is already materialized by the checkpoint below). Fixed rounds keep
+    the result replayable and oracle-checkable.
+
+    Scale shape: per round one (node) count aggregate over the edge
+    list + two key-only semi-joins filtering edges to surviving
+    endpoints — shuffles carry 8-byte keys, nothing collects.
+    ``localCheckpoint`` truncates lineage each round (the CC/HITS
+    convention) so the executed plan cannot grow with ``rounds``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(F.col(src_col).alias("__src"),
+                     F.col(dst_col).alias("__dst")).distinct()
+    for _ in range(rounds):
+        deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+        keep = deg.where(F.col("__deg") >= k).select("__src")
+        e = (e.join(keep, "__src", "semi")
+             .join(keep.withColumnRenamed("__src", "__dst"),
+                   "__dst", "semi")
+             .localCheckpoint(eager=False))
+    return (e.groupBy(F.col("__src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree")))

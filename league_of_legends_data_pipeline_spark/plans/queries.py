@@ -12933,3 +12933,67 @@ def q229_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem, "l_orderkey", "l_partkey",
         min_item_support=5, min_pair_support=2)
     return rules.orderBy("p1", "p2")
+
+
+def _q230_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peel oracle: per round a degree CTE, a keep set,
+    and an edge filter to surviving endpoints — the q185 unrolling
+    convention (graph.py k_core runs the same fixed rounds)."""
+    sql = ["""WITH h AS (
+    SELECT a.c_custkey AS src, b.c_custkey AS dst
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND b.c_custkey - a.c_custkey IN (1, 2)
+), e0 AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM h UNION ALL SELECT dst, src FROM h)
+)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        sql.append(f""", d{r} AS (
+    SELECT src AS node, count(*) AS deg FROM e{p} GROUP BY src
+), keep{r} AS (
+    SELECT node FROM d{r} WHERE deg >= {k}
+), e{r} AS (
+    SELECT e.src, e.dst FROM e{p} e
+    JOIN keep{r} k1 ON e.src = k1.node
+    JOIN keep{r} k2 ON e.dst = k2.node
+)""")
+    sql.append(f"""
+SELECT src AS node, count(*) AS degree
+FROM e{rounds} GROUP BY src ORDER BY node""")
+    return "".join(sql)
+
+
+@_register(
+    "q230_kcore_peel",
+    _q230_oracle(2, 3),
+    doc="Bounded-round 2-core peel (operators/graph.py k_core) over the "
+        "symmetrized same-nation customer-chain graph: 3 Matula-Beck "
+        "peel rounds dropping degree<2 nodes and their edges, returning "
+        "the residual (node, degree) table — the spam/leaf-trimming "
+        "filter run before community detection or graph-based dedup. "
+        "Scale shape: per round one keys-only degree aggregate + two "
+        "semi-joins; localCheckpoint truncates lineage so the plan is "
+        "round-count-invariant; production extends the same loop to the "
+        "fixpoint via a surviving-count convergence check. The oracle "
+        "unrolls the identical rounds as chained CTEs.",
+)
+def q230_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import k_core
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    c = customer.select("c_custkey", "c_nationkey")
+    halves = []
+    for delta in (1, 2):
+        b = c.select((F.col("c_custkey") - delta).alias("__k"),
+                     F.col("c_custkey").alias("dst"),
+                     F.col("c_nationkey").alias("__n2"))
+        halves.append(
+            c.join(b, (F.col("c_custkey") == F.col("__k"))
+                   & (F.col("c_nationkey") == F.col("__n2")))
+            .select(F.col("c_custkey").alias("src"), "dst"))
+    e0 = halves[0].unionByName(halves[1])
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    return k_core(edges, k=2, rounds=3).orderBy("node")

@@ -3519,3 +3519,30 @@ def test_association_rules_basket_cap_drops_mega_baskets(spark):
                                  min_pair_support=2)
     assert {(r.p1, r.p2): r.pair_cnt for r in uncapped.collect()}[
         ("a", "b")] == 3
+
+
+# ---------------------------------------------------------------------------
+# graph.k_core (q230)
+# ---------------------------------------------------------------------------
+
+def test_k_core_peels_tail_keeps_triangle(spark):
+    import pytest
+    from league_of_legends_data_pipeline_spark.operators.graph import k_core
+    # triangle {1,2,3} with a tail 3-4-5 (undirected, so symmetrized);
+    # duplicate edge (1,2) must not inflate degree
+    und = [(1, 2), (1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    out = {r.node: r.degree for r in k_core(edges, k=2, rounds=3).collect()}
+    # round 1 peels node 5 (deg 1); round 2 peels 4 (deg 1 after 5 left);
+    # the triangle survives with degree 2 everywhere
+    assert out == {1: 2, 2: 2, 3: 2}
+    one_round = {r.node: r.degree
+                 for r in k_core(edges, k=2, rounds=1).collect()}
+    # after a single round node 4 is still present (its degree was 2
+    # before 5 was peeled) but its residual degree has dropped to 1
+    assert one_round == {1: 2, 2: 2, 3: 3, 4: 1}
+    with pytest.raises(ValueError):
+        k_core(edges, k=0, rounds=1)
+    with pytest.raises(ValueError):
+        k_core(edges, k=2, rounds=0)

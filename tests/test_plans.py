@@ -383,6 +383,10 @@ PLAN_SHAPE_GOLDENS = {
     "q228_ohlc_bars": {},
     "q229_association_rules": {"BroadcastNestedLoopJoin": 1,
                                "BroadcastHashJoin": 5},
+    # q230: each peel round ends in a localCheckpoint, so only the final
+    # degree aggregate surfaces — the pin asserts the plan stays
+    # round-count-invariant (the q197 HITS convention)
+    "q230_kcore_peel": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
