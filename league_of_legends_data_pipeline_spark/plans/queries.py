@@ -12997,3 +12997,148 @@ def q230_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst")))
     return k_core(edges, k=2, rounds=3).orderBy("node")
+
+
+def _q231_tag_sql(s: int) -> str:
+    # fixed-width "hash15:shard" token: lexicographic max = argmax by
+    # hash with shard-id tie-break, portable across both engines
+    return f"substr(md5('{s}:' || CAST(doc_id AS VARCHAR)), 1, 15) || ':{s}'"
+
+
+@_register(
+    "q231_rendezvous_sharding",
+    f"""
+    -- rendezvous (highest-random-weight) hashing: shard = argmax over
+    -- candidate shards of md5(shard:doc). Adding shard 8 moves ONLY the
+    -- docs whose new hash wins — ~1/9 of the corpus, all into the new
+    -- shard; every other assignment is provably unchanged.
+    WITH assigned AS (
+        SELECT doc_id,
+               CAST(substr(greatest(
+                   {", ".join(_q231_tag_sql(s) for s in range(8))}
+               ), 17) AS INT) AS shard8,
+               CAST(substr(greatest(
+                   {", ".join(_q231_tag_sql(s) for s in range(9))}
+               ), 17) AS INT) AS shard9
+        FROM documents
+    ), by9 AS (
+        SELECT shard9 AS shard, count(*) AS n_k9,
+               sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END)
+                   AS n_moved_in
+        FROM assigned GROUP BY shard9
+    ), by8 AS (
+        SELECT shard8 AS shard, count(*) AS n_k8 FROM assigned
+        GROUP BY shard8
+    )
+    SELECT shard, CAST(coalesce(n_k8, 0) AS BIGINT) AS n_k8,
+           CAST(coalesce(n_k9, 0) AS BIGINT) AS n_k9,
+           CAST(coalesce(n_moved_in, 0) AS BIGINT) AS n_moved_in
+    FROM by9 FULL JOIN by8 USING (shard)
+    ORDER BY shard
+    """,
+    doc="Rendezvous (highest-random-weight) sharding audit: assign every "
+        "document to one of 8 shards by argmax of md5(shard:doc), then "
+        "re-assign under 9 shards and measure per-shard load plus how "
+        "many docs moved — consistent hashing's contract (only ~1/(K+1) "
+        "of docs move, all INTO the new shard) made observable. Scale "
+        "shape: assignment is a PURE PROJECTION (greatest over K "
+        "fixed-width hash:shard strings — no explode, no shuffle, no "
+        "coordination state), so re-sharding a 100 TB corpus plans as "
+        "map-only scan + one bounded-domain (9-row) aggregate; the "
+        "fixed-width encoding makes lexicographic greatest equal argmax "
+        "with deterministic shard-id tie-break in any engine.",
+)
+def q231_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+
+    def tag(s: int) -> Column:
+        return F.concat(
+            F.substring(F.md5(F.concat_ws(
+                ":", F.lit(str(s)), F.col("doc_id").cast("string"))), 1, 15),
+            F.lit(f":{s}"))
+
+    assigned = documents.select(
+        "doc_id",
+        F.substring(F.greatest(*[tag(s) for s in range(8)]), 17, 2)
+        .cast("int").alias("shard8"),
+        F.substring(F.greatest(*[tag(s) for s in range(9)]), 17, 2)
+        .cast("int").alias("shard9"))
+    by9 = (assigned.groupBy(F.col("shard9").alias("shard"))
+           .agg(F.count(F.lit(1)).alias("n_k9"),
+                F.sum((F.col("shard8") != F.col("shard9")).cast("long"))
+                .alias("n_moved_in")))
+    by8 = (assigned.groupBy(F.col("shard8").alias("shard"))
+           .agg(F.count(F.lit(1)).alias("n_k8")))
+    return (by9.join(by8, "shard", "full")
+            .select("shard",
+                    F.coalesce("n_k8", F.lit(0)).cast("bigint")
+                    .alias("n_k8"),
+                    F.coalesce("n_k9", F.lit(0)).cast("bigint")
+                    .alias("n_k9"),
+                    F.coalesce("n_moved_in", F.lit(0)).cast("bigint")
+                    .alias("n_moved_in"))
+            .orderBy("shard"))
+
+
+@_register(
+    "q232_feature_hashing_audit",
+    """
+    -- hashing-trick collision audit: distinct vocabulary -> 4096-bucket
+    -- feature space via the engine-portable md5-derived hash; the
+    -- output is the collision histogram (how many buckets hold 1, 2,
+    -- ... distinct tokens)
+    WITH arrs AS (
+        SELECT string_split(lower(text), ' ') AS arr FROM documents
+    ), pairs AS (
+        SELECT unnest(arr[1:len(arr)-1]) AS w1,
+               unnest(arr[2:len(arr)]) AS w2
+        FROM arrs
+    ), vocab AS (
+        SELECT DISTINCT w1 || ' ' || w2 AS tok FROM pairs
+        WHERE w1 <> '' AND w2 <> ''
+    ), buckets AS (
+        SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096
+                   AS bucket,
+               count(*) AS n_tokens
+        FROM vocab GROUP BY 1
+    )
+    SELECT CAST(n_tokens AS INT) AS tokens_in_bucket,
+           count(*) AS n_buckets,
+           CAST(round(count(*) / 4096.0, 6) AS DOUBLE) AS bucket_frac
+    FROM buckets
+    GROUP BY n_tokens
+    ORDER BY tokens_in_bucket
+    """,
+    doc="Hashing-trick feature-space audit: hash the distinct vocabulary "
+        "into 4096 buckets (the fixed-dimension trick used for "
+        "vectorizing unbounded vocabularies without a fitted dictionary) "
+        "and report the collision histogram — the quantity that decides "
+        "whether the chosen dimension is big enough. Scale shape: "
+        "tokenize + distinct collapses the corpus to its vocabulary "
+        "(partial-aggregated), bucket assignment is a projection, and "
+        "both rollups are bounded-domain aggregates (<= 4096 buckets, "
+        "histogram keyed by small ints); the md5-derived hash is the "
+        "same engine-portable form the sampling/dedup operators use.",
+)
+def q232_feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    arr = F.split(F.lower("text"), " ")
+    # zip the token array against its own 1-shift (the q167 pairing)
+    bigrams = F.zip_with(
+        F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b))
+    vocab = (documents
+             .select(F.explode(bigrams).alias("tok"))
+             .where(~F.col("tok").rlike("(^| )$|^ "))
+             .distinct())
+    buckets = (vocab.select(
+        (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+         % 4096).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens")))
+    return (buckets.groupBy(F.col("n_tokens").cast("int")
+                            .alias("tokens_in_bucket"))
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.round(F.count(F.lit(1)) / 4096.0, 6).cast("double")
+                 .alias("bucket_frac"))
+            .orderBy("tokens_in_bucket"))

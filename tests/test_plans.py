@@ -387,6 +387,11 @@ PLAN_SHAPE_GOLDENS = {
     # degree aggregate surfaces — the pin asserts the plan stays
     # round-count-invariant (the q197 HITS convention)
     "q230_kcore_peel": {},
+    # q231's SMJ is the 9-row-per-side full-outer shard rollup join
+    # (full outer cannot broadcast); the assignment itself is a pure
+    # projection. q232 is explode + two bounded-domain aggregates.
+    "q231_rendezvous_sharding": {"SortMergeJoin": 1},
+    "q232_feature_hashing_audit": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
