@@ -13142,3 +13142,92 @@ def q232_feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.count(F.lit(1)) / 4096.0, 6).cast("double")
                  .alias("bucket_frac"))
             .orderBy("tokens_in_bucket"))
+
+
+@_register(
+    "q233_skyline_parts",
+    """
+    -- ORACLE IS BRUTE FORCE on purpose: the Spark side's sort-sweep is
+    -- a LOSSLESS reformulation of 2-D dominance, so it must reproduce
+    -- the quadratic NOT EXISTS result exactly.
+    SELECT p_partkey, p_retailprice AS price, p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+    doc="2-D skyline (Pareto frontier): parts not dominated on (cheaper "
+        "price, larger size) — the multi-criteria shortlist query "
+        "(Borzsony/Kossmann SKYLINE OF). Scale shape: NO quadratic "
+        "dominance join — group to best-size-per-price (partial agg), "
+        "then one ROWS-frame cumulative max over the DISTINCT-PRICE "
+        "table gives the strictly-cheaper prefix max (rows frame on the "
+        "deduped table = strict-< semantics that a value RANGE frame "
+        "cannot express), and a semi-join back keeps surviving (price, "
+        "size) pairs. The window runs over the domain-sized price table, "
+        "not the corpus; an unbounded price domain would range-partition "
+        "the sweep and prefix-combine per-chunk maxima (the classic "
+        "parallel-scan composition). Oracle is the quadratic NOT EXISTS "
+        "dual — parity proves the sweep lossless.",
+)
+def q233_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    p = part.select("p_partkey", F.col("p_retailprice").alias("price"),
+                    F.col("p_size").alias("size"))
+    best = p.groupBy("price").agg(F.max("size").alias("bs"))
+    w = (W.orderBy("price")
+         .rowsBetween(W.unboundedPreceding, -1))
+    frontier = (best
+                .withColumn("prev", F.max("bs").over(w))
+                .where(F.col("prev").isNull()
+                       | (F.col("bs") > F.col("prev")))
+                .select("price", "bs"))
+    return (p.join(frontier,
+                   (p.price == frontier.price) & (p.size == frontier.bs),
+                   "semi")
+            .orderBy("p_partkey"))
+
+
+@_register(
+    "q234_binomial_noise_counts",
+    """
+    -- binomial-mechanism noisy histogram: noise = popcount(60-bit
+    -- group hash) - 30 ~ Binomial(60, 1/2) centered at 0 (Dwork et al.
+    -- 2006). Hash-derived noise is REPLAYABLE pseudorandomness (audit/
+    -- oracle-checkable plumbing), not a privacy guarantee — production
+    -- swaps in secure randomness at the same call site.
+    SELECT lang, source,
+           CAST(count(*) + bit_count(CAST(('0x' || substr(
+                    md5('dp:' || lang || '/' || source), 1, 15))
+                    AS BIGINT)) - 30 AS BIGINT) AS noisy_n
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    doc="Differentially-private-style noisy group counts via the "
+        "binomial mechanism: per-(lang, source) histogram plus "
+        "popcount(group hash)-30 noise, Binomial(60, 1/2) centered at "
+        "zero (variance 15 — the mechanism of Dwork et al. 2006, whose "
+        "DP guarantee holds when the bits are secret randomness; the "
+        "hash derivation here makes the pipeline REPLAYABLE and "
+        "oracle-checkable, and is swapped for secure randomness in a "
+        "real release). Scale shape: one partial-aggregated groupBy; "
+        "the noise is a per-GROUP projection on the dimension-sized "
+        "result, so cost is identical to the plain histogram.",
+)
+def q234_binomial_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.concat(
+        F.lit("dp:"), F.col("lang"), F.lit("/"), F.col("source"))),
+        1, 15), 16, 10).cast("long")
+    return (documents.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select("lang", "source",
+                    (F.col("__n") + F.bit_count(h) - 30).cast("bigint")
+                    .alias("noisy_n"))
+            .orderBy("lang", "source"))

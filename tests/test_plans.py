@@ -392,6 +392,12 @@ PLAN_SHAPE_GOLDENS = {
     # projection. q232 is explode + two bounded-domain aggregates.
     "q231_rendezvous_sharding": {"SortMergeJoin": 1},
     "q232_feature_hashing_audit": {},
+    # q233's one BHJ is the frontier semi-join back onto parts (the
+    # frontier is skyline-sized); the dominance check itself is the
+    # window sweep, never a quadratic join. q234 is one aggregate plus
+    # a per-group noise projection.
+    "q233_skyline_parts": {"BroadcastHashJoin": 1},
+    "q234_binomial_noise_counts": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
