@@ -13231,3 +13231,160 @@ def q234_binomial_noise_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("__n") + F.bit_count(h) - 30).cast("bigint")
                     .alias("noisy_n"))
             .orderBy("lang", "source"))
+
+
+@_register(
+    "q235_concurrency_sweep",
+    """
+    -- sweep-line max concurrency: sessions (q36's gaps-and-islands)
+    -- become +1/-1 deltas at their boundary minutes; one cumulative sum
+    -- over the aggregated delta points gives the level, and the per-day
+    -- max folds in the carry level from the previous day's close (the
+    -- interval before a day's first delta point).
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts - lag(ts) OVER w) > 1800000000
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                   AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM marked
+    ), bounds AS (
+        SELECT date_trunc('minute', min(ts)) AS m_start,
+               date_trunc('minute', max(ts)) + INTERVAL 1 MINUTE AS m_end
+        FROM sess GROUP BY user_id, sid
+    ), deltas AS (
+        SELECT m_start AS minute, 1 AS d FROM bounds
+        UNION ALL
+        SELECT m_end AS minute, -1 AS d FROM bounds
+    ), levels AS (
+        SELECT minute, sum(sum(d)) OVER (ORDER BY minute
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS level
+        FROM deltas GROUP BY minute
+    ), daily AS (
+        SELECT CAST(date_trunc('day', minute) AS DATE) AS day,
+               max(level) AS max_in_day,
+               (max(struct_pack(m := minute, l := level))).l AS close_level
+        FROM levels GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(greatest(max_in_day,
+                coalesce(lag(close_level) OVER (ORDER BY day), 0))
+                AS BIGINT) AS max_concurrent
+    FROM daily ORDER BY day
+    """,
+    doc="Peak concurrent sessions per day via the sweep-line pattern: "
+        "sessionize (q36's gaps-and-islands), emit +1/-1 deltas at "
+        "session boundary minutes, cumulative-sum the per-minute delta "
+        "aggregate into a level curve, and take per-day maxima with the "
+        "previous day's closing level as carry (exact even when a day's "
+        "first delta is a departure). Scale shape: the corpus collapses "
+        "to per-session bounds (one grouped agg over the session "
+        "windows), then to per-minute deltas (bounded domain); the one "
+        "global cumulative window runs over delta points only — at "
+        "unbounded scale that prefix sum becomes the classic two-phase "
+        "range-partitioned scan (per-chunk sums + broadcast prefix "
+        "offsets, the sampling.py exact-ntile composition), not a "
+        "row-per-event sort.",
+)
+def q235_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+           > 1_800_000_000), 1).otherwise(0)
+    bounds = (events
+              .withColumn("sid", F.sum(new_session).over(w_cum))
+              .groupBy("user_id", "sid")
+              .agg(F.date_trunc("minute", F.min("ts")).alias("m_start"),
+                   (F.date_trunc("minute", F.max("ts"))
+                    + F.expr("INTERVAL 1 MINUTE")).alias("m_end")))
+    deltas = (bounds.select(F.col("m_start").alias("minute"),
+                            F.lit(1).alias("d"))
+              .unionByName(bounds.select(F.col("m_end").alias("minute"),
+                                         F.lit(-1).alias("d"))))
+    w_lvl = W.orderBy("minute").rowsBetween(W.unboundedPreceding,
+                                            W.currentRow)
+    levels = (deltas.groupBy("minute").agg(F.sum("d").alias("d"))
+              .withColumn("level", F.sum("d").over(w_lvl)))
+    daily = (levels
+             .groupBy(F.to_date(F.date_trunc("day", "minute"))
+                      .alias("day"))
+             .agg(F.max("level").alias("max_in_day"),
+                  F.max(F.struct("minute", "level"))["level"]
+                  .alias("close_level")))
+    w_day = W.orderBy("day")
+    return (daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.greatest(F.col("max_in_day"),
+                   F.coalesce(F.lag("close_level").over(w_day),
+                              F.lit(0)))
+        .cast("bigint").alias("max_concurrent"))
+        .orderBy("day"))
+
+
+@_register(
+    "q236_equiwidth_histogram",
+    """
+    -- 16 equi-width bins over the observed [min, max]; the bin index
+    -- expression (x - lo) * 16.0 / (hi - lo) is written IDENTICALLY on
+    -- both sides so IEEE double rounding agrees at bin boundaries
+    WITH b AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    ), binned AS (
+        SELECT CAST(least(floor((l_extendedprice - lo) * 16.0
+                                / (hi - lo)), 15) AS INT) AS bin
+        FROM lineitem CROSS JOIN b
+    )
+    SELECT bin,
+           CAST(round(lo + bin * (hi - lo) / 16.0, 4) AS DOUBLE)
+               AS bin_lo,
+           CAST(round(lo + (bin + 1) * (hi - lo) / 16.0, 4) AS DOUBLE)
+               AS bin_hi,
+           count(*) AS n
+    FROM binned CROSS JOIN b
+    GROUP BY bin, lo, hi
+    ORDER BY bin
+    """,
+    doc="Equi-width histogram of lineitem prices: observed [min, max] "
+        "from one aggregate broadcast back as a 1-row bound table, bin "
+        "assignment as a pure projection, bounded-domain (16-row) "
+        "rollup with reconstructed bin edges. Scale shape: two linear "
+        "scans (AQE turns the 1-row cross join into a broadcast), no "
+        "sort, no window — the fixed-pass dual of the exact-percentile "
+        "equi-DEPTH path (q20/q55); the boundary expression is shared "
+        "verbatim with the oracle so IEEE rounding cannot split bins "
+        "across engines.",
+)
+def q236_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    b = lineitem.agg(F.min("l_extendedprice").alias("lo"),
+                     F.max("l_extendedprice").alias("hi"))
+    binned = (lineitem.crossJoin(F.broadcast(b))
+              .select(F.least(
+                  F.floor((F.col("l_extendedprice") - F.col("lo"))
+                          * 16.0 / (F.col("hi") - F.col("lo"))),
+                  F.lit(15)).cast("int").alias("bin"),
+                  "lo", "hi"))
+    return (binned.groupBy("bin", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bin",
+                    F.round(F.col("lo") + F.col("bin") * (F.col("hi")
+                            - F.col("lo")) / 16.0, 4)
+                    .cast("double").alias("bin_lo"),
+                    F.round(F.col("lo") + (F.col("bin") + 1)
+                            * (F.col("hi") - F.col("lo")) / 16.0, 4)
+                    .cast("double").alias("bin_hi"),
+                    "n")
+            .orderBy("bin"))

@@ -398,6 +398,11 @@ PLAN_SHAPE_GOLDENS = {
     # a per-group noise projection.
     "q233_skyline_parts": {"BroadcastHashJoin": 1},
     "q234_binomial_noise_counts": {},
+    # q235 collapses to session bounds then delta minutes before its
+    # windows — no join anywhere; q236's BNLJ is the 1-row [lo, hi]
+    # bound-table broadcast onto the scan
+    "q235_concurrency_sweep": {},
+    "q236_equiwidth_histogram": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
