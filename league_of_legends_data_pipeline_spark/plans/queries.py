@@ -13388,3 +13388,212 @@ def q236_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double").alias("bin_hi"),
                     "n")
             .orderBy("bin"))
+
+
+@_register(
+    "q237_readability_scores",
+    """
+    -- Flesch reading-ease per source: words / sentences / vowel-group
+    -- syllable heuristic, all regexp projections; the score expression
+    -- is shared verbatim with the Spark side so IEEE rounding agrees
+    WITH feats AS (
+        SELECT source,
+               len(regexp_extract_all(text, '[^\\s]+')) AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS syllables
+        FROM documents
+        WHERE length(text) > 0
+    ), scored AS (
+        SELECT source,
+               206.835 - 1.015 * (words / (1.0 * sentences))
+                       - 84.6 * (syllables / (1.0 * words)) AS flesch
+        FROM feats
+        WHERE words > 0
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(round(avg(flesch), 4) AS DOUBLE) AS avg_flesch,
+           CAST(sum(CASE WHEN flesch >= 60.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_easy,
+           CAST(sum(CASE WHEN flesch < 30.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hard
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Flesch reading-ease readability per source — the classic "
+        "quality-banding signal alongside the Gopher-style filters "
+        "(q29/q112): words, sentence and vowel-group syllable counts "
+        "from regexp projections, the standard 206.835/1.015/84.6 "
+        "formula, band counts at the conventional 60/30 cutoffs. Scale "
+        "shape: pure map-side feature extraction (regexp_extract_all "
+        "stays in codegen, no explode — counts only), one grouped "
+        "aggregate; band comparisons use the raw double on BOTH sides "
+        "(identical expression text) so IEEE rounding cannot split a "
+        "boundary document across engines.",
+)
+def q237_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    feats = (documents.where(F.length("text") > 0)
+             .select("source",
+                     F.size(F.regexp_extract_all(
+                         F.col("text"), F.lit(r"[^\s]+"), 0))
+                     .alias("words"),
+                     F.greatest(F.size(F.regexp_extract_all(
+                         F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1))
+                     .alias("sentences"),
+                     F.size(F.regexp_extract_all(
+                         F.lower("text"), F.lit("[aeiouy]+"), 0))
+                     .alias("syllables")))
+    scored = (feats.where(F.col("words") > 0)
+              .select("source",
+                      (F.lit(206.835)
+                       - 1.015 * (F.col("words")
+                                  / (1.0 * F.col("sentences")))
+                       - 84.6 * (F.col("syllables")
+                                 / (1.0 * F.col("words"))))
+                      .alias("flesch")))
+    return (scored.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("flesch"), 4).cast("double")
+                 .alias("avg_flesch"),
+                 F.sum((F.col("flesch") >= 60.0).cast("long"))
+                 .alias("n_easy"),
+                 F.sum((F.col("flesch") < 30.0).cast("long"))
+                 .alias("n_hard"))
+            .orderBy("source"))
+
+
+@_register(
+    "q238_metric_correlation_matrix",
+    """
+    -- pairwise Pearson correlation of daily per-event-type value sums:
+    -- the day x type panel is built once (integer cent units so the
+    -- panel itself is exact), then corr() runs per type pair
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               sum(CAST(round(value * 100) AS BIGINT)) AS v
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_days,
+           CAST(round(corr(a.v, b.v), 6) AS DOUBLE) AS pearson_r
+    FROM daily a JOIN daily b ON a.day = b.day
+    WHERE a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    doc="Metric correlation matrix: Pearson r between daily value sums "
+        "of every event-type pair (the drift/covariance panel a metrics "
+        "pipeline maintains; q31's regr_slope precedent for rounded "
+        "moment aggregates). Scale shape: the corpus collapses to a "
+        "days x types panel FIRST (partial-aggregated, integer cent "
+        "units so the panel is exact); the pair join and corr() run "
+        "over that dimension-sized table — day-keyed equi-join, "
+        "C(types,2) output rows, nothing corpus-sized past the first "
+        "aggregate.",
+)
+def q238_metric_correlation_matrix(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "event_type")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .alias("v")))
+    a = daily.select(F.col("day"), F.col("event_type").alias("type_a"),
+                     F.col("v").alias("va"))
+    b = daily.select(F.col("day"), F.col("event_type").alias("type_b"),
+                     F.col("v").alias("vb"))
+    return (a.join(b, "day")
+            .where(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.round(F.corr("va", "vb"), 6).cast("double")
+                 .alias("pearson_r"))
+            .orderBy("type_a", "type_b"))
+
+
+@_register(
+    "q239_ab_test_zscore",
+    """
+    -- two-sample proportion z-test on deterministic hash-split arms:
+    -- conversion = any 'purchase' event per user; z from the pooled-
+    -- variance formula, written identically on both sides
+    WITH trials AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN value >= 15.0 THEN 1 ELSE 0 END AS converted
+        FROM events
+        WHERE event_type = 'purchase'
+    ), arms AS (
+        SELECT arm, count(*) AS n_users,
+               sum(converted) AS n_converted
+        FROM trials GROUP BY arm
+    ), wide AS (
+        SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+               max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+               max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+               max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+        FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           CAST(round(ca / (1.0 * na), 6) AS DOUBLE) AS rate_a,
+           CAST(round(cb / (1.0 * nb), 6) AS DOUBLE) AS rate_b,
+           CAST(round(
+               (ca / (1.0 * na) - cb / (1.0 * nb))
+               / sqrt(((ca + cb) / (1.0 * (na + nb)))
+                      * (1.0 - (ca + cb) / (1.0 * (na + nb)))
+                      * (1.0 / na + 1.0 / nb)), 6) AS DOUBLE) AS z
+    FROM wide
+    """,
+    doc="A/B-test readout: deterministic hash-split arms keyed on "
+        "user_id (the q47 split, so assignment is replayable and "
+        "user-consistent), high-value conversion per purchase trial, "
+        "and the two-sample pooled-variance proportion "
+        "z-score — the experimentation gate every event pipeline ships. "
+        "Scale shape: one user-keyed aggregate collapses events to "
+        "users, one 2-row arm rollup, then a 1-row pivot; the z "
+        "expression is shared verbatim with the oracle so the single "
+        "float computation agrees bit-for-bit.",
+)
+def q239_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+    trials = (events.where(F.col("event_type") == "purchase")
+              .select(arm.alias("arm"),
+                      (F.col("value") >= 15.0).cast("int")
+                      .alias("converted")))
+    arms = (trials.groupBy("arm")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 F.sum("converted").alias("n_converted")))
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted")))
+        .alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted")))
+        .alias("cb"))
+    pa = F.col("ca") / (1.0 * F.col("na"))
+    pb = F.col("cb") / (1.0 * F.col("nb"))
+    pp = (F.col("ca") + F.col("cb")) / (1.0 * (F.col("na")
+                                               + F.col("nb")))
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        F.round(pa, 6).cast("double").alias("rate_a"),
+        F.round(pb, 6).cast("double").alias("rate_b"),
+        F.round((pa - pb) / F.sqrt(pp * (1.0 - pp)
+                                   * (1.0 / F.col("na")
+                                      + 1.0 / F.col("nb"))), 6)
+        .cast("double").alias("z"))

@@ -403,6 +403,13 @@ PLAN_SHAPE_GOLDENS = {
     # bound-table broadcast onto the scan
     "q235_concurrency_sweep": {},
     "q236_equiwidth_histogram": {"BroadcastNestedLoopJoin": 1},
+    # q237 is map-side regexp feature extraction + one grouped agg;
+    # q238's one BHJ is the day-keyed self-join of the days x types
+    # panel (dimension-sized after the first aggregate); q239 collapses
+    # to a 2-row arm table before its pivot — joinless
+    "q237_readability_scores": {},
+    "q238_metric_correlation_matrix": {"BroadcastHashJoin": 1},
+    "q239_ab_test_zscore": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
