@@ -523,3 +523,75 @@ def k_core(edges: DataFrame, k: int, rounds: int,
              .localCheckpoint(eager=False))
     return (e.groupBy(F.col("__src").alias("node"))
             .agg(F.count(F.lit(1)).alias("degree")))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 2,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Bounded-iteration personalized PageRank: random walk with restart
+    to a SEED SET instead of the uniform vector — proximity to the seeds
+    rather than global centrality (the recommendation / related-entity
+    primitive; topic-sensitive PageRank, Haveliwala 2002).
+
+    r_0 = restart; r_{i+1}(v) = (1-d)*restart(v) + d * sum_{u->v}
+    r_i(u)/deg(u), where restart(v) = 1/|S| on seeds present in the
+    graph's node set and 0 elsewhere. Same conventions as ``pagerank``:
+    node universe = nodes with outgoing edges, fixed iterations, 1e-9
+    integer contribution units for order-independence, left-join carry
+    so source-only nodes keep their restart mass. Returns
+    (node, rank, deg, is_seed).
+
+    Scale shape: identical to pagerank — per iteration one equi-join of
+    (node, rank) onto the edge list + one partial-aggregated dst
+    groupBy; the seed set joins in as a keys-only broadcast and |S| as
+    a 1-row broadcast. Nothing collects to the driver.
+    """
+    GIGA = 1_000_000_000
+    # lineage truncation (the CC/HITS convention): edges, degrees and the
+    # restart vector feed every iteration's join tree, so without a
+    # checkpoint the executed plan repeats their construction once per
+    # reference — measured 148 joins for 2 iterations on the chain graph
+    e = edges.select(F.col(src_col).alias("__src"),
+                     F.col(dst_col).alias("__dst")) \
+        .localCheckpoint(eager=False)
+    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("deg")) \
+        .localCheckpoint(eager=False)
+    sd = seeds.select(F.col(seed_col).alias("__src")).distinct()
+    nodes = (deg.join(sd, "__src", "left_semi")
+             .select(F.col("__src"), F.lit(1).alias("__seed"))
+             .unionByName(
+                 deg.join(sd, "__src", "left_anti")
+                 .select(F.col("__src"), F.lit(0).alias("__seed"))))
+    ns = nodes.agg(F.sum("__seed").alias("__s"))
+    restart = (nodes.crossJoin(F.broadcast(ns))
+               .select(F.col("__src").alias("node"), "__seed",
+                       (F.col("__seed") / F.col("__s")).alias("__restart"))
+               .localCheckpoint(eager=False))
+    ranks = restart.select("node", F.col("__restart").alias("rank"))
+    for _ in range(iterations):
+        contrib = (e.join(ranks.withColumnRenamed("node", "__src"), "__src")
+                   .join(deg, "__src")
+                   .select(F.col("__dst").alias("node"),
+                           F.round(F.col("rank") / F.col("deg") * GIGA)
+                            .cast("long").alias("__m")))
+        ranks = (restart
+                 .join(contrib.groupBy("node").agg(F.sum("__m").alias("__m")),
+                       "node", "left")
+                 .select("node",
+                         (F.lit(1.0 - damping) * F.col("__restart")
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("__m"), F.lit(0))
+                             / float(GIGA)))
+                         .alias("rank"))
+                 .localCheckpoint(eager=False))
+    return (ranks
+            .join(deg.select(F.col("__src").alias("node"), "deg"), "node")
+            .join(restart.select("node", F.col("__seed").alias("is_seed")),
+                  "node")
+            .select("node", "rank", "deg", "is_seed"))

@@ -13597,3 +13597,153 @@ def q239_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    * (1.0 / F.col("na")
                                       + 1.0 / F.col("nb"))), 6)
         .cast("double").alias("z"))
+
+
+@_register(
+    "q240_personalized_pagerank",
+    """
+    -- random walk with restart to the seed set (topic-sensitive
+    -- PageRank): 2 unrolled iterations, d = 0.85, restart mass 1/|S|
+    -- on seeds, per-edge contributions in 1e-9 integer units; float
+    -- constants forced to DOUBLE (the q133 conventions).
+    WITH h AS (
+      SELECT a.c_custkey AS src, b.c_custkey AS dst
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND b.c_custkey - a.c_custkey IN (1, 2)
+    ), e AS (
+      SELECT src, dst FROM h UNION ALL SELECT dst AS src, src AS dst FROM h
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM e GROUP BY src
+    ), nodes AS (
+      SELECT src, CASE WHEN src % 100 = 0 THEN 1 ELSE 0 END AS seed
+      FROM deg
+    ), ns AS (
+      SELECT sum(seed) AS s FROM nodes
+    ), r0 AS (
+      SELECT src AS node, seed,
+             CAST(seed AS DOUBLE) / s AS r
+      FROM nodes CROSS JOIN ns
+    ), i1 AS (
+      SELECT e.dst AS node,
+             sum(CAST(round(r0.r / d.deg * 1000000000) AS BIGINT)) AS m
+      FROM e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r1 AS (
+      SELECT r0.node, r0.seed,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 * r0.r
+             + CAST(0.85 AS DOUBLE) * (coalesce(i1.m, 0) / 1000000000.0)
+                 AS r
+      FROM r0 LEFT JOIN i1 ON i1.node = r0.node
+    ), i2 AS (
+      SELECT e.dst AS node,
+             sum(CAST(round(r1.r / d.deg * 1000000000) AS BIGINT)) AS m
+      FROM e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT r0.node, r0.seed,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 * r0.r
+             + CAST(0.85 AS DOUBLE) * (coalesce(i2.m, 0) / 1000000000.0)
+                 AS r
+      FROM r0 LEFT JOIN i2 ON i2.node = r0.node
+    )
+    SELECT r2.node AS node,
+           CAST(round(r2.r, 9) AS DOUBLE) AS rank,
+           deg.deg AS deg,
+           CAST(r2.seed AS INT) AS is_seed
+    FROM r2 JOIN deg ON r2.node = deg.src
+    WHERE r2.r > 0
+    ORDER BY rank DESC, node
+    LIMIT 30
+    """,
+    doc="Personalized PageRank (operators/graph.py "
+        "personalized_pagerank): random walk with restart to the "
+        "every-100th-customer seed set over the symmetrized customer-"
+        "chain graph — proximity-to-seeds scoring (topic-sensitive "
+        "PageRank / related-entity retrieval), complementing q133's "
+        "global centrality. Same scale shape as pagerank: fixed "
+        "iterations, keys-only shuffles, 1e-9 integer contribution "
+        "units, seed set as broadcast semi-join, |S| as a 1-row "
+        "broadcast; the oracle unrolls both iterations.",
+)
+def q240_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    c = customer.select("c_custkey", "c_nationkey")
+    halves = []
+    for delta in (1, 2):
+        b = c.select((F.col("c_custkey") - delta).alias("__k"),
+                     F.col("c_custkey").alias("dst"),
+                     F.col("c_nationkey").alias("__n2"))
+        halves.append(
+            c.join(b, (F.col("c_custkey") == F.col("__k"))
+                   & (F.col("c_nationkey") == F.col("__n2")))
+            .select(F.col("c_custkey").alias("src"), "dst"))
+    e0 = halves[0].unionByName(halves[1])
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    seeds = (c.where(F.col("c_custkey") % 100 == 0)
+             .select(F.col("c_custkey").alias("node")))
+    out = personalized_pagerank(edges, seeds, iterations=2, damping=0.85)
+    return (out.where(F.col("rank") > 0)
+            .select("node", F.round("rank", 9).cast("double").alias("rank"),
+                    "deg", F.col("is_seed").cast("int").alias("is_seed"))
+            .orderBy(F.col("rank").desc(), "node")
+            .limit(30))
+
+
+@_register(
+    "q241_daily_autocorrelation",
+    """
+    -- ACF of the daily total-value series at lags 1..7: the panel is
+    -- exact integer cents, pairs come from a lag-shifted equi-join of
+    -- the day table against itself, Pearson r per lag (q238 rounding)
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               sum(CAST(round(value * 100) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    ), lags AS (
+        SELECT unnest(range(1, 8)) AS lag
+    )
+    SELECT CAST(l.lag AS INT) AS lag,
+           count(*) AS n_pairs,
+           CAST(round(corr(a.v, b.v), 6) AS DOUBLE) AS acf
+    FROM lags l
+    JOIN daily a ON true
+    JOIN daily b ON b.day - a.day = l.lag
+    GROUP BY l.lag
+    ORDER BY lag
+    """,
+    doc="Autocorrelation of the daily activity series at lags 1-7 — the "
+        "seasonality detector feeding q223's weekday decomposition (a "
+        "lag-7 peak is the weekly cycle). Scale shape: the corpus "
+        "collapses to one exact integer-cent row per day FIRST; the "
+        "lag-shifted self-join and corr() run over the day table joined "
+        "to a 7-row lag dimension — dimension-sized work regardless of "
+        "event volume (the Spark side joins on the shifted-day EQUI key "
+        "after a broadcast lag explode).",
+)
+def q241_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy(F.to_date(F.date_trunc("day", "ts"))
+                            .alias("day"))
+             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("v")))
+    a = (daily.select(F.col("day").alias("day_a"),
+                      F.col("v").alias("va"))
+         .crossJoin(F.broadcast(
+             spark.range(1, 8).select(F.col("id").cast("int")
+                                      .alias("lag")))))
+    b = daily.select(F.col("day").alias("day_b"),
+                     F.col("v").alias("vb"))
+    return (a.join(b, F.col("day_b") == F.date_add("day_a", F.col("lag")))
+            .groupBy("lag")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.corr("va", "vb"), 6).cast("double")
+                 .alias("acf"))
+            .orderBy("lag"))

@@ -410,6 +410,14 @@ PLAN_SHAPE_GOLDENS = {
     "q237_readability_scores": {},
     "q238_metric_correlation_matrix": {"BroadcastHashJoin": 1},
     "q239_ab_test_zscore": {},
+    # q240: every PPR iteration is localCheckpoint-truncated, so only
+    # the final deg/is_seed attach joins surface (the q197 convention;
+    # without truncation this plan measured 148 repeated joins);
+    # q241's BHJs are the 7-row lag-dimension broadcast and the
+    # day-panel shifted self-join
+    "q240_personalized_pagerank": {"SortMergeJoin": 2},
+    "q241_daily_autocorrelation": {"BroadcastHashJoin": 1,
+                                   "BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
