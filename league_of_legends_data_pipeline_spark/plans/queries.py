@@ -13747,3 +13747,70 @@ def q241_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.corr("va", "vb"), 6).cast("double")
                  .alias("acf"))
             .orderBy("lag"))
+
+
+@_register(
+    "q242_sequence_pattern_funnel",
+    """
+    -- MATCH_RECOGNIZE-style sequence funnel: each user's event-type
+    -- journey becomes one ordered string, regex patterns express the
+    -- ordered-subsequence milestones (signup -> view -> purchase, a
+    -- click-before-any-purchase gate, error-then-comeback), counts per
+    -- pattern. The (ts, event_id) sort key makes the journey total.
+    WITH journeys AS (
+        SELECT user_id,
+               string_agg(event_type, ' ' ORDER BY ts, event_id)
+                   AS journey
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT
+        count(*) AS n_users,
+        CAST(sum(CASE WHEN regexp_matches(journey,
+            'signup.* view.* purchase') THEN 1 ELSE 0 END) AS BIGINT)
+            AS signup_view_purchase,
+        CAST(sum(CASE WHEN position('click' IN journey) > 0
+                 AND (position('purchase' IN journey) = 0
+                      OR position('click' IN journey)
+                         < position('purchase' IN journey))
+            THEN 1 ELSE 0 END) AS BIGINT)
+            AS click_before_first_purchase,
+        CAST(sum(CASE WHEN regexp_matches(journey,
+            'error.* purchase') THEN 1 ELSE 0 END) AS BIGINT)
+            AS error_then_recovered
+    FROM journeys
+    """,
+    doc="Ordered-sequence pattern funnel (the MATCH_RECOGNIZE workload, "
+        "emulated): per-user event journeys as ordered type strings, "
+        "regex patterns for ordered-subsequence milestones, one rollup "
+        "— complements q75/q139's step-timestamp funnels with "
+        "arbitrary-pattern matching (first-occurrence position "
+        "comparison expresses 'before any purchase' — RE2-safe, no "
+        "lookahead). Scale shape: ONE user-keyed aggregate "
+        "builds each journey (sorted struct collect — journeys are "
+        "session-sized, never corpus-sized), pattern evaluation is "
+        "map-side regex on the aggregated row; no self-join per step, "
+        "no explode. The Spark journey is array_sort(collect_list) -> "
+        "array_join, matching the oracle's ORDER BY string_agg exactly.",
+)
+def q242_sequence_pattern_funnel(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    journey = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"]), " ")
+    journeys = (events.groupBy("user_id")
+                .agg(journey.alias("journey")))
+    return journeys.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("journey").rlike("signup.* view.* purchase")
+              .cast("long")).alias("signup_view_purchase"),
+        F.sum(((F.instr("journey", "click") > 0)
+               & ((F.instr("journey", "purchase") == 0)
+                  | (F.instr("journey", "click")
+                     < F.instr("journey", "purchase"))))
+              .cast("long")).alias("click_before_first_purchase"),
+        F.sum(F.col("journey").rlike("error.* purchase")
+              .cast("long")).alias("error_then_recovered"))

@@ -418,6 +418,8 @@ PLAN_SHAPE_GOLDENS = {
     "q240_personalized_pagerank": {"SortMergeJoin": 2},
     "q241_daily_autocorrelation": {"BroadcastHashJoin": 1,
                                    "BroadcastNestedLoopJoin": 1},
+    # q242: one user-keyed journey aggregate + map-side regex — joinless
+    "q242_sequence_pattern_funnel": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
