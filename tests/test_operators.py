@@ -3546,3 +3546,31 @@ def test_k_core_peels_tail_keeps_triangle(spark):
         k_core(edges, k=0, rounds=1)
     with pytest.raises(ValueError):
         k_core(edges, k=2, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# graph.personalized_pagerank (q240)
+# ---------------------------------------------------------------------------
+
+def test_personalized_pagerank_path_graph_hand_values(spark):
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    # path 1-2-3-4 symmetrized, seed {1}; hand-unrolled two iterations:
+    # r0 = e1; i1: r(1)=0.15, r(2)=0.85, rest 0
+    # i2: r(1)=0.15+0.85*(0.85/2)=0.51125, r(2)=0.85*0.15=0.1275,
+    #     r(3)=0.85*(0.85/2)=0.36125, r(4)=0
+    und = [(1, 2), (2, 3), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r.node: r for r in personalized_pagerank(
+        edges, seeds, iterations=2, damping=0.85).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert abs(out[1].rank - 0.51125) < 1e-6
+    assert abs(out[2].rank - 0.1275) < 1e-6
+    assert abs(out[3].rank - 0.36125) < 1e-6
+    assert out[4].rank == 0.0
+    assert out[1].is_seed == 1 and out[2].is_seed == 0
+    # total mass stays <= 1 (restart-normalized walk)
+    assert sum(r.rank for r in out.values()) <= 1.0 + 1e-9
