@@ -13814,3 +13814,152 @@ def q242_sequence_pattern_funnel(spark: SparkSession,
               .cast("long")).alias("click_before_first_purchase"),
         F.sum(F.col("journey").rlike("error.* purchase")
               .cast("long")).alias("error_then_recovered"))
+
+
+@_register(
+    "q243_roc_curve",
+    """
+    -- ROC curve at integer score thresholds: bin by floor(value)
+    -- FIRST (bounded domain), one descending cumulative window over
+    -- the per-bin (pos, neg) table, exact-count rate ratios rounded
+    -- once at the end
+    WITH by_bin AS (
+        SELECT CAST(floor(value) AS BIGINT) AS thr,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS pos,
+               sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                   AS neg
+        FROM events
+        GROUP BY 1
+    ), cum AS (
+        SELECT thr,
+               sum(pos) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tp,
+               sum(neg) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fp
+        FROM by_bin
+    ), tot AS (
+        SELECT sum(pos) AS p, sum(neg) AS n FROM by_bin
+    )
+    SELECT c.thr,
+           CAST(c.tp AS BIGINT) AS tp,
+           CAST(c.fp AS BIGINT) AS fp,
+           CAST(round(c.tp / (1.0 * t.p), 6) AS DOUBLE) AS tpr,
+           CAST(round(c.fp / (1.0 * t.n), 6) AS DOUBLE) AS fpr,
+           CAST(round(c.tp / (1.0 * (c.tp + c.fp)), 6) AS DOUBLE)
+               AS precision_at
+    FROM cum c CROSS JOIN tot t
+    ORDER BY thr DESC
+    """,
+    doc="Full ROC curve (TPR/FPR/precision per threshold) for the "
+        "value-predicts-'purchase' classifier — the curve q227's "
+        "scalar AUC summarizes, needed to PICK an operating threshold "
+        "for quality-filter gates (q128/q206). Scale shape: the corpus "
+        "collapses to one row per integer score bin in a single "
+        "partial-aggregated groupBy (bounded domain — unbounded scores "
+        "pre-bin to fixed precision, same contract as q227); the "
+        "descending cumulative and the grand-total windows then run "
+        "over that dimension-sized bin table only, so the "
+        "single-partition WindowExec never sees raw events. Counts "
+        "stay exact BIGINTs; the only float ops are the three final "
+        "rate divisions.",
+)
+def q243_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    by_bin = (events.groupBy(F.floor("value").cast("bigint").alias("thr"))
+              .agg(F.sum((F.col("event_type") == "purchase").cast("long"))
+                   .alias("pos"),
+                   F.sum((F.col("event_type") != "purchase").cast("long"))
+                   .alias("neg")))
+    wcum = (W.orderBy(F.col("thr").desc())
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wtot = (W.partitionBy(F.lit(1))
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    cum = by_bin.select(
+        "thr",
+        F.sum("pos").over(wcum).alias("tp"),
+        F.sum("neg").over(wcum).alias("fp"),
+        F.sum("pos").over(wtot).alias("p"),
+        F.sum("neg").over(wtot).alias("n"))
+    return (cum.select(
+        "thr", "tp", "fp",
+        F.round(F.col("tp") / (F.lit(1.0) * F.col("p")), 6)
+        .cast("double").alias("tpr"),
+        F.round(F.col("fp") / (F.lit(1.0) * F.col("n")), 6)
+        .cast("double").alias("fpr"),
+        F.round(F.col("tp") / (F.lit(1.0) * (F.col("tp") + F.col("fp"))), 6)
+        .cast("double").alias("precision_at"))
+        .orderBy(F.col("thr").desc()))
+
+
+@_register(
+    "q244_lorenz_gini",
+    """
+    -- Revenue concentration: exact integer-cent revenue per customer,
+    -- exact ascending rank, Gini via the rank identity
+    -- G = (2*sum(r*x) - (n+1)*sum(x)) / (n*sum(x)), plus the
+    -- top-decile revenue share by rank threshold
+    WITH rev AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS r
+        FROM rev
+    ), tot AS (
+        SELECT count(*) AS n, sum(cents) AS s, sum(r * cents) AS rs
+        FROM ranked
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_customers,
+           CAST(t.s AS BIGINT) AS total_cents,
+           CAST(round((2.0 * t.rs - (t.n + 1) * t.s) / (1.0 * t.n * t.s),
+                      6) AS DOUBLE) AS gini,
+           CAST(round(sum(CASE WHEN rk.r >
+                              t.n - CAST(floor(t.n / 10.0) AS BIGINT)
+                          THEN rk.cents ELSE 0 END) / (1.0 * t.s), 6)
+                AS DOUBLE) AS top_decile_share
+    FROM ranked rk CROSS JOIN tot t
+    GROUP BY t.n, t.s, t.rs
+    """,
+    doc="Lorenz/Gini revenue-concentration audit (how unequal is "
+        "customer spend?) — the dataset-skew counterpart to q110's "
+        "key-skew report, and the standard imbalance screen before "
+        "weighted sampling (q106/q190). Scale shape: orders collapse "
+        "to one exact integer-cent row per customer first; the rank "
+        "comes from operators/sampling.py::global_rank (deterministic "
+        "range buckets + broadcast offsets — never a single-partition "
+        "sort over customers), and Gini reduces to ONE aggregate over "
+        "(r, cents) via the rank identity, so no pairwise |x_i - x_j| "
+        "join ever exists. sum(r*cents) stays within BIGINT to roughly "
+        "SF 1e4; past that the rs accumulator switches to DOUBLE (the "
+        "6-dp rounding already absorbs the precision loss).",
+)
+def q244_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import global_rank
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    rev = (orders.groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .alias("cents")))
+    ranked = global_rank(rev, ["cents", "o_custkey"], rank_col="r")
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("cents").alias("s"),
+                     F.sum(F.col("r") * F.col("cents")).alias("rs"))
+    joined = ranked.crossJoin(F.broadcast(tot))
+    top_thr = (F.col("n")
+               - F.floor(F.col("n") / F.lit(10.0)).cast("bigint"))
+    return (joined.groupBy("n", "s", "rs")
+            .agg(F.sum(F.when(F.col("r") > top_thr, F.col("cents"))
+                       .otherwise(F.lit(0))).alias("top_cents"))
+            .select(
+                F.col("n").alias("n_customers"),
+                F.col("s").alias("total_cents"),
+                F.round((F.lit(2.0) * F.col("rs")
+                         - (F.col("n") + 1) * F.col("s"))
+                        / (F.lit(1.0) * F.col("n") * F.col("s")), 6)
+                .cast("double").alias("gini"),
+                F.round(F.col("top_cents") / (F.lit(1.0) * F.col("s")), 6)
+                .cast("double").alias("top_decile_share")))

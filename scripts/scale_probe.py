@@ -280,6 +280,54 @@ PROBE_QUERIES = [
     "q224_rolling_active_users",
     # five key-only FK joins, parent sides distinct-then-broadcast
     "q225_fk_integrity_audit",
+    # round-9 late additions:
+    # bounded-round frontier BFS: each hop is one edge equi-join on the
+    # visited frontier; edge table linear in orders
+    "q226_bfs_reachability",
+    # Mann-Whitney AUC: one global rank (counts-only driver) + two
+    # group-sum aggregates
+    "q227_classifier_auc",
+    # one partial-aggregated day/part groupBy (struct-argmax open/close)
+    "q228_ohlc_bars",
+    # pair explode bounded by per-basket item cap + support joins on the
+    # bounded item dimension
+    "q229_association_rules",
+    # k-core peel: bounded rounds, each a degree agg + semi-join,
+    # localCheckpoint-truncated lineage
+    "q230_kcore_peel",
+    # map-side rendezvous hash ladder + 9-row shard rollup join
+    "q231_rendezvous_sharding",
+    # token explode + two bounded-domain (bucket) aggregates
+    "q232_feature_hashing_audit",
+    # sweep-line skyline: one sort + running-min window, frontier
+    # semi-join back — never a quadratic dominance join
+    "q233_skyline_parts",
+    # one grouped aggregate + deterministic hash-noise projection
+    "q234_binomial_noise_counts",
+    # session bounds collapse + delta-minute explode + running-sum
+    # window — shuffle rows are session endpoints, not minutes
+    "q235_concurrency_sweep",
+    # [lo,hi] 1-row broadcast + width_bucket-style projection + one
+    # bounded-domain (bin) aggregate
+    "q236_equiwidth_histogram",
+    # map-side regexp syllable/word features + one grouped aggregate
+    "q237_readability_scores",
+    # day-keyed panel aggregate (dimension-sized) + one self-join over
+    # the days x types panel
+    "q238_metric_correlation_matrix",
+    # two conditional-sum aggregates collapsed to one scan
+    "q239_ab_test_zscore",
+    # PPR: per-iteration edge join + rank agg, checkpoint-truncated;
+    # linear in edges per round
+    "q240_personalized_pagerank",
+    # 7-row lag-dimension broadcast over the daily aggregate
+    "q241_daily_autocorrelation",
+    # one user-keyed journey string aggregate + map-side regex — joinless
+    "q242_sequence_pattern_funnel",
+    # score-bin aggregate + bounded-domain cumulative windows
+    "q243_roc_curve",
+    # per-customer revenue agg + distributed exact rank + one aggregate
+    "q244_lorenz_gini",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -420,6 +420,12 @@ PLAN_SHAPE_GOLDENS = {
                                    "BroadcastNestedLoopJoin": 1},
     # q242: one user-keyed journey aggregate + map-side regex — joinless
     "q242_sequence_pattern_funnel": {},
+    # q243: score-bin aggregate + dimension-sized cumulative windows —
+    # joinless; q244's BNLJ is the 1-row Gini-totals broadcast onto the
+    # ranked customer table (the global_rank exchanges are hash, never
+    # a single-partition sort)
+    "q243_roc_curve": {},
+    "q244_lorenz_gini": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
