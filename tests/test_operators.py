@@ -3574,3 +3574,44 @@ def test_personalized_pagerank_path_graph_hand_values(spark):
     assert out[1].is_seed == 1 and out[2].is_seed == 0
     # total mass stays <= 1 (restart-normalized walk)
     assert sum(r.rank for r in out.values()) <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q243 ROC curve / q244 Lorenz-Gini invariants
+# ---------------------------------------------------------------------------
+
+def test_roc_curve_invariants(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q243_roc_curve"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "ROC curve must be non-empty"
+    # thresholds strictly descending; cumulative counts nondecreasing
+    thrs = [r.thr for r in rows]
+    assert thrs == sorted(thrs, reverse=True)
+    for a, b in zip(rows, rows[1:]):
+        assert b.tp >= a.tp and b.fp >= a.fp
+        assert b.tpr >= a.tpr - 1e-12 and b.fpr >= a.fpr - 1e-12
+    # the lowest threshold accepts everything: both rates reach 1
+    assert rows[-1].tpr == 1.0 and rows[-1].fpr == 1.0
+    for r in rows:
+        assert 0.0 <= r.tpr <= 1.0 and 0.0 <= r.fpr <= 1.0
+        assert 0.0 <= r.precision_at <= 1.0
+
+
+def test_lorenz_gini_invariants_and_uniform_case(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    row = QUERIES["q244_lorenz_gini"].spark(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_customers > 0 and row.total_cents > 0
+    # Gini of nonnegative revenues lies in [0, 1); the top decile holds
+    # at least its population share of revenue by definition
+    assert 0.0 <= row.gini < 1.0
+    assert row.top_decile_share >= 0.1 - 1e-9
+    # rank-identity sanity on a hand case: perfectly equal revenues
+    # must yield gini == 0 (formula: (2*sum(r*x) - (n+1)*sum(x)) = 0
+    # when x is constant, since sum(r) = n(n+1)/2)
+    n, x = 10, 7
+    rs = sum(r * x for r in range(1, n + 1))
+    assert 2 * rs - (n + 1) * n * x == 0
