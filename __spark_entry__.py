@@ -65,12 +65,12 @@ def _export_order() -> list[str]:
              if max_rnd and last_pass.get(n) == max_rnd]
     # Round-9 rebalance: never-verified first again. With the r5 band
     # (49 queries) now 3 rounds stale, very_stale-first would have
-    # crowded the 19 round-7/8 additions (q201-q219) out of the 50-row
+    # crowded the round-7/8 additions (q201-q219) out of the 50-row
     # window entirely (only q201 made index 49). A query with ZERO hard
     # driver signal ever beats one with a merely-old green row; the
-    # remaining window slots still drain the stalest band, and the
-    # round-10 window finishes it (19 never + 31 very_stale this round,
-    # 18 very_stale + refreshed next).
+    # remaining window slots still drain the stalest band. With the
+    # round-9 additions (q220-q244) the never bucket is 44 of the 50
+    # slots this round; the r5 band drains over rounds 10-11.
     very_stale = [n for n in stale if max_rnd - last_pass[n] >= 3]
     rest_stale = [n for n in stale if max_rnd - last_pass[n] < 3]
     return never + very_stale + rest_stale + fresh
