@@ -595,3 +595,48 @@ def personalized_pagerank(
             .join(restart.select("node", F.col("__seed").alias("is_seed")),
                   "node")
             .select("node", "rank", "deg", "is_seed"))
+
+
+def shortest_paths(edges: DataFrame, seeds: DataFrame, rounds: int,
+                   src_col: str = "src", dst_col: str = "dst",
+                   weight_col: str = "w",
+                   seed_col: str = "node") -> DataFrame:
+    """Bounded-round multi-source WEIGHTED shortest paths: Bellman-Ford
+    relaxation over the full tentative-distance table — the weighted
+    complement to q226's hop-count BFS (which a recursive UNION ALL CTE
+    can express; weighted min-relaxation needs an aggregate per round,
+    which recursive CTEs disallow, hence the iterative operator).
+
+    d_0 = 0 on seeds; d_{k+1}(v) = min(d_k(v), min over edges u->v of
+    d_k(u) + w(u, v)). After ``rounds`` rounds the result is exact for
+    every node whose shortest path uses <= ``rounds`` edges — the same
+    fixed-round replayability contract as ``k_core``/``pagerank``; a
+    production run loops until the relaxed-row count hits zero.
+    Weights must be non-negative for the bounded-round prefix to be
+    monotonically exact; integer weights keep the result bit-stable
+    under any join/aggregation order.
+
+    Scale shape: each round is ONE equi-join of the distance table onto
+    the edge list (keys + one long ride the shuffle) and ONE min
+    aggregate — linear in edges per round, nothing collects to the
+    driver. ``localCheckpoint`` truncates lineage per round (the
+    CC/HITS/PPR convention) so the executed plan cannot grow with
+    ``rounds``. Unreached nodes are simply absent (no infinity
+    sentinel to carry through aggregates).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    e = edges.select(F.col(src_col).alias("__src"),
+                     F.col(dst_col).alias("__dst"),
+                     F.col(weight_col).cast("long").alias("__w")) \
+        .localCheckpoint(eager=False)
+    dist = (seeds.select(F.col(seed_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("long")))
+    for _ in range(rounds):
+        relaxed = (e.join(dist.withColumnRenamed("node", "__src"), "__src")
+                   .select(F.col("__dst").alias("node"),
+                           (F.col("dist") + F.col("__w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=False))
+    return dist

@@ -13963,3 +13963,89 @@ def q244_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("double").alias("gini"),
                 F.round(F.col("top_cents") / (F.lit(1.0) * F.col("s")), 6)
                 .cast("double").alias("top_decile_share")))
+
+
+def _q245_oracle() -> str:
+    """Unrolled 4-round Bellman-Ford (the q230 bounded-round-CTE
+    pattern: weighted min-relaxation needs an aggregate per round,
+    which recursive CTEs disallow, so the rounds unroll)."""
+    rounds = ["""d0 AS (
+        SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds
+    )"""]
+    prev = "d0"
+    for i in range(1, 5):
+        rounds.append(f"""r{i} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM {prev} d JOIN edges e ON d.node = e.src
+        ) u GROUP BY node
+    )""")
+        prev = f"r{i}"
+    return """
+    -- weighted SSSP, 4 Bellman-Ford rounds unrolled: the +2-custkey
+    -- shortcut edge (w=5) beats two +1 hops (w=3 each), so weighted
+    -- distances genuinely diverge from q226's hop counts. The chain
+    -- covers ALL customers (two shifted-key EQUI-joins, never a range
+    -- self-join) so every seed has a dense multi-hop neighborhood.
+    WITH half AS (
+        SELECT a.c_custkey AS src, b.c_custkey AS dst, 3 AS w
+        FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+        UNION ALL
+        SELECT a.c_custkey AS src, b.c_custkey AS dst, 5 AS w
+        FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 2
+    ),
+    edges AS (
+        SELECT src, dst, w FROM half
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM half
+    ),
+    seeds AS (
+        SELECT c_custkey AS node FROM customer WHERE c_custkey % 100 = 0
+    ),
+    """ + ",\n    ".join(rounds) + """
+    SELECT node, CAST(dist AS BIGINT) AS dist
+    FROM r4 ORDER BY node"""
+
+
+@_register(
+    "q245_weighted_sssp",
+    _q245_oracle(),
+    doc="Bounded-round weighted single-source shortest paths "
+        "(operators/graph.py::shortest_paths, Bellman-Ford relaxation) "
+        "over the full customer-chain graph (+1 / +2 shifted-key "
+        "edges, both EQUI-joins on computed keys) with non-unit "
+        "integer weights — the weighted complement to q226's BFS hop "
+        "counts (the w=5 shortcut edge beats two w=3 hops, so the "
+        "relaxation is genuinely weighted, not hop counting). Scale "
+        "shape: per round one distance-table equi-join onto the edge "
+        "list + one min aggregate, keys + one long on every shuffle, "
+        "localCheckpoint-truncated lineage (the CC/HITS/PPR "
+        "convention); the oracle unrolls the same four rounds as "
+        "nested CTEs since recursive CTEs cannot aggregate per step. "
+        "Integer weights make every distance bit-exact under any "
+        "execution order.",
+)
+def q245_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import shortest_paths
+
+    (customer,) = _t(spark, sf_dir, "customer")
+    keys = customer.select("c_custkey")
+    # two shifted-key EQUI-joins (hash on the computed key), never a
+    # range self-join: chain edge (+1, w=3) and shortcut edge (+2, w=5)
+    half = None
+    for delta, w in ((1, 3), (2, 5)):
+        a = keys.select(F.col("c_custkey").alias("src"),
+                        (F.col("c_custkey") + delta).alias("dst"))
+        part = (a.join(keys.withColumnRenamed("c_custkey", "dst"), "dst")
+                .select("src", "dst", F.lit(w).alias("w")))
+        half = part if half is None else half.unionByName(part)
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                    "w"))
+    seeds = (customer.where(F.col("c_custkey") % 100 == 0)
+             .select(F.col("c_custkey").alias("node")))
+    return (shortest_paths(edges, seeds, rounds=4)
+            .select("node", F.col("dist").cast("bigint").alias("dist"))
+            .orderBy("node"))

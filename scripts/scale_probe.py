@@ -328,6 +328,8 @@ PROBE_QUERIES = [
     "q243_roc_curve",
     # per-customer revenue agg + distributed exact rank + one aggregate
     "q244_lorenz_gini",
+    # 4 Bellman-Ford rounds: edge equi-join + min agg per round
+    "q245_weighted_sssp",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -3615,3 +3615,30 @@ def test_lorenz_gini_invariants_and_uniform_case(spark):
     n, x = 10, 7
     rs = sum(r * x for r in range(1, n + 1))
     assert 2 * rs - (n + 1) * n * x == 0
+
+
+# ---------------------------------------------------------------------------
+# graph.shortest_paths (q245)
+# ---------------------------------------------------------------------------
+
+def test_shortest_paths_weighted_beats_hops(spark):
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        shortest_paths,
+    )
+    # chain 0-1-2-3-4 (w=3 each) + shortcut edges +2 (w=5): node 2 is
+    # cheaper via the shortcut (5) than via two hops (6); node 3 via
+    # shortcut+hop (8) vs three hops (9); node 4 via two shortcuts (10)
+    edges = spark.createDataFrame(
+        [(i, i + 1, 3) for i in range(4)]
+        + [(i, i + 2, 5) for i in range(3)], ["src", "dst", "w"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    out = {r.node: r.dist for r in shortest_paths(
+        edges, seeds, rounds=4).collect()}
+    assert out == {0: 0, 1: 3, 2: 5, 3: 8, 4: 10}
+    # bounded rounds: with 1 round only direct edges relax
+    one = {r.node: r.dist for r in shortest_paths(
+        edges, seeds, rounds=1).collect()}
+    assert one == {0: 0, 1: 3, 2: 5}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        shortest_paths(edges, seeds, rounds=0)

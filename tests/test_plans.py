@@ -426,6 +426,10 @@ PLAN_SHAPE_GOLDENS = {
     # a single-partition sort)
     "q243_roc_curve": {},
     "q244_lorenz_gini": {"BroadcastNestedLoopJoin": 1},
+    # q245: every Bellman-Ford round ends in a localCheckpoint, so only
+    # the final min aggregate surfaces (the q197/q230/q240 convention —
+    # the pin asserts the plan stays round-count-invariant)
+    "q245_weighted_sssp": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
