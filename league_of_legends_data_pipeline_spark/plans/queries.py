@@ -14049,3 +14049,259 @@ def q245_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (shortest_paths(edges, seeds, rounds=4)
             .select("node", F.col("dist").cast("bigint").alias("dist"))
             .orderBy("node"))
+
+
+@_register(
+    "q246_theil_sen_trend",
+    """
+    -- per-type Theil-Sen daily-volume trend: median of all pairwise
+    -- slopes on the day-aggregated panel (breakdown ~29% vs OLS 0%),
+    -- intercept = median(v - slope*t), OLS slope for contrast
+    WITH mn AS (
+        SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ),
+    daily AS (
+        SELECT event_type,
+               date_diff('day', (SELECT d0 FROM mn), CAST(ts AS DATE)) AS t,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, (b.v - a.v) / (b.t - a.t) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.t < b.t
+    ),
+    sl AS (
+        SELECT event_type, median(slope) AS theil_slope,
+               count(*) AS n_pairs
+        FROM pairs GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(min(s.n_pairs) AS BIGINT) AS n_pairs,
+           CAST(round(min(s.theil_slope), 6) AS DOUBLE) AS theil_slope,
+           CAST(round(median(d.v - s.theil_slope * d.t), 6) AS DOUBLE)
+               AS intercept,
+           CAST(round(regr_slope(d.v, d.t), 6) AS DOUBLE) AS ols_slope
+    FROM daily d JOIN sl s ON d.event_type = s.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    doc="Theil-Sen robust daily-volume trend per event type "
+        "(operators/timeseries.py::theil_sen_trend): exact median of all "
+        "pairwise slopes + median intercept on the day-aggregated panel, "
+        "with the OLS regr_slope alongside for contrast. The pairwise "
+        "self-join runs AFTER the corpus collapses to |types| x |days| "
+        "rows, so pair volume is calendar-bounded (D(D-1)/2 per group) "
+        "at any corpus scale; exact medians are safe for the same "
+        "reason. The robust/OLS gap is the outlier-day diagnostic a "
+        "daily-ingest monitor alerts on.",
+)
+def q246_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    # ONE corpus scan: collapse to the calendar-bounded panel first, then
+    # localCheckpoint (the CC/HITS convention) — theil_sen_trend fans the
+    # panel into three lineage branches (pairs / slope join / OLS), which
+    # would otherwise each re-run the scan+aggregate (measured 6 scans)
+    panel = (events.groupBy("event_type",
+                            F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("double").alias("v"))
+             .localCheckpoint(eager=True))
+    d0 = panel.agg(F.min("day").alias("d0"))
+    daily = (panel.crossJoin(F.broadcast(d0))
+             .select("event_type", F.datediff("day", "d0").alias("t"), "v"))
+    out = theil_sen_trend(daily, "event_type", "t", "v")
+    return (out.select("event_type",
+                       F.col("n_days").cast("bigint").alias("n_days"),
+                       F.col("n_pairs").cast("bigint").alias("n_pairs"),
+                       "theil_slope", "intercept", "ols_slope")
+            .orderBy("event_type"))
+
+
+@_register(
+    "q247_position_attribution",
+    """
+    -- U-shaped (position-based 40/20/40) multi-touch attribution:
+    -- journeys are the click/view runs between consecutive purchases
+    -- (jid = count of strictly-prior purchases); k=1 -> 1.0, k=2 ->
+    -- 0.5/0.5, k>=3 -> 0.4 first, 0.4 last, 0.2 split over middles;
+    -- touchless purchases credit 'direct'
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS jid
+        FROM events
+    ),
+    j AS (
+        -- the purchase closing journey jid sits IN the (user, jid) group
+        -- with its touches, so position/size/value all come from windows
+        -- over ONE partitioning — no touch<->purchase join at all
+        SELECT user_id, jid, event_type, value,
+               sum(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+                   OVER (PARTITION BY user_id, jid ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS pos,
+               count(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+                   OVER (PARTITION BY user_id, jid) AS k,
+               max(CASE WHEN event_type = 'purchase' THEN value END)
+                   OVER (PARTITION BY user_id, jid) AS pv
+        FROM seq
+    ),
+    credits AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 'direct'
+                    ELSE event_type END AS channel,
+               CASE WHEN event_type = 'purchase' THEN value
+                    ELSE pv * (CASE WHEN k = 1 THEN 1.0
+                               WHEN k = 2 THEN 0.5
+                               WHEN pos = 1 OR pos = k THEN 0.4
+                               ELSE 0.2 / (k - 2) END) END AS credit
+        FROM j
+        WHERE (event_type IN ('click', 'view') AND pv IS NOT NULL)
+           OR (event_type = 'purchase' AND k = 0)
+    ),
+    agg AS (
+        SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+               round(sum(credit), 6) AS credited_value
+        FROM credits GROUP BY 1
+    )
+    SELECT channel, n_credits,
+           CAST(credited_value AS DOUBLE) AS credited_value,
+           CAST(round(credited_value / sum(credited_value) OVER (), 6)
+                AS DOUBLE) AS value_share
+    FROM agg ORDER BY channel
+    """,
+    doc="Position-based (U-shaped 40/20/40) multi-touch attribution — "
+        "the fractional-credit complement to q219's last-touch. The "
+        "closing purchase lands in the SAME (user, journey) group as its "
+        "touches (jid = strictly-prior purchase count), so touch "
+        "position, journey size, and purchase value all come from "
+        "windows over one user-clustered partitioning: ONE corpus scan, "
+        "ONE exchange (hashpartitioning(user_id) satisfies the finer "
+        "(user_id, jid) clustering), ZERO joins — no touch<->purchase "
+        "equi-join, no anti-join for 'direct'. Credit weights are exact "
+        "rationals of the journey size.",
+)
+def q247_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w_prior = (W.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(W.unboundedPreceding, -1))
+    seq = events.withColumn(
+        "jid", F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1))
+            .over(w_prior), F.lit(0)))
+    wj = W.partitionBy("user_id", "jid")
+    is_touch = F.col("event_type").isin("click", "view")
+    j = seq.select(
+        "event_type", "value",
+        F.sum(F.when(is_touch, 1))
+        .over(wj.orderBy("ts", "event_id")
+              .rowsBetween(W.unboundedPreceding, 0)).alias("pos"),
+        F.count(F.when(is_touch, 1)).over(wj).alias("k"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("value")))
+        .over(wj).alias("pv"))
+    weight = (F.when(F.col("k") == 1, 1.0)
+              .when(F.col("k") == 2, 0.5)
+              .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), 0.4)
+              .otherwise(F.lit(0.2) / (F.col("k") - 2)))
+    is_purchase = F.col("event_type") == "purchase"
+    credits = (j.filter((is_touch & F.col("pv").isNotNull())
+                        | (is_purchase & (F.col("k") == 0)))
+               .select(F.when(is_purchase, "direct")
+                       .otherwise(F.col("event_type")).alias("channel"),
+                       F.when(is_purchase, F.col("value"))
+                       .otherwise(F.col("pv") * weight).alias("credit")))
+    # channel-sized result; checkpoint so the share-total branch doesn't
+    # re-run the corpus scan + window
+    agg = (credits.groupBy("channel")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+                F.round(F.sum("credit"), 6).alias("credited_value"))
+           .localCheckpoint(eager=True))
+    tot = agg.agg(F.sum("credited_value").alias("__t"))
+    return (agg.crossJoin(F.broadcast(tot))
+            .select("channel", "n_credits", "credited_value",
+                    F.round(F.col("credited_value") / F.col("__t"), 6)
+                    .alias("value_share"))
+            .orderBy("channel"))
+
+
+@_register(
+    "q248_ewma_control_chart",
+    """
+    -- EWMA control chart (Roberts 1959) per event type over daily
+    -- volume: z_t = 0.2*x_t + 0.8*z_{t-1}, z_0 = series mean, limits
+    -- mu +- 3*sigma*sqrt(0.2/1.8*(1-0.8^(2t))). The recursion runs as
+    -- a recursive CTE over the day index — same sequential order as
+    -- the engine's fold, so z matches bit-for-bit before rounding.
+    WITH RECURSIVE daily AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t
+        FROM daily
+    ),
+    stats AS (
+        SELECT event_type, avg(x) AS mu, stddev_pop(x) AS sigma
+        FROM daily GROUP BY 1
+    ),
+    ew AS (
+        SELECT i.event_type, i.day, i.x, i.t,
+               0.2 * i.x + 0.8 * s.mu AS z
+        FROM idx i JOIN stats s ON i.event_type = s.event_type
+        WHERE i.t = 1
+        UNION ALL
+        SELECT i.event_type, i.day, i.x, i.t, 0.2 * i.x + 0.8 * e.z
+        FROM idx i JOIN ew e
+          ON i.event_type = e.event_type AND i.t = e.t + 1
+    )
+    SELECT e.event_type, e.day, CAST(e.x AS BIGINT) AS n,
+           CAST(round(e.z, 6) AS DOUBLE) AS ewma,
+           CAST(round(s.mu + 3 * s.sigma *
+                sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * e.t))), 6)
+                AS DOUBLE) AS ucl,
+           CAST(round(s.mu - 3 * s.sigma *
+                sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * e.t))), 6)
+                AS DOUBLE) AS lcl,
+           CAST(CASE WHEN e.z > s.mu + 3 * s.sigma *
+                          sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * e.t)))
+                      OR e.z < s.mu - 3 * s.sigma *
+                          sqrt(0.2 / 1.8 * (1 - power(0.8, 2 * e.t)))
+                     THEN 1 ELSE 0 END AS INT) AS breach
+    FROM ew e JOIN stats s ON e.event_type = s.event_type
+    ORDER BY e.event_type, e.day
+    """,
+    doc="EWMA control chart per event type "
+        "(operators/timeseries.py::ewma_chart): the small-shift "
+        "complement to q216's CUSUM and q144's per-day sigma gate. The "
+        "inherently sequential recursion folds left-to-right over each "
+        "group's day-sorted array via ONE codegen'd F.aggregate (no "
+        "UDF, no single-partition window); array length is "
+        "calendar-bounded per group, so the fold is safe at any corpus "
+        "scale — the only row-sized stage is the initial day groupBy. "
+        "Time-varying limits use the standard variance-inflation term "
+        "so early points get tighter bands.",
+)
+def q248_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        ewma_chart,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x")))
+    out = ewma_chart(daily, "event_type", "day", "x", lam=0.2, width=3.0)
+    return (out.select("event_type", "day",
+                       F.col("x").cast("bigint").alias("n"),
+                       "ewma", "ucl", "lcl", "breach")
+            .orderBy("event_type", "day"))

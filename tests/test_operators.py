@@ -3642,3 +3642,79 @@ def test_shortest_paths_weighted_beats_hops(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         shortest_paths(edges, seeds, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# timeseries.theil_sen_trend / ewma_chart (q246, q248)
+# ---------------------------------------------------------------------------
+
+def test_theil_sen_robust_to_outlier_hand_values(spark):
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+    # y = 2t with a massive outlier at the last day: Theil-Sen stays at
+    # slope 2 / intercept 0 (median of pairwise slopes: 6 of 10 equal 2),
+    # OLS is dragged to 20.4 (hand: cov=40.8, var=2)
+    daily = spark.createDataFrame(
+        [("a", 0, 0.0), ("a", 1, 2.0), ("a", 2, 4.0), ("a", 3, 6.0),
+         ("a", 4, 100.0)], ["g", "t", "v"])
+    row = theil_sen_trend(daily, "g", "t", "v").collect()[0]
+    assert row.n_days == 5 and row.n_pairs == 10
+    assert row.theil_slope == 2.0
+    assert row.intercept == 0.0
+    assert row.ols_slope == 20.4
+
+
+def test_theil_sen_exact_line_and_group_isolation(spark):
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+    # two groups, exact lines with different slopes: each group's estimate
+    # must come only from its own rows
+    rows = [("up", t, 3.0 * t + 1.0) for t in range(4)]
+    rows += [("down", t, -1.0 * t + 7.0) for t in range(4)]
+    out = {r.g: r for r in theil_sen_trend(
+        spark.createDataFrame(rows, ["g", "t", "v"]), "g", "t", "v")
+        .collect()}
+    assert out["up"].theil_slope == 3.0 and out["up"].intercept == 1.0
+    assert out["down"].theil_slope == -1.0 and out["down"].intercept == 7.0
+    # on outlier-free lines OLS and Theil-Sen agree exactly
+    assert out["up"].ols_slope == 3.0 and out["down"].ols_slope == -1.0
+
+
+def test_ewma_chart_hand_unrolled(spark):
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        ewma_chart,
+    )
+    # xs = [10, 20, 30], mu = 20, lam = 0.2:
+    #   z1 = 0.2*10 + 0.8*20 = 18
+    #   z2 = 0.2*20 + 0.8*18 = 18.4
+    #   z3 = 0.2*30 + 0.8*18.4 = 20.72
+    # sigma_pop = sqrt(200/3); spread_1 = 3*sigma*sqrt(0.2/1.8*(1-0.8^2))
+    #            = 3*sigma*0.2 = 4.898979
+    daily = spark.createDataFrame(
+        [("a", "2024-01-01", 10.0), ("a", "2024-01-02", 20.0),
+         ("a", "2024-01-03", 30.0)], ["g", "day", "x"])
+    rows = ewma_chart(daily, "g", "day", "x").collect()
+    assert [r.ewma for r in rows] == [18.0, 18.4, 20.72]
+    assert rows[0].ucl == 24.898979 and rows[0].lcl == 15.101021
+    # variance-inflation term: bands widen monotonically with t
+    widths = [r.ucl - r.lcl for r in rows]
+    assert widths[0] < widths[1] < widths[2]
+    assert all(r.breach == 0 for r in rows)
+
+
+def test_ewma_chart_flags_level_shift(spark):
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        ewma_chart,
+    )
+    # a flat series with a sustained late shift: the shifted days breach
+    # the upper band while the pre-shift days stay inside
+    rows = [("a", f"2024-01-{d:02d}", 100.0) for d in range(1, 21)]
+    rows += [("a", f"2024-01-{d:02d}", 130.0) for d in range(21, 31)]
+    out = ewma_chart(spark.createDataFrame(rows, ["g", "day", "x"]),
+                     "g", "day", "x").collect()
+    assert all(r.breach == 0 for r in out[:20])
+    assert any(r.breach == 1 for r in out[20:])
+    # EWMA smooths: the first shifted day's z moves only lam*(130-z19)
+    assert out[20].ewma < 130.0

@@ -430,6 +430,18 @@ PLAN_SHAPE_GOLDENS = {
     # the final min aggregate surfaces (the q197/q230/q240 convention —
     # the pin asserts the plan stays round-count-invariant)
     "q245_weighted_sssp": {},
+    # q246: the corpus collapses to a localCheckpointed day panel, so the
+    # surfaced joins are panel-sized only — 2 explicit broadcasts in
+    # theil_sen_trend (pair join + slope join) and the 1-row d0 cross
+    # join appearing in each of the operator's three lineage branches
+    "q246_theil_sen_trend": {"BroadcastHashJoin": 2,
+                             "BroadcastNestedLoopJoin": 3},
+    # q247: join-free attribution — the only join is the 1-row
+    # share-total broadcast onto the checkpointed channel aggregate
+    "q247_position_attribution": {"BroadcastNestedLoopJoin": 1},
+    # q248: the fold runs over a checkpointed panel; the one BHJ is the
+    # per-group mu/sigma stats join (group-dimension-sized)
+    "q248_ewma_control_chart": {"BroadcastHashJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
