@@ -14305,3 +14305,318 @@ def q248_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("x").cast("bigint").alias("n"),
                        "ewma", "ucl", "lcl", "breach")
             .orderBy("event_type", "day"))
+
+
+@_register(
+    "q249_kaplan_meier",
+    """
+    -- Kaplan-Meier survival over customer order lifetimes: duration =
+    -- days between a customer's first and last order; churn observed
+    -- when the last order precedes the corpus horizon by >= 90 days
+    -- (later customers are right-censored). S(t) multiplies (1 - d/n) factors
+    -- sequentially in duration order — same order as the engine's fold,
+    -- so the product matches bit-for-bit before rounding.
+    WITH RECURSIVE spans AS (
+        SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+               max(CAST(o_orderdate AS DATE)) AS l
+        FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (SELECT max(l) AS mx FROM spans),
+    durs AS (
+        SELECT date_diff('day', f, l) AS dur,
+               CASE WHEN date_diff('day', l, (SELECT mx FROM horizon))
+                    >= 90 THEN 1 ELSE 0 END AS ev
+        FROM spans
+    ),
+    risk AS (
+        SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM durs GROUP BY dur
+    ),
+    idx AS (
+        SELECT dur, d, c,
+               row_number() OVER (ORDER BY dur) AS t,
+               CAST((SELECT count(*) FROM durs)
+                   - coalesce(sum(c) OVER (ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS n
+        FROM risk
+    ),
+    km AS (
+        SELECT dur, d, n, t, 1.0 - d / (1.0 * n) AS s
+        FROM idx WHERE t = 1
+        UNION ALL
+        SELECT i.dur, i.d, i.n, i.t, k.s * (1.0 - i.d / (1.0 * i.n))
+        FROM idx i JOIN km k ON i.t = k.t + 1
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days, n AS n_risk,
+           d AS d_churned,
+           CAST(round(s, 6) AS DOUBLE) AS s_km
+    FROM km ORDER BY duration_days
+    """,
+    doc="Kaplan-Meier survival estimator over customer order "
+        "lifetimes with right-censoring at the corpus horizon — the "
+        "retention-curve dual of q184's cohort grid. ONE customer-keyed "
+        "aggregate collapses the corpus to per-customer spans; everything "
+        "after (risk set via one cumulative window, the sequential "
+        "(1 - d/n) product via the q248 F.aggregate fold) runs on the "
+        "duration dimension, bounded by the calendar. Factors are "
+        "exact rationals of BIGINT counts multiplied in duration "
+        "order, so the survival curve is bit-identical to the "
+        "recursive-CTE oracle before the single 6 dp rounding.",
+)
+def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    spans = (orders.groupBy("o_custkey")
+             .agg(F.min(F.col("o_orderdate").cast("date")).alias("f"),
+                  F.max(F.col("o_orderdate").cast("date")).alias("l"))
+             .localCheckpoint(eager=True))
+    horizon = spans.agg(F.max("l").alias("mx"))
+    durs = (spans.crossJoin(F.broadcast(horizon))
+            .select(F.datediff("l", "f").alias("dur"),
+                    F.when(F.datediff("mx", "l") >= 90, 1).otherwise(0)
+                    .alias("ev")))
+    risk = (durs.groupBy("dur")
+            .agg(F.sum("ev").cast("bigint").alias("d"),
+                 F.count(F.lit(1)).cast("bigint").alias("c")))
+    # duration-dimension cumulative windows (bounded rows — the q243
+    # convention for deliberate single-partition windows)
+    w_prior = (W.orderBy("dur")
+               .rowsBetween(W.unboundedPreceding, -1))
+    tot = risk.agg(F.sum("c").alias("n_total"))
+    idx = (risk.crossJoin(F.broadcast(tot))
+           .select("dur", "d",
+                   (F.col("n_total")
+                    - F.coalesce(F.sum("c").over(w_prior), F.lit(0)))
+                   .alias("n")))
+    packed = idx.agg(F.sort_array(F.collect_list(
+        F.struct("dur", "d", "n"))).alias("s"))
+    zero = F.struct(
+        F.lit(1.0).alias("p"),
+        F.expr("CAST(array() AS array<struct<dur:int,d:bigint,"
+               "n:bigint,s:double>>)").alias("out"))
+    folded = packed.select(F.aggregate(
+        "s", zero,
+        lambda acc, e: F.struct(
+            (acc["p"] * (F.lit(1.0) - e["d"] / (F.lit(1.0) * e["n"])))
+            .alias("p"),
+            F.concat(acc["out"], F.array(F.struct(
+                e["dur"].alias("dur"), e["d"].alias("d"),
+                e["n"].alias("n"),
+                (acc["p"] * (F.lit(1.0) - e["d"]
+                             / (F.lit(1.0) * e["n"]))).alias("s"))))
+            .alias("out"))).alias("acc"))
+    rows = folded.select(F.explode(F.col("acc.out")).alias("r"))
+    return (rows.select(
+        F.col("r.dur").cast("bigint").alias("duration_days"),
+        F.col("r.n").alias("n_risk"), F.col("r.d").alias("d_churned"),
+        F.round(F.col("r.s"), 6).alias("s_km"))
+        .orderBy("duration_days"))
+
+
+@_register(
+    "q250_cuped_adjustment",
+    """
+    -- CUPED variance reduction on the q239 experiment: pre-period
+    -- purchase spend (first 15 days) as the covariate, post-period
+    -- spend as the metric, all moments as exact integer-cent sums so
+    -- theta and the adjusted means are bit-identical across engines.
+    -- var_reduction = corr(x,y)^2 by the CUPED identity
+    -- var(y - theta*x) = var(y) - cov^2/var(x).
+    WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    users AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                    AND date_diff('day', (SELECT d0 FROM d0),
+                                  CAST(ts AS DATE)) < 15
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS x,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                    AND date_diff('day', (SELECT d0 FROM d0),
+                                  CAST(ts AS DATE)) >= 15
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM users GROUP BY arm
+    ),
+    g AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+               CAST(sum(sy) AS BIGINT) AS sy,
+               CAST(sum(sxx) AS BIGINT) AS sxx,
+               CAST(sum(syy) AS BIGINT) AS syy,
+               CAST(sum(sxy) AS BIGINT) AS sxy
+        FROM m
+    ),
+    th AS (
+        SELECT n, sx, sy,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)) AS corr2
+        FROM g
+    )
+    SELECT m.arm, m.n AS n_users,
+           CAST(round(m.sy / (1.0 * m.n) / 100.0, 6) AS DOUBLE)
+               AS mean_post,
+           CAST(round((m.sy - th.theta
+                       * (m.sx - m.n * (th.sx / (1.0 * th.n))))
+                      / (1.0 * m.n) / 100.0, 6) AS DOUBLE)
+               AS mean_post_cuped,
+           CAST(round(th.theta, 6) AS DOUBLE) AS theta,
+           CAST(round(th.corr2, 6) AS DOUBLE) AS var_reduction
+    FROM m, th ORDER BY m.arm
+    """,
+    doc="CUPED variance-reduced experiment readout (Deng et al. 2013) "
+        "on the q239 hash-split arms: pre-period spend covariate, "
+        "post-period spend metric, theta = cov/var from pooled moments, "
+        "variance reduction = corr^2 via the CUPED identity (no second "
+        "pass over users). ONE user-keyed aggregate collapses the "
+        "corpus; moments are exact integer-cent BIGINT sums (the q238 "
+        "convention), so theta and every reported float are "
+        "bit-identical across engines — the 2-row arm rollup and 1-row "
+        "pooled stats are driver-trivial at any scale.",
+)
+def q250_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    is_pre = F.datediff(F.col("ts").cast("date"), F.col("d0")) < 15
+    purchase = F.col("event_type") == "purchase"
+    users = (events.crossJoin(F.broadcast(d0))
+             .groupBy("user_id")
+             .agg(F.first(arm).alias("arm"),
+                  F.coalesce(F.sum(F.when(purchase & is_pre, cents)),
+                             F.lit(0)).cast("bigint").alias("x"),
+                  F.coalesce(F.sum(F.when(purchase & ~is_pre, cents)),
+                             F.lit(0)).cast("bigint").alias("y")))
+    m = (users.groupBy("arm")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum("y").cast("bigint").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+              F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"))
+         .localCheckpoint(eager=True))
+    g = m.agg(*[F.sum(c).cast("bigint").alias(c)
+                for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]])
+    cov_n = (F.col("n") * F.col("sxy")
+             - F.col("sx") * F.col("sy")).cast("double")
+    varx_n = (F.col("n") * F.col("sxx")
+              - F.col("sx") * F.col("sx")).cast("double")
+    vary_n = (F.col("n") * F.col("syy")
+              - F.col("sy") * F.col("sy")).cast("double")
+    th = g.select("n", "sx", "sy",
+                  (cov_n / varx_n).alias("theta"),
+                  (cov_n * cov_n / (varx_n * vary_n)).alias("corr2"))
+    gm = F.col("th_sx") / (F.lit(1.0) * F.col("th_n"))
+    return (m.crossJoin(F.broadcast(
+        th.select(F.col("n").alias("th_n"), F.col("sx").alias("th_sx"),
+                  "theta", "corr2")))
+        .select(
+            "arm", F.col("n").alias("n_users"),
+            F.round(F.col("sy") / (F.lit(1.0) * F.col("n")) / 100.0, 6)
+            .alias("mean_post"),
+            F.round((F.col("sy") - F.col("theta")
+                     * (F.col("sx") - F.col("n") * gm))
+                    / (F.lit(1.0) * F.col("n")) / 100.0, 6)
+            .alias("mean_post_cuped"),
+            F.round("theta", 6).alias("theta"),
+            F.round("corr2", 6).alias("var_reduction"))
+        .orderBy("arm"))
+
+
+@_register(
+    "q251_diff_in_diff",
+    """
+    -- difference-in-differences on the q239 arms with the q250
+    -- pre/post split: per-(arm, period) purchase spend means from
+    -- exact integer-cent sums; DiD = (B_post - B_pre) - (A_post -
+    -- A_pre) treating B as treatment and A as control
+    WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    cells AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN date_diff('day', (SELECT d0 FROM d0),
+                        CAST(ts AS DATE)) < 15
+                    THEN 'pre' ELSE 'post' END AS period,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS s
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            max(CASE WHEN arm = 'A' AND period = 'pre'
+                THEN s / (1.0 * n) END) AS a_pre,
+            max(CASE WHEN arm = 'A' AND period = 'post'
+                THEN s / (1.0 * n) END) AS a_post,
+            max(CASE WHEN arm = 'B' AND period = 'pre'
+                THEN s / (1.0 * n) END) AS b_pre,
+            max(CASE WHEN arm = 'B' AND period = 'post'
+                THEN s / (1.0 * n) END) AS b_post
+        FROM cells
+    )
+    SELECT CAST(round(a_pre / 100.0, 6) AS DOUBLE) AS ctrl_pre,
+           CAST(round(a_post / 100.0, 6) AS DOUBLE) AS ctrl_post,
+           CAST(round(b_pre / 100.0, 6) AS DOUBLE) AS treat_pre,
+           CAST(round(b_post / 100.0, 6) AS DOUBLE) AS treat_post,
+           CAST(round(((b_post - b_pre) - (a_post - a_pre)) / 100.0, 6)
+                AS DOUBLE) AS did
+    FROM wide
+    """,
+    doc="Difference-in-differences estimator on the q239 hash-split "
+        "arms with the q250 pre/post split — the parallel-trends "
+        "companion to the z-test and CUPED readouts. ONE conditional "
+        "aggregate produces the 2x2 (arm, period) cell table with "
+        "exact integer-cent sums; the 1-row pivot and the DiD contrast "
+        "are pure arithmetic on exact inputs, bit-identical across "
+        "engines before the single rounding.",
+)
+def q251_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+    period = F.when(
+        F.datediff(F.col("ts").cast("date"), F.col("d0")) < 15,
+        "pre").otherwise("post")
+    cells = (events.where(F.col("event_type") == "purchase")
+             .crossJoin(F.broadcast(d0))
+             .groupBy(arm.alias("arm"), period.alias("period"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .cast("bigint").alias("s")))
+    mean_of = lambda a, p: F.max(  # noqa: E731
+        F.when((F.col("arm") == a) & (F.col("period") == p),
+               F.col("s") / (F.lit(1.0) * F.col("n"))))
+    wide = cells.agg(mean_of("A", "pre").alias("a_pre"),
+                     mean_of("A", "post").alias("a_post"),
+                     mean_of("B", "pre").alias("b_pre"),
+                     mean_of("B", "post").alias("b_post"))
+    return wide.select(
+        F.round(F.col("a_pre") / 100.0, 6).alias("ctrl_pre"),
+        F.round(F.col("a_post") / 100.0, 6).alias("ctrl_post"),
+        F.round(F.col("b_pre") / 100.0, 6).alias("treat_pre"),
+        F.round(F.col("b_post") / 100.0, 6).alias("treat_post"),
+        F.round(((F.col("b_post") - F.col("b_pre"))
+                 - (F.col("a_post") - F.col("a_pre"))) / 100.0, 6)
+        .alias("did"))

@@ -330,6 +330,19 @@ PROBE_QUERIES = [
     "q244_lorenz_gini",
     # 4 Bellman-Ford rounds: edge equi-join + min agg per round
     "q245_weighted_sssp",
+    # day-panel checkpoint + calendar-bounded pairwise slopes: the only
+    # corpus stage is the first groupBy
+    "q246_theil_sen_trend",
+    # join-free windows over one user-clustered partitioning
+    "q247_position_attribution",
+    # day groupBy + checkpointed panel fold: corpus stage is the scan
+    "q248_ewma_control_chart",
+    # customer-keyed span aggregate + duration-dimension fold
+    "q249_kaplan_meier",
+    # one user-keyed conditional aggregate + 2-row moments rollup
+    "q250_cuped_adjustment",
+    # one conditional aggregate to the 2x2 cell table
+    "q251_diff_in_diff",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -3718,3 +3718,60 @@ def test_ewma_chart_flags_level_shift(spark):
     assert any(r.breach == 1 for r in out[20:])
     # EWMA smooths: the first shifted day's z moves only lam*(130-z19)
     assert out[20].ewma < 130.0
+
+
+# ---------------------------------------------------------------------------
+# experimentation / survival tier (q249-q251)
+# ---------------------------------------------------------------------------
+
+def test_kaplan_meier_invariants(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q249_kaplan_meier"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "KM curve must be non-empty"
+    durs = [r.duration_days for r in rows]
+    assert durs == sorted(durs)
+    # risk set shrinks as durations pass; survival is non-increasing in
+    # [0, 1]; churn events never exceed the at-risk count
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_risk < a.n_risk
+        assert b.s_km <= a.s_km + 1e-12
+    for r in rows:
+        assert 0.0 <= r.s_km <= 1.0
+        assert 0 <= r.d_churned <= r.n_risk
+    # hand identity on the first row: S = 1 - d/n
+    assert rows[0].s_km == round(
+        1.0 - rows[0].d_churned / (1.0 * rows[0].n_risk), 6)
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q250_cuped_adjustment"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert [r.arm for r in rows] == ["A", "B"]
+    a, b = rows
+    # theta and the variance reduction are pooled (identical per arm);
+    # corr^2 lies in [0, 1)
+    assert a.theta == b.theta and a.var_reduction == b.var_reduction
+    assert 0.0 <= a.var_reduction < 1.0
+    # CUPED preserves the POOLED mean: sum_users(y_adj) == sum_users(y)
+    # because sum(x - mean(x)) = 0 over all users
+    pooled_raw = a.n_users * a.mean_post + b.n_users * b.mean_post
+    pooled_adj = (a.n_users * a.mean_post_cuped
+                  + b.n_users * b.mean_post_cuped)
+    assert abs(pooled_raw - pooled_adj) < 1e-3
+
+
+def test_diff_in_diff_contrast_identity(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    row = QUERIES["q251_diff_in_diff"].spark(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    # the reported DiD must equal the contrast of the reported cells
+    # (all five floats come from the same exact integer-cent sums)
+    want = (row.treat_post - row.treat_pre) - (row.ctrl_post - row.ctrl_pre)
+    assert abs(row.did - want) < 5e-6
+    for v in (row.ctrl_pre, row.ctrl_post, row.treat_pre, row.treat_post):
+        assert v > 0.0

@@ -442,6 +442,13 @@ PLAN_SHAPE_GOLDENS = {
     # q248: the fold runs over a checkpointed panel; the one BHJ is the
     # per-group mu/sigma stats join (group-dimension-sized)
     "q248_ewma_control_chart": {"BroadcastHashJoin": 1},
+    # q249: spans checkpoint truncates the corpus; the BNLJs are the
+    # 1-row horizon/total broadcasts onto duration-dimension frames
+    "q249_kaplan_meier": {"BroadcastNestedLoopJoin": 3},
+    # q250/q251: 1-row scalar broadcasts (d0 date / pooled theta) onto
+    # conditional-aggregate outputs — the corpus stage is one scan
+    "q250_cuped_adjustment": {"BroadcastNestedLoopJoin": 1},
+    "q251_diff_in_diff": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
