@@ -14620,3 +14620,223 @@ def q251_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(((F.col("b_post") - F.col("b_pre"))
                  - (F.col("a_post") - F.col("a_pre"))) / 100.0, 6)
         .alias("did"))
+
+
+@_register(
+    "q252_mann_kendall",
+    """
+    -- Mann-Kendall trend test per event type on daily volume: S =
+    -- sum of pairwise signs over the day panel, tie-corrected normal
+    -- approximation with continuity correction, tau-a effect size.
+    -- S and the tie terms are exact integers, so every float divides
+    -- identically on both engines.
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY a.event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY event_type, v) g
+        GROUP BY event_type
+    ),
+    n AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    )
+    SELECT n.event_type, n.n_days, s.s_stat,
+           CAST(round(s.s_stat / (n.n_days * (n.n_days - 1) / 2.0), 6)
+                AS DOUBLE) AS kendall_tau,
+           CAST(round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                           WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                           ELSE 0 END
+               / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+                       - ties.tie_term) / 18.0), 6) AS DOUBLE) AS z_mk
+    FROM n JOIN s ON n.event_type = s.event_type
+    JOIN ties ON n.event_type = ties.event_type
+    ORDER BY n.event_type
+    """,
+    doc="Mann-Kendall monotone-trend test per event type — the "
+        "significance companion to q246's Theil-Sen estimator (the "
+        "standard pairing in trend monitoring). S, the tie correction, "
+        "and n are exact BIGINT aggregates over the calendar-bounded "
+        "day panel (pairwise stage = the q246 panel self-join, "
+        "broadcast, D^2 per group); tau-a and the continuity-corrected "
+        "z divide those integers identically on both engines. The "
+        "checkpointed panel keeps the corpus scan single.",
+)
+def q252_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy("event_type",
+                            F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+             .localCheckpoint(eager=True))
+    a = daily.select(F.col("event_type").alias("g"),
+                     F.col("day").alias("da"), F.col("v").alias("va"))
+    b = daily.select(F.col("event_type").alias("g"),
+                     F.col("day").alias("db"), F.col("v").alias("vb"))
+    s = (a.join(F.broadcast(b), "g").where(F.col("da") < F.col("db"))
+         .groupBy("g")
+         .agg(F.sum(F.when(F.col("vb") > F.col("va"), 1)
+                    .when(F.col("vb") < F.col("va"), -1)
+                    .otherwise(0)).cast("bigint").alias("s_stat")))
+    ties = (daily.groupBy("event_type", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .groupBy("event_type")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).cast("bigint")
+                 .alias("tie_term")))
+    n = (daily.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_days")))
+    j = (n.join(F.broadcast(s.withColumnRenamed("g", "event_type")),
+                "event_type")
+         .join(F.broadcast(ties), "event_type"))
+    nd = F.col("n_days")
+    s_adj = (F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+             .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+             .otherwise(0))
+    return (j.select(
+        "event_type", "n_days", "s_stat",
+        F.round(F.col("s_stat") / (nd * (nd - 1) / 2.0), 6)
+        .alias("kendall_tau"),
+        F.round(s_adj / F.sqrt((nd * (nd - 1) * (2 * nd + 5)
+                                - F.col("tie_term")) / 18.0), 6)
+        .alias("z_mk"))
+        .orderBy("event_type"))
+
+
+@_register(
+    "q253_logrank_test",
+    """
+    -- log-rank test: do BUILDING and MACHINERY customers have the same
+    -- order-lifetime survival? Per distinct churn time: at-risk counts
+    -- per segment from cumulative windows over the duration panel,
+    -- expected events e1 = d * n1/n, hypergeometric variance term;
+    -- chi2 = (O1 - E1)^2 / V. Counts are exact BIGINTs; the float
+    -- terms divide/multiply them identically on both sides.
+    WITH spans AS (
+        SELECT c.c_mktsegment AS seg,
+               min(CAST(o.o_orderdate AS DATE)) AS f,
+               max(CAST(o.o_orderdate AS DATE)) AS l
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY o.o_custkey, c.c_mktsegment
+    ),
+    horizon AS (SELECT max(l) AS mx FROM spans),
+    durs AS (
+        SELECT seg, date_diff('day', f, l) AS dur,
+               CASE WHEN date_diff('day', l, (SELECT mx FROM horizon))
+                    >= 90 THEN 1 ELSE 0 END AS ev
+        FROM spans
+    ),
+    panel AS (
+        SELECT dur,
+               CAST(sum(CASE WHEN seg = 'BUILDING' THEN ev
+                        ELSE 0 END) AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1
+                        ELSE 0 END) AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN seg = 'MACHINERY' THEN ev
+                        ELSE 0 END) AS BIGINT) AS d2,
+               CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1
+                        ELSE 0 END) AS BIGINT) AS c2
+        FROM durs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d1, d2,
+               CAST(sum(c1) OVER () - coalesce(sum(c1) OVER (
+                    ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+               CAST(sum(c2) OVER () - coalesce(sum(c2) OVER (
+                    ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n2
+        FROM panel
+    )
+    SELECT CAST(sum(CASE WHEN n1 > 0 AND n2 > 0 AND d1 + d2 > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_event_times,
+           CAST(sum(d1) AS BIGINT) AS o1,
+           CAST(round(sum(CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+               THEN (d1 + d2) * (n1 / (1.0 * (n1 + n2))) END), 6)
+               AS DOUBLE) AS e1,
+           CAST(round(
+               pow(sum(d1) - sum(CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+                   THEN (d1 + d2) * (n1 / (1.0 * (n1 + n2))) END), 2)
+               / sum(CASE WHEN d1 + d2 > 0 AND n1 + n2 > 1
+                   THEN (d1 + d2) * (n1 / (1.0 * (n1 + n2)))
+                        * (n2 / (1.0 * (n1 + n2)))
+                        * ((n1 + n2 - d1 - d2)
+                           / (1.0 * (n1 + n2 - 1))) END), 6)
+               AS DOUBLE) AS chi2_logrank
+    FROM risk
+    """,
+    doc="Log-rank test between two customer segments' order-lifetime "
+        "survival curves — the hypothesis-test companion to q249's "
+        "Kaplan-Meier estimator (standard pairing in churn analysis). "
+        "One customer-keyed span aggregate (orders joined to the "
+        "customer dim), then the entire observed/expected/variance "
+        "machinery runs on the duration-dimension panel via two "
+        "cumulative windows and ONE final aggregate. Counts stay exact "
+        "BIGINTs until the per-duration expectation terms; the panel "
+        "is calendar-bounded so the deliberate single-partition "
+        "windows are safe at any corpus scale.",
+)
+def q253_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    spans = (orders.join(
+        customer.where(F.col("c_mktsegment").isin(
+            "BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment"),
+        orders["o_custkey"] == F.col("c_custkey"))
+        .groupBy("o_custkey", F.col("c_mktsegment").alias("seg"))
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("f"),
+             F.max(F.col("o_orderdate").cast("date")).alias("l"))
+        .localCheckpoint(eager=True))
+    horizon = spans.agg(F.max("l").alias("mx"))
+    durs = (spans.crossJoin(F.broadcast(horizon))
+            .select("seg", F.datediff("l", "f").alias("dur"),
+                    F.when(F.datediff("mx", "l") >= 90, 1).otherwise(0)
+                    .alias("ev")))
+    panel = (durs.groupBy("dur").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("ev"))
+              .otherwise(0)).cast("bigint").alias("d1"),
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0))
+        .cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", F.col("ev"))
+              .otherwise(0)).cast("bigint").alias("d2"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0))
+        .cast("bigint").alias("c2")))
+    w_all = W.orderBy("dur").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing)
+    w_prior = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    risk = panel.select(
+        "dur", "d1", "d2",
+        (F.sum("c1").over(w_all)
+         - F.coalesce(F.sum("c1").over(w_prior), F.lit(0)))
+        .cast("bigint").alias("n1"),
+        (F.sum("c2").over(w_all)
+         - F.coalesce(F.sum("c2").over(w_prior), F.lit(0)))
+        .cast("bigint").alias("n2"))
+    d, n1, n2 = (F.col("d1") + F.col("d2")), F.col("n1"), F.col("n2")
+    n = n1 + n2
+    valid = (d > 0) & (n > 1)
+    e1_term = F.when(valid, d * (n1 / (F.lit(1.0) * n)))
+    v_term = F.when(valid, d * (n1 / (F.lit(1.0) * n))
+                    * (n2 / (F.lit(1.0) * n))
+                    * ((n - d) / (F.lit(1.0) * (n - 1))))
+    return risk.agg(
+        F.sum(((n1 > 0) & (n2 > 0) & (d > 0)).cast("int"))
+        .cast("bigint").alias("n_event_times"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.round(F.sum(e1_term), 6).alias("e1"),
+        F.round(F.pow(F.sum("d1") - F.sum(e1_term), 2)
+                / F.sum(v_term), 6).alias("chi2_logrank"))

@@ -343,6 +343,10 @@ PROBE_QUERIES = [
     "q250_cuped_adjustment",
     # one conditional aggregate to the 2x2 cell table
     "q251_diff_in_diff",
+    # checkpointed day panel + broadcast pairwise-sign join
+    "q252_mann_kendall",
+    # span aggregate behind a checkpoint + duration-panel windows
+    "q253_logrank_test",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -3775,3 +3775,35 @@ def test_diff_in_diff_contrast_identity(spark):
     assert abs(row.did - want) < 5e-6
     for v in (row.ctrl_pre, row.ctrl_post, row.treat_pre, row.treat_post):
         assert v > 0.0
+
+
+def test_mann_kendall_bounds_and_sign_consistency(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q252_mann_kendall"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        max_s = r.n_days * (r.n_days - 1) // 2
+        assert -max_s <= r.s_stat <= max_s
+        assert -1.0 <= r.kendall_tau <= 1.0
+        # z carries S's sign (continuity correction never flips it)
+        if r.s_stat > 0:
+            assert r.z_mk >= 0.0
+        elif r.s_stat < 0:
+            assert r.z_mk <= 0.0
+        else:
+            assert r.z_mk == 0.0
+
+
+def test_logrank_observed_expected_consistency(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    row = QUERIES["q253_logrank_test"].spark(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_event_times > 0
+    assert row.o1 >= 0 and row.e1 > 0.0
+    assert row.chi2_logrank >= 0.0
+    # under ANY survival pattern the expected count is bounded by the
+    # total number of churn events
+    assert row.e1 <= row.o1 + row.n_event_times * 1000  # sanity ceiling
