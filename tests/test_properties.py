@@ -511,3 +511,50 @@ def test_profile_ndv_modes_agree(spark, rows):
                         profile_columns(df, ndv_mode="exact_expand")
                         .collect()))
     assert pruned == expand
+
+
+# ---------------------------------------------------------------------------
+# timeseries estimators (q246/q248)
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.integers(0, 1000), min_size=3, max_size=12),
+       st.integers(1, 50))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_theil_sen_slope_is_shift_invariant(spark, vals, shift):
+    """Shifting the time axis must leave the Theil-Sen slope unchanged
+    and move the intercept by exactly slope*shift (its defining
+    affine-equivariance property)."""
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        theil_sen_trend,
+    )
+    base = spark.createDataFrame(
+        [("g", t, float(v)) for t, v in enumerate(vals)], ["g", "t", "v"])
+    moved = spark.createDataFrame(
+        [("g", t + shift, float(v)) for t, v in enumerate(vals)],
+        ["g", "t", "v"])
+    r0 = theil_sen_trend(base, "g", "t", "v").collect()[0]
+    r1 = theil_sen_trend(moved, "g", "t", "v").collect()[0]
+    assert r1.theil_slope == r0.theil_slope
+    assert abs(r1.intercept - (r0.intercept - r0.theil_slope * shift)) < 1e-4
+
+
+@given(st.lists(st.integers(0, 500), min_size=2, max_size=10))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_ewma_stays_inside_series_hull(spark, vals):
+    """Every EWMA value is a convex combination of the series mean and
+    observed points, so it can never leave [min(xs + mu), max(xs + mu)];
+    with lam=0.2 the first value is exactly 0.2*x1 + 0.8*mu."""
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        ewma_chart,
+    )
+    daily = spark.createDataFrame(
+        [("g", f"2024-01-{i+1:02d}", float(v)) for i, v in enumerate(vals)],
+        ["g", "day", "x"])
+    rows = ewma_chart(daily, "g", "day", "x").collect()
+    mu = sum(vals) / len(vals)
+    lo, hi = min(list(vals) + [mu]), max(list(vals) + [mu])
+    for r in rows:
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6
+    assert abs(rows[0].ewma - round(0.2 * vals[0] + 0.8 * mu, 6)) < 1e-6
