@@ -14840,3 +14840,245 @@ def q253_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(e1_term), 6).alias("e1"),
         F.round(F.pow(F.sum("d1") - F.sum(e1_term), 2)
                 / F.sum(v_term), 6).alias("chi2_logrank"))
+
+
+@_register(
+    "q254_bootstrap_did_ci",
+    """
+    -- cluster (per-user) multiplier bootstrap CI for the q251 DiD on
+    -- per-user mean spend: 32 deterministic double-or-nothing replicas
+    -- (w in {0,2} from md5(user, b) — mean 1, variance 1), DiD per
+    -- replica from exact integer-cent weighted sums, CI from exact
+    -- order statistics (2nd / 31st of 32). Replica -1 carries w=1 and
+    -- is the point estimate.
+    WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    users AS (
+        SELECT user_id,
+               CASE WHEN CAST(('0x' || substr(md5('ab:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                    AND date_diff('day', (SELECT d0 FROM d0),
+                                  CAST(ts AS DATE)) < 15
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS s_pre,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                    AND date_diff('day', (SELECT d0 FROM d0),
+                                  CAST(ts AS DATE)) >= 15
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS s_post
+        FROM events GROUP BY user_id
+    ),
+    reps AS (
+        SELECT u.user_id, u.arm, u.s_pre, u.s_post, g.b,
+               CASE WHEN g.b < 0 THEN 1
+                    ELSE 2 * (CAST(('0x' || substr(md5('boot:' ||
+                         CAST(g.b AS VARCHAR) || ':' ||
+                         CAST(u.user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 2) END AS w
+        FROM users u CROSS JOIN generate_series(-1, 31) g(b)
+    ),
+    cells AS (
+        SELECT b, arm, CAST(sum(w) AS BIGINT) AS wsum,
+               CAST(sum(w * s_pre) AS BIGINT) AS wpre,
+               CAST(sum(w * s_post) AS BIGINT) AS wpost
+        FROM reps GROUP BY b, arm
+    ),
+    did AS (
+        SELECT b,
+               (max(CASE WHEN arm = 'B' THEN wpost / (1.0 * wsum) END)
+                - max(CASE WHEN arm = 'B' THEN wpre / (1.0 * wsum) END))
+               - (max(CASE WHEN arm = 'A' THEN wpost / (1.0 * wsum) END)
+                - max(CASE WHEN arm = 'A' THEN wpre / (1.0 * wsum) END))
+                   AS d
+        FROM cells GROUP BY b
+    ),
+    ranked AS (
+        SELECT b, d, row_number() OVER (ORDER BY d, b) AS r
+        FROM did WHERE b >= 0
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM users) AS n_users,
+           CAST(32 AS BIGINT) AS n_replicas,
+           CAST(round((SELECT d FROM did WHERE b = -1) / 100.0, 6)
+                AS DOUBLE) AS did_point,
+           CAST(round((SELECT sum(d) FROM ranked) / 32.0 / 100.0, 6)
+                AS DOUBLE) AS boot_mean,
+           CAST(round((SELECT d FROM ranked WHERE r = 2) / 100.0, 6)
+                AS DOUBLE) AS ci_lo,
+           CAST(round((SELECT d FROM ranked WHERE r = 31) / 100.0, 6)
+                AS DOUBLE) AS ci_hi
+    """,
+    doc="Cluster bootstrap confidence interval for the q251 DiD: "
+        "users (the randomization unit) are resampled via 32 "
+        "deterministic double-or-nothing multiplier replicas (w in "
+        "{0,2} hashed from (user, replica) — mean 1, variance 1, the "
+        "standard multiplier-bootstrap weights), so the whole "
+        "resampling distribution is replayable and oracle-checkable. "
+        "ONE corpus scan collapses events to user cells; the 33-way "
+        "replica explode multiplies USER rows, never events, and each "
+        "replica's DiD reduces through exact integer-cent weighted "
+        "sums — the CI is exact order statistics of 32 identical "
+        "doubles on both engines. At 100 TB the replica fan-out is "
+        "user-dimension-sized: 33x a user table vs 33 corpus passes.",
+)
+def q254_bootstrap_did_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    is_pre = F.datediff(F.col("ts").cast("date"), F.col("d0")) < 15
+    purchase = F.col("event_type") == "purchase"
+    users = (events.crossJoin(F.broadcast(d0))
+             .groupBy("user_id")
+             .agg(F.first(arm).alias("arm"),
+                  F.coalesce(F.sum(F.when(purchase & is_pre, cents)),
+                             F.lit(0)).cast("bigint").alias("s_pre"),
+                  F.coalesce(F.sum(F.when(purchase & ~is_pre, cents)),
+                             F.lit(0)).cast("bigint").alias("s_post"))
+             .localCheckpoint(eager=True))
+    w = F.when(F.col("b") < 0, F.lit(1)).otherwise(
+        2 * (F.conv(F.substring(F.md5(F.concat(
+            F.lit("boot:"), F.col("b").cast("string"), F.lit(":"),
+            F.col("user_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 2))
+    reps = (users.select("user_id", "arm", "s_pre", "s_post",
+                         F.explode(F.sequence(F.lit(-1), F.lit(31)))
+                         .alias("b"))
+            .withColumn("w", w))
+    cells = (reps.groupBy("b", "arm")
+             .agg(F.sum("w").cast("bigint").alias("wsum"),
+                  F.sum(F.col("w") * F.col("s_pre")).cast("bigint")
+                  .alias("wpre"),
+                  F.sum(F.col("w") * F.col("s_post")).cast("bigint")
+                  .alias("wpost")))
+    m = lambda a, c: F.max(  # noqa: E731
+        F.when(F.col("arm") == a, F.col(c) / (F.lit(1.0)
+                                              * F.col("wsum"))))
+    # 33-row replica frame; checkpoint so the point/CI branches don't
+    # each re-run the replica explode over the user table
+    did = (cells.groupBy("b")
+           .agg(((m("B", "wpost") - m("B", "wpre"))
+                 - (m("A", "wpost") - m("A", "wpre"))).alias("d"))
+           .localCheckpoint(eager=True))
+    n_users = users.agg(F.count(F.lit(1)).cast("bigint")
+                        .alias("n_users"))
+    w_rank = W.orderBy("d", "b")
+    ranked = (did.where(F.col("b") >= 0)
+              .select("d", F.row_number().over(w_rank).alias("r")))
+    stats = ranked.agg(
+        F.round(F.sum("d") / 32.0 / 100.0, 6).alias("boot_mean"),
+        F.round(F.max(F.when(F.col("r") == 2, F.col("d"))) / 100.0, 6)
+        .alias("ci_lo"),
+        F.round(F.max(F.when(F.col("r") == 31, F.col("d"))) / 100.0, 6)
+        .alias("ci_hi"))
+    point = did.where(F.col("b") == -1).select(
+        F.round(F.col("d") / 100.0, 6).alias("did_point"))
+    return (n_users.crossJoin(F.broadcast(point))
+            .crossJoin(F.broadcast(stats))
+            .select("n_users", F.lit(32).cast("bigint")
+                    .alias("n_replicas"),
+                    "did_point", "boot_mean", "ci_lo", "ci_hi"))
+
+
+@_register(
+    "q255_experiment_power",
+    """
+    -- experiment power readout: minimum detectable effect on post-
+    -- period per-user spend at alpha=.05 / power=.80, from exact
+    -- integer-cent moments (pooled sample sd); z constants are shared
+    -- literals so the single float pipeline agrees bit-for-bit
+    WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    users AS (
+        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
+                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                    AND date_diff('day', (SELECT d0 FROM d0),
+                                  CAST(ts AS DATE)) >= 15
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                    AS BIGINT) AS y
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(y * y) AS BIGINT) AS syy
+        FROM users GROUP BY arm
+    ),
+    wide AS (
+        SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
+               max(CASE WHEN arm = 'A' THEN sy END) AS sya,
+               max(CASE WHEN arm = 'A' THEN syy END) AS syya,
+               max(CASE WHEN arm = 'B' THEN n END) AS nb,
+               max(CASE WHEN arm = 'B' THEN sy END) AS syb,
+               max(CASE WHEN arm = 'B' THEN syy END) AS syyb
+        FROM m
+    ),
+    sd AS (
+        SELECT na, nb, sya,
+               sqrt(((syya - sya * (sya / (1.0 * na)))
+                     + (syyb - syb * (syb / (1.0 * nb))))
+                    / (na + nb - 2.0)) AS sp
+        FROM wide
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(round(sp / 100.0, 6) AS DOUBLE) AS sd_pooled,
+           CAST(round((1.959964 + 0.841621) * sp
+                * sqrt(1.0 / na + 1.0 / nb) / 100.0, 6) AS DOUBLE)
+               AS mde_abs,
+           CAST(round((1.959964 + 0.841621) * sp
+                * sqrt(1.0 / na + 1.0 / nb)
+                / (sya / (1.0 * na)), 6) AS DOUBLE) AS mde_rel
+    FROM sd
+    """,
+    doc="Experiment power/MDE readout: the design-time companion to "
+        "q239 (z-test), q250 (CUPED) and q254 (bootstrap CI) — minimum "
+        "detectable effect on post-period per-user spend at the "
+        "standard alpha=0.05 / power=0.80 operating point "
+        "((z_{a/2}+z_b) * sd_pooled * sqrt(1/na+1/nb)). ONE user-keyed "
+        "aggregate, a 2-row moments rollup, a 1-row readout; moments "
+        "are exact integer-cent BIGINTs and the z constants are shared "
+        "literals, so the float pipeline is engine-exact.",
+)
+def q255_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    is_post = F.datediff(F.col("ts").cast("date"), F.col("d0")) >= 15
+    purchase = F.col("event_type") == "purchase"
+    users = (events.crossJoin(F.broadcast(d0))
+             .groupBy("user_id")
+             .agg(F.first(arm).alias("arm"),
+                  F.coalesce(F.sum(F.when(purchase & is_post, cents)),
+                             F.lit(0)).cast("bigint").alias("y")))
+    m = (users.groupBy("arm")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("y").cast("bigint").alias("sy"),
+              F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy")))
+    pick = lambda a, c: F.max(  # noqa: E731
+        F.when(F.col("arm") == a, F.col(c)))
+    wide = m.agg(pick("A", "n").alias("na"), pick("A", "sy").alias("sya"),
+                 pick("A", "syy").alias("syya"),
+                 pick("B", "n").alias("nb"), pick("B", "sy").alias("syb"),
+                 pick("B", "syy").alias("syyb"))
+    na, nb = F.col("na"), F.col("nb")
+    sp = F.sqrt(((F.col("syya") - F.col("sya")
+                  * (F.col("sya") / (F.lit(1.0) * na)))
+                 + (F.col("syyb") - F.col("syb")
+                    * (F.col("syb") / (F.lit(1.0) * nb))))
+                / (na + nb - F.lit(2.0)))
+    mde = (F.lit(1.959964 + 0.841621) * sp
+           * F.sqrt(F.lit(1.0) / na + F.lit(1.0) / nb))
+    return wide.select(
+        na.cast("bigint").alias("n_a"), nb.cast("bigint").alias("n_b"),
+        F.round(sp / 100.0, 6).alias("sd_pooled"),
+        F.round(mde / 100.0, 6).alias("mde_abs"),
+        F.round(mde / (F.col("sya") / (F.lit(1.0) * na)), 6)
+        .alias("mde_rel"))

@@ -347,6 +347,10 @@ PROBE_QUERIES = [
     "q252_mann_kendall",
     # span aggregate behind a checkpoint + duration-panel windows
     "q253_logrank_test",
+    # user-cell aggregate + 33x user-dim replica explode (never events)
+    "q254_bootstrap_did_ci",
+    # one user-keyed aggregate + 2-row moments rollup
+    "q255_experiment_power",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

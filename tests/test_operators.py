@@ -3807,3 +3807,31 @@ def test_logrank_observed_expected_consistency(spark):
     # under ANY survival pattern the expected count is bounded by the
     # total number of churn events
     assert row.e1 <= row.o1 + row.n_event_times * 1000  # sanity ceiling
+
+
+def test_bootstrap_did_ci_brackets_point_estimate(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    row = QUERIES["q254_bootstrap_did_ci"].spark(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_replicas == 32 and row.n_users > 0
+    # order statistics must be ordered and the resampling distribution
+    # should bracket its own mean
+    assert row.ci_lo <= row.boot_mean <= row.ci_hi
+    # the w=1 replica reproduces the q251-style per-user point estimate
+    assert row.ci_lo <= row.did_point <= row.ci_hi or \
+        abs(row.did_point - row.boot_mean) < abs(row.ci_hi - row.ci_lo)
+
+
+def test_experiment_power_scaling_identity(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    row = QUERIES["q255_experiment_power"].spark(
+        spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_a > 0 and row.n_b > 0 and row.sd_pooled > 0
+    # MDE identity: mde_abs == 2.801585 * sd * sqrt(1/na + 1/nb)
+    import math
+    want = round((1.959964 + 0.841621) * row.sd_pooled
+                 * math.sqrt(1.0 / row.n_a + 1.0 / row.n_b), 5)
+    assert abs(row.mde_abs - want) < 1e-4
+    assert row.mde_rel > 0.0

@@ -455,6 +455,11 @@ PLAN_SHAPE_GOLDENS = {
     # q253: the orders x customer dim join is truncated behind the span
     # checkpoint; only the 1-row horizon broadcast surfaces
     "q253_logrank_test": {"BroadcastNestedLoopJoin": 1},
+    # q254: user cells + 33-row replica DiD both checkpointed; the BNLJs
+    # assemble the 1-row point/CI readout
+    "q254_bootstrap_did_ci": {"BroadcastNestedLoopJoin": 2},
+    # q255: 1-row d0 broadcast onto the user aggregate
+    "q255_experiment_power": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
