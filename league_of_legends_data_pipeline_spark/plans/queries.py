@@ -15082,3 +15082,81 @@ def q255_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde / 100.0, 6).alias("mde_abs"),
         F.round(mde / (F.col("sya") / (F.lit(1.0) * na)), 6)
         .alias("mde_rel"))
+
+
+@_register(
+    "q256_streaming_ewma",
+    """
+    -- streaming EWMA (keyed state, z seeded at the first day so one
+    -- forward pass suffices): the stream's fold over day counts equals
+    -- the batch recursion exactly when each key drains in one
+    -- micro-batch — same recursive CTE as q248 with z_1 = x_1
+    WITH RECURSIVE daily AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t
+        FROM daily
+    ),
+    ew AS (
+        SELECT event_type, day, n, t, CAST(n AS DOUBLE) AS z
+        FROM idx WHERE t = 1
+        UNION ALL
+        SELECT i.event_type, i.day, i.n, i.t,
+               0.2 * i.n + 0.8 * e.z
+        FROM idx i JOIN ew e
+          ON i.event_type = e.event_type AND i.t = e.t + 1
+    )
+    SELECT event_type, day, n,
+           CAST(round(z, 6) AS DOUBLE) AS ewma
+    FROM ew ORDER BY event_type, day
+    """,
+    doc="Streaming EWMA control signal via keyed state "
+        "(streaming/stateful.py::ewma_state, applyInPandasWithState — "
+        "the streaming dual of q248's batch fold, seeded z_1 = x_1 so "
+        "a single forward pass needs no global mean): genuine "
+        "readStream execution with availableNow + memory sink, ONE "
+        "(double, long) state pair per key, day counts aggregated "
+        "inside the Arrow batch so emitted rows are day-dimension-"
+        "sized. The oracle runs the identical IEEE-double recursion as "
+        "a recursive CTE and matches bit-for-bit before the single "
+        "rounding — an exact value check on a custom stateful "
+        "streaming operator, not a rows-only smoke.",
+)
+def q256_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        ewma_state,
+    )
+
+    _t(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (spark.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    ts = F.col("ts")
+    if dict(raw.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    stream = stream.select(
+        "event_type",
+        F.date_format(ts.cast("timestamp"), "yyyy-MM-dd").alias("day"))
+    folded = ewma_state(stream, ["event_type"], "day", lam=0.2)
+    name = f"stream_q256_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (folded.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q256 streaming drain exceeded 300s — "
+                               "partial results would silently corrupt "
+                               "the comparison")
+    return (spark.table(name)
+            .select("event_type", "day", "n",
+                    F.round("ewma", 6).alias("ewma"))
+            .orderBy("event_type", "day"))

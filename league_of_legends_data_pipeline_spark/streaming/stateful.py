@@ -119,3 +119,52 @@ def decayed_counter(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ewma_state(
+    stream: DataFrame,
+    key_cols: list[str],
+    day_col: str,
+    lam: float,
+) -> DataFrame:
+    """Streaming EWMA over per-day row counts, one keyed fold per group —
+    the streaming dual of ``operators.timeseries.ewma_chart`` seeded at
+    the first observation (z_1 = x_1) so a single forward pass needs no
+    global mean. State per key is ONE (double, long) pair: the running z
+    and a seeded flag; day counts aggregate inside the Arrow batch before
+    the fold, so emitted rows are day-dimension-sized.
+
+    Ordering contract: days fold in sorted order within a micro-batch and
+    in arrival order across batches — identical to the batch recursion
+    when each key drains in one batch (``availableNow`` over a single
+    file), which is how the declared query runs it. The z recursion is
+    plain IEEE-double arithmetic in day order, so the oracle running the
+    same recursion reproduces it bit-for-bit.
+    """
+    key_schema = ", ".join(
+        f"{c} {dict((f.name, f.dataType.simpleString()) for f in stream.schema)[c]}"
+        for c in key_cols)
+    out_schema = f"{key_schema}, {day_col} string, n long, ewma double"
+
+    def fold(key, pdfs, state: GroupState):
+        z, seeded = state.get if state.exists else (0.0, 0)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        counts = batch.groupby(day_col).size().sort_index()
+        rows = []
+        for day, n in counts.items():
+            x = float(n)
+            z = x if not seeded else lam * x + (1.0 - lam) * z
+            seeded = 1
+            rows.append({**{c: k for c, k in zip(key_cols, key)},
+                         day_col: day, "n": int(n), "ewma": z})
+        state.update((z, seeded))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType="z double, seeded long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -384,3 +384,40 @@ def test_foreachbatch_streaming_merge_equals_batch_merges(spark, tmp_path):
 
     final = {r.k: r.v for r in spark.read.parquet(target).collect()}
     assert final == {1: "a", 2: "b2", 4: "d"}
+
+
+def test_ewma_state_carries_across_batches(spark, tmp_path):
+    """ewma_state: the fold's z survives micro-batch boundaries — day 3
+    arriving in batch 2 continues the recursion from batch 1's state,
+    reproducing the batch recursion z1=x1, z_t = .2x + .8z exactly."""
+    import json
+    import time
+
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        ewma_state,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch 1: day1 x10 rows, day2 x20 rows; batch 2: day3 x30 rows
+    f1 = src / "a.json"
+    f1.write_text("\n".join(
+        [json.dumps({"event_type": "k", "day": "2024-01-01"})] * 10
+        + [json.dumps({"event_type": "k", "day": "2024-01-02"})] * 20))
+    time.sleep(1.1)
+    f2 = src / "b.json"
+    f2.write_text("\n".join(
+        [json.dumps({"event_type": "k", "day": "2024-01-03"})] * 30))
+
+    stream = (spark.readStream.schema("event_type string, day string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out = ewma_state(stream, ["event_type"], "day", lam=0.2)
+    q = (out.writeStream.format("memory").queryName("ewma_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+
+    rows = {r.day: r for r in spark.table("ewma_test").collect()}
+    # z1 = 10 (seed); z2 = .2*20 + .8*10 = 12; z3 = .2*30 + .8*12 = 15.6
+    assert rows["2024-01-01"].ewma == 10.0 and rows["2024-01-01"].n == 10
+    assert rows["2024-01-02"].ewma == 12.0
+    assert rows["2024-01-03"].ewma == 0.2 * 30 + 0.8 * 12.0
