@@ -13517,6 +13517,27 @@ def q238_metric_correlation_matrix(spark: SparkSession,
             .orderBy("type_a", "type_b"))
 
 
+# Deterministic A/B arm assignment keyed on user_id (the q47-style hash
+# split): shared by the experimentation tier (q239, q250, q251, q254,
+# q255) so arm membership is identical across every readout.
+_AB_ARM_SQL = ("CASE WHEN CAST(('0x' || substr(md5('ab:' || "
+               "CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+               "% 2 = 0 THEN 'A' ELSE 'B' END")
+
+
+def _ab_arm() -> Column:
+    """Column twin of ``_AB_ARM_SQL``."""
+    return F.when(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
+            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+
+
+def _value_cents() -> Column:
+    """events.value as exact integer cents (the q238 convention)."""
+    return F.round(F.col("value") * 100).cast("bigint")
+
+
 @_register(
     "q239_ab_test_zscore",
     """
@@ -13564,10 +13585,7 @@ def q238_metric_correlation_matrix(spark: SparkSession,
 )
 def q239_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
-    arm = F.when(
-        F.conv(F.substring(F.md5(F.concat(
-            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+    arm = _ab_arm()
     trials = (events.where(F.col("event_type") == "purchase")
               .select(arm.alias("arm"),
                       (F.col("value") >= 15.0).cast("int")
@@ -14490,11 +14508,8 @@ def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q250_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     d0 = events.agg(F.min(F.col("ts").cast("date")).alias("d0"))
-    arm = F.when(
-        F.conv(F.substring(F.md5(F.concat(
-            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    arm = _ab_arm()
+    cents = _value_cents()
     is_pre = F.datediff(F.col("ts").cast("date"), F.col("d0")) < 15
     purchase = F.col("event_type") == "purchase"
     users = (events.crossJoin(F.broadcast(d0))
@@ -14592,10 +14607,7 @@ def q250_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q251_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     d0 = events.agg(F.min(F.col("ts").cast("date")).alias("d0"))
-    arm = F.when(
-        F.conv(F.substring(F.md5(F.concat(
-            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
+    arm = _ab_arm()
     period = F.when(
         F.datediff(F.col("ts").cast("date"), F.col("d0")) < 15,
         "pre").otherwise("post")
@@ -14645,27 +14657,25 @@ def q251_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.event_type
     ),
     ties AS (
+        -- n_days = sum of tie-group sizes: one aggregate serves both
+        -- the tie correction and the day count
         SELECT event_type,
-               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+               CAST(sum(t) AS BIGINT) AS n_days
         FROM (SELECT event_type, v, CAST(count(*) AS BIGINT) AS t
               FROM daily GROUP BY event_type, v) g
         GROUP BY event_type
-    ),
-    n AS (
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-        FROM daily GROUP BY event_type
     )
-    SELECT n.event_type, n.n_days, s.s_stat,
-           CAST(round(s.s_stat / (n.n_days * (n.n_days - 1) / 2.0), 6)
+    SELECT ties.event_type, ties.n_days, s.s_stat,
+           CAST(round(s.s_stat / (ties.n_days * (ties.n_days - 1) / 2.0), 6)
                 AS DOUBLE) AS kendall_tau,
            CAST(round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
                            WHEN s.s_stat < 0 THEN (s.s_stat + 1)
                            ELSE 0 END
-               / sqrt((n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+               / sqrt((ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
                        - ties.tie_term) / 18.0), 6) AS DOUBLE) AS z_mk
-    FROM n JOIN s ON n.event_type = s.event_type
-    JOIN ties ON n.event_type = ties.event_type
-    ORDER BY n.event_type
+    FROM ties JOIN s ON ties.event_type = s.event_type
+    ORDER BY ties.event_type
     """,
     doc="Mann-Kendall monotone-trend test per event type — the "
         "significance companion to q246's Theil-Sen estimator (the "
@@ -14691,17 +14701,17 @@ def q252_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
          .agg(F.sum(F.when(F.col("vb") > F.col("va"), 1)
                     .when(F.col("vb") < F.col("va"), -1)
                     .otherwise(0)).cast("bigint").alias("s_stat")))
+    # n_days = sum of tie-group sizes: one aggregate serves both the
+    # tie correction and the day count (no separate count + third join)
     ties = (daily.groupBy("event_type", "v")
             .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
             .groupBy("event_type")
             .agg(F.sum(F.col("t") * (F.col("t") - 1)
                        * (2 * F.col("t") + 5)).cast("bigint")
-                 .alias("tie_term")))
-    n = (daily.groupBy("event_type")
-         .agg(F.count(F.lit(1)).cast("bigint").alias("n_days")))
-    j = (n.join(F.broadcast(s.withColumnRenamed("g", "event_type")),
-                "event_type")
-         .join(F.broadcast(ties), "event_type"))
+                 .alias("tie_term"),
+                 F.sum("t").cast("bigint").alias("n_days")))
+    j = ties.join(F.broadcast(s.withColumnRenamed("g", "event_type")),
+                  "event_type")
     nd = F.col("n_days")
     s_adj = (F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
              .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
@@ -14924,11 +14934,8 @@ def q253_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q254_bootstrap_did_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     d0 = events.agg(F.min(F.col("ts").cast("date")).alias("d0"))
-    arm = F.when(
-        F.conv(F.substring(F.md5(F.concat(
-            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    arm = _ab_arm()
+    cents = _value_cents()
     is_pre = F.datediff(F.col("ts").cast("date"), F.col("d0")) < 15
     purchase = F.col("event_type") == "purchase"
     users = (events.crossJoin(F.broadcast(d0))
@@ -15046,11 +15053,8 @@ def q254_bootstrap_did_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q255_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     d0 = events.agg(F.min(F.col("ts").cast("date")).alias("d0"))
-    arm = F.when(
-        F.conv(F.substring(F.md5(F.concat(
-            F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
-            16, 10).cast("long") % 2 == 0, "A").otherwise("B")
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    arm = _ab_arm()
+    cents = _value_cents()
     is_post = F.datediff(F.col("ts").cast("date"), F.col("d0")) >= 15
     purchase = F.col("event_type") == "purchase"
     users = (events.crossJoin(F.broadcast(d0))

@@ -449,9 +449,10 @@ PLAN_SHAPE_GOLDENS = {
     # conditional-aggregate outputs — the corpus stage is one scan
     "q250_cuped_adjustment": {"BroadcastNestedLoopJoin": 1},
     "q251_diff_in_diff": {"BroadcastNestedLoopJoin": 1},
-    # q252: panel-broadcast pair join + 1-row S/tie stat joins; the
-    # checkpointed panel keeps the corpus out of every branch
-    "q252_mann_kendall": {"BroadcastHashJoin": 3},
+    # q252: panel-broadcast pair join + the 1-row S join onto the fused
+    # ties/n aggregate; the checkpointed panel keeps the corpus out of
+    # every branch
+    "q252_mann_kendall": {"BroadcastHashJoin": 2},
     # q253: the orders x customer dim join is truncated behind the span
     # checkpoint; only the 1-row horizon broadcast surfaces
     "q253_logrank_test": {"BroadcastNestedLoopJoin": 1},
