@@ -13502,7 +13502,7 @@ def q238_metric_correlation_matrix(spark: SparkSession,
     daily = (events.groupBy(
         F.to_date(F.date_trunc("day", "ts")).alias("day"),
         "event_type")
-        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .agg(F.sum(_value_cents())
              .alias("v")))
     a = daily.select(F.col("day"), F.col("event_type").alias("type_a"),
                      F.col("v").alias("va"))
@@ -13545,9 +13545,7 @@ def _value_cents() -> Column:
     -- conversion = any 'purchase' event per user; z from the pooled-
     -- variance formula, written identically on both sides
     WITH trials AS (
-        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
-                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
                CASE WHEN value >= 15.0 THEN 1 ELSE 0 END AS converted
         FROM events
         WHERE event_type = 'purchase'
@@ -13750,7 +13748,7 @@ def q241_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     daily = (events.groupBy(F.to_date(F.date_trunc("day", "ts"))
                             .alias("day"))
-             .agg(F.sum(F.round(F.col("value") * 100).cast("bigint"))
+             .agg(F.sum(_value_cents())
                   .alias("v")))
     a = (daily.select(F.col("day").alias("day_a"),
                       F.col("v").alias("va"))
@@ -14443,9 +14441,7 @@ def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- var(y - theta*x) = var(y) - cov^2/var(x).
     WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
     users AS (
-        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
-                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
                CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
                     AND date_diff('day', (SELECT d0 FROM d0),
                                   CAST(ts AS DATE)) < 15
@@ -14459,19 +14455,19 @@ def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     m AS (
+        -- second moments stay HUGEINT (128-bit): sum(y*y) at 1e9 users
+        -- x 1e5-cent spends is ~1e19 and would wrap a BIGINT
         SELECT arm, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(x * y) AS BIGINT) AS sxy
+               sum(x * x) AS sxx,
+               sum(y * y) AS syy,
+               sum(x * y) AS sxy
         FROM users GROUP BY arm
     ),
     g AS (
         SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
                CAST(sum(sy) AS BIGINT) AS sy,
-               CAST(sum(sxx) AS BIGINT) AS sxx,
-               CAST(sum(syy) AS BIGINT) AS syy,
-               CAST(sum(sxy) AS BIGINT) AS sxy
+               sum(sxx) AS sxx, sum(syy) AS syy, sum(sxy) AS sxy
         FROM m
     ),
     th AS (
@@ -14519,22 +14515,30 @@ def q250_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit(0)).cast("bigint").alias("x"),
                   F.coalesce(F.sum(F.when(purchase & ~is_pre, cents)),
                              F.lit(0)).cast("bigint").alias("y")))
+    # second moments accumulate in DECIMAL(38,0) (the Spark twin of the
+    # oracle's HUGEINT): sum(y*y) at 1e9 users x 1e5-cent spends is ~1e19
+    # and would silently wrap a BIGINT sum
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     m = (users.groupBy("arm")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
               F.sum("x").cast("bigint").alias("sx"),
               F.sum("y").cast("bigint").alias("sy"),
-              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-              F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-              F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"))
+              F.sum(d19("x") * d19("x")).alias("sxx"),
+              F.sum(d19("y") * d19("y")).alias("syy"),
+              F.sum(d19("x") * d19("y")).alias("sxy"))
          .localCheckpoint(eager=True))
-    g = m.agg(*[F.sum(c).cast("bigint").alias(c)
-                for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]])
-    cov_n = (F.col("n") * F.col("sxy")
-             - F.col("sx") * F.col("sy")).cast("double")
-    varx_n = (F.col("n") * F.col("sxx")
-              - F.col("sx") * F.col("sx")).cast("double")
-    vary_n = (F.col("n") * F.col("syy")
-              - F.col("sy") * F.col("sy")).cast("double")
+    g = m.agg(F.sum("n").cast("bigint").alias("n"),
+              F.sum("sx").cast("bigint").alias("sx"),
+              F.sum("sy").cast("bigint").alias("sy"),
+              *[F.sum(c).cast("decimal(38,0)").alias(c)
+                for c in ["sxx", "syy", "sxy"]])
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cov_n = (d38("n") * d38("sxy")
+             - d38("sx") * d38("sy")).cast("double")
+    varx_n = (d38("n") * d38("sxx")
+              - d38("sx") * d38("sx")).cast("double")
+    vary_n = (d38("n") * d38("syy")
+              - d38("sy") * d38("sy")).cast("double")
     th = g.select("n", "sx", "sy",
                   (cov_n / varx_n).alias("theta"),
                   (cov_n * cov_n / (varx_n * vary_n)).alias("corr2"))
@@ -14564,9 +14568,7 @@ def q250_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- A_pre) treating B as treatment and A as control
     WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
     cells AS (
-        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
-                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
                CASE WHEN date_diff('day', (SELECT d0 FROM d0),
                         CAST(ts AS DATE)) < 15
                     THEN 'pre' ELSE 'post' END AS period,
@@ -14615,7 +14617,7 @@ def q251_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
              .crossJoin(F.broadcast(d0))
              .groupBy(arm.alias("arm"), period.alias("period"))
              .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
-                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  F.sum(_value_cents())
                   .cast("bigint").alias("s")))
     mean_of = lambda a, p: F.max(  # noqa: E731
         F.when((F.col("arm") == a) & (F.col("period") == p),
@@ -14855,8 +14857,11 @@ def q253_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q254_bootstrap_did_ci",
     """
-    -- cluster (per-user) multiplier bootstrap CI for the q251 DiD on
-    -- per-user mean spend: 32 deterministic double-or-nothing replicas
+    -- cluster (per-user) multiplier bootstrap CI for the PER-USER-MEAN
+    -- DiD (the cluster-randomization-consistent estimand; q251's cells
+    -- are per-purchase-EVENT means, a different denominator — the two
+    -- readouts are companions, not the same number):
+    -- 32 deterministic double-or-nothing replicas
     -- (w in {0,2} from md5(user, b) — mean 1, variance 1), DiD per
     -- replica from exact integer-cent weighted sums, CI from exact
     -- order statistics (2nd / 31st of 32). Replica -1 carries w=1 and
@@ -14864,9 +14869,7 @@ def q253_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
     users AS (
         SELECT user_id,
-               CASE WHEN CAST(('0x' || substr(md5('ab:' ||
-                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               """ + _AB_ARM_SQL + """ AS arm,
                CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
                     AND date_diff('day', (SELECT d0 FROM d0),
                                   CAST(ts AS DATE)) < 15
@@ -14918,7 +14921,10 @@ def q253_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round((SELECT d FROM ranked WHERE r = 31) / 100.0, 6)
                 AS DOUBLE) AS ci_hi
     """,
-    doc="Cluster bootstrap confidence interval for the q251 DiD: "
+    doc="Cluster bootstrap confidence interval for the per-user-mean "
+        "DiD — the uncertainty companion to q251 (whose cells are "
+        "per-purchase-EVENT means, a different denominator, so its "
+        "point estimate is a related but distinct number): "
         "users (the randomization unit) are resampled via 32 "
         "deterministic double-or-nothing multiplier replicas (w in "
         "{0,2} hashed from (user, replica) — mean 1, variance 1, the "
@@ -14999,9 +15005,7 @@ def q254_bootstrap_did_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- literals so the single float pipeline agrees bit-for-bit
     WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
     users AS (
-        SELECT CASE WHEN CAST(('0x' || substr(md5('ab:' ||
-                        CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                        % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
                CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
                     AND date_diff('day', (SELECT d0 FROM d0),
                                   CAST(ts AS DATE)) >= 15
@@ -15010,9 +15014,10 @@ def q254_bootstrap_did_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     ),
     m AS (
+        -- syy stays HUGEINT: see q250 (BIGINT wraps at ~1e19)
         SELECT arm, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(y * y) AS BIGINT) AS syy
+               sum(y * y) AS syy
         FROM users GROUP BY arm
     ),
     wide AS (
@@ -15062,10 +15067,12 @@ def q255_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.first(arm).alias("arm"),
                   F.coalesce(F.sum(F.when(purchase & is_post, cents)),
                              F.lit(0)).cast("bigint").alias("y")))
+    # syy accumulates in DECIMAL(38,0): see q250 (BIGINT wraps at ~1e19)
+    y19 = F.col("y").cast("decimal(19,0)")
     m = (users.groupBy("arm")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
               F.sum("y").cast("bigint").alias("sy"),
-              F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy")))
+              F.sum(y19 * y19).alias("syy")))
     pick = lambda a, c: F.max(  # noqa: E731
         F.when(F.col("arm") == a, F.col(c)))
     wide = m.agg(pick("A", "n").alias("na"), pick("A", "sy").alias("sya"),

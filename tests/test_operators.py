@@ -3818,7 +3818,8 @@ def test_bootstrap_did_ci_brackets_point_estimate(spark):
     # order statistics must be ordered and the resampling distribution
     # should bracket its own mean
     assert row.ci_lo <= row.boot_mean <= row.ci_hi
-    # the w=1 replica reproduces the q251-style per-user point estimate
+    # the w=1 replica is the per-user-mean DiD point estimate (NOT
+    # q251's per-event cell means — different denominator by design)
     assert row.ci_lo <= row.did_point <= row.ci_hi or \
         abs(row.did_point - row.boot_mean) < abs(row.ci_hi - row.ci_lo)
 
