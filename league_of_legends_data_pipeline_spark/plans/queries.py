@@ -15171,3 +15171,179 @@ def q256_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "day", "n",
                     F.round("ewma", 6).alias("ewma"))
             .orderBy("event_type", "day"))
+
+
+@_register(
+    "q257_holt_linear",
+    """
+    -- Holt double exponential smoothing (level + trend, alpha=0.3,
+    -- beta=0.1) per event type over daily volume, seeded l_1 = x_1,
+    -- b_1 = 0; fitted = next-day forecast l + b. Same sequential-fold
+    -- contract as q248: the oracle replays the identical IEEE-double
+    -- recursion, so values match bit-for-bit before rounding.
+    WITH RECURSIVE daily AS (
+        SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day) AS t
+        FROM daily
+    ),
+    holt AS (
+        SELECT event_type, day, n, t,
+               CAST(n AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+        FROM idx WHERE t = 1
+        UNION ALL
+        SELECT i.event_type, i.day, i.n, i.t,
+               0.3 * i.n + 0.7 * (h.l + h.b),
+               0.1 * ((0.3 * i.n + 0.7 * (h.l + h.b)) - h.l)
+                   + 0.9 * h.b
+        FROM idx i JOIN holt h
+          ON i.event_type = h.event_type AND i.t = h.t + 1
+    )
+    SELECT event_type, day, n,
+           CAST(round(l, 6) AS DOUBLE) AS level,
+           CAST(round(b, 6) AS DOUBLE) AS trend,
+           CAST(round(l + b, 6) AS DOUBLE) AS forecast_next
+    FROM holt ORDER BY event_type, day
+    """,
+    doc="Holt double exponential smoothing per event type "
+        "(level + trend) — the trend-aware extension of q248's EWMA, "
+        "same architecture: corpus collapses to the day panel in one "
+        "scan, the inherently sequential (l, b) recursion runs as ONE "
+        "codegen'd F.aggregate fold over the day-sorted panel array "
+        "(calendar-bounded, no UDF, no single-partition row window), "
+        "and the oracle replays the identical IEEE-double recursion as "
+        "a recursive CTE — bit-exact before the single 6 dp rounding. "
+        "forecast_next = l + b is the one-step-ahead prediction a "
+        "volume monitor alerts against.",
+)
+def q257_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    packed = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("s"))
+    zero = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+        F.lit(0).alias("seeded"),
+        F.expr("CAST(array() AS array<struct<day:string,n:bigint,"
+               "l:double,b:double>>)").alias("out"))
+    a_c, b_c = F.lit(0.3), F.lit(0.1)
+
+    def step(acc, e):
+        x = e["n"].cast("double")
+        l_new = F.when(acc["seeded"] == 0, x).otherwise(
+            a_c * x + (F.lit(1.0) - a_c) * (acc["l"] + acc["b"]))
+        b_new = F.when(acc["seeded"] == 0, F.lit(0.0)).otherwise(
+            b_c * (l_new - acc["l"]) + (F.lit(1.0) - b_c) * acc["b"])
+        return F.struct(
+            l_new.alias("l"), b_new.alias("b"),
+            F.lit(1).alias("seeded"),
+            F.concat(acc["out"], F.array(F.struct(
+                e["day"].alias("day"), e["n"].alias("n"),
+                l_new.alias("l"), b_new.alias("b")))).alias("out"))
+
+    rows = (packed.select("event_type",
+                          F.explode(F.aggregate("s", zero, step)["out"])
+                          .alias("r")))
+    return (rows.select(
+        "event_type", F.col("r.day").alias("day"),
+        F.col("r.n").alias("n"),
+        F.round(F.col("r.l"), 6).alias("level"),
+        F.round(F.col("r.b"), 6).alias("trend"),
+        F.round(F.col("r.l") + F.col("r.b"), 6).alias("forecast_next"))
+        .orderBy("event_type", "day"))
+
+
+@_register(
+    "q258_forecast_backtest",
+    """
+    -- seasonal-naive forecast backtest: predict each of the last 7
+    -- days' volume per event type from the same-weekday train mean
+    -- (weekday = engine-neutral datediff-mod-7 from the corpus min
+    -- day), report MAE / MAPE / SMAPE over the test week. Train means
+    -- divide exact BIGINT sums, so predictions agree bit-for-bit.
+    WITH bounds AS (
+        SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS mx
+        FROM events
+    ),
+    daily AS (
+        SELECT event_type,
+               date_diff('day', (SELECT d0 FROM bounds),
+                         CAST(ts AS DATE)) % 7 AS wd,
+               CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CASE WHEN date_diff('day', CAST(ts AS DATE),
+                        (SELECT mx FROM bounds)) < 7
+                    THEN 1 ELSE 0 END AS is_test
+        FROM events GROUP BY 1, 2, 3
+    ),
+    train AS (
+        SELECT event_type, wd,
+               CAST(sum(n) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+        FROM daily WHERE is_test = 0 GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT d.event_type, d.n, t.s / (1.0 * t.c) AS pred
+        FROM daily d JOIN train t
+          ON d.event_type = t.event_type AND d.wd = t.wd
+        WHERE d.is_test = 1
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_test_days,
+           CAST(round(sum(abs(n - pred)) / count(*), 6) AS DOUBLE)
+               AS mae,
+           CAST(round(sum(abs(n - pred) / n) / count(*), 6) AS DOUBLE)
+               AS mape,
+           CAST(round(sum(2.0 * abs(n - pred) / (n + pred))
+                / count(*), 6) AS DOUBLE) AS smape
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Seasonal-naive forecast backtest per event type — the "
+        "evaluation companion to q257's Holt smoother and q223's "
+        "weekday-seasonal decomposition: hold out the final week, "
+        "predict each test day from the same-weekday train mean "
+        "(weekday = datediff-mod-7 from the corpus min day, an "
+        "engine-neutral integer so no dayofweek() convention mismatch), "
+        "report MAE/MAPE/SMAPE. One day-grouped aggregate (the only "
+        "corpus stage), a weekday-dimension train rollup, one "
+        "broadcast-sized join — predictions divide exact BIGINT sums, "
+        "so the error metrics agree bit-for-bit before rounding.",
+)
+def q258_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    bounds = events.agg(F.min(F.col("ts").cast("date")).alias("d0"),
+                        F.max(F.col("ts").cast("date")).alias("mx"))
+    day = F.col("ts").cast("date")
+    daily = (events.crossJoin(F.broadcast(bounds))
+             .groupBy("event_type",
+                      (F.datediff(day, F.col("d0")) % 7).alias("wd"),
+                      day.alias("day"),
+                      F.when(F.datediff(F.col("mx"), day) < 7, 1)
+                      .otherwise(0).alias("is_test"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+             .localCheckpoint(eager=True))
+    train = (daily.where(F.col("is_test") == 0)
+             .groupBy("event_type", "wd")
+             .agg(F.sum("n").cast("bigint").alias("s"),
+                  F.count(F.lit(1)).cast("bigint").alias("c")))
+    scored = (daily.where(F.col("is_test") == 1)
+              .join(F.broadcast(train), ["event_type", "wd"])
+              .select("event_type", "n",
+                      (F.col("s") / (F.lit(1.0) * F.col("c")))
+                      .alias("pred")))
+    err = F.abs(F.col("n") - F.col("pred"))
+    return (scored.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+                 F.round(F.sum(err) / F.count(F.lit(1)), 6).alias("mae"),
+                 F.round(F.sum(err / F.col("n"))
+                         / F.count(F.lit(1)), 6).alias("mape"),
+                 F.round(F.sum(F.lit(2.0) * err
+                               / (F.col("n") + F.col("pred")))
+                         / F.count(F.lit(1)), 6).alias("smape"))
+            .orderBy("event_type"))

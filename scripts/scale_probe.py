@@ -351,6 +351,10 @@ PROBE_QUERIES = [
     "q254_bootstrap_did_ci",
     # one user-keyed aggregate + 2-row moments rollup
     "q255_experiment_power",
+    # joinless day groupBy + calendar-bounded (l, b) fold
+    "q257_holt_linear",
+    # day groupBy + weekday-dim train broadcast join
+    "q258_forecast_backtest",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

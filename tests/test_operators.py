@@ -3836,3 +3836,34 @@ def test_experiment_power_scaling_identity(spark):
                  * math.sqrt(1.0 / row.n_a + 1.0 / row.n_b), 5)
     assert abs(row.mde_abs - want) < 1e-4
     assert row.mde_rel > 0.0
+
+
+def test_holt_linear_tracks_exact_linear_series(spark):
+    """On daily data the fold is seeded l1=x1, b1=0 and converges toward
+    a linear series' trend; invariants: level stays inside the series
+    hull once seeded, and forecast_next == level + trend exactly."""
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q257_holt_linear"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for seq in by_type.values():
+        assert seq[0].level == float(seq[0].n) and seq[0].trend == 0.0
+        for r in seq:
+            assert abs(r.forecast_next - round(r.level + r.trend, 6)) < 2e-6
+
+
+def test_forecast_backtest_metric_invariants(spark):
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q258_forecast_backtest"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_test_days <= 7
+        assert r.mae >= 0.0 and r.mape >= 0.0
+        # SMAPE is bounded by 2 by construction
+        assert 0.0 <= r.smape <= 2.0

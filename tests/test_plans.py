@@ -461,6 +461,10 @@ PLAN_SHAPE_GOLDENS = {
     "q254_bootstrap_did_ci": {"BroadcastNestedLoopJoin": 2},
     # q255: 1-row d0 broadcast onto the user aggregate
     "q255_experiment_power": {"BroadcastNestedLoopJoin": 1},
+    # q257: joinless — day groupBy + per-group fold; q258's one BHJ is
+    # the weekday-dimension train-mean broadcast onto the test days
+    "q257_holt_linear": {},
+    "q258_forecast_backtest": {"BroadcastHashJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
