@@ -67,10 +67,13 @@ def _export_order() -> list[str]:
     # (49 queries) now 3 rounds stale, very_stale-first would have
     # crowded the round-7/8 additions (q201-q219) out of the 50-row
     # window entirely (only q201 made index 49). A query with ZERO hard
-    # driver signal ever beats one with a merely-old green row; the
-    # remaining window slots still drain the stalest band. With the
-    # round-9 additions (q220-q244) the never bucket is 44 of the 50
-    # slots this round; the r5 band drains over rounds 10-11.
+    # driver signal ever beats one with a merely-old green row. After
+    # the round-9 additions (q220-q258) the never bucket is 58 queries
+    # — larger than one 50-row window; registry order puts the
+    # longest-waiting (q201+) first, the newest tier (q251-q258) lands
+    # in round 10's window, and the stale bands drain in rounds 10-12.
+    # Every never-verified query is green in the builder-run vanilla
+    # mirror (PARITY_LOCAL.md) in the meantime.
     very_stale = [n for n in stale if max_rnd - last_pass[n] >= 3]
     rest_stale = [n for n in stale if max_rnd - last_pass[n] < 3]
     return never + very_stale + rest_stale + fresh
