@@ -130,3 +130,47 @@ def ewma_chart(daily: DataFrame, group_col: str, day_col: str,
         F.round(ucl, 6).alias("ucl"), F.round(lcl, 6).alias("lcl"),
         ((F.col("r.z") > ucl) | (F.col("r.z") < lcl)).cast("int")
         .alias("breach")))
+
+
+def holt_linear(daily: DataFrame, group_col: str, day_col: str,
+                value_col: str, alpha: float = 0.3,
+                beta: float = 0.1) -> DataFrame:
+    """Per-group Holt double exponential smoothing (level + trend) over a
+    daily panel — the trend-aware extension of :func:`ewma_chart`, same
+    fold machinery: the inherently sequential (l, b) recursion runs as
+    ONE codegen'd ``F.aggregate`` over the group's day-sorted array.
+    Seeded l_1 = x_1, b_1 = 0 so a single forward pass suffices (and an
+    oracle can replay the recursion exactly).
+
+    One row out per input row: ``group, day, value, level, trend`` (raw
+    doubles — callers round at the edge).
+    """
+    daily = daily.localCheckpoint(eager=True)
+    packed = daily.groupBy(F.col(group_col).alias("g")).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(day_col).alias("day"),
+            F.col(value_col).cast("double").alias("x")))).alias("s"))
+    zero = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+        F.lit(0).alias("seeded"),
+        F.expr("CAST(array() AS array<struct<day:string,x:double,"
+               "l:double,b:double>>)").alias("out"))
+    a_c, b_c = F.lit(float(alpha)), F.lit(float(beta))
+
+    def step(acc, e):
+        l_new = F.when(acc["seeded"] == 0, e["x"]).otherwise(
+            a_c * e["x"] + (F.lit(1.0) - a_c) * (acc["l"] + acc["b"]))
+        b_new = F.when(acc["seeded"] == 0, F.lit(0.0)).otherwise(
+            b_c * (l_new - acc["l"]) + (F.lit(1.0) - b_c) * acc["b"])
+        return F.struct(
+            l_new.alias("l"), b_new.alias("b"), F.lit(1).alias("seeded"),
+            F.concat(acc["out"], F.array(F.struct(
+                e["day"].alias("day"), e["x"].alias("x"),
+                l_new.alias("l"), b_new.alias("b")))).alias("out"))
+
+    rows = packed.select(
+        "g", F.explode(F.aggregate("s", zero, step)["out"]).alias("r"))
+    return rows.select(
+        F.col("g").alias(group_col), F.col("r.day").alias(day_col),
+        F.col("r.x").alias(value_col),
+        F.col("r.l").alias("level"), F.col("r.b").alias("trend"))

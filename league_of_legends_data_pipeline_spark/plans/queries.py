@@ -14471,13 +14471,18 @@ def q249_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     ),
     th AS (
+        -- first-moment cross products (~1e28 at 1e9 users) overflow a
+        -- BIGINT*BIGINT multiply (DuckDB promotes AFTER the multiply),
+        -- so promote the operands to HUGEINT explicitly
         SELECT n, sx, sy,
-               CAST(n * sxy - sx * sy AS DOUBLE)
-                   / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
-               CAST(n * sxy - sx * sy AS DOUBLE)
-                   * CAST(n * sxy - sx * sy AS DOUBLE)
-                   / (CAST(n * sxx - sx * sx AS DOUBLE)
-                      * CAST(n * syy - sy * sy AS DOUBLE)) AS corr2
+               CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                   AS theta,
+               CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                   / (CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                      * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))
+                   AS corr2
         FROM g
     )
     SELECT m.arm, m.n AS n_users,
@@ -15222,42 +15227,23 @@ def q256_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "volume monitor alerts against.",
 )
 def q257_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        holt_linear,
+    )
+
     (events,) = _t(spark, sf_dir, "events")
     daily = (events.groupBy(
         "event_type",
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
-    packed = daily.groupBy("event_type").agg(
-        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("s"))
-    zero = F.struct(
-        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
-        F.lit(0).alias("seeded"),
-        F.expr("CAST(array() AS array<struct<day:string,n:bigint,"
-               "l:double,b:double>>)").alias("out"))
-    a_c, b_c = F.lit(0.3), F.lit(0.1)
-
-    def step(acc, e):
-        x = e["n"].cast("double")
-        l_new = F.when(acc["seeded"] == 0, x).otherwise(
-            a_c * x + (F.lit(1.0) - a_c) * (acc["l"] + acc["b"]))
-        b_new = F.when(acc["seeded"] == 0, F.lit(0.0)).otherwise(
-            b_c * (l_new - acc["l"]) + (F.lit(1.0) - b_c) * acc["b"])
-        return F.struct(
-            l_new.alias("l"), b_new.alias("b"),
-            F.lit(1).alias("seeded"),
-            F.concat(acc["out"], F.array(F.struct(
-                e["day"].alias("day"), e["n"].alias("n"),
-                l_new.alias("l"), b_new.alias("b")))).alias("out"))
-
-    rows = (packed.select("event_type",
-                          F.explode(F.aggregate("s", zero, step)["out"])
-                          .alias("r")))
-    return (rows.select(
-        "event_type", F.col("r.day").alias("day"),
-        F.col("r.n").alias("n"),
-        F.round(F.col("r.l"), 6).alias("level"),
-        F.round(F.col("r.b"), 6).alias("trend"),
-        F.round(F.col("r.l") + F.col("r.b"), 6).alias("forecast_next"))
+    out = holt_linear(daily, "event_type", "day", "n",
+                      alpha=0.3, beta=0.1)
+    return (out.select(
+        "event_type", "day", F.col("n").cast("bigint").alias("n"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(F.col("level") + F.col("trend"), 6)
+        .alias("forecast_next"))
         .orderBy("event_type", "day"))
 
 
@@ -15268,7 +15254,8 @@ def q257_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- days' volume per event type from the same-weekday train mean
     -- (weekday = engine-neutral datediff-mod-7 from the corpus min
     -- day), report MAE / MAPE / SMAPE over the test week. Train means
-    -- divide exact BIGINT sums, so predictions agree bit-for-bit.
+    -- divide exact BIGINT sums (exact predictions); the <=7-term error
+    -- sums round at 6 dp, absorbing summation-order ulp.
     WITH bounds AS (
         SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS mx
         FROM events
@@ -15312,8 +15299,9 @@ def q257_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "engine-neutral integer so no dayofweek() convention mismatch), "
         "report MAE/MAPE/SMAPE. One day-grouped aggregate (the only "
         "corpus stage), a weekday-dimension train rollup, one "
-        "broadcast-sized join — predictions divide exact BIGINT sums, "
-        "so the error metrics agree bit-for-bit before rounding.",
+        "broadcast-sized join — predictions divide exact BIGINT sums; "
+        "the <=7-term error sums are doubles whose summation-order ulp "
+        "is absorbed by the 6 dp rounding (the q253 convention).",
 )
 def q258_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")

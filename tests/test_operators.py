@@ -3838,10 +3838,29 @@ def test_experiment_power_scaling_identity(spark):
     assert row.mde_rel > 0.0
 
 
-def test_holt_linear_tracks_exact_linear_series(spark):
-    """On daily data the fold is seeded l1=x1, b1=0 and converges toward
-    a linear series' trend; invariants: level stays inside the series
-    hull once seeded, and forecast_next == level + trend exactly."""
+def test_holt_linear_hand_unrolled(spark):
+    """Hand-unrolled Holt recursion (alpha=.3, beta=.1) on [10, 20, 30]:
+    l1=10, b1=0; l2=.3*20+.7*10=13, b2=.1*3=.3; l3=.3*30+.7*13.3,
+    b3=.1*(l3-13)+.9*.3 — asserted against the operator directly."""
+    from league_of_legends_data_pipeline_spark.operators.timeseries import (
+        holt_linear,
+    )
+    daily = spark.createDataFrame(
+        [("a", "2024-01-01", 10.0), ("a", "2024-01-02", 20.0),
+         ("a", "2024-01-03", 30.0)], ["g", "day", "x"])
+    rows = holt_linear(daily, "g", "day", "x", alpha=0.3,
+                       beta=0.1).collect()
+    l2 = 0.3 * 20 + 0.7 * 10.0
+    b2 = 0.1 * (l2 - 10.0)
+    l3 = 0.3 * 30 + 0.7 * (l2 + b2)
+    b3 = 0.1 * (l3 - l2) + 0.9 * b2
+    assert [(r.level, r.trend) for r in rows] == [
+        (10.0, 0.0), (l2, b2), (l3, b3)]
+
+
+def test_holt_linear_query_invariants(spark):
+    """q257 seeds l1=x1/b1=0 per group and reports
+    forecast_next == round(level + trend) for every row."""
     from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
 
     rows = QUERIES["q257_holt_linear"].spark(
