@@ -178,9 +178,13 @@ def test_zorder_write_tightens_per_file_ranges_on_both_columns(spark, tmp_path):
     assert mean_coverage(plain, "a") < 0.2
     assert mean_coverage(plain, "b") > 0.8
     # z-order: BOTH columns substantially tighter than the useless case,
-    # neither as tight as a dedicated single-column sort — the trade
+    # neither as tight as a dedicated single-column sort — the trade.
+    # Margin 0.7 (not 0.6): the z-value repartitionByRange samples its
+    # boundaries, so one straggler file can widen a column's mean
+    # coverage under load — observed one 0.6-flake in ~6 suite runs;
+    # the property being pinned is "far below the 0.8 useless bound".
     za, zb = mean_coverage(zord, "a"), mean_coverage(zord, "b")
-    assert za < 0.6 and zb < 0.6, (za, zb)
+    assert za < 0.7 and zb < 0.7, (za, zb)
 
 
 def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
