@@ -15335,3 +15335,68 @@ def q258_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (F.col("n") + F.col("pred")))
                          / F.count(F.lit(1)), 6).alias("smape"))
             .orderBy("event_type"))
+
+
+@_register(
+    "q259_temperature_mixture",
+    """
+    -- temperature-scaled source mixing (the multilingual-LM standard:
+    -- p_i proportional to f_i^alpha): natural share f = per-source
+    -- character mass / corpus mass, re-weighted at alpha = 0.7 and 0.3
+    -- (flatter), with the implied upsampling factor w/f per source.
+    -- Shares divide exact BIGINT sums; pow() ulp drift is absorbed by
+    -- the 6 dp rounding.
+    WITH mass AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(chars) AS BIGINT) AS c FROM mass),
+    shares AS (
+        SELECT source, n_docs, chars,
+               chars / (1.0 * (SELECT c FROM tot)) AS f
+        FROM mass
+    ),
+    z AS (
+        SELECT sum(pow(f, 0.7)) AS z07, sum(pow(f, 0.3)) AS z03
+        FROM shares
+    )
+    SELECT s.source, s.n_docs, s.chars,
+           CAST(round(s.f, 6) AS DOUBLE) AS natural_share,
+           CAST(round(pow(s.f, 0.7) / z.z07, 6) AS DOUBLE) AS w_a07,
+           CAST(round(pow(s.f, 0.3) / z.z03, 6) AS DOUBLE) AS w_a03,
+           CAST(round(pow(s.f, 0.3) / z.z03 / s.f, 6) AS DOUBLE)
+               AS upsample_a03
+    FROM shares s, z
+    ORDER BY s.source
+    """,
+    doc="Temperature-scaled mixture re-weighting over corpus sources "
+        "(p_i ~ f_i^alpha, the mT5/XLM-R data-mixing rule): natural "
+        "shares from per-source character mass (exact BIGINT sums), "
+        "re-weighted at alpha=0.7 and alpha=0.3 with the implied "
+        "upsampling factor — the recipe q112's mixture sampler consumes. "
+        "ONE source-grouped aggregate (the only corpus stage), a 1-row "
+        "normalizer broadcast, map-side arithmetic; the source dimension "
+        "is tiny at any corpus scale.",
+)
+def q259_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    mass = (documents.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("chars"))
+            .localCheckpoint(eager=True))
+    tot = mass.agg(F.sum("chars").cast("bigint").alias("c"))
+    shares = (mass.crossJoin(F.broadcast(tot))
+              .withColumn("f", F.col("chars") / (F.lit(1.0) * F.col("c"))))
+    z = shares.agg(F.sum(F.pow("f", 0.7)).alias("z07"),
+                   F.sum(F.pow("f", 0.3)).alias("z03"))
+    return (shares.crossJoin(F.broadcast(z))
+            .select("source", "n_docs", "chars",
+                    F.round("f", 6).alias("natural_share"),
+                    F.round(F.pow("f", 0.7) / F.col("z07"), 6)
+                    .alias("w_a07"),
+                    F.round(F.pow("f", 0.3) / F.col("z03"), 6)
+                    .alias("w_a03"),
+                    F.round(F.pow("f", 0.3) / F.col("z03") / F.col("f"), 6)
+                    .alias("upsample_a03"))
+            .orderBy("source"))

@@ -355,6 +355,8 @@ PROBE_QUERIES = [
     "q257_holt_linear",
     # day groupBy + weekday-dim train broadcast join
     "q258_forecast_backtest",
+    # one source-grouped aggregate + map-side re-weighting
+    "q259_temperature_mixture",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

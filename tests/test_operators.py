@@ -3886,3 +3886,28 @@ def test_forecast_backtest_metric_invariants(spark):
         assert r.mae >= 0.0 and r.mape >= 0.0
         # SMAPE is bounded by 2 by construction
         assert 0.0 <= r.smape <= 2.0
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """Temperature re-weighting must (a) normalize to 1 at each alpha,
+    (b) move every source's weight toward uniform as alpha drops
+    (w_a03 between natural share and 1/K, strictly closer to 1/K than
+    w_a07 for non-uniform sources), (c) upsample rare sources (>1) and
+    downsample dominant ones (<1)."""
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q259_temperature_mixture"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    k = len(rows)
+    uniform = 1.0 / k
+    assert abs(sum(r.w_a07 for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.w_a03 for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        lo, hi = sorted((r.natural_share, uniform))
+        assert lo - 1e-6 <= r.w_a03 <= hi + 1e-6
+        # alpha=0.3 is flatter than alpha=0.7
+        assert abs(r.w_a03 - uniform) <= abs(r.w_a07 - uniform) + 1e-6
+        if r.natural_share < uniform - 1e-4:
+            assert r.upsample_a03 > 1.0
+        elif r.natural_share > uniform + 1e-4:
+            assert r.upsample_a03 < 1.0

@@ -465,6 +465,10 @@ PLAN_SHAPE_GOLDENS = {
     # the weekday-dimension train-mean broadcast onto the test days
     "q257_holt_linear": {},
     "q258_forecast_backtest": {"BroadcastHashJoin": 1},
+    # q259: checkpointed source-mass panel + 1-row broadcasts; the
+    # corpus-total cross join appears in both lineage branches of the
+    # 20-row shares frame (z + final select) plus the normalizer join
+    "q259_temperature_mixture": {"BroadcastNestedLoopJoin": 3},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
