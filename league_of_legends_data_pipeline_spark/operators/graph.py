@@ -569,6 +569,18 @@ def personalized_pagerank(
                  deg.join(sd, "__src", "left_anti")
                  .select(F.col("__src"), F.lit(0).alias("__seed"))))
     ns = nodes.agg(F.sum("__seed").alias("__s"))
+    # degenerate-seed guard (the hits_scores a_max convention, r9
+    # advice): if no seed has out-degree, __seed/__s is null for every
+    # node and null ranks propagate silently — fail loudly instead.
+    # One 1-row aggregate collect, same cost class as HITS' per-round
+    # max-collect; nodes is derived from checkpointed deg so the probe
+    # does not re-run the caller's edge-building joins.
+    seed_overlap = ns.first()[0]
+    if not seed_overlap:
+        raise ValueError(
+            "personalized_pagerank: no seed node intersects the graph's "
+            "out-degree node set; restart mass 1/|S| is undefined "
+            "(check seed_col values against the edge src domain)")
     restart = (nodes.crossJoin(F.broadcast(ns))
                .select(F.col("__src").alias("node"), "__seed",
                        (F.col("__seed") / F.col("__s")).alias("__restart"))

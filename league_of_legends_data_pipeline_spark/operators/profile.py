@@ -143,6 +143,11 @@ def exact_ndv_by_column(df: DataFrame, cols: list[str]) -> DataFrame:
     shuffle carries only locally-deduped distinct values — the exact-NDV
     shape that scales past the multi-count_distinct expand plan, and the
     ground-truth side of the q220 approx-agreement harness."""
+    if not cols:
+        raise ValueError(
+            "exact_ndv_by_column: empty column list (profile_columns in "
+            "exact mode found no integral/float/string columns to "
+            "profile) — pass at least one column")
     parts = [df.agg(F.count_distinct(F.col(c)).alias("ndv"))
              .select(F.lit(c).alias("column"), F.col("ndv").cast("long"))
              for c in cols]

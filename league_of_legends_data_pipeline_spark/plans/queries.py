@@ -13542,21 +13542,22 @@ def _value_cents() -> Column:
     "q239_ab_test_zscore",
     """
     -- two-sample proportion z-test on deterministic hash-split arms:
-    -- conversion = any 'purchase' event per user; z from the pooled-
-    -- variance formula, written identically on both sides
+    -- each purchase EVENT is one Bernoulli trial (converted = high
+    -- value), NOT a per-user rollup — n_a/n_b count trials; z from the
+    -- pooled-variance formula, written identically on both sides
     WITH trials AS (
         SELECT """ + _AB_ARM_SQL + """ AS arm,
                CASE WHEN value >= 15.0 THEN 1 ELSE 0 END AS converted
         FROM events
         WHERE event_type = 'purchase'
     ), arms AS (
-        SELECT arm, count(*) AS n_users,
+        SELECT arm, count(*) AS n_trials,
                sum(converted) AS n_converted
         FROM trials GROUP BY arm
     ), wide AS (
-        SELECT max(CASE WHEN arm = 'A' THEN n_users END) AS na,
+        SELECT max(CASE WHEN arm = 'A' THEN n_trials END) AS na,
                max(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
-               max(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+               max(CASE WHEN arm = 'B' THEN n_trials END) AS nb,
                max(CASE WHEN arm = 'B' THEN n_converted END) AS cb
         FROM arms
     )
@@ -13589,13 +13590,13 @@ def q239_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("value") >= 15.0).cast("int")
                       .alias("converted")))
     arms = (trials.groupBy("arm")
-            .agg(F.count(F.lit(1)).alias("n_users"),
+            .agg(F.count(F.lit(1)).alias("n_trials"),
                  F.sum("converted").alias("n_converted")))
     wide = arms.agg(
-        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_trials"))).alias("na"),
         F.max(F.when(F.col("arm") == "A", F.col("n_converted")))
         .alias("ca"),
-        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_trials"))).alias("nb"),
         F.max(F.when(F.col("arm") == "B", F.col("n_converted")))
         .alias("cb"))
     pa = F.col("ca") / (1.0 * F.col("na"))
@@ -14676,11 +14677,16 @@ def q251_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ties.event_type, ties.n_days, s.s_stat,
            CAST(round(s.s_stat / (ties.n_days * (ties.n_days - 1) / 2.0), 6)
                 AS DOUBLE) AS kendall_tau,
-           CAST(round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
-                           WHEN s.s_stat < 0 THEN (s.s_stat + 1)
-                           ELSE 0 END
+           -- all-tied panels have zero MK variance: define z as 0
+           -- rather than divide by sqrt(0) (r9 advice)
+           CAST(round(CASE WHEN ties.n_days * (ties.n_days - 1)
+                                * (2 * ties.n_days + 5) - ties.tie_term > 0
+                      THEN CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                                WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                                ELSE 0 END
                / sqrt((ties.n_days * (ties.n_days - 1) * (2 * ties.n_days + 5)
-                       - ties.tie_term) / 18.0), 6) AS DOUBLE) AS z_mk
+                       - ties.tie_term) / 18.0)
+                      ELSE 0.0 END, 6) AS DOUBLE) AS z_mk
     FROM ties JOIN s ON ties.event_type = s.event_type
     ORDER BY ties.event_type
     """,
@@ -14723,12 +14729,16 @@ def q252_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_adj = (F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
              .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
              .otherwise(0))
+    # all-tied panels have zero MK variance: define z as 0 rather than
+    # divide by sqrt(0) (r9 advice; mirrored in the oracle CASE)
+    var18 = nd * (nd - 1) * (2 * nd + 5) - F.col("tie_term")
     return (j.select(
         "event_type", "n_days", "s_stat",
         F.round(F.col("s_stat") / (nd * (nd - 1) / 2.0), 6)
         .alias("kendall_tau"),
-        F.round(s_adj / F.sqrt((nd * (nd - 1) * (2 * nd + 5)
-                                - F.col("tie_term")) / 18.0), 6)
+        F.round(F.when(var18 > 0,
+                       s_adj / F.sqrt(var18 / 18.0))
+                .otherwise(F.lit(0.0)), 6)
         .alias("z_mk"))
         .orderBy("event_type"))
 
@@ -15136,9 +15146,11 @@ def q255_experiment_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the streaming dual of q248's batch fold, seeded z_1 = x_1 so "
         "a single forward pass needs no global mean): genuine "
         "readStream execution with availableNow + memory sink, ONE "
-        "(double, long) state pair per key, day counts aggregated "
-        "inside the Arrow batch so emitted rows are day-dimension-"
-        "sized. The oracle runs the identical IEEE-double recursion as "
+        "(double, long, string) state triple per key — z, seeded flag, "
+        "and last folded day (the enforced ordering guard) — day counts "
+        "aggregated inside the Arrow batch so emitted rows are day-"
+        "dimension-sized. The oracle runs the identical IEEE-double "
+        "recursion as "
         "a recursive CTE and matches bit-for-bit before the single "
         "rounding — an exact value check on a custom stateful "
         "streaming operator, not a rows-only smoke.",
@@ -15400,3 +15412,144 @@ def q259_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.pow("f", 0.3) / F.col("z03") / F.col("f"), 6)
                     .alias("upsample_a03"))
             .orderBy("source"))
+
+
+@_register(
+    "q260_msprt_always_valid",
+    """
+    -- mSPRT always-valid p-value (Johari et al., "Peeking at A/B
+    -- Tests"): per calendar day, cumulative trials/conversions per
+    -- hash-split arm (the q239 arms and conversion rule), the mixture
+    -- likelihood ratio with a N(0, tau^2) mixture (tau^2 = 1e-4) on
+    -- the pooled-variance difference estimate, and the running-max
+    -- fold that makes p_n = min(1, 1/max Lambda) valid under
+    -- continuous monitoring. Counts are exact BIGINT window sums, so
+    -- theta and V divide identically on both engines; 2.995732273553991
+    -- is ln(20) baked per the literal-constant convention (alpha=.05).
+    -- Days before both arms have trials carry no estimate (filtered);
+    -- zero-variance days (no conversions yet / all converted) carry
+    -- log Lambda = 0 (no evidence), the q252 degenerate convention.
+    WITH trials AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               """ + _AB_ARM_SQL + """ AS arm,
+               CASE WHEN value >= 15.0 THEN 1 ELSE 0 END AS converted
+        FROM events
+        WHERE event_type = 'purchase'
+    ), daily AS (
+        SELECT day,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ta,
+               CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+                   AS BIGINT) AS xa,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tb,
+               CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+                   AS BIGINT) AS xb
+        FROM trials GROUP BY day
+    ), cum AS (
+        SELECT day,
+               CAST(sum(ta) OVER w AS BIGINT) AS na,
+               CAST(sum(xa) OVER w AS BIGINT) AS ca,
+               CAST(sum(tb) OVER w AS BIGINT) AS nb,
+               CAST(sum(xb) OVER w AS BIGINT) AS cb
+        FROM daily
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), stats AS (
+        SELECT day, na, ca, nb, cb,
+               ca / (1.0 * na) - cb / (1.0 * nb) AS theta,
+               ((ca + cb) / (1.0 * (na + nb)))
+                   * (1.0 - (ca + cb) / (1.0 * (na + nb)))
+                   * (1.0 / na + 1.0 / nb) AS v
+        FROM cum WHERE na > 0 AND nb > 0
+    ), lam AS (
+        SELECT day, na, ca, nb, cb, theta,
+               CASE WHEN v > 0 THEN
+                   0.5 * ln(v / (v + 0.0001))
+                   + theta * theta * 0.0001
+                     / (2.0 * v * (v + 0.0001))
+               ELSE 0.0 END AS log_lambda
+        FROM stats
+    ), runmax AS (
+        SELECT day, na, ca, nb, cb, theta, log_lambda,
+               max(log_lambda) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        FROM lam
+    )
+    SELECT day,
+           na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+           CAST(round(theta, 6) AS DOUBLE) AS theta,
+           CAST(round(log_lambda, 6) AS DOUBLE) AS log_lambda,
+           CAST(round(least(1.0, exp(-m)), 6) AS DOUBLE) AS p_seq,
+           CAST(CASE WHEN m > 2.995732273553991 THEN 1 ELSE 0 END
+                AS INT) AS significant
+    FROM runmax ORDER BY day
+    """,
+    doc="Sequential-testing companion to the q239/q250/q254/q255 "
+        "experimentation tier: the mixture SPRT's always-valid p-value "
+        "per monitoring day, so the A/B readout can be peeked at daily "
+        "without inflating false positives (p_n = min(1, 1/max_k "
+        "Lambda_k) is a supermartingale bound). Scale shape: ONE "
+        "corpus aggregate collapses purchase events to a calendar-"
+        "bounded day panel (checkpointed, the q246 convention); the "
+        "two single-partition windows (cumulative counts, running max) "
+        "run over that day-dimension panel only — never corpus rows. "
+        "theta and V derive from exact BIGINT cumulative counts, and "
+        "the ln/exp expressions are written identically on both sides "
+        "(the q118 logistic / q134 decay precedent), rounded 6 dp at "
+        "the edge.",
+)
+def q260_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    arm = _ab_arm()
+    conv = (F.col("value") >= 15.0).cast("int")
+    daily = (events.where(F.col("event_type") == "purchase")
+             .groupBy(F.date_format(F.col("ts").cast("date"),
+                                    "yyyy-MM-dd").alias("day"))
+             .agg(F.sum(F.when(arm == "A", 1).otherwise(0))
+                  .cast("bigint").alias("ta"),
+                  F.sum(F.when(arm == "A", conv).otherwise(0))
+                  .cast("bigint").alias("xa"),
+                  F.sum(F.when(arm == "B", 1).otherwise(0))
+                  .cast("bigint").alias("tb"),
+                  F.sum(F.when(arm == "B", conv).otherwise(0))
+                  .cast("bigint").alias("xb"))
+             .localCheckpoint(eager=True))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = daily.select(
+        "day",
+        F.sum("ta").over(w).cast("bigint").alias("na"),
+        F.sum("xa").over(w).cast("bigint").alias("ca"),
+        F.sum("tb").over(w).cast("bigint").alias("nb"),
+        F.sum("xb").over(w).cast("bigint").alias("cb"))
+    theta = (F.col("ca") / (1.0 * F.col("na"))
+             - F.col("cb") / (1.0 * F.col("nb")))
+    pbar = (F.col("ca") + F.col("cb")) / (1.0 * (F.col("na")
+                                                 + F.col("nb")))
+    v = pbar * (1.0 - pbar) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    stats = (cum.where((F.col("na") > 0) & (F.col("nb") > 0))
+             .withColumn("theta", theta).withColumn("v", v))
+    # tau^2 = 1e-4 mixture; zero-variance days carry log Lambda = 0
+    # (no evidence yet), the q252 degenerate convention
+    t2 = 0.0001
+    loglam = F.when(
+        F.col("v") > 0,
+        0.5 * F.log(F.col("v") / (F.col("v") + t2))
+        + F.col("theta") * F.col("theta") * t2
+        / (2.0 * F.col("v") * (F.col("v") + t2))).otherwise(F.lit(0.0))
+    lam = stats.withColumn("log_lambda", loglam)
+    m = F.max("log_lambda").over(w)
+    return (lam.withColumn("m", m)
+            .select("day",
+                    F.col("na").alias("n_a"), F.col("ca").alias("conv_a"),
+                    F.col("nb").alias("n_b"), F.col("cb").alias("conv_b"),
+                    F.round("theta", 6).cast("double").alias("theta"),
+                    F.round("log_lambda", 6).cast("double")
+                    .alias("log_lambda"),
+                    F.round(F.least(F.lit(1.0), F.exp(-F.col("m"))), 6)
+                    .cast("double").alias("p_seq"),
+                    # 2.995732273553991 = ln(20), alpha = .05 (baked
+                    # literal, never libm at plan-build time)
+                    (F.col("m") > 2.995732273553991).cast("int")
+                    .alias("significant"))
+            .orderBy("day"))

@@ -130,16 +130,22 @@ def ewma_state(
     """Streaming EWMA over per-day row counts, one keyed fold per group —
     the streaming dual of ``operators.timeseries.ewma_chart`` seeded at
     the first observation (z_1 = x_1) so a single forward pass needs no
-    global mean. State per key is ONE (double, long) pair: the running z
-    and a seeded flag; day counts aggregate inside the Arrow batch before
-    the fold, so emitted rows are day-dimension-sized.
+    global mean. State per key is ONE (double, long, string) triple: the
+    running z, a seeded flag, and the last folded day (the ordering
+    guard); day counts aggregate inside the Arrow batch before the fold,
+    so emitted rows are day-dimension-sized.
 
     Ordering contract: days fold in sorted order within a micro-batch and
     in arrival order across batches — identical to the batch recursion
     when each key drains in one batch (``availableNow`` over a single
-    file), which is how the declared query runs it. The z recursion is
-    plain IEEE-double arithmetic in day order, so the oracle running the
-    same recursion reproduces it bit-for-bit.
+    file), which is how the declared query runs it. The contract is
+    ENFORCED (r9 advice): state carries the last folded day, and a
+    micro-batch delivering a day at or before it raises instead of
+    silently continuing the recursion out of order — the z fold is not
+    commutative, so a late day would diverge from the batch oracle with
+    no signal. The z recursion is plain IEEE-double arithmetic in day
+    order, so the oracle running the same recursion reproduces it
+    bit-for-bit.
     """
     key_schema = ", ".join(
         f"{c} {dict((f.name, f.dataType.simpleString()) for f in stream.schema)[c]}"
@@ -147,24 +153,32 @@ def ewma_state(
     out_schema = f"{key_schema}, {day_col} string, n long, ewma double"
 
     def fold(key, pdfs, state: GroupState):
-        z, seeded = state.get if state.exists else (0.0, 0)
+        z, seeded, last_day = (state.get if state.exists
+                               else (0.0, 0, ""))
         batch = pd.concat(list(pdfs), ignore_index=True)
         counts = batch.groupby(day_col).size().sort_index()
         rows = []
         for day, n in counts.items():
+            if seeded and str(day) <= last_day:
+                raise ValueError(
+                    f"ewma_state: out-of-order day {day!r} for key "
+                    f"{key!r} (already folded through {last_day!r}); "
+                    "the EWMA recursion is order-dependent — re-deliver "
+                    "days in event-time order or rebuild from batch")
             x = float(n)
             z = x if not seeded else lam * x + (1.0 - lam) * z
             seeded = 1
+            last_day = str(day)
             rows.append({**{c: k for c, k in zip(key_cols, key)},
                          day_col: day, "n": int(n), "ewma": z})
-        state.update((z, seeded))
+        state.update((z, seeded, last_day))
         if rows:
             yield pd.DataFrame(rows)
 
     return stream.groupBy(*key_cols).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
-        stateStructType="z double, seeded long",
+        stateStructType="z double, seeded long, last_day string",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -357,6 +357,7 @@ PROBE_QUERIES = [
     "q258_forecast_backtest",
     # one source-grouped aggregate + map-side re-weighting
     "q259_temperature_mixture",
+    "q260_msprt_always_valid",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

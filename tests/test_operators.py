@@ -3576,6 +3576,76 @@ def test_personalized_pagerank_path_graph_hand_values(spark):
     assert sum(r.rank for r in out.values()) <= 1.0 + 1e-9
 
 
+def test_personalized_pagerank_rejects_disjoint_seeds(spark):
+    """r9 advice: a seed set that never intersects the out-degree node
+    universe makes the restart mass 1/|S| undefined (sum(__seed) = 0 →
+    null ranks everywhere). Must fail loudly, not propagate nulls."""
+    import pytest
+
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    seeds = spark.createDataFrame([(99,)], ["node"])
+    with pytest.raises(ValueError, match="no seed node intersects"):
+        personalized_pagerank(edges, seeds, iterations=1)
+
+
+def test_exact_ndv_rejects_empty_columns(spark):
+    """r9 advice: empty column list used to IndexError on parts[0] —
+    now a clear ValueError."""
+    import pytest
+
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        exact_ndv_by_column,
+    )
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="empty column list"):
+        exact_ndv_by_column(df, [])
+
+
+def test_mann_kendall_all_tied_panel_zero_z(spark, tmp_path):
+    """r9 advice: when every daily value ties within a group, the MK
+    variance term is 0 and z used to divide by sqrt(0) → null/NaN. Both
+    the engine and the oracle must now define z_mk = 0 for that group,
+    and they must agree."""
+    import datetime
+
+    import duckdb
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    # 'tied': one event per day for 5 days (v = 1 every day — all tied);
+    # 'trend': 1,2,3,4,5 events per day (strictly increasing, z > 0)
+    rows = []
+    eid = 0
+    for i in range(5):
+        ts = datetime.datetime(2024, 1, 1 + i, 12, 0, 0)
+        rows.append((eid, ts, 1, "tied", 1.0, "{}")); eid += 1
+        for _ in range(i + 1):
+            rows.append((eid, ts, 1, "trend", 1.0, "{}")); eid += 1
+    path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(path)
+
+    got = {r.event_type: r for r in QUERIES["q252_mann_kendall"]
+           .spark(spark, str(tmp_path)).collect()}
+    assert got["tied"].z_mk == 0.0 and got["tied"].s_stat == 0
+    assert got["trend"].z_mk > 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{path}/*.parquet')")
+    oracle = {r[0]: r for r in
+              con.execute(QUERIES["q252_mann_kendall"].oracle).fetchall()}
+    assert oracle["tied"][4] == got["tied"].z_mk == 0.0
+    assert abs(oracle["trend"][4] - got["trend"].z_mk) < 1e-9
+
+
 # ---------------------------------------------------------------------------
 # q243 ROC curve / q244 Lorenz-Gini invariants
 # ---------------------------------------------------------------------------
@@ -3911,3 +3981,26 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
             assert r.upsample_a03 > 1.0
         elif r.natural_share > uniform + 1e-4:
             assert r.upsample_a03 < 1.0
+
+
+def test_msprt_always_valid_invariants(spark):
+    """q260: always-valid p is a running minimum (nonincreasing in
+    monitoring day), bounded in (0, 1]; cumulative counts are
+    nondecreasing; significance is monotone once triggered (the whole
+    point of the sequential correction: a crossed boundary stays
+    crossed)."""
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q260_msprt_always_valid"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "mSPRT monitor must emit one row per day"
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+    for r in rows:
+        assert 0.0 < r.p_seq <= 1.0
+        assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+        assert r.significant in (0, 1)
+    for a, b in zip(rows, rows[1:]):
+        assert b.p_seq <= a.p_seq + 1e-12, "always-valid p increased"
+        assert b.n_a >= a.n_a and b.n_b >= a.n_b
+        assert b.significant >= a.significant, "significance un-triggered"

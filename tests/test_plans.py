@@ -469,6 +469,11 @@ PLAN_SHAPE_GOLDENS = {
     # corpus-total cross join appears in both lineage branches of the
     # 20-row shares frame (z + final select) plus the normalizer join
     "q259_temperature_mixture": {"BroadcastNestedLoopJoin": 3},
+    # q260: joinless — one corpus aggregate to the checkpointed day
+    # panel, then two same-spec single-partition windows (cumulative
+    # counts + running max) that share ONE exchange over the
+    # day-dimension panel
+    "q260_msprt_always_valid": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
@@ -496,3 +501,77 @@ def test_expensive_query_plan_shapes_stable_across_sf(spark):
             f"{name} shape differs across SF: {small} vs {large}"
         joins = {k: v for k, v in small.items() if k != "Exchange"}
         assert joins == want, f"{name} join strategies drifted: {joins}"
+
+
+# ---------------------------------------------------------------------------
+# q256 streaming micro-batch snapshot (the one PLANS.md row that was a
+# placeholder): pins the stateful plan the way batch plans are pinned.
+# ---------------------------------------------------------------------------
+
+def test_q256_streaming_plan_and_state_snapshot(spark):
+    """Behavior/plan snapshot for the q256 stateful micro-batch, at both
+    SFs (the cross-SF convention of the batch golden table):
+
+    - exactly ONE input micro-batch (availableNow over one parquet file
+      — the precondition for the each-key-drains-in-one-batch ordering
+      contract the oracle recursion relies on);
+    - state schema is the (z double, seeded long, last_day string)
+      triple, one state row per event_type key;
+    - the only exchange is the REQUIRED_BY_STATEFUL_OPERATOR hash
+      partitioning on the grouping key (no extra shuffles);
+    - no AdaptiveSparkPlan: AQE must not re-plan a stateful streaming
+      query (partitioning is pinned by the state store);
+    - the scan is pruned to exactly (ts, event_type).
+    """
+    import os
+
+    from league_of_legends_data_pipeline_spark.plans.queries import _t
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        ewma_state,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        _t(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        stream = (spark.readStream.schema(raw.schema)
+                  .option("pathGlobFilter", "events.parquet")
+                  .parquet(sf_dir))
+        ts = F.col("ts")
+        if dict(raw.dtypes)["ts"] == "bigint":
+            ts = F.expr("timestamp_micros(ts div 1000)")
+        stream = stream.select(
+            "event_type",
+            F.date_format(ts.cast("timestamp"), "yyyy-MM-dd").alias("day"))
+        n_keys = raw.select("event_type").distinct().count()
+
+        q = (ewma_state(stream, ["event_type"], "day", lam=0.2)
+             .writeStream.format("memory")
+             .queryName(f"q256_snap_{os.path.basename(sf_dir).replace('.', '_')}")
+             .outputMode("append").trigger(availableNow=True).start())
+        try:
+            assert q.awaitTermination(240), f"stream did not drain ({sf_dir})"
+            plan = q._jsq.explainInternal(False)
+        finally:
+            q.stop()
+
+        prog = [p for p in q.recentProgress if p]
+        input_batches = [p for p in prog if p["numInputRows"] > 0]
+        assert len(input_batches) == 1, \
+            f"{sf_dir}: expected one input micro-batch, got {len(input_batches)}"
+        (so,) = input_batches[0]["stateOperators"]
+        assert so["operatorName"] == "applyInPandasWithState"
+        assert so["numRowsTotal"] == n_keys, \
+            f"{sf_dir}: state rows {so['numRowsTotal']} != {n_keys} keys"
+
+        assert "FlatMapGroupsInPandasWithState" in plan
+        assert ("[StructField(z,DoubleType,true), "
+                "StructField(seeded,LongType,true), "
+                "StructField(last_day,StringType,true)]") in plan, \
+            "state struct drifted from (z double, seeded long, last_day string)"
+        assert plan.count("Exchange ") == 1
+        assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
+        assert "AdaptiveSparkPlan" not in plan
+        assert "ReadSchema: struct<ts:" in plan and "event_type:string" in plan
+        for unread in ("event_id", "user_id", "value", "props"):
+            assert unread not in plan.split("ReadSchema:")[1], \
+                f"{sf_dir}: scan not pruned — reads {unread}"

@@ -421,3 +421,35 @@ def test_ewma_state_carries_across_batches(spark, tmp_path):
     assert rows["2024-01-01"].ewma == 10.0 and rows["2024-01-01"].n == 10
     assert rows["2024-01-02"].ewma == 12.0
     assert rows["2024-01-03"].ewma == 0.2 * 30 + 0.8 * 12.0
+
+
+def test_ewma_state_rejects_out_of_order_day(spark, tmp_path):
+    """r9 advice: the EWMA fold is order-dependent; a micro-batch
+    delivering a day at or before the last folded one must raise (the
+    state now carries last_day), not silently diverge from the batch
+    recursion."""
+    import json
+    import time
+
+    import pytest
+
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        ewma_state,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch 1 folds day 2; batch 2 then delivers day 1 — out of order
+    f1 = src / "a.json"
+    f1.write_text(json.dumps({"event_type": "k", "day": "2024-01-02"}))
+    time.sleep(1.1)
+    f2 = src / "b.json"
+    f2.write_text(json.dumps({"event_type": "k", "day": "2024-01-01"}))
+
+    stream = (spark.readStream.schema("event_type string, day string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out = ewma_state(stream, ["event_type"], "day", lam=0.2)
+    q = (out.writeStream.format("memory").queryName("ewma_ooo_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="out-of-order day"):
+        q.awaitTermination(120)
