@@ -15553,3 +15553,156 @@ def q260_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("m") > 2.995732273553991).cast("int")
                     .alias("significant"))
             .orderBy("day"))
+
+
+@_register(
+    "q261_srm_check",
+    """
+    -- sample-ratio mismatch guard (the first thing a trustworthy A/B
+    -- platform checks): distinct users per hash arm vs the designed
+    -- 50/50 split; for two arms the chi-square statistic collapses to
+    -- (na-nb)^2/(na+nb) (1 dof), compared against the baked 0.95
+    -- critical value 3.841458820694124. The (na-nb)^2 cross-product is
+    -- widened before multiplying (HUGEINT / decimal(38,0)) per the
+    -- overflow convention — at platform scale arm counts are billions.
+    WITH assigned AS (
+        SELECT DISTINCT user_id FROM events
+    ), arms AS (
+        SELECT """ + _AB_ARM_SQL + """ AS arm FROM assigned
+    ), counts AS (
+        SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM arms
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(round(na / (1.0 * (na + nb)), 6) AS DOUBLE) AS share_a,
+           CAST(round(CAST((na - nb) AS HUGEINT) * (na - nb)
+                      / (1.0 * (na + nb)), 6) AS DOUBLE) AS chi2,
+           CAST(CASE WHEN CAST((na - nb) AS HUGEINT) * (na - nb)
+                          / (1.0 * (na + nb)) > 3.841458820694124
+                     THEN 1 ELSE 0 END AS INT) AS srm
+    FROM counts
+    """,
+    doc="Sample-ratio-mismatch check over the shared q239 hash arms — "
+        "the assignment-integrity gate that must pass before any "
+        "experiment readout (q239/q250/q260) is trusted; a biased hash, "
+        "a lossy logging path, or a bot filter that correlates with the "
+        "arm all surface here first. Scale shape: ONE distinct-user "
+        "aggregate (user-keyed shuffle of bare ids), a 2-row arm "
+        "rollup, a 1-row readout; the arm is derived AFTER the "
+        "distinct, so the corpus stage shuffles nothing but user_id. "
+        "chi2 = (na-nb)^2/(na+nb) on exact widened integers; "
+        "3.841458820694124 = chisq_0.95(1 dof), baked per the "
+        "literal-constant convention.",
+)
+def q261_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    assigned = events.select("user_id").distinct()
+    arms = assigned.select(_ab_arm().alias("arm"))
+    counts = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint").alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint").alias("nb"))
+    diff2 = ((F.col("na") - F.col("nb")).cast("decimal(38,0)")
+             * (F.col("na") - F.col("nb")))
+    chi2 = diff2 / (1.0 * (F.col("na") + F.col("nb")))
+    return counts.select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+        F.round(F.col("na") / (1.0 * (F.col("na") + F.col("nb"))), 6)
+        .cast("double").alias("share_a"),
+        F.round(chi2, 6).cast("double").alias("chi2"),
+        # 3.841458820694124 = chisq_0.95(1 dof) (baked literal)
+        (chi2 > 3.841458820694124).cast("int").alias("srm"))
+
+
+@_register(
+    "q262_jackknife_ratio_metric",
+    """
+    -- leave-one-day-out jackknife variance for a RATIO metric
+    -- (revenue per active user): the per-user CLT does not apply to a
+    -- ratio of sums, so the experimentation-standard fix is delta
+    -- method or jackknife over independent buckets — here calendar
+    -- days. Pseudo-estimates R_(-d) = (SX - x_d)/(SN - n_d) from exact
+    -- BIGINT day totals; var_jk = (D-1)/D * sum((R_(-d) - mean)^2);
+    -- 1.959963984540054 = z_0.975 baked per the literal convention.
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS x,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(n) AS BIGINT) AS sn,
+               CAST(count(*) AS BIGINT) AS d
+        FROM daily
+    ), pseudo AS (
+        SELECT (sx - x) / (1.0 * (sn - n)) AS rj
+        FROM daily CROSS JOIN tot
+    ), m AS (
+        SELECT avg(rj) AS mbar FROM pseudo
+    ), v AS (
+        SELECT sum((rj - mbar) * (rj - mbar)) AS ss
+        FROM pseudo CROSS JOIN m
+    )
+    SELECT d AS n_days, sx AS total_cents, sn AS user_days,
+           CAST(round(sx / (1.0 * sn), 6) AS DOUBLE) AS ratio,
+           CAST(round(sqrt((d - 1.0) / d * ss), 6) AS DOUBLE) AS se_jk,
+           CAST(round(sx / (1.0 * sn)
+                - 1.959963984540054 * sqrt((d - 1.0) / d * ss), 6)
+                AS DOUBLE) AS ci_lo,
+           CAST(round(sx / (1.0 * sn)
+                + 1.959963984540054 * sqrt((d - 1.0) / d * ss), 6)
+                AS DOUBLE) AS ci_hi
+    FROM tot CROSS JOIN v
+    """,
+    doc="Jackknife (leave-one-day-out) standard error for revenue per "
+        "active user — the ratio-metric readout where naive per-user "
+        "variance is simply wrong (numerator and denominator are "
+        "correlated sums; Deng et al.'s delta-method/jackknife bucket "
+        "approach is the industry fix). Scale shape: ONE corpus "
+        "aggregate to the calendar day panel (exact BIGINT cents + "
+        "distinct-user counts), a 1-row totals broadcast, and all "
+        "pseudo-estimate/variance arithmetic over the D-row panel — "
+        "the resampling never touches event rows (the q254 bootstrap "
+        "principle). Identical float expressions both sides, rounded "
+        "6 dp at the edge.",
+)
+def q262_jackknife_ratio_metric(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy(F.col("ts").cast("date").alias("day"))
+             .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                               _value_cents()).otherwise(0))
+                  .cast("bigint").alias("x"),
+                  F.count_distinct(F.col("user_id"))
+                  .cast("bigint").alias("n"))
+             .localCheckpoint(eager=True))
+    tot = daily.agg(F.sum("x").cast("bigint").alias("sx"),
+                    F.sum("n").cast("bigint").alias("sn"),
+                    F.count(F.lit(1)).cast("bigint").alias("d"))
+    pseudo = (daily.crossJoin(F.broadcast(tot))
+              .select(((F.col("sx") - F.col("x"))
+                       / (1.0 * (F.col("sn") - F.col("n")))).alias("rj")))
+    m = pseudo.agg(F.avg("rj").alias("mbar"))
+    v = (pseudo.crossJoin(F.broadcast(m))
+         .agg(F.sum((F.col("rj") - F.col("mbar"))
+                    * (F.col("rj") - F.col("mbar"))).alias("ss")))
+    se = F.sqrt((F.col("d") - 1.0) / F.col("d") * F.col("ss"))
+    ratio = F.col("sx") / (1.0 * F.col("sn"))
+    # 1.959963984540054 = z_0.975 (baked literal)
+    zc = 1.959963984540054
+    return (tot.crossJoin(F.broadcast(v))
+            .select(F.col("d").alias("n_days"),
+                    F.col("sx").alias("total_cents"),
+                    F.col("sn").alias("user_days"),
+                    F.round(ratio, 6).cast("double").alias("ratio"),
+                    F.round(se, 6).cast("double").alias("se_jk"),
+                    F.round(ratio - zc * se, 6).cast("double")
+                    .alias("ci_lo"),
+                    F.round(ratio + zc * se, 6).cast("double")
+                    .alias("ci_hi")))

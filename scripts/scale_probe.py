@@ -358,6 +358,8 @@ PROBE_QUERIES = [
     # one source-grouped aggregate + map-side re-weighting
     "q259_temperature_mixture",
     "q260_msprt_always_valid",
+    "q261_srm_check",
+    "q262_jackknife_ratio_metric",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

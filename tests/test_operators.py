@@ -4004,3 +4004,62 @@ def test_msprt_always_valid_invariants(spark):
         assert b.p_seq <= a.p_seq + 1e-12, "always-valid p increased"
         assert b.n_a >= a.n_a and b.n_b >= a.n_b
         assert b.significant >= a.significant, "significance un-triggered"
+
+
+def test_srm_check_counts_users_not_events(spark, tmp_path):
+    """q261: the chi-square must be computed over DISTINCT users — a
+    chatty user (many events) must not tilt the ratio."""
+    import datetime
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    # user 1 emits 100 events, users 2-9 one each: 9 distinct users
+    rows = [(i, ts, 1, "view", 1.0, "{}") for i in range(100)]
+    rows += [(100 + u, ts, u, "view", 1.0, "{}") for u in range(2, 10)]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    row = QUERIES["q261_srm_check"].spark(spark, str(tmp_path)).collect()[0]
+    assert row.n_a + row.n_b == 9, "must count distinct users, not events"
+    # two-arm chi2 identity: (na-nb)^2/(na+nb), rounded 6 dp at the edge
+    assert row.chi2 == round((row.n_a - row.n_b) ** 2 / 9, 6)
+    assert row.srm == (1 if row.chi2 > 3.841458820694124 else 0)
+
+
+def test_jackknife_ratio_matches_python_oracle(spark, tmp_path):
+    """q262: leave-one-day-out pseudo-estimates and SE against a pure
+    Python replay on a 3-day hand case."""
+    import datetime
+    import math
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    # day d: x_d cents of purchases, n_d distinct users
+    days = [(1, [(1, "purchase", 10.00), (2, "view", 0.0)]),       # x=1000, n=2
+            (2, [(1, "purchase", 5.00), (3, "purchase", 2.50)]),   # x=750,  n=2
+            (3, [(4, "view", 0.0), (5, "purchase", 1.00),
+                 (6, "view", 0.0)])]                               # x=100,  n=3
+    rows, eid = [], 0
+    for d, evs in days:
+        ts = datetime.datetime(2024, 3, d, 9, 0, 0)
+        for uid, et, val in evs:
+            rows.append((eid, ts, uid, et, val, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    row = QUERIES["q262_jackknife_ratio_metric"].spark(
+        spark, str(tmp_path)).collect()[0]
+    x, n = [1000, 750, 100], [2, 2, 3]
+    sx, sn, d = sum(x), sum(n), 3
+    rj = [(sx - xi) / (sn - ni) for xi, ni in zip(x, n)]
+    mbar = sum(rj) / d
+    se = math.sqrt((d - 1) / d * sum((r - mbar) ** 2 for r in rj))
+    assert row.n_days == 3 and row.total_cents == sx and row.user_days == sn
+    assert abs(row.ratio - round(sx / sn, 6)) < 1e-9
+    assert abs(row.se_jk - round(se, 6)) < 1e-9
+    assert row.ci_lo <= row.ratio <= row.ci_hi

@@ -474,6 +474,12 @@ PLAN_SHAPE_GOLDENS = {
     # counts + running max) that share ONE exchange over the
     # day-dimension panel
     "q260_msprt_always_valid": {},
+    # q261: joinless — distinct-user shuffle + 1-row arm rollup
+    "q261_srm_check": {},
+    # q262: the BNLJs are the 1-row totals/mean/variance broadcasts onto
+    # the checkpointed D-row day panel (totals appears in two lineage
+    # branches: pseudo and the final readout)
+    "q262_jackknife_ratio_metric": {"BroadcastNestedLoopJoin": 4},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
