@@ -15584,6 +15584,7 @@ def q260_msprt_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / (1.0 * (na + nb)) > 3.841458820694124
                      THEN 1 ELSE 0 END AS INT) AS srm
     FROM counts
+    WHERE na + nb > 0  -- empty corpus: no assignment to audit, emit 0 rows
     """,
     doc="Sample-ratio-mismatch check over the shared q239 hash arms — "
         "the assignment-integrity gate that must pass before any "
@@ -15609,6 +15610,8 @@ def q261_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff2 = ((F.col("na") - F.col("nb")).cast("decimal(38,0)")
              * (F.col("na") - F.col("nb")))
     chi2 = diff2 / (1.0 * (F.col("na") + F.col("nb")))
+    # empty corpus: no assignment to audit — emit 0 rows, never 0/0
+    counts = counts.where(F.col("na") + F.col("nb") > 0)
     return counts.select(
         F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
         F.round(F.col("na") / (1.0 * (F.col("na") + F.col("nb"))), 6)
@@ -15659,6 +15662,8 @@ def q261_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 1.959963984540054 * sqrt((d - 1.0) / d * ss), 6)
                 AS DOUBLE) AS ci_hi
     FROM tot CROSS JOIN v
+    WHERE d > 1  -- jackknife needs >= 2 buckets: leave-one-out on a
+                 -- single day divides by (sn - n) = 0; emit 0 rows
     """,
     doc="Jackknife (leave-one-day-out) standard error for revenue per "
         "active user — the ratio-metric readout where naive per-user "
@@ -15696,7 +15701,10 @@ def q262_jackknife_ratio_metric(spark: SparkSession,
     ratio = F.col("sx") / (1.0 * F.col("sn"))
     # 1.959963984540054 = z_0.975 (baked literal)
     zc = 1.959963984540054
+    # jackknife needs >= 2 buckets: leave-one-out on a single day
+    # divides by (sn - n) = 0 — emit 0 rows instead (oracle twin)
     return (tot.crossJoin(F.broadcast(v))
+            .where(F.col("d") > 1)
             .select(F.col("d").alias("n_days"),
                     F.col("sx").alias("total_cents"),
                     F.col("sn").alias("user_days"),

@@ -4063,3 +4063,20 @@ def test_jackknife_ratio_matches_python_oracle(spark, tmp_path):
     assert abs(row.ratio - round(sx / sn, 6)) < 1e-9
     assert abs(row.se_jk - round(se, 6)) < 1e-9
     assert row.ci_lo <= row.ratio <= row.ci_hi
+
+
+def test_jackknife_single_day_emits_no_rows(spark, tmp_path):
+    """q262 degenerate: one day means leave-one-out divides by zero —
+    the query must emit 0 rows (jackknife undefined), not nulls."""
+    import datetime
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    ts = datetime.datetime(2024, 5, 1, 10, 0, 0)
+    spark.createDataFrame(
+        [(0, ts, 1, "purchase", 3.0, "{}"), (1, ts, 2, "view", 0.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    assert QUERIES["q262_jackknife_ratio_metric"].spark(
+        spark, str(tmp_path)).count() == 0
