@@ -15714,3 +15714,91 @@ def q262_jackknife_ratio_metric(spark: SparkSession,
                     .alias("ci_lo"),
                     F.round(ratio + zc * se, 6).cast("double")
                     .alias("ci_hi")))
+
+
+@_register(
+    "q263_winsorized_arm_means",
+    """
+    -- winsorized per-arm revenue readout: heavy-tail purchase values
+    -- clipped at the EXACT per-arm p01/p99 (quantile_cont = Spark's
+    -- interpolating percentile, the q218 precedent) before the mean —
+    -- the robust-metric companion every experiment ships next to the
+    -- raw mean, since one whale per arm otherwise owns the readout.
+    -- Clamped values land on the 1e-6 integer grid before summation
+    -- (the q133/q240 integer-unit convention), so both engines sum
+    -- exact integers and divide once at the edge.
+    WITH trials AS (
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase'
+    ), cuts AS (
+        SELECT arm,
+               quantile_cont(cents, 0.01) AS p01,
+               quantile_cont(cents, 0.99) AS p99
+        FROM trials GROUP BY arm
+    ), w AS (
+        SELECT t.arm,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(t.cents) AS s,
+               sum(CAST(round(least(greatest(CAST(t.cents AS DOUBLE),
+                                             c.p01), c.p99)
+                              * 1000000) AS BIGINT)) AS ws,
+               max(c.p01) AS p01, max(c.p99) AS p99
+        FROM trials t JOIN cuts c USING (arm)
+        GROUP BY t.arm
+    )
+    SELECT arm, n AS n_trials,
+           CAST(round(p01 / 100.0, 6) AS DOUBLE) AS cut_lo_usd,
+           CAST(round(p99 / 100.0, 6) AS DOUBLE) AS cut_hi_usd,
+           CAST(round(s / (1.0 * n) / 100.0, 6) AS DOUBLE) AS mean_usd,
+           CAST(round(ws / 1000000.0 / n / 100.0, 6) AS DOUBLE)
+               AS wmean_usd,
+           CAST(round(ws / 1000000.0 / n / 100.0
+                      - s / (1.0 * n) / 100.0, 6) AS DOUBLE)
+               AS winsor_shift_usd
+    FROM w ORDER BY arm
+    """,
+    doc="Winsorized per-arm mean revenue — the robust experiment metric "
+        "(one whale per arm otherwise owns a raw-mean readout; clipping "
+        "at exact per-arm p01/p99 is the standard industrial fix, cf. "
+        "trimmed/winsorized metrics in large A/B platforms). Scale "
+        "shape: one corpus scan to per-arm trials, an exact-percentile "
+        "aggregate per arm (2-row cut table, broadcast back), then ONE "
+        "grouped aggregate whose clamped values are rounded onto the "
+        "1e-6 integer grid so the sums stay exact integers on both "
+        "engines — the mean divides once at the edge. Raw mean rides "
+        "the same aggregate from exact BIGINT cent sums.",
+)
+def q263_winsorized_arm_means(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.where(F.col("event_type") == "purchase")
+              .select(_ab_arm().alias("arm"),
+                      _value_cents().alias("cents")))
+    cuts = trials.groupBy("arm").agg(
+        F.percentile("cents", F.lit(0.01)).alias("p01"),
+        F.percentile("cents", F.lit(0.99)).alias("p99"))
+    clamped = F.least(F.greatest(F.col("cents").cast("double"),
+                                 F.col("p01")), F.col("p99"))
+    w = (trials.join(F.broadcast(cuts), "arm")
+         .groupBy("arm")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              # decimal(38,0) sums: exact at any corpus scale (the
+              # HUGEINT twin of the oracle's default widening)
+              F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+              F.sum(F.round(clamped * 1000000).cast("decimal(38,0)"))
+              .alias("ws"),
+              F.max("p01").alias("p01"), F.max("p99").alias("p99")))
+    mean = F.col("s") / (1.0 * F.col("n")) / 100.0
+    wmean = F.col("ws") / 1000000.0 / F.col("n") / 100.0
+    return (w.select(
+        "arm", F.col("n").alias("n_trials"),
+        F.round(F.col("p01") / 100.0, 6).cast("double")
+        .alias("cut_lo_usd"),
+        F.round(F.col("p99") / 100.0, 6).cast("double")
+        .alias("cut_hi_usd"),
+        F.round(mean, 6).cast("double").alias("mean_usd"),
+        F.round(wmean, 6).cast("double").alias("wmean_usd"),
+        F.round(wmean - mean, 6).cast("double").alias("winsor_shift_usd"))
+        .orderBy("arm"))

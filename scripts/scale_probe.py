@@ -360,6 +360,7 @@ PROBE_QUERIES = [
     "q260_msprt_always_valid",
     "q261_srm_check",
     "q262_jackknife_ratio_metric",
+    "q263_winsorized_arm_means",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

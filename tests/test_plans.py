@@ -480,6 +480,9 @@ PLAN_SHAPE_GOLDENS = {
     # the checkpointed D-row day panel (totals appears in two lineage
     # branches: pseudo and the final readout)
     "q262_jackknife_ratio_metric": {"BroadcastNestedLoopJoin": 4},
+    # q263: one corpus scan to per-arm trials; the BHJ is the 2-row
+    # percentile-cut table broadcast back onto the trials
+    "q263_winsorized_arm_means": {"BroadcastHashJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
