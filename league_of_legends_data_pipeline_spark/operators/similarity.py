@@ -957,3 +957,80 @@ def embedding_health(df: DataFrame, label_col: str,
                          - F.col("n")) / (F.col("n") * (F.col("n") - 1)),
                         6))
             .select("label", "n", "mean_norm", "anisotropy"))
+
+
+def bitext_margin_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Ratio-margin bitext mining (Artetxe & Schwenk 2019, the CCMatrix/
+    LASER scorer): for every source vector, the best target candidate by
+
+        margin(x, y) = cos(x, y) / ((avgTopK(x, T) + avgTopK(y, S)) / 2)
+
+    — raw cosine normalized by each side's local neighborhood density,
+    which is what makes mined pairs comparable across hubs and sparse
+    regions. Returns (src_id, tgt_id, cosine, margin) for the
+    argmax-margin target per source with margin > ``margin_threshold``.
+
+    This is the EXACT all-pairs form — the verification baseline, same
+    contract as cosine_near_dup_pairs. The 100 TB path generates the
+    top-k candidate lists per side with ivf_topk / ann_lsh_topk (probe
+    nprobe/C of the corpus) and re-scores margins on candidates only;
+    the margin arithmetic here is reused unchanged since it only needs
+    each side's top-k list.
+
+    Determinism contract: cosines come from the sequential zip_with/
+    aggregate fold (``dot``), and each side's top-k mean folds a
+    (cosine, id)-DESC-sorted slice in list order — so an oracle that
+    sums the identically-sorted slice reproduces every float bit-exact.
+    """
+    s = src.select(F.col(id_col).alias("src_id"),
+                   _as_double(F.col(vec_col)).alias("__sv"))
+    s = s.withColumn("__sn", l2_norm(F.col("__sv")))
+    t = tgt.select(F.col(id_col).alias("tgt_id"),
+                   _as_double(F.col(vec_col)).alias("__tv"))
+    t = t.withColumn("__tn", l2_norm(F.col("__tv")))
+    s = s.repartition(_par(src), F.col("src_id"))
+    pairs = (s.crossJoin(F.broadcast(t))
+             .select("src_id", "tgt_id",
+                     (dot(F.col("__sv"), F.col("__tv"))
+                      / (F.col("__sn") * F.col("__tn"))).alias("cos"))
+             .localCheckpoint(eager=False))
+
+    def _topk_mean(frame: DataFrame, key: str, other: str,
+                   out: str) -> DataFrame:
+        # deterministic k-mean: sort (cos, other_id) DESC, slice k, fold
+        # in list order, divide by the slice's actual size (side smaller
+        # than k stays well-defined)
+        lst = F.slice(
+            F.sort_array(F.collect_list(F.struct(F.col("cos").alias("c"),
+                                                 F.col(other).alias("i"))),
+                         asc=False), 1, k)
+        return frame.groupBy(key).agg(
+            (F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + x["c"])
+             / F.size(lst)).alias(out))
+
+    dx = _topk_mean(pairs, "src_id", "tgt_id", "dsx")
+    dy = _topk_mean(pairs, "tgt_id", "src_id", "dsy")
+    # both k-mean tables are side-dimension-sized (one row per src/tgt
+    # vector) — broadcast explicitly: Catalyst cannot size an aggregate
+    # above the checkpointed pair frame and falls back to SMJ (the q246
+    # convention)
+    scored = (pairs.join(F.broadcast(dx), "src_id")
+              .join(F.broadcast(dy), "tgt_id")
+              .withColumn("margin",
+                          F.col("cos")
+                          / ((F.col("dsx") + F.col("dsy")) / 2.0)))
+    w = Window.partitionBy("src_id").orderBy(F.col("margin").desc(),
+                                             F.col("tgt_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1)
+                   & (F.col("margin") > margin_threshold))
+            .select("src_id", "tgt_id",
+                    F.round("cos", 6).cast("double").alias("cosine"),
+                    F.round("margin", 6).cast("double").alias("margin")))

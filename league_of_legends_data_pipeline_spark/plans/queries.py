@@ -15802,3 +15802,94 @@ def q263_winsorized_arm_means(spark: SparkSession,
         F.round(wmean, 6).cast("double").alias("wmean_usd"),
         F.round(wmean - mean, 6).cast("double").alias("winsor_shift_usd"))
         .orderBy("arm"))
+
+
+@_register(
+    "q264_bitext_margin_mining",
+    """
+    -- ratio-margin bitext mining (Artetxe & Schwenk 2019): best German
+    -- candidate per English doc by cos normalized with both sides'
+    -- top-4 neighborhood means; exact all-pairs baseline. Cosines are
+    -- the q27 sequential list_sum fold; each k-mean sums a
+    -- (cos DESC, id DESC)-ordered slice in list order, so every float
+    -- matches the engine bit-for-bit before the edge rounding.
+    WITH sv AS (
+        SELECT d.doc_id AS sid,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.lang = 'en'
+    ), tv AS (
+        SELECT d.doc_id AS tid,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE d.lang = 'de'
+    ), sn AS (
+        SELECT sid, ve, sqrt(list_sum(list_transform(ve, x -> x * x)))
+                   AS nrm FROM sv
+    ), tn AS (
+        SELECT tid, ve, sqrt(list_sum(list_transform(ve, x -> x * x)))
+                   AS nrm FROM tv
+    ), pairs AS (
+        SELECT s.sid, t.tid,
+               list_sum(list_transform(range(1, len(s.ve) + 1),
+                   i -> s.ve[CAST(i AS INT)] * t.ve[CAST(i AS INT)]))
+               / (s.nrm * t.nrm) AS cos
+        FROM sn s CROSS JOIN tn t
+    ), dx AS (
+        SELECT sid, list_slice(list(cos ORDER BY cos DESC, tid DESC),
+                               1, 4) AS topk
+        FROM pairs GROUP BY sid
+    ), dxa AS (
+        SELECT sid, list_sum(topk) / len(topk) AS dsx FROM dx
+    ), dy AS (
+        SELECT tid, list_slice(list(cos ORDER BY cos DESC, sid DESC),
+                               1, 4) AS topk
+        FROM pairs GROUP BY tid
+    ), dya AS (
+        SELECT tid, list_sum(topk) / len(topk) AS dsy FROM dy
+    ), scored AS (
+        SELECT p.sid, p.tid, p.cos,
+               p.cos / ((x.dsx + y.dsy) / 2.0) AS margin
+        FROM pairs p
+        JOIN dxa x ON p.sid = x.sid
+        JOIN dya y ON p.tid = y.tid
+    ), best AS (
+        SELECT sid, tid, cos, margin,
+               row_number() OVER (PARTITION BY sid
+                   ORDER BY margin DESC, tid ASC) AS rn
+        FROM scored
+    )
+    SELECT sid AS src_id, tid AS tgt_id,
+           CAST(round(cos, 6) AS DOUBLE) AS cosine,
+           CAST(round(margin, 6) AS DOUBLE) AS margin
+    FROM best WHERE rn = 1 AND margin > 1.0
+    ORDER BY src_id
+    """,
+    doc="Cross-lingual bitext mining with the ratio-margin criterion "
+        "(operators/similarity.py::bitext_margin_mining — the CCMatrix/"
+        "LASER scorer that builds translation training corpora): raw "
+        "cosine normalized by both sides' top-4 neighborhood means, so "
+        "hub vectors and sparse regions mine comparably; argmax-margin "
+        "German candidate per English doc above margin 1.0. This is the "
+        "exact all-pairs baseline (the verification contract of "
+        "q34/q198); the 100 TB path feeds the SAME margin arithmetic "
+        "from IVF/LSH top-k candidate lists (q42/q84 machinery) instead "
+        "of the cross join. Broadcast target side, one checkpointed "
+        "pair frame feeding both k-mean aggregates, id+float shuffles "
+        "only.",
+)
+def q264_bitext_margin_mining(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        bitext_margin_mining,
+    )
+
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    withvec = documents.join(
+        embeddings, documents["doc_id"] == embeddings["vec_id"])
+    src = withvec.where(F.col("lang") == "en").select("vec_id", "embedding")
+    tgt = withvec.where(F.col("lang") == "de").select("vec_id", "embedding")
+    return (bitext_margin_mining(src, tgt, id_col="vec_id",
+                                 vec_col="embedding", k=4,
+                                 margin_threshold=1.0)
+            .orderBy("src_id"))

@@ -361,6 +361,7 @@ PROBE_QUERIES = [
     "q261_srm_check",
     "q262_jackknife_ratio_metric",
     "q263_winsorized_arm_means",
+    "q264_bitext_margin_mining",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

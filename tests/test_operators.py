@@ -4080,3 +4080,47 @@ def test_jackknife_single_day_emits_no_rows(spark, tmp_path):
     ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
     assert QUERIES["q262_jackknife_ratio_metric"].spark(
         spark, str(tmp_path)).count() == 0
+
+
+def test_winsorized_means_invariants(spark):
+    """q263: the winsorized mean must sit inside the clip interval, the
+    cuts must be ordered, and clipping a heavy-tailed positive metric
+    must not INCREASE the mean beyond rounding."""
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q263_winsorized_arm_means"].spark(
+        spark, "/root/testdata/sf0.001").collect()
+    assert {r.arm for r in rows} == {"A", "B"}
+    for r in rows:
+        assert r.n_trials > 0
+        assert r.cut_lo_usd <= r.cut_hi_usd
+        assert r.cut_lo_usd - 1e-9 <= r.wmean_usd <= r.cut_hi_usd + 1e-9
+        assert r.winsor_shift_usd == round(r.wmean_usd - r.mean_usd, 6) or \
+            abs(r.winsor_shift_usd - (r.wmean_usd - r.mean_usd)) < 2e-6
+
+
+def test_bitext_margin_mining_hand_case(spark):
+    """Margin criterion on a hand-built 2x3 case: the hub target (high
+    cosine to everything) must lose to the specific match once margins
+    normalize by neighborhood density; one row per source, margin > 1."""
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        bitext_margin_mining,
+    )
+
+    # src s1 aligns with t1 specifically; t_hub is uniformly close to
+    # everything (a hub) — raw cosine would pick the hub for s2, margin
+    # must not.
+    src = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])], ["vec_id", "embedding"])
+    tgt = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0]),      # specific match for s1
+         (20, [0.1, 0.9, 0.0]),      # specific match for s2
+         (30, [0.6, 0.6, 0.2])],     # hub: close to both sources
+        ["vec_id", "embedding"])
+    out = {r.src_id: r for r in bitext_margin_mining(
+        src, tgt, k=2, margin_threshold=0.0).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].tgt_id == 10 and out[2].tgt_id == 20, \
+        "margin must prefer the specific match over the hub"
+    for r in out.values():
+        assert -1.0 <= r.cosine <= 1.0 and r.margin > 0.0

@@ -483,6 +483,11 @@ PLAN_SHAPE_GOLDENS = {
     # q263: one corpus scan to per-arm trials; the BHJ is the 2-row
     # percentile-cut table broadcast back onto the trials
     "q263_winsorized_arm_means": {"BroadcastHashJoin": 1},
+    # q264: target side + both side-dimension k-mean tables broadcast
+    # (explicitly — Catalyst cannot size aggregates above the
+    # checkpointed pair frame); argmax-per-src runs as WindowGroupLimit
+    "q264_bitext_margin_mining": {"BroadcastHashJoin": 2,
+                                  "WindowGroupLimit": 2},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
