@@ -989,12 +989,14 @@ def bitext_margin_mining(
     (cosine, id)-DESC-sorted slice in list order — so an oracle that
     sums the identically-sorted slice reproduces every float bit-exact.
     """
+    # zero-norm vectors would make every cosine NaN and NaN ordering is
+    # engine-divergent — drop them (cosine undefined for the zero vector)
     s = src.select(F.col(id_col).alias("src_id"),
                    _as_double(F.col(vec_col)).alias("__sv"))
-    s = s.withColumn("__sn", l2_norm(F.col("__sv")))
+    s = s.withColumn("__sn", l2_norm(F.col("__sv"))).where(F.col("__sn") > 0)
     t = tgt.select(F.col(id_col).alias("tgt_id"),
                    _as_double(F.col(vec_col)).alias("__tv"))
-    t = t.withColumn("__tn", l2_norm(F.col("__tv")))
+    t = t.withColumn("__tn", l2_norm(F.col("__tv"))).where(F.col("__tn") > 0)
     s = s.repartition(_par(src), F.col("src_id"))
     pairs = (s.crossJoin(F.broadcast(t))
              .select("src_id", "tgt_id",

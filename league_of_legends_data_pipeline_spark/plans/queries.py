@@ -15824,11 +15824,14 @@ def q263_winsorized_arm_means(spark: SparkSession,
         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
         WHERE d.lang = 'de'
     ), sn AS (
-        SELECT sid, ve, sqrt(list_sum(list_transform(ve, x -> x * x)))
-                   AS nrm FROM sv
+        -- zero-norm guard (NaN cosines order engine-divergently)
+        SELECT * FROM (
+            SELECT sid, ve, sqrt(list_sum(list_transform(ve, x -> x * x)))
+                       AS nrm FROM sv) WHERE nrm > 0
     ), tn AS (
-        SELECT tid, ve, sqrt(list_sum(list_transform(ve, x -> x * x)))
-                   AS nrm FROM tv
+        SELECT * FROM (
+            SELECT tid, ve, sqrt(list_sum(list_transform(ve, x -> x * x)))
+                       AS nrm FROM tv) WHERE nrm > 0
     ), pairs AS (
         SELECT s.sid, t.tid,
                list_sum(list_transform(range(1, len(s.ve) + 1),
