@@ -15896,3 +15896,103 @@ def q264_bitext_margin_mining(spark: SparkSession,
                                  vec_col="embedding", k=4,
                                  margin_threshold=1.0)
             .orderBy("src_id"))
+
+
+@_register(
+    "q265_distribution_drift",
+    """
+    -- exact two-sample distribution drift between the hash arms:
+    -- Kolmogorov-Smirnov statistic (sup |F_A - F_B|) and 1-D
+    -- Wasserstein / earth-mover distance (integral |F_A - F_B| dx)
+    -- over the purchase-value ECDFs. Counts per distinct cent value
+    -- are exact BIGINTs; the ECDF panel is value-DOMAIN-sized, so the
+    -- cumulative windows never touch corpus rows. W1 integrates the
+    -- step function over consecutive support gaps (lead window).
+    WITH trials AS (
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase'
+    ), support AS (
+        SELECT cents,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM trials GROUP BY cents
+    ), tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb
+        FROM support
+    ), ecdf AS (
+        SELECT cents,
+               CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+               CAST(sum(cb) OVER w AS BIGINT) AS cum_b,
+               lead(cents) OVER (ORDER BY cents) AS next_cents
+        FROM support
+        WINDOW w AS (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), diffs AS (
+        SELECT e.cents, e.next_cents,
+               abs(e.cum_a / (1.0 * t.na) - e.cum_b / (1.0 * t.nb))
+                   AS adiff,
+               t.na, t.nb
+        FROM ecdf e CROSS JOIN tot t
+    ), agg AS (
+        SELECT max(na) AS na, max(nb) AS nb,
+               max(adiff) AS ks,
+               sum(CASE WHEN next_cents IS NULL THEN 0.0
+                        ELSE adiff * (next_cents - cents) END) AS w1c
+        FROM diffs
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(round(ks, 6) AS DOUBLE) AS ks,
+           CAST(round(w1c / 100.0, 6) AS DOUBLE) AS w1_usd
+    FROM agg WHERE na > 0 AND nb > 0
+    """,
+    doc="Exact two-sample drift readout between the shared hash arms: "
+        "the KS statistic (the classic distribution-equality test the "
+        "z-test family cannot see — q239 compares means, this compares "
+        "SHAPES) and the 1-D Wasserstein distance (the drift metric "
+        "production monitors alert on, robust where KS saturates). "
+        "Scale shape: one corpus aggregate to the value-DOMAIN support "
+        "panel (bounded by the price grid, not the corpus), cumulative "
+        "and lead windows over that panel only, exact BIGINT counts "
+        "divided once per readout. The W1 step integral and KS sup are "
+        "written identically on both engines.",
+)
+def q265_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.where(F.col("event_type") == "purchase")
+              .select(_ab_arm().alias("arm"), _value_cents().alias("cents")))
+    support = (trials.groupBy("cents")
+               .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                    .cast("bigint").alias("ca"),
+                    F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                    .cast("bigint").alias("cb"))
+               .localCheckpoint(eager=True))
+    tot = support.agg(F.sum("ca").cast("bigint").alias("na"),
+                      F.sum("cb").cast("bigint").alias("nb"))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = support.select(
+        "cents",
+        F.sum("ca").over(w).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w).cast("bigint").alias("cum_b"),
+        F.lead("cents").over(W.orderBy("cents")).alias("next_cents"))
+    diffs = (ecdf.crossJoin(F.broadcast(tot))
+             .select("cents", "next_cents", "na", "nb",
+                     F.abs(F.col("cum_a") / (1.0 * F.col("na"))
+                           - F.col("cum_b") / (1.0 * F.col("nb")))
+                     .alias("adiff")))
+    agg = diffs.agg(
+        F.max("na").alias("na"), F.max("nb").alias("nb"),
+        F.max("adiff").alias("ks"),
+        F.sum(F.when(F.col("next_cents").isNull(), F.lit(0.0))
+              .otherwise(F.col("adiff")
+                         * (F.col("next_cents") - F.col("cents"))))
+        .alias("w1c"))
+    return (agg.where((F.col("na") > 0) & (F.col("nb") > 0))
+            .select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+                    F.round("ks", 6).cast("double").alias("ks"),
+                    F.round(F.col("w1c") / 100.0, 6).cast("double")
+                    .alias("w1_usd")))

@@ -362,6 +362,7 @@ PROBE_QUERIES = [
     "q262_jackknife_ratio_metric",
     "q263_winsorized_arm_means",
     "q264_bitext_margin_mining",
+    "q265_distribution_drift",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

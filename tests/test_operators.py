@@ -4124,3 +4124,39 @@ def test_bitext_margin_mining_hand_case(spark):
         "margin must prefer the specific match over the hub"
     for r in out.values():
         assert -1.0 <= r.cosine <= 1.0 and r.margin > 0.0
+
+
+def test_distribution_drift_hand_values(spark, tmp_path):
+    """q265 KS/W1 on a hand case: arm is the md5 split, so build users
+    whose arms we compute first, then give arm-A users value 1.00 and
+    arm-B users value 2.00 — KS must be 1.0 (disjoint supports) and
+    W1 exactly 1.00 USD."""
+    import datetime
+    import hashlib
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    def arm(uid):
+        return "A" if int(hashlib.md5(f"ab:{uid}".encode())
+                          .hexdigest()[:15], 16) % 2 == 0 else "B"
+
+    ts = datetime.datetime(2024, 6, 1, 8, 0, 0)
+    rows, eid = [], 0
+    a_users = [u for u in range(1, 50) if arm(u) == "A"][:5]
+    b_users = [u for u in range(1, 50) if arm(u) == "B"][:5]
+    for u in a_users:
+        rows.append((eid, ts, u, "purchase", 1.00, "{}")); eid += 1
+    for u in b_users:
+        rows.append((eid, ts, u, "purchase", 2.00, "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string"
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    row = QUERIES["q265_distribution_drift"].spark(
+        spark, str(tmp_path)).collect()[0]
+    assert row.n_a == 5 and row.n_b == 5
+    # disjoint point masses at 1.00 and 2.00: F_A jumps to 1 at 100c
+    # while F_B is 0 -> KS = 1; W1 = |1-0| * (200-100)c = 1.00 USD
+    assert row.ks == 1.0
+    assert row.w1_usd == 1.0

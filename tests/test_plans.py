@@ -488,6 +488,9 @@ PLAN_SHAPE_GOLDENS = {
     # checkpointed pair frame); argmax-per-src runs as WindowGroupLimit
     "q264_bitext_margin_mining": {"BroadcastHashJoin": 2,
                                   "WindowGroupLimit": 2},
+    # q265: one corpus aggregate to the checkpointed value-domain
+    # support panel; the BNLJ is the 1-row totals broadcast
+    "q265_distribution_drift": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
