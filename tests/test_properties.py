@@ -558,3 +558,94 @@ def test_ewma_stays_inside_series_hull(spark, vals):
     for r in rows:
         assert lo - 1e-6 <= r.ewma <= hi + 1e-6
     assert abs(rows[0].ewma - round(0.2 * vals[0] + 0.8 * mu, 6)) < 1e-6
+
+
+@given(st.lists(st.tuples(st.integers(1, 40), st.integers(0, 500)),
+                min_size=2, max_size=15))
+@SLOW
+def test_jackknife_se_matches_python_replay(spark, days):
+    """q262's engine-side jackknife SE equals the direct python replay
+    for arbitrary (distinct-users, revenue-cents) day panels — the
+    pseudo-estimate fold and the (D-1)/D variance are pure arithmetic
+    on exact integers, so the replay must agree to rounding."""
+    import math
+
+    from league_of_legends_data_pipeline_spark.operators import (  # noqa: F401
+        timeseries,
+    )
+    from pyspark.sql import functions as F
+
+    daily = spark.createDataFrame(
+        [(f"2024-02-{i+1:02d}", int(x), int(n) + 1)
+         for i, (n, x) in enumerate(days)],
+        "day string, x long, n long").localCheckpoint(eager=True)
+    tot = daily.agg(F.sum("x").alias("sx"), F.sum("n").alias("sn"),
+                    F.count(F.lit(1)).alias("d"))
+    pseudo = (daily.crossJoin(F.broadcast(tot))
+              .select(((F.col("sx") - F.col("x"))
+                       / (1.0 * (F.col("sn") - F.col("n")))).alias("rj")))
+    m = pseudo.agg(F.avg("rj").alias("mbar"))
+    got = (pseudo.crossJoin(F.broadcast(m))
+           .agg(F.sum((F.col("rj") - F.col("mbar"))
+                      * (F.col("rj") - F.col("mbar"))).alias("ss"))
+           .crossJoin(F.broadcast(tot))
+           .select(F.sqrt((F.col("d") - 1.0) / F.col("d")
+                          * F.col("ss")).alias("se"))
+           ).collect()[0].se
+
+    xs = [int(x) for _, x in days]
+    ns = [int(n) + 1 for n, _ in days]
+    sx, sn, d = sum(xs), sum(ns), len(days)
+    rj = [(sx - x) / (sn - n) for x, n in zip(xs, ns)]
+    mbar = sum(rj) / d
+    want = math.sqrt((d - 1) / d * sum((r - mbar) ** 2 for r in rj))
+    assert abs(got - want) < 1e-9 * max(1.0, want)
+
+
+@given(st.lists(st.tuples(st.sampled_from("AB"), st.integers(1, 30)),
+                min_size=2, max_size=40).filter(
+                    lambda xs: {a for a, _ in xs} == {"A", "B"}))
+@SLOW
+def test_ks_w1_match_python_replay(spark, samples):
+    """q265's KS sup and W1 step integral over the value-domain ECDF
+    panel equal the direct python computation for arbitrary two-sample
+    integer data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame([(a, v) for a, v in samples],
+                               "arm string, cents long")
+    support = (df.groupBy("cents")
+               .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                    .alias("ca"),
+                    F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                    .alias("cb")).localCheckpoint(eager=True))
+    tot = support.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = support.select(
+        "cents", F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.lead("cents").over(W.orderBy("cents")).alias("nx"))
+    got = (ecdf.crossJoin(F.broadcast(tot))
+           .select(F.abs(F.col("cum_a") / (1.0 * F.col("na"))
+                         - F.col("cum_b") / (1.0 * F.col("nb")))
+                   .alias("adiff"), "cents", "nx")
+           .agg(F.max("adiff").alias("ks"),
+                F.sum(F.when(F.col("nx").isNull(), F.lit(0.0))
+                      .otherwise(F.col("adiff")
+                                 * (F.col("nx") - F.col("cents"))))
+                .alias("w1")).collect()[0])
+
+    a = sorted(v for g, v in samples if g == "A")
+    b = sorted(v for g, v in samples if g == "B")
+    grid = sorted(set(a) | set(b))
+    ks = w1 = 0.0
+    for i, c in enumerate(grid):
+        fa = sum(1 for v in a if v <= c) / len(a)
+        fb = sum(1 for v in b if v <= c) / len(b)
+        d = abs(fa - fb)
+        ks = max(ks, d)
+        if i + 1 < len(grid):
+            w1 += d * (grid[i + 1] - c)
+    assert abs(got.ks - ks) < 1e-12
+    assert abs(got.w1 - w1) < 1e-9
