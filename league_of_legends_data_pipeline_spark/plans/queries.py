@@ -15996,3 +15996,255 @@ def q265_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("ks", 6).cast("double").alias("ks"),
                     F.round(F.col("w1c") / 100.0, 6).cast("double")
                     .alias("w1_usd")))
+
+
+@_register(
+    "q266_calibration_ece",
+    """
+    -- reliability diagram + expected calibration error for a score the
+    -- pipeline already produces: per user-day, predicted engagement
+    -- propensity = click share of the day's events; outcome = any
+    -- high-value purchase that day. Scores are exact micro-unit
+    -- BIGINTs (round(clicks*1e6/events) — one double division rounded
+    -- identically on both engines), so per-bin sums and the ECE
+    -- numerator are integer-exact; only the final readouts divide.
+    WITH trials AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               count(*) AS n_ev,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS n_click,
+               max(CASE WHEN event_type = 'purchase' AND value >= 15.0
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT CAST(round(n_click * 1000000.0 / n_ev) AS BIGINT)
+                   AS p_micro,
+               y
+        FROM trials
+    ), binned AS (
+        SELECT least(CAST(floor(p_micro / 100000.0) AS BIGINT), 9)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS n_trials,
+               CAST(sum(p_micro) AS BIGINT) AS sp,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM scored GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_trials) AS BIGINT) AS n,
+               CAST(sum(abs(sp - 1000000 * pos)) AS BIGINT) AS gapsum
+        FROM binned
+    )
+    SELECT bin, n_trials,
+           CAST(round(sp / (n_trials * 1000000.0), 6) AS DOUBLE)
+               AS mean_pred,
+           CAST(round(pos * 1.0 / n_trials, 6) AS DOUBLE) AS frac_pos,
+           CAST(round(abs(sp - 1000000 * pos) / (n_trials * 1000000.0),
+                      6) AS DOUBLE) AS abs_gap,
+           CAST(round(t.gapsum / (t.n * 1000000.0), 6) AS DOUBLE) AS ece
+    FROM binned CROSS JOIN tot t
+    ORDER BY bin
+    """,
+    doc="Probability-calibration audit (reliability diagram + ECE) — "
+        "the readout that decides whether a ranking/filtering score "
+        "can be thresholded as a probability (q112 picks a cutoff, "
+        "q227/q243 measure discrimination; calibration is the third "
+        "axis and none of them covers it). Scale shape: ONE user-day "
+        "corpus aggregate, then a 10-row bin rollup; predicted scores "
+        "travel as exact micro-unit integers so per-bin confidence "
+        "sums and the ECE numerator never depend on float summation "
+        "order. The 1-row total broadcasts onto the bin panel.",
+)
+def q266_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+              .agg(F.count(F.lit(1)).alias("n_ev"),
+                   F.sum(F.when(F.col("event_type") == "click", 1)
+                         .otherwise(0)).alias("n_click"),
+                   F.max(F.when((F.col("event_type") == "purchase")
+                                & (F.col("value") >= 15.0), 1)
+                         .otherwise(0)).alias("y")))
+    scored = trials.select(
+        F.round(F.col("n_click") * 1000000.0 / F.col("n_ev"))
+        .cast("bigint").alias("p_micro"),
+        "y")
+    binned = (scored.groupBy(
+        F.least(F.floor(F.col("p_micro") / 100000.0).cast("bigint"),
+                F.lit(9).cast("bigint")).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+             F.sum("p_micro").cast("bigint").alias("sp"),
+             F.sum("y").cast("bigint").alias("pos"))
+        .localCheckpoint(eager=True))
+    tot = binned.agg(
+        F.sum("n_trials").cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("sp") - 1000000 * F.col("pos")))
+        .cast("bigint").alias("gapsum"))
+    return (binned.crossJoin(F.broadcast(tot))
+            .select("bin", "n_trials",
+                    F.round(F.col("sp") / (F.col("n_trials") * 1000000.0),
+                            6).cast("double").alias("mean_pred"),
+                    F.round(F.col("pos") * 1.0 / F.col("n_trials"), 6)
+                    .cast("double").alias("frac_pos"),
+                    F.round(F.abs(F.col("sp") - 1000000 * F.col("pos"))
+                            / (F.col("n_trials") * 1000000.0), 6)
+                    .cast("double").alias("abs_gap"),
+                    F.round(F.col("gapsum") / (F.col("n") * 1000000.0), 6)
+                    .cast("double").alias("ece"))
+            .orderBy("bin"))
+
+
+@_register(
+    "q267_spearman_rank_corr",
+    """
+    -- Spearman rank correlation between per-user activity volume and
+    -- spend, per event type: Pearson corr over AVERAGE ranks (rank()
+    -- gives the tie group's min rank; adding (t-1)/2 yields the
+    -- fractional average rank, exactly representable in doubles).
+    -- Complements q238's Pearson panel with the monotone-association
+    -- view that is robust to the heavy-tailed spend distribution.
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type,
+               rank() OVER (PARTITION BY event_type ORDER BY n)
+               + (count(*) OVER (PARTITION BY event_type, n) - 1) / 2.0
+                   AS rn,
+               rank() OVER (PARTITION BY event_type ORDER BY cents)
+               + (count(*) OVER (PARTITION BY event_type, cents) - 1)
+                 / 2.0 AS rv
+        FROM per_user
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(round(corr(rn, rv), 6) AS DOUBLE) AS spearman_rho
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spearman rank correlation (tie-corrected via average ranks = "
+        "Pearson on ranks, the textbook identity) between per-user "
+        "event count and spend, per event type. Scale shape: the "
+        "corpus collapses to a (type, user) panel first; rank windows "
+        "partition BY TYPE over that panel (users-sized, range-"
+        "partitionable — never a corpus-row sort), and corr() runs on "
+        "exact half-integer ranks, so both engines agree to the 6 dp "
+        "rounding (the q238 corr precedent).",
+)
+def q267_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    per_user = (events.groupBy("event_type", "user_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                     F.sum(_value_cents()).cast("bigint").alias("cents")))
+    wn = W.partitionBy("event_type").orderBy("n")
+    wv = W.partitionBy("event_type").orderBy("cents")
+    ranked = per_user.select(
+        "event_type",
+        (F.rank().over(wn)
+         + (F.count(F.lit(1)).over(W.partitionBy("event_type", "n")) - 1)
+         / 2.0).alias("rn"),
+        (F.rank().over(wv)
+         + (F.count(F.lit(1)).over(W.partitionBy("event_type", "cents"))
+            - 1) / 2.0).alias("rv"))
+    return (ranked.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                 F.round(F.corr("rn", "rv"), 6).cast("double")
+                 .alias("spearman_rho"))
+            .orderBy("event_type"))
+
+
+@_register(
+    "q268_cohens_kappa",
+    """
+    -- inter-rater agreement (Cohen's kappa) between two deterministic
+    -- day-quality labelers every labeling pipeline runs in shadow:
+    -- rater A = "active day" (>= 3 events), rater B = "engaged day"
+    -- (any click), per user-day, rolled up per ISO weekday. The 2x2
+    -- confusion counts are exact BIGINTs; po/pe/kappa divide them
+    -- identically on both engines (kappa defined as 0 when pe = 1).
+    WITH labels AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN sum(CASE WHEN event_type = 'click'
+                                  THEN 1 ELSE 0 END) >= 1
+                    THEN 1 ELSE 0 END AS rb
+        FROM events GROUP BY 1, 2
+    ), cells AS (
+        SELECT CAST(isodow(d) AS BIGINT) AS dow,
+               CAST(sum(ra * rb) AS BIGINT) AS both_pos,
+               CAST(sum(ra * (1 - rb)) AS BIGINT) AS only_a,
+               CAST(sum((1 - ra) * rb) AS BIGINT) AS only_b,
+               CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS both_neg
+        FROM labels GROUP BY 1
+    )
+    SELECT dow, both_pos, only_a, only_b, both_neg,
+           CAST(round((both_pos + both_neg) * 1.0
+                      / (both_pos + only_a + only_b + both_neg), 6)
+                AS DOUBLE) AS po,
+           CAST(round(((both_pos + only_a) * (both_pos + only_b)
+                       + (only_b + both_neg) * (only_a + both_neg))
+                      * 1.0
+                      / ((both_pos + only_a + only_b + both_neg)
+                         * (both_pos + only_a + only_b + both_neg)), 6)
+                AS DOUBLE) AS pe,
+           CAST(round(CASE WHEN (both_pos + only_a) * (both_pos + only_b)
+                              + (only_b + both_neg) * (only_a + both_neg)
+                            = (both_pos + only_a + only_b + both_neg)
+                              * (both_pos + only_a + only_b + both_neg)
+                      THEN 0.0
+                      ELSE ((both_pos + both_neg) * 1.0
+                            * (both_pos + only_a + only_b + both_neg)
+                            - ((both_pos + only_a) * (both_pos + only_b)
+                               + (only_b + both_neg)
+                                 * (only_a + both_neg)))
+                           / ((both_pos + only_a + only_b + both_neg)
+                              * 1.0
+                              * (both_pos + only_a + only_b + both_neg)
+                              - ((both_pos + only_a) * (both_pos + only_b)
+                                 + (only_b + both_neg)
+                                   * (only_a + both_neg)))
+                      END, 6) AS DOUBLE) AS kappa
+    FROM cells ORDER BY dow
+    """,
+    doc="Cohen's kappa between two shadow labelers (activity rule vs "
+        "engagement rule) per ISO weekday — the agreement statistic "
+        "that discounts chance, the standard gate before trusting a "
+        "cheap heuristic labeler against a reference one. Scale shape: "
+        "ONE user-day corpus aggregate, then a 7-row weekday rollup of "
+        "exact integer confusion cells; kappa is computed on the "
+        "integer identity kappa = (po*n^2 - pe_num)/(n^2 - pe_num) so "
+        "no intermediate float feeds another float (single division, "
+        "6 dp round, zero-variance guard shared with the oracle).",
+)
+def q268_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    labels = (events.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+              .agg(F.when(F.count(F.lit(1)) >= 3, 1).otherwise(0)
+                   .alias("ra"),
+                   F.when(F.sum(F.when(F.col("event_type") == "click", 1)
+                                .otherwise(0)) >= 1, 1).otherwise(0)
+                   .alias("rb")))
+    cells = (labels.groupBy(
+        (F.weekday("d") + 1).cast("bigint").alias("dow"))
+        .agg(F.sum(F.col("ra") * F.col("rb")).cast("bigint")
+             .alias("both_pos"),
+             F.sum(F.col("ra") * (1 - F.col("rb"))).cast("bigint")
+             .alias("only_a"),
+             F.sum((1 - F.col("ra")) * F.col("rb")).cast("bigint")
+             .alias("only_b"),
+             F.sum((1 - F.col("ra")) * (1 - F.col("rb"))).cast("bigint")
+             .alias("both_neg")))
+    n = (F.col("both_pos") + F.col("only_a") + F.col("only_b")
+         + F.col("both_neg"))
+    pe_num = ((F.col("both_pos") + F.col("only_a"))
+              * (F.col("both_pos") + F.col("only_b"))
+              + (F.col("only_b") + F.col("both_neg"))
+              * (F.col("only_a") + F.col("both_neg")))
+    po_num = F.col("both_pos") + F.col("both_neg")
+    return (cells.select(
+        "dow", "both_pos", "only_a", "only_b", "both_neg",
+        F.round(po_num * 1.0 / n, 6).cast("double").alias("po"),
+        F.round(pe_num * 1.0 / (n * n), 6).cast("double").alias("pe"),
+        F.round(F.when(pe_num == n * n, F.lit(0.0))
+                .otherwise((po_num * 1.0 * n - pe_num)
+                           / (n * 1.0 * n - pe_num)), 6)
+        .cast("double").alias("kappa"))
+        .orderBy("dow"))
