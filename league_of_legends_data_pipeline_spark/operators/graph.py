@@ -652,3 +652,114 @@ def shortest_paths(edges: DataFrame, seeds: DataFrame, rounds: int,
                 .groupBy("node").agg(F.min("dist").alias("dist"))
                 .localCheckpoint(eager=False))
     return dist
+
+
+def local_clustering_coefficient(edges: DataFrame, src_col: str = "src",
+                                 dst_col: str = "dst") -> DataFrame:
+    """Per-node local clustering coefficient over an undirected graph:
+    ``(node, deg, triangles, lcc)`` with lcc = 2*tri / (deg*(deg-1)),
+    defined 0.0 for deg < 2. The neighborhood-density readout that
+    separates community cores from bridge/hub nodes — the standard
+    companion to q187's global triangle census when auditing a
+    link graph for farm/boilerplate structure.
+
+    Same degree-ordered wedge scheme as ``triangle_count`` (wedges
+    enumerated only at each triangle's lowest-(degree, id) vertex, so
+    hub fan-out is bounded by ORIENTED out-degree), but each closed
+    wedge is exploded back to its THREE corners before the per-node
+    count — a triangle increments all three members' tallies exactly
+    once. Shuffles carry (node, long) pairs; nothing collects.
+    """
+    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=False))
+    with_k = (e.join(deg.select(F.col("node").alias("u"),
+                                F.col("deg").alias("du")), "u")
+              .join(deg.select(F.col("node").alias("v"),
+                               F.col("deg").alias("dv")), "v"))
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = with_k.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(ku < kv, kv).otherwise(ku).alias("khi"))
+    w1 = oriented.select("lo", F.col("hi").alias("m"),
+                         F.col("khi").alias("km"))
+    w2 = oriented.select("lo", F.col("hi").alias("w"),
+                         F.col("khi").alias("kw"))
+    wedges = (w1.join(w2, "lo")
+              .filter(F.col("km") < F.col("kw"))
+              .select("lo", F.col("m").alias("hi_a"),
+                      F.col("w").alias("hi_b")))
+    closed = wedges.join(
+        oriented.select(F.col("lo").alias("hi_a"),
+                        F.col("hi").alias("hi_b")),
+        ["hi_a", "hi_b"], "left_semi")
+    corners = (closed.select(F.col("lo").alias("node"))
+               .unionAll(closed.select(F.col("hi_a").alias("node")))
+               .unionAll(closed.select(F.col("hi_b").alias("node"))))
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    return (deg.join(tri, "node", "left")
+            .select("node", "deg",
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    .cast("bigint").alias("triangles"),
+                    F.when(F.col("deg") < 2, F.lit(0.0))
+                    .otherwise(
+                        F.round(2.0 * F.coalesce(F.col("triangles"),
+                                                 F.lit(0))
+                                / (F.col("deg") * (F.col("deg") - 1)), 6))
+                    .cast("double").alias("lcc")))
+
+
+def link_prediction_scores(edges: DataFrame, src_col: str = "src",
+                           dst_col: str = "dst",
+                           scale: int = 1_000_000) -> DataFrame:
+    """Common-neighbor and resource-allocation link-prediction scores
+    for every NON-edge node pair sharing at least one neighbor:
+    ``(node_a, node_b, common_neighbors, ra_micro)`` with node_a <
+    node_b and ra_micro = sum over shared neighbors z of
+    round(scale / deg(z)) — the Zhou-Lu-Zhang resource-allocation
+    index in integer micro-units, so the per-pair sum is an ORDER-FREE
+    BIGINT aggregate (bit-identical across engines; the HITS
+    quantization convention) instead of an order-dependent 1/deg
+    float sum.
+
+    Candidate generation is the neighborhood self-join keyed on the
+    SHARED neighbor — pair volume is sum_z deg(z)^2, the same wedge
+    budget as triangle counting, bounded by hub degree not corpus
+    size; existing edges are removed with one anti-join. At web scale
+    the standard lever applies: cap or sample super-hub neighborhoods
+    before the wedge join (they contribute near-zero RA weight by
+    construction, 1/deg -> 0).
+    """
+    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .select(F.least("u", "v").alias("u"),
+                 F.greatest("u", "v").alias("v"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    nbr = (e.select(F.col("u").alias("node"), F.col("v").alias("z"))
+           .unionAll(e.select(F.col("v").alias("node"),
+                              F.col("u").alias("z"))))
+    deg = nbr.groupBy("z").agg(F.count(F.lit(1)).alias("deg_z"))
+    nz = nbr.select(F.col("z").alias("__hub"), F.col("node"))
+    pairs = (nz.join(nz.select(F.col("__hub"),
+                               F.col("node").alias("node_b")), "__hub")
+             .filter(F.col("node") < F.col("node_b"))
+             .join(deg.withColumnRenamed("z", "__hub"), "__hub")
+             .groupBy(F.col("node").alias("node_a"), "node_b")
+             .agg(F.count(F.lit(1)).cast("bigint")
+                  .alias("common_neighbors"),
+                  F.sum(F.round(F.lit(float(scale)) / F.col("deg_z"))
+                        .cast("bigint")).cast("bigint")
+                  .alias("ra_micro")))
+    return pairs.join(
+        e.select(F.col("u").alias("node_a"), F.col("v").alias("node_b")),
+        ["node_a", "node_b"], "left_anti")

@@ -16248,3 +16248,142 @@ def q268_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (n * 1.0 * n - pe_num)), 6)
         .cast("double").alias("kappa"))
         .orderBy("dow"))
+
+
+# Shared customer-graph SQL (the q187 construction): same-nation
+# customers at key distance 1 or 2, undirected-canonicalized u < v.
+_CUST_EDGE_SQL = """
+        SELECT a.c_custkey AS u, b.c_custkey AS v
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND b.c_custkey - a.c_custkey
+             IN (1, 2, 3, 4, 5, 6, 7, 8)
+"""
+
+
+def _customer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame twin of ``_CUST_EDGE_SQL`` (src < dst by build)."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    c = customer.select("c_custkey", "c_nationkey")
+    halves = []
+    for delta in (1, 2, 3, 4, 5, 6, 7, 8):
+        b = c.select((F.col("c_custkey") - delta).alias("__k"),
+                     F.col("c_custkey").alias("dst"),
+                     F.col("c_nationkey").alias("__n2"))
+        halves.append(
+            c.join(b, (F.col("c_custkey") == F.col("__k"))
+                   & (F.col("c_nationkey") == F.col("__n2")))
+            .select(F.col("c_custkey").alias("src"), "dst"))
+    out = halves[0]
+    for h in halves[1:]:
+        out = out.unionByName(h)
+    return out
+
+
+@_register(
+    "q269_clustering_coefficient",
+    """
+    -- per-node local clustering coefficient on the q187 customer
+    -- graph: lcc = 2*tri(v) / (deg(v) * (deg(v)-1)), 0 for deg < 2.
+    -- Triangles enumerated once each (u < v < w) and exploded to all
+    -- three corners; exact integer counts divide once at the end.
+    WITH e AS (""" + _CUST_EDGE_SQL + """
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ), tris AS (
+        SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM e a JOIN e b ON b.u = a.v
+                 JOIN e c ON c.u = a.u AND c.v = b.v
+    ), corners AS (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y AS node FROM tris
+        UNION ALL SELECT z AS node FROM tris
+    ), tri AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        FROM corners GROUP BY node
+    )
+    SELECT d.node, d.deg,
+           CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN d.deg < 2 THEN 0.0
+                     ELSE round(2.0 * coalesce(t.triangles, 0)
+                                / (d.deg * (d.deg - 1)), 6)
+                END AS DOUBLE) AS lcc
+    FROM deg d LEFT JOIN tri t USING (node)
+    ORDER BY node
+    """,
+    doc="Per-node local clustering coefficient over the same-nation "
+        "customer graph — the neighborhood-density readout that "
+        "separates community cores from bridges/hubs, complementing "
+        "q187's global triangle census. Spark side runs the degree-"
+        "ordered wedge scheme (graph.py::local_clustering_coefficient: "
+        "wedges enumerated only at each triangle's lowest-(degree,id) "
+        "corner, so hub fan-out is bounded by oriented out-degree — "
+        "the Suri-Vassilvitskii MapReduce shape that survives "
+        "power-law graphs); the oracle enumerates u<v<w triangles "
+        "directly. Exact BIGINT tallies; one division at the end.",
+)
+def q269_clustering_coefficient(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    edges = _customer_edges(spark, sf_dir)
+    return (local_clustering_coefficient(edges, "src", "dst")
+            .orderBy("node"))
+
+
+@_register(
+    "q270_link_prediction",
+    """
+    -- link prediction on the q187 customer graph: common-neighbor
+    -- count and resource-allocation index (sum over shared neighbors
+    -- z of 1/deg(z), in round(1e6/deg) integer micro-units so the
+    -- per-pair sum is order-free) for every non-edge pair sharing a
+    -- neighbor; top 100 candidates by (ra, cn) with total-order ties.
+    WITH e AS (""" + _CUST_EDGE_SQL + """
+    ), nbr AS (
+        SELECT u AS node, v AS z FROM e
+        UNION ALL SELECT v AS node, u AS z FROM e
+    ), deg AS (
+        SELECT z, CAST(count(*) AS BIGINT) AS deg_z FROM nbr GROUP BY z
+    ), pairs AS (
+        SELECT a.node AS node_a, b.node AS node_b,
+               CAST(count(*) AS BIGINT) AS common_neighbors,
+               CAST(sum(CAST(round(1000000.0 / d.deg_z) AS BIGINT))
+                    AS BIGINT) AS ra_micro
+        FROM nbr a JOIN nbr b ON a.z = b.z AND a.node < b.node
+                   JOIN deg d ON d.z = a.z
+        GROUP BY a.node, b.node
+    )
+    SELECT p.node_a, p.node_b, p.common_neighbors, p.ra_micro
+    FROM pairs p ANTI JOIN e ON e.u = p.node_a AND e.v = p.node_b
+    ORDER BY p.ra_micro DESC, p.common_neighbors DESC,
+             p.node_a, p.node_b
+    LIMIT 100
+    """,
+    doc="Resource-allocation link prediction (Zhou-Lu-Zhang index + "
+        "common-neighbor count) over the customer graph: the missing-"
+        "edge ranking that drives record-linkage candidates and "
+        "growth suggestions. Candidate generation is the wedge "
+        "self-join keyed on the SHARED neighbor (volume sum deg^2, "
+        "the triangle budget — bounded by hub degree, and super-hubs "
+        "are cappable because their RA weight 1/deg vanishes by "
+        "construction); existing edges leave via one anti-join. RA "
+        "travels as round(1e6/deg) BIGINT micro-units so both "
+        "engines' per-pair sums are order-free and bit-identical.",
+)
+def q270_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    edges = _customer_edges(spark, sf_dir)
+    scores = link_prediction_scores(edges, "src", "dst")
+    return (scores
+            .orderBy(F.col("ra_micro").desc(),
+                     F.col("common_neighbors").desc(),
+                     "node_a", "node_b")
+            .limit(100))
