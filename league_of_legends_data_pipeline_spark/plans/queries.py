@@ -16387,3 +16387,286 @@ def q270_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("common_neighbors").desc(),
                      "node_a", "node_b")
             .limit(100))
+
+
+@_register(
+    "q271_item_cf_cosine",
+    """
+    -- item-item collaborative filtering: co-purchase cosine similarity
+    -- over (order, part) baskets, top-5 neighbors per anchor part.
+    -- cosine = cooc / sqrt(n_a * n_b) from exact BIGINT counts (one
+    -- division + one sqrt, bit-identical on both engines); pairs below
+    -- 2 co-occurrences are noise-filtered before ranking.
+    WITH po AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_ord
+        FROM po GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS cooc
+        FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT p.part_a, p.part_b, p.cooc,
+               na.n_ord AS n_a, nb.n_ord AS n_b,
+               p.cooc / sqrt(na.n_ord * 1.0 * nb.n_ord) AS c
+        FROM pairs p
+        JOIN n na ON na.l_partkey = p.part_a
+        JOIN n nb ON nb.l_partkey = p.part_b
+        WHERE p.cooc >= 2
+    )
+    SELECT part_a, part_b, cooc, n_a, n_b,
+           CAST(round(c, 6) AS DOUBLE) AS cosine,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY part_a
+                   ORDER BY c DESC, part_b) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY part_a, rnk
+    """,
+    doc="Item-item collaborative filtering (co-purchase cosine, the "
+        "classic Amazon/Sarwar scheme): top-5 neighbors per part from "
+        "(order, part) baskets. Complements q229's association rules "
+        "(support/confidence/lift over a threshold) with the "
+        "similarity-ranked neighbor list a recommender serves. Scale "
+        "shape: pair volume is sum-per-basket C(k,2) — bounded by "
+        "basket size, not catalog size (the standard heavy-basket cap "
+        "applies at outlier orders); counts shuffle as (pair, long); "
+        "the per-item top-k is a window over the pair partition keyed "
+        "by anchor item. The ranking key is the raw cosine (one "
+        "division + sqrt of exact BIGINTs — bit-identical cross-"
+        "engine), tie-broken by neighbor id for a total order.",
+)
+def q271_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n = po.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint")
+                                    .alias("n_ord"))
+    a = po.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = po.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+             .where(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+             .where(F.col("cooc") >= 2))
+    scored = (pairs
+              .join(n.select(F.col("l_partkey").alias("part_a"),
+                             F.col("n_ord").alias("n_a")), "part_a")
+              .join(n.select(F.col("l_partkey").alias("part_b"),
+                             F.col("n_ord").alias("n_b")), "part_b")
+              .withColumn("c", F.col("cooc")
+                          / F.sqrt(F.col("n_a") * 1.0 * F.col("n_b"))))
+    w = W.partitionBy("part_a").orderBy(F.col("c").desc(), "part_b")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 5)
+            .select("part_a", "part_b", "cooc", "n_a", "n_b",
+                    F.round("c", 6).cast("double").alias("cosine"),
+                    F.col("rnk").cast("bigint").alias("rnk"))
+            .orderBy("part_a", "rnk"))
+
+
+@_register(
+    "q272_pettitt_changepoint",
+    """
+    -- Pettitt rank-based change-point test per event type: for every
+    -- candidate cut t, U_t = sum over day pairs (i <= t < j) of
+    -- sign(x_i - x_j); the change point is argmax |U_t|. Rank-based,
+    -- so it catches the median shifts q216's mean-CUSUM smears under
+    -- heavy tails. All-integer pairwise sums over the calendar panel;
+    -- the only float is the final K / (pairs-at-cut) normalization.
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), pairs AS (
+        SELECT a.event_type,
+               a.day AS da, b.day AS db,
+               CASE WHEN a.n > b.n THEN 1
+                    WHEN a.n < b.n THEN -1 ELSE 0 END AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ), cuts AS (
+        SELECT DISTINCT event_type, day AS cut FROM daily
+    ), u AS (
+        SELECT c.event_type, c.cut,
+               CAST(sum(p.s) AS BIGINT) AS u_t
+        FROM cuts c JOIN pairs p
+          ON p.event_type = c.event_type
+         AND p.da <= c.cut AND p.db > c.cut
+        GROUP BY c.event_type, c.cut
+    ), best AS (
+        SELECT event_type, cut, u_t,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(u_t) DESC, cut) AS r
+        FROM u
+    ), nd AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    )
+    SELECT b.event_type, nd.n_days,
+           strftime(b.cut, '%Y-%m-%d') AS change_day,
+           CAST(abs(b.u_t) AS BIGINT) AS k_stat,
+           CAST(round(abs(b.u_t) * 1.0
+                      / (nd.n_days * (nd.n_days - 1) / 2.0), 6)
+                AS DOUBLE) AS k_norm
+    FROM best b JOIN nd USING (event_type)
+    WHERE b.r = 1
+    ORDER BY b.event_type
+    """,
+    doc="Pettitt change-point test per event type — the rank-based "
+        "(Mann-Whitney family) single-change-point locator, the "
+        "robust companion to q216's mean-CUSUM: it finds MEDIAN "
+        "shifts and ignores the heavy-tail outliers that drag a mean. "
+        "Scale shape: one corpus aggregate to the calendar-bounded "
+        "day panel (checkpointed), then the pairwise sign join and "
+        "the cut range-join run over days^2 / days^3 PANEL rows — "
+        "bounded by the calendar, never the corpus. U_t, K, and the "
+        "argmax are exact integers; one division at the readout.",
+)
+def q272_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (events.groupBy("event_type",
+                            F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+             .localCheckpoint(eager=True))
+    a = daily.select(F.col("event_type"), F.col("day").alias("da"),
+                     F.col("n").alias("na"))
+    b = daily.select(F.col("event_type"), F.col("day").alias("db"),
+                     F.col("n").alias("nb"))
+    pairs = (a.join(F.broadcast(b), "event_type")
+             .where(F.col("da") < F.col("db"))
+             .select("event_type", "da", "db",
+                     F.when(F.col("na") > F.col("nb"), 1)
+                     .when(F.col("na") < F.col("nb"), -1)
+                     .otherwise(0).alias("s")))
+    cuts = daily.select("event_type", F.col("day").alias("cut")).distinct()
+    u = (cuts.join(F.broadcast(pairs), "event_type")
+         .where((F.col("da") <= F.col("cut")) & (F.col("db") > F.col("cut")))
+         .groupBy("event_type", "cut")
+         .agg(F.sum("s").cast("bigint").alias("u_t")))
+    w = W.partitionBy("event_type").orderBy(F.abs(F.col("u_t")).desc(),
+                                            "cut")
+    best = u.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1)
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint")
+                                         .alias("n_days"))
+    return (best.join(F.broadcast(nd), "event_type")
+            .select("event_type", "n_days",
+                    F.date_format("cut", "yyyy-MM-dd").alias("change_day"),
+                    F.abs(F.col("u_t")).cast("bigint").alias("k_stat"),
+                    F.round(F.abs(F.col("u_t")) * 1.0
+                            / (F.col("n_days") * (F.col("n_days") - 1)
+                               / 2.0), 6).cast("double").alias("k_norm"))
+            .orderBy("event_type"))
+
+
+@_register(
+    "q273_cramers_v",
+    """
+    -- categorical association audit: the market-segment x region
+    -- contingency table with chi-square contributions and Cramer's V.
+    -- Per-cell contributions are computed from exact BIGINT counts by
+    -- the same float ops on both engines, micro-rounded to BIGINTs
+    -- BEFORE the cross-cell sum, so chi2 never depends on summation
+    -- order (the HITS/q177 micro-unit convention).
+    WITH base AS (
+        SELECT c.c_mktsegment AS seg, r.r_name AS region
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), cells AS (
+        SELECT seg, region, CAST(count(*) AS BIGINT) AS obs
+        FROM base GROUP BY 1, 2
+    ), margins AS (
+        SELECT seg, region, obs,
+               CAST(sum(obs) OVER (PARTITION BY seg) AS BIGINT) AS row_n,
+               CAST(sum(obs) OVER (PARTITION BY region) AS BIGINT)
+                   AS col_n,
+               CAST(sum(obs) OVER () AS BIGINT) AS n
+        FROM cells
+    ), contrib AS (
+        SELECT seg, region, obs, row_n, col_n, n,
+               row_n * 1.0 * col_n / n AS expected,
+               CAST(round(1000000.0
+                          * (obs - row_n * 1.0 * col_n / n)
+                          * (obs - row_n * 1.0 * col_n / n)
+                          / (row_n * 1.0 * col_n / n)) AS BIGINT)
+                   AS chi2_micro
+        FROM margins
+    ), tot AS (
+        SELECT CAST(sum(chi2_micro) AS BIGINT) AS chi2_micro_sum,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(count(DISTINCT seg) AS BIGINT) AS r_levels,
+               CAST(count(DISTINCT region) AS BIGINT) AS c_levels
+        FROM contrib
+    )
+    SELECT c.seg, c.region, c.obs,
+           CAST(round(c.expected, 6) AS DOUBLE) AS expected,
+           CAST(round(c.chi2_micro / 1000000.0, 6) AS DOUBLE)
+               AS chi2_contrib,
+           CAST(round(t.chi2_micro_sum / 1000000.0, 6) AS DOUBLE) AS chi2,
+           CAST(round(sqrt(t.chi2_micro_sum
+                           / (1000000.0 * t.n
+                              * least(t.r_levels - 1, t.c_levels - 1))),
+                      6) AS DOUBLE) AS cramers_v
+    FROM contrib c CROSS JOIN tot t
+    ORDER BY c.seg, c.region
+    """,
+    doc="Cramer's V categorical-association audit over the segment x "
+        "region contingency table — the effect-size statistic that "
+        "says whether two categorical columns are redundant (feature "
+        "selection / stratification design), where q238's Pearson "
+        "panel only covers numeric pairs. Scale shape: one corpus "
+        "aggregate to the r x c cell table; margins are windows over "
+        "that tiny panel; each cell's chi-square contribution is "
+        "micro-rounded to a BIGINT before the cross-cell sum so the "
+        "statistic is order-free and bit-identical cross-engine.",
+)
+def q273_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, nation, region = _t(spark, sf_dir,
+                                  "customer", "nation", "region")
+    base = (customer
+            .join(F.broadcast(nation),
+                  customer.c_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .select(F.col("c_mktsegment").alias("seg"),
+                    F.col("r_name").alias("region")))
+    cells = (base.groupBy("seg", "region")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+             .localCheckpoint(eager=True))
+    margins = cells.select(
+        "seg", "region", "obs",
+        F.sum("obs").over(W.partitionBy("seg")).cast("bigint")
+        .alias("row_n"),
+        F.sum("obs").over(W.partitionBy("region")).cast("bigint")
+        .alias("col_n"),
+        F.sum("obs").over(W.partitionBy()).cast("bigint").alias("n"))
+    expected = F.col("row_n") * 1.0 * F.col("col_n") / F.col("n")
+    contrib = margins.select(
+        "seg", "region", "obs", "row_n", "col_n", "n",
+        expected.alias("expected"),
+        F.round(1000000.0 * (F.col("obs") - expected)
+                * (F.col("obs") - expected) / expected)
+        .cast("bigint").alias("chi2_micro"))
+    tot = contrib.agg(
+        F.sum("chi2_micro").cast("bigint").alias("chi2_micro_sum"),
+        F.max("n").cast("bigint").alias("n_tot"),
+        F.count_distinct("seg").cast("bigint").alias("r_levels"),
+        F.count_distinct("region").cast("bigint").alias("c_levels"))
+    return (contrib.crossJoin(F.broadcast(tot))
+            .select("seg", "region", "obs",
+                    F.round("expected", 6).cast("double").alias("expected"),
+                    F.round(F.col("chi2_micro") / 1000000.0, 6)
+                    .cast("double").alias("chi2_contrib"),
+                    F.round(F.col("chi2_micro_sum") / 1000000.0, 6)
+                    .cast("double").alias("chi2"),
+                    F.round(F.sqrt(F.col("chi2_micro_sum")
+                                   / (1000000.0 * F.col("n_tot")
+                                      * F.least(F.col("r_levels") - 1,
+                                                F.col("c_levels") - 1))),
+                            6).cast("double").alias("cramers_v"))
+            .orderBy("seg", "region"))
