@@ -16670,3 +16670,237 @@ def q273_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 F.col("c_levels") - 1))),
                             6).cast("double").alias("cramers_v"))
             .orderBy("seg", "region"))
+
+
+@_register(
+    "q274_post_stratification",
+    """
+    -- post-stratified treatment-effect estimate on the shared hash
+    -- arms: users stratified into pre-period (days 1-15) activity
+    -- quartiles, outcome = post-period (days 16+) purchase cents;
+    -- ATE = sum over strata of (n_s/N) * (meanA_s - meanB_s). The
+    -- design-based alternative to q250's CUPED regression adjustment.
+    -- Per-stratum means divide exact BIGINT cent sums; stratum
+    -- contributions are micro-rounded BIGINTs before the cross-
+    -- stratum sum, so the estimate is order-free on both engines.
+    WITH pre AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS pre_n
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        GROUP BY user_id
+    ), post AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS cents
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        GROUP BY user_id
+    ), users AS (
+        SELECT p.user_id, coalesce(pre.pre_n, 0) AS pre_n, p.cents,
+               """ + _AB_ARM_SQL.replace("user_id", "p.user_id") + """
+                   AS arm
+        FROM post p LEFT JOIN pre ON pre.user_id = p.user_id
+    ), coded AS (
+        SELECT arm, cents,
+               CAST(ntile(4) OVER (ORDER BY pre_n, user_id) AS BIGINT)
+                   AS stratum
+        FROM users
+    ), per_arm AS (
+        SELECT stratum,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END)
+                    AS BIGINT) AS sum_a,
+               CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END)
+                    AS BIGINT) AS sum_b
+        FROM coded GROUP BY stratum
+    ), contrib AS (
+        SELECT stratum, n_a, n_b,
+               sum_a * 1.0 / (100.0 * n_a) AS mean_a,
+               sum_b * 1.0 / (100.0 * n_b) AS mean_b,
+               CAST(round(1000000.0 * (n_a + n_b)
+                          * (sum_a * 1.0 / (100.0 * n_a)
+                             - sum_b * 1.0 / (100.0 * n_b)))
+                    AS BIGINT) AS c_micro
+        FROM per_arm WHERE n_a > 0 AND n_b > 0
+    ), tot AS (
+        SELECT CAST(sum(n_a + n_b) AS BIGINT) AS n,
+               CAST(sum(c_micro) AS BIGINT) AS ate_micro_n
+        FROM contrib
+    )
+    SELECT c.stratum, c.n_a, c.n_b,
+           CAST(round(c.mean_a, 6) AS DOUBLE) AS mean_a,
+           CAST(round(c.mean_b, 6) AS DOUBLE) AS mean_b,
+           CAST(round(c.mean_a - c.mean_b, 6) AS DOUBLE) AS diff_usd,
+           CAST(round(t.ate_micro_n / (1000000.0 * t.n), 6) AS DOUBLE)
+               AS ate_usd
+    FROM contrib c CROSS JOIN tot t
+    ORDER BY c.stratum
+    """,
+    doc="Post-stratified average-treatment-effect estimate over the "
+        "shared hash arms: pre-period activity quartiles as strata, "
+        "post-period spend as outcome, strata weighted by size — the "
+        "design-based variance-reduction alternative to q250's CUPED "
+        "(no covariance fit, robust when the covariate-outcome "
+        "relation is non-linear). Scale shape: two user-keyed corpus "
+        "aggregates (pre / post), one users-sized join + exact ntile "
+        "(distributed range-bucketed rank, q215's machinery), a "
+        "4-row stratum rollup; per-stratum contributions travel as "
+        "micro-unit BIGINTs so the cross-stratum sum is order-free.",
+)
+def q274_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        exact_ntile,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    pre = (events.where(F.col("ts").cast("date") < cut)
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("pre_n")))
+    post = (events.where(F.col("ts").cast("date") >= cut)
+            .groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_type") == "purchase",
+                              _value_cents()).otherwise(0))
+                 .cast("bigint").alias("cents")))
+    users = (post.join(pre, "user_id", "left")
+             .select("user_id",
+                     F.coalesce(F.col("pre_n"), F.lit(0)).alias("pre_n"),
+                     "cents", _ab_arm().alias("arm")))
+    coded = exact_ntile(users, ["pre_n", "user_id"], 4,
+                        bucket_col="stratum")
+    per_arm = (coded.groupBy(F.col("stratum").cast("bigint")
+                             .alias("stratum"))
+               .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                    .cast("bigint").alias("n_a"),
+                    F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                    .cast("bigint").alias("n_b"),
+                    F.sum(F.when(F.col("arm") == "A", F.col("cents"))
+                          .otherwise(0)).cast("bigint").alias("sum_a"),
+                    F.sum(F.when(F.col("arm") == "B", F.col("cents"))
+                          .otherwise(0)).cast("bigint").alias("sum_b")))
+    mean_a = F.col("sum_a") * 1.0 / (100.0 * F.col("n_a"))
+    mean_b = F.col("sum_b") * 1.0 / (100.0 * F.col("n_b"))
+    contrib = (per_arm.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+               .select("stratum", "n_a", "n_b",
+                       mean_a.alias("mean_a"), mean_b.alias("mean_b"),
+                       F.round(1000000.0 * (F.col("n_a") + F.col("n_b"))
+                               * (mean_a - mean_b)).cast("bigint")
+                       .alias("c_micro"))
+               .localCheckpoint(eager=True))
+    tot = contrib.agg(F.sum(F.col("n_a") + F.col("n_b")).cast("bigint")
+                      .alias("n"),
+                      F.sum("c_micro").cast("bigint").alias("ate_micro_n"))
+    return (contrib.crossJoin(F.broadcast(tot))
+            .select("stratum", "n_a", "n_b",
+                    F.round("mean_a", 6).cast("double").alias("mean_a"),
+                    F.round("mean_b", 6).cast("double").alias("mean_b"),
+                    F.round(F.col("mean_a") - F.col("mean_b"), 6)
+                    .cast("double").alias("diff_usd"),
+                    F.round(F.col("ate_micro_n")
+                            / (1000000.0 * F.col("n")), 6)
+                    .cast("double").alias("ate_usd"))
+            .orderBy("stratum"))
+
+
+@_register(
+    "q275_graph_modularity",
+    """
+    -- Newman modularity of the market-segment partition over the
+    -- customer graph: Q = sum_c [ e_c/m - (d_c/(2m))^2 ] — does the
+    -- segment labeling explain the link structure better than chance?
+    -- Edge/degree tallies are exact BIGINTs; each community's
+    -- contribution is micro-rounded before the cross-community sum.
+    WITH e AS (""" + _CUST_EDGE_SQL + """
+    ), lbl AS (
+        SELECT c_custkey AS node, c_mktsegment AS community
+        FROM customer
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS m FROM e
+    ), internal AS (
+        SELECT lu.community, CAST(count(*) AS BIGINT) AS e_c
+        FROM e JOIN lbl lu ON lu.node = e.u
+               JOIN lbl lv ON lv.node = e.v
+        WHERE lu.community = lv.community
+        GROUP BY lu.community
+    ), degsum AS (
+        SELECT l.community, CAST(count(*) AS BIGINT) AS d_c
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) ends
+        JOIN lbl l ON l.node = ends.node
+        GROUP BY l.community
+    ), contrib AS (
+        SELECT d.community, coalesce(i.e_c, 0) AS e_c, d.d_c,
+               CAST(round(1000000.0
+                          * (coalesce(i.e_c, 0) * 1.0 / m.m
+                             - (d.d_c * 1.0 / (2 * m.m))
+                               * (d.d_c * 1.0 / (2 * m.m))))
+                    AS BIGINT) AS q_micro
+        FROM degsum d LEFT JOIN internal i USING (community)
+        CROSS JOIN m
+    )
+    SELECT c.community, CAST(c.e_c AS BIGINT) AS internal_edges,
+           c.d_c AS degree_sum,
+           CAST(round(c.q_micro / 1000000.0, 6) AS DOUBLE)
+               AS q_contrib,
+           CAST(round(t.qsum / 1000000.0, 6) AS DOUBLE) AS modularity
+    FROM contrib c
+    CROSS JOIN (SELECT CAST(sum(q_micro) AS BIGINT) AS qsum
+                FROM contrib) t
+    ORDER BY c.community
+    """,
+    doc="Newman modularity of the segment partition over the customer "
+        "graph — the community-quality score that says whether a "
+        "labeling (here segments; in production, q44/q185 cluster "
+        "output) explains the link structure better than a random "
+        "graph with the same degrees. Completes the graph-audit tier "
+        "(q187 triangles, q269 clustering, q230 cores). Scale shape: "
+        "two (node, long) joins label the edge list, one m-row "
+        "aggregate per side; contributions are micro-unit BIGINTs so "
+        "the cross-community sum is order-free; the 1-row m frame "
+        "broadcasts.",
+)
+def q275_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    edges = _customer_edges(spark, sf_dir).localCheckpoint(eager=True)
+    lbl = customer.select(F.col("c_custkey").alias("node"),
+                          F.col("c_mktsegment").alias("community"))
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    lu = lbl.select(F.col("node").alias("src"),
+                    F.col("community").alias("cu"))
+    lv = lbl.select(F.col("node").alias("dst"),
+                    F.col("community").alias("cv"))
+    labeled = edges.join(lu, "src").join(lv, "dst")
+    internal = (labeled.where(F.col("cu") == F.col("cv"))
+                .groupBy(F.col("cu").alias("community"))
+                .agg(F.count(F.lit(1)).cast("bigint").alias("e_c")))
+    ends = (edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node"))))
+    degsum = (ends.join(lbl, "node")
+              .groupBy("community")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("d_c")))
+    contrib = (degsum.join(internal, "community", "left")
+               .crossJoin(F.broadcast(m))
+               .select("community",
+                       F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint")
+                       .alias("e_c"),
+                       "d_c",
+                       F.round(1000000.0
+                               * (F.coalesce(F.col("e_c"), F.lit(0))
+                                  * 1.0 / F.col("m")
+                                  - (F.col("d_c") * 1.0
+                                     / (2 * F.col("m")))
+                                  * (F.col("d_c") * 1.0
+                                     / (2 * F.col("m")))))
+                       .cast("bigint").alias("q_micro"))
+               .localCheckpoint(eager=True))
+    qsum = contrib.agg(F.sum("q_micro").cast("bigint").alias("qsum"))
+    return (contrib.crossJoin(F.broadcast(qsum))
+            .select("community",
+                    F.col("e_c").alias("internal_edges"),
+                    F.col("d_c").alias("degree_sum"),
+                    F.round(F.col("q_micro") / 1000000.0, 6)
+                    .cast("double").alias("q_contrib"),
+                    F.round(F.col("qsum") / 1000000.0, 6)
+                    .cast("double").alias("modularity"))
+            .orderBy("community"))
