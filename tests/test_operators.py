@@ -4160,3 +4160,50 @@ def test_distribution_drift_hand_values(spark, tmp_path):
     # while F_B is 0 -> KS = 1; W1 = |1-0| * (200-100)c = 1.00 USD
     assert row.ks == 1.0
     assert row.w1_usd == 1.0
+
+
+def test_local_clustering_coefficient_known_graph(spark):
+    """Two triangles sharing edge 2-3 + a pendant: per-node triangle
+    tallies and lcc computed by hand; noise dups/reverses/self-loops
+    must normalize away (the triangle_count contract)."""
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        local_clustering_coefficient,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3),          # triangle 1-2-3
+             (2, 4), (3, 4),                  # triangle 2-3-4
+             (4, 5),                          # pendant
+             (2, 1), (1, 1), (3, 2)]          # reverse dup, self loop, dup
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.deg, r.triangles, r.lcc)
+           for r in local_clustering_coefficient(df).collect()}
+    assert got[1] == (2, 1, 1.0)              # 1-2, 1-3 closed by 2-3
+    assert got[2] == (3, 2, round(2 * 2 / (3 * 2), 6))
+    assert got[3] == (3, 2, round(2 * 2 / (3 * 2), 6))
+    assert got[4] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert got[5] == (1, 0, 0.0)              # deg < 2 -> defined 0
+
+
+def test_link_prediction_scores_known_graph(spark):
+    """Path 1-2-3-4: non-edges sharing a neighbor are (1,3) via 2 and
+    (2,4) via 3; RA micro-units are round(1e6/deg(shared))."""
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    got = {(r.node_a, r.node_b): (r.common_neighbors, r.ra_micro)
+           for r in link_prediction_scores(df).collect()}
+    # deg(2) = deg(3) = 2 -> RA = 1e6 / 2 = 500000 per shared neighbor
+    assert got == {(1, 3): (1, 500000), (2, 4): (1, 500000)}
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """A triangle has no candidate non-edges: every co-neighbor pair is
+    already an edge, so the anti-join must empty the result."""
+    from league_of_legends_data_pipeline_spark.operators.graph import (
+        link_prediction_scores,
+    )
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    assert link_prediction_scores(df).count() == 0
