@@ -675,21 +675,25 @@ def local_clustering_coefficient(edges: DataFrame, src_col: str = "src",
          .select(F.least("u", "v").alias("u"),
                  F.greatest("u", "v").alias("v"))
          .distinct()
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     deg = (e.select(F.col("u").alias("node"))
            .unionAll(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-           .localCheckpoint(eager=False))
+           .localCheckpoint(eager=True))
     with_k = (e.join(deg.select(F.col("node").alias("u"),
                                 F.col("deg").alias("du")), "u")
               .join(deg.select(F.col("node").alias("v"),
                                F.col("deg").alias("dv")), "v"))
     ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
     kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    # oriented is consumed by BOTH wedge sides and the closing join —
+    # eager-checkpoint it so the compiled plan references one
+    # materialized RDD instead of re-deriving the deg joins three times
     oriented = with_k.select(
         F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        F.when(ku < kv, kv).otherwise(ku).alias("khi"))
+        F.when(ku < kv, kv).otherwise(ku).alias("khi")) \
+        .localCheckpoint(eager=True)
     w1 = oriented.select("lo", F.col("hi").alias("m"),
                          F.col("khi").alias("km"))
     w2 = oriented.select("lo", F.col("hi").alias("w"),
@@ -702,9 +706,10 @@ def local_clustering_coefficient(edges: DataFrame, src_col: str = "src",
         oriented.select(F.col("lo").alias("hi_a"),
                         F.col("hi").alias("hi_b")),
         ["hi_a", "hi_b"], "left_semi")
-    corners = (closed.select(F.col("lo").alias("node"))
-               .unionAll(closed.select(F.col("hi_a").alias("node")))
-               .unionAll(closed.select(F.col("hi_b").alias("node"))))
+    # one explode, not a 3-way union: a union would re-run the wedge
+    # join once per corner branch
+    corners = closed.select(
+        F.explode(F.array("lo", "hi_a", "hi_b")).alias("node"))
     tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
     return (deg.join(tri, "node", "left")
             .select("node", "deg",
@@ -744,10 +749,11 @@ def link_prediction_scores(edges: DataFrame, src_col: str = "src",
          .select(F.least("u", "v").alias("u"),
                  F.greatest("u", "v").alias("v"))
          .distinct()
-         .localCheckpoint(eager=False))
+         .localCheckpoint(eager=True))
     nbr = (e.select(F.col("u").alias("node"), F.col("v").alias("z"))
            .unionAll(e.select(F.col("v").alias("node"),
-                              F.col("u").alias("z"))))
+                              F.col("u").alias("z")))
+           .localCheckpoint(eager=True))
     deg = nbr.groupBy("z").agg(F.count(F.lit(1)).alias("deg_z"))
     nz = nbr.select(F.col("z").alias("__hub"), F.col("node"))
     pairs = (nz.join(nz.select(F.col("__hub"),

@@ -16262,22 +16262,24 @@ _CUST_EDGE_SQL = """
 
 
 def _customer_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataFrame twin of ``_CUST_EDGE_SQL`` (src < dst by build)."""
+    """DataFrame twin of ``_CUST_EDGE_SQL`` (src < dst by build).
+
+    Single equi-join shape: the candidate side explodes each customer
+    into its 8 shifted keys (dst - delta), then ONE (key, nation) join
+    matches sources — an 8-row map-side explode + one shuffle, versus
+    the naive 8 separate self-joins (measured 25 SortMergeJoins / 51
+    exchanges through the q269 wedge machinery before this rewrite)."""
     (customer,) = _t(spark, sf_dir, "customer")
     c = customer.select("c_custkey", "c_nationkey")
-    halves = []
-    for delta in (1, 2, 3, 4, 5, 6, 7, 8):
-        b = c.select((F.col("c_custkey") - delta).alias("__k"),
-                     F.col("c_custkey").alias("dst"),
-                     F.col("c_nationkey").alias("__n2"))
-        halves.append(
-            c.join(b, (F.col("c_custkey") == F.col("__k"))
+    b = (c.select(F.col("c_custkey").alias("dst"),
+                  F.col("c_nationkey").alias("__n2"),
+                  F.explode(F.array(*[F.lit(d) for d in range(1, 9)]))
+                  .alias("__delta"))
+         .select((F.col("dst") - F.col("__delta")).alias("__k"),
+                 "dst", "__n2"))
+    return (c.join(b, (F.col("c_custkey") == F.col("__k"))
                    & (F.col("c_nationkey") == F.col("__n2")))
             .select(F.col("c_custkey").alias("src"), "dst"))
-    out = halves[0]
-    for h in halves[1:]:
-        out = out.unionByName(h)
-    return out
 
 
 @_register(
@@ -16330,7 +16332,7 @@ def q269_clustering_coefficient(spark: SparkSession,
         local_clustering_coefficient,
     )
 
-    edges = _customer_edges(spark, sf_dir)
+    edges = _customer_edges(spark, sf_dir).localCheckpoint(eager=True)
     return (local_clustering_coefficient(edges, "src", "dst")
             .orderBy("node"))
 
@@ -16380,7 +16382,7 @@ def q270_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         link_prediction_scores,
     )
 
-    edges = _customer_edges(spark, sf_dir)
+    edges = _customer_edges(spark, sf_dir).localCheckpoint(eager=True)
     scores = link_prediction_scores(edges, "src", "dst")
     return (scores
             .orderBy(F.col("ra_micro").desc(),

@@ -491,6 +491,35 @@ PLAN_SHAPE_GOLDENS = {
     # q265: one corpus aggregate to the checkpointed value-domain
     # support panel; the BNLJ is the 1-row totals broadcast
     "q265_distribution_drift": {"BroadcastNestedLoopJoin": 1},
+    # q266: one user-day corpus aggregate to the checkpointed 10-row
+    # bin panel; the BNLJ is the 1-row (N, gapsum) broadcast
+    "q266_calibration_ece": {"BroadcastNestedLoopJoin": 1},
+    # q267/q268: joinless — one corpus aggregate to the (type, user) /
+    # user-day panel, then panel-partitioned windows / a 7-row rollup
+    "q267_spearman_rank_corr": {},
+    "q268_cohens_kappa": {},
+    # q269: edges / deg / oriented are eager-checkpointed (each is
+    # consumed by several joins in one action — lazy checkpoints left
+    # the compiled plan re-deriving them: 25 SMJ / 51 exchanges before
+    # the rewrite, 3 / 7 after); the SMJs are the two deg attaches +
+    # the wedge self-join, correctly NOT broadcast (node dimension is
+    # unbounded at scale). q270 is deliberately unpinned: its
+    # checkpointed-RDD size stats flip BHJ<->SMJ across SFs.
+    "q269_clustering_coefficient": {"SortMergeJoin": 3},
+    # q271: basket self-join + two n_ord attaches all broadcast at both
+    # SFs (part dimension); per-anchor top-5 runs as WindowGroupLimit
+    "q271_item_cf_cosine": {"BroadcastHashJoin": 3,
+                            "WindowGroupLimit": 2},
+    # q272: checkpointed day panel — pair join, cut range-join and the
+    # n_days attach are panel-sized broadcasts; argmax per type is a
+    # WindowGroupLimit
+    "q272_pettitt_changepoint": {"BroadcastHashJoin": 3,
+                                 "WindowGroupLimit": 2},
+    # q273/q274/q275: one corpus/edge aggregate to a checkpointed
+    # dimension panel; the BNLJ is the 1-row totals broadcast
+    "q273_cramers_v": {"BroadcastNestedLoopJoin": 1},
+    "q274_post_stratification": {"BroadcastNestedLoopJoin": 1},
+    "q275_graph_modularity": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
