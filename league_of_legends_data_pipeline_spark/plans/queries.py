@@ -16906,3 +16906,381 @@ def q275_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("qsum") / 1000000.0, 6)
                     .cast("double").alias("modularity"))
             .orderBy("community"))
+
+
+@_register(
+    "q276_target_encoding",
+    """
+    -- smoothed mean-target encoding (the feature-engineering staple):
+    -- encode market segment against P(order is finalized), shrunk
+    -- toward the global rate with prior weight m = 20. The smoothed
+    -- rate is computed on the integer identity
+    -- (pos*N + m*POS) / ((n+m)*N) — ONE division of exact BIGINTs, so
+    -- both engines agree bit-for-bit before the 6 dp round.
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_seg AS (
+        SELECT segment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM joined GROUP BY segment
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(sum(pos) AS BIGINT) AS big_pos
+        FROM per_seg
+    )
+    SELECT s.segment, s.n, s.pos,
+           CAST(round(s.pos * 1.0 / s.n, 6) AS DOUBLE) AS raw_rate,
+           CAST(round((s.pos * t.big_n + 20 * t.big_pos) * 1.0
+                      / ((s.n + 20) * t.big_n), 6) AS DOUBLE)
+               AS smoothed_rate,
+           CAST(round(t.big_pos * 1.0 / t.big_n, 6) AS DOUBLE)
+               AS global_rate
+    FROM per_seg s CROSS JOIN tot t
+    ORDER BY s.segment
+    """,
+    doc="Smoothed mean-target encoding of a categorical feature "
+        "(market segment -> P(finalized order), shrunk toward the "
+        "global rate with prior weight m) — the leakage-prone feature "
+        "transform every tabular-ML pipeline ships, here in its "
+        "aggregate form. Scale shape: one fact-dim join (dim "
+        "broadcast), one segment rollup, a 1-row global broadcast; "
+        "the shrinkage is a single exact-integer division so the "
+        "encoding is bit-identical cross-engine.",
+)
+def q276_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    joined = (orders.join(F.broadcast(customer),
+                          orders.o_custkey == customer.c_custkey)
+              .select(F.col("c_mktsegment").alias("segment"),
+                      F.when(F.col("o_orderstatus") == "F", 1)
+                      .otherwise(0).alias("y")))
+    per_seg = (joined.groupBy("segment")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("y").cast("bigint").alias("pos")))
+    tot = per_seg.agg(F.sum("n").cast("bigint").alias("big_n"),
+                      F.sum("pos").cast("bigint").alias("big_pos"))
+    return (per_seg.crossJoin(F.broadcast(tot))
+            .select("segment", "n", "pos",
+                    F.round(F.col("pos") * 1.0 / F.col("n"), 6)
+                    .cast("double").alias("raw_rate"),
+                    F.round((F.col("pos") * F.col("big_n")
+                             + 20 * F.col("big_pos")) * 1.0
+                            / ((F.col("n") + 20) * F.col("big_n")), 6)
+                    .cast("double").alias("smoothed_rate"),
+                    F.round(F.col("big_pos") * 1.0 / F.col("big_n"), 6)
+                    .cast("double").alias("global_rate"))
+            .orderBy("segment"))
+
+
+@_register(
+    "q278_gini_split",
+    """
+    -- decision-stump training: the activity threshold that best
+    -- separates error-days from clean days by weighted Gini impurity.
+    -- One corpus aggregate to user-day trials, one to the (activity
+    -- value) support panel; cumulative windows give left/right splits
+    -- per candidate threshold; impurities are micro-rounded BIGINTs
+    -- from exact counts, argmin by (impurity, threshold).
+    WITH trials AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS activity,
+               max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events GROUP BY 1, 2
+    ), support AS (
+        SELECT activity, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM trials GROUP BY activity
+    ), cum AS (
+        SELECT activity,
+               CAST(sum(n) OVER w AS BIGINT) AS nl,
+               CAST(sum(pos) OVER w AS BIGINT) AS pl,
+               CAST(sum(n) OVER () AS BIGINT) AS nt,
+               CAST(sum(pos) OVER () AS BIGINT) AS pt
+        FROM support
+        WINDOW w AS (ORDER BY activity
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), splits AS (
+        SELECT activity AS threshold, nl, pl,
+               nt - nl AS nr, pt - pl AS pr, nt, pt,
+               CAST(round(1000000.0
+                    * ((2.0 * pl / nl * (1.0 - 1.0 * pl / nl)) * nl
+                       + (2.0 * (pt - pl) / (nt - nl)
+                          * (1.0 - 1.0 * (pt - pl) / (nt - nl)))
+                         * (nt - nl)) / nt) AS BIGINT) AS gini_micro
+        FROM cum WHERE nl > 0 AND nt - nl > 0
+    )
+    SELECT threshold, nl AS n_left, pl AS pos_left,
+           nr AS n_right, pr AS pos_right,
+           CAST(round(gini_micro / 1000000.0, 6) AS DOUBLE)
+               AS weighted_gini,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY gini_micro, threshold)
+                     AS rnk
+          FROM splits)
+    ORDER BY rnk
+    """,
+    doc="Decision-stump split search (weighted Gini impurity over "
+        "every candidate threshold) on user-day activity vs error "
+        "incidence — the inner loop of tree training, expressed as "
+        "the value-DOMAIN cumulative-window pattern (q265's ECDF "
+        "machinery): candidate thresholds are the support panel, not "
+        "corpus rows, so the search is O(distinct values) after one "
+        "corpus aggregate. Impurities micro-round identically from "
+        "exact counts; the full ranked split table is the output.",
+)
+def q278_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("activity"),
+                   F.max(F.when(F.col("event_type") == "error", 1)
+                         .otherwise(0)).alias("y")))
+    support = (trials.groupBy("activity")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("y").cast("bigint").alias("pos"))
+               .localCheckpoint(eager=True))
+    w = W.orderBy("activity").rowsBetween(W.unboundedPreceding,
+                                          W.currentRow)
+    wall = W.orderBy("activity").rowsBetween(W.unboundedPreceding,
+                                             W.unboundedFollowing)
+    cum = support.select(
+        "activity",
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("pos").over(w).cast("bigint").alias("pl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("pos").over(wall).cast("bigint").alias("pt"))
+    pl_rate = 1.0 * F.col("pl") / F.col("nl")
+    pr_rate = (1.0 * (F.col("pt") - F.col("pl"))
+               / (F.col("nt") - F.col("nl")))
+    splits = (cum.where((F.col("nl") > 0)
+                        & (F.col("nt") - F.col("nl") > 0))
+              .select(F.col("activity").alias("threshold"),
+                      "nl", "pl",
+                      (F.col("nt") - F.col("nl")).alias("nr"),
+                      (F.col("pt") - F.col("pl")).alias("pr"),
+                      "nt",
+                      F.round(1000000.0
+                              * ((2.0 * pl_rate * (1.0 - pl_rate))
+                                 * F.col("nl")
+                                 + (2.0 * pr_rate * (1.0 - pr_rate))
+                                 * (F.col("nt") - F.col("nl")))
+                              / F.col("nt")).cast("bigint")
+                      .alias("gini_micro")))
+    return (splits
+            .withColumn("rnk", F.row_number().over(
+                W.orderBy("gini_micro", "threshold")))
+            .select("threshold", F.col("nl").alias("n_left"),
+                    F.col("pl").alias("pos_left"),
+                    F.col("nr").alias("n_right"),
+                    F.col("pr").alias("pos_right"),
+                    F.round(F.col("gini_micro") / 1000000.0, 6)
+                    .cast("double").alias("weighted_gini"),
+                    F.col("rnk").cast("bigint").alias("rnk"))
+            .orderBy("rnk"))
+
+
+@_register(
+    "q279_cramer_von_mises",
+    """
+    -- Cramer-von Mises two-sample drift statistic between the hash
+    -- arms, completing the q265 drift family (KS = sup difference,
+    -- W1 = integral of |difference|, CvM = integral of the SQUARED
+    -- difference under the pooled ECDF — sensitive where KS saturates
+    -- and W1 averages away). Same value-domain support panel; the
+    -- per-support-point squared terms micro-round identically before
+    -- the order-free integer sum.
+    WITH trials AS (
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type = 'purchase'
+    ), support AS (
+        SELECT cents,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM trials GROUP BY cents
+    ), tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb
+        FROM support
+    ), ecdf AS (
+        SELECT cents, ca, cb,
+               CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+               CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+        FROM support
+        WINDOW w AS (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), terms AS (
+        SELECT t.na, t.nb,
+               CAST(round(1000000.0 * (e.ca + e.cb)
+                    * (e.cum_a / (1.0 * t.na) - e.cum_b / (1.0 * t.nb))
+                    * (e.cum_a / (1.0 * t.na) - e.cum_b / (1.0 * t.nb)))
+                    AS BIGINT) AS term_micro
+        FROM ecdf e CROSS JOIN tot t
+    )
+    SELECT max(na) AS n_a, max(nb) AS n_b,
+           CAST(round(sum(term_micro)
+                      * ((max(na) * 1.0 * max(nb))
+                         / ((max(na) + max(nb))
+                            * (max(na) + max(nb)) * 1000000.0)), 6)
+                AS DOUBLE) AS cvm_t
+    FROM terms
+    """,
+    doc="Cramer-von Mises two-sample statistic between the shared "
+        "hash arms — the third member of the drift family (q265's KS "
+        "catches the largest gap, W1 the total displacement; CvM "
+        "weights the SQUARED ECDF gap by the pooled distribution, the "
+        "standard choice when drift is spread thin across the "
+        "support). Scale shape: identical to q265 — one corpus "
+        "aggregate to the value-domain support panel, cumulative "
+        "windows over the panel, per-point terms micro-rounded to "
+        "BIGINTs so the integral is an order-free integer sum.",
+)
+def q279_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.where(F.col("event_type") == "purchase")
+              .select(_ab_arm().alias("arm"),
+                      _value_cents().alias("cents")))
+    support = (trials.groupBy("cents")
+               .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                    .cast("bigint").alias("ca"),
+                    F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                    .cast("bigint").alias("cb"))
+               .localCheckpoint(eager=True))
+    tot = support.agg(F.sum("ca").cast("bigint").alias("na"),
+                      F.sum("cb").cast("bigint").alias("nb"))
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = support.select(
+        "cents", "ca", "cb",
+        F.sum("ca").over(w).cast("bigint").alias("cum_a"),
+        F.sum("cb").over(w).cast("bigint").alias("cum_b"))
+    gap = (F.col("cum_a") / (1.0 * F.col("na"))
+           - F.col("cum_b") / (1.0 * F.col("nb")))
+    terms = (ecdf.crossJoin(F.broadcast(tot))
+             .select("na", "nb",
+                     F.round(1000000.0 * (F.col("ca") + F.col("cb"))
+                             * gap * gap).cast("bigint")
+                     .alias("term_micro")))
+    return terms.agg(
+        F.max("na").alias("n_a"), F.max("nb").alias("n_b"),
+        F.round(F.sum("term_micro")
+                * ((F.max("na") * 1.0 * F.max("nb"))
+                   / ((F.max("na") + F.max("nb"))
+                      * (F.max("na") + F.max("nb")) * 1000000.0)), 6)
+        .cast("double").alias("cvm_t"))
+
+
+@_register(
+    "q277_markov_stationary",
+    """
+    -- where do user journeys settle? Stationary distribution of the
+    -- event-type Markov chain: consecutive-event transition counts per
+    -- user, then 3 unrolled power iterations from uniform. Mass
+    -- travels in integer NANO-units (the HITS quantization trick):
+    -- each term round(v_i * c_ij / r_i) is one double multiply+divide
+    -- of exact integers — bit-identical cross-engine — and per-state
+    -- sums are order-free BIGINT aggregates.
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), trans AS (
+        SELECT event_type AS i, nxt AS j, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), r AS (
+        SELECT i, CAST(sum(c) AS BIGINT) AS r FROM trans GROUP BY i
+    ), states AS (
+        SELECT DISTINCT i AS s FROM trans
+    ), v0 AS (
+        SELECT s, CAST(round(1000000000.0
+                             / (SELECT count(*) FROM states)) AS BIGINT)
+                   AS v
+        FROM states
+    ), v1 AS (
+        SELECT t.j AS s,
+               CAST(sum(CAST(round(v0.v * t.c / (1.0 * r.r)) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM trans t JOIN r ON r.i = t.i JOIN v0 ON v0.s = t.i
+        GROUP BY t.j
+    ), v2 AS (
+        SELECT t.j AS s,
+               CAST(sum(CAST(round(v1.v * t.c / (1.0 * r.r)) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM trans t JOIN r ON r.i = t.i JOIN v1 ON v1.s = t.i
+        GROUP BY t.j
+    ), v3 AS (
+        SELECT t.j AS s,
+               CAST(sum(CAST(round(v2.v * t.c / (1.0 * r.r)) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM trans t JOIN r ON r.i = t.i JOIN v2 ON v2.s = t.i
+        GROUP BY t.j
+    )
+    SELECT st.s AS state, r.r AS out_transitions,
+           CAST(coalesce(v3.v, 0) AS BIGINT) AS pi_nano,
+           CAST(round(coalesce(v3.v, 0)
+                      / (SELECT sum(v) * 1.0 FROM v3), 6) AS DOUBLE)
+               AS pi
+    FROM states st
+    LEFT JOIN v3 ON v3.s = st.s
+    LEFT JOIN r ON r.i = st.s
+    ORDER BY state
+    """,
+    doc="Stationary distribution of the user-journey Markov chain "
+        "(event-type states, consecutive-event transitions, 3 "
+        "synchronous power iterations from uniform) — the long-run "
+        "attention share a funnel/attribution model needs, extending "
+        "q151's one-step transition matrix to its fixed point. Scale "
+        "shape: ONE corpus window pass (user-partitioned lead) "
+        "collapses to the states x states transition panel, "
+        "checkpointed; every iteration is a panel-sized join "
+        "(broadcast) + aggregate. Nano-unit integer mass makes each "
+        "iteration's sums order-free, so 3 rounds stay bit-identical "
+        "cross-engine (the HITS/PageRank quantization convention).",
+)
+def q277_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"))
+    trans = (seq.where(F.col("nxt").isNotNull())
+             .groupBy(F.col("event_type").alias("i"),
+                      F.col("nxt").alias("j"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+             .localCheckpoint(eager=True))
+    r = trans.groupBy("i").agg(F.sum("c").cast("bigint").alias("r"))
+    tr = trans.join(F.broadcast(r), "i").localCheckpoint(eager=True)
+    states = trans.select(F.col("i").alias("s")).distinct() \
+        .localCheckpoint(eager=True)
+    n_states = states.count()
+    # half-UP integer rounding (SQL round semantics; Python's round()
+    # is banker's and would diverge on exact .5 fractions)
+    v0 = (1_000_000_000 // n_states
+          + (1 if 2 * (1_000_000_000 % n_states) >= n_states else 0))
+    v = states.select("s", F.lit(v0).cast("bigint").alias("v"))
+    for _ in range(3):
+        v = (tr.join(F.broadcast(v.withColumnRenamed("s", "i")), "i")
+             .groupBy(F.col("j").alias("s"))
+             .agg(F.sum(F.round(F.col("v") * F.col("c")
+                                / (1.0 * F.col("r"))).cast("bigint"))
+                  .cast("bigint").alias("v"))
+             .localCheckpoint(eager=True))
+    tot = v.agg(F.sum("v").alias("tv"))
+    return (states
+            .join(v, "s", "left")
+            .join(r.withColumnRenamed("i", "s"), "s", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("s").alias("state"),
+                    F.col("r").alias("out_transitions"),
+                    F.coalesce(F.col("v"), F.lit(0)).cast("bigint")
+                    .alias("pi_nano"),
+                    F.round(F.coalesce(F.col("v"), F.lit(0))
+                            / (1.0 * F.col("tv")), 6)
+                    .cast("double").alias("pi"))
+            .orderBy("state"))
