@@ -520,6 +520,22 @@ PLAN_SHAPE_GOLDENS = {
     "q273_cramers_v": {"BroadcastNestedLoopJoin": 1},
     "q274_post_stratification": {"BroadcastNestedLoopJoin": 1},
     "q275_graph_modularity": {"BroadcastNestedLoopJoin": 1},
+    # q276: fact-dim broadcast join to the segment rollup; the BNLJ is
+    # the 1-row global-rate broadcast
+    "q276_target_encoding": {"BroadcastNestedLoopJoin": 1,
+                             "BroadcastHashJoin": 2},
+    # q277: one corpus window pass to the checkpointed transition
+    # panel; per-iteration joins are panel-sized broadcasts that end in
+    # a checkpoint each, so only the final attach joins surface
+    "q277_markov_stationary": {"BroadcastNestedLoopJoin": 1,
+                               "BroadcastHashJoin": 1,
+                               "SortMergeJoin": 1},
+    # q278: joinless — one corpus aggregate to the checkpointed support
+    # panel, cumulative windows over the panel only
+    "q278_gini_split": {},
+    # q279: the q265 support-panel shape; the BNLJ is the 1-row totals
+    # broadcast
+    "q279_cramer_von_mises": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
