@@ -17284,3 +17284,248 @@ def q277_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (1.0 * F.col("tv")), 6)
                     .cast("double").alias("pi"))
             .orderBy("state"))
+
+
+@_register(
+    "q280_shapley_attribution",
+    """
+    -- EXACT Shapley-value channel attribution (not the linear/position
+    -- heuristics of q219/q247): channels = non-purchase event types
+    -- touched in a user-day, characteristic function v(S) = conversions
+    -- from trials whose touch set is contained in S. With 4 channels
+    -- the 16-subset panel is exact and tiny; Shapley values are
+    -- computed in 24ths (4! = 24, so the marginal weights 6/2/2/6 are
+    -- INTEGERS) — the whole computation is BIGINT until two final
+    -- divisions.
+    WITH trials AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + 2 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               + 4 * max(CASE WHEN event_type = 'signup'
+                              THEN 1 ELSE 0 END)
+               + 8 * max(CASE WHEN event_type = 'error'
+                              THEN 1 ELSE 0 END) AS mask,
+               max(CASE WHEN event_type = 'purchase' AND value >= 15.0
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), mk AS (
+        SELECT mask, CAST(sum(y) AS BIGINT) AS conv
+        FROM trials GROUP BY mask
+    ), subs AS (
+        SELECT CAST(range AS BIGINT) AS s FROM range(16)
+    ), v AS (
+        SELECT subs.s,
+               CAST(coalesce(sum(CASE WHEN (mk.mask & subs.s) = mk.mask
+                                      THEN mk.conv ELSE 0 END), 0)
+                    AS BIGINT) AS v
+        FROM subs CROSS JOIN mk GROUP BY subs.s
+    ), channels AS (
+        SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'click'),
+                              (CAST(2 AS BIGINT), 'view'),
+                              (CAST(4 AS BIGINT), 'signup'),
+                              (CAST(8 AS BIGINT), 'error'))
+               AS t(bit, channel)
+    ), marginals AS (
+        SELECT c.channel,
+               CAST(sum((CASE bit_count(v0.s)
+                         WHEN 0 THEN 6 WHEN 1 THEN 2
+                         WHEN 2 THEN 2 ELSE 6 END)
+                        * (v1.v - v0.v)) AS BIGINT) AS shapley24
+        FROM channels c
+        JOIN v v0 ON (v0.s & c.bit) = 0
+        JOIN v v1 ON v1.s = v0.s + c.bit
+        GROUP BY c.channel
+    )
+    SELECT m.channel, m.shapley24,
+           CAST(round(m.shapley24 / 24.0, 6) AS DOUBLE) AS shapley,
+           CAST(round(m.shapley24 * 1.0 / t.tot24, 6) AS DOUBLE)
+               AS share
+    FROM marginals m
+    CROSS JOIN (SELECT CAST(sum(shapley24) AS BIGINT) AS tot24
+                FROM marginals) t
+    ORDER BY m.channel
+    """,
+    doc="Exact Shapley-value attribution over the 4 engagement "
+        "channels (v(S) = conversions achievable with channel set S, "
+        "marginal contributions averaged over all orderings) — the "
+        "game-theoretic gold standard the position heuristics "
+        "(q219 last-touch, q247 U-shaped) approximate. Exactness "
+        "trick: with 4 channels, 4! = 24, so ordering weights "
+        "|S|!(3-|S|)!= 6/2/2/6 are integers and Shapley values live "
+        "in BIGINT 24ths end-to-end — order-free, bit-identical. "
+        "Scale shape: ONE user-day corpus aggregate collapses to a "
+        "16-row mask panel; the subset lattice, v(S), and all "
+        "marginals are panel-sized joins. Channel count is the "
+        "exponential knob (2^k subsets) — k <= ~20 keeps the lattice "
+        "panel-sized at any corpus scale.",
+)
+def q280_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+              .agg((F.max(F.when(F.col("event_type") == "click", 1)
+                          .otherwise(0))
+                    + 2 * F.max(F.when(F.col("event_type") == "view", 1)
+                                .otherwise(0))
+                    + 4 * F.max(F.when(F.col("event_type") == "signup", 1)
+                                .otherwise(0))
+                    + 8 * F.max(F.when(F.col("event_type") == "error", 1)
+                                .otherwise(0))).alias("mask"),
+                   F.max(F.when((F.col("event_type") == "purchase")
+                                & (F.col("value") >= 15.0), 1)
+                         .otherwise(0)).alias("y")))
+    mk = (trials.groupBy("mask")
+          .agg(F.sum("y").cast("bigint").alias("conv"))
+          .localCheckpoint(eager=True))
+    subs = spark.range(16).select(F.col("id").cast("bigint").alias("s"))
+    v = (subs.crossJoin(F.broadcast(mk))
+         .groupBy("s")
+         .agg(F.coalesce(
+             F.sum(F.when(F.col("mask").bitwiseAND(F.col("s"))
+                          == F.col("mask"), F.col("conv"))
+                   .otherwise(0)), F.lit(0)).cast("bigint").alias("v"))
+         .localCheckpoint(eager=True))
+    channels = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (4, "signup"), (8, "error")],
+        ["bit", "channel"]).select(F.col("bit").cast("bigint"), "channel")
+    w24 = (F.when(F.bit_count(F.col("s0")) == 0, 6)
+           .when(F.bit_count(F.col("s0")) == 1, 2)
+           .when(F.bit_count(F.col("s0")) == 2, 2).otherwise(6))
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    marginals = (channels
+                 .join(F.broadcast(v0),
+                       v0.s0.bitwiseAND(F.col("bit")) == 0)
+                 .join(F.broadcast(v1),
+                       F.col("s1") == F.col("s0") + F.col("bit"))
+                 .groupBy("channel")
+                 .agg(F.sum(w24 * (F.col("vb") - F.col("va")))
+                      .cast("bigint").alias("shapley24"))
+                 .localCheckpoint(eager=True))
+    tot = marginals.agg(F.sum("shapley24").cast("bigint").alias("tot24"))
+    return (marginals.crossJoin(F.broadcast(tot))
+            .select("channel", "shapley24",
+                    F.round(F.col("shapley24") / 24.0, 6).cast("double")
+                    .alias("shapley"),
+                    F.round(F.col("shapley24") * 1.0 / F.col("tot24"), 6)
+                    .cast("double").alias("share"))
+            .orderBy("channel"))
+
+
+@_register(
+    "q281_qini_uplift",
+    """
+    -- Qini uplift curve over the shared hash arms: users ranked by
+    -- pre-period activity (the targeting score), split into exact
+    -- deciles; at each cumulative decile the incremental conversions
+    -- Qini(k) = Y_t(k) - Y_c(k) * N_t(k)/N_c(k). The readout that
+    -- decides WHO to treat, where q239 only decides IF the treatment
+    -- works. Counts are exact BIGINTs; per-decile Qini divides once.
+    WITH pre AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS score
+        FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        GROUP BY user_id
+    ), post AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value >= 15.0
+                        THEN 1 ELSE 0 END) AS y
+        FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        GROUP BY user_id
+    ), users AS (
+        SELECT p.user_id, coalesce(pre.score, 0) AS score, p.y,
+               """ + _AB_ARM_SQL.replace("user_id", "p.user_id") + """
+                   AS arm
+        FROM post p LEFT JOIN pre ON pre.user_id = p.user_id
+    ), coded AS (
+        SELECT arm, y,
+               CAST(ntile(10) OVER (ORDER BY score DESC, user_id)
+                    AS BIGINT) AS decile
+        FROM users
+    ), per_decile AS (
+        SELECT decile,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END)
+                    AS BIGINT) AS y_t,
+               CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END)
+                    AS BIGINT) AS y_c
+        FROM coded GROUP BY decile
+    ), cum AS (
+        SELECT decile,
+               CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+               CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+               CAST(sum(y_t) OVER w AS BIGINT) AS cy_t,
+               CAST(sum(y_c) OVER w AS BIGINT) AS cy_c
+        FROM per_decile
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT decile, cn_t, cn_c, cy_t, cy_c,
+           CAST(round(cy_t - cy_c * (cn_t * 1.0 / cn_c), 6) AS DOUBLE)
+               AS qini,
+           CAST(round(cy_t * 1.0 / cn_t - cy_c * 1.0 / cn_c, 6)
+                AS DOUBLE) AS uplift_rate
+    FROM cum WHERE cn_c > 0 AND cn_t > 0
+    ORDER BY decile
+    """,
+    doc="Qini uplift curve (cumulative incremental conversions by "
+        "targeting-score decile) over the shared hash arms — the "
+        "uplift-modeling readout that ranks WHO responds to "
+        "treatment, complementing the average-effect tier (q239/"
+        "q250/q274). Scale shape: two user-keyed corpus aggregates, "
+        "exact decile split via the distributed range-bucketed rank "
+        "(q215's exact_ntile — never a single-partition corpus "
+        "sort), a 10-row decile rollup and cumulative windows over "
+        "that panel only; each Qini value divides exact BIGINTs "
+        "once.",
+)
+def q281_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.sampling import (
+        exact_ntile,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("date")
+    pre = (events.where(F.col("ts").cast("date") < cut)
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("score")))
+    post = (events.where(F.col("ts").cast("date") >= cut)
+            .groupBy("user_id")
+            .agg(F.max(F.when((F.col("event_type") == "purchase")
+                              & (F.col("value") >= 15.0), 1)
+                       .otherwise(0)).alias("y")))
+    users = (post.join(pre, "user_id", "left")
+             .select("user_id",
+                     F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+                     "y", _ab_arm().alias("arm"))
+             .withColumn("neg_score", -F.col("score")))
+    coded = exact_ntile(users, ["neg_score", "user_id"], 10,
+                        bucket_col="decile")
+    per_decile = (coded.groupBy(F.col("decile").cast("bigint")
+                                .alias("decile"))
+                  .agg(F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+                       .cast("bigint").alias("n_t"),
+                       F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+                       .cast("bigint").alias("n_c"),
+                       F.sum(F.when(F.col("arm") == "A", F.col("y"))
+                             .otherwise(0)).cast("bigint").alias("y_t"),
+                       F.sum(F.when(F.col("arm") == "B", F.col("y"))
+                             .otherwise(0)).cast("bigint").alias("y_c"))
+                  .localCheckpoint(eager=True))
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_decile.select(
+        "decile",
+        F.sum("n_t").over(w).cast("bigint").alias("cn_t"),
+        F.sum("n_c").over(w).cast("bigint").alias("cn_c"),
+        F.sum("y_t").over(w).cast("bigint").alias("cy_t"),
+        F.sum("y_c").over(w).cast("bigint").alias("cy_c"))
+    return (cum.where((F.col("cn_c") > 0) & (F.col("cn_t") > 0))
+            .select("decile", "cn_t", "cn_c", "cy_t", "cy_c",
+                    F.round(F.col("cy_t") - F.col("cy_c")
+                            * (F.col("cn_t") * 1.0 / F.col("cn_c")), 6)
+                    .cast("double").alias("qini"),
+                    F.round(F.col("cy_t") * 1.0 / F.col("cn_t")
+                            - F.col("cy_c") * 1.0 / F.col("cn_c"), 6)
+                    .cast("double").alias("uplift_rate"))
+            .orderBy("decile"))
