@@ -649,3 +649,111 @@ def test_ks_w1_match_python_replay(spark, samples):
             w1 += d * (grid[i + 1] - c)
     assert abs(got.ks - ks) < 1e-12
     assert abs(got.w1 - w1) < 1e-9
+
+
+@given(st.lists(st.integers(0, 40), min_size=16, max_size=16))
+@SLOW
+def test_shapley_attribution_matches_permutation_replay(spark, convs):
+    """q280's lattice-sum Shapley (in integer 24ths) equals the direct
+    all-permutations definition computed in python for arbitrary
+    conversion counts per mask, and satisfies the efficiency axiom
+    (values sum to v(full) - v(empty)) EXACTLY — integer arithmetic
+    end-to-end."""
+    from itertools import permutations
+
+    from pyspark.sql import functions as F
+
+    mk = spark.createDataFrame(
+        [(m, c) for m, c in enumerate(convs)],
+        "mask long, conv long").localCheckpoint(eager=True)
+    subs = spark.range(16).select(F.col("id").alias("s"))
+    v = (subs.crossJoin(F.broadcast(mk))
+         .groupBy("s")
+         .agg(F.coalesce(
+             F.sum(F.when(F.col("mask").bitwiseAND(F.col("s"))
+                          == F.col("mask"), F.col("conv"))
+                   .otherwise(0)), F.lit(0)).alias("v"))
+         .localCheckpoint(eager=True))
+    channels = spark.createDataFrame(
+        [(1, "c1"), (2, "c2"), (4, "c3"), (8, "c4")], ["bit", "channel"])
+    w24 = (F.when(F.bit_count(F.col("s0")) == 0, 6)
+           .when(F.bit_count(F.col("s0")) == 1, 2)
+           .when(F.bit_count(F.col("s0")) == 2, 2).otherwise(6))
+    v0 = v.select(F.col("s").alias("s0"), F.col("v").alias("va"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("v").alias("vb"))
+    got = {r.channel: r.s24 for r in
+           (channels.join(F.broadcast(v0),
+                          v0.s0.bitwiseAND(F.col("bit")) == 0)
+            .join(F.broadcast(v1),
+                  F.col("s1") == F.col("s0") + F.col("bit"))
+            .groupBy("channel")
+            .agg(F.sum(w24 * (F.col("vb") - F.col("va"))).alias("s24"))
+            ).collect()}
+
+    def vf(s):
+        return sum(c for m, c in enumerate(convs) if (m & s) == m)
+
+    bits = {"c1": 1, "c2": 2, "c3": 4, "c4": 8}
+    want = {ch: 0 for ch in bits}
+    for perm in permutations(bits.values()):
+        s = 0
+        for b in perm:
+            gain = vf(s | b) - vf(s)
+            ch = next(k for k, v_ in bits.items() if v_ == b)
+            want[ch] += gain
+            s |= b
+    assert got == want
+    assert sum(got.values()) == 24 * (vf(15) - vf(0))
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 3),
+                          st.integers(1, 50)),
+                min_size=2, max_size=20).filter(
+                    lambda xs: len({(i, j) for i, j, _ in xs})
+                    == len(xs)))
+@SLOW
+def test_markov_stationary_matches_integer_replay(spark, trans_rows):
+    """q277's nano-unit power iteration equals the direct python
+    integer replay for arbitrary transition-count panels — every term
+    is round(v*c/r) on exact integers, so the engine and the replay
+    must agree EXACTLY after 3 rounds."""
+    from pyspark.sql import functions as F
+
+    tr = spark.createDataFrame(trans_rows, "i long, j long, c long")
+    trans = tr.groupBy("i", "j").agg(F.sum("c").alias("c")) \
+        .localCheckpoint(eager=True)
+    r = trans.groupBy("i").agg(F.sum("c").alias("r"))
+    trr = trans.join(F.broadcast(r), "i").localCheckpoint(eager=True)
+    states = sorted({i for i, _, _ in trans_rows})
+    n = len(states)
+    v0 = (1_000_000_000 // n
+          + (1 if 2 * (1_000_000_000 % n) >= n else 0))
+    v = spark.createDataFrame([(s, v0) for s in states], "s long, v long")
+    for _ in range(3):
+        v = (trr.join(F.broadcast(v.withColumnRenamed("s", "i")), "i")
+             .groupBy(F.col("j").alias("s"))
+             .agg(F.sum(F.round(F.col("v") * F.col("c")
+                                / (1.0 * F.col("r"))).cast("long"))
+                  .alias("v")).localCheckpoint(eager=True))
+    got = {r_.s: r_.v for r_ in v.collect()}
+
+    # python replay with identical integer scheme (round-half-even on
+    # the same double values — both sides round the same IEEE double)
+    from collections import defaultdict
+    cnt = defaultdict(int)
+    for i, j, c in trans_rows:
+        cnt[(i, j)] += c
+    rr = defaultdict(int)
+    for (i, _), c in cnt.items():
+        rr[i] += c
+    vv = {s: v0 for s in states}
+    for _ in range(3):
+        nxt = defaultdict(int)
+        for (i, j), c in cnt.items():
+            if i in vv:
+                # Spark F.round is HALF_UP on the double value
+                x = vv[i] * c / rr[i]
+                import math
+                nxt[j] += int(math.floor(x + 0.5))
+        vv = dict(nxt)
+    assert got == {s: vv.get(s, 0) for s in got}
