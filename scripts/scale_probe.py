@@ -363,6 +363,34 @@ PROBE_QUERIES = [
     "q263_winsorized_arm_means",
     "q264_bitext_margin_mining",
     "q265_distribution_drift",
+    # round-10 additions:
+    # one user-day corpus aggregate + 10-row bin rollup
+    "q266_calibration_ece",
+    # (type, user) panel aggregate + panel-partitioned rank windows
+    "q267_spearman_rank_corr",
+    # one user-day corpus aggregate + 7-row weekday rollup
+    "q268_cohens_kappa",
+    # degree-ordered wedge join (eager-checkpointed e/deg/oriented) +
+    # corner explode — wedge volume bounded by oriented out-degree
+    "q269_clustering_coefficient",
+    # shared-neighbor wedge self-join + anti-join; RA micro-unit sums
+    "q270_link_prediction",
+    # basket self-join bounded by per-order item count + top-5 window
+    "q271_item_cf_cosine",
+    # checkpointed day panel: pairwise sign join + cut range-join —
+    # days^3 PANEL rows, corpus-size-invariant past the first aggregate
+    "q272_pettitt_changepoint",
+    # one corpus window pass to the transition panel + 3 panel-sized
+    # iteration joins
+    "q277_markov_stationary",
+    # one corpus aggregate to the support panel + cumulative windows
+    "q278_gini_split",
+    # q265's support-panel machinery with squared-gap terms
+    "q279_cramer_von_mises",
+    # one user-day aggregate to the 16-mask panel + lattice joins
+    "q280_shapley_attribution",
+    # two user aggregates + exact decile ntile + 10-row cumulative panel
+    "q281_qini_uplift",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate
