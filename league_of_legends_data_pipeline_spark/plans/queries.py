@@ -17529,3 +17529,209 @@ def q281_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
                             - F.col("cy_c") * 1.0 / F.col("cn_c"), 6)
                     .cast("double").alias("uplift_rate"))
             .orderBy("decile"))
+
+
+@_register(
+    "q282_anova_f",
+    """
+    -- one-way ANOVA F statistic: does mean order spend differ across
+    -- market segments? Multi-group companion to the two-arm z-test
+    -- family (q239/q263). First moments are exact BIGINT cent sums;
+    -- second moments widen to HUGEINT (DECIMAL(38,0) on Spark) per the
+    -- q250 overflow convention; the per-group s^2/n terms round to
+    -- whole cents^2 in HUGEINT before the cross-group sum (s^2/n is
+    -- ~1e14 at sf0.01 — a 1e6 micro scale would wrap BIGINT), so
+    -- SSB/SSW are order-free on both engines.
+    WITH joined AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_seg AS (
+        SELECT segment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s,
+               sum(CAST(cents AS HUGEINT) * cents) AS ss,
+               CAST(round((sum(cents) * 1.0 * sum(cents))
+                          / count(*)) AS HUGEINT) AS t_unit
+        FROM joined GROUP BY segment
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS big_n,
+               CAST(sum(s) AS BIGINT) AS big_s,
+               sum(ss) AS big_ss,
+               sum(t_unit) AS t_unit_sum,
+               CAST(count(*) AS BIGINT) AS k
+        FROM per_seg
+    )
+    SELECT s.segment, s.n,
+           CAST(round(s.s / (100.0 * s.n), 6) AS DOUBLE) AS mean_usd,
+           CAST(round(((CAST(t.t_unit_sum AS DOUBLE)
+                        - (t.big_s * 1.0 * t.big_s) / t.big_n)
+                       / (t.k - 1))
+                      / ((CAST(t.big_ss AS DOUBLE)
+                          - CAST(t.t_unit_sum AS DOUBLE))
+                         / (t.big_n - t.k)), 6) AS DOUBLE) AS f_stat,
+           CAST(round((CAST(t.t_unit_sum AS DOUBLE)
+                       - (t.big_s * 1.0 * t.big_s) / t.big_n)
+                      / (CAST(t.big_ss AS DOUBLE)
+                         - (t.big_s * 1.0 * t.big_s) / t.big_n), 6)
+                AS DOUBLE) AS eta_squared
+    FROM per_seg s CROSS JOIN tot t
+    ORDER BY s.segment
+    """,
+    doc="One-way ANOVA across market segments on order spend: F "
+        "statistic + eta-squared effect size — the multi-group mean "
+        "test completing the two-arm family (q239 z, q263 winsorized, "
+        "q282 generalizes to k groups). Scale shape: one fact-dim "
+        "broadcast join, one k-row group rollup; first moments exact "
+        "BIGINT cents, second moments DECIMAL(38,0)/HUGEINT (the q250 "
+        "wrap-proof convention), per-group s^2/n rounded to whole "
+        "HUGEINT units before the cross-group sum so SSB and SSW "
+        "never depend on float summation order.",
+)
+def q282_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    joined = (orders.join(F.broadcast(customer),
+                          orders.o_custkey == customer.c_custkey)
+              .select(F.col("c_mktsegment").alias("segment"),
+                      F.round(F.col("o_totalprice") * 100).cast("bigint")
+                      .alias("cents")))
+    d19 = F.col("cents").cast("decimal(19,0)")
+    per_seg = (joined.groupBy("segment")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum("cents").cast("bigint").alias("s"),
+                    F.sum(d19 * F.col("cents")).cast("decimal(38,0)")
+                    .alias("ss"))
+               .withColumn("t_unit",
+                           F.round((F.col("s") * 1.0 * F.col("s"))
+                                   / F.col("n")).cast("decimal(38,0)"))
+               .localCheckpoint(eager=True))
+    tot = per_seg.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum("s").cast("bigint").alias("big_s"),
+        F.sum("ss").cast("decimal(38,0)").alias("big_ss"),
+        F.sum("t_unit").cast("decimal(38,0)").alias("t_unit_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("k"))
+    grand = (F.col("big_s") * 1.0 * F.col("big_s")) / F.col("big_n")
+    ssb = F.col("t_unit_sum").cast("double") - grand
+    ssw = (F.col("big_ss").cast("double")
+           - F.col("t_unit_sum").cast("double"))
+    sst = F.col("big_ss").cast("double") - grand
+    return (per_seg.crossJoin(F.broadcast(tot))
+            .select("segment", "n",
+                    F.round(F.col("s") / (100.0 * F.col("n")), 6)
+                    .cast("double").alias("mean_usd"),
+                    F.round((ssb / (F.col("k") - 1))
+                            / (ssw / (F.col("big_n") - F.col("k"))), 6)
+                    .cast("double").alias("f_stat"),
+                    F.round(ssb / sst, 6).cast("double")
+                    .alias("eta_squared"))
+            .orderBy("segment"))
+
+
+@_register(
+    "q283_source_drift_matrix",
+    """
+    -- pairwise 1-D Wasserstein distance matrix between per-source
+    -- document-LENGTH distributions: the curation-time drift readout
+    -- that says which ingestion sources disagree in shape (q265/q279
+    -- compare two experiment arms; this compares every source pair).
+    -- One corpus aggregate to the (source, length) support panel;
+    -- ECDFs per source via cumulative windows; the W1 step integral
+    -- per pair micro-rounds identically before the order-free sum.
+    WITH support AS (
+        SELECT source, n_chars AS len, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), grid AS (
+        SELECT DISTINCT len FROM support
+    ), pergrid AS (
+        -- every source's cumulative count at every grid point
+        SELECT s.source, g.len,
+               CAST(coalesce(sum(sp.cnt), 0) AS BIGINT) AS cum,
+               lead(g.len) OVER (PARTITION BY s.source ORDER BY g.len)
+                   AS next_len
+        FROM (SELECT DISTINCT source FROM support) s
+        CROSS JOIN grid g
+        LEFT JOIN support sp
+               ON sp.source = s.source AND sp.len <= g.len
+        GROUP BY s.source, g.len
+    ), totals AS (
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+        FROM support GROUP BY source
+    ), terms AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(round(1000000.0
+                    * abs(a.cum / (1.0 * ta.n) - b.cum / (1.0 * tb.n))
+                    * (a.next_len - a.len)) AS BIGINT) AS term_micro
+        FROM pergrid a
+        JOIN pergrid b ON b.len = a.len AND a.source < b.source
+        JOIN totals ta ON ta.source = a.source
+        JOIN totals tb ON tb.source = b.source
+        WHERE a.next_len IS NOT NULL
+    )
+    SELECT source_a, source_b,
+           CAST(round(sum(term_micro) / 1000000.0, 6) AS DOUBLE)
+               AS w1_chars
+    FROM terms GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+    doc="Pairwise 1-D Wasserstein drift matrix between per-source "
+        "document-length distributions — the source-homogeneity audit "
+        "a curation pipeline runs before mixing (two sources with "
+        "large W1 need separate quality thresholds; q130's PSI flags "
+        "drift per feature, this localizes WHICH source pair "
+        "diverges). Scale shape: one corpus aggregate to the (source, "
+        "length) support panel; a source x grid ECDF table via one "
+        "windowed pass over the panel; the pair join is "
+        "C(sources,2) x grid — dimension-sized at any corpus scale. "
+        "Step-integral terms micro-round identically before the "
+        "order-free integer sum.",
+)
+def q283_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    support = (documents.groupBy("source", F.col("n_chars").alias("len"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+               .localCheckpoint(eager=True))
+    grid = support.select("len").distinct()
+    sources = support.select("source").distinct()
+    sg = sources.crossJoin(grid)
+    cum = (sg.join(support.select(F.col("source"),
+                                  F.col("len").alias("splen"),
+                                  F.col("cnt")),
+                   "source", "left")
+           .where(F.col("splen").isNull() | (F.col("splen") <= F.col("len")))
+           .groupBy("source", "len")
+           .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint")
+                .alias("cum")))
+    # rows where a source has NO lengths <= len at all would be lost by
+    # the inner-ish filter above; restore them with a left join back to
+    # the full (source, grid) frame
+    pergrid = (sg.join(cum, ["source", "len"], "left")
+               .select("source", "len",
+                       F.coalesce(F.col("cum"), F.lit(0)).alias("cum"))
+               .withColumn("next_len",
+                           F.lead("len").over(
+                               W.partitionBy("source").orderBy("len")))
+               .localCheckpoint(eager=True))
+    totals = support.groupBy("source").agg(F.sum("cnt").cast("bigint")
+                                           .alias("n"))
+    a = (pergrid.join(totals, "source")
+         .select(F.col("source").alias("source_a"), "len", "next_len",
+                 F.col("cum").alias("cum_a"), F.col("n").alias("na")))
+    b = (pergrid.join(totals, "source")
+         .select(F.col("source").alias("source_b"),
+                 F.col("len").alias("lenb"),
+                 F.col("cum").alias("cum_b"), F.col("n").alias("nb")))
+    terms = (a.join(b, (F.col("lenb") == F.col("len"))
+                    & (F.col("source_a") < F.col("source_b")))
+             .where(F.col("next_len").isNotNull())
+             .select("source_a", "source_b",
+                     F.round(1000000.0
+                             * F.abs(F.col("cum_a") / (1.0 * F.col("na"))
+                                     - F.col("cum_b")
+                                     / (1.0 * F.col("nb")))
+                             * (F.col("next_len") - F.col("len")))
+                     .cast("bigint").alias("term_micro")))
+    return (terms.groupBy("source_a", "source_b")
+            .agg(F.round(F.sum("term_micro") / 1000000.0, 6)
+                 .cast("double").alias("w1_chars"))
+            .orderBy("source_a", "source_b"))
