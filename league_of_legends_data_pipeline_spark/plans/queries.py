@@ -17693,24 +17693,26 @@ def q283_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                .localCheckpoint(eager=True))
     grid = support.select("len").distinct()
     sources = support.select("source").distinct()
-    sg = sources.crossJoin(grid)
-    cum = (sg.join(support.select(F.col("source"),
-                                  F.col("len").alias("splen"),
-                                  F.col("cnt")),
-                   "source", "left")
-           .where(F.col("splen").isNull() | (F.col("splen") <= F.col("len")))
-           .groupBy("source", "len")
-           .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint")
-                .alias("cum")))
-    # rows where a source has NO lengths <= len at all would be lost by
-    # the inner-ish filter above; restore them with a left join back to
-    # the full (source, grid) frame
-    pergrid = (sg.join(cum, ["source", "len"], "left")
-               .select("source", "len",
-                       F.coalesce(F.col("cum"), F.lit(0)).alias("cum"))
+    # ECDF at every grid point WITHOUT a range join (a splen <= len
+    # join is quadratic in the length domain): cumulative counts at
+    # each source's OWN support points, equi-joined onto the full
+    # source x grid frame, then forward-filled — every support length
+    # is in the grid by construction, so last-non-null is the exact
+    # cumulative count. One window pass, linear in the panel.
+    wcum = W.partitionBy("source").orderBy("len")         .rowsBetween(W.unboundedPreceding, W.currentRow)
+    own = support.select("source", "len",
+                         F.sum("cnt").over(wcum).cast("bigint")
+                         .alias("cum_own"))
+    pergrid = (sources.crossJoin(grid)
+               .join(own, ["source", "len"], "left")
+               .withColumn("cum",
+                           F.coalesce(
+                               F.last("cum_own", ignorenulls=True)
+                               .over(wcum), F.lit(0)).cast("bigint"))
                .withColumn("next_len",
                            F.lead("len").over(
                                W.partitionBy("source").orderBy("len")))
+               .select("source", "len", "cum", "next_len")
                .localCheckpoint(eager=True))
     totals = support.groupBy("source").agg(F.sum("cnt").cast("bigint")
                                            .alias("n"))

@@ -391,6 +391,10 @@ PROBE_QUERIES = [
     "q280_shapley_attribution",
     # two user aggregates + exact decile ntile + 10-row cumulative panel
     "q281_qini_uplift",
+    # fact-dim broadcast join + k-row HUGEINT moment rollup
+    "q282_anova_f",
+    # support-panel ECDF forward fill + C(sources,2) x grid pair join
+    "q283_source_drift_matrix",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

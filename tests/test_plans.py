@@ -536,6 +536,14 @@ PLAN_SHAPE_GOLDENS = {
     # q279: the q265 support-panel shape; the BNLJ is the 1-row totals
     # broadcast
     "q279_cramer_von_mises": {"BroadcastNestedLoopJoin": 1},
+    # q282: the fact-dim join is truncated behind the checkpointed
+    # segment rollup; the BNLJ is the 1-row totals broadcast
+    "q282_anova_f": {"BroadcastNestedLoopJoin": 1},
+    # q283: forward-filled ECDF over the checkpointed (source, length)
+    # support panel — never a range join; the SMJ is the panel-sized
+    # grid pair join, the BHJs the totals attaches
+    "q283_source_drift_matrix": {"SortMergeJoin": 1,
+                                 "BroadcastHashJoin": 2},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
