@@ -17737,3 +17737,268 @@ def q283_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("term_micro") / 1000000.0, 6)
                  .cast("double").alias("w1_chars"))
             .orderBy("source_a", "source_b"))
+
+
+@_register(
+    "q284_k_anonymity",
+    """
+    -- k-anonymity / l-diversity privacy audit over the quasi-identifier
+    -- (segment, nation, order-year): before releasing an analytics
+    -- extract, report how many equivalence classes (and what share of
+    -- rows) fall below k=5, and how diverse the sensitive attribute
+    -- (order priority) is inside each class. Pure integer counts until
+    -- the two final rounded ratios.
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+               o.o_orderpriority AS priority
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), cls AS (
+        SELECT segment, nation, yr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT priority) AS BIGINT) AS l
+        FROM j GROUP BY 1, 2, 3
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_below_k,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS rows_below_k,
+           CAST(round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
+                      / (1.0 * sum(n)), 6) AS DOUBLE)
+               AS reident_risk_share,
+           CAST(min(n) AS BIGINT) AS min_k,
+           CAST(min(l) AS BIGINT) AS min_l,
+           CAST(round(avg(l), 6) AS DOUBLE) AS avg_l
+    FROM cls GROUP BY segment ORDER BY segment
+    """,
+    doc="k-anonymity / l-diversity audit — the privacy gate a "
+        "training-data release runs over its quasi-identifiers "
+        "(Sweeney 2002; Machanavajjhala 2007): per market segment, the "
+        "count and row share of (segment, nation, year) equivalence "
+        "classes smaller than k=5, the minimum class size, and the "
+        "sensitive-attribute (order priority) diversity floor. "
+        "Complements q68/q163's PII scrubbing: those remove direct "
+        "identifiers, this measures re-identification risk from the "
+        "quasi-identifiers that remain. Scale shape: one fact-dim "
+        "equi-join, one QI-keyed count aggregate (partial map-side), "
+        "one segment-sized rollup — integers end to end, so no "
+        "summation-order sensitivity anywhere.",
+)
+def q284_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    j = (orders.join(customer,
+                     orders.o_custkey == customer.c_custkey)
+         .select(F.col("c_mktsegment").alias("segment"),
+                 F.col("c_nationkey").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("yr"),
+                 F.col("o_orderpriority").alias("priority")))
+    cls = (j.groupBy("segment", "nation", "yr")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.count_distinct("priority").cast("bigint").alias("l")))
+    below = F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
+    return (cls.groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+                 F.sum("n").cast("bigint").alias("n_rows"),
+                 F.sum((F.col("n") < 5).cast("int")).cast("bigint")
+                 .alias("classes_below_k"),
+                 F.sum(below).cast("bigint").alias("rows_below_k"),
+                 F.round(F.sum(below) / (1.0 * F.sum("n")), 6)
+                 .cast("double").alias("reident_risk_share"),
+                 F.min("n").cast("bigint").alias("min_k"),
+                 F.min("l").cast("bigint").alias("min_l"),
+                 F.round(F.avg("l"), 6).cast("double").alias("avg_l"))
+            .orderBy("segment"))
+
+
+@_register(
+    "q285_ohlc_bars",
+    """
+    -- daily OHLC + VWAP bars per event type: the time-bar resampling
+    -- primitive behind any market/telemetry dashboard. Open/close are
+    -- the first/last value by (ts, event_id) total order; prices in
+    -- exact integer cents, VWAP as the one rounded ratio.
+    WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
+        FROM events
+    ), w AS (
+        SELECT day, event_type, cents,
+               row_number() OVER (PARTITION BY day, event_type
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY day, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM e
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
+               AS open_c,
+           CAST(max(cents) AS BIGINT) AS high_c,
+           CAST(min(cents) AS BIGINT) AS low_c,
+           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+               AS close_c,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(round(sum(cents) / (100.0 * count(*)), 6) AS DOUBLE)
+               AS vwap_usd
+    FROM w GROUP BY day, event_type ORDER BY day, event_type
+    """,
+    doc="Daily OHLC/VWAP bar resampling per event type — the canonical "
+        "time-bar rollup (open/high/low/close + volume-weighted "
+        "average). First/last values are pinned by the (ts, event_id) "
+        "total order so ties are engine-independent; prices stay exact "
+        "integer cents through every aggregate. Scale shape: the two "
+        "row_number windows and the final aggregate all key on "
+        "(day, event_type) — ONE shuffle, the windows and the groupBy "
+        "reuse the same hash partitioning (no second exchange in the "
+        "plan); day-keyed windows stay bounded at any corpus scale "
+        "because a day's events per type fit a partition.",
+)
+def q285_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts", "event_id")
+    wa = W.partitionBy("day", "event_type").orderBy("ts", "event_id")
+    wd = W.partitionBy("day", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    w = e.select(
+        "day", "event_type", "cents",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"))
+    return (w.groupBy("day", "event_type")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("cents")))
+                 .cast("bigint").alias("open_c"),
+                 F.max("cents").cast("bigint").alias("high_c"),
+                 F.min("cents").cast("bigint").alias("low_c"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("cents")))
+                 .cast("bigint").alias("close_c"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+                 F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 6)
+                 .cast("double").alias("vwap_usd"))
+            .orderBy("day", "event_type"))
+
+
+@_register(
+    "q286_conformal_interval",
+    """
+    -- split-conformal prediction intervals (Vovk; Lei et al. 2018) per
+    -- event type: users hash-split 60/20/20 into train/cal/test, the
+    -- point model is the train mean (whole cents), the interval
+    -- half-width is the ceil(0.9*(n_cal+1))-th smallest calibration
+    -- residual (the finite-sample-valid conformal quantile), and the
+    -- readout is empirical coverage on the held-out test split.
+    -- Residuals are exact integers; the rank-k order statistic is
+    -- engine-independent by construction.
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+               user_id, event_id,
+               CAST(('0x' || substr(md5('cf:' || CAST(user_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 10 AS b
+        FROM events
+    ), tr AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+               CAST(round(sum(cents) / (1.0 * count(*))) AS BIGINT)
+                   AS yhat_c
+        FROM base WHERE b <= 5 GROUP BY event_type
+    ), cal AS (
+        SELECT b.event_type, abs(b.cents - t.yhat_c) AS r,
+               b.user_id, b.event_id
+        FROM base b JOIN tr t USING (event_type) WHERE b.b IN (6, 7)
+    ), caln AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+               CAST(floor((9 * (count(*) + 1) + 9) / 10.0) AS BIGINT) AS k
+        FROM cal GROUP BY event_type
+    ), ranked AS (
+        SELECT event_type, r,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY r, user_id, event_id) AS rn
+        FROM cal
+    ), q AS (
+        SELECT r.event_type,
+               CAST(max(CASE WHEN r.rn <= c.k THEN r.r END) AS BIGINT)
+                   AS qhat_c
+        FROM ranked r JOIN caln c USING (event_type)
+        GROUP BY r.event_type
+    ), tst AS (
+        SELECT b.event_type, CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(b.cents - t.yhat_c) <= q.qhat_c
+                             THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM base b JOIN tr t USING (event_type) JOIN q USING (event_type)
+        WHERE b.b >= 8 GROUP BY b.event_type
+    )
+    SELECT t.event_type, t.n_train, c.n_cal, s.n_test,
+           CAST(round(t.yhat_c / 100.0, 6) AS DOUBLE) AS yhat_usd,
+           CAST(round(q.qhat_c / 100.0, 6) AS DOUBLE) AS qhat_usd,
+           CAST(round(s.covered / (1.0 * s.n_test), 6) AS DOUBLE)
+               AS coverage
+    FROM tr t JOIN caln c USING (event_type) JOIN q USING (event_type)
+    JOIN tst s ON s.event_type = t.event_type
+    ORDER BY t.event_type
+    """,
+    doc="Split-conformal prediction intervals with finite-sample "
+        "validity — the distribution-free uncertainty readout an "
+        "ML-eval pipeline publishes next to point metrics (q140/q266): "
+        "leakage-safe user-level hash split (the q47 md5 ladder), "
+        "train-mean point model in whole cents, conformal quantile = "
+        "rank-ceil(0.9*(n_cal+1)) calibration residual, coverage "
+        "measured on the untouched test split. Scale shape: one corpus "
+        "scan fans into three split-filtered aggregates; the only "
+        "order-sensitive step is a single per-type order statistic "
+        "(exact rank via one window here; at 100 TB the documented "
+        "lever is the q55/q100 distributed-selection path — the k-th "
+        "residual needs only count-below probes, not a global sort). "
+        "All comparisons are exact integers.",
+)
+def q286_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    b = (F.conv(F.substring(F.md5(F.concat(
+        F.lit("cf:"), F.col("user_id").cast("string"))), 1, 15),
+        16, 10).cast("long") % 10)
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        "user_id", "event_id", b.alias("b")).localCheckpoint(eager=False)
+    tr = (base.where(F.col("b") <= 5).groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_train"),
+               F.round(F.sum("cents") / (1.0 * F.count(F.lit(1))))
+               .cast("bigint").alias("yhat_c")))
+    cal = (base.where(F.col("b").isin(6, 7))
+           .join(F.broadcast(tr), "event_type")
+           .select("event_type",
+                   F.abs(F.col("cents") - F.col("yhat_c")).alias("r"),
+                   "user_id", "event_id"))
+    caln = (cal.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+                 F.floor((9 * (F.count(F.lit(1)) + 1) + 9) / 10.0)
+                 .cast("bigint").alias("k")))
+    ranked = cal.select(
+        "event_type", "r",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("r", "user_id",
+                                                "event_id")).alias("rn"))
+    q = (ranked.join(F.broadcast(caln), "event_type")
+         .groupBy("event_type")
+         .agg(F.max(F.when(F.col("rn") <= F.col("k"), F.col("r")))
+              .cast("bigint").alias("qhat_c")))
+    tst = (base.where(F.col("b") >= 8)
+           .join(F.broadcast(tr.select("event_type", "yhat_c")),
+                 "event_type")
+           .join(F.broadcast(q), "event_type")
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"),
+                F.sum((F.abs(F.col("cents") - F.col("yhat_c"))
+                       <= F.col("qhat_c")).cast("int"))
+                .cast("bigint").alias("covered")))
+    return (tr.join(caln, "event_type").join(q, "event_type")
+            .join(tst, "event_type")
+            .select("event_type", "n_train", "n_cal", "n_test",
+                    F.round(F.col("yhat_c") / 100.0, 6).cast("double")
+                    .alias("yhat_usd"),
+                    F.round(F.col("qhat_c") / 100.0, 6).cast("double")
+                    .alias("qhat_usd"),
+                    F.round(F.col("covered") / (1.0 * F.col("n_test")), 6)
+                    .cast("double").alias("coverage"))
+            .orderBy("event_type"))
