@@ -351,3 +351,60 @@ def weighted_median(df: DataFrame, group_col: str, value_col: str,
             .groupBy(group_col)
             .agg(F.min(value_col).alias("weighted_median"),
                  F.first("__tw").alias("total_weight")))
+
+
+def mutual_information(df: DataFrame, x: Column, y: Column,
+                       pair_name: str) -> DataFrame:
+    """Mutual information (bits) between two categorical columns, plus
+    both marginal entropies and the normalized MI — the feature-vs-label
+    dependence ranking a curation pipeline runs before training a
+    filter (which metadata fields actually predict quality/label?).
+
+    MI = sum_cells (c_xy/N) * log2(c_xy*N / (c_x*c_y)); each cell term
+    and each entropy term is rounded to integer NANO-units before the
+    sum (the PMI log-parity convention, ``text.py::pmi_collocations``),
+    so cross-engine summation order cannot move the result. NMI =
+    MI / min(H(x), H(y)), from the already-rounded sums.
+
+    Scale shape: one (x, y) count aggregate (map-side partial) is the
+    only corpus-sized shuffle; margins derive from the cell table
+    (cells-sized, not corpus-sized); N is a 1-row broadcast. Cell and
+    margin counts are exact BIGINTs; c_xy*N stays < 2^63 below ~3e9
+    rows per cell (the pmi_collocations overflow lever applies past
+    that: swap the ratio to double before the multiply).
+    """
+    cells = (df.select(x.alias("__x"), y.alias("__y"))
+             .groupBy("__x", "__y")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+             .localCheckpoint(eager=False))
+    mx = cells.groupBy("__x").agg(F.sum("c").alias("cx"))
+    my = cells.groupBy("__y").agg(F.sum("c").alias("cy"))
+    n = cells.agg(F.sum("c").alias("n"))
+    nano = F.lit(1_000_000_000)
+    terms = (cells.join(mx, "__x").join(my, "__y")
+             .join(F.broadcast(n))
+             .select(
+                 F.round(nano * (F.col("c") / F.col("n"))
+                         * F.log2(F.col("c") * F.col("n")
+                                  / (F.col("cx") * F.col("cy"))))
+                 .cast("long").alias("mi_nano")))
+    h = lambda m, cnt: (m.join(F.broadcast(n))
+                        .select(F.round(nano * (F.col(cnt) / F.col("n"))
+                                        * F.log2(F.col("n") / F.col(cnt)))
+                                .cast("long").alias("h_nano"))
+                        .agg(F.sum("h_nano").alias("h_nano")))
+    mi = terms.agg(F.sum("mi_nano").alias("mi_nano"),
+                   F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    out = (mi.join(F.broadcast(n))
+           .join(F.broadcast(h(mx, "cx").withColumnRenamed("h_nano", "hx")))
+           .join(F.broadcast(h(my, "cy").withColumnRenamed("h_nano", "hy"))))
+    mi_b = F.col("mi_nano") / 1e9
+    return out.select(
+        F.lit(pair_name).alias("pair"),
+        F.col("n").cast("bigint").alias("n"),
+        "n_cells",
+        F.round(mi_b, 6).cast("double").alias("mi_bits"),
+        F.round(F.col("hx") / 1e9, 6).cast("double").alias("h_x"),
+        F.round(F.col("hy") / 1e9, 6).cast("double").alias("h_y"),
+        F.round(mi_b / (F.least(F.col("hx"), F.col("hy")) / 1e9), 6)
+        .cast("double").alias("nmi"))

@@ -18002,3 +18002,287 @@ def q286_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("covered") / (1.0 * F.col("n_test")), 6)
                     .cast("double").alias("coverage"))
             .orderBy("event_type"))
+
+
+@_register(
+    "q287_mutual_information",
+    """
+    -- mutual-information feature ranking: which event attributes carry
+    -- information about the event type? MI(x; event_type) in bits for
+    -- x in {fixed-width value bucket, hour-of-day, ISO weekday}, with
+    -- marginal entropies and normalized MI. Every cell/margin term is
+    -- rounded to integer nano-units before the order-free sum (the PMI
+    -- log-parity convention).
+    WITH base AS (
+        SELECT event_type AS y,
+               least(9, CAST(floor(value / 5.0) AS BIGINT)) AS xb,
+               CAST(hour(ts) AS BIGINT) AS xh,
+               CAST(isodow(ts) AS BIGINT) AS xd
+        FROM events
+    ),
+    cb AS (SELECT xb AS x, y, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY 1, 2),
+    ch AS (SELECT xh AS x, y, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY 1, 2),
+    cd AS (SELECT xd AS x, y, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY 1, 2),
+    all_cells AS (
+        SELECT 'value_bucket' AS pair, * FROM cb
+        UNION ALL SELECT 'hour' AS pair, * FROM ch
+        UNION ALL SELECT 'weekday' AS pair, * FROM cd
+    ), mx AS (
+        SELECT pair, x, CAST(sum(c) AS BIGINT) AS cx
+        FROM all_cells GROUP BY 1, 2
+    ), my AS (
+        SELECT pair, y, CAST(sum(c) AS BIGINT) AS cy
+        FROM all_cells GROUP BY 1, 2
+    ), nn AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS n
+        FROM all_cells GROUP BY 1
+    ), mi AS (
+        SELECT a.pair,
+               CAST(sum(CAST(round(1000000000.0 * (a.c / (1.0 * nn.n))
+                   * log2((a.c * 1.0 * nn.n) / (mx.cx * 1.0 * my.cy)))
+                   AS BIGINT)) AS BIGINT) AS mi_nano,
+               CAST(count(*) AS BIGINT) AS n_cells
+        FROM all_cells a
+        JOIN mx ON mx.pair = a.pair AND mx.x = a.x
+        JOIN my ON my.pair = a.pair AND my.y = a.y
+        JOIN nn ON nn.pair = a.pair
+        GROUP BY a.pair
+    ), hx AS (
+        SELECT mx.pair,
+               CAST(sum(CAST(round(1000000000.0 * (mx.cx / (1.0 * nn.n))
+                   * log2(nn.n / (1.0 * mx.cx))) AS BIGINT)) AS BIGINT)
+                   AS hx_nano
+        FROM mx JOIN nn ON nn.pair = mx.pair GROUP BY mx.pair
+    ), hy AS (
+        SELECT my.pair,
+               CAST(sum(CAST(round(1000000000.0 * (my.cy / (1.0 * nn.n))
+                   * log2(nn.n / (1.0 * my.cy))) AS BIGINT)) AS BIGINT)
+                   AS hy_nano
+        FROM my JOIN nn ON nn.pair = my.pair GROUP BY my.pair
+    )
+    SELECT mi.pair, nn.n, mi.n_cells,
+           CAST(round(mi.mi_nano / 1e9, 6) AS DOUBLE) AS mi_bits,
+           CAST(round(hx.hx_nano / 1e9, 6) AS DOUBLE) AS h_x,
+           CAST(round(hy.hy_nano / 1e9, 6) AS DOUBLE) AS h_y,
+           CAST(round((mi.mi_nano / 1e9)
+                      / (least(hx.hx_nano, hy.hy_nano) / 1e9), 6)
+                AS DOUBLE) AS nmi
+    FROM mi JOIN nn ON nn.pair = mi.pair
+    JOIN hx ON hx.pair = mi.pair JOIN hy ON hy.pair = mi.pair
+    ORDER BY mi.pair
+    """,
+    doc="Mutual-information feature ranking (operators/profile.py::"
+        "mutual_information): MI(attribute; event_type) in bits for "
+        "value-bucket / hour / ISO-weekday attributes, with marginal "
+        "entropies and NMI — the dependence screen run before training "
+        "metadata-conditioned quality filters (q128) or choosing "
+        "stratification keys (q48/q274). Every log term rounds to "
+        "integer nano-units before summation (pmi_collocations' "
+        "log-parity convention) so engine summation order is moot. "
+        "Scale shape: per attribute ONE (x, y) count aggregate is the "
+        "only corpus-sized shuffle; margins/entropies derive from the "
+        "cells-sized table; N is a 1-row broadcast.",
+)
+def q287_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        mutual_information,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.col("event_type").alias("y"),
+        F.least(F.lit(9), F.floor(F.col("value") / 5.0)).cast("bigint")
+        .alias("xb"),
+        F.hour("ts").cast("bigint").alias("xh"),
+        (F.weekday("ts") + 1).cast("bigint").alias("xd"))
+    base = base.localCheckpoint(eager=False)
+    parts = [
+        mutual_information(base, F.col("xh"), F.col("y"), "hour"),
+        mutual_information(base, F.col("xb"), F.col("y"), "value_bucket"),
+        mutual_information(base, F.col("xd"), F.col("y"), "weekday"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pair")
+
+
+@_register(
+    "q288_ipw_ate",
+    """
+    -- inverse-propensity-weighted ATE (Horvitz-Thompson): effect of
+    -- organic pre-period signup on post-period purchase spend, with the
+    -- propensity estimated by the q128 3-iteration micro-unit GD
+    -- logistic regression on pre-period engagement covariates, clipped
+    -- to [0.05, 0.95]. Completes the causal tier: q250 CUPED, q251
+    -- DiD, q274 post-stratification assume assignment is (conditionally)
+    -- random; IPW reweights an OBSERVED treatment by modeled
+    -- propensity. Per-user IPW terms round to integer micro-units
+    -- before the order-free sum.
+    WITH span AS (
+        SELECT CAST(min(CAST(ts AS DATE)) AS DATE) AS d0,
+               CAST(min(CAST(ts AS DATE)) AS DATE)
+               + CAST(floor(date_diff('day', min(CAST(ts AS DATE)),
+                                      max(CAST(ts AS DATE))) / 2.0)
+                      AS INTEGER) AS mid
+        FROM events
+    ), panel AS (
+        SELECT e.user_id,
+               least(1.0, sum(CASE WHEN CAST(e.ts AS DATE) < s.mid
+                   AND e.event_type = 'click' THEN 1 ELSE 0 END) / 10.0)
+                   AS x0,
+               least(1.0, sum(CASE WHEN CAST(e.ts AS DATE) < s.mid
+                   AND e.event_type = 'view' THEN 1 ELSE 0 END) / 10.0)
+                   AS x1,
+               1.0 AS x2,
+               CAST(max(CASE WHEN CAST(e.ts AS DATE) < s.mid
+                   AND e.event_type = 'signup' THEN 1 ELSE 0 END)
+                   AS DOUBLE) AS t,
+               CAST(sum(CASE WHEN CAST(e.ts AS DATE) >= s.mid
+                   AND e.event_type = 'purchase'
+                   THEN CAST(round(e.value * 100) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS ycents
+        FROM events e CROSS JOIN span s
+        GROUP BY e.user_id
+    ), i1 AS (
+        SELECT count(*) AS n,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(0.0*x0 + 0.0*x1
+                   + 0.0*x2)))) * x0 * 1000000) AS BIGINT)) AS g0,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(0.0*x0 + 0.0*x1
+                   + 0.0*x2)))) * x1 * 1000000) AS BIGINT)) AS g1,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(0.0*x0 + 0.0*x1
+                   + 0.0*x2)))) * x2 * 1000000) AS BIGINT)) AS g2
+        FROM panel
+    ), w1 AS (
+        SELECT n, 0.0 + 1.0 * (g0 / (n * 1000000.0)) AS wa,
+                  0.0 + 1.0 * (g1 / (n * 1000000.0)) AS wb,
+                  0.0 + 1.0 * (g2 / (n * 1000000.0)) AS wc
+        FROM i1
+    ), i2 AS (
+        SELECT w1.n, w1.wa, w1.wb, w1.wc,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(w1.wa*x0 + w1.wb*x1
+                   + w1.wc*x2)))) * x0 * 1000000) AS BIGINT)) AS g0,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(w1.wa*x0 + w1.wb*x1
+                   + w1.wc*x2)))) * x1 * 1000000) AS BIGINT)) AS g1,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(w1.wa*x0 + w1.wb*x1
+                   + w1.wc*x2)))) * x2 * 1000000) AS BIGINT)) AS g2
+        FROM panel CROSS JOIN w1 GROUP BY w1.n, w1.wa, w1.wb, w1.wc
+    ), w2 AS (
+        SELECT n, wa + 1.0 * (g0 / (n * 1000000.0)) AS wa,
+                  wb + 1.0 * (g1 / (n * 1000000.0)) AS wb,
+                  wc + 1.0 * (g2 / (n * 1000000.0)) AS wc
+        FROM i2
+    ), i3 AS (
+        SELECT w2.n, w2.wa, w2.wb, w2.wc,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(w2.wa*x0 + w2.wb*x1
+                   + w2.wc*x2)))) * x0 * 1000000) AS BIGINT)) AS g0,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(w2.wa*x0 + w2.wb*x1
+                   + w2.wc*x2)))) * x1 * 1000000) AS BIGINT)) AS g1,
+               sum(CAST(round((t - 1.0/(1.0 + exp(-(w2.wa*x0 + w2.wb*x1
+                   + w2.wc*x2)))) * x2 * 1000000) AS BIGINT)) AS g2
+        FROM panel CROSS JOIN w2 GROUP BY w2.n, w2.wa, w2.wb, w2.wc
+    ), w3 AS (
+        SELECT n, wa + 1.0 * (g0 / (n * 1000000.0)) AS wa,
+                  wb + 1.0 * (g1 / (n * 1000000.0)) AS wb,
+                  wc + 1.0 * (g2 / (n * 1000000.0)) AS wc
+        FROM i3
+    ), scored AS (
+        SELECT p.t, p.ycents,
+               least(0.95, greatest(0.05,
+                   1.0/(1.0 + exp(-(w3.wa*p.x0 + w3.wb*p.x1
+                                    + w3.wc*p.x2))))) AS pc,
+               w3.wa, w3.wb, w3.wc, w3.n
+        FROM panel p CROSS JOIN w3
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(sum(CAST(t AS BIGINT)) AS BIGINT) AS n_treated,
+           CAST(round(wa, 6) AS DOUBLE) AS w0,
+           CAST(round(wb, 6) AS DOUBLE) AS w1,
+           CAST(round(wc, 6) AS DOUBLE) AS w2,
+           CAST(round(sum(CASE WHEN t = 1.0 THEN ycents ELSE 0 END)
+                      / (100.0 * greatest(sum(CASE WHEN t = 1.0
+                                          THEN 1 ELSE 0 END), 1))
+                      - sum(CASE WHEN t = 0.0 THEN ycents ELSE 0 END)
+                      / (100.0 * greatest(sum(CASE WHEN t = 0.0
+                                          THEN 1 ELSE 0 END), 1)), 6)
+                AS DOUBLE) AS naive_diff_usd,
+           CAST(round(sum(CAST(round(1000000.0 * (
+                      t * (ycents / 100.0) / pc
+                      - (1.0 - t) * (ycents / 100.0) / (1.0 - pc)))
+                   AS BIGINT)) / (n * 1000000.0), 6) AS DOUBLE)
+               AS ipw_ate_usd
+    FROM scored GROUP BY n, wa, wb, wc
+    """,
+    doc="Inverse-propensity-weighted ATE with a learned propensity "
+        "(operators/classifier.py::logistic_fit, the q128 micro-unit GD "
+        "so the weights replicate bit-for-bit): pre-period engagement "
+        "covariates predict organic signup, the Horvitz-Thompson "
+        "estimator reweights post-period purchase spend, propensities "
+        "clipped to [0.05, 0.95]. Scale shape: ONE events scan builds "
+        "the user panel (checkpointed); each GD iteration is one panel "
+        "aggregate whose shuffle carries 3 integer partials per "
+        "partition; the readout is one more panel aggregate with "
+        "per-user micro-unit IPW terms — order-free everywhere, driver "
+        "holds only the 3 weights.",
+)
+def q288_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.classifier import (
+        logistic_fit, _half_away,
+    )
+
+    (events,) = _t(spark, sf_dir, "events")
+    span = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.date_add(F.min(F.to_date("ts")),
+                   F.floor(F.datediff(F.max(F.to_date("ts")),
+                                      F.min(F.to_date("ts"))) / 2.0)
+                   .cast("int")).alias("mid"))
+    day = F.to_date("ts")
+    pre = day < F.col("mid")
+    panel = (events.crossJoin(F.broadcast(span))
+             .groupBy("user_id")
+             .agg(F.least(F.lit(1.0),
+                          F.sum((pre & (F.col("event_type") == "click"))
+                                .cast("int")) / 10.0).alias("x0"),
+                  F.least(F.lit(1.0),
+                          F.sum((pre & (F.col("event_type") == "view"))
+                                .cast("int")) / 10.0).alias("x1"),
+                  F.lit(1.0).alias("x2"),
+                  F.max((pre & (F.col("event_type") == "signup"))
+                        .cast("int")).cast("double").alias("t"),
+                  F.sum(F.when(~pre & (F.col("event_type") == "purchase"),
+                               F.round(F.col("value") * 100)
+                               .cast("bigint")).otherwise(F.lit(0)))
+                  .cast("bigint").alias("ycents"))
+             .localCheckpoint(eager=True))
+    wts = logistic_fit(panel, [F.col("x0"), F.col("x1"), F.col("x2")],
+                       F.col("t"), iterations=3, lr=1.0)
+    wa, wb, wc = wts
+    pc = F.least(F.lit(0.95), F.greatest(F.lit(0.05),
+        F.lit(1.0) / (F.lit(1.0) + F.exp(
+            -(F.lit(wa) * F.col("x0") + F.lit(wb) * F.col("x1")
+              + F.lit(wc) * F.col("x2"))))))
+    y_usd = F.col("ycents") / 100.0
+    term = (F.col("t") * y_usd / pc
+            - (F.lit(1.0) - F.col("t")) * y_usd / (F.lit(1.0) - pc))
+    treated = (F.col("t") == 1.0).cast("int")
+    control = (F.col("t") == 0.0).cast("int")
+    return panel.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("t").cast("bigint")).cast("bigint").alias("n_treated"),
+        F.lit(_half_away(wa, 6)).cast("double").alias("w0"),
+        F.lit(_half_away(wb, 6)).cast("double").alias("w1"),
+        F.lit(_half_away(wc, 6)).cast("double").alias("w2"),
+        F.round(F.sum(F.when(F.col("t") == 1.0, F.col("ycents"))
+                      .otherwise(F.lit(0)))
+                / (100.0 * F.greatest(F.sum(treated), F.lit(1)))
+                - F.sum(F.when(F.col("t") == 0.0, F.col("ycents"))
+                        .otherwise(F.lit(0)))
+                / (100.0 * F.greatest(F.sum(control), F.lit(1))), 6)
+        .cast("double").alias("naive_diff_usd"),
+        F.round(F.sum(F.round(1000000.0 * term).cast("long"))
+                / (F.count(F.lit(1)) * 1000000.0), 6)
+        .cast("double").alias("ipw_ate_usd"))
