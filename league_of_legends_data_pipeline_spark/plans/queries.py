@@ -17740,149 +17740,7 @@ def q283_source_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q284_k_anonymity",
-    """
-    -- k-anonymity / l-diversity privacy audit over the quasi-identifier
-    -- (segment, nation, order-year): before releasing an analytics
-    -- extract, report how many equivalence classes (and what share of
-    -- rows) fall below k=5, and how diverse the sensitive attribute
-    -- (order priority) is inside each class. Pure integer counts until
-    -- the two final rounded ratios.
-    WITH j AS (
-        SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
-               CAST(year(o.o_orderdate) AS BIGINT) AS yr,
-               o.o_orderpriority AS priority
-        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    ), cls AS (
-        SELECT segment, nation, yr,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(count(DISTINCT priority) AS BIGINT) AS l
-        FROM j GROUP BY 1, 2, 3
-    )
-    SELECT segment,
-           CAST(count(*) AS BIGINT) AS n_classes,
-           CAST(sum(n) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
-               AS classes_below_k,
-           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
-               AS rows_below_k,
-           CAST(round(sum(CASE WHEN n < 5 THEN n ELSE 0 END)
-                      / (1.0 * sum(n)), 6) AS DOUBLE)
-               AS reident_risk_share,
-           CAST(min(n) AS BIGINT) AS min_k,
-           CAST(min(l) AS BIGINT) AS min_l,
-           CAST(round(avg(l), 6) AS DOUBLE) AS avg_l
-    FROM cls GROUP BY segment ORDER BY segment
-    """,
-    doc="k-anonymity / l-diversity audit — the privacy gate a "
-        "training-data release runs over its quasi-identifiers "
-        "(Sweeney 2002; Machanavajjhala 2007): per market segment, the "
-        "count and row share of (segment, nation, year) equivalence "
-        "classes smaller than k=5, the minimum class size, and the "
-        "sensitive-attribute (order priority) diversity floor. "
-        "Complements q68/q163's PII scrubbing: those remove direct "
-        "identifiers, this measures re-identification risk from the "
-        "quasi-identifiers that remain. Scale shape: one fact-dim "
-        "equi-join, one QI-keyed count aggregate (partial map-side), "
-        "one segment-sized rollup — integers end to end, so no "
-        "summation-order sensitivity anywhere.",
-)
-def q284_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders, customer = _t(spark, sf_dir, "orders", "customer")
-    j = (orders.join(customer,
-                     orders.o_custkey == customer.c_custkey)
-         .select(F.col("c_mktsegment").alias("segment"),
-                 F.col("c_nationkey").alias("nation"),
-                 F.year("o_orderdate").cast("bigint").alias("yr"),
-                 F.col("o_orderpriority").alias("priority")))
-    cls = (j.groupBy("segment", "nation", "yr")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.count_distinct("priority").cast("bigint").alias("l")))
-    below = F.when(F.col("n") < 5, F.col("n")).otherwise(F.lit(0))
-    return (cls.groupBy("segment")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-                 F.sum("n").cast("bigint").alias("n_rows"),
-                 F.sum((F.col("n") < 5).cast("int")).cast("bigint")
-                 .alias("classes_below_k"),
-                 F.sum(below).cast("bigint").alias("rows_below_k"),
-                 F.round(F.sum(below) / (1.0 * F.sum("n")), 6)
-                 .cast("double").alias("reident_risk_share"),
-                 F.min("n").cast("bigint").alias("min_k"),
-                 F.min("l").cast("bigint").alias("min_l"),
-                 F.round(F.avg("l"), 6).cast("double").alias("avg_l"))
-            .orderBy("segment"))
-
-
-@_register(
-    "q285_ohlc_bars",
-    """
-    -- daily OHLC + VWAP bars per event type: the time-bar resampling
-    -- primitive behind any market/telemetry dashboard. Open/close are
-    -- the first/last value by (ts, event_id) total order; prices in
-    -- exact integer cents, VWAP as the one rounded ratio.
-    WITH e AS (
-        SELECT CAST(ts AS DATE) AS day, event_type,
-               CAST(round(value * 100) AS BIGINT) AS cents, ts, event_id
-        FROM events
-    ), w AS (
-        SELECT day, event_type, cents,
-               row_number() OVER (PARTITION BY day, event_type
-                                  ORDER BY ts, event_id) AS rn_a,
-               row_number() OVER (PARTITION BY day, event_type
-                                  ORDER BY ts DESC, event_id DESC) AS rn_d
-        FROM e
-    )
-    SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
-           CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT)
-               AS open_c,
-           CAST(max(cents) AS BIGINT) AS high_c,
-           CAST(min(cents) AS BIGINT) AS low_c,
-           CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
-               AS close_c,
-           CAST(count(*) AS BIGINT) AS n_trades,
-           CAST(round(sum(cents) / (100.0 * count(*)), 6) AS DOUBLE)
-               AS vwap_usd
-    FROM w GROUP BY day, event_type ORDER BY day, event_type
-    """,
-    doc="Daily OHLC/VWAP bar resampling per event type — the canonical "
-        "time-bar rollup (open/high/low/close + volume-weighted "
-        "average). First/last values are pinned by the (ts, event_id) "
-        "total order so ties are engine-independent; prices stay exact "
-        "integer cents through every aggregate. Scale shape: the two "
-        "row_number windows and the final aggregate all key on "
-        "(day, event_type) — ONE shuffle, the windows and the groupBy "
-        "reuse the same hash partitioning (no second exchange in the "
-        "plan); day-keyed windows stay bounded at any corpus scale "
-        "because a day's events per type fit a partition.",
-)
-def q285_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (events,) = _t(spark, sf_dir, "events")
-    e = events.select(
-        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
-        "ts", "event_id")
-    wa = W.partitionBy("day", "event_type").orderBy("ts", "event_id")
-    wd = W.partitionBy("day", "event_type").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc())
-    w = e.select(
-        "day", "event_type", "cents",
-        F.row_number().over(wa).alias("rn_a"),
-        F.row_number().over(wd).alias("rn_d"))
-    return (w.groupBy("day", "event_type")
-            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("cents")))
-                 .cast("bigint").alias("open_c"),
-                 F.max("cents").cast("bigint").alias("high_c"),
-                 F.min("cents").cast("bigint").alias("low_c"),
-                 F.max(F.when(F.col("rn_d") == 1, F.col("cents")))
-                 .cast("bigint").alias("close_c"),
-                 F.count(F.lit(1)).cast("bigint").alias("n_trades"),
-                 F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 6)
-                 .cast("double").alias("vwap_usd"))
-            .orderBy("day", "event_type"))
-
-
-@_register(
-    "q286_conformal_interval",
+    "q284_conformal_interval",
     """
     -- split-conformal prediction intervals (Vovk; Lei et al. 2018) per
     -- event type: users hash-split 60/20/20 into train/cal/test, the
@@ -17952,7 +17810,7 @@ def q285_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual needs only count-below probes, not a global sort). "
         "All comparisons are exact integers.",
 )
-def q286_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q284_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     b = (F.conv(F.substring(F.md5(F.concat(
         F.lit("cf:"), F.col("user_id").cast("string"))), 1, 15),
@@ -18005,7 +17863,7 @@ def q286_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q287_mutual_information",
+    "q285_mutual_information",
     """
     -- mutual-information feature ranking: which event attributes carry
     -- information about the event type? MI(x; event_type) in bits for
@@ -18079,14 +17937,20 @@ def q286_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value-bucket / hour / ISO-weekday attributes, with marginal "
         "entropies and NMI — the dependence screen run before training "
         "metadata-conditioned quality filters (q128) or choosing "
-        "stratification keys (q48/q274). Every log term rounds to "
+        "stratification keys (q48/q274). Completes the association "
+        "family on the information-theoretic axis: q192's chi-2 and "
+        "q273's Cramer's V test/normalize the same contingency table "
+        "against independence, q193's WoE/IV is the binary-target "
+        "special case; MI is the quantity feature-selection and "
+        "clustering-evaluation (NMI) literature actually ranks by, and "
+        "its entropy terms are reusable readouts. Every log term rounds to "
         "integer nano-units before summation (pmi_collocations' "
         "log-parity convention) so engine summation order is moot. "
         "Scale shape: per attribute ONE (x, y) count aggregate is the "
         "only corpus-sized shuffle; margins/entropies derive from the "
         "cells-sized table; N is a 1-row broadcast.",
 )
-def q287_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q285_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.profile import (
         mutual_information,
     )
@@ -18111,7 +17975,7 @@ def q287_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "q288_ipw_ate",
+    "q286_ipw_ate",
     """
     -- inverse-propensity-weighted ATE (Horvitz-Thompson): effect of
     -- organic pre-period signup on post-period purchase spend, with the
@@ -18228,7 +18092,7 @@ def q287_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "per-user micro-unit IPW terms — order-free everywhere, driver "
         "holds only the 3 weights.",
 )
-def q288_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q286_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.classifier import (
         logistic_fit, _half_away,
     )
