@@ -18150,3 +18150,292 @@ def q286_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.round(1000000.0 * term).cast("long"))
                 / (F.count(F.lit(1)) * 1000000.0), 6)
         .cast("double").alias("ipw_ate_usd"))
+
+
+@_register(
+    "q287_isotonic_calibration",
+    """
+    -- isotonic (PAV) calibration map over the q266 score panel: the
+    -- FITTING dual of q266's ECE readout (ECE measures miscalibration,
+    -- isotonic regression repairs it — sklearn's calibration recipe).
+    -- On 20 score bins the pool-adjacent-violators solution is the
+    -- minimax formula iso(b) = max_{i<=b} min_{j>=b} avg(i..j), an
+    -- exact bin-cubed enumeration over prefix-sum integers — no
+    -- sequential pooling loop, engine-identical ratios.
+    WITH trials AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               count(*) AS n_ev,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS n_click,
+               max(CASE WHEN event_type = 'purchase' AND value >= 15.0
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT CAST(round(n_click * 1000000.0 / n_ev) AS BIGINT)
+                   AS p_micro, y
+        FROM trials
+    ), binned AS (
+        SELECT least(CAST(floor(p_micro / 50000.0) AS BIGINT), 19)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS n_trials,
+               CAST(sum(p_micro) AS BIGINT) AS sp,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM scored GROUP BY 1
+    ), pre AS (
+        SELECT bin, n_trials, sp, pos,
+               CAST(sum(n_trials) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM binned
+    ), seg AS (
+        -- avg rate of the bin segment [i..j] from prefix differences
+        SELECT i.bin AS i, j.bin AS j,
+               (j.cp - (i.cp - i.pos)) / (1.0 * (j.cn - (i.cn - i.n_trials)))
+                   AS seg_avg
+        FROM pre i JOIN pre j ON i.bin <= j.bin
+    ), inner_min AS (
+        SELECT b.bin, s.i, min(s.seg_avg) AS lo
+        FROM pre b JOIN seg s ON s.i <= b.bin AND s.j >= b.bin
+        GROUP BY b.bin, s.i
+    ), iso AS (
+        SELECT bin, max(lo) AS iso_rate FROM inner_min GROUP BY bin
+    )
+    SELECT p.bin, p.n_trials,
+           CAST(round(p.sp / (p.n_trials * 1000000.0), 6) AS DOUBLE)
+               AS mean_pred,
+           CAST(round(p.pos * 1.0 / p.n_trials, 6) AS DOUBLE)
+               AS raw_rate,
+           CAST(round(iso.iso_rate, 6) AS DOUBLE) AS iso_rate,
+           CAST(dense_rank() OVER (ORDER BY round(iso.iso_rate, 6))
+                AS BIGINT) AS level_id
+    FROM pre p JOIN iso ON iso.bin = p.bin
+    ORDER BY p.bin
+    """,
+    doc="Isotonic-regression (pool-adjacent-violators) calibration map "
+        "over the q266 reliability panel — q266 MEASURES "
+        "miscalibration (ECE), this FITS the monotone repair sklearn's "
+        "CalibratedClassifier applies; level_id exposes the pooled "
+        "blocks. Implementation is the exact minimax identity "
+        "iso(b) = max_i<=b min_j>=b avg(i..j) on 20 score bins: the "
+        "corpus collapses in ONE user-day aggregate + one 20-row bin "
+        "rollup, and the cubic enumeration runs on the bin panel "
+        "(20^3 dimension-sized at ANY corpus scale, vs the inherently "
+        "sequential textbook PAV loop). Segment averages are "
+        "prefix-difference integer ratios — the single double "
+        "division lands identically on both engines, so min/max "
+        "ordering is exact.",
+)
+def q287_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+              .agg(F.count(F.lit(1)).alias("n_ev"),
+                   F.sum(F.when(F.col("event_type") == "click", 1)
+                         .otherwise(0)).alias("n_click"),
+                   F.max(F.when((F.col("event_type") == "purchase")
+                                & (F.col("value") >= 15.0), 1)
+                         .otherwise(0)).alias("y")))
+    scored = trials.select(
+        F.round(F.col("n_click") * 1000000.0 / F.col("n_ev"))
+        .cast("bigint").alias("p_micro"), "y")
+    binned = (scored.groupBy(
+        F.least(F.floor(F.col("p_micro") / 50000.0).cast("bigint"),
+                F.lit(19).cast("bigint")).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trials"),
+             F.sum("p_micro").cast("bigint").alias("sp"),
+             F.sum("y").cast("bigint").alias("pos")))
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pre = (binned.select(
+        "bin", "n_trials", "sp", "pos",
+        F.sum("n_trials").over(wcum).cast("bigint").alias("cn"),
+        F.sum("pos").over(wcum).cast("bigint").alias("cp"))
+        .localCheckpoint(eager=True))
+    i = pre.select(F.col("bin").alias("i"),
+                   (F.col("cp") - F.col("pos")).alias("cp0"),
+                   (F.col("cn") - F.col("n_trials")).alias("cn0"))
+    j = pre.select(F.col("bin").alias("j"),
+                   F.col("cp").alias("cpj"), F.col("cn").alias("cnj"))
+    seg = (i.join(j, F.col("i") <= F.col("j"))
+           .select("i", "j",
+                   ((F.col("cpj") - F.col("cp0"))
+                    / (1.0 * (F.col("cnj") - F.col("cn0"))))
+                   .alias("seg_avg")))
+    inner_min = (pre.select("bin")
+                 .join(seg, (F.col("i") <= F.col("bin"))
+                       & (F.col("j") >= F.col("bin")))
+                 .groupBy("bin", "i").agg(F.min("seg_avg").alias("lo")))
+    iso = inner_min.groupBy("bin").agg(F.max("lo").alias("iso_rate"))
+    out = (pre.join(iso, "bin")
+           .select("bin", "n_trials",
+                   F.round(F.col("sp") / (F.col("n_trials") * 1000000.0),
+                           6).cast("double").alias("mean_pred"),
+                   F.round(F.col("pos") * 1.0 / F.col("n_trials"), 6)
+                   .cast("double").alias("raw_rate"),
+                   F.round(F.col("iso_rate"), 6).cast("double")
+                   .alias("iso_rate")))
+    return (out.withColumn(
+        "level_id",
+        F.dense_rank().over(W.orderBy("iso_rate")).cast("bigint"))
+        .orderBy("bin"))
+
+
+@_register(
+    "q288_pca_power_iteration",
+    """
+    -- top principal component of the embedding corpus by 3 unrolled
+    -- power iterations on the covariance matrix: the spectral health
+    -- readout behind anisotropy/whitening decisions (q208 reports
+    -- norms and a mean-cosine proxy; this pins the actual dominant
+    -- eigenpair and its explained-variance share). The corpus-sized
+    -- work is ONE Gram aggregate with micro-unit integer sums; every
+    -- later stage is 64- or 4096-row arithmetic with nano-unit
+    -- rounding before each sum, so both engines walk the identical
+    -- float path.
+    WITH ex AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, range(1, 65) r(i)
+    ), s1 AS (
+        SELECT i, CAST(sum(CAST(round(1000000.0 * v) AS BIGINT))
+                       AS BIGINT) AS sv
+        FROM ex GROUP BY i
+    ), gram AS (
+        SELECT a.i, b.i AS j,
+               CAST(sum(CAST(round(1000000.0 * a.v * b.v) AS BIGINT))
+                    AS BIGINT) AS sij
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+    ), cov AS (
+        SELECT g.i, g.j,
+               g.sij / (nn.n * 1000000.0)
+               - (sa.sv / (nn.n * 1000000.0))
+                 * (sb.sv / (nn.n * 1000000.0)) AS c
+        FROM gram g
+        JOIN s1 sa ON sa.i = g.i JOIN s1 sb ON sb.i = g.j
+        CROSS JOIN nn
+    ), w1 AS (
+        SELECT i, sum(CAST(round(1000000000.0 * c * 0.125) AS BIGINT))
+                   / 1000000000.0 AS w
+        FROM cov GROUP BY i
+    ), n1 AS (
+        SELECT sqrt(sum(CAST(round(1000000000.0 * w * w) AS BIGINT))
+                    / 1000000000.0) AS nrm FROM w1
+    ), v1 AS (
+        SELECT i, w / nrm AS v FROM w1 CROSS JOIN n1
+    ), w2 AS (
+        SELECT cov.i, sum(CAST(round(1000000000.0 * cov.c * v1.v)
+                               AS BIGINT)) / 1000000000.0 AS w
+        FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i
+    ), n2 AS (
+        SELECT sqrt(sum(CAST(round(1000000000.0 * w * w) AS BIGINT))
+                    / 1000000000.0) AS nrm FROM w2
+    ), v2 AS (
+        SELECT i, w / nrm AS v FROM w2 CROSS JOIN n2
+    ), w3 AS (
+        SELECT cov.i, sum(CAST(round(1000000000.0 * cov.c * v2.v)
+                               AS BIGINT)) / 1000000000.0 AS w
+        FROM cov JOIN v2 ON v2.i = cov.j GROUP BY cov.i
+    ), n3 AS (
+        SELECT sqrt(sum(CAST(round(1000000000.0 * w * w) AS BIGINT))
+                    / 1000000000.0) AS nrm FROM w3
+    ), v3 AS (
+        SELECT i, w / nrm AS v FROM w3 CROSS JOIN n3
+    ), w4 AS (
+        SELECT cov.i, sum(CAST(round(1000000000.0 * cov.c * v3.v)
+                               AS BIGINT)) / 1000000000.0 AS w
+        FROM cov JOIN v3 ON v3.i = cov.j GROUP BY cov.i
+    ), lam AS (
+        SELECT sum(CAST(round(1000000000.0 * v3.v * w4.w) AS BIGINT))
+               / 1000000000.0 AS lam
+        FROM v3 JOIN w4 ON w4.i = v3.i
+    ), tr AS (
+        SELECT sum(CAST(round(1000000000.0 * c) AS BIGINT))
+               / 1000000000.0 AS trace
+        FROM cov WHERE i = j
+    )
+    SELECT CAST(v3.i AS BIGINT) AS dim,
+           CAST(round(v3.v, 6) AS DOUBLE) AS loading,
+           CAST(round(lam.lam, 6) AS DOUBLE) AS eigenvalue,
+           CAST(round(lam.lam / tr.trace, 6) AS DOUBLE)
+               AS explained_share
+    FROM v3 CROSS JOIN lam CROSS JOIN tr
+    ORDER BY dim
+    """,
+    doc="Top principal component of the embedding corpus via 3 power "
+        "iterations (Rayleigh eigenvalue + explained-variance share): "
+        "the spectral anisotropy readout feeding whitening / "
+        "dimension-reduction decisions (q102's JL projection and "
+        "q57's quantization assume no single direction dominates; "
+        "this measures it). Scale shape: ONE corpus-sized Gram "
+        "aggregate — the (i,j) shuffle carries 64x64 integer "
+        "micro-unit partials per map side, never vectors — then every "
+        "iteration is a 4096-row matvec with nano-unit rounded terms "
+        "(order-free sums, identical IEEE divide/sqrt on both "
+        "engines). The textbook 100 TB refinement — mapInPandas "
+        "per-partition outer-product partials — keeps the same "
+        "integer contract; the explode+self-join form here IS the "
+        "declarative dual Catalyst can shuffle-plan.",
+)
+def q288_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    ex = (embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("p", "v"))
+        .select("vec_id", (F.col("p") + 1).alias("i"),
+                F.col("v").cast("double").alias("v")))
+    s1 = ex.groupBy("i").agg(
+        F.sum(F.round(1000000.0 * F.col("v")).cast("bigint"))
+        .cast("bigint").alias("sv"))
+    b = ex.select("vec_id", F.col("i").alias("j"),
+                  F.col("v").alias("vb"))
+    gram = (ex.join(b, "vec_id")
+            .groupBy("i", "j")
+            .agg(F.sum(F.round(1000000.0 * F.col("v") * F.col("vb"))
+                       .cast("bigint")).cast("bigint").alias("sij")))
+    nn = embeddings.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sa = s1.select(F.col("i"), F.col("sv").alias("sva"))
+    sb = s1.select(F.col("i").alias("j"), F.col("sv").alias("svb"))
+    cov = (gram.join(F.broadcast(sa), "i").join(F.broadcast(sb), "j")
+           .join(F.broadcast(nn))
+           .select("i", "j",
+                   (F.col("sij") / (F.col("n") * 1000000.0)
+                    - (F.col("sva") / (F.col("n") * 1000000.0))
+                    * (F.col("svb") / (F.col("n") * 1000000.0)))
+                   .alias("c"))
+           .localCheckpoint(eager=True))
+
+    def matvec(v: DataFrame) -> DataFrame:
+        # v carries (vi, vv) so joining back onto cov (a self-derived
+        # lineage) is never column-ambiguous
+        return (cov.join(F.broadcast(v), F.col("j") == F.col("vi"))
+                .groupBy("i")
+                .agg((F.sum(F.round(1000000000.0 * F.col("c")
+                                    * F.col("vv")).cast("bigint"))
+                      / 1000000000.0).alias("w")))
+
+    def normalize(w: DataFrame) -> DataFrame:
+        nrm = w.agg(F.sqrt(
+            F.sum(F.round(1000000000.0 * F.col("w") * F.col("w"))
+                  .cast("bigint")) / 1000000000.0).alias("nrm"))
+        return (w.crossJoin(F.broadcast(nrm))
+                .select(F.col("i").alias("vi"),
+                        (F.col("w") / F.col("nrm")).alias("vv"))
+                .localCheckpoint(eager=True))
+
+    v = cov.select("i").distinct().select(
+        F.col("i").alias("vi"), F.lit(0.125).alias("vv"))
+    for _ in range(3):
+        v = normalize(matvec(v))
+    w4 = matvec(v)
+    lam = (v.join(w4, F.col("vi") == F.col("i"))
+           .agg((F.sum(F.round(1000000000.0 * F.col("vv") * F.col("w"))
+                       .cast("bigint")) / 1000000000.0).alias("lam")))
+    tr = (cov.where(F.col("i") == F.col("j"))
+          .agg((F.sum(F.round(1000000000.0 * F.col("c")).cast("bigint"))
+                / 1000000000.0).alias("trace")))
+    return (v.crossJoin(F.broadcast(lam)).crossJoin(F.broadcast(tr))
+            .select(F.col("vi").cast("bigint").alias("dim"),
+                    F.round(F.col("vv"), 6).cast("double").alias("loading"),
+                    F.round(F.col("lam"), 6).cast("double")
+                    .alias("eigenvalue"),
+                    F.round(F.col("lam") / F.col("trace"), 6)
+                    .cast("double").alias("explained_share"))
+            .orderBy("dim"))
