@@ -4207,3 +4207,205 @@ def test_link_prediction_excludes_existing_edges(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
     assert link_prediction_scores(df).count() == 0
+
+
+def test_mutual_information_known_cases(spark):
+    """MI on hand tables: a perfectly dependent uniform binary pair has
+    MI = H = 1 bit and NMI = 1; an independent pair has MI = 0."""
+    from league_of_legends_data_pipeline_spark.operators.profile import (
+        mutual_information,
+    )
+    from pyspark.sql import functions as F
+
+    dep = spark.createDataFrame(
+        [(0, "a")] * 4 + [(1, "b")] * 4, ["x", "y"])
+    r = mutual_information(dep, F.col("x"), F.col("y"), "dep").collect()[0]
+    assert r.n == 8 and r.n_cells == 2
+    assert abs(r.mi_bits - 1.0) < 1e-6
+    assert abs(r.h_x - 1.0) < 1e-6 and abs(r.h_y - 1.0) < 1e-6
+    assert abs(r.nmi - 1.0) < 1e-6
+
+    ind = spark.createDataFrame(
+        [(x, y) for x in (0, 1) for y in ("a", "b") for _ in range(3)],
+        ["x", "y"])
+    r = mutual_information(ind, F.col("x"), F.col("y"), "ind").collect()[0]
+    assert abs(r.mi_bits) < 1e-6 and abs(r.nmi) < 1e-6
+
+
+def test_conformal_interval_matches_python_replay(spark):
+    """q284 at sf0.001: replay the split, train mean, rank-k conformal
+    residual and test coverage in pandas — every figure must match."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    out = {r.event_type: r for r in QUERIES["q284_conformal_interval"]
+           .spark(spark, "/root/testdata/sf0.001").collect()}
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    ev["b"] = ev["user_id"].map(
+        lambda u: int(hashlib.md5(f"cf:{u}".encode()).hexdigest()[:15],
+                      16) % 10)
+    for et, g in ev.groupby("event_type"):
+        tr = g[g.b <= 5]
+        yhat = int(round(tr.cents.sum() / len(tr)))
+        cal = g[g.b.isin([6, 7])]
+        r = (cal.cents - yhat).abs().sort_values().to_numpy()
+        k = math.floor((9 * (len(cal) + 1) + 9) / 10.0)
+        qhat = int(r[min(k, len(r)) - 1])
+        tst = g[g.b >= 8]
+        cov = ((tst.cents - yhat).abs() <= qhat).mean()
+        row = out[et]
+        assert row.n_train == len(tr) and row.n_cal == len(cal) \
+            and row.n_test == len(tst)
+        assert abs(row.yhat_usd - yhat / 100.0) < 1e-6
+        assert abs(row.qhat_usd - qhat / 100.0) < 1e-6
+        assert abs(row.coverage - round(cov, 6)) < 1e-6
+
+
+def test_isotonic_calibration_monotone_and_matches_pav(spark):
+    """q287 at sf0.001: iso_rate must be non-decreasing in bin and equal
+    the textbook sequential pool-adjacent-violators fit on the same
+    binned panel (proving the minimax enumeration IS PAV)."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q287_isotonic_calibration"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+    iso = [r.iso_rate for r in rows]
+    assert iso == sorted(iso), "isotonic fit must be monotone"
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["d"] = ev["ts"].dt.date
+    g = ev.groupby(["user_id", "d"])
+    panel = pd.DataFrame({
+        "n_ev": g.size(),
+        "n_click": g.apply(lambda x: int((x.event_type == "click").sum()),
+                           include_groups=False),
+        "y": g.apply(lambda x: int(((x.event_type == "purchase")
+                                    & (x.value >= 15.0)).any()),
+                     include_groups=False)})
+    panel["p_micro"] = (panel.n_click * 1000000.0
+                        / panel.n_ev).round().astype("int64")
+    panel["bin"] = (panel.p_micro // 50000).clip(upper=19)
+    binned = panel.groupby("bin").agg(n=("y", "size"), pos=("y", "sum"))
+    # textbook PAV: merge adjacent violating pools left to right
+    pools = [[b, int(r.n), int(r.pos)] for b, r in binned.iterrows()]
+    merged = []
+    for p in pools:
+        merged.append(list(p))
+        while len(merged) > 1 and \
+                merged[-2][2] / merged[-2][1] >= merged[-1][2] / merged[-1][1]:
+            b2, n2, p2 = merged.pop()
+            merged[-1][1] += n2
+            merged[-1][2] += p2
+    fit = {}
+    idx = 0
+    for _, n, pos in merged:
+        rate = pos / n
+        consumed = 0
+        while consumed < n:
+            b = pools[idx][0]
+            fit[b] = rate
+            consumed += pools[idx][1]
+            idx += 1
+    for r in rows:
+        assert abs(r.iso_rate - round(fit[r.bin], 6)) < 2e-6
+        assert r.n_trials == int(binned.loc[r.bin, "n"])
+
+
+def test_pca_power_iteration_matches_numpy_replay(spark):
+    """q288 at sf0.001: replay the micro-unit Gram, nano-unit matvec and
+    normalization in numpy — loadings, eigenvalue and explained share
+    must match to 6dp; the loading vector must be unit-norm."""
+    import numpy as np
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q288_pca_power_iteration"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+    v_spark = np.array([r.loading for r in sorted(rows,
+                                                  key=lambda r: r.dim)])
+    assert abs(np.linalg.norm(v_spark) - 1.0) < 1e-4
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    n, d = X.shape
+    s1 = np.round(1e6 * X).sum(axis=0)
+    S = np.zeros((d, d))
+    for r_ in X:
+        S += np.round(1e6 * np.outer(r_, r_))
+    m = s1 / (n * 1e6)
+    C = S / (n * 1e6) - np.outer(m, m)
+    v = np.full(d, 0.125)
+    for _ in range(3):
+        w = np.round(1e9 * C * v[None, :]).sum(axis=1) / 1e9
+        nrm = np.sqrt(np.round(1e9 * w * w).sum() / 1e9)
+        v = w / nrm
+    w4 = np.round(1e9 * C * v[None, :]).sum(axis=1) / 1e9
+    lam = np.round(1e9 * v * w4).sum() / 1e9
+    trace = np.round(1e9 * np.diag(C)).sum() / 1e9
+    assert np.allclose(v_spark, np.round(v, 6), atol=2e-6)
+    assert abs(rows[0].eigenvalue - round(lam, 6)) < 2e-6
+    assert abs(rows[0].explained_share - round(lam / trace, 6)) < 2e-6
+    assert 0.0 < rows[0].explained_share <= 1.0
+
+
+def test_ipw_ate_matches_python_replay(spark):
+    """q286 at sf0.001: rebuild the user panel, rerun the micro-unit GD
+    (logistic_fit_local) and the clipped Horvitz-Thompson sum in
+    python — n, weights and both effect estimates must match."""
+    import hashlib  # noqa: F401  (parallel with sibling replays)
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.operators.classifier import (
+        logistic_fit_local, _half_away,
+    )
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    out = (QUERIES["q286_ipw_ate"]
+           .spark(spark, "/root/testdata/sf0.001").collect()[0])
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["day"] = ev["ts"].dt.normalize()
+    d0, d1 = ev.day.min(), ev.day.max()
+    mid = d0 + pd.Timedelta(days=int((d1 - d0).days // 2))
+    pre = ev.day < mid
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    g = ev.groupby("user_id")
+    panel = pd.DataFrame({
+        "x0": g.apply(lambda x: min(1.0, ((x.day < mid)
+                      & (x.event_type == "click")).sum() / 10.0),
+                      include_groups=False),
+        "x1": g.apply(lambda x: min(1.0, ((x.day < mid)
+                      & (x.event_type == "view")).sum() / 10.0),
+                      include_groups=False),
+        "t": g.apply(lambda x: float(((x.day < mid)
+                     & (x.event_type == "signup")).any()),
+                     include_groups=False),
+        "y": g.apply(lambda x: int(x.cents[(x.day >= mid)
+                     & (x.event_type == "purchase")].sum()),
+                     include_groups=False)})
+    rows = [(r.t, [r.x0, r.x1, 1.0]) for r in panel.itertuples()]
+    w = logistic_fit_local(rows, iterations=3, lr=1.0)
+    assert out.n_users == len(panel)
+    assert out.n_treated == int(panel.t.sum())
+    for got, exp in zip((out.w0, out.w1, out.w2), w):
+        assert abs(got - _half_away(exp, 6)) < 1e-9
+    import math
+    s = 0
+    for r in panel.itertuples():
+        z = w[0] * r.x0 + w[1] * r.x1 + w[2]
+        p = min(0.95, max(0.05, 1.0 / (1.0 + math.exp(-z))))
+        term = (r.t * (r.y / 100.0) / p
+                - (1.0 - r.t) * (r.y / 100.0) / (1.0 - p))
+        s += int(_half_away(1e6 * term))
+    ate = round(s / (len(panel) * 1e6), 6)
+    assert abs(out.ipw_ate_usd - ate) < 1e-9
