@@ -395,6 +395,17 @@ PROBE_QUERIES = [
     "q282_anova_f",
     # support-panel ECDF forward fill + C(sources,2) x grid pair join
     "q283_source_drift_matrix",
+    # round-10 tier: one corpus scan into split-filtered aggregates +
+    # a per-type order statistic (exact rank window over the cal split)
+    "q284_conformal_interval",
+    # 3 attribute (x,y) count aggregates; margins cells-sized
+    "q285_mutual_information",
+    # user-panel build + 3 GD aggregates + 1 IPW aggregate
+    "q286_ipw_ate",
+    # user-day aggregate + 20-bin rollup; PAV enumeration bin-cubed
+    "q287_isotonic_calibration",
+    # Gram self-join on vec_id (the corpus-sized stage) + 64-dim matvecs
+    "q288_pca_power_iteration",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -544,6 +544,29 @@ PLAN_SHAPE_GOLDENS = {
     # grid pair join, the BHJs the totals attaches
     "q283_source_drift_matrix": {"SortMergeJoin": 1,
                                  "BroadcastHashJoin": 2},
+    # round-10 tier. q284: every join broadcasts a type-dimension frame
+    # (tr/caln/q/tst are <=5 rows each) onto split-filtered branches of
+    # the checkpointed base — the count is branches x tiny frames, no
+    # corpus-sided join anywhere
+    "q284_conformal_interval": {"BroadcastHashJoin": 12},
+    # q285: 3 attribute pipelines x (cells->margins joins + 1-row N
+    # broadcasts); all cell-dimension-sized
+    "q285_mutual_information": {"BroadcastNestedLoopJoin": 18,
+                                "BroadcastHashJoin": 6},
+    # q286: joinless — the GD iterations and the IPW readout are each
+    # ONE aggregate over the checkpointed user panel (weights travel as
+    # literals, the q128 convention)
+    "q286_ipw_ate": {},
+    # q287: bin-panel (<=20 rows) self-joins for the PAV minimax
+    # enumeration; the BNLJs are range-condition bin joins
+    "q287_isotonic_calibration": {"BroadcastHashJoin": 1,
+                                  "BroadcastNestedLoopJoin": 2},
+    # q288: the SMJ is the corpus-sized Gram self-join on vec_id (the
+    # one shuffle that must scale); matvec/normalize stages are 64-row
+    # broadcasts off the checkpointed covariance
+    "q288_pca_power_iteration": {"SortMergeJoin": 1,
+                                 "BroadcastHashJoin": 1,
+                                 "BroadcastNestedLoopJoin": 2},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
