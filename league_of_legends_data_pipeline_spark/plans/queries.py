@@ -18439,3 +18439,324 @@ def q288_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("lam") / F.col("trace"), 6)
                     .cast("double").alias("explained_share"))
             .orderBy("dim"))
+
+
+@_register(
+    "q289_fdr_bh",
+    """
+    -- Benjamini-Hochberg FDR control over a 35-test family: per
+    -- (event_type, ISO weekday) cell, a two-proportion z-test (the q239
+    -- pooled-variance formula) of high-value rate in-cell vs rest of
+    -- the same event type; p-values via the Abramowitz-Stegun 7.1.26
+    -- normal-CDF polynomial (exp-based, the q128 parity class), then
+    -- the BH step-up on 6dp-rounded p vs 6dp-rounded q*k/m so the
+    -- rejection set is engine-exact. q=0.10.
+    WITH cells AS (
+        SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value >= 15.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hi
+        FROM events GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(hi) AS BIGINT) AS hit
+        FROM cells GROUP BY event_type
+    ), z AS (
+        SELECT c.event_type, c.dow, c.n, c.hi,
+               (c.hi / (1.0 * c.n)
+                - (t.hit - c.hi) / (1.0 * (t.nt - c.n)))
+               / sqrt((t.hit / (1.0 * t.nt))
+                      * (1.0 - t.hit / (1.0 * t.nt))
+                      * (1.0 / c.n + 1.0 / (t.nt - c.n))) AS zval,
+               (t.hit - c.hi) / (1.0 * (t.nt - c.n)) AS rate_rest
+        FROM cells c JOIN tot t USING (event_type)
+    ), pv AS (
+        -- two-sided p via A&S 7.1.26: t = 1/(1 + 0.2316419|z|),
+        -- 1 - Phi(|z|) = phi(|z|) * poly(t)
+        SELECT event_type, dow, n, hi, rate_rest, zval,
+               round(2.0 * ((exp(-(zval * zval) / 2.0)
+                             / 2.5066282746310002)
+                   * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs(zval)))
+                          - 1.821255978) * (1.0 / (1.0 + 0.2316419 * abs(zval)))
+                          + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs(zval)))
+                          - 0.356563782) * (1.0 / (1.0 + 0.2316419 * abs(zval)))
+                          + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs(zval))))),
+                   6) AS p
+        FROM z
+    ), ranked AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY p, event_type, dow)
+                       AS BIGINT) AS k,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ), kstar AS (
+        SELECT coalesce(max(CASE WHEN p <= round(0.10 * k / m, 6)
+                                 THEN k END), 0) AS ks
+        FROM ranked
+    )
+    SELECT r.event_type, r.dow, r.n,
+           CAST(round(r.hi / (1.0 * r.n), 6) AS DOUBLE) AS rate_cell,
+           CAST(round(r.rate_rest, 6) AS DOUBLE) AS rate_rest,
+           CAST(round(r.zval, 6) AS DOUBLE) AS z,
+           CAST(r.p AS DOUBLE) AS p_value,
+           r.k AS p_rank,
+           CAST(round(0.10 * r.k / r.m, 6) AS DOUBLE) AS bh_threshold,
+           CAST(r.k <= ks.ks AS BOOLEAN) AS rejected
+    FROM ranked r CROSS JOIN kstar ks
+    ORDER BY r.event_type, r.dow
+    """,
+    doc="Benjamini-Hochberg false-discovery-rate control (the "
+        "multiple-testing layer every metrics platform needs above its "
+        "per-cell tests — q239/q282 test ONE hypothesis; segment scans "
+        "fire dozens): 35 weekday x event-type two-proportion z-tests, "
+        "A&S 7.1.26 normal-CDF p-values (exp-based, the established "
+        "q128/q260 libm parity class), step-up cutoff k* on "
+        "6dp-rounded comparisons so both engines reject the identical "
+        "set. Scale shape: ONE corpus aggregate to the 35-cell panel; "
+        "ranking, thresholds and the k* scan are all family-sized "
+        "(m=35) — the family never grows with data, only with the "
+        "segmentation schema.",
+)
+def q289_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    cells = (events.groupBy("event_type",
+                            (F.weekday("ts") + 1).cast("bigint")
+                            .alias("dow"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.sum((F.col("value") >= 15.0).cast("int"))
+                  .cast("bigint").alias("hi")))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("hi").cast("bigint").alias("hit"))
+    j = cells.join(F.broadcast(tot), "event_type")
+    pr = F.col("hit") / (1.0 * F.col("nt"))
+    rate_rest = (F.col("hit") - F.col("hi")) / (1.0 * (F.col("nt")
+                                                       - F.col("n")))
+    zval = ((F.col("hi") / (1.0 * F.col("n")) - rate_rest)
+            / F.sqrt(pr * (1.0 - pr)
+                     * (1.0 / F.col("n")
+                        + 1.0 / (F.col("nt") - F.col("n")))))
+    z = j.select("event_type", "dow", "n", "hi",
+                 rate_rest.alias("rate_rest"), zval.alias("zval"))
+    t = 1.0 / (1.0 + 0.2316419 * F.abs(F.col("zval")))
+    poly = ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+             - 0.356563782) * t + 0.319381530) * t
+    p = F.round(2.0 * ((F.exp(-(F.col("zval") * F.col("zval")) / 2.0)
+                        / 2.5066282746310002) * poly), 6)
+    pv = z.withColumn("p", p)
+    wr = W.orderBy("p", "event_type", "dow")
+    ranked = (pv.withColumn("k", F.row_number().over(wr).cast("bigint"))
+              .withColumn("m", F.count(F.lit(1))
+                          .over(W.partitionBy()).cast("bigint"))
+              .localCheckpoint(eager=True))
+    kstar = ranked.agg(F.coalesce(
+        F.max(F.when(F.col("p") <= F.round(0.10 * F.col("k")
+                                           / F.col("m"), 6),
+                     F.col("k"))), F.lit(0)).alias("ks"))
+    return (ranked.crossJoin(F.broadcast(kstar))
+            .select("event_type", "dow", "n",
+                    F.round(F.col("hi") / (1.0 * F.col("n")), 6)
+                    .cast("double").alias("rate_cell"),
+                    F.round(F.col("rate_rest"), 6).cast("double")
+                    .alias("rate_rest"),
+                    F.round(F.col("zval"), 6).cast("double").alias("z"),
+                    F.col("p").cast("double").alias("p_value"),
+                    F.col("k").alias("p_rank"),
+                    F.round(0.10 * F.col("k") / F.col("m"), 6)
+                    .cast("double").alias("bh_threshold"),
+                    (F.col("k") <= F.col("ks")).alias("rejected"))
+            .orderBy("event_type", "dow"))
+
+
+@_register(
+    "q290_huber_irls",
+    """
+    -- Huber robust trend per event type: OLS on the daily-count panel,
+    -- then 2 IRLS reweightings with the Huber psi (c = 1.345*s0, the
+    -- 95%-efficiency constant; scale s0 frozen at the OLS RMSE — the
+    -- fixed-scale IRLS variant, so every iteration is one closed-form
+    -- weighted least squares). Completes the trend family: q31 OLS,
+    -- q246 Theil-Sen (breakdown), this (bounded influence). Panel
+    -- integers keep the OLS sums exact; weighted sums round each term
+    -- to micro-units before summation, ratios computed from the same
+    -- exact integers on both engines.
+    WITH d0 AS (
+        SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ), panel AS (
+        SELECT event_type,
+               CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) AS BIGINT)
+                   AS t,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events CROSS JOIN d0
+        GROUP BY event_type, t, d0.d0
+    ), ols AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(t) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(t * y) AS BIGINT) AS sxy,
+               CAST(sum(t * t) AS BIGINT) AS sxx
+        FROM panel GROUP BY event_type
+    ), fit0 AS (
+        SELECT event_type, n,
+               (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                   AS b1,
+               (sy - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                     * sx) / n AS b0
+        FROM ols
+    ), s0 AS (
+        SELECT p.event_type, f.n, f.b1 AS ols_slope, f.b0,
+               sqrt(sum(CAST(round(1000000.0
+                   * (p.y - (f.b1 * p.t + f.b0))
+                   * (p.y - (f.b1 * p.t + f.b0))) AS BIGINT))
+                   / (f.n * 1000000.0)) AS s
+        FROM panel p JOIN fit0 f USING (event_type)
+        GROUP BY p.event_type, f.n, f.b1, f.b0
+    ), it1 AS (
+        SELECT p.event_type, s.n, s.ols_slope, s.s,
+               sum(CAST(round(1000000.0 * w) AS BIGINT)) AS w0,
+               sum(CAST(round(1000000.0 * w * p.t) AS BIGINT)) AS wx,
+               sum(CAST(round(1000000.0 * w * p.y) AS BIGINT)) AS wy,
+               sum(CAST(round(1000000.0 * w * p.t * p.y) AS BIGINT)) AS wxy,
+               sum(CAST(round(1000000.0 * w * p.t * p.t) AS BIGINT)) AS wxx
+        FROM (SELECT p.*, s.event_type AS et,
+                     CASE WHEN abs(p.y - (s.b1 * p.t + s.b0))
+                              <= 1.345 * s.s OR s.s = 0 THEN 1.0
+                          ELSE 1.345 * s.s
+                               / abs(p.y - (s.b1 * p.t + s.b0)) END AS w
+              FROM panel p JOIN (SELECT event_type, n, ols_slope, b0,
+                                        ols_slope AS b1, s
+                                 FROM s0) s USING (event_type)) p
+        JOIN s0 s ON s.event_type = p.event_type
+        GROUP BY p.event_type, s.n, s.ols_slope, s.s
+    ), fit1 AS (
+        SELECT event_type, n, ols_slope, s,
+               (CAST(w0 AS DOUBLE) * wxy - CAST(wx AS DOUBLE) * wy)
+               / (CAST(w0 AS DOUBLE) * wxx - CAST(wx AS DOUBLE) * wx)
+                   AS b1,
+               (wy - (CAST(w0 AS DOUBLE) * wxy - CAST(wx AS DOUBLE) * wy)
+                     / (CAST(w0 AS DOUBLE) * wxx - CAST(wx AS DOUBLE) * wx)
+                     * wx) / w0 AS b0
+        FROM it1
+    ), it2 AS (
+        SELECT p.event_type, f.n, f.ols_slope, f.s,
+               sum(CAST(round(1000000.0 * w) AS BIGINT)) AS w0,
+               sum(CAST(round(1000000.0 * w * p.t) AS BIGINT)) AS wx,
+               sum(CAST(round(1000000.0 * w * p.y) AS BIGINT)) AS wy,
+               sum(CAST(round(1000000.0 * w * p.t * p.y) AS BIGINT)) AS wxy,
+               sum(CAST(round(1000000.0 * w * p.t * p.t) AS BIGINT)) AS wxx,
+               CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_down
+        FROM (SELECT p.*, f.event_type AS et,
+                     CASE WHEN abs(p.y - (f.b1 * p.t + f.b0))
+                              <= 1.345 * f.s OR f.s = 0 THEN 1.0
+                          ELSE 1.345 * f.s
+                               / abs(p.y - (f.b1 * p.t + f.b0)) END AS w
+              FROM panel p JOIN fit1 f USING (event_type)) p
+        JOIN fit1 f ON f.event_type = p.event_type
+        GROUP BY p.event_type, f.n, f.ols_slope, f.s
+    )
+    SELECT event_type, n AS n_days,
+           CAST(round(ols_slope, 6) AS DOUBLE) AS ols_slope,
+           CAST(round((CAST(w0 AS DOUBLE) * wxy - CAST(wx AS DOUBLE) * wy)
+               / (CAST(w0 AS DOUBLE) * wxx - CAST(wx AS DOUBLE) * wx), 6)
+               AS DOUBLE) AS huber_slope,
+           CAST(round((wy - (CAST(w0 AS DOUBLE) * wxy
+                             - CAST(wx AS DOUBLE) * wy)
+                       / (CAST(w0 AS DOUBLE) * wxx
+                          - CAST(wx AS DOUBLE) * wx) * wx) / w0, 6)
+               AS DOUBLE) AS huber_intercept,
+           CAST(round(s, 6) AS DOUBLE) AS scale_s0,
+           n_down AS n_downweighted
+    FROM it2 ORDER BY event_type
+    """,
+    doc="Huber robust regression via 2 unrolled IRLS refinements "
+        "(fixed scale s0 = OLS RMSE, c = 1.345 s0): the "
+        "bounded-influence trend that survives outlier ingest days — "
+        "completing q31's OLS and q246's Theil-Sen on the same daily "
+        "panel. Scale shape: ONE corpus aggregate to the "
+        "(type, day) panel; each IRLS pass is one grouped aggregate "
+        "whose weighted sums round per-term to micro-units (order-free) "
+        "and stay PER GROUP — unlike q128's global GD there is no "
+        "driver weight vector at all; closed-form WLS ratios derive "
+        "from the identical exact integers on both engines.",
+)
+def q290_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    d0 = events.agg(F.min(F.to_date("ts")).alias("d0"))
+    panel = (events.crossJoin(F.broadcast(d0))
+             .groupBy("event_type",
+                      F.datediff(F.to_date("ts"), F.col("d0"))
+                      .cast("bigint").alias("t"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+             .localCheckpoint(eager=True))
+    ols = panel.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"))
+    b1_0 = ((F.col("n") * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n") * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx")))
+    fit0 = ols.select("event_type", "n", b1_0.alias("b1"),
+                      ((F.col("sy") - b1_0 * F.col("sx")) / F.col("n"))
+                      .alias("b0"))
+    r0 = F.col("y") - (F.col("b1") * F.col("t") + F.col("b0"))
+    s0 = (panel.join(F.broadcast(fit0), "event_type")
+          .groupBy("event_type", "n",
+                   F.col("b1").alias("ols_slope"), "b0")
+          .agg(F.sqrt(F.sum(F.round(1000000.0 * r0 * r0).cast("bigint"))
+                      / (F.first("n") * 1000000.0)).alias("s")))
+
+    def irls(fit: DataFrame, with_down: bool) -> DataFrame:
+        r = F.col("y") - (F.col("b1") * F.col("t") + F.col("b0"))
+        w = F.when((F.abs(r) <= 1.345 * F.col("s"))
+                   | (F.col("s") == 0), F.lit(1.0)) \
+             .otherwise(1.345 * F.col("s") / F.abs(r))
+        base = panel.join(F.broadcast(fit), "event_type") \
+            .withColumn("w", w)
+        aggs = [
+            F.sum(F.round(1000000.0 * F.col("w")).cast("bigint"))
+            .alias("w0"),
+            F.sum(F.round(1000000.0 * F.col("w") * F.col("t"))
+                  .cast("bigint")).alias("wx"),
+            F.sum(F.round(1000000.0 * F.col("w") * F.col("y"))
+                  .cast("bigint")).alias("wy"),
+            F.sum(F.round(1000000.0 * F.col("w") * F.col("t")
+                          * F.col("y")).cast("bigint")).alias("wxy"),
+            F.sum(F.round(1000000.0 * F.col("w") * F.col("t")
+                          * F.col("t")).cast("bigint")).alias("wxx"),
+        ]
+        if with_down:
+            aggs.append(F.sum((F.col("w") < 1.0).cast("int"))
+                        .cast("bigint").alias("n_down"))
+        return base.groupBy("event_type", "n", "ols_slope", "s").agg(*aggs)
+
+    def wls(df: DataFrame) -> DataFrame:
+        b1 = ((F.col("w0").cast("double") * F.col("wxy")
+               - F.col("wx").cast("double") * F.col("wy"))
+              / (F.col("w0").cast("double") * F.col("wxx")
+                 - F.col("wx").cast("double") * F.col("wx")))
+        return df.select("event_type", "n", "ols_slope", "s",
+                         b1.alias("b1"),
+                         ((F.col("wy") - b1 * F.col("wx")) / F.col("w0"))
+                         .alias("b0"))
+
+    it1 = irls(s0.select("event_type", "n", "ols_slope",
+                         F.col("ols_slope").alias("b1"), "b0", "s"),
+               with_down=False)
+    fit1 = wls(it1)
+    it2 = irls(fit1, with_down=True)
+    b1f = ((F.col("w0").cast("double") * F.col("wxy")
+            - F.col("wx").cast("double") * F.col("wy"))
+           / (F.col("w0").cast("double") * F.col("wxx")
+              - F.col("wx").cast("double") * F.col("wx")))
+    return it2.select(
+        "event_type", F.col("n").alias("n_days"),
+        F.round(F.col("ols_slope"), 6).cast("double").alias("ols_slope"),
+        F.round(b1f, 6).cast("double").alias("huber_slope"),
+        F.round((F.col("wy") - b1f * F.col("wx")) / F.col("w0"), 6)
+        .cast("double").alias("huber_intercept"),
+        F.round(F.col("s"), 6).cast("double").alias("scale_s0"),
+        F.col("n_down").alias("n_downweighted")).orderBy("event_type")
