@@ -406,6 +406,10 @@ PROBE_QUERIES = [
     "q287_isotonic_calibration",
     # Gram self-join on vec_id (the corpus-sized stage) + 64-dim matvecs
     "q288_pca_power_iteration",
+    # one corpus aggregate to the 35-cell test family
+    "q289_fdr_bh",
+    # day panel + 3 grouped WLS aggregates
+    "q290_huber_irls",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

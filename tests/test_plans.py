@@ -567,6 +567,12 @@ PLAN_SHAPE_GOLDENS = {
     "q288_pca_power_iteration": {"SortMergeJoin": 1,
                                  "BroadcastHashJoin": 1,
                                  "BroadcastNestedLoopJoin": 2},
+    # q289: one corpus aggregate to the 35-cell family; the BNLJ is the
+    # 1-row k* broadcast back onto the checkpointed ranked panel
+    "q289_fdr_bh": {"BroadcastNestedLoopJoin": 1},
+    # q290: fit-frame broadcasts (5 rows) onto the checkpointed day
+    # panel, one per IRLS stage
+    "q290_huber_irls": {"BroadcastHashJoin": 3},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
