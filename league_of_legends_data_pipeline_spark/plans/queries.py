@@ -18760,3 +18760,109 @@ def q290_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("huber_intercept"),
         F.round(F.col("s"), 6).cast("double").alias("scale_s0"),
         F.col("n_down").alias("n_downweighted")).orderBy("event_type")
+
+
+@_register(
+    "q291_rank_stability",
+    """
+    -- Kendall tau-b rank-stability of item popularity between the
+    -- first and second half of the shipping period, over the top-100
+    -- parts: the drift readout that says whether a popularity-ranked
+    -- surface (merchandising, cache priority, negative-sampling
+    -- tables) is still valid. Completes the rank-association family:
+    -- q267's Spearman is rank-PEARSON on a per-type panel; tau-b is
+    -- the concordant/discordant-pair statistic with proper tie terms,
+    -- and it stays exact-integer until one final sqrt/divide.
+    WITH spanx AS (
+        SELECT CAST(min(CAST(l_shipdate AS DATE)) AS DATE)
+               + CAST(floor(date_diff('day',
+                     min(CAST(l_shipdate AS DATE)),
+                     max(CAST(l_shipdate AS DATE))) / 2.0) AS INTEGER)
+                   AS mid
+        FROM lineitem
+    ), counts AS (
+        SELECT l_partkey,
+               CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) < s.mid
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) >= s.mid
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM lineitem CROSS JOIN spanx s
+        GROUP BY l_partkey, s.mid
+    ), top AS (
+        SELECT l_partkey, n1, n2
+        FROM counts ORDER BY n1 + n2 DESC, l_partkey LIMIT 100
+    ), pairs AS (
+        SELECT CASE WHEN (a.n1 - b.n1) * (a.n2 - b.n2) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN (a.n1 - b.n1) * (a.n2 - b.n2) < 0
+                    THEN 1 ELSE 0 END AS disc,
+               CASE WHEN a.n1 = b.n1 THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.n2 = b.n2 THEN 1 ELSE 0 END AS ty
+        FROM top a JOIN top b ON a.l_partkey < b.l_partkey
+    ), agg AS (
+        SELECT CAST((SELECT count(*) FROM top) AS BIGINT) AS k,
+               CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS d,
+               CAST(sum(tx) AS BIGINT) AS tx, CAST(sum(ty) AS BIGINT) AS ty,
+               CAST(count(*) AS BIGINT) AS n0
+        FROM pairs
+    )
+    SELECT k AS n_items, c AS concordant, d AS discordant,
+           tx AS ties_first, ty AS ties_second,
+           CAST(round((c - d) / sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6)
+                AS DOUBLE) AS tau_b
+    FROM agg
+    """,
+    doc="Kendall tau-b rank stability of top-100 part popularity "
+        "across period halves — the popularity-drift gate for any "
+        "rank-derived surface (negative-sampling tables q180, cache "
+        "priorities, merchandising). Exact concordant/discordant/tie "
+        "BIGINT counts; tau-b's tie-corrected denominator computed "
+        "from the same integers on both engines (one sqrt + divide). "
+        "Scale shape: one fact aggregate to the part-count panel, a "
+        "top-100 TakeOrdered cut, then a 4,950-row pair join — "
+        "dimension-sized past the first aggregate at any corpus "
+        "scale; the pair stage NEVER sees the fact table.",
+)
+def q291_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = _t(spark, sf_dir, "lineitem")
+    spanx = lineitem.agg(
+        F.date_add(F.min(F.to_date("l_shipdate")),
+                   F.floor(F.datediff(F.max(F.to_date("l_shipdate")),
+                                      F.min(F.to_date("l_shipdate")))
+                           / 2.0).cast("int")).alias("mid"))
+    day = F.to_date("l_shipdate")
+    counts = (lineitem.crossJoin(F.broadcast(spanx))
+              .groupBy("l_partkey")
+              .agg(F.sum((day < F.col("mid")).cast("int")).cast("bigint")
+                   .alias("n1"),
+                   F.sum((day >= F.col("mid")).cast("int")).cast("bigint")
+                   .alias("n2")))
+    top = (counts.orderBy((F.col("n1") + F.col("n2")).desc(), "l_partkey")
+           .limit(100).localCheckpoint(eager=True))
+    a = top.select(F.col("l_partkey").alias("pa"),
+                   F.col("n1").alias("n1a"), F.col("n2").alias("n2a"))
+    b = top.select(F.col("l_partkey").alias("pb"),
+                   F.col("n1").alias("n1b"), F.col("n2").alias("n2b"))
+    prod = (F.col("n1a") - F.col("n1b")) * (F.col("n2a") - F.col("n2b"))
+    pairs = (a.join(b, F.col("pa") < F.col("pb"))
+             .select((prod > 0).cast("int").alias("conc"),
+                     (prod < 0).cast("int").alias("disc"),
+                     (F.col("n1a") == F.col("n1b")).cast("int").alias("tx"),
+                     (F.col("n2a") == F.col("n2b")).cast("int").alias("ty")))
+    k = top.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    agg = (pairs.agg(F.sum("conc").cast("bigint").alias("c"),
+                     F.sum("disc").cast("bigint").alias("d"),
+                     F.sum("tx").cast("bigint").alias("tx"),
+                     F.sum("ty").cast("bigint").alias("ty"),
+                     F.count(F.lit(1)).cast("bigint").alias("n0"))
+           .crossJoin(F.broadcast(k)))
+    return agg.select(
+        F.col("k").alias("n_items"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_first"),
+        F.col("ty").alias("ties_second"),
+        F.round((F.col("c") - F.col("d"))
+                / F.sqrt((F.col("n0") - F.col("tx")) * 1.0
+                         * (F.col("n0") - F.col("ty"))), 6)
+        .cast("double").alias("tau_b"))

@@ -410,6 +410,8 @@ PROBE_QUERIES = [
     "q289_fdr_bh",
     # day panel + 3 grouped WLS aggregates
     "q290_huber_irls",
+    # fact aggregate + top-100 cut + 4950-row pair join
+    "q291_rank_stability",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -4517,3 +4517,48 @@ def test_huber_irls_matches_python_replay(spark):
         assert abs(r.huber_intercept - round(fit[1], 6)) < 1e-9
         assert abs(r.scale_s0 - round(s, 6)) < 1e-9
         assert r.n_downweighted == n_down
+
+
+def test_kendall_tau_matches_scipy_free_replay(spark):
+    """q291 at sf0.001: replay the half-period counts, top-100 cut and
+    tau-b pair statistics in python — all integers and the tau must
+    match; tau-b must live in [-1, 1]."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q291_rank_stability"]
+         .spark(spark, "/root/testdata/sf0.001").collect()[0])
+    assert -1.0 <= r.tau_b <= 1.0
+
+    li = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li["day"] = li["l_shipdate"].dt.normalize()
+    d0, d1 = li.day.min(), li.day.max()
+    mid = d0 + pd.Timedelta(days=int((d1 - d0).days // 2))
+    g = li.groupby("l_partkey")
+    counts = pd.DataFrame({
+        "n1": g.apply(lambda x: int((x.day < mid).sum()),
+                      include_groups=False),
+        "n2": g.apply(lambda x: int((x.day >= mid).sum()),
+                      include_groups=False)}).reset_index()
+    counts["tot"] = counts.n1 + counts.n2
+    top = counts.sort_values(["tot", "l_partkey"],
+                             ascending=[False, True]).head(100)
+    rows = list(top.itertuples())
+    c = d = tx = ty = n0 = 0
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            if rows[i].l_partkey >= rows[j].l_partkey:
+                continue
+            n0 += 1
+            p = (rows[i].n1 - rows[j].n1) * (rows[i].n2 - rows[j].n2)
+            c += p > 0
+            d += p < 0
+            tx += rows[i].n1 == rows[j].n1
+            ty += rows[i].n2 == rows[j].n2
+    assert (r.n_items, r.concordant, r.discordant,
+            r.ties_first, r.ties_second) == (len(rows), c, d, tx, ty)
+    tau = round((c - d) / math.sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6)
+    assert abs(r.tau_b - tau) < 1e-9

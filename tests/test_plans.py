@@ -573,6 +573,9 @@ PLAN_SHAPE_GOLDENS = {
     # q290: fit-frame broadcasts (5 rows) onto the checkpointed day
     # panel, one per IRLS stage
     "q290_huber_irls": {"BroadcastHashJoin": 3},
+    # q291: the BNLJs are the 100-row checkpointed top panel's pair
+    # join (pa < pb range condition) and the 1-row k broadcast
+    "q291_rank_stability": {"BroadcastNestedLoopJoin": 2},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
