@@ -18470,6 +18470,10 @@ def q288_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * (1.0 / c.n + 1.0 / (t.nt - c.n))) AS zval,
                (t.hit - c.hi) / (1.0 * (t.nt - c.n)) AS rate_rest
         FROM cells c JOIN tot t USING (event_type)
+        -- degenerate guards: a cell spanning its whole type (n = nt)
+        -- or a type with zero/full conversion has no defined z — drop
+        -- the test rather than propagate a null p silently
+        WHERE c.n < t.nt AND t.hit > 0 AND t.hit < t.nt
     ), pv AS (
         -- two-sided p via A&S 7.1.26: t = 1/(1 + 0.2316419|z|),
         -- 1 - Phi(|z|) = phi(|z|) * poly(t)
@@ -18527,7 +18531,12 @@ def q289_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("hi").cast("bigint").alias("hit"))
-    j = cells.join(F.broadcast(tot), "event_type")
+    # degenerate guards (mirrored in the oracle WHERE): whole-type cells
+    # and zero/full-conversion types have no defined z — drop, don't
+    # propagate null p-values into the BH ranking
+    j = (cells.join(F.broadcast(tot), "event_type")
+         .where((F.col("n") < F.col("nt")) & (F.col("hit") > 0)
+                & (F.col("hit") < F.col("nt"))))
     pr = F.col("hit") / (1.0 * F.col("nt"))
     rate_rest = (F.col("hit") - F.col("hi")) / (1.0 * (F.col("nt")
                                                        - F.col("n")))
@@ -18594,6 +18603,10 @@ def q289_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(t * y) AS BIGINT) AS sxy,
                CAST(sum(t * t) AS BIGINT) AS sxx
         FROM panel GROUP BY event_type
+        -- degenerate guard: a 1-day panel (or zero t-variance) has no
+        -- defined slope — drop the group rather than emit null fits
+        HAVING count(*) >= 2 AND count(*) * sum(t * t)
+               <> sum(t) * sum(t)
     ), fit0 AS (
         SELECT event_type, n,
                (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
@@ -18695,6 +18708,11 @@ def q290_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("bigint").alias("sy"),
         F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sxy"),
         F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sxx"))
+    # degenerate guard (mirrored in the oracle HAVING): 1-day panels /
+    # zero t-variance have no defined slope — drop, don't emit nulls
+    ols = ols.where((F.col("n") >= 2)
+                    & (F.col("n") * F.col("sxx")
+                       != F.col("sx") * F.col("sx")))
     b1_0 = ((F.col("n") * F.col("sxy").cast("double")
              - F.col("sx").cast("double") * F.col("sy"))
             / (F.col("n") * F.col("sxx").cast("double")
