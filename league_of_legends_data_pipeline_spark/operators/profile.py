@@ -406,5 +406,9 @@ def mutual_information(df: DataFrame, x: Column, y: Column,
         F.round(mi_b, 6).cast("double").alias("mi_bits"),
         F.round(F.col("hx") / 1e9, 6).cast("double").alias("h_x"),
         F.round(F.col("hy") / 1e9, 6).cast("double").alias("h_y"),
-        F.round(mi_b / (F.least(F.col("hx"), F.col("hy")) / 1e9), 6)
-        .cast("double").alias("nmi"))
+        # a constant column has zero entropy: NMI's denominator is 0 and
+        # MI is necessarily 0 too — define NMI as 0 rather than null
+        # (the q252 zero-variance convention, mirrored in oracles)
+        F.when(F.least(F.col("hx"), F.col("hy")) > 0,
+               F.round(mi_b / (F.least(F.col("hx"), F.col("hy")) / 1e9), 6))
+        .otherwise(F.lit(0.0)).cast("double").alias("nmi"))

@@ -17925,9 +17925,11 @@ def q284_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(mi.mi_nano / 1e9, 6) AS DOUBLE) AS mi_bits,
            CAST(round(hx.hx_nano / 1e9, 6) AS DOUBLE) AS h_x,
            CAST(round(hy.hy_nano / 1e9, 6) AS DOUBLE) AS h_y,
-           CAST(round((mi.mi_nano / 1e9)
-                      / (least(hx.hx_nano, hy.hy_nano) / 1e9), 6)
-                AS DOUBLE) AS nmi
+           -- zero-entropy (constant) column: NMI defined as 0, not null
+           CAST(CASE WHEN least(hx.hx_nano, hy.hy_nano) > 0
+                     THEN round((mi.mi_nano / 1e9)
+                          / (least(hx.hx_nano, hy.hy_nano) / 1e9), 6)
+                     ELSE 0.0 END AS DOUBLE) AS nmi
     FROM mi JOIN nn ON nn.pair = mi.pair
     JOIN hx ON hx.pair = mi.pair JOIN hy ON hy.pair = mi.pair
     ORDER BY mi.pair
@@ -18826,8 +18828,12 @@ def q290_huber_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT k AS n_items, c AS concordant, d AS discordant,
            tx AS ties_first, ty AS ties_second,
-           CAST(round((c - d) / sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6)
-                AS DOUBLE) AS tau_b
+           -- all-tied halves have zero tau-b variance: define tau as 0
+           -- rather than divide by sqrt(0) (the q252 convention)
+           CAST(CASE WHEN n0 > tx AND n0 > ty
+                     THEN round((c - d)
+                          / sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6)
+                     ELSE 0.0 END AS DOUBLE) AS tau_b
     FROM agg
     """,
     doc="Kendall tau-b rank stability of top-100 part popularity "
@@ -18880,7 +18886,10 @@ def q291_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("discordant"),
         F.col("tx").alias("ties_first"),
         F.col("ty").alias("ties_second"),
-        F.round((F.col("c") - F.col("d"))
-                / F.sqrt((F.col("n0") - F.col("tx")) * 1.0
-                         * (F.col("n0") - F.col("ty"))), 6)
-        .cast("double").alias("tau_b"))
+        # all-tied halves: zero variance — tau defined as 0 (the q252
+        # convention, mirrored in the oracle CASE)
+        F.when((F.col("n0") > F.col("tx")) & (F.col("n0") > F.col("ty")),
+               F.round((F.col("c") - F.col("d"))
+                       / F.sqrt((F.col("n0") - F.col("tx")) * 1.0
+                                * (F.col("n0") - F.col("ty"))), 6))
+        .otherwise(F.lit(0.0)).cast("double").alias("tau_b"))
