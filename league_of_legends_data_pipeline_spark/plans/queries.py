@@ -18893,3 +18893,227 @@ def q291_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.sqrt((F.col("n0") - F.col("tx")) * 1.0
                                 * (F.col("n0") - F.col("ty"))), 6))
         .otherwise(F.lit(0.0)).cast("double").alias("tau_b"))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 data-governance / retrieval tier (q292+): PII scanning and
+# redaction accounting, k-anonymity/l-diversity privacy audit, hybrid
+# retrieval fusion, rank-based tests, CUSUM change detection.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IDRUN_RE = "[0-9]{9}"
+
+# Deterministic "CRM export line" per customer, rendered from real columns
+# (the synthetic corpus carries no organic PII, so the scan target is
+# constructed: email present iff custkey % 3 <> 0, phone iff % 2 = 0 —
+# per-segment counts then genuinely vary and the regex parity is
+# non-trivial). Balance is embedded as exact cents (BIGINT → string renders
+# identically on both engines; a raw double would not).
+_PII_LINE_SQL = (
+    "c_name"
+    " || CASE WHEN c_custkey % 3 <> 0 THEN ' <seg' ||"
+    " CAST(c_custkey AS VARCHAR) || '@example.com>' ELSE '' END"
+    " || CASE WHEN c_custkey % 2 = 0 THEN ' call ' ||"
+    " lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-555-' ||"
+    " lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || ' bal ' || CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)"
+)
+
+
+def _pii_line() -> Column:
+    """Column twin of ``_PII_LINE_SQL``."""
+    return F.concat(
+        F.col("c_name"),
+        F.when(F.col("c_custkey") % 3 != 0,
+               F.concat(F.lit(" <seg"),
+                        F.col("c_custkey").cast("string"),
+                        F.lit("@example.com>"))).otherwise(F.lit("")),
+        F.when(F.col("c_custkey") % 2 == 0,
+               F.concat(F.lit(" call "),
+                        F.lpad((F.col("c_custkey") % 1000).cast("string"),
+                               3, "0"),
+                        F.lit("-555-"),
+                        F.lpad((F.col("c_custkey") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")),
+        F.lit(" bal "),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string"))
+
+
+@_register(
+    "q292_pii_scan_redaction",
+    f"""
+    -- PII pattern audit + redaction accounting over a rendered CRM
+    -- export line per customer: per market segment, how many rows
+    -- carry an email / phone / long-numeric-identifier pattern, what
+    -- share of rows is PII-flagged at all, and how many characters an
+    -- email redaction pass would remove. The training-data-governance
+    -- scan every corpus release runs before publication; regexes are
+    -- simple character-class patterns that parse identically under
+    -- Java regex (Spark) and RE2 (DuckDB).
+    WITH lines AS (
+        SELECT c_mktsegment,
+               {_PII_LINE_SQL} AS line
+        FROM customer
+    ), flags AS (
+        SELECT c_mktsegment, line,
+               CASE WHEN regexp_matches(line, '{_PII_EMAIL_RE}')
+                    THEN 1 ELSE 0 END AS f_email,
+               CASE WHEN regexp_matches(line, '{_PII_PHONE_RE}')
+                    THEN 1 ELSE 0 END AS f_phone,
+               CASE WHEN regexp_matches(line, '{_PII_IDRUN_RE}')
+                    THEN 1 ELSE 0 END AS f_idrun
+        FROM lines
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(f_email) AS BIGINT) AS n_email,
+           CAST(sum(f_phone) AS BIGINT) AS n_phone,
+           CAST(sum(f_idrun) AS BIGINT) AS n_idrun,
+           CAST(round(sum(CASE WHEN f_email + f_phone + f_idrun > 0
+                          THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+                AS DOUBLE) AS pct_flagged,
+           CAST(sum(length(line)
+                    - length(regexp_replace(line, '{_PII_EMAIL_RE}',
+                                            'E', 'g'))) AS BIGINT)
+               AS email_chars_redacted
+    FROM flags
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="PII/identifier pattern scan + email-redaction character "
+        "accounting per market segment, over a deterministically "
+        "rendered CRM line (the synthetic corpus has no organic PII; "
+        "the render makes per-segment counts non-trivial). Scale "
+        "shape: pure map-side regex work (JVM codegen rlike / "
+        "regexp_replace, no UDF) followed by one segment-sized "
+        "aggregate — embarrassingly parallel at any corpus size; at "
+        "100 TB the scan rides the parquet read with zero extra "
+        "shuffle beyond the 5-row rollup.",
+)
+def q292_pii_scan_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    lines = customer.select("c_mktsegment", _pii_line().alias("line"))
+    flags = lines.select(
+        "c_mktsegment", "line",
+        F.col("line").rlike(_PII_EMAIL_RE).cast("int").alias("f_email"),
+        F.col("line").rlike(_PII_PHONE_RE).cast("int").alias("f_phone"),
+        F.col("line").rlike(_PII_IDRUN_RE).cast("int").alias("f_idrun"))
+    return (flags.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.sum("f_email").cast("bigint").alias("n_email"),
+                 F.sum("f_phone").cast("bigint").alias("n_phone"),
+                 F.sum("f_idrun").cast("bigint").alias("n_idrun"),
+                 F.round(F.sum(((F.col("f_email") + F.col("f_phone")
+                                 + F.col("f_idrun")) > 0).cast("int"))
+                         / F.count(F.lit(1)), 6).cast("double")
+                 .alias("pct_flagged"),
+                 F.sum(F.length("line")
+                       - F.length(F.regexp_replace(
+                           F.col("line"), _PII_EMAIL_RE, "E")))
+                 .cast("bigint").alias("email_chars_redacted"))
+            .orderBy("c_mktsegment"))
+
+
+@_register(
+    "q293_k_anonymity",
+    """
+    -- k-anonymity / l-diversity privacy audit before releasing a
+    -- customer extract: quasi-identifiers = (nation, market segment,
+    -- coarse balance band); sensitive attribute = order-activity band.
+    -- Every QI equivalence class gets its size k and its sensitive
+    -- diversity l (distinct sensitive values); the report histograms
+    -- classes by the standard k risk buckets and counts attribute-
+    -- disclosure classes (l = 1: everyone in the class shares the
+    -- sensitive value, so the attribute leaks even at k > 1).
+    WITH activity AS (
+        SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+               CAST(floor(c.c_acctbal / 2000) AS BIGINT) AS bal_band,
+               CASE WHEN count(o.o_orderkey) >= 10 THEN 'heavy'
+                    WHEN count(o.o_orderkey) >= 1 THEN 'light'
+                    ELSE 'none' END AS sens
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3, 4
+    ), classes AS (
+        SELECT c_nationkey, c_mktsegment, bal_band,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(count(DISTINCT sens) AS BIGINT) AS l
+        FROM activity GROUP BY 1, 2, 3
+    ), bucketed AS (
+        SELECT CASE WHEN k = 1 THEN '1'
+                    WHEN k = 2 THEN '2'
+                    WHEN k <= 4 THEN '3-4'
+                    WHEN k <= 9 THEN '5-9'
+                    ELSE '10+' END AS k_bucket,
+               CASE WHEN k = 1 THEN 1 WHEN k = 2 THEN 2
+                    WHEN k <= 4 THEN 3 WHEN k <= 9 THEN 4
+                    ELSE 5 END AS bucket_order,
+               k, l
+        FROM classes
+    )
+    SELECT k_bucket,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(k) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_attr_disclosure_classes,
+           CAST(round(sum(k) * 1.0
+                      / (SELECT sum(k) FROM classes), 6) AS DOUBLE)
+               AS pct_rows,
+           CAST(round(avg(l * 1.0), 6) AS DOUBLE) AS avg_l
+    FROM bucketed
+    GROUP BY k_bucket, bucket_order
+    ORDER BY bucket_order
+    """,
+    doc="k-anonymity / l-diversity audit of a customer extract under "
+        "(nation, segment, balance-band) quasi-identifiers with an "
+        "order-activity sensitive attribute — the privacy gate a "
+        "training-data release runs next to q292's PII scan. Scale "
+        "shape: one fact-side groupBy(custkey) rollup (map-side "
+        "partials), one QI aggregate over the customer-dimension "
+        "panel, then a bucket rollup over CLASSES (bounded by the QI "
+        "domain, not row count); the total-rows scalar joins in as a "
+        "1-row broadcast. No window over corpus rows anywhere.",
+)
+def q293_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    activity = (customer.join(
+        orders.select(F.col("o_custkey"), F.col("o_orderkey")),
+        customer["c_custkey"] == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_nationkey", "c_mktsegment",
+                 F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+                 .alias("bal_band"))
+        .agg(F.count("o_orderkey").alias("n_ord"))
+        .select("c_nationkey", "c_mktsegment", "bal_band",
+                F.when(F.col("n_ord") >= 10, "heavy")
+                .when(F.col("n_ord") >= 1, "light")
+                .otherwise("none").alias("sens")))
+    classes = (activity.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("k"),
+                    F.countDistinct("sens").cast("bigint").alias("l"))
+               .localCheckpoint(eager=True))
+    total = classes.agg(F.sum("k").alias("tot"))
+    bucketed = classes.select(
+        F.when(F.col("k") == 1, "1").when(F.col("k") == 2, "2")
+        .when(F.col("k") <= 4, "3-4").when(F.col("k") <= 9, "5-9")
+        .otherwise("10+").alias("k_bucket"),
+        F.when(F.col("k") == 1, 1).when(F.col("k") == 2, 2)
+        .when(F.col("k") <= 4, 3).when(F.col("k") <= 9, 4)
+        .otherwise(5).alias("bucket_order"),
+        "k", "l")
+    return (bucketed.groupBy("k_bucket", "bucket_order")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+                 F.sum("k").cast("bigint").alias("n_rows"),
+                 F.sum((F.col("l") == 1).cast("int")).cast("bigint")
+                 .alias("n_attr_disclosure_classes"),
+                 F.sum("k").alias("__rows"),
+                 F.round(F.avg(F.col("l") * 1.0), 6).cast("double")
+                 .alias("avg_l"))
+            .crossJoin(F.broadcast(total))
+            .select("k_bucket",
+                    "n_classes", "n_rows", "n_attr_disclosure_classes",
+                    F.round(F.col("__rows") / F.col("tot"), 6)
+                    .cast("double").alias("pct_rows"),
+                    "avg_l", "bucket_order")
+            .orderBy("bucket_order")
+            .drop("bucket_order"))
