@@ -19117,3 +19117,252 @@ def q293_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "avg_l", "bucket_order")
             .orderBy("bucket_order")
             .drop("bucket_order"))
+
+
+_RRF_TERMS = ("spark", "vector", "stream")
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+
+
+def _rrf_bm25_sql() -> str:
+    """Per-document BM25 (k1=1.2, b=0.75) for the three fixed query terms
+    as one projection — term contributions added left-to-right in a fixed
+    expression order, so no group-sum reordering can perturb the float."""
+    tf = {t: (f"len(list_filter(string_split_regex(text, '\\s+'), "
+              f"w -> w = '{t}'))") for t in _RRF_TERMS}
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}" for t in _RRF_TERMS)
+    term_score = {
+        t: (f"(ln(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+            f" * (tf_{t} * 2.2)"
+            f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / s.avgdl)))")
+        for t in _RRF_TERMS}
+    tf_cols = ", ".join(f"{tf[t]} AS tf_{t}" for t in _RRF_TERMS)
+    return f"""
+    docs AS (
+        SELECT doc_id, {tf_cols},
+               len(list_filter(string_split_regex(text, '\\s+'),
+                               w -> w <> '')) AS dl
+        FROM documents
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               avg(dl * 1.0) AS avgdl, {df_cols}
+        FROM docs
+    ), bm25 AS (
+        SELECT d.doc_id,
+               round({term_score[_RRF_TERMS[0]]}
+                     + {term_score[_RRF_TERMS[1]]}
+                     + {term_score[_RRF_TERMS[2]]}, 6) AS bm25
+        FROM docs d CROSS JOIN stats s
+    )"""
+
+
+@_register(
+    "q294_rrf_fusion",
+    f"""
+    -- hybrid-retrieval fusion, the RAG-standard recipe: lexical BM25
+    -- ranking and embedding-cosine ranking fused by Reciprocal Rank
+    -- Fusion (Cormack et al.: score = sum 1/(60 + rank)). Ranks come
+    -- from 6dp-rounded scores with id tiebreaks, so both engines rank
+    -- identically; the fused score is two exact reciprocals added in
+    -- fixed order. Query = embedding of vec_id 0 / terms
+    -- ('spark','vector','stream'); doc_id aligns with vec_id.
+    WITH {_rrf_bm25_sql()},
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id = 0
+    ), vn AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id <> 0
+    ), cos AS (
+        SELECT vn.vec_id AS doc_id,
+               round(list_sum(list_transform(range(1, len(vn.e) + 1),
+                     i -> vn.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))
+                     / (sqrt(list_sum(list_transform(vn.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.e, x -> x * x)))),
+                     6) AS cosine
+        FROM vn CROSS JOIN q
+    ), ra AS (
+        SELECT doc_id, row_number() OVER (
+                   ORDER BY cosine DESC, doc_id) AS rank_vec
+        FROM cos
+    ), rb AS (
+        SELECT doc_id, row_number() OVER (
+                   ORDER BY bm25 DESC, doc_id) AS rank_bm25
+        FROM bm25 WHERE doc_id <> 0
+    ), fused AS (
+        SELECT ra.doc_id,
+               CAST(ra.rank_vec AS BIGINT) AS rank_vec,
+               CAST(rb.rank_bm25 AS BIGINT) AS rank_bm25,
+               CAST(round(1.0 / ({_RRF_K} + ra.rank_vec)
+                          + 1.0 / ({_RRF_K} + rb.rank_bm25), 6) AS DOUBLE)
+                   AS rrf_score
+        FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rank_vec, rank_bm25, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                AS BIGINT) AS fused_rank
+    FROM fused
+    ORDER BY fused_rank LIMIT 20
+    """,
+    doc="Reciprocal Rank Fusion of a BM25 lexical ranking and an "
+        "embedding-cosine ranking — the standard hybrid-retrieval "
+        "combiner in RAG pipelines (k=60 per Cormack et al. 2009). "
+        "Scale shape: BM25 tf/dl are map-side per-document "
+        "projections, corpus stats one 1-row broadcast aggregate; "
+        "cosine broadcasts the single query vector (zero-shuffle "
+        "scoring); each ranking is one global row_number over 6dp-"
+        "rounded scores — at corpus scale that global sort is the "
+        "cost, and the documented lever is rank-from-topk (take the "
+        "bounded fusion window, not the full ranking, since RRF past "
+        "rank ~1000 contributes < 1e-3 of the fused score).",
+)
+def q294_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        dot, l2_norm,
+    )
+
+    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    tf_cols = [F.size(F.filter(F.split(F.col("text"), r"\s+"),
+                               (lambda term: lambda w: w == term)(t)))
+               .alias(f"tf_{t}") for t in _RRF_TERMS]
+    docs = documents.select("doc_id", *tf_cols, F.size(toks).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg(F.col("dl") * 1.0).alias("avgdl"),
+        *[F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("bigint")
+          .alias(f"df_{t}") for t in _RRF_TERMS])
+
+    def term_score(t: str) -> Column:
+        idf = F.log(1.0 + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
+                    / (F.col(f"df_{t}") + 0.5))
+        return (idf * (F.col(f"tf_{t}") * 2.2)
+                / (F.col(f"tf_{t}")
+                   + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))))
+
+    bm25 = (docs.crossJoin(F.broadcast(stats))
+            .select("doc_id",
+                    F.round(term_score(_RRF_TERMS[0])
+                            + term_score(_RRF_TERMS[1])
+                            + term_score(_RRF_TERMS[2]), 6).alias("bm25"))
+            .filter(F.col("doc_id") != 0))
+    q = (embeddings.filter(F.col("vec_id") == 0)
+         .select(F.transform("embedding",
+                             lambda x: x.cast("double")).alias("qe")))
+    cos = (embeddings.filter(F.col("vec_id") != 0)
+           .select(F.col("vec_id").alias("doc_id"),
+                   F.transform("embedding",
+                               lambda x: x.cast("double")).alias("e"))
+           .crossJoin(F.broadcast(q))
+           .select("doc_id",
+                   F.round(dot(F.col("e"), F.col("qe"))
+                           / (l2_norm(F.col("e")) * l2_norm(F.col("qe"))),
+                           6).alias("cosine")))
+    ra = cos.select("doc_id", F.row_number().over(
+        W.orderBy(F.col("cosine").desc(), "doc_id")).cast("bigint")
+        .alias("rank_vec"))
+    rb = bm25.select("doc_id", F.row_number().over(
+        W.orderBy(F.col("bm25").desc(), "doc_id")).cast("bigint")
+        .alias("rank_bm25"))
+    fused = (ra.join(rb, "doc_id")
+             .select("doc_id", "rank_vec", "rank_bm25",
+                     F.round(1.0 / (_RRF_K + F.col("rank_vec"))
+                             + 1.0 / (_RRF_K + F.col("rank_bm25")), 6)
+                     .cast("double").alias("rrf_score")))
+    return (fused.select(
+        "doc_id", "rank_vec", "rank_bm25", "rrf_score",
+        F.row_number().over(W.orderBy(F.col("rrf_score").desc(), "doc_id"))
+        .cast("bigint").alias("fused_rank"))
+        .orderBy("fused_rank").limit(20))
+
+
+@_register(
+    "q295_mann_whitney_u",
+    """
+    -- Mann-Whitney U (Wilcoxon rank-sum) between the deterministic
+    -- hash-split arms on purchase value: the non-parametric companion
+    -- to q239's proportion z-test, robust to the heavy-tailed spend
+    -- distribution. Ranks are kept EXACT as doubled integers
+    -- (2*avg_rank = 2*min_rank + (ties-1) is always a BIGINT), so the
+    -- rank-sum, U, the tie term, and the rank-biserial effect size
+    -- are all integer arithmetic until one final sqrt/divide;
+    -- no continuity correction (documented choice, mirrored in both
+    -- engines).
+    WITH trials AS (
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), ranked AS (
+        SELECT arm, cents,
+               2 * rank() OVER (ORDER BY cents)
+               + count(*) OVER (PARTITION BY cents) - 1 AS r2
+        FROM trials
+    ), ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM (
+            SELECT CAST(count(*) AS BIGINT) AS t FROM trials GROUP BY cents)
+    ), arms AS (
+        SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               CAST(sum(CASE WHEN arm = 'A' THEN r2 ELSE 0 END) AS BIGINT)
+                   AS r2a
+        FROM ranked
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(r2a / 2.0 - na * (na + 1) / 2.0 AS DOUBLE) AS u_a,
+           CAST(round((r2a / 2.0 - na * (na + 1) / 2.0 - na * nb / 2.0)
+                / sqrt(na * 1.0 * nb / 12.0
+                       * ((na + nb + 1)
+                          - tie_term * 1.0
+                            / ((na + nb) * (na + nb - 1.0)))), 6)
+                AS DOUBLE) AS z,
+           CAST(round(1.0 - 2.0 * (r2a / 2.0 - na * (na + 1) / 2.0)
+                      / (na * 1.0 * nb), 6) AS DOUBLE) AS rank_biserial
+    FROM arms CROSS JOIN ties
+    """,
+    doc="Mann-Whitney U / Wilcoxon rank-sum test between hash-split "
+        "arms on purchase value, with tie-corrected normal "
+        "approximation and rank-biserial effect size — the "
+        "distribution-free two-sample location test completing the "
+        "q239 (proportions) / q282 (ANOVA means) / q267 (rank "
+        "association) family. Scale shape: one filter-projection to "
+        "(arm, cents); the rank window orders by VALUE over the "
+        "trial panel (range-partitionable sort, no per-key skew); "
+        "tie counts group by distinct cents (value-domain-sized); "
+        "the final statistic is a 1-row reduce. Doubled-rank trick "
+        "keeps everything integer-exact until one sqrt.",
+)
+def q295_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.filter(F.col("event_type") == "purchase")
+              .select(_ab_arm().alias("arm"), _value_cents().alias("cents"))
+              .localCheckpoint(eager=True))
+    ranked = trials.select(
+        "arm",
+        (2 * F.rank().over(W.orderBy("cents"))
+         + F.count(F.lit(1)).over(W.partitionBy("cents")) - 1)
+        .cast("bigint").alias("r2"))
+    ties = (trials.groupBy("cents")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                 .cast("bigint").alias("tie_term")))
+    arms = ranked.agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("bigint").alias("na"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("r2")).otherwise(0))
+        .cast("bigint").alias("r2a"))
+    n = F.col("na") + F.col("nb")
+    u_a = F.col("r2a") / 2.0 - F.col("na") * (F.col("na") + 1) / 2.0
+    sigma = F.sqrt(F.col("na") * 1.0 * F.col("nb") / 12.0
+                   * ((n + 1)
+                      - F.col("tie_term") * 1.0 / (n * (n - 1.0))))
+    return (arms.crossJoin(F.broadcast(ties))
+            .select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
+                    u_a.cast("double").alias("u_a"),
+                    F.round((u_a - F.col("na") * F.col("nb") / 2.0) / sigma,
+                            6).cast("double").alias("z"),
+                    F.round(1.0 - 2.0 * u_a / (F.col("na") * 1.0
+                                               * F.col("nb")), 6)
+                    .cast("double").alias("rank_biserial")))
