@@ -19119,164 +19119,6 @@ def q293_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("bucket_order"))
 
 
-_RRF_TERMS = ("spark", "vector", "stream")
-_RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
-
-
-def _rrf_bm25_sql() -> str:
-    """Per-document BM25 (k1=1.2, b=0.75) for the three fixed query terms
-    as one projection — term contributions added left-to-right in a fixed
-    expression order, so no group-sum reordering can perturb the float."""
-    tf = {t: (f"len(list_filter(string_split_regex(text, '\\s+'), "
-              f"w -> w = '{t}'))") for t in _RRF_TERMS}
-    df_cols = ", ".join(
-        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
-        f" AS df_{t}" for t in _RRF_TERMS)
-    term_score = {
-        t: (f"(ln(1.0 + (s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
-            f" * (tf_{t} * 2.2)"
-            f" / (tf_{t} + 1.2 * (0.25 + 0.75 * dl / s.avgdl)))")
-        for t in _RRF_TERMS}
-    tf_cols = ", ".join(f"{tf[t]} AS tf_{t}" for t in _RRF_TERMS)
-    return f"""
-    docs AS (
-        SELECT doc_id, {tf_cols},
-               len(list_filter(string_split_regex(text, '\\s+'),
-                               w -> w <> '')) AS dl
-        FROM documents
-    ), stats AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_docs,
-               avg(dl * 1.0) AS avgdl, {df_cols}
-        FROM docs
-    ), bm25 AS (
-        SELECT d.doc_id,
-               round({term_score[_RRF_TERMS[0]]}
-                     + {term_score[_RRF_TERMS[1]]}
-                     + {term_score[_RRF_TERMS[2]]}, 6) AS bm25
-        FROM docs d CROSS JOIN stats s
-    )"""
-
-
-@_register(
-    "q294_rrf_fusion",
-    f"""
-    -- hybrid-retrieval fusion, the RAG-standard recipe: lexical BM25
-    -- ranking and embedding-cosine ranking fused by Reciprocal Rank
-    -- Fusion (Cormack et al.: score = sum 1/(60 + rank)). Ranks come
-    -- from 6dp-rounded scores with id tiebreaks, so both engines rank
-    -- identically; the fused score is two exact reciprocals added in
-    -- fixed order. Query = embedding of vec_id 0 / terms
-    -- ('spark','vector','stream'); doc_id aligns with vec_id.
-    WITH {_rrf_bm25_sql()},
-    q AS (
-        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE vec_id = 0
-    ), vn AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM embeddings WHERE vec_id <> 0
-    ), cos AS (
-        SELECT vn.vec_id AS doc_id,
-               round(list_sum(list_transform(range(1, len(vn.e) + 1),
-                     i -> vn.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))
-                     / (sqrt(list_sum(list_transform(vn.e, x -> x * x)))
-                        * sqrt(list_sum(list_transform(q.e, x -> x * x)))),
-                     6) AS cosine
-        FROM vn CROSS JOIN q
-    ), ra AS (
-        SELECT doc_id, row_number() OVER (
-                   ORDER BY cosine DESC, doc_id) AS rank_vec
-        FROM cos
-    ), rb AS (
-        SELECT doc_id, row_number() OVER (
-                   ORDER BY bm25 DESC, doc_id) AS rank_bm25
-        FROM bm25 WHERE doc_id <> 0
-    ), fused AS (
-        SELECT ra.doc_id,
-               CAST(ra.rank_vec AS BIGINT) AS rank_vec,
-               CAST(rb.rank_bm25 AS BIGINT) AS rank_bm25,
-               CAST(round(1.0 / ({_RRF_K} + ra.rank_vec)
-                          + 1.0 / ({_RRF_K} + rb.rank_bm25), 6) AS DOUBLE)
-                   AS rrf_score
-        FROM ra JOIN rb ON ra.doc_id = rb.doc_id
-    )
-    SELECT doc_id, rank_vec, rank_bm25, rrf_score,
-           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
-                AS BIGINT) AS fused_rank
-    FROM fused
-    ORDER BY fused_rank LIMIT 20
-    """,
-    doc="Reciprocal Rank Fusion of a BM25 lexical ranking and an "
-        "embedding-cosine ranking — the standard hybrid-retrieval "
-        "combiner in RAG pipelines (k=60 per Cormack et al. 2009). "
-        "Scale shape: BM25 tf/dl are map-side per-document "
-        "projections, corpus stats one 1-row broadcast aggregate; "
-        "cosine broadcasts the single query vector (zero-shuffle "
-        "scoring); each ranking is one global row_number over 6dp-"
-        "rounded scores — at corpus scale that global sort is the "
-        "cost, and the documented lever is rank-from-topk (take the "
-        "bounded fusion window, not the full ranking, since RRF past "
-        "rank ~1000 contributes < 1e-3 of the fused score).",
-)
-def q294_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from league_of_legends_data_pipeline_spark.operators.similarity import (
-        dot, l2_norm,
-    )
-
-    documents, embeddings = _t(spark, sf_dir, "documents", "embeddings")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
-    tf_cols = [F.size(F.filter(F.split(F.col("text"), r"\s+"),
-                               (lambda term: lambda w: w == term)(t)))
-               .alias(f"tf_{t}") for t in _RRF_TERMS]
-    docs = documents.select("doc_id", *tf_cols, F.size(toks).alias("dl"))
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.avg(F.col("dl") * 1.0).alias("avgdl"),
-        *[F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("bigint")
-          .alias(f"df_{t}") for t in _RRF_TERMS])
-
-    def term_score(t: str) -> Column:
-        idf = F.log(1.0 + (F.col("n_docs") - F.col(f"df_{t}") + 0.5)
-                    / (F.col(f"df_{t}") + 0.5))
-        return (idf * (F.col(f"tf_{t}") * 2.2)
-                / (F.col(f"tf_{t}")
-                   + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))))
-
-    bm25 = (docs.crossJoin(F.broadcast(stats))
-            .select("doc_id",
-                    F.round(term_score(_RRF_TERMS[0])
-                            + term_score(_RRF_TERMS[1])
-                            + term_score(_RRF_TERMS[2]), 6).alias("bm25"))
-            .filter(F.col("doc_id") != 0))
-    q = (embeddings.filter(F.col("vec_id") == 0)
-         .select(F.transform("embedding",
-                             lambda x: x.cast("double")).alias("qe")))
-    cos = (embeddings.filter(F.col("vec_id") != 0)
-           .select(F.col("vec_id").alias("doc_id"),
-                   F.transform("embedding",
-                               lambda x: x.cast("double")).alias("e"))
-           .crossJoin(F.broadcast(q))
-           .select("doc_id",
-                   F.round(dot(F.col("e"), F.col("qe"))
-                           / (l2_norm(F.col("e")) * l2_norm(F.col("qe"))),
-                           6).alias("cosine")))
-    ra = cos.select("doc_id", F.row_number().over(
-        W.orderBy(F.col("cosine").desc(), "doc_id")).cast("bigint")
-        .alias("rank_vec"))
-    rb = bm25.select("doc_id", F.row_number().over(
-        W.orderBy(F.col("bm25").desc(), "doc_id")).cast("bigint")
-        .alias("rank_bm25"))
-    fused = (ra.join(rb, "doc_id")
-             .select("doc_id", "rank_vec", "rank_bm25",
-                     F.round(1.0 / (_RRF_K + F.col("rank_vec"))
-                             + 1.0 / (_RRF_K + F.col("rank_bm25")), 6)
-                     .cast("double").alias("rrf_score")))
-    return (fused.select(
-        "doc_id", "rank_vec", "rank_bm25", "rrf_score",
-        F.row_number().over(W.orderBy(F.col("rrf_score").desc(), "doc_id"))
-        .cast("bigint").alias("fused_rank"))
-        .orderBy("fused_rank").limit(20))
-
-
 @_register(
     "q295_mann_whitney_u",
     """
@@ -19366,3 +19208,171 @@ def q295_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(1.0 - 2.0 * u_a / (F.col("na") * 1.0
                                                * F.col("nb")), 6)
                     .cast("double").alias("rank_biserial")))
+
+
+def _mmr_cte_sql() -> str:
+    """Shared oracle CTE prelude: query vector, 6dp cosine relevance,
+    top-12 candidate slate, pairwise candidate similarities."""
+    return """
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id = 0
+    ), vn AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id <> 0
+    ), cos AS (
+        SELECT vn.vec_id AS doc_id, vn.e,
+               round(list_sum(list_transform(range(1, len(vn.e) + 1),
+                     i -> vn.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))
+                     / (sqrt(list_sum(list_transform(vn.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.e, x -> x * x)))),
+                     6) AS rel
+        FROM vn CROSS JOIN q
+    ), cand AS (
+        SELECT doc_id, e, rel FROM cos
+        ORDER BY rel DESC, doc_id LIMIT 12
+    ), sims AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               round(list_sum(list_transform(range(1, len(a.e) + 1),
+                     i -> a.e[CAST(i AS INT)] * b.e[CAST(i AS INT)]))
+                     / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(b.e, x -> x * x)))),
+                     6) AS sim
+        FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+    )"""
+
+
+def _mmr_steps_sql(k: int = 5) -> str:
+    """Unrolled greedy MMR selection: step i picks argmax of
+    0.7*rel - 0.3*max(sim to already-chosen), tie broken by doc_id."""
+    parts = []
+    for i in range(1, k + 1):
+        if i == 1:
+            parts.append(
+                "s1 AS (SELECT CAST(1 AS BIGINT) AS pick, doc_id, rel,\n"
+                "       0.7 * rel - 0.3 * 0.0 AS mmr\n"
+                "       FROM cand ORDER BY 0.7 * rel - 0.3 * 0.0 DESC,"
+                " doc_id LIMIT 1)")
+            parts.append("ch1 AS (SELECT * FROM s1)")
+        else:
+            prev = f"ch{i - 1}"
+            parts.append(
+                f"s{i} AS (SELECT CAST({i} AS BIGINT) AS pick, c.doc_id,"
+                f" c.rel,\n"
+                f"       0.7 * c.rel - 0.3 * (SELECT max(s.sim) FROM sims s"
+                f" WHERE s.ia = c.doc_id"
+                f" AND s.ib IN (SELECT doc_id FROM {prev})) AS mmr\n"
+                f"       FROM cand c WHERE c.doc_id NOT IN"
+                f" (SELECT doc_id FROM {prev})\n"
+                f"       ORDER BY mmr DESC, c.doc_id LIMIT 1)")
+            parts.append(
+                f"ch{i} AS (SELECT * FROM {prev} UNION ALL"
+                f" SELECT * FROM s{i})")
+    return ",\n    ".join(parts)
+
+
+@_register(
+    "q294_mmr_rerank",
+    f"""
+    -- Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    -- 1998), the standard diversification pass between retrieval and
+    -- an LLM context window: from the top-12 cosine candidates for
+    -- query vec 0, greedily pick 5 maximizing
+    -- 0.7*relevance - 0.3*max(similarity to already-picked).
+    -- Relevance and pairwise sims are 6dp-rounded cosines, so both
+    -- engines run the greedy on identical doubles; ties break by
+    -- doc_id. The oracle unrolls the 5 selection steps as CTEs.
+    WITH {_mmr_cte_sql()},
+    {_mmr_steps_sql(5)}
+    SELECT pick, doc_id, rel,
+           CAST(round(mmr, 6) AS DOUBLE) AS mmr
+    FROM ch5 ORDER BY pick
+    """,
+    doc="MMR diversified re-ranking over the embedding corpus: "
+        "retrieval gives a relevance-ordered slate; MMR trades "
+        "relevance against redundancy so the final context window "
+        "isn't five near-copies (lambda=0.7, the classic setting). "
+        "Spark-first shape: candidate slate + pairwise sims are "
+        "DataFrame ops (broadcast query vector, 12-row self-join); "
+        "the inherently sequential greedy runs as ONE codegen'd "
+        "F.aggregate fold over the step sequence — no UDF, no "
+        "driver loop, no per-step job. Scale: candidate generation "
+        "is the ANN tier's job (q42 IVF / q98 LSH feed a bounded "
+        "slate); MMR itself is slate-sized (k*|slate| map work) "
+        "regardless of corpus size.",
+)
+def q294_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        dot, l2_norm,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    as_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = (embeddings.filter(F.col("vec_id") == 0)
+         .select(as_d("embedding").alias("qe")))
+    cos = (embeddings.filter(F.col("vec_id") != 0)
+           .select(F.col("vec_id").alias("doc_id"),
+                   as_d("embedding").alias("e"))
+           .crossJoin(F.broadcast(q))
+           .select("doc_id", "e",
+                   F.round(dot(F.col("e"), F.col("qe"))
+                           / (l2_norm(F.col("e")) * l2_norm(F.col("qe"))),
+                           6).alias("rel")))
+    cand = (cos.orderBy(F.col("rel").desc(), "doc_id").limit(12)
+            .localCheckpoint(eager=True))
+    a = cand.select(F.col("doc_id").alias("ia"), F.col("e").alias("ea"),
+                    F.col("rel").alias("rel"))
+    b = cand.select(F.col("doc_id").alias("ib"), F.col("e").alias("eb"))
+    sims = (a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+            .select("ia", "rel", "ib",
+                    F.round(dot(F.col("ea"), F.col("eb"))
+                            / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
+                            6).alias("sim")))
+    # one row per candidate: (id, rel, sims: map<other_id, sim>)
+    per_cand = (sims.groupBy(F.col("ia").alias("id"), "rel")
+                .agg(F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col("ib").alias("k"), F.col("sim").alias("v")))))
+                    .alias("sims")))
+    # no sort_array here: maps are unorderable, and the greedy argmax is
+    # order-free over the slate (unique winner by (mmr, -id))
+    packed = per_cand.agg(F.collect_list(F.struct(
+        F.col("id"), F.col("rel"), F.col("sims"))).alias("cands"))
+    # greedy fold over pick indices 1..5: acc = (picked rows, picked ids)
+    zero = F.struct(
+        F.expr("CAST(array() AS array<struct<pick:bigint,doc_id:bigint,"
+               "rel:double,mmr:double>>)").alias("sel"),
+        F.expr("CAST(array() AS array<bigint>)").alias("ids"))
+
+    def step(acc, pick):
+        remaining = F.filter(
+            F.col("cands"),
+            lambda c: ~F.array_contains(acc["ids"], c["id"]))
+        scored = F.transform(
+            remaining,
+            lambda c: F.struct(
+                (F.lit(0.7) * c["rel"] - F.lit(0.3) * F.coalesce(
+                    F.array_max(F.transform(
+                        acc["ids"], lambda s: F.element_at(c["sims"], s))),
+                    F.lit(0.0))).alias("mmr"),
+                (-c["id"]).alias("negid"),
+                c["id"].alias("id"),
+                c["rel"].alias("rel")))
+        best = F.array_max(scored)
+        return F.struct(
+            F.concat(acc["sel"], F.array(F.struct(
+                pick.cast("bigint").alias("pick"),
+                best["id"].alias("doc_id"),
+                best["rel"].alias("rel"),
+                best["mmr"].alias("mmr")))).alias("sel"),
+            F.concat(acc["ids"], F.array(best["id"])).alias("ids"))
+
+    folded = packed.select(
+        F.aggregate(F.sequence(F.lit(1), F.lit(5)), zero, step)
+        .getField("sel").alias("sel"))
+    return (folded.select(F.explode("sel").alias("r"))
+            .select(F.col("r.pick").alias("pick"),
+                    F.col("r.doc_id").alias("doc_id"),
+                    F.col("r.rel").alias("rel"),
+                    F.round(F.col("r.mmr"), 6).cast("double").alias("mmr"))
+            .orderBy("pick"))
