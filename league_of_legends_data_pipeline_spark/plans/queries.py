@@ -19376,3 +19376,252 @@ def q294_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("r.rel").alias("rel"),
                     F.round(F.col("r.mmr"), 6).cast("double").alias("mmr"))
             .orderBy("pick"))
+
+
+@_register(
+    "q296_degree_assortativity",
+    """
+    -- Newman (2002) degree-assortativity coefficient of the q187/q269
+    -- customer graph: Pearson correlation of endpoint degrees over
+    -- edges, in the symmetric single-count form
+    --   r = (S_jk/M - (S_j/(2M))^2 * 4 ... ) written with exact
+    -- integer moment sums: S_jk = sum(du*dv), S_sum = sum(du+dv),
+    -- S_sq = sum(du^2+dv^2); r = (4*M*S_jk - S_sum^2)
+    --                          / (2*M*S_sq - S_sum^2).
+    -- Degrees are BIGINTs, every moment is an exact BIGINT sum, and
+    -- the coefficient is one integer-ratio division rounded at the
+    -- edge — hub-attracts-hub (r > 0) vs hub-attracts-leaf (r < 0).
+    WITH e AS (""" + _CUST_EDGE_SQL + """
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+        ) GROUP BY node
+    ), ed AS (
+        SELECT du.deg AS dju, dv.deg AS djv
+        FROM e JOIN deg du ON du.node = e.u
+               JOIN deg dv ON dv.node = e.v
+    ), m AS (
+        SELECT CAST(count(*) AS BIGINT) AS m_edges,
+               CAST(sum(dju * djv) AS BIGINT) AS s_jk,
+               CAST(sum(dju + djv) AS BIGINT) AS s_sum,
+               CAST(sum(dju * dju + djv * djv) AS BIGINT) AS s_sq
+        FROM ed
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           m_edges AS n_edges,
+           CAST(round(s_sum * 1.0 / (2 * m_edges), 6) AS DOUBLE)
+               AS avg_edge_degree,
+           CAST(CASE WHEN 2 * m_edges * s_sq - s_sum * s_sum = 0
+                     THEN 0.0
+                     ELSE round((4.0 * m_edges * s_jk - s_sum * s_sum * 1.0)
+                          / (2.0 * m_edges * s_sq - s_sum * s_sum * 1.0), 6)
+                END AS DOUBLE) AS assortativity
+    FROM m
+    """,
+    doc="Degree-assortativity coefficient (Newman 2002) of the "
+        "same-nation customer graph: do high-degree nodes link to "
+        "each other (r > 0, social-network-like) or to leaves "
+        "(r < 0, hub-and-spoke)? The one-number mixing diagnostic "
+        "that decides whether q240 PPR / q185 label propagation "
+        "will concentrate or spread. Scale shape: degrees are one "
+        "(node, long) aggregate; the edge-moment stage is two "
+        "dimension-broadcast joins producing four exact BIGINT "
+        "moment sums in ONE 1-row reduce — a regular-degree graph "
+        "all the way down; the coefficient is a closed form over "
+        "the moments (zero-variance degenerate graph defined as 0).",
+)
+def q296_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _customer_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v"))
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("deg"))
+           .localCheckpoint(eager=True))
+    ed = (e.join(deg.select(F.col("node").alias("u"),
+                            F.col("deg").alias("dju")), "u")
+          .join(deg.select(F.col("node").alias("v"),
+                           F.col("deg").alias("djv")), "v"))
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_edges"),
+        F.sum(F.col("dju") * F.col("djv")).cast("bigint").alias("s_jk"),
+        F.sum(F.col("dju") + F.col("djv")).cast("bigint").alias("s_sum"),
+        F.sum(F.col("dju") * F.col("dju") + F.col("djv") * F.col("djv"))
+        .cast("bigint").alias("s_sq"))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    denom = (2 * F.col("m_edges") * F.col("s_sq")
+             - F.col("s_sum") * F.col("s_sum"))
+    return (m.crossJoin(F.broadcast(n_nodes))
+            .select("n_nodes",
+                    F.col("m_edges").alias("n_edges"),
+                    F.round(F.col("s_sum") * 1.0 / (2 * F.col("m_edges")),
+                            6).cast("double").alias("avg_edge_degree"),
+                    F.when(denom == 0, F.lit(0.0))
+                    .otherwise(F.round(
+                        (4.0 * F.col("m_edges") * F.col("s_jk")
+                         - F.col("s_sum") * F.col("s_sum") * 1.0)
+                        / (2.0 * F.col("m_edges") * F.col("s_sq")
+                           - F.col("s_sum") * F.col("s_sum") * 1.0), 6))
+                    .cast("double").alias("assortativity")))
+
+
+@_register(
+    "q297_nn_matching_att",
+    """
+    -- 1-nearest-neighbor covariate matching with a caliper (the
+    -- matching estimator of the causal family: q250 CUPED, q251 DiD,
+    -- q274 post-stratification, q286 IPW): treated = hash arm A,
+    -- matching covariate = pre-period event count, outcome =
+    -- post-period purchase cents. Each treated user matches the
+    -- nearest control SCORE (with replacement, tie -> lower score,
+    -- caliper 3); the control outcome at a score is the control
+    -- group's mean, micro-rounded to a BIGINT so the ATT sum is
+    -- order-free. Nearest-in-1D is computed declaratively: running
+    -- max/min of control scores over the sorted distinct-score axis
+    -- (no per-treated scan, no cross join).
+    WITH spanx AS (
+        SELECT CAST(min(CAST(ts AS DATE)) AS DATE)
+               + CAST(floor(date_diff('day', min(CAST(ts AS DATE)),
+                            max(CAST(ts AS DATE))) / 2.0) AS INTEGER) AS mid
+        FROM events
+    ), users AS (
+        SELECT user_id, """ + _AB_ARM_SQL + """ AS arm,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) < s.mid
+                        THEN 1 ELSE 0 END) AS BIGINT) AS score,
+               CAST(sum(CASE WHEN CAST(ts AS DATE) >= s.mid
+                             AND event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS cents
+        FROM events CROSS JOIN spanx s
+        GROUP BY user_id, arm, s.mid
+    ), ctrl AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n_c,
+               CAST(round(sum(cents) * 1000000.0 / count(*)) AS BIGINT)
+                   AS out_micro
+        FROM users WHERE arm = 'B' GROUP BY score
+    ), axis AS (
+        SELECT score,
+               max(CASE WHEN is_ctrl = 1 THEN score END) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prev_c,
+               min(CASE WHEN is_ctrl = 1 THEN score END) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_c
+        FROM (SELECT score, max(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                     AS is_ctrl
+              FROM users GROUP BY score)
+    ), matched AS (
+        SELECT t.user_id, t.score, t.cents,
+               CASE WHEN a.prev_c IS NOT NULL
+                     AND (a.next_c IS NULL
+                          OR t.score - a.prev_c <= a.next_c - t.score)
+                    THEN a.prev_c ELSE a.next_c END AS m_score,
+               CASE WHEN a.prev_c IS NOT NULL
+                     AND (a.next_c IS NULL
+                          OR t.score - a.prev_c <= a.next_c - t.score)
+                    THEN t.score - a.prev_c ELSE a.next_c - t.score
+               END AS gap
+        FROM users t JOIN axis a ON a.score = t.score
+        WHERE t.arm = 'A'
+    )
+    SELECT CAST((SELECT count(*) FROM users WHERE arm = 'A') AS BIGINT)
+               AS n_treated,
+           CAST((SELECT count(*) FROM users WHERE arm = 'B') AS BIGINT)
+               AS n_control,
+           CAST(sum(CASE WHEN m.gap <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched,
+           CAST(sum(CASE WHEN m.gap > 3 OR m.gap IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+           CAST(round(sum(CASE WHEN m.gap <= 3 THEN m.gap ELSE 0 END)
+                      * 1.0
+                      / sum(CASE WHEN m.gap <= 3 THEN 1 ELSE 0 END), 6)
+                AS DOUBLE) AS avg_score_gap,
+           CAST(round(sum(CASE WHEN m.gap <= 3
+                          THEN m.cents * 1000000 - c.out_micro
+                          ELSE 0 END)
+                      / (sum(CASE WHEN m.gap <= 3 THEN 1 ELSE 0 END)
+                         * 1000000.0), 6) AS DOUBLE) AS att_cents
+    FROM matched m LEFT JOIN ctrl c ON c.score = m.m_score
+    """,
+    doc="1-NN covariate matching ATT with caliper — the matching "
+        "estimator completing the causal tier (CUPED q250, DiD q251, "
+        "post-stratification q274, IPW q286). Nearest control score "
+        "for every treated unit comes from TWO running-extreme "
+        "windows over the sorted distinct-score axis (prev/next "
+        "control score), so matching is O(axis) with no cross join "
+        "and no per-treated probe; matching is with replacement via "
+        "a per-score control mean, micro-rounded to BIGINT so the "
+        "ATT numerator is an exact order-free integer sum. Scale "
+        "shape: one corpus groupBy(user) -> user panel; the axis is "
+        "value-domain-sized; the single-partition axis window is "
+        "bounded by distinct scores (documented: re-bucket scores "
+        "if the covariate domain is unbounded).",
+)
+def q297_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    spanx = events.agg(
+        F.date_add(F.min(day),
+                   F.floor(F.datediff(F.max(day), F.min(day)) / 2.0)
+                   .cast("int")).alias("mid"))
+    users = (events.crossJoin(F.broadcast(spanx))
+             .groupBy("user_id", _ab_arm().alias("arm"), "mid")
+             .agg(F.sum((day < F.col("mid")).cast("int")).cast("bigint")
+                  .alias("score"),
+                  F.sum(F.when((day >= F.col("mid"))
+                               & (F.col("event_type") == "purchase"),
+                               _value_cents()).otherwise(0))
+                  .cast("bigint").alias("cents"))
+             .drop("mid")
+             .localCheckpoint(eager=True))
+    ctrl = (users.filter(F.col("arm") == "B").groupBy("score")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_c"),
+                 F.round(F.sum("cents") * 1000000.0 / F.count(F.lit(1)))
+                 .cast("bigint").alias("out_micro")))
+    is_ctrl = (users.groupBy("score")
+               .agg(F.max((F.col("arm") == "B").cast("int"))
+                    .alias("is_ctrl")))
+    wp = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    wn = W.orderBy("score").rowsBetween(0, W.unboundedFollowing)
+    axis = is_ctrl.select(
+        "score",
+        F.max(F.when(F.col("is_ctrl") == 1, F.col("score"))).over(wp)
+        .alias("prev_c"),
+        F.min(F.when(F.col("is_ctrl") == 1, F.col("score"))).over(wn)
+        .alias("next_c"))
+    take_prev = (F.col("prev_c").isNotNull()
+                 & (F.col("next_c").isNull()
+                    | (F.col("score") - F.col("prev_c")
+                       <= F.col("next_c") - F.col("score"))))
+    matched = (users.filter(F.col("arm") == "A")
+               .join(axis, "score")
+               .select("user_id", "score", "cents",
+                       F.when(take_prev, F.col("prev_c"))
+                       .otherwise(F.col("next_c")).alias("m_score"),
+                       F.when(take_prev,
+                              F.col("score") - F.col("prev_c"))
+                       .otherwise(F.col("next_c") - F.col("score"))
+                       .alias("gap")))
+    counts = users.agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("bigint")
+        .alias("n_treated"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("bigint")
+        .alias("n_control"))
+    ok = F.col("gap") <= 3
+    agg = (matched.join(ctrl.select(F.col("score").alias("m_score"),
+                                    "out_micro"), "m_score", "left")
+           .agg(F.sum(ok.cast("int")).cast("bigint").alias("n_matched"),
+                F.sum((F.col("gap").isNull() | (F.col("gap") > 3))
+                      .cast("int")).cast("bigint").alias("n_unmatched"),
+                F.round(F.sum(F.when(ok, F.col("gap")).otherwise(0)) * 1.0
+                        / F.sum(ok.cast("int")), 6).cast("double")
+                .alias("avg_score_gap"),
+                F.round(F.sum(F.when(ok, F.col("cents") * 1000000
+                                     - F.col("out_micro")).otherwise(0))
+                        / (F.sum(ok.cast("int")) * 1000000.0), 6)
+                .cast("double").alias("att_cents")))
+    return (counts.crossJoin(F.broadcast(agg))
+            .select("n_treated", "n_control", "n_matched", "n_unmatched",
+                    "avg_score_gap", "att_cents"))
