@@ -453,6 +453,7 @@ def kmeans_refine(
     centroid_stride: int = 64,
     iterations: int = 2,
     max_centroids: int = 4096,
+    top2: bool = False,
 ) -> DataFrame:
     """Deterministic Lloyd refinement for corpus clustering (SemDeDup-style
     topic bucketing): seed centroids = every ``centroid_stride``-th vector
@@ -460,6 +461,9 @@ def kmeans_refine(
     (cosine, ties to the smallest cluster id) and element-wise mean
     recompute. Returns (id, cluster, cosine) — each vector's final cluster
     (keyed by seed id) and its similarity to that cluster's centroid.
+    With ``top2=True`` also returns ``cosine2``, the similarity to the
+    nearest OTHER centroid (the runner-up of the same in-row argmax, no
+    extra scan) — the ingredient simplified-silhouette needs.
 
     Means are rounded (9 dp) each round: parallel aggregation order makes
     the last ulp nondeterministic, and an unrounded centroid could flip an
@@ -529,12 +533,24 @@ def kmeans_refine(
                 (dot(F.col("__v"), s["ce"]) / (F.col("__nv") * s["cn"]))
                 .alias("c"),
                 (-s["cid"]).alias("t")))
-        return (frame.withColumn("__nv", l2_norm(F.col("__v")))
-                .crossJoin(F.broadcast(cent_df))
-                .withColumn("__b", F.array_max(scored))
-                .select("__id", "__v",
-                        (-F.col("__b.t")).alias("cluster"),
-                        F.col("__b.c").alias("cosine")))
+        out = (frame.withColumn("__nv", l2_norm(F.col("__v")))
+               .crossJoin(F.broadcast(cent_df))
+               .withColumn("__b", F.array_max(scored)))
+        if top2:
+            # runner-up: max over entries whose cid differs from the
+            # winner, identical tie rule (highest cos, then smallest cid).
+            # Costs a second in-row pass over the scored array (2*C dots
+            # per row) on the top2 path only; still map-only.
+            out = out.withColumn(
+                "__b2",
+                F.array_max(F.filter(scored,
+                                     lambda s: s["t"] != F.col("__b.t"))))
+        cols = ["__id", "__v",
+                (-F.col("__b.t")).alias("cluster"),
+                F.col("__b.c").alias("cosine")]
+        if top2:
+            cols.append(F.col("__b2.c").alias("cosine2"))
+        return out.select(*cols)
 
     assigned = assign(v, cents)
     for _ in range(iterations - 1):
@@ -544,8 +560,11 @@ def kmeans_refine(
         cents = [(int(r["cluster"]), [r[f"m{i}"] for i in range(dim)])
                  for r in means.collect()]
         assigned = assign(v, cents)
-    return assigned.select(F.col("__id").alias(id_col), "cluster",
-                           F.round("cosine", 6).alias("cosine"))
+    out_cols = [F.col("__id").alias(id_col), F.col("cluster"),
+                F.round("cosine", 6).alias("cosine")]
+    if top2:
+        out_cols.append(F.round("cosine2", 6).alias("cosine2"))
+    return assigned.select(*out_cols)
 
 
 def semantic_dedup(

@@ -19625,3 +19625,93 @@ def q297_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counts.crossJoin(F.broadcast(agg))
             .select("n_treated", "n_control", "n_matched", "n_unmatched",
                     "avg_score_gap", "att_cents"))
+
+
+def _kmeans_top2_cte() -> str:
+    """``_KMEANS_A2_CTE`` with the FINAL assignment widened to rn <= 2
+    (a2x keeps the runner-up row). Only the last ``WHERE rn = 1`` may be
+    rewritten — the a1 (first-round) assignment also matches that text,
+    and touching it would double first-round membership and move every
+    centroid (the bug this helper exists to avoid)."""
+    base = (_KMEANS_A2_CTE
+            .replace("), a2 AS (", "), a2x AS (")
+            .replace("SELECT vec_id, cid, cos FROM (",
+                     "SELECT vec_id, cid, cos, rn FROM ("))
+    marker = ") WHERE rn = 1"
+    i = base.rindex(marker)
+    return base[:i] + ") WHERE rn <= 2" + base[i + len(marker):]
+
+
+@_register(
+    "q298_silhouette_score",
+    f"""
+    -- simplified silhouette (centroid-based, Hruschka et al.) of the
+    -- q86 k-means clustering: per point, a = cosine distance to own
+    -- centroid, b = cosine distance to the NEAREST OTHER centroid
+    -- (the runner-up of the same argmax); s = (b - a)/max(a, b)
+    --  = (cos1 - cos2)/max(1-cos1, 1-cos2). Per-point s is computed
+    -- from 6dp-rounded cosines and micro-rounded to a BIGINT before
+    -- the per-cluster mean, so the aggregate is order-free. The
+    -- cluster-quality readout for vector clusters, next to q275's
+    -- modularity for graph partitions.
+    {_kmeans_top2_cte()},
+    a2t AS (
+        SELECT vec_id,
+               max(CASE WHEN rn = 1 THEN cid END) AS cid,
+               round(max(CASE WHEN rn = 1 THEN cos END), 6) AS cos1,
+               round(max(CASE WHEN rn = 2 THEN cos END), 6) AS cos2
+        FROM a2x GROUP BY vec_id
+    ), pts AS (
+        SELECT cid,
+               CASE WHEN greatest(1.0 - cos1, 1.0 - cos2) > 0
+                    THEN CAST(round((cos1 - cos2)
+                              / greatest(1.0 - cos1, 1.0 - cos2)
+                              * 1000000) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS s_micro,
+               CAST(round((cos1 - cos2) * 1000000) AS BIGINT) AS m_micro
+        FROM a2t
+    )
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(round(sum(s_micro) / (count(*) * 1000000.0), 6)
+                AS DOUBLE) AS avg_silhouette,
+           CAST(round(sum(m_micro) / (count(*) * 1000000.0), 6)
+                AS DOUBLE) AS avg_margin
+    FROM pts GROUP BY cid ORDER BY cluster
+    """,
+    doc="Simplified (centroid-based) silhouette per k-means cluster "
+        "— is each cluster tight and well-separated, or should the "
+        "q86/q101 bucketing be re-cut? Uses kmeans_refine(top2=True): "
+        "the runner-up centroid falls out of the SAME in-row argmax "
+        "pass (one extra array scan, still map-only, no N x C "
+        "shuffle), so silhouette costs one more map stage than the "
+        "clustering itself. Per-point scores micro-round to BIGINTs "
+        "before the cluster mean (order-free; the q86 convention). "
+        "At 100 TB: identical shape to q86 — centroid broadcast + "
+        "map-only scoring + C-row aggregate.",
+)
+def q298_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_refine(embeddings, "vec_id", "embedding",
+                             dim=64, centroid_stride=64, iterations=2,
+                             top2=True)
+    gap = F.greatest(1.0 - F.col("cosine"), 1.0 - F.col("cosine2"))
+    s_micro = (F.when(gap > 0,
+                      F.round((F.col("cosine") - F.col("cosine2")) / gap
+                              * 1000000).cast("bigint"))
+               .otherwise(F.lit(0).cast("bigint")))
+    m_micro = F.round((F.col("cosine") - F.col("cosine2"))
+                      * 1000000).cast("bigint")
+    return (assigned.select(F.col("cluster").cast("bigint").alias("cluster"),
+                            s_micro.alias("s_micro"),
+                            m_micro.alias("m_micro"))
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.round(F.sum("s_micro") / (F.count(F.lit(1)) * 1000000.0),
+                         6).cast("double").alias("avg_silhouette"),
+                 F.round(F.sum("m_micro") / (F.count(F.lit(1)) * 1000000.0),
+                         6).cast("double").alias("avg_margin"))
+            .orderBy("cluster"))
