@@ -19715,3 +19715,193 @@ def q298_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("m_micro") / (F.count(F.lit(1)) * 1000000.0),
                          6).cast("double").alias("avg_margin"))
             .orderBy("cluster"))
+
+
+@_register(
+    "q299_kruskal_wallis",
+    """
+    -- Kruskal-Wallis H across market segments on account balance: the
+    -- k-group rank test completing the test family (q239 two-sample
+    -- proportions, q295 two-sample ranks, q282 k-group means). Ranks
+    -- stay exact as doubled integers (2*avg_rank is always a BIGINT);
+    -- the cross-group sum of R_g^2/n_g is milli-rounded per group to
+    -- a BIGINT so the 5-term sum is order-free; tie correction from
+    -- exact t^3 - t integer sums. H and epsilon-squared divide the
+    -- same integers on both engines.
+    WITH ranked AS (
+        SELECT c_mktsegment,
+               2 * rank() OVER (ORDER BY CAST(round(c_acctbal * 100)
+                                         AS BIGINT))
+               + count(*) OVER (PARTITION BY CAST(round(c_acctbal * 100)
+                                              AS BIGINT)) - 1 AS r2
+        FROM customer
+    ), groups AS (
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(r2) AS BIGINT) AS r2_g
+        FROM ranked GROUP BY c_mktsegment
+    ), terms AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(round(r2_g * 1.0 * r2_g / (4.0 * n_g) * 1000)
+                        AS BIGINT)) AS BIGINT) AS rsq_milli
+        FROM groups
+    ), ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM (
+            SELECT CAST(count(*) AS BIGINT) AS t FROM customer
+            GROUP BY CAST(round(c_acctbal * 100) AS BIGINT))
+    )
+    SELECT n AS n_total, k AS k_groups,
+           CAST(round(12.0 / (n * (n + 1.0)) * (rsq_milli / 1000.0)
+                      - 3.0 * (n + 1), 6) AS DOUBLE) AS h,
+           CAST(round((12.0 / (n * (n + 1.0)) * (rsq_milli / 1000.0)
+                       - 3.0 * (n + 1))
+                      / (1.0 - tie_term * 1.0
+                         / (n * 1.0 * n * n - n)), 6) AS DOUBLE)
+               AS h_tie_corrected,
+           CAST(round((12.0 / (n * (n + 1.0)) * (rsq_milli / 1000.0)
+                       - 3.0 * (n + 1)) / (n - 1.0), 6) AS DOUBLE)
+               AS epsilon_sq
+    FROM terms CROSS JOIN ties
+    """,
+    doc="Kruskal-Wallis H test (tie-corrected) + epsilon-squared "
+        "effect size across the 5 market segments on account "
+        "balance — the distribution-free k-group location test. "
+        "Scale shape: one global value-rank window (range-"
+        "partitionable sort over the dimension panel), one k-row "
+        "group rollup, tie counts over the distinct-value domain; "
+        "every cross-group reduction is an exact-integer sum "
+        "(doubled ranks, milli-rounded R^2/n terms), so no float "
+        "summation order exists anywhere before the final closed "
+        "form.",
+)
+def q299_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    base = customer.select("c_mktsegment", cents.alias("cents"))
+    ranked = base.select(
+        "c_mktsegment",
+        (2 * F.rank().over(W.orderBy("cents"))
+         + F.count(F.lit(1)).over(W.partitionBy("cents")) - 1)
+        .cast("bigint").alias("r2"))
+    groups = (ranked.groupBy("c_mktsegment")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_g"),
+                   F.sum("r2").cast("bigint").alias("r2_g")))
+    terms = groups.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.round(F.col("r2_g") * 1.0 * F.col("r2_g")
+                      / (4.0 * F.col("n_g")) * 1000).cast("bigint"))
+        .cast("bigint").alias("rsq_milli"))
+    ties = (base.groupBy("cents")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+            .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                 .cast("bigint").alias("tie_term")))
+    n = F.col("n")
+    h_raw = (12.0 / (n * (n + 1.0)) * (F.col("rsq_milli") / 1000.0)
+             - 3.0 * (n + 1))
+    return (terms.crossJoin(F.broadcast(ties))
+            .select(n.alias("n_total"), F.col("k").alias("k_groups"),
+                    F.round(h_raw, 6).cast("double").alias("h"),
+                    F.round(h_raw / (1.0 - F.col("tie_term") * 1.0
+                                     / (n * 1.0 * n * n - n)), 6)
+                    .cast("double").alias("h_tie_corrected"),
+                    F.round(h_raw / (n - 1.0), 6).cast("double")
+                    .alias("epsilon_sq")))
+
+
+def _textrank_iter_sql(i: int) -> str:
+    """One unrolled TextRank round: ws_{i} from ws_{i-1} — per-edge
+    contributions nano-rounded to BIGINTs before the order-free sum."""
+    return f"""ws{i} AS (
+        SELECT d.v AS word,
+               150000000 + sum(CAST(round(0.85 * d.w * p.s / wd.wdeg)
+                               AS BIGINT)) AS s
+        FROM dedges d
+        JOIN ws{i - 1} p ON p.word = d.u
+        JOIN wdeg wd ON wd.word = d.u
+        GROUP BY d.v
+    )"""
+
+
+@_register(
+    "q300_textrank_keywords",
+    f"""
+    -- TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    -- PageRank over the word co-occurrence graph (adjacent-token
+    -- pairs), 3 unrolled iterations in integer nano-units (the q277
+    -- Markov idiom: per-edge contributions are nano-rounded BIGINTs,
+    -- so every sum is order-free and both engines iterate
+    -- bit-identically), top-15 words.
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS tk
+        FROM documents
+    ), pairs AS (
+        SELECT least(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1]) AS u,
+               greatest(tk[CAST(i AS INT)], tk[CAST(i AS INT) + 1]) AS v
+        FROM toks, UNNEST(range(1, len(tk))) AS r(i)
+        WHERE tk[CAST(i AS INT)] <> tk[CAST(i AS INT) + 1]
+    ), edges AS (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS w
+        FROM pairs GROUP BY u, v
+    ), dedges AS (
+        SELECT u, v, w FROM edges
+        UNION ALL
+        SELECT v AS u, u AS v, w FROM edges
+    ), wdeg AS (
+        SELECT u AS word, CAST(sum(w) AS BIGINT) AS wdeg
+        FROM dedges GROUP BY u
+    ), ws0 AS (
+        SELECT word, CAST(1000000000 AS BIGINT) AS s FROM wdeg
+    ),
+    {_textrank_iter_sql(1)},
+    {_textrank_iter_sql(2)},
+    {_textrank_iter_sql(3)}
+    SELECT word, CAST(round(s / 1000000000.0, 6) AS DOUBLE) AS score
+    FROM ws3
+    ORDER BY s DESC, word LIMIT 15
+    """,
+    doc="TextRank keywords over the corpus co-occurrence graph — the "
+        "classic unsupervised keyword extractor, reusing the engine's "
+        "iterative-graph machinery on a graph BUILT FROM TEXT "
+        "(adjacent-token edges from one map-side zip, no self-join "
+        "over positions). 3 fixed weighted-PageRank rounds in integer "
+        "nano-units (q277's bit-replicable recursion convention). "
+        "Scale shape: the pair explode is map-side (zip of two array "
+        "slices); edge/degree aggregates shuffle (word, long) pairs "
+        "bounded by vocabulary squared, NOT corpus size; each round "
+        "is one vocab-sized join+aggregate.",
+)
+def q300_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = _t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    pair = F.zip_with(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda a, b: F.struct(F.least(a, b).alias("u"),
+                              F.greatest(a, b).alias("v"),
+                              (a == b).alias("self")))
+    pairs = (documents.select(F.explode(pair).alias("p"))
+             .filter(~F.col("p.self"))
+             .select(F.col("p.u").alias("u"), F.col("p.v").alias("v")))
+    edges = (pairs.groupBy("u", "v")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("w")))
+    dedges = (edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .localCheckpoint(eager=True))
+    wdeg = dedges.groupBy(F.col("u").alias("word")).agg(
+        F.sum("w").cast("bigint").alias("wdeg"))
+    ws = wdeg.select("word", F.lit(1000000000).cast("bigint").alias("s"))
+    src = (dedges.join(wdeg.withColumnRenamed("word", "u"), "u"))
+    for _ in range(3):
+        ws = (src.join(ws.withColumnRenamed("word", "u"), "u")
+              .groupBy(F.col("v").alias("word"))
+              .agg((F.lit(150000000)
+                    + F.sum(F.round(0.85 * F.col("w") * F.col("s")
+                                    / F.col("wdeg")).cast("bigint")))
+                   .cast("bigint").alias("s")))
+    return (ws.orderBy(F.col("s").desc(), "word").limit(15)
+            .select("word",
+                    F.round(F.col("s") / 1000000000.0, 6).cast("double")
+                    .alias("score")))
