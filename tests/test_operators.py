@@ -4562,3 +4562,446 @@ def test_kendall_tau_matches_scipy_free_replay(spark):
             r.ties_first, r.ties_second) == (len(rows), c, d, tx, ty)
     tau = round((c - d) / math.sqrt((n0 - tx) * 1.0 * (n0 - ty)), 6)
     assert abs(r.tau_b - tau) < 1e-9
+
+
+def test_pii_scan_matches_python_replay(spark):
+    """q292 at sf0.001: rebuild the rendered CRM line and run the same
+    regexes with Python re — per-segment counts, flagged share and
+    redacted character sums must match exactly."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = {r.c_mktsegment: r for r in
+            QUERIES["q292_pii_scan_redaction"]
+            .spark(spark, "/root/testdata/sf0.001").collect()}
+
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"[0-9]{3}-[0-9]{3}-[0-9]{4}")
+    idrun = re.compile(r"[0-9]{9}")
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    agg = {}
+    for _, c in cust.iterrows():
+        k = int(c.c_custkey)
+        line = c.c_name
+        if k % 3 != 0:
+            line += f" <seg{k}@example.com>"
+        if k % 2 == 0:
+            line += f" call {k % 1000:03d}-555-{k % 10000:04d}"
+        line += f" bal {half_away(c.c_acctbal * 100)}"
+        a = agg.setdefault(c.c_mktsegment,
+                           {"n": 0, "e": 0, "p": 0, "i": 0, "f": 0,
+                            "red": 0})
+        fe, fp, fi = (1 if email.search(line) else 0,
+                      1 if phone.search(line) else 0,
+                      1 if idrun.search(line) else 0)
+        a["n"] += 1
+        a["e"] += fe
+        a["p"] += fp
+        a["i"] += fi
+        a["f"] += 1 if fe + fp + fi > 0 else 0
+        a["red"] += len(line) - len(email.sub("E", line))
+    assert set(agg) == set(rows)
+    for seg, a in agg.items():
+        r = rows[seg]
+        assert (r.n_rows, r.n_email, r.n_phone, r.n_idrun) == \
+            (a["n"], a["e"], a["p"], a["i"])
+        assert r.email_chars_redacted == a["red"]
+        assert abs(r.pct_flagged - round(a["f"] / a["n"], 6)) < 1e-9
+
+
+def test_k_anonymity_matches_python_replay(spark):
+    """q293 at sf0.001: replay QI classes, k/l and bucket rollup in
+    pandas; bucket row sums must cover every customer exactly once."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    out = {r.k_bucket: r for r in
+           QUERIES["q293_k_anonymity"]
+           .spark(spark, "/root/testdata/sf0.001").collect()}
+
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    n_ord = orders.groupby("o_custkey").size()
+    cust["n_ord"] = cust.c_custkey.map(n_ord).fillna(0).astype(int)
+    cust["sens"] = cust.n_ord.map(
+        lambda n: "heavy" if n >= 10 else ("light" if n >= 1 else "none"))
+    cust["band"] = (cust.c_acctbal / 2000).apply(
+        lambda x: int(x) if x >= 0 or x == int(x) else int(x) - 1)
+    cls = (cust.groupby(["c_nationkey", "c_mktsegment", "band"])
+           .agg(k=("c_custkey", "size"), l=("sens", "nunique")))
+
+    def bucket(k):
+        return ("1" if k == 1 else "2" if k == 2 else
+                "3-4" if k <= 4 else "5-9" if k <= 9 else "10+")
+
+    cls["b"] = cls.k.map(bucket)
+    total = cls.k.sum()
+    assert total == len(cust)
+    got_rows = 0
+    for b, g in cls.groupby("b"):
+        r = out[b]
+        assert r.n_classes == len(g)
+        assert r.n_rows == g.k.sum()
+        assert r.n_attr_disclosure_classes == int((g.l == 1).sum())
+        assert abs(r.pct_rows - round(g.k.sum() / total, 6)) < 1e-9
+        assert abs(r.avg_l - round(g.l.mean(), 6)) < 1e-9
+        got_rows += r.n_rows
+    assert got_rows == total
+
+
+def test_mmr_greedy_matches_python_replay(spark):
+    """q294 at sf0.001: replay candidate slate, 6dp cosines and the
+    greedy MMR selection in numpy — pick order and scores must match."""
+    import numpy as np
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q294_mmr_rerank"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(r.vec_id): np.array(list(r.embedding), dtype=np.float64)
+            for _, r in emb.iterrows()}
+    q = vecs[0]
+
+    def cos(a, b):
+        return round(float(np.dot(a, b))
+                     / (np.linalg.norm(a) * np.linalg.norm(b)), 6)
+
+    rel = {i: cos(v, q) for i, v in vecs.items() if i != 0}
+    slate = sorted(rel, key=lambda i: (-rel[i], i))[:12]
+    sims = {(a, b): cos(vecs[a], vecs[b])
+            for a in slate for b in slate if a != b}
+    chosen, expect = [], []
+    for pick in range(1, 6):
+        best = None
+        for c in (i for i in slate if i not in chosen):
+            pen = max((sims[(c, s)] for s in chosen), default=0.0)
+            mmr = 0.7 * rel[c] - 0.3 * pen
+            if best is None or (mmr, -c) > (best[0], -best[1]):
+                best = (mmr, c)
+        chosen.append(best[1])
+        expect.append((pick, best[1], rel[best[1]], round(best[0], 6)))
+    got = [(r.pick, r.doc_id, r.rel, r.mmr) for r in rows]
+    assert got == expect
+    # diversification property: MMR must not just replay the relevance
+    # order unless the slate is already diverse; picks are unique
+    assert len(set(chosen)) == 5
+
+
+def test_mann_whitney_matches_python_replay(spark):
+    """q295 at sf0.001: replay arms (md5 hash), doubled average ranks,
+    U, tie-corrected z and rank-biserial in pure python."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q295_mann_whitney_u"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    p = ev[ev.event_type == "purchase"].copy()
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def arm(u):
+        h = hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15]
+        return "A" if int(h, 16) % 2 == 0 else "B"
+
+    vals = sorted((half_away(v * 100), arm(u))
+                  for v, u in zip(p.value, p.user_id))
+    n = len(vals)
+    # doubled average rank per distinct value
+    from collections import Counter
+    cnt = Counter(v for v, _ in vals)
+    min_rank, r2 = {}, {}
+    seen = 0
+    for v in sorted(cnt):
+        min_rank[v] = seen + 1
+        r2[v] = 2 * min_rank[v] + cnt[v] - 1
+        seen += cnt[v]
+    na = sum(1 for _, a in vals if a == "A")
+    nb = n - na
+    r2a = sum(r2[v] for v, a in vals if a == "A")
+    u_a = r2a / 2.0 - na * (na + 1) / 2.0
+    tie = sum(t ** 3 - t for t in cnt.values())
+    sigma = math.sqrt(na * 1.0 * nb / 12.0
+                      * ((n + 1) - tie * 1.0 / (n * (n - 1.0))))
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.u_a - u_a) < 1e-9
+    assert abs(r.z - round((u_a - na * nb / 2.0) / sigma, 6)) < 1e-9
+    assert abs(r.rank_biserial - round(1.0 - 2.0 * u_a / (na * 1.0 * nb),
+                                       6)) < 1e-9
+
+
+def test_assortativity_matches_python_replay(spark):
+    """q296 at sf0.001: rebuild the same-nation delta-1..8 edge set in
+    pandas, replay degrees and the four moment sums; the coefficient
+    must match and live in [-1, 1]."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q296_degree_assortativity"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    nat = dict(zip(cust.c_custkey, cust.c_nationkey))
+    keys = set(cust.c_custkey)
+    edges = [(u, u + d) for u in keys for d in range(1, 9)
+             if u + d in keys and nat[u] == nat[u + d]]
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    m = len(edges)
+    s_jk = sum(deg[u] * deg[v] for u, v in edges)
+    s_sum = sum(deg[u] + deg[v] for u, v in edges)
+    s_sq = sum(deg[u] ** 2 + deg[v] ** 2 for u, v in edges)
+    den = 2 * m * s_sq - s_sum * s_sum
+    expect = 0.0 if den == 0 else round(
+        (4.0 * m * s_jk - s_sum * s_sum * 1.0) / den, 6)
+    assert (r.n_nodes, r.n_edges) == (len(deg), m)
+    assert abs(r.avg_edge_degree - round(s_sum * 1.0 / (2 * m), 6)) < 1e-9
+    assert abs(r.assortativity - expect) < 1e-9
+    assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_nn_matching_matches_python_replay(spark):
+    """q297 at sf0.001: replay the user panel, the sorted-axis
+    prev/next nearest-control match, the caliper and the micro-unit
+    ATT in pure python."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q297_nn_matching_att"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    d = ev.ts.dt.normalize()
+    mid = d.min() + pd.Timedelta(days=math.floor((d.max() - d.min()).days
+                                                 / 2.0))
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def arm(u):
+        h = hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15]
+        return "A" if int(h, 16) % 2 == 0 else "B"
+
+    panel = {}
+    for ts, u, et, v in zip(d, ev.user_id, ev.event_type, ev.value):
+        p = panel.setdefault(int(u), {"s": 0, "c": 0})
+        if ts < mid:
+            p["s"] += 1
+        elif et == "purchase":
+            p["c"] += half_away(v * 100)
+    treated = {u: p for u, p in panel.items() if arm(u) == "A"}
+    control = {u: p for u, p in panel.items() if arm(u) == "B"}
+    ctrl_scores = {}
+    for p in control.values():
+        c = ctrl_scores.setdefault(p["s"], [0, 0])
+        c[0] += 1
+        c[1] += p["c"]
+    out_micro = {s: half_away(c[1] * 1e6 / c[0])
+                 for s, c in ctrl_scores.items()}
+    cs = sorted(ctrl_scores)
+    n_m = n_u = gaps = num = 0
+    for u, p in treated.items():
+        prev = max((s for s in cs if s <= p["s"]), default=None)
+        nxt = min((s for s in cs if s > p["s"]), default=None)
+        if prev is not None and (nxt is None
+                                 or p["s"] - prev <= nxt - p["s"]):
+            m_score, gap = prev, p["s"] - prev
+        else:
+            m_score, gap = nxt, (nxt - p["s"]) if nxt is not None else None
+        if gap is not None and gap <= 3:
+            n_m += 1
+            gaps += gap
+            num += p["c"] * 1000000 - out_micro[m_score]
+        else:
+            n_u += 1
+    assert (r.n_treated, r.n_control) == (len(treated), len(control))
+    assert (r.n_matched, r.n_unmatched) == (n_m, n_u)
+    assert abs(r.avg_score_gap - round(gaps * 1.0 / n_m, 6)) < 1e-9
+    assert abs(r.att_cents - round(num / (n_m * 1000000.0), 6)) < 1e-9
+
+
+def test_silhouette_matches_python_replay(spark):
+    """q298 at sf0.001: replay both Lloyd rounds (sequential-fold
+    cosines, 9dp means), the top-2 assignment and the micro-unit
+    silhouette rollup in pure python; scores must lie in [-1, 1]."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = {r.cluster: r for r in
+            QUERIES["q298_silhouette_score"]
+            .spark(spark, "/root/testdata/sf0.001").collect()}
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for _, r in emb.iterrows()}
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def dot_seq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def nrm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    def top2(v, cents):
+        nv = nrm(v)
+        scored = sorted(((dot_seq(v, ce) / (nv * cn), -cid)
+                         for cid, (ce, cn) in cents.items()), reverse=True)
+        (c1, t1), (c2, _) = scored[0], scored[1]
+        return -t1, c1, c2
+
+    cents = {i: (v, nrm(v)) for i, v in vecs.items() if i % 64 == 0}
+    assign = {i: top2(v, cents)[0] for i, v in vecs.items()}
+    # 9dp-rounded element-wise means
+    sums, cnts = {}, {}
+    for i, v in vecs.items():
+        c = assign[i]
+        cnts[c] = cnts.get(c, 0) + 1
+        s = sums.setdefault(c, [0.0] * len(v))
+        for j, x in enumerate(v):
+            s[j] += x
+    cents = {c: ([half_away(s[j] / cnts[c] * 1e9) / 1e9
+                  for j in range(len(s))],) for c, s in sums.items()}
+    cents = {c: (ce[0], nrm(ce[0])) for c, ce in cents.items()}
+    agg = {}
+    for i, v in vecs.items():
+        c, c1, c2 = top2(v, cents)
+        c1 = half_away(c1 * 1e6) / 1e6
+        c2 = half_away(c2 * 1e6) / 1e6
+        gap = max(1.0 - c1, 1.0 - c2)
+        s_micro = half_away((c1 - c2) / gap * 1e6) if gap > 0 else 0
+        m_micro = half_away((c1 - c2) * 1e6)
+        a = agg.setdefault(c, [0, 0, 0])
+        a[0] += 1
+        a[1] += s_micro
+        a[2] += m_micro
+    assert set(agg) == set(rows)
+    for c, (n, sm, mm) in agg.items():
+        r = rows[c]
+        assert r.n_members == n
+        assert abs(r.avg_silhouette - round(sm / (n * 1e6), 6)) < 1e-9
+        assert abs(r.avg_margin - round(mm / (n * 1e6), 6)) < 1e-9
+        assert -1.0 <= r.avg_silhouette <= 1.0
+
+
+def test_kruskal_wallis_matches_python_replay(spark):
+    """q299 at sf0.001: replay doubled ranks, milli-rounded R^2/n terms,
+    tie correction and the H closed form in pure python."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q299_kruskal_wallis"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    vals = [(half_away(b * 100), s)
+            for b, s in zip(cust.c_acctbal, cust.c_mktsegment)]
+    cnt = Counter(v for v, _ in vals)
+    r2 = {}
+    seen = 0
+    for v in sorted(cnt):
+        r2[v] = 2 * (seen + 1) + cnt[v] - 1
+        seen += cnt[v]
+    g = {}
+    for v, s in vals:
+        a = g.setdefault(s, [0, 0])
+        a[0] += 1
+        a[1] += r2[v]
+    n = len(vals)
+    rsq_milli = sum(half_away(r2g * 1.0 * r2g / (4.0 * ng) * 1000)
+                    for ng, r2g in g.values())
+    tie = sum(t ** 3 - t for t in cnt.values())
+    h = 12.0 / (n * (n + 1.0)) * (rsq_milli / 1000.0) - 3.0 * (n + 1)
+    assert (r.n_total, r.k_groups) == (n, len(g))
+    assert abs(r.h - round(h, 6)) < 1e-9
+    assert abs(r.h_tie_corrected
+               - round(h / (1.0 - tie * 1.0 / (n * 1.0 * n * n - n)),
+                       6)) < 1e-9
+    assert abs(r.epsilon_sq - round(h / (n - 1.0), 6)) < 1e-9
+
+
+def test_textrank_matches_python_replay(spark):
+    """q300 at sf0.001: replay the co-occurrence graph and 3 nano-unit
+    weighted-PageRank rounds in pure python; top-15 must match."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = [(r.word, r.score) for r in
+            QUERIES["q300_textrank_keywords"]
+            .spark(spark, "/root/testdata/sf0.001").collect()]
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    edges = {}
+    for t in docs.text:
+        tk = [w for w in t.split() if w]
+        for a, b in zip(tk, tk[1:]):
+            if a == b:
+                continue
+            k = (min(a, b), max(a, b))
+            edges[k] = edges.get(k, 0) + 1
+    dedges = {}
+    for (u, v), w in edges.items():
+        dedges[(u, v)] = w
+        dedges[(v, u)] = w
+    wdeg = {}
+    for (u, _), w in dedges.items():
+        wdeg[u] = wdeg.get(u, 0) + w
+    ws = {u: 1000000000 for u in wdeg}
+    for _ in range(3):
+        nxt = {}
+        for (u, v), w in dedges.items():
+            nxt[v] = nxt.get(v, 0) + half_away(0.85 * w * ws[u] / wdeg[u])
+        ws = {v: 150000000 + s for v, s in nxt.items()}
+    expect = sorted(ws.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    expect = [(w, round(s / 1e9, 6)) for w, s in expect]
+    assert rows == expect
