@@ -18985,7 +18985,10 @@ def _pii_line() -> Column:
     doc="PII/identifier pattern scan + email-redaction character "
         "accounting per market segment, over a deterministically "
         "rendered CRM line (the synthetic corpus has no organic PII; "
-        "the render makes per-segment counts non-trivial). Scale "
+        "the render makes per-segment counts non-trivial). The "
+        "governance REPORT (prevalence by pattern class and segment, "
+        "redaction cost) on top of q68's per-row scrub transform — "
+        "the pair mirrors scan-then-scrub release pipelines. Scale "
         "shape: pure map-side regex work (JVM codegen rlike / "
         "regexp_replace, no UDF) followed by one segment-sized "
         "aggregate — embarrassingly parallel at any corpus size; at "

@@ -576,6 +576,32 @@ PLAN_SHAPE_GOLDENS = {
     # q291: the BNLJs are the 100-row checkpointed top panel's pair
     # join (pa < pb range condition) and the 1-row k broadcast
     "q291_rank_stability": {"BroadcastNestedLoopJoin": 2},
+    # round-10 governance/retrieval tier. q292: pure map-side regex +
+    # one segment rollup — joinless by design
+    "q292_pii_scan_redaction": {},
+    # q293: the BNLJ is the 1-row total-rows broadcast onto the
+    # class-bucket rollup; the customer<-orders rollup rides the
+    # groupBy exchange
+    "q293_k_anonymity": {"BroadcastNestedLoopJoin": 1},
+    # q294: the BNLJ is the single-query-vector broadcast; slate
+    # machinery (12-row self-join, fold) stays sub-broadcast
+    "q294_mmr_rerank": {"BroadcastNestedLoopJoin": 1},
+    # q295: 1-row tie-term broadcast; ranks ride one value-sort
+    # exchange
+    "q295_mann_whitney_u": {"BroadcastNestedLoopJoin": 1},
+    # q297: prev/next axis attaches by score (dimension-sized BHJs);
+    # the BNLJ is the 1-row counts broadcast
+    "q297_nn_matching_att": {"BroadcastHashJoin": 2,
+                             "BroadcastNestedLoopJoin": 1},
+    # q298: centroid array travels as the single-row data-plane
+    # broadcast (BNLJ), the q86 shape
+    "q298_silhouette_score": {"BroadcastNestedLoopJoin": 1},
+    # q299: 1-row tie-term broadcast, rank windows on the dimension
+    # panel
+    "q299_kruskal_wallis": {"BroadcastNestedLoopJoin": 1},
+    # q300: vocabulary-sized degree/score joins broadcast at every SF
+    # (vocab is bounded); 3 unrolled rounds x (deg + score) = 6 BHJs
+    "q300_textrank_keywords": {"BroadcastHashJoin": 6},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
@@ -677,3 +703,23 @@ def test_q256_streaming_plan_and_state_snapshot(spark):
         for unread in ("event_id", "user_id", "value", "props"):
             assert unread not in plan.split("ReadSchema:")[1], \
                 f"{sf_dir}: scan not pruned — reads {unread}"
+
+
+def test_q296_degree_joins_scale_adaptively(spark):
+    """q296 assortativity: the edge->degree attachment must BROADCAST
+    while the node panel is provably small (sf0.001) and be ALLOWED to
+    flip to a shuffled join when it grows (sf0.1 — degree panels scale
+    with the node universe, so force-broadcasting them would be the
+    100 TB bug). Pin both behaviors so neither a regression to
+    all-SMJ-at-any-size nor a forced broadcast sneaks in."""
+    small = _plan_shape(spark, "q296_degree_assortativity",
+                        "/root/testdata/sf0.001")
+    large = _plan_shape(spark, "q296_degree_assortativity",
+                        "/root/testdata/sf0.1")
+    assert small.get("SortMergeJoin", 0) == 0, \
+        f"tiny node panel must broadcast: {small}"
+    assert "CartesianProduct" not in small and \
+        "CartesianProduct" not in large
+    # the 1-row n_nodes attach stays a broadcast at every SF
+    assert small.get("BroadcastNestedLoopJoin") == 1
+    assert large.get("BroadcastNestedLoopJoin") == 1
