@@ -19908,3 +19908,437 @@ def q300_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("word",
                     F.round(F.col("s") / 1000000000.0, 6).cast("double")
                     .alias("score")))
+
+
+@_register(
+    "q301_quantile_treatment_effects",
+    """
+    -- quantile treatment effects between the hash arms on purchase
+    -- value: QTE(p) = Q_A(p) - Q_B(p) at p in {.25, .5, .75, .9} —
+    -- the DISTRIBUTIONAL causal readout (a mean shift q239/q263 can
+    -- miss is visible as tail-only QTE). Exact linear-interpolation
+    -- quantiles over integer cents (percentile == quantile_cont on
+    -- identical integers), one row per p.
+    WITH trials AS (
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), qs AS (
+-- quantile_cont requires CONSTANT fractions: unroll the 4 p's
+        SELECT 0.25 AS p,
+               quantile_cont(CASE WHEN arm = 'A' THEN cents END, 0.25) AS qa,
+               quantile_cont(CASE WHEN arm = 'B' THEN cents END, 0.25) AS qb
+        FROM trials
+        UNION ALL
+        SELECT 0.5 AS p,
+               quantile_cont(CASE WHEN arm = 'A' THEN cents END, 0.5) AS qa,
+               quantile_cont(CASE WHEN arm = 'B' THEN cents END, 0.5) AS qb
+        FROM trials
+        UNION ALL
+        SELECT 0.75 AS p,
+               quantile_cont(CASE WHEN arm = 'A' THEN cents END, 0.75) AS qa,
+               quantile_cont(CASE WHEN arm = 'B' THEN cents END, 0.75) AS qb
+        FROM trials
+        UNION ALL
+        SELECT 0.9 AS p,
+               quantile_cont(CASE WHEN arm = 'A' THEN cents END, 0.9) AS qa,
+               quantile_cont(CASE WHEN arm = 'B' THEN cents END, 0.9) AS qb
+        FROM trials
+    )
+    SELECT CAST(p AS DOUBLE) AS p,
+           CAST(round(qa / 100.0, 6) AS DOUBLE) AS q_a_usd,
+           CAST(round(qb / 100.0, 6) AS DOUBLE) AS q_b_usd,
+           CAST(round((qa - qb) / 100.0, 6) AS DOUBLE) AS qte_usd
+    FROM qs ORDER BY p
+    """,
+    doc="Quantile treatment effects at p25/p50/p75/p90 between hash "
+        "arms — the distributional completion of the causal tier "
+        "(means q239/q263, matching q297, IPW q286): tail-"
+        "concentrated effects show up here and nowhere else. Exact "
+        "interpolated quantiles over integer cents (the q263 "
+        "percentile/quantile_cont parity). Scale shape: one filter-"
+        "projection, one grouped percentile per (p, arm) over the "
+        "trial panel — Spark's percentile is a single-pass sort-"
+        "based aggregate per group; at extreme scale the documented "
+        "swap is approx_percentile/DDSketch (q148) with an agreement "
+        "check (q220 convention).",
+)
+def q301_quantile_treatment_effects(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.where(F.col("event_type") == "purchase")
+              .select(_ab_arm().alias("arm"), _value_cents().alias("cents")))
+    rows = []
+    for p in (0.25, 0.5, 0.75, 0.9):
+        q = trials.agg(
+            F.percentile(F.when(F.col("arm") == "A", F.col("cents")),
+                         F.lit(p)).alias("qa"),
+            F.percentile(F.when(F.col("arm") == "B", F.col("cents")),
+                         F.lit(p)).alias("qb")) \
+            .select(F.lit(p).cast("double").alias("p"), "qa", "qb")
+        rows.append(q)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (out.select(
+        "p",
+        F.round(F.col("qa") / 100.0, 6).cast("double").alias("q_a_usd"),
+        F.round(F.col("qb") / 100.0, 6).cast("double").alias("q_b_usd"),
+        F.round((F.col("qa") - F.col("qb")) / 100.0, 6).cast("double")
+        .alias("qte_usd"))
+        .orderBy("p"))
+
+
+def _ga_half_away(x: float) -> float:
+    """Driver-side half-away-from-zero rounding — the exact twin of both
+    engines' SQL round() on doubles (python's built-in round is
+    banker's, which would diverge on .5 boundaries)."""
+    import math
+
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+@_register(
+    "q302_geometric_median",
+    """
+    -- geometric median of the embedding corpus via 2 Weiszfeld
+    -- iterations (the robust centroid: insensitive to outlier vectors
+    -- where the mean is not — the aggregation primitive of robust
+    -- federated/embedding averaging). Start = nano-rounded
+    -- coordinate mean; per iteration, each row's distance to m comes
+    -- from PICO-rounded squared terms (order-free BIGINT in-row sum),
+    -- weights and per-dim contributions are nano-rounded BIGINTs, so
+    -- every cross-row sum is exact and both engines step identically.
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), dims AS (
+        SELECT vec_id, CAST(i AS INT) AS dim, e[CAST(i AS INT)] AS x
+        FROM v, UNNEST(range(1, 65)) AS r(i)
+    ), nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    m0 AS (
+        SELECT dim,
+               CAST(round(sum(CAST(round(x * 1000000000) AS BIGINT))
+                          * 1.0 / (SELECT n FROM nv)) AS BIGINT) AS mn
+        FROM dims GROUP BY dim
+    ), d1 AS (
+        SELECT vec_id,
+               sqrt(sum(CAST(round((x - mn / 1000000000.0)
+                                   * (x - mn / 1000000000.0)
+                                   * 1000000000000) AS BIGINT))
+                    / 1000000000000.0) AS d
+        FROM dims JOIN m0 USING (dim) GROUP BY vec_id
+    ), it1 AS (
+        SELECT dims.dim,
+               CAST(sum(CAST(round(dims.x / d1.d * 1000000000) AS BIGINT))
+                    AS BIGINT) AS num,
+               CAST(sum(CAST(round(1000000000 / d1.d) AS BIGINT))
+                    AS BIGINT) AS den
+        FROM dims JOIN d1 USING (vec_id) WHERE d1.d > 0
+        GROUP BY dims.dim
+    ), m1 AS (
+        SELECT dim, CAST(round(num * 1.0 / den * 1000000000) AS BIGINT)
+                   AS mn
+        FROM it1
+    ), d2 AS (
+        SELECT vec_id,
+               sqrt(sum(CAST(round((x - mn / 1000000000.0)
+                                   * (x - mn / 1000000000.0)
+                                   * 1000000000000) AS BIGINT))
+                    / 1000000000000.0) AS d
+        FROM dims JOIN m1 USING (dim) GROUP BY vec_id
+    ), it2 AS (
+        SELECT dims.dim,
+               CAST(sum(CAST(round(dims.x / d2.d * 1000000000) AS BIGINT))
+                    AS BIGINT) AS num,
+               CAST(sum(CAST(round(1000000000 / d2.d) AS BIGINT))
+                    AS BIGINT) AS den
+        FROM dims JOIN d2 USING (vec_id) WHERE d2.d > 0
+        GROUP BY dims.dim
+    ), m2 AS (
+        SELECT dim, CAST(round(num * 1.0 / den * 1000000000) AS BIGINT)
+                   AS mn
+        FROM it2
+    )
+    SELECT CAST(m0.dim AS BIGINT) AS dim,
+           CAST(m0.mn / 1000000000.0 AS DOUBLE) AS mean_coord,
+           CAST(m2.mn / 1000000000.0 AS DOUBLE) AS gmedian_coord
+    FROM m0 JOIN m2 USING (dim) ORDER BY dim
+    """,
+    doc="Geometric median (2 Weiszfeld iterations) of the embedding "
+        "corpus vs the coordinate mean — the robust-centroid readout "
+        "(an adversarial or corrupt shard moves the mean, barely "
+        "moves the median). Spark-first shape: distances are IN-ROW "
+        "pico-integer folds against the broadcast iterate (no "
+        "N x dim explode; the oracle's exploded form is its dual), "
+        "each iteration is ONE 65-expression aggregate (64 nano "
+        "numerators + the weight sum, the q86 means shape), and the "
+        "driver holds only the 64-double iterate between rounds "
+        "(dimension-sized, the kmeans centroid convention). Scale: two corpus "
+        "scans per iteration-pair stage, zero shuffles beyond the "
+        "1-row aggregate.",
+)
+def q302_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        _as_double,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    v = (embeddings.select(_as_double(F.col("embedding")).alias("x"))
+         .localCheckpoint(eager=True))
+    dim = 64
+    GN = 1_000_000_000
+
+    # m0: nano-rounded coordinate mean (order-free integer sums)
+    s0 = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.round(F.element_at("x", j + 1) * GN).cast("long"))
+          .alias(f"s{j}") for j in range(dim)]).first()
+    m = [_ga_half_away(s0[f"s{j}"] * 1.0 / s0["n"]) / GN
+         for j in range(dim)]
+    m0 = list(m)
+
+    for _ in range(2):
+        mlit = F.array(*[F.lit(c) for c in m])
+        d2 = F.aggregate(
+            F.zip_with(F.col("x"), mlit,
+                       lambda a, b: F.round((a - b) * (a - b)
+                                            * 1_000_000_000_000)
+                       .cast("long")),
+            F.lit(0).cast("long"), lambda acc, t: acc + t)
+        it = (v.select("x", F.sqrt(d2 / 1_000_000_000_000.0).alias("d"))
+              .filter(F.col("d") > 0)
+              .agg(F.sum(F.round(GN / F.col("d")).cast("long"))
+                   .alias("den"),
+                   *[F.sum(F.round(F.element_at("x", j + 1) / F.col("d")
+                                   * GN).cast("long")).alias(f"n{j}")
+                     for j in range(dim)]).first())
+        m = [_ga_half_away(it[f"n{j}"] * 1.0 / it["den"] * GN) / GN
+             for j in range(dim)]
+
+    rows = [(j + 1, m0[j], m[j]) for j in range(dim)]
+    return spark.createDataFrame(
+        rows, "dim bigint, mean_coord double, gmedian_coord double")
+
+
+@_register(
+    "q303_nelson_aalen",
+    """
+    -- Nelson-Aalen cumulative-hazard estimator over the q249 survival
+    -- panel: H(t) = sum_{s<=t} d_s/n_s with its variance estimator
+    -- sum d_s/n_s^2 — the hazard-scale dual of Kaplan-Meier (additive,
+    -- so it needs no sequential product: per-duration terms are
+    -- micro-rounded to BIGINTs and ONE cumulative window sums them
+    -- exactly). Fleming-Harrington survival exp(-H) rides along.
+    WITH spans AS (
+        SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS f,
+               max(CAST(o_orderdate AS DATE)) AS l
+        FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (SELECT max(l) AS mx FROM spans),
+    durs AS (
+        SELECT date_diff('day', f, l) AS dur,
+               CASE WHEN date_diff('day', l, (SELECT mx FROM horizon))
+                    >= 90 THEN 1 ELSE 0 END AS ev
+        FROM spans
+    ),
+    risk AS (
+        SELECT dur, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS c
+        FROM durs GROUP BY dur
+    ),
+    atrisk AS (
+        SELECT dur, d,
+               CAST((SELECT sum(c) FROM risk) - coalesce(sum(c) OVER (
+                   ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n
+        FROM risk
+    ),
+    terms AS (
+        SELECT dur, d, n,
+               CAST(round(d * 1000000.0 / n) AS BIGINT) AS h_micro,
+               CAST(round(d * 1000000.0 / (n * n)) AS BIGINT) AS v_micro
+        FROM atrisk
+    )
+    SELECT CAST(dur AS BIGINT) AS duration_days, n AS n_risk,
+           d AS d_churned,
+           CAST(round(sum(h_micro) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 1000000.0, 6) AS DOUBLE) AS h_na,
+           CAST(round(sqrt(sum(v_micro) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 1000000.0), 6) AS DOUBLE) AS se_h,
+           CAST(round(exp(-(sum(h_micro) OVER (
+               ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 1000000.0)), 6) AS DOUBLE) AS s_fh
+    FROM terms ORDER BY duration_days
+    """,
+    doc="Nelson-Aalen cumulative hazard + SE + Fleming-Harrington "
+        "survival over customer order lifetimes — the hazard-scale "
+        "companion to q249's Kaplan-Meier (NA is additive, so unlike "
+        "KM it needs NO sequential fold: micro-rounded per-duration "
+        "terms + one exact cumulative integer window). Same scale "
+        "shape as q249: one customer-keyed aggregate, then every "
+        "stage lives on the calendar-bounded duration panel; the "
+        "single-partition cumulative window is duration-dimension-"
+        "sized by construction.",
+)
+def q303_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    spans = (orders.groupBy("o_custkey")
+             .agg(F.min(F.col("o_orderdate").cast("date")).alias("f"),
+                  F.max(F.col("o_orderdate").cast("date")).alias("l"))
+             .localCheckpoint(eager=True))
+    horizon = spans.agg(F.max("l").alias("mx"))
+    durs = (spans.crossJoin(F.broadcast(horizon))
+            .select(F.datediff("l", "f").alias("dur"),
+                    F.when(F.datediff("mx", "l") >= 90, 1).otherwise(0)
+                    .alias("ev")))
+    risk = (durs.groupBy("dur")
+            .agg(F.sum("ev").cast("bigint").alias("d"),
+                 F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = risk.agg(F.sum("c").alias("n_total"))
+    w_prior = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    w_cum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    atrisk = (risk.crossJoin(F.broadcast(tot))
+              .select("dur", "d",
+                      (F.col("n_total")
+                       - F.coalesce(F.sum("c").over(w_prior), F.lit(0)))
+                      .cast("bigint").alias("n")))
+    terms = atrisk.select(
+        "dur", "d", "n",
+        F.round(F.col("d") * 1000000.0 / F.col("n")).cast("bigint")
+        .alias("h_micro"),
+        F.round(F.col("d") * 1000000.0 / (F.col("n") * F.col("n")))
+        .cast("bigint").alias("v_micro"))
+    h_cum = F.sum("h_micro").over(w_cum) / 1000000.0
+    v_cum = F.sum("v_micro").over(w_cum) / 1000000.0
+    return (terms.select(
+        F.col("dur").cast("bigint").alias("duration_days"),
+        F.col("n").alias("n_risk"), F.col("d").alias("d_churned"),
+        F.round(h_cum, 6).cast("double").alias("h_na"),
+        F.round(F.sqrt(v_cum), 6).cast("double").alias("se_h"),
+        F.round(F.exp(-h_cum), 6).cast("double").alias("s_fh"))
+        .orderBy("duration_days"))
+
+
+@_register(
+    "q304_welch_ttest",
+    """
+    -- Welch's unequal-variance t-test between the hash arms on
+    -- purchase value, with Welch-Satterthwaite degrees of freedom and
+    -- Cohen's d on the pooled sd — the parametric two-sample mean
+    -- test the rank test (q295) and the proportion test (q239)
+    -- bracket. Moments are exact: BIGINT sums of cents and
+    -- DECIMAL(38,0)/HUGEINT sums of squared cents; every derived
+    -- quantity is a fixed closed-form expression over them.
+    WITH trials AS (
+        SELECT """ + _AB_ARM_SQL + """ AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), m AS (
+        SELECT
+            CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                AS na,
+            CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                AS nb,
+            CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT)
+                AS sa,
+            CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT)
+                AS sb,
+            sum(CASE WHEN arm = 'A' THEN CAST(cents AS HUGEINT)
+                     * CAST(cents AS HUGEINT) ELSE 0 END) AS qa,
+            sum(CASE WHEN arm = 'B' THEN CAST(cents AS HUGEINT)
+                     * CAST(cents AS HUGEINT) ELSE 0 END) AS qb
+        FROM trials
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(round(sa * 1.0 / na / 100.0, 6) AS DOUBLE) AS mean_a_usd,
+           CAST(round(sb * 1.0 / nb / 100.0, 6) AS DOUBLE) AS mean_b_usd,
+           CAST(round((sa * 1.0 / na - sb * 1.0 / nb)
+                / sqrt((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                       / (na - 1.0) / na
+                       + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
+                         / (nb - 1.0) / nb), 6) AS DOUBLE) AS t_welch,
+           CAST(round(
+               ((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa) / (na - 1.0) / na
+                + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
+                  / (nb - 1.0) / nb)
+               * ((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                  / (na - 1.0) / na
+                  + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
+                    / (nb - 1.0) / nb)
+               / (((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                   / (na - 1.0) / na)
+                  * ((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                     / (na - 1.0) / na) / (na - 1.0)
+                  + ((CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
+                     / (nb - 1.0) / nb)
+                    * ((CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
+                       / (nb - 1.0) / nb) / (nb - 1.0)), 6) AS DOUBLE)
+               AS df_welch,
+           CAST(round((sa * 1.0 / na - sb * 1.0 / nb)
+                / sqrt(((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                        + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb))
+                       / (na + nb - 2.0)) / 100.0 * 100.0, 6) AS DOUBLE)
+               AS cohens_d
+    FROM m
+    """,
+    doc="Welch's unequal-variance t-test + Welch-Satterthwaite df + "
+        "Cohen's d between hash arms on purchase value — the "
+        "parametric mean test completing the two-sample family "
+        "(q239 proportions, q295 ranks, q301 quantiles). One "
+        "aggregate over the trial projection produces exact first "
+        "moments (BIGINT) and second moments (DECIMAL(38,0) — the "
+        "q282 HUGEINT convention, overflow-safe at any corpus "
+        "scale); t, df and d are fixed closed-form expressions over "
+        "those integers, written symmetrically on both engines. "
+        "Scale shape: map-side partial aggregation into ONE 1-row "
+        "reduce; nothing else.",
+)
+def q304_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.where(F.col("event_type") == "purchase")
+              .select(_ab_arm().alias("arm"), _value_cents().alias("cents")))
+    m = trials.agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("bigint").alias("na"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("bigint").alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("cents")).otherwise(0))
+        .cast("bigint").alias("sa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("cents")).otherwise(0))
+        .cast("bigint").alias("sb"),
+        F.sum(F.when(F.col("arm") == "A",
+                     F.col("cents").cast("decimal(38,0)")
+                     * F.col("cents").cast("decimal(38,0)"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("qa"),
+        F.sum(F.when(F.col("arm") == "B",
+                     F.col("cents").cast("decimal(38,0)")
+                     * F.col("cents").cast("decimal(38,0)"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("qb"))
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    va = ((F.col("qa").cast("double") - sa * 1.0 / na * sa)
+          / (na - 1.0) / na)
+    vb = ((F.col("qb").cast("double") - sb * 1.0 / nb * sb)
+          / (nb - 1.0) / nb)
+    diff = sa * 1.0 / na - sb * 1.0 / nb
+    return m.select(
+        na.alias("n_a"), nb.alias("n_b"),
+        F.round(sa * 1.0 / na / 100.0, 6).cast("double")
+        .alias("mean_a_usd"),
+        F.round(sb * 1.0 / nb / 100.0, 6).cast("double")
+        .alias("mean_b_usd"),
+        F.round(diff / F.sqrt(va + vb), 6).cast("double").alias("t_welch"),
+        F.round((va + vb) * (va + vb)
+                / (va * va / (na - 1.0) + vb * vb / (nb - 1.0)), 6)
+        .cast("double").alias("df_welch"),
+        F.round(diff / F.sqrt(
+            ((F.col("qa").cast("double") - sa * 1.0 / na * sa)
+             + (F.col("qb").cast("double") - sb * 1.0 / nb * sb))
+            / (na + nb - 2.0)) / 100.0 * 100.0, 6).cast("double")
+        .alias("cohens_d"))
