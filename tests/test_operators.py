@@ -5005,3 +5005,184 @@ def test_textrank_matches_python_replay(spark):
     expect = sorted(ws.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     expect = [(w, round(s / 1e9, 6)) for w, s in expect]
     assert rows == expect
+
+
+def test_qte_matches_numpy_replay(spark):
+    """q301 at sf0.001: replay arm split and linear-interpolation
+    quantiles with numpy; QTE must be the per-p difference."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = {r.p: r for r in
+            QUERIES["q301_quantile_treatment_effects"]
+            .spark(spark, "/root/testdata/sf0.001").collect()}
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    p = ev[ev.event_type == "purchase"]
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def arm(u):
+        h = hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15]
+        return "A" if int(h, 16) % 2 == 0 else "B"
+
+    cents = {"A": [], "B": []}
+    for v, u in zip(p.value, p.user_id):
+        cents[arm(u)].append(half_away(v * 100))
+    for pp in (0.25, 0.5, 0.75, 0.9):
+        r = rows[pp]
+        qa = float(np.percentile(cents["A"], pp * 100,
+                                 method="linear"))
+        qb = float(np.percentile(cents["B"], pp * 100,
+                                 method="linear"))
+        assert abs(r.q_a_usd - round(qa / 100.0, 6)) < 1e-9
+        assert abs(r.q_b_usd - round(qb / 100.0, 6)) < 1e-9
+        assert abs(r.qte_usd - round((qa - qb) / 100.0, 6)) < 1e-9
+
+
+def test_geometric_median_matches_python_replay(spark):
+    """q302 at sf0.001: replay both Weiszfeld iterations with the
+    nano/pico integer contract; the median must strictly improve the
+    sum-of-distances objective over the mean."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q302_geometric_median"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+    got = {r.dim: (r.mean_coord, r.gmedian_coord) for r in rows}
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = [[float(x) for x in e] for e in emb.embedding]
+    n, dim = len(vecs), 64
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    m0 = [half_away(sum(half_away(v[j] * 1e9) for v in vecs) * 1.0 / n)
+          / 1e9 for j in range(dim)]
+    m = list(m0)
+    for _ in range(2):
+        num = [0] * dim
+        den = 0
+        for v in vecs:
+            d2 = sum(half_away((v[j] - m[j]) * (v[j] - m[j]) * 1e12)
+                     for j in range(dim))
+            d = math.sqrt(d2 / 1e12)
+            if d <= 0:
+                continue
+            den += half_away(1e9 / d)
+            for j in range(dim):
+                num[j] += half_away(v[j] / d * 1e9)
+        m = [half_away(num[j] * 1.0 / den * 1e9) / 1e9
+             for j in range(dim)]
+    assert len(rows) == dim
+    for j in range(dim):
+        em, eg = got[j + 1]
+        assert abs(em - m0[j]) < 1e-12
+        assert abs(eg - m[j]) < 1e-12
+
+    def objective(c):
+        return sum(math.sqrt(sum((v[j] - c[j]) ** 2 for j in range(dim)))
+                   for v in vecs)
+
+    assert objective(m) <= objective(m0) + 1e-9
+
+
+def test_nelson_aalen_matches_python_replay(spark):
+    """q303 at sf0.001: replay spans, risk sets and the micro-unit
+    cumulative hazard; H must be nondecreasing and S_FH in (0, 1]."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q303_nelson_aalen"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+
+    orders = pd.read_parquet("/root/testdata/sf0.001/orders.parquet")
+    g = orders.groupby("o_custkey").o_orderdate.agg(["min", "max"])
+    g["dur"] = (g["max"].dt.normalize()
+                - g["min"].dt.normalize()).dt.days
+    mx = g["max"].dt.normalize().max()
+    g["ev"] = ((mx - g["max"].dt.normalize()).dt.days >= 90).astype(int)
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    risk = (g.groupby("dur").agg(d=("ev", "sum"), c=("ev", "size"))
+            .sort_index())
+    n_total = int(risk.c.sum())
+    cum_c = 0
+    h_cum = v_cum = 0
+    expect = []
+    for dur, r in risk.iterrows():
+        n = n_total - cum_c
+        cum_c += int(r.c)
+        h_cum += half_away(int(r.d) * 1e6 / n)
+        v_cum += half_away(int(r.d) * 1e6 / (n * n))
+        expect.append((int(dur), n, int(r.d),
+                       round(h_cum / 1e6, 6),
+                       round(math.sqrt(v_cum / 1e6), 6),
+                       round(math.exp(-(h_cum / 1e6)), 6)))
+    got = [(r.duration_days, r.n_risk, r.d_churned, r.h_na, r.se_h,
+            r.s_fh) for r in rows]
+    assert got == expect
+    hs = [r.h_na for r in rows]
+    assert hs == sorted(hs)
+    assert all(0 < r.s_fh <= 1 for r in rows)
+
+
+def test_welch_ttest_matches_python_replay(spark):
+    """q304 at sf0.001: replay exact moments and the Welch formulas;
+    df must lie between min(na,nb)-1 and na+nb-2."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q304_welch_ttest"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    p = ev[ev.event_type == "purchase"]
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def arm(u):
+        h = hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15]
+        return "A" if int(h, 16) % 2 == 0 else "B"
+
+    s = {"A": [0, 0, 0], "B": [0, 0, 0]}
+    for v, u in zip(p.value, p.user_id):
+        c = half_away(v * 100)
+        a = s[arm(u)]
+        a[0] += 1
+        a[1] += c
+        a[2] += c * c
+    (na, sa, qa), (nb, sb, qb) = s["A"], s["B"]
+    va = (qa - sa * 1.0 / na * sa) / (na - 1.0) / na
+    vb = (qb - sb * 1.0 / nb * sb) / (nb - 1.0) / nb
+    diff = sa * 1.0 / na - sb * 1.0 / nb
+    t = diff / math.sqrt(va + vb)
+    df = (va + vb) ** 2 / (va * va / (na - 1.0) + vb * vb / (nb - 1.0))
+    d = diff / math.sqrt(((qa - sa * 1.0 / na * sa)
+                          + (qb - sb * 1.0 / nb * sb))
+                         / (na + nb - 2.0)) / 100.0 * 100.0
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.t_welch - round(t, 6)) < 1e-9
+    assert abs(r.df_welch - round(df, 6)) < 1e-9
+    assert abs(r.cohens_d - round(d, 6)) < 1e-9
+    assert min(na, nb) - 1 <= r.df_welch <= na + nb - 2
