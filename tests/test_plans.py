@@ -602,6 +602,17 @@ PLAN_SHAPE_GOLDENS = {
     # q300: vocabulary-sized degree/score joins broadcast at every SF
     # (vocab is bounded); 3 unrolled rounds x (deg + score) = 6 BHJs
     "q300_textrank_keywords": {"BroadcastHashJoin": 6},
+    # q301: four unioned grouped-percentile aggregates — joinless
+    "q301_quantile_treatment_effects": {},
+    # q302: every Weiszfeld stage is ONE 1-row aggregate over the
+    # checkpointed corpus with the iterate as a literal — joinless and
+    # exchange-free (the driver holds only the 64-double iterate)
+    "q302_geometric_median": {},
+    # q303: duration-panel stages — the BNLJs are the 1-row horizon /
+    # total broadcasts (q249's shape, additive so no fold)
+    "q303_nelson_aalen": {"BroadcastNestedLoopJoin": 3},
+    # q304: one map-combined 1-row moment reduce; no joins at all
+    "q304_welch_ttest": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
