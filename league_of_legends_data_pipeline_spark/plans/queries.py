@@ -20342,3 +20342,239 @@ def q304_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
              + (F.col("qb").cast("double") - sb * 1.0 / nb * sb))
             / (na + nb - 2.0)) / 100.0 * 100.0, 6).cast("double")
         .alias("cohens_d"))
+
+
+@_register(
+    "q305_average_precision",
+    """
+    -- Average Precision (PR-AUC, step integral) + best-F1 operating
+    -- point for the value-predicts-'purchase' scorer: the
+    -- class-imbalance-robust scalar that q227's ROC-AUC overstates
+    -- (ROC ignores the negative-dominated FP mass). Same bounded
+    -- integer-bin contract as q243; AP terms (R_k - R_{k-1}) * P_k
+    -- are micro-rounded per threshold so the sum is order-free;
+    -- best F1 breaks ties toward the HIGHER threshold.
+    WITH by_bin AS (
+        SELECT CAST(floor(value) AS BIGINT) AS thr,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS pos,
+               sum(CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END)
+                   AS neg
+        FROM events GROUP BY 1
+    ), cum AS (
+        SELECT thr, pos,
+               sum(pos) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS tp,
+               sum(neg) OVER (ORDER BY thr DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS fp
+        FROM by_bin
+    ), tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM by_bin),
+    terms AS (
+        SELECT thr,
+               CAST(round(c.pos * 1.0 / t.p
+                          * (c.tp * 1.0 / (c.tp + c.fp))
+                          * 1000000000) AS BIGINT) AS ap_nano,
+               c.tp * 1.0 / (c.tp + c.fp) AS prec,
+               c.tp * 1.0 / t.p AS rec
+        FROM cum c CROSS JOIN tot t
+    ), f1 AS (
+        SELECT thr,
+               CASE WHEN prec + rec > 0
+                    THEN 2.0 * prec * rec / (prec + rec)
+                    ELSE 0.0 END AS f1
+        FROM terms
+    ), best AS (
+        SELECT thr, f1 FROM f1
+        ORDER BY round(f1, 9) DESC, thr DESC LIMIT 1
+    )
+    SELECT (SELECT CAST(p AS BIGINT) FROM tot) AS n_pos,
+           (SELECT CAST(n AS BIGINT) FROM tot) AS n_neg,
+           CAST(round((SELECT sum(ap_nano) FROM terms) / 1000000000.0, 6)
+                AS DOUBLE) AS average_precision,
+           (SELECT thr FROM best) AS best_f1_thr,
+           CAST(round((SELECT f1 FROM best), 6) AS DOUBLE) AS best_f1
+    """,
+    doc="Average Precision (the PR-curve step integral: sum over "
+        "descending thresholds of delta-recall x precision) plus the "
+        "best-F1 threshold — the imbalance-robust twin of q227's "
+        "ROC-AUC and the operating-point picker for the quality-"
+        "filter gates (q128/q206). Scale shape: one partial-"
+        "aggregated corpus groupBy to integer score bins, then every "
+        "window/scan runs on the bin panel (bounded domain); AP "
+        "terms are nano-rounded BIGINTs (order-free), F1 compared at "
+        "9dp with a threshold tiebreak so argmax is deterministic on "
+        "both engines.",
+)
+def q305_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    by_bin = (events.groupBy(F.floor("value").cast("bigint").alias("thr"))
+              .agg(F.sum((F.col("event_type") == "purchase").cast("long"))
+                   .alias("pos"),
+                   F.sum((F.col("event_type") != "purchase").cast("long"))
+                   .alias("neg"))
+              .localCheckpoint(eager=True))
+    w = W.orderBy(F.col("thr").desc()).rowsBetween(W.unboundedPreceding, 0)
+    tot = by_bin.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    cum = by_bin.select("thr", "pos",
+                        F.sum("pos").over(w).alias("tp"),
+                        F.sum("neg").over(w).alias("fp"))
+    prec = F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp") * 1.0 / F.col("p")
+    terms = (cum.crossJoin(F.broadcast(tot))
+             .select("thr",
+                     F.round(F.col("pos") * 1.0 / F.col("p") * prec
+                             * 1000000000).cast("bigint").alias("ap_nano"),
+                     prec.alias("prec"), rec.alias("rec"))
+             .localCheckpoint(eager=True))
+    f1 = terms.select(
+        "thr",
+        F.when(F.col("prec") + F.col("rec") > 0,
+               2.0 * F.col("prec") * F.col("rec")
+               / (F.col("prec") + F.col("rec"))).otherwise(0.0)
+        .alias("f1"))
+    best = (f1.orderBy(F.round(F.col("f1"), 9).desc(),
+                       F.col("thr").desc()).limit(1)
+            .select(F.col("thr").alias("best_f1_thr"),
+                    F.round("f1", 6).cast("double").alias("best_f1")))
+    ap = terms.agg(
+        F.round(F.sum("ap_nano") / 1000000000.0, 6).cast("double")
+        .alias("average_precision"))
+    return (tot.select(F.col("p").cast("bigint").alias("n_pos"),
+                       F.col("n").cast("bigint").alias("n_neg"))
+            .crossJoin(F.broadcast(ap))
+            .crossJoin(F.broadcast(best))
+            .select("n_pos", "n_neg", "average_precision",
+                    "best_f1_thr", "best_f1"))
+
+
+@_register(
+    "q306_rocchio_prf",
+    """
+    -- Rocchio pseudo-relevance feedback (the classic query-expansion
+    -- step between two retrieval passes): q' = 1.0*q + 0.75*mean(top-10
+    -- cosine hits) - 0.15*mean(bottom-10), then re-retrieve. Feedback
+    -- means come from nano-rounded per-dim integer sums over the two
+    -- 10-doc slates (order-free), q' is one fixed-order expression per
+    -- dim, and the re-ranked cosines round to 6dp before ranking —
+    -- both engines rank identically. Output: the new top-10 with a
+    -- was-in-original-top-10 flag (the drift the feedback causes).
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id = 0
+    ), vn AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id <> 0
+    ), cos AS (
+        SELECT vn.vec_id, vn.e,
+               round(list_sum(list_transform(range(1, len(vn.e) + 1),
+                     i -> vn.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))
+                     / (sqrt(list_sum(list_transform(vn.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.e, x -> x * x)))),
+                     6) AS c
+        FROM vn CROSS JOIN q
+    ), ranked AS (
+        SELECT vec_id, e, c,
+               row_number() OVER (ORDER BY c DESC, vec_id) AS rtop,
+               row_number() OVER (ORDER BY c ASC, vec_id) AS rbot
+        FROM cos
+    ), rsum AS (
+        SELECT i AS dim,
+               CAST(sum(CASE WHEN rtop <= 10 THEN
+                    CAST(round(e[CAST(i AS INT)] * 1000000000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sr,
+               CAST(sum(CASE WHEN rbot <= 10 THEN
+                    CAST(round(e[CAST(i AS INT)] * 1000000000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sn
+        FROM ranked, UNNEST(range(1, 65)) AS r(i)
+        WHERE rtop <= 10 OR rbot <= 10
+        GROUP BY i
+    ), qprime AS (
+        SELECT list(1.0 * q.e[CAST(dim AS INT)]
+                    + 0.75 * (sr / 10.0 / 1000000000.0)
+                    - 0.15 * (sn / 10.0 / 1000000000.0)
+                    ORDER BY dim) AS e
+        FROM rsum CROSS JOIN q
+    ), rescored AS (
+        SELECT vn.vec_id,
+               round(list_sum(list_transform(range(1, len(vn.e) + 1),
+                     i -> vn.e[CAST(i AS INT)] * p.e[CAST(i AS INT)]))
+                     / (sqrt(list_sum(list_transform(vn.e, x -> x * x)))
+                        * sqrt(list_sum(list_transform(p.e, x -> x * x)))),
+                     6) AS c2
+        FROM vn CROSS JOIN qprime p
+    )
+    SELECT CAST(row_number() OVER (ORDER BY r2.c2 DESC, r2.vec_id)
+                AS BIGINT) AS rank,
+           r2.vec_id AS doc_id,
+           CAST(r2.c2 AS DOUBLE) AS cosine_new,
+           CAST(CASE WHEN rk.rtop <= 10 THEN 1 ELSE 0 END AS INT)
+               AS in_original_top10
+    FROM rescored r2 JOIN ranked rk ON rk.vec_id = r2.vec_id
+    ORDER BY rank LIMIT 10
+    """,
+    doc="Rocchio pseudo-relevance feedback between two embedding "
+        "retrieval passes (alpha=1, beta=0.75, gamma=0.15, the "
+        "textbook setting): expand the query toward the top-10 "
+        "centroid and away from the bottom-10, re-retrieve, report "
+        "the new top-10 and how much of the original slate survived. "
+        "Scale shape: both retrieval passes broadcast ONE query "
+        "vector (map-only scoring); feedback centroids are 64 nano-"
+        "integer sums over 20 rows; the global rank windows are the "
+        "retrieval sorts (rank-from-topk is the documented lever at "
+        "corpus scale, as in q294). No N x N stage anywhere.",
+)
+def q306_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        _as_double, dot, l2_norm,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    q = (embeddings.filter(F.col("vec_id") == 0)
+         .select(_as_double(F.col("embedding")).alias("qe")))
+    cos = (embeddings.filter(F.col("vec_id") != 0)
+           .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+           .crossJoin(F.broadcast(q))
+           .select("vec_id", "e", "qe",
+                   F.round(dot(F.col("e"), F.col("qe"))
+                           / (l2_norm(F.col("e")) * l2_norm(F.col("qe"))),
+                           6).alias("c"))
+           .localCheckpoint(eager=True))
+    ranked = cos.select(
+        "vec_id", "e", "qe", "c",
+        F.row_number().over(W.orderBy(F.col("c").desc(), "vec_id"))
+        .alias("rtop"),
+        F.row_number().over(W.orderBy(F.col("c").asc(), "vec_id"))
+        .alias("rbot"))
+    nano = F.transform("e", lambda x: F.round(x * 1000000000)
+                       .cast("long"))
+    slates = (ranked.filter((F.col("rtop") <= 10) | (F.col("rbot") <= 10))
+              .select(nano.alias("en"), "rtop", "rbot", "qe"))
+    sums = slates.agg(
+        F.first("qe").alias("qe"),
+        *[F.sum(F.when(F.col("rtop") <= 10,
+                       F.element_at("en", j + 1)).otherwise(0))
+          .cast("long").alias(f"sr{j}") for j in range(64)],
+        *[F.sum(F.when(F.col("rbot") <= 10,
+                       F.element_at("en", j + 1)).otherwise(0))
+          .cast("long").alias(f"sn{j}") for j in range(64)])
+    qprime = sums.select(F.array(*[
+        (1.0 * F.element_at("qe", j + 1)
+         + 0.75 * (F.col(f"sr{j}") / 10.0 / 1000000000.0)
+         - 0.15 * (F.col(f"sn{j}") / 10.0 / 1000000000.0))
+        for j in range(64)]).alias("pe"))
+    rescored = (ranked.select("vec_id", "e", "rtop")
+                .crossJoin(F.broadcast(qprime))
+                .select("vec_id", "rtop",
+                        F.round(dot(F.col("e"), F.col("pe"))
+                                / (l2_norm(F.col("e"))
+                                   * l2_norm(F.col("pe"))), 6)
+                        .alias("c2")))
+    return (rescored.select(
+        F.row_number().over(W.orderBy(F.col("c2").desc(), "vec_id"))
+        .cast("bigint").alias("rank"),
+        F.col("vec_id").alias("doc_id"),
+        F.col("c2").cast("double").alias("cosine_new"),
+        (F.col("rtop") <= 10).cast("int").alias("in_original_top10"))
+        .orderBy("rank").limit(10))
