@@ -412,6 +412,26 @@ PROBE_QUERIES = [
     "q290_huber_irls",
     # fact aggregate + top-100 cut + 4950-row pair join
     "q291_rank_stability",
+    # round-10 tier: map-side regex + segment rollup
+    "q292_pii_scan_redaction",
+    # global value-rank window + distinct-cents tie counts
+    "q295_mann_whitney_u",
+    # edge build + degree joins (size-adaptive) + 1-row moment reduce
+    "q296_degree_assortativity",
+    # corpus->user panel + sorted-score-axis windows
+    "q297_nn_matching_att",
+    # dimension rank window + 1-row closed form
+    "q299_kruskal_wallis",
+    # map-side pair zip + vocab-bounded iteration joins
+    "q300_textrank_keywords",
+    # four grouped percentiles over the trial panel
+    "q301_quantile_treatment_effects",
+    # two corpus scans per Weiszfeld pair, 1-row aggregates
+    "q302_geometric_median",
+    # one moment reduce
+    "q304_welch_ttest",
+    # bin-panel windows after one corpus groupBy
+    "q305_average_precision",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -5186,3 +5186,102 @@ def test_welch_ttest_matches_python_replay(spark):
     assert abs(r.df_welch - round(df, 6)) < 1e-9
     assert abs(r.cohens_d - round(d, 6)) < 1e-9
     assert min(na, nb) - 1 <= r.df_welch <= na + nb - 2
+
+
+def test_average_precision_matches_python_replay(spark):
+    """q305 at sf0.001: replay the bin table, cumulative counts, AP
+    step integral and the best-F1 scan in pure python; AP must lie in
+    (0, 1] and equal the replayed nano-sum."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q305_average_precision"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["thr"] = ev.value.map(math.floor)
+    bins = (ev.assign(pos=(ev.event_type == "purchase").astype(int))
+            .groupby("thr").agg(pos=("pos", "sum"),
+                                neg=("pos", lambda s: (1 - s).sum()))
+            .sort_index(ascending=False))
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    p_tot, n_tot = int(bins.pos.sum()), int(bins.neg.sum())
+    tp = fp = 0
+    ap_nano = 0
+    best = None
+    for thr, b in bins.iterrows():
+        tp += int(b.pos)
+        fp += int(b.neg)
+        prec = tp * 1.0 / (tp + fp)
+        rec = tp * 1.0 / p_tot
+        ap_nano += half_away(int(b.pos) * 1.0 / p_tot * prec * 1e9)
+        f1 = 2.0 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+        key = (round(f1, 9), thr)
+        if best is None or key > best[0]:
+            best = (key, thr, f1)
+    assert (r.n_pos, r.n_neg) == (p_tot, n_tot)
+    assert abs(r.average_precision - round(ap_nano / 1e9, 6)) < 1e-9
+    assert 0 < r.average_precision <= 1
+    assert r.best_f1_thr == best[1]
+    assert abs(r.best_f1 - round(best[2], 6)) < 1e-9
+
+
+def test_rocchio_prf_matches_python_replay(spark):
+    """q306 at sf0.001: replay both retrieval passes and the nano-sum
+    feedback vector in python; the new top-10 and its overlap flags
+    must match, and the feedback must not produce duplicate ranks."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q306_rocchio_prf"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for _, r in emb.iterrows()}
+    q = vecs[0]
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def dot_seq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def nrm(a):
+        acc = 0.0
+        for x in a:
+            acc += x * x
+        return math.sqrt(acc)
+
+    cos = {i: half_away(dot_seq(v, q) / (nrm(v) * nrm(q)) * 1e6) / 1e6
+           for i, v in vecs.items() if i != 0}
+    top = sorted(cos, key=lambda i: (-cos[i], i))[:10]
+    bot = sorted(cos, key=lambda i: (cos[i], i))[:10]
+    dim = 64
+    sr = [sum(half_away(vecs[i][j] * 1e9) for i in top)
+          for j in range(dim)]
+    sn = [sum(half_away(vecs[i][j] * 1e9) for i in bot)
+          for j in range(dim)]
+    qp = [1.0 * q[j] + 0.75 * (sr[j] / 10.0 / 1e9)
+          - 0.15 * (sn[j] / 10.0 / 1e9) for j in range(dim)]
+    cos2 = {i: half_away(dot_seq(v, qp) / (nrm(v) * nrm(qp)) * 1e6) / 1e6
+            for i, v in vecs.items() if i != 0}
+    new_top = sorted(cos2, key=lambda i: (-cos2[i], i))[:10]
+    expect = [(k + 1, d, cos2[d], 1 if d in set(top) else 0)
+              for k, d in enumerate(new_top)]
+    got = [(r.rank, r.doc_id, r.cosine_new, r.in_original_top10)
+           for r in rows]
+    assert got == expect
+    assert len({r.rank for r in rows}) == 10
