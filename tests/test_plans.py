@@ -613,6 +613,12 @@ PLAN_SHAPE_GOLDENS = {
     "q303_nelson_aalen": {"BroadcastNestedLoopJoin": 3},
     # q304: one map-combined 1-row moment reduce; no joins at all
     "q304_welch_ttest": {},
+    # q305: the BNLJs are the 1-row totals + best-F1 broadcasts onto
+    # the checkpointed bin panel
+    "q305_average_precision": {"BroadcastNestedLoopJoin": 2},
+    # q306: both retrieval passes broadcast ONE query-vector row (the
+    # second is the derived q'); feedback sums are a 1-row aggregate
+    "q306_rocchio_prf": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
