@@ -491,6 +491,14 @@ def kmeans_refine(
     stride = max(centroid_stride, -(-n // max_centroids))  # ceil div
     cents = [(int(r["__id"]), list(r["__v"])) for r in
              base.filter(F.col("__id") % stride == 0).collect()]
+    if top2 and len(cents) < 2:
+        # the runner-up centroid is undefined with a single centroid —
+        # fail loudly rather than emit null cosine2 (the
+        # personalized_pagerank degenerate-input convention)
+        raise ValueError(
+            "kmeans_refine(top2=True): need at least 2 seed centroids "
+            f"(got {len(cents)}; widen the corpus or shrink "
+            "centroid_stride)")
     # one up-front spread of the (id, vector) rows for the iteration path:
     # assignment itself is map-only, so without this the whole scoring
     # loop would run in as few tasks as the source has input splits (one,

@@ -19157,11 +19157,18 @@ def q293_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT na AS n_a, nb AS n_b,
            CAST(r2a / 2.0 - na * (na + 1) / 2.0 AS DOUBLE) AS u_a,
-           CAST(round((r2a / 2.0 - na * (na + 1) / 2.0 - na * nb / 2.0)
+           -- all-tied pooled sample or an empty arm has zero rank
+           -- variance: z defined as 0, not null (the q252 convention)
+           CAST(CASE WHEN na * nb > 0
+                      AND (na + nb + 1) - tie_term * 1.0
+                          / ((na + nb) * (na + nb - 1.0)) > 0
+                     THEN round((r2a / 2.0 - na * (na + 1) / 2.0
+                                 - na * nb / 2.0)
                 / sqrt(na * 1.0 * nb / 12.0
                        * ((na + nb + 1)
                           - tie_term * 1.0
                             / ((na + nb) * (na + nb - 1.0)))), 6)
+                     ELSE 0.0 END
                 AS DOUBLE) AS z,
            CAST(round(1.0 - 2.0 * (r2a / 2.0 - na * (na + 1) / 2.0)
                       / (na * 1.0 * nb), 6) AS DOUBLE) AS rank_biserial
@@ -19203,11 +19210,18 @@ def q295_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigma = F.sqrt(F.col("na") * 1.0 * F.col("nb") / 12.0
                    * ((n + 1)
                       - F.col("tie_term") * 1.0 / (n * (n - 1.0))))
+    var_term = ((n + 1)
+                - F.col("tie_term") * 1.0 / (n * (n - 1.0)))
     return (arms.crossJoin(F.broadcast(ties))
             .select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
                     u_a.cast("double").alias("u_a"),
-                    F.round((u_a - F.col("na") * F.col("nb") / 2.0) / sigma,
-                            6).cast("double").alias("z"),
+                    # zero rank variance (all ties / empty arm) -> z = 0,
+                    # the q252 convention (mirrored in the oracle CASE)
+                    F.when((F.col("na") * F.col("nb") > 0)
+                           & (var_term > 0),
+                           F.round((u_a - F.col("na") * F.col("nb") / 2.0)
+                                   / sigma, 6))
+                    .otherwise(F.lit(0.0)).cast("double").alias("z"),
                     F.round(1.0 - 2.0 * u_a / (F.col("na") * 1.0
                                                * F.col("nb")), 6)
                     .cast("double").alias("rank_biserial")))
@@ -19412,7 +19426,10 @@ def q294_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
            m_edges AS n_edges,
-           CAST(round(s_sum * 1.0 / (2 * m_edges), 6) AS DOUBLE)
+           -- edge-less graph: average edge degree defined as 0, not null
+           CAST(CASE WHEN m_edges > 0
+                     THEN round(s_sum * 1.0 / (2 * m_edges), 6)
+                     ELSE 0.0 END AS DOUBLE)
                AS avg_edge_degree,
            CAST(CASE WHEN 2 * m_edges * s_sq - s_sum * s_sum = 0
                      THEN 0.0
@@ -19457,8 +19474,12 @@ def q296_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (m.crossJoin(F.broadcast(n_nodes))
             .select("n_nodes",
                     F.col("m_edges").alias("n_edges"),
-                    F.round(F.col("s_sum") * 1.0 / (2 * F.col("m_edges")),
-                            6).cast("double").alias("avg_edge_degree"),
+                    # edge-less graph: defined as 0 (oracle CASE twin)
+                    F.when(F.col("m_edges") > 0,
+                           F.round(F.col("s_sum") * 1.0
+                                   / (2 * F.col("m_edges")), 6))
+                    .otherwise(F.lit(0.0))
+                    .cast("double").alias("avg_edge_degree"),
                     F.when(denom == 0, F.lit(0.0))
                     .otherwise(F.round(
                         (4.0 * F.col("m_edges") * F.col("s_jk")
@@ -19537,15 +19558,21 @@ def q296_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_matched,
            CAST(sum(CASE WHEN m.gap > 3 OR m.gap IS NULL
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
-           CAST(round(sum(CASE WHEN m.gap <= 3 THEN m.gap ELSE 0 END)
-                      * 1.0
+           -- zero matched pairs (no controls / all outside the
+           -- caliper): gap and ATT defined as 0, not null
+           CAST(CASE WHEN sum(CASE WHEN m.gap <= 3 THEN 1 ELSE 0 END) > 0
+                     THEN round(sum(CASE WHEN m.gap <= 3
+                                    THEN m.gap ELSE 0 END) * 1.0
                       / sum(CASE WHEN m.gap <= 3 THEN 1 ELSE 0 END), 6)
+                     ELSE 0.0 END
                 AS DOUBLE) AS avg_score_gap,
-           CAST(round(sum(CASE WHEN m.gap <= 3
+           CAST(CASE WHEN sum(CASE WHEN m.gap <= 3 THEN 1 ELSE 0 END) > 0
+                     THEN round(sum(CASE WHEN m.gap <= 3
                           THEN m.cents * 1000000 - c.out_micro
                           ELSE 0 END)
                       / (sum(CASE WHEN m.gap <= 3 THEN 1 ELSE 0 END)
-                         * 1000000.0), 6) AS DOUBLE) AS att_cents
+                         * 1000000.0), 6)
+                     ELSE 0.0 END AS DOUBLE) AS att_cents
     FROM matched m LEFT JOIN ctrl c ON c.score = m.m_score
     """,
     doc="1-NN covariate matching ATT with caliper — the matching "
@@ -19618,13 +19645,18 @@ def q297_nn_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(ok.cast("int")).cast("bigint").alias("n_matched"),
                 F.sum((F.col("gap").isNull() | (F.col("gap") > 3))
                       .cast("int")).cast("bigint").alias("n_unmatched"),
-                F.round(F.sum(F.when(ok, F.col("gap")).otherwise(0)) * 1.0
-                        / F.sum(ok.cast("int")), 6).cast("double")
+                # zero matched pairs -> 0.0, not null (oracle CASE twin)
+                F.when(F.sum(ok.cast("int")) > 0,
+                       F.round(F.sum(F.when(ok, F.col("gap")).otherwise(0))
+                               * 1.0 / F.sum(ok.cast("int")), 6))
+                .otherwise(F.lit(0.0)).cast("double")
                 .alias("avg_score_gap"),
-                F.round(F.sum(F.when(ok, F.col("cents") * 1000000
-                                     - F.col("out_micro")).otherwise(0))
-                        / (F.sum(ok.cast("int")) * 1000000.0), 6)
-                .cast("double").alias("att_cents")))
+                F.when(F.sum(ok.cast("int")) > 0,
+                       F.round(F.sum(F.when(ok, F.col("cents") * 1000000
+                                            - F.col("out_micro"))
+                                     .otherwise(0))
+                               / (F.sum(ok.cast("int")) * 1000000.0), 6))
+                .otherwise(F.lit(0.0)).cast("double").alias("att_cents")))
     return (counts.crossJoin(F.broadcast(agg))
             .select("n_treated", "n_control", "n_matched", "n_unmatched",
                     "avg_score_gap", "att_cents"))
@@ -19756,10 +19788,16 @@ def q298_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_total, k AS k_groups,
            CAST(round(12.0 / (n * (n + 1.0)) * (rsq_milli / 1000.0)
                       - 3.0 * (n + 1), 6) AS DOUBLE) AS h,
-           CAST(round((12.0 / (n * (n + 1.0)) * (rsq_milli / 1000.0)
+           -- all-tied sample (or n = 1): the tie-correction divisor
+           -- is 0 -> H undefined; defined as 0 (the q252 convention)
+           CAST(CASE WHEN n > 1 AND 1.0 - tie_term * 1.0
+                          / (n * 1.0 * n * n - n) > 0
+                     THEN round((12.0 / (n * (n + 1.0))
+                                 * (rsq_milli / 1000.0)
                        - 3.0 * (n + 1))
                       / (1.0 - tie_term * 1.0
-                         / (n * 1.0 * n * n - n)), 6) AS DOUBLE)
+                         / (n * 1.0 * n * n - n)), 6)
+                     ELSE 0.0 END AS DOUBLE)
                AS h_tie_corrected,
            CAST(round((12.0 / (n * (n + 1.0)) * (rsq_milli / 1000.0)
                        - 3.0 * (n + 1)) / (n - 1.0), 6) AS DOUBLE)
@@ -19805,8 +19843,15 @@ def q299_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (terms.crossJoin(F.broadcast(ties))
             .select(n.alias("n_total"), F.col("k").alias("k_groups"),
                     F.round(h_raw, 6).cast("double").alias("h"),
-                    F.round(h_raw / (1.0 - F.col("tie_term") * 1.0
-                                     / (n * 1.0 * n * n - n)), 6)
+                    # all-tied / n=1 -> correction divisor 0 -> defined
+                    # as 0 (oracle CASE twin)
+                    F.when((n > 1)
+                           & (1.0 - F.col("tie_term") * 1.0
+                              / (n * 1.0 * n * n - n) > 0),
+                           F.round(h_raw
+                                   / (1.0 - F.col("tie_term") * 1.0
+                                      / (n * 1.0 * n * n - n)), 6))
+                    .otherwise(F.lit(0.0))
                     .cast("double").alias("h_tie_corrected"),
                     F.round(h_raw / (n - 1.0), 6).cast("double")
                     .alias("epsilon_sq")))
@@ -20114,6 +20159,14 @@ def q302_geometric_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                    *[F.sum(F.round(F.element_at("x", j + 1) / F.col("d")
                                    * GN).cast("long")).alias(f"n{j}")
                      for j in range(dim)]).first())
+        if not it["den"]:
+            # every vector sits exactly at the iterate (or the corpus is
+            # empty): the Weiszfeld step is undefined — fail loudly (the
+            # personalized_pagerank seed-overlap convention)
+            raise ValueError(
+                "geometric_median: zero total weight — every vector "
+                "coincides with the current iterate or the corpus is "
+                "empty")
         m = [_ga_half_away(it[f"n{j}"] * 1.0 / it["den"] * GN) / GN
              for j in range(dim)]
 
@@ -20260,12 +20313,29 @@ def q303_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT na AS n_a, nb AS n_b,
            CAST(round(sa * 1.0 / na / 100.0, 6) AS DOUBLE) AS mean_a_usd,
            CAST(round(sb * 1.0 / nb / 100.0, 6) AS DOUBLE) AS mean_b_usd,
-           CAST(round((sa * 1.0 / na - sb * 1.0 / nb)
+           -- an arm with n < 2 or both arms constant has no variance:
+           -- t defined as 0, not null/inf (the q252 convention)
+           CAST(CASE WHEN na > 1 AND nb > 1
+                      AND (CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                          / (na - 1.0) / na
+                          + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
+                            / (nb - 1.0) / nb > 0
+                     THEN round((sa * 1.0 / na - sb * 1.0 / nb)
                 / sqrt((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
                        / (na - 1.0) / na
                        + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
-                         / (nb - 1.0) / nb), 6) AS DOUBLE) AS t_welch,
-           CAST(round(
+                         / (nb - 1.0) / nb), 6)
+                     ELSE 0.0 END AS DOUBLE) AS t_welch,
+           CAST(CASE WHEN na > 1 AND nb > 1
+                      AND ((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                           / (na - 1.0) / na)
+                          * ((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                             / (na - 1.0) / na) / (na - 1.0)
+                          + ((CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
+                             / (nb - 1.0) / nb)
+                            * ((CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
+                               / (nb - 1.0) / nb) / (nb - 1.0) > 0
+                     THEN round(
                ((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa) / (na - 1.0) / na
                 + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
                   / (nb - 1.0) / nb)
@@ -20280,12 +20350,17 @@ def q303_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
                   + ((CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
                      / (nb - 1.0) / nb)
                     * ((CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb)
-                       / (nb - 1.0) / nb) / (nb - 1.0)), 6) AS DOUBLE)
+                       / (nb - 1.0) / nb) / (nb - 1.0)), 6)
+                     ELSE 0.0 END AS DOUBLE)
                AS df_welch,
-           CAST(round((sa * 1.0 / na - sb * 1.0 / nb)
+           CAST(CASE WHEN na + nb > 2
+                      AND (CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
+                          + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb) > 0
+                     THEN round((sa * 1.0 / na - sb * 1.0 / nb)
                 / sqrt(((CAST(qa AS DOUBLE) - sa * 1.0 / na * sa)
                         + (CAST(qb AS DOUBLE) - sb * 1.0 / nb * sb))
-                       / (na + nb - 2.0)) / 100.0 * 100.0, 6) AS DOUBLE)
+                       / (na + nb - 2.0)) / 100.0 * 100.0, 6)
+                     ELSE 0.0 END AS DOUBLE)
                AS cohens_d
     FROM m
     """,
@@ -20333,14 +20408,26 @@ def q304_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_a_usd"),
         F.round(sb * 1.0 / nb / 100.0, 6).cast("double")
         .alias("mean_b_usd"),
-        F.round(diff / F.sqrt(va + vb), 6).cast("double").alias("t_welch"),
-        F.round((va + vb) * (va + vb)
-                / (va * va / (na - 1.0) + vb * vb / (nb - 1.0)), 6)
-        .cast("double").alias("df_welch"),
-        F.round(diff / F.sqrt(
-            ((F.col("qa").cast("double") - sa * 1.0 / na * sa)
-             + (F.col("qb").cast("double") - sb * 1.0 / nb * sb))
-            / (na + nb - 2.0)) / 100.0 * 100.0, 6).cast("double")
+        # degenerate arms (n < 2, zero variance): statistics defined
+        # as 0, not null/inf (oracle CASE twins)
+        F.when((na > 1) & (nb > 1) & (va + vb > 0),
+               F.round(diff / F.sqrt(va + vb), 6))
+        .otherwise(F.lit(0.0)).cast("double").alias("t_welch"),
+        F.when((na > 1) & (nb > 1)
+               & (va * va / (na - 1.0) + vb * vb / (nb - 1.0) > 0),
+               F.round((va + vb) * (va + vb)
+                       / (va * va / (na - 1.0)
+                          + vb * vb / (nb - 1.0)), 6))
+        .otherwise(F.lit(0.0)).cast("double").alias("df_welch"),
+        F.when((na + nb > 2)
+               & ((F.col("qa").cast("double") - sa * 1.0 / na * sa)
+                  + (F.col("qb").cast("double") - sb * 1.0 / nb * sb)
+                  > 0),
+               F.round(diff / F.sqrt(
+                   ((F.col("qa").cast("double") - sa * 1.0 / na * sa)
+                    + (F.col("qb").cast("double") - sb * 1.0 / nb * sb))
+                   / (na + nb - 2.0)) / 100.0 * 100.0, 6))
+        .otherwise(F.lit(0.0)).cast("double")
         .alias("cohens_d"))
 
 
@@ -20372,12 +20459,14 @@ def q304_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM by_bin
     ), tot AS (SELECT sum(pos) AS p, sum(neg) AS n FROM by_bin),
     terms AS (
+        -- zero-positive corpus: recall/AP terms defined as 0, not null
         SELECT thr,
-               CAST(round(c.pos * 1.0 / t.p
+               CAST(CASE WHEN t.p > 0
+                         THEN round(c.pos * 1.0 / t.p
                           * (c.tp * 1.0 / (c.tp + c.fp))
-                          * 1000000000) AS BIGINT) AS ap_nano,
+                          * 1000000000) ELSE 0 END AS BIGINT) AS ap_nano,
                c.tp * 1.0 / (c.tp + c.fp) AS prec,
-               c.tp * 1.0 / t.p AS rec
+               CASE WHEN t.p > 0 THEN c.tp * 1.0 / t.p ELSE 0.0 END AS rec
         FROM cum c CROSS JOIN tot t
     ), f1 AS (
         SELECT thr,
@@ -20421,11 +20510,15 @@ def q305_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sum("pos").over(w).alias("tp"),
                         F.sum("neg").over(w).alias("fp"))
     prec = F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))
-    rec = F.col("tp") * 1.0 / F.col("p")
+    # zero-positive corpus: recall/AP defined as 0 (oracle CASE twin)
+    rec = F.when(F.col("p") > 0, F.col("tp") * 1.0 / F.col("p")) \
+        .otherwise(F.lit(0.0))
     terms = (cum.crossJoin(F.broadcast(tot))
              .select("thr",
-                     F.round(F.col("pos") * 1.0 / F.col("p") * prec
-                             * 1000000000).cast("bigint").alias("ap_nano"),
+                     F.when(F.col("p") > 0,
+                            F.round(F.col("pos") * 1.0 / F.col("p") * prec
+                                    * 1000000000).cast("bigint"))
+                     .otherwise(F.lit(0).cast("bigint")).alias("ap_nano"),
                      prec.alias("prec"), rec.alias("rec"))
              .localCheckpoint(eager=True))
     f1 = terms.select(

@@ -5285,3 +5285,22 @@ def test_rocchio_prf_matches_python_replay(spark):
            for r in rows]
     assert got == expect
     assert len({r.rank for r in rows}) == 10
+
+
+def test_kmeans_top2_rejects_single_centroid(spark):
+    """kmeans_refine(top2=True) with one seed centroid must raise (the
+    runner-up is undefined), not emit null cosine2."""
+    import pytest
+
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i)) for i in range(4)]).alias("embedding"))
+    with pytest.raises(ValueError, match="at least 2 seed centroids"):
+        kmeans_refine(df, "vec_id", "embedding", dim=4,
+                      centroid_stride=100, iterations=1,
+                      top2=True).collect()
