@@ -19388,6 +19388,10 @@ def q294_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.sequence(F.lit(1), F.lit(5)), zero, step)
         .getField("sel").alias("sel"))
     return (folded.select(F.explode("sel").alias("r"))
+            # a slate smaller than 5 exhausts before the fold ends and
+            # emits null picks — drop them (the oracle's step CTEs just
+            # produce fewer rows on the same degenerate input)
+            .filter(F.col("r.doc_id").isNotNull())
             .select(F.col("r.pick").alias("pick"),
                     F.col("r.doc_id").alias("doc_id"),
                     F.col("r.rel").alias("rel"),
