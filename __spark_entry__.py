@@ -63,17 +63,14 @@ def _export_order() -> list[str]:
                    key=lambda n: (last_pass[n], names.index(n)))
     fresh = [n for n in names
              if max_rnd and last_pass.get(n) == max_rnd]
-    # Round-9 rebalance: never-verified first again. With the r5 band
-    # (49 queries) now 3 rounds stale, very_stale-first would have
-    # crowded the round-7/8 additions (q201-q219) out of the 50-row
-    # window entirely (only q201 made index 49). A query with ZERO hard
-    # driver signal ever beats one with a merely-old green row. After
-    # the round-9 additions (q220-q258) the never bucket is 58 queries
-    # — larger than one 50-row window; registry order puts the
-    # longest-waiting (q201+) first, the newest tier (q251-q258) lands
-    # in round 10's window, and the stale bands drain in rounds 10-12.
-    # Every never-verified query is green in the builder-run vanilla
-    # mirror (PARITY_LOCAL.md) in the meantime.
+    # Never-verified first (round-9 rebalance, kept): a query with ZERO
+    # hard driver signal ever beats one with a merely-old green row.
+    # Round-10 state: the never bucket is q251-q306 (56 queries);
+    # registry order puts the longest-waiting (q251+) first, so
+    # q251-q300 fill round 10's 50-row window exactly and q301-q306
+    # drain in round 11; the stale bands follow. Every never-verified
+    # query is green in the builder-run vanilla mirror
+    # (PARITY_LOCAL.md) in the meantime.
     very_stale = [n for n in stale if max_rnd - last_pass[n] >= 3]
     rest_stale = [n for n in stale if max_rnd - last_pass[n] < 3]
     return never + very_stale + rest_stale + fresh
