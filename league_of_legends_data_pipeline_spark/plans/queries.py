@@ -20675,3 +20675,422 @@ def q306_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2").cast("double").alias("cosine_new"),
         (F.col("rtop") <= 10).cast("int").alias("in_original_top10"))
         .orderBy("rank").limit(10))
+
+
+# Fellegi-Sunter field weights as PRECOMPUTED literals (log2(m/u) /
+# log2((1-m)/(1-u)) for textbook m = (.9,.8,.7), u = (.2,.1,.05)): both
+# engines select among the same six doubles, so no cross-engine log call
+# exists anywhere in the query.
+_FS_W = [(2.169925001442312, -3.0000000000000004),
+         (3.0, -2.1699250014423126),
+         (3.8073549220576037, -1.6629650127224291)]
+
+
+@_register(
+    "q307_fellegi_sunter",
+    f"""
+    -- Fellegi-Sunter probabilistic record linkage over the blocked
+    -- customer pairs (the q187/q296 same-nation delta-1..8 blocking):
+    -- agreement vector = (same segment, same balance band, balances
+    -- within $500); field weights are PRECOMPUTED log2(m/u) literals
+    -- (textbook m/u), summed in fixed expression order; classify
+    -- match (w >= 2) / possible (w >= -1) / non-match. The
+    -- classic entity-resolution scorer on top of the engine's
+    -- blocking generators (q194 SNM, the edge blocking here).
+    WITH e AS ({_CUST_EDGE_SQL}
+    ), pairs AS (
+        SELECT a.c_custkey AS u, b.c_custkey AS v,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS a1,
+               CASE WHEN CAST(floor(a.c_acctbal / 1000) AS BIGINT)
+                       = CAST(floor(b.c_acctbal / 1000) AS BIGINT)
+                    THEN 1 ELSE 0 END AS a2,
+               CASE WHEN abs(CAST(round(a.c_acctbal * 100) AS BIGINT)
+                             - CAST(round(b.c_acctbal * 100) AS BIGINT))
+                       < 50000
+                    THEN 1 ELSE 0 END AS a3
+        FROM e JOIN customer a ON a.c_custkey = e.u
+               JOIN customer b ON b.c_custkey = e.v
+    ), weighted AS (
+        -- each literal CAST to DOUBLE: DuckDB parses bare decimal
+        -- literals as DECIMAL, and the micro-multiply overflows it
+        SELECT (CASE WHEN a1 = 1 THEN CAST({_FS_W[0][0]!r} AS DOUBLE)
+                     ELSE CAST({_FS_W[0][1]!r} AS DOUBLE) END
+                + CASE WHEN a2 = 1 THEN CAST({_FS_W[1][0]!r} AS DOUBLE)
+                       ELSE CAST({_FS_W[1][1]!r} AS DOUBLE) END
+                + CASE WHEN a3 = 1 THEN CAST({_FS_W[2][0]!r} AS DOUBLE)
+                       ELSE CAST({_FS_W[2][1]!r} AS DOUBLE) END) AS w
+        FROM pairs
+    ), classed AS (
+        SELECT CASE WHEN w >= 2.0 THEN 'match'
+                    WHEN w >= -1.0 THEN 'possible'
+                    ELSE 'non-match' END AS decision,
+               CASE WHEN w >= 2.0 THEN 1
+                    WHEN w >= -1.0 THEN 2 ELSE 3 END AS ord,
+               CAST(round(w * 1000000) AS BIGINT) AS w_micro
+        FROM weighted
+    )
+    SELECT decision,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(sum(w_micro) / (count(*) * 1000000.0), 6)
+                AS DOUBLE) AS avg_weight,
+           CAST(round(min(w_micro) / 1000000.0, 6) AS DOUBLE) AS min_w,
+           CAST(round(max(w_micro) / 1000000.0, 6) AS DOUBLE) AS max_w
+    FROM classed
+    GROUP BY decision, ord ORDER BY ord
+    """,
+    doc="Fellegi-Sunter probabilistic record linkage: agreement-vector "
+        "match weights over blocked candidate pairs, with the standard "
+        "match/possible/non-match decision bands — the scoring layer "
+        "entity resolution puts on top of blocking (q194 sorted "
+        "neighborhood, q44 cluster dedup consume its output). Field "
+        "weights are precomputed literals, so the whole scorer is a "
+        "map-side CASE chain over the pair stream; the decision rollup "
+        "is a 3-row aggregate. Scale shape: pair volume is the "
+        "blocking generator's contract (delta-bounded here); the FS "
+        "layer adds zero shuffles beyond it.",
+)
+def q307_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = _t(spark, sf_dir, "customer")
+    e = _customer_edges(spark, sf_dir)
+    a = customer.select(F.col("c_custkey").alias("src"),
+                        F.col("c_mktsegment").alias("seg_a"),
+                        F.col("c_acctbal").alias("bal_a"))
+    b = customer.select(F.col("c_custkey").alias("dst"),
+                        F.col("c_mktsegment").alias("seg_b"),
+                        F.col("c_acctbal").alias("bal_b"))
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+    pairs = (e.join(a, "src").join(b, "dst")
+             .select(
+                 (F.col("seg_a") == F.col("seg_b")).cast("int").alias("a1"),
+                 (F.floor(F.col("bal_a") / 1000).cast("bigint")
+                  == F.floor(F.col("bal_b") / 1000).cast("bigint"))
+                 .cast("int").alias("a2"),
+                 (F.abs(cents("bal_a") - cents("bal_b")) < 50000)
+                 .cast("int").alias("a3")))
+    w = (F.when(F.col("a1") == 1, F.lit(_FS_W[0][0]))
+         .otherwise(F.lit(_FS_W[0][1]))
+         + F.when(F.col("a2") == 1, F.lit(_FS_W[1][0]))
+         .otherwise(F.lit(_FS_W[1][1]))
+         + F.when(F.col("a3") == 1, F.lit(_FS_W[2][0]))
+         .otherwise(F.lit(_FS_W[2][1])))
+    classed = pairs.select(
+        F.when(w >= 2.0, "match").when(w >= -1.0, "possible")
+        .otherwise("non-match").alias("decision"),
+        F.when(w >= 2.0, 1).when(w >= -1.0, 2).otherwise(3).alias("ord"),
+        F.round(w * 1000000).cast("bigint").alias("w_micro"))
+    return (classed.groupBy("decision", "ord")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.round(F.sum("w_micro")
+                         / (F.count(F.lit(1)) * 1000000.0), 6)
+                 .cast("double").alias("avg_weight"),
+                 F.round(F.min("w_micro") / 1000000.0, 6).cast("double")
+                 .alias("min_w"),
+                 F.round(F.max("w_micro") / 1000000.0, 6).cast("double")
+                 .alias("max_w"))
+            .orderBy("ord").drop("ord"))
+
+
+# 1/log2(pos+1) DCG discounts for positions 1..10 — precomputed literals
+# (engine-portability convention: no cross-engine log calls)
+_DCG_DISCOUNT = [1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+                 0.38685280723454163, 0.3562071871080222,
+                 0.3333333333333333, 0.31546487678572877,
+                 0.3010299956639812, 0.2890648263178879]
+
+
+def _ndcg_discount_sql(pos_expr: str) -> str:
+    return ("CASE " + " ".join(
+        f"WHEN {pos_expr} = {i + 1} THEN CAST({d!r} AS DOUBLE)"
+        for i, d in enumerate(_DCG_DISCOUNT)) + " ELSE 0.0 END")
+
+
+@_register(
+    "q308_quantization_ndcg",
+    f"""
+    -- NDCG@10 of int8-quantized retrieval vs exact-cosine ground
+    -- truth: relevance grades from the EXACT ranking (top3 -> 3,
+    -- top10 -> 2, top30 -> 1), evaluated ranking from cosines over
+    -- round(x*127)/127 quantized vectors — the position-weighted
+    -- quality loss of the quantization step (the NDCG companion to
+    -- q105's PQ recall and q57's quantization error). DCG terms =
+    -- (2^grade - 1) * precomputed 1/log2(pos+1) literals, nano-
+    -- rounded BIGINTs; IDCG from the sorted grades the same way.
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id = 0
+    ), vn AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               list_transform(embedding,
+                   x -> round(CAST(x AS DOUBLE) * 127) / 127.0) AS eq
+        FROM embeddings WHERE vec_id <> 0
+    ), qq AS (
+        SELECT list_transform(e, x -> round(x * 127) / 127.0) AS e FROM q
+    ), exact AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY c DESC, vec_id) AS r
+        FROM (
+            SELECT vn.vec_id,
+                   round(list_sum(list_transform(range(1, len(vn.e) + 1),
+                         i -> vn.e[CAST(i AS INT)] * q.e[CAST(i AS INT)]))
+                         / (sqrt(list_sum(list_transform(vn.e,
+                                                         x -> x * x)))
+                            * sqrt(list_sum(list_transform(q.e,
+                                                           x -> x * x)))),
+                         6) AS c
+            FROM vn CROSS JOIN q)
+    ), grades AS (
+        SELECT vec_id,
+               CASE WHEN r <= 3 THEN 3 WHEN r <= 10 THEN 2
+                    WHEN r <= 30 THEN 1 ELSE 0 END AS g
+        FROM exact
+    ), approx AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY c DESC, vec_id) AS pos
+        FROM (
+            SELECT vn.vec_id,
+                   round(list_sum(list_transform(range(1, len(vn.eq) + 1),
+                         i -> vn.eq[CAST(i AS INT)]
+                              * qq.e[CAST(i AS INT)]))
+                         / (sqrt(list_sum(list_transform(vn.eq,
+                                                         x -> x * x)))
+                            * sqrt(list_sum(list_transform(qq.e,
+                                                           x -> x * x)))),
+                         6) AS c
+            FROM vn CROSS JOIN qq)
+    ), dcg AS (
+        SELECT CAST(sum(CAST(round((power(2, g.g) - 1)
+                   * ({_ndcg_discount_sql("a.pos")})
+                   * 1000000000) AS BIGINT)) AS BIGINT) AS dcg_nano,
+               CAST(sum(CASE WHEN g.g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_relevant_in_top10
+        FROM approx a JOIN grades g ON g.vec_id = a.vec_id
+        WHERE a.pos <= 10
+    ), ideal AS (
+        SELECT CAST(sum(CAST(round((power(2, g) - 1)
+                   * ({_ndcg_discount_sql("ip")})
+                   * 1000000000) AS BIGINT)) AS BIGINT) AS idcg_nano
+        FROM (SELECT g, row_number() OVER (ORDER BY g DESC) AS ip
+              FROM grades) WHERE ip <= 10
+    )
+    SELECT n_relevant_in_top10,
+           CAST(round(dcg_nano / 1000000000.0, 6) AS DOUBLE) AS dcg_at_10,
+           CAST(round(idcg_nano / 1000000000.0, 6) AS DOUBLE)
+               AS idcg_at_10,
+           CAST(CASE WHEN idcg_nano > 0
+                     THEN round(dcg_nano * 1.0 / idcg_nano, 6)
+                     ELSE 0.0 END AS DOUBLE) AS ndcg_at_10
+    FROM dcg CROSS JOIN ideal
+    """,
+    doc="NDCG@10 of int8-quantized retrieval against exact-cosine "
+        "graded relevance — the position-weighted ranking-quality "
+        "loss of a quantization step (recall@k treats rank 1 and "
+        "rank 10 alike; NDCG does not). DCG/IDCG terms are "
+        "(2^grade - 1) x precomputed discount literals, nano-rounded "
+        "before order-free sums; the zero-IDCG degenerate case is "
+        "defined as 0. Scale shape: both rankings broadcast one "
+        "query vector (map-only scoring); the join is top-10-sized; "
+        "rank-from-topk replaces the global sort at corpus scale "
+        "(the q294/q306 lever).",
+)
+def q308_quantization_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        _as_double, dot, l2_norm,
+    )
+
+    (embeddings,) = _t(spark, sf_dir, "embeddings")
+    quant = lambda c: F.transform(  # noqa: E731
+        c, lambda x: F.round(x.cast("double") * 127) / 127.0)
+    q = (embeddings.filter(F.col("vec_id") == 0)
+         .select(_as_double(F.col("embedding")).alias("qe"),
+                 quant(F.col("embedding")).alias("qq")))
+    base = (embeddings.filter(F.col("vec_id") != 0)
+            .select("vec_id", _as_double(F.col("embedding")).alias("e"),
+                    quant(F.col("embedding")).alias("eq"))
+            .crossJoin(F.broadcast(q))
+            .select("vec_id",
+                    F.round(dot(F.col("e"), F.col("qe"))
+                            / (l2_norm(F.col("e")) * l2_norm(F.col("qe"))),
+                            6).alias("c_exact"),
+                    F.round(dot(F.col("eq"), F.col("qq"))
+                            / (l2_norm(F.col("eq"))
+                               * l2_norm(F.col("qq"))), 6)
+                    .alias("c_q"))
+            .localCheckpoint(eager=True))
+    exact_r = F.row_number().over(W.orderBy(F.col("c_exact").desc(),
+                                            "vec_id"))
+    grades = base.select(
+        "vec_id",
+        F.when(exact_r <= 3, 3).when(exact_r <= 10, 2)
+        .when(exact_r <= 30, 1).otherwise(0).alias("g"),
+        F.row_number().over(W.orderBy(F.col("c_q").desc(), "vec_id"))
+        .alias("pos"))
+
+    def discount(pos_col):
+        expr = F.lit(0.0)
+        for i, d in enumerate(_DCG_DISCOUNT):
+            expr = F.when(pos_col == i + 1, F.lit(d)).otherwise(expr)
+        return expr
+
+    dcg = (grades.filter(F.col("pos") <= 10)
+           .agg(F.sum(F.round((F.pow(F.lit(2), F.col("g")) - 1)
+                              * discount(F.col("pos"))
+                              * 1000000000).cast("bigint"))
+                .cast("bigint").alias("dcg_nano"),
+                F.sum((F.col("g") > 0).cast("int")).cast("bigint")
+                .alias("n_relevant_in_top10")))
+    ideal = (grades.select(
+        "g", F.row_number().over(W.orderBy(F.col("g").desc())).alias("ip"))
+        .filter(F.col("ip") <= 10)
+        .agg(F.sum(F.round((F.pow(F.lit(2), F.col("g")) - 1)
+                           * discount(F.col("ip"))
+                           * 1000000000).cast("bigint"))
+             .cast("bigint").alias("idcg_nano")))
+    return (dcg.crossJoin(F.broadcast(ideal))
+            .select("n_relevant_in_top10",
+                    F.round(F.col("dcg_nano") / 1000000000.0, 6)
+                    .cast("double").alias("dcg_at_10"),
+                    F.round(F.col("idcg_nano") / 1000000000.0, 6)
+                    .cast("double").alias("idcg_at_10"),
+                    F.when(F.col("idcg_nano") > 0,
+                           F.round(F.col("dcg_nano") * 1.0
+                                   / F.col("idcg_nano"), 6))
+                    .otherwise(F.lit(0.0)).cast("double")
+                    .alias("ndcg_at_10")))
+
+
+@_register(
+    "q309_brier_decomposition",
+    """
+    -- Murphy decomposition of the Brier score for the q266 user-day
+    -- engagement score: Brier = Reliability - Resolution +
+    -- Uncertainty. Raw Brier sums exact (p_micro - 1e6*y)^2 in
+    -- DECIMAL(38,0) (overflow-safe); the per-bin REL/RES terms are
+    -- micro-rounded BIGINTs before the order-free cross-bin sums;
+    -- the identity residual (Brier - (REL - RES + UNC), nonzero only
+    -- from within-bin score variance) is reported.
+    WITH trials AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               count(*) AS n_ev,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS n_click,
+               max(CASE WHEN event_type = 'purchase' AND value >= 15.0
+                        THEN 1 ELSE 0 END) AS y
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT CAST(round(n_click * 1000000.0 / n_ev) AS BIGINT)
+                   AS p_micro,
+               y
+        FROM trials
+    ), binned AS (
+        SELECT least(CAST(floor(p_micro / 100000.0) AS BIGINT), 9)
+                   AS bin,
+               CAST(count(*) AS BIGINT) AS n_k,
+               CAST(sum(p_micro) AS BIGINT) AS sp,
+               CAST(sum(y) AS BIGINT) AS pos
+        FROM scored GROUP BY 1
+    ), bsq AS (
+        SELECT CAST(sum(CAST(p_micro - 1000000 * y AS HUGEINT)
+                        * CAST(p_micro - 1000000 * y AS HUGEINT))
+                    AS DOUBLE) AS brier_sq
+        FROM scored
+    ), tot AS (
+        SELECT CAST(sum(n_k) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS npos,
+               (SELECT brier_sq FROM bsq) AS brier_sq
+        FROM binned
+    ), terms AS (
+        SELECT b.bin,
+               CAST(round(b.n_k * (b.sp * 1.0 / b.n_k / 1000000.0
+                                   - b.pos * 1.0 / b.n_k)
+                          * (b.sp * 1.0 / b.n_k / 1000000.0
+                             - b.pos * 1.0 / b.n_k)
+                          * 1000000) AS BIGINT) AS rel_micro,
+               CAST(round(b.n_k * (b.pos * 1.0 / b.n_k
+                                   - t.npos * 1.0 / t.n)
+                          * (b.pos * 1.0 / b.n_k - t.npos * 1.0 / t.n)
+                          * 1000000) AS BIGINT) AS res_micro
+        FROM binned b CROSS JOIN tot t
+    )
+    SELECT t.n AS n_trials,
+           CAST(round(t.npos * 1.0 / t.n, 6) AS DOUBLE) AS base_rate,
+           CAST(round(t.brier_sq / (t.n * 1000000000000.0), 6)
+                AS DOUBLE) AS brier,
+           CAST(round((SELECT sum(rel_micro) FROM terms)
+                      / (t.n * 1000000.0), 6) AS DOUBLE) AS reliability,
+           CAST(round((SELECT sum(res_micro) FROM terms)
+                      / (t.n * 1000000.0), 6) AS DOUBLE) AS resolution,
+           CAST(round(t.npos * 1.0 / t.n * (1.0 - t.npos * 1.0 / t.n), 6)
+                AS DOUBLE) AS uncertainty,
+           CAST(round(t.brier_sq / (t.n * 1000000000000.0)
+                      - ((SELECT sum(rel_micro) FROM terms)
+                         / (t.n * 1000000.0)
+                         - (SELECT sum(res_micro) FROM terms)
+                           / (t.n * 1000000.0)
+                         + t.npos * 1.0 / t.n
+                           * (1.0 - t.npos * 1.0 / t.n)), 6) AS DOUBLE)
+               AS within_bin_residual
+    FROM tot t
+    """,
+    doc="Murphy decomposition of the Brier score (reliability - "
+        "resolution + uncertainty) for the q266 engagement score — "
+        "separates 'is the score miscalibrated' (REL, what ECE "
+        "squares) from 'does it discriminate at all' (RES) against "
+        "the irreducible base-rate variance (UNC); the within-bin "
+        "residual quantifies what 10 bins hide. Scale shape: one "
+        "corpus groupBy to user-days, one 10-bin aggregate; raw "
+        "Brier is a DECIMAL(38,0) second-moment sum (the q282 "
+        "convention); every cross-bin reduction sums micro-rounded "
+        "BIGINTs.",
+)
+def q309_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    trials = (events.groupBy("user_id", F.col("ts").cast("date").alias("d"))
+              .agg(F.count(F.lit(1)).alias("n_ev"),
+                   F.sum((F.col("event_type") == "click").cast("int"))
+                   .alias("n_click"),
+                   F.max(F.when((F.col("event_type") == "purchase")
+                                & (F.col("value") >= 15.0), 1)
+                         .otherwise(0)).alias("y")))
+    scored = (trials.select(
+        F.round(F.col("n_click") * 1000000.0 / F.col("n_ev"))
+        .cast("bigint").alias("p_micro"), "y")
+        .localCheckpoint(eager=True))
+    dev = (F.col("p_micro") - 1000000 * F.col("y")).cast("decimal(38,0)")
+    brier_sq = scored.agg(F.sum(dev * dev).cast("double")
+                          .alias("brier_sq"))
+    binned = (scored.groupBy(
+        F.least(F.floor(F.col("p_micro") / 100000.0).cast("bigint"),
+                F.lit(9)).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_k"),
+             F.sum("p_micro").cast("bigint").alias("sp"),
+             F.sum("y").cast("bigint").alias("pos")))
+    tot = (binned.agg(F.sum("n_k").cast("bigint").alias("n"),
+                      F.sum("pos").cast("bigint").alias("npos"))
+           .crossJoin(F.broadcast(brier_sq)))
+    rel_gap = (F.col("sp") * 1.0 / F.col("n_k") / 1000000.0
+               - F.col("pos") * 1.0 / F.col("n_k"))
+    res_gap = (F.col("pos") * 1.0 / F.col("n_k")
+               - F.col("npos") * 1.0 / F.col("n"))
+    terms = (binned.crossJoin(F.broadcast(tot))
+             .agg(F.sum(F.round(F.col("n_k") * rel_gap * rel_gap
+                                * 1000000).cast("bigint"))
+                  .cast("bigint").alias("rel_micro"),
+                  F.sum(F.round(F.col("n_k") * res_gap * res_gap
+                                * 1000000).cast("bigint"))
+                  .cast("bigint").alias("res_micro")))
+    base = F.col("npos") * 1.0 / F.col("n")
+    rel = F.col("rel_micro") / (F.col("n") * 1000000.0)
+    res = F.col("res_micro") / (F.col("n") * 1000000.0)
+    unc = base * (1.0 - base)
+    brier = F.col("brier_sq") / (F.col("n") * 1000000000000.0)
+    return (tot.crossJoin(F.broadcast(terms))
+            .select(F.col("n").alias("n_trials"),
+                    F.round(base, 6).cast("double").alias("base_rate"),
+                    F.round(brier, 6).cast("double").alias("brier"),
+                    F.round(rel, 6).cast("double").alias("reliability"),
+                    F.round(res, 6).cast("double").alias("resolution"),
+                    F.round(unc, 6).cast("double").alias("uncertainty"),
+                    F.round(brier - (rel - res + unc), 6).cast("double")
+                    .alias("within_bin_residual")))
