@@ -5304,3 +5304,166 @@ def test_kmeans_top2_rejects_single_centroid(spark):
         kmeans_refine(df, "vec_id", "embedding", dim=4,
                       centroid_stride=100, iterations=1,
                       top2=True).collect()
+
+
+def test_fellegi_sunter_matches_python_replay(spark):
+    """q307 at sf0.001: replay the blocking, agreement vectors and
+    literal-weight sums in python; class counts and weight stats must
+    match, and every weight must be one of the 8 possible sums."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import (
+        QUERIES, _FS_W,
+    )
+
+    rows = {r.decision: r for r in
+            QUERIES["q307_fellegi_sunter"]
+            .spark(spark, "/root/testdata/sf0.001").collect()}
+
+    cust = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    info = {int(r.c_custkey): (r.c_mktsegment, float(r.c_acctbal))
+            for _, r in cust.iterrows()}
+    nat = dict(zip(cust.c_custkey, cust.c_nationkey))
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    agg = {}
+    possible_sums = set()
+    for b1 in (0, 1):
+        for b2 in (0, 1):
+            for b3 in (0, 1):
+                possible_sums.add(round(
+                    _FS_W[0][b1 == 0] + _FS_W[1][b2 == 0]
+                    + _FS_W[2][b3 == 0], 9))
+    for u in info:
+        for d in range(1, 9):
+            v = u + d
+            if v not in info or nat[u] != nat[v]:
+                continue
+            (sa, ba), (sb, bb) = info[u], info[v]
+            a1 = 1 if sa == sb else 0
+            a2 = 1 if math.floor(ba / 1000) == math.floor(bb / 1000) else 0
+            a3 = 1 if abs(half_away(ba * 100) - half_away(bb * 100)) \
+                < 50000 else 0
+            w = (_FS_W[0][a1 == 0] + _FS_W[1][a2 == 0]
+                 + _FS_W[2][a3 == 0])
+            assert round(w, 9) in possible_sums
+            dec = ("match" if w >= 2.0
+                   else "possible" if w >= -1.0 else "non-match")
+            a = agg.setdefault(dec, [0, 0, None, None])
+            wm = half_away(w * 1e6)
+            a[0] += 1
+            a[1] += wm
+            a[2] = wm if a[2] is None else min(a[2], wm)
+            a[3] = wm if a[3] is None else max(a[3], wm)
+    assert set(agg) == set(rows)
+    for dec, (n, sw, lo, hi) in agg.items():
+        r = rows[dec]
+        assert r.n_pairs == n
+        assert abs(r.avg_weight - round(sw / (n * 1e6), 6)) < 1e-9
+        assert abs(r.min_w - round(lo / 1e6, 6)) < 1e-9
+        assert abs(r.max_w - round(hi / 1e6, 6)) < 1e-9
+
+
+def test_quantization_ndcg_matches_python_replay(spark):
+    """q308 at sf0.001: replay exact + quantized rankings, grades and
+    the nano-unit DCG/IDCG; NDCG must lie in (0, 1]."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import (
+        QUERIES, _DCG_DISCOUNT,
+    )
+
+    r = (QUERIES["q308_quantization_ndcg"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(x.vec_id): [float(v) for v in x.embedding]
+            for _, x in emb.iterrows()}
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    def qz(v):
+        return [half_away(x * 127) / 127.0 for x in v]
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return half_away(num / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+
+    q, qq = vecs[0], qz(vecs[0])
+    ce = {i: cos(v, q) for i, v in vecs.items() if i != 0}
+    cq = {i: cos(qz(v), qq) for i, v in vecs.items() if i != 0}
+    exact_rank = {i: k + 1 for k, i in
+                  enumerate(sorted(ce, key=lambda i: (-ce[i], i)))}
+    grade = {i: (3 if r0 <= 3 else 2 if r0 <= 10 else 1 if r0 <= 30
+                 else 0) for i, r0 in exact_rank.items()}
+    approx = sorted(cq, key=lambda i: (-cq[i], i))[:10]
+    dcg = sum(half_away((2 ** grade[i] - 1) * _DCG_DISCOUNT[p] * 1e9)
+              for p, i in enumerate(approx))
+    ideal = sorted(grade.values(), reverse=True)[:10]
+    idcg = sum(half_away((2 ** g - 1) * _DCG_DISCOUNT[p] * 1e9)
+               for p, g in enumerate(ideal))
+    assert r.n_relevant_in_top10 == sum(1 for i in approx if grade[i] > 0)
+    assert abs(r.dcg_at_10 - round(dcg / 1e9, 6)) < 1e-9
+    assert abs(r.idcg_at_10 - round(idcg / 1e9, 6)) < 1e-9
+    assert abs(r.ndcg_at_10 - round(dcg * 1.0 / idcg, 6)) < 1e-9
+    assert 0 < r.ndcg_at_10 <= 1
+
+
+def test_brier_decomposition_matches_python_replay(spark):
+    """q309 at sf0.001: replay trials, bins and the Murphy terms; the
+    identity Brier = REL - RES + UNC must hold up to the reported
+    within-bin residual (and the residual must be small)."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q309_brier_decomposition"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["d"] = ev.ts.dt.normalize()
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    g = (ev.assign(click=(ev.event_type == "click").astype(int),
+                   hv=((ev.event_type == "purchase")
+                       & (ev.value >= 15.0)).astype(int))
+         .groupby(["user_id", "d"])
+         .agg(n_ev=("click", "size"), n_click=("click", "sum"),
+              y=("hv", "max")))
+    g["p"] = [half_away(c * 1e6 / n) for c, n in zip(g.n_click, g.n_ev)]
+    n = len(g)
+    npos = int(g.y.sum())
+    brier_sq = sum((p - 1000000 * y) ** 2 for p, y in zip(g.p, g.y))
+    g["bin"] = g.p.map(lambda p: min(int(p // 100000), 9))
+    rel_micro = res_micro = 0
+    base = npos * 1.0 / n
+    for _, b in g.groupby("bin"):
+        nk, sp, pos = len(b), int(b.p.sum()), int(b.y.sum())
+        rg = sp * 1.0 / nk / 1e6 - pos * 1.0 / nk
+        sg = pos * 1.0 / nk - base
+        rel_micro += half_away(nk * rg * rg * 1e6)
+        res_micro += half_away(nk * sg * sg * 1e6)
+    assert r.n_trials == n
+    assert abs(r.brier - round(brier_sq / (n * 1e12), 6)) < 1e-9
+    assert abs(r.reliability - round(rel_micro / (n * 1e6), 6)) < 1e-9
+    assert abs(r.resolution - round(res_micro / (n * 1e6), 6)) < 1e-9
+    assert abs(r.uncertainty - round(base * (1 - base), 6)) < 1e-9
+    assert abs(r.within_bin_residual) < 0.05

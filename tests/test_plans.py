@@ -619,6 +619,14 @@ PLAN_SHAPE_GOLDENS = {
     # q306: both retrieval passes broadcast ONE query-vector row (the
     # second is the derived q'); feedback sums are a 1-row aggregate
     "q306_rocchio_prf": {"BroadcastNestedLoopJoin": 1},
+    # q307: edge blocking + two customer-dimension attaches (broadcast
+    # at these SFs; size-adaptive like q296's degree joins)
+    "q307_fellegi_sunter": {"BroadcastHashJoin": 3},
+    # q308: one query-vector broadcast feeds BOTH rankings off the
+    # checkpointed score frame
+    "q308_quantization_ndcg": {"BroadcastNestedLoopJoin": 1},
+    # q309: 1-row brier/tot/terms broadcasts over the 10-bin panel
+    "q309_brier_decomposition": {"BroadcastNestedLoopJoin": 4},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
