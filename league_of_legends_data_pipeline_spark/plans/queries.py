@@ -21094,3 +21094,103 @@ def q309_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(unc, 6).cast("double").alias("uncertainty"),
                     F.round(brier - (rel - res + unc), 6).cast("double")
                     .alias("within_bin_residual")))
+
+
+@_register(
+    "q310_streaming_episodes",
+    """
+    -- streaming activity-episode sessionization with EVENT-TIME
+    -- TIMEOUT flush: per-user consecutive-day activity runs, split by
+    -- a >1-day gap. Two emission paths, both mirrored here: 'gap'
+    -- episodes (a later event for the user closed them — the
+    -- classic lag-islands), and 'timeout' episodes (the watermark
+    -- passed midnight of end_day + 2, so nothing in-watermark can
+    -- extend them). Each user's final island is emitted ONLY if the
+    -- corpus horizon is at least 2 days past its end — an episode
+    -- still open at end of stream is not emitted (the honest
+    -- streaming contract).
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ), mx AS (SELECT max(day) AS mxd FROM ev),
+    dd AS (
+        SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+        FROM ev GROUP BY 1, 2
+    ), l AS (
+        SELECT user_id, day, n,
+               lag(day) OVER (PARTITION BY user_id ORDER BY day) AS pd
+        FROM dd
+    ), isl AS (
+        SELECT user_id, day, n,
+               sum(CASE WHEN pd IS NULL
+                         OR date_diff('day', pd, day) > 1
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS g
+        FROM l
+    ), ep AS (
+        SELECT user_id, g,
+               strftime(min(day), '%Y-%m-%d') AS start_day,
+               strftime(max(day), '%Y-%m-%d') AS end_day,
+               max(day) AS edd,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_days,
+               max(g) OVER (PARTITION BY user_id) AS gmax
+        FROM isl GROUP BY user_id, g
+    )
+    SELECT user_id, start_day, end_day, n_events, n_days,
+           CASE WHEN g < gmax THEN 'gap' ELSE 'timeout' END AS closed_by
+    FROM ep CROSS JOIN mx
+    WHERE g < gmax OR date_diff('day', edd, mxd) >= 2
+    ORDER BY user_id, start_day
+    """,
+    doc="Streaming sessionization with event-time-timeout flush "
+        "(streaming/stateful.py::episode_state, the third keyed-state "
+        "operator and the only one exercising "
+        "GroupStateTimeout.EventTimeTimeout): per-user activity "
+        "episodes split by >1-day inactivity, gap-closed episodes "
+        "emitted in-batch and watermark-closed episodes emitted by "
+        "the no-data micro-batch that fires after the watermark "
+        "passes end_day + 2 — a REAL readStream/availableNow run "
+        "whose two emission paths are both value-checked against the "
+        "lag-islands batch oracle (still-open episodes excluded on "
+        "both sides). State is 4 longs per user; day arithmetic is "
+        "integer epoch days so the flush boundary is exact.",
+)
+def q310_streaming_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        episode_state,
+    )
+
+    _t(spark, sf_dir, "events")  # pins nanosAsLong + UTC session tz
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (spark.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    ts = F.col("ts")
+    if dict(raw.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) generation
+        ts = F.expr("timestamp_micros(ts div 1000)")
+    day_ts = F.date_trunc("DAY", ts.cast("timestamp"))
+    stream = (stream.select(
+        "user_id", day_ts.alias("day_ts"),
+        F.datediff(day_ts.cast("date"), F.lit("1970-01-01"))
+        .cast("long").alias("epoch_day"),
+        F.lit(1).cast("long").alias("one"))
+        .withWatermark("day_ts", "0 seconds"))
+    episodes = episode_state(stream, "user_id", "epoch_day", "one",
+                             gap_days=1)
+    name = f"stream_q310_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, 8):
+        q = (episodes.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q310 streaming drain exceeded 300s — "
+                               "partial results would silently corrupt "
+                               "the comparison")
+    return (spark.table(name)
+            .select("user_id", "start_day", "end_day", "n_events",
+                    "n_days", "closed_by")
+            .orderBy("user_id", "start_day"))

@@ -182,3 +182,99 @@ def ewma_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def episode_state(
+    stream: DataFrame,
+    key_col: str,
+    epoch_day_col: str,
+    count_col: str,
+    gap_days: int = 1,
+) -> DataFrame:
+    """Streaming activity-episode sessionization with EVENT-TIME
+    TIMEOUTS: consecutive-activity runs per key, split when the day gap
+    exceeds ``gap_days``. The third keyed-state operator next to
+    ``per_key_cap`` (NoTimeout quota) and ``ewma_state`` (NoTimeout
+    fold) — this one exercises ``GroupStateTimeout.EventTimeTimeout``:
+    an episode the data can no longer extend is flushed by the
+    WATERMARK, not by a later event for the same key.
+
+    Input must carry a watermark (``withWatermark`` on the day-midnight
+    timestamp) and ``epoch_day_col`` as integer days since 1970-01-01
+    (JVM-computed — the Arrow batch ships ints, never date objects).
+    Emits (key, start_day, end_day, n_events, n_days, closed_by) where
+    closed_by is 'gap' (a later event for the key ended it) or
+    'timeout' (the watermark passed midnight of ``end_day + gap_days
+    + 1``, so no in-watermark event can extend it). Episodes still
+    open at end of stream are NOT emitted — the honest streaming
+    contract; the batch oracle mirrors it by excluding each key's
+    final island when the corpus horizon is within the gap window.
+
+    State per key is 4 longs + a day count; emissions are
+    episode-sized. Timeout timestamps are day-midnight exact, so the
+    flush boundary is integer-deterministic (no float watermark math).
+    """
+    out_schema = (f"{key_col} long, start_day string, end_day string, "
+                  "n_events long, n_days long, closed_by string")
+
+    def _day_str(ed: int) -> str:
+        return pd.Timestamp(int(ed), unit="D").strftime("%Y-%m-%d")
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            start_ed, last_ed, n_ev, n_dy = state.get
+            state.remove()
+            yield pd.DataFrame([{key_col: key[0],
+                                 "start_day": _day_str(start_ed),
+                                 "end_day": _day_str(last_ed),
+                                 "n_events": int(n_ev),
+                                 "n_days": int(n_dy),
+                                 "closed_by": "timeout"}])
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        per_day = (batch.groupby(epoch_day_col)[count_col].sum()
+                   .sort_index())
+        if state.exists:
+            start_ed, last_ed, n_ev, n_dy = state.get
+        else:
+            start_ed = last_ed = n_ev = n_dy = None
+        rows = []
+        for ed, cnt in per_day.items():
+            ed = int(ed)
+            if start_ed is not None and ed - last_ed > gap_days:
+                rows.append({key_col: key[0],
+                             "start_day": _day_str(start_ed),
+                             "end_day": _day_str(last_ed),
+                             "n_events": int(n_ev),
+                             "n_days": int(n_dy),
+                             "closed_by": "gap"})
+                start_ed = None
+            if start_ed is None:
+                start_ed, last_ed, n_ev, n_dy = ed, ed, 0, 0
+            if ed > last_ed:
+                n_dy += 1
+                last_ed = ed
+            elif n_dy == 0:
+                n_dy = 1
+            n_ev += int(cnt)
+        state.update((start_ed, last_ed, n_ev, n_dy))
+        # flush boundary: once the watermark reaches midnight of
+        # end_day + gap_days + 1, no in-watermark event can extend
+        # this episode. Spark fires event-time timeouts only when the
+        # watermark STRICTLY exceeds the set timestamp, so set it one
+        # ms before that midnight — a watermark sitting exactly on the
+        # boundary (horizon = end_day + gap_days + 1) then flushes,
+        # keeping the day-granular contract integer-exact.
+        state.setTimeoutTimestamp(
+            (last_ed + gap_days + 1) * 86400 * 1000 - 1)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=("start_ed long, last_ed long, n_ev long, "
+                         "n_dy long"),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -453,3 +453,40 @@ def test_ewma_state_rejects_out_of_order_day(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     with pytest.raises(Exception, match="out-of-order day"):
         q.awaitTermination(120)
+
+
+def test_episode_state_timeout_and_gap_paths(spark):
+    """q310 at sf0.001: the stream must emit through BOTH paths (gap
+    episodes in the data batch, timeout episodes in the no-data batch
+    after the watermark advances), never emit a still-open episode
+    (end_day within gap+1 of the horizon unless gap-closed), and be
+    deterministic across runs."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    # sf0.01 for the path mix: sf0.001's corpus has no island ending
+    # 2+ days before the horizon, so its timeout path is legitimately
+    # empty (the oracle agrees — 45 gap rows)
+    rows = (QUERIES["q310_streaming_episodes"]
+            .spark(spark, "/root/testdata/sf0.01").collect())
+    assert rows, "no episodes emitted"
+    by = {r.closed_by for r in rows}
+    assert by == {"gap", "timeout"}, f"missing an emission path: {by}"
+
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    horizon = ev.ts.dt.normalize().max()
+    for r in rows:
+        end = pd.Timestamp(r.end_day)
+        start = pd.Timestamp(r.start_day)
+        assert start <= end
+        assert r.n_days >= 1 and r.n_events >= r.n_days
+        # consecutive-day runs: span == n_days - 1 (gap 1 splits more)
+        assert (end - start).days == r.n_days - 1
+        if r.closed_by == "timeout":
+            # watermark-flushed: horizon must be >= end + 2 days
+            assert (horizon - end).days >= 2
+
+    again = (QUERIES["q310_streaming_episodes"]
+             .spark(spark, "/root/testdata/sf0.01").collect())
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
