@@ -65,9 +65,9 @@ def _export_order() -> list[str]:
              if max_rnd and last_pass.get(n) == max_rnd]
     # Never-verified first (round-9 rebalance, kept): a query with ZERO
     # hard driver signal ever beats one with a merely-old green row.
-    # Round-10 state: the never bucket is q251-q309 (59 queries);
+    # Round-10 state: the never bucket is q251-q310 (60 queries);
     # registry order puts the longest-waiting (q251+) first, so
-    # q251-q300 fill round 10's 50-row window exactly and q301-q309
+    # q251-q300 fill round 10's 50-row window exactly and q301-q310
     # drain in round 11; the stale bands follow. Every never-verified
     # query is green in the builder-run vanilla mirror
     # (PARITY_LOCAL.md) in the meantime.
