@@ -20649,6 +20649,8 @@ def q306_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     slates = (ranked.filter((F.col("rtop") <= 10) | (F.col("rbot") <= 10))
               .select(nano.alias("en"), "rtop", "rbot", "qe"))
     sums = slates.agg(
+        # qe is the SAME broadcast query vector on every slate row, so
+        # unordered first() is deterministic here
         F.first("qe").alias("qe"),
         *[F.sum(F.when(F.col("rtop") <= 10,
                        F.element_at("en", j + 1)).otherwise(0))

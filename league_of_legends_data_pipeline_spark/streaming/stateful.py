@@ -255,6 +255,8 @@ def episode_state(
                 n_dy += 1
                 last_ed = ed
             elif n_dy == 0:
+                # first day of a fresh episode: start_ed == last_ed ==
+                # ed, so the > branch above cannot count it
                 n_dy = 1
             n_ev += int(cnt)
         state.update((start_ed, last_ed, n_ev, n_dy))
