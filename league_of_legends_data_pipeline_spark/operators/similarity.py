@@ -567,6 +567,15 @@ def kmeans_refine(
                         .alias(f"m{i}") for i in range(dim)]))
         cents = [(int(r["cluster"]), [r[f"m{i}"] for i in range(dim)])
                  for r in means.collect()]
+        if top2 and len(cents) < 2:
+            # a cluster can empty DURING refinement (every vector argmaxed
+            # elsewhere); with one centroid left the runner-up is undefined
+            # — enforce the fail-loudly contract after every recompute,
+            # not just on the seeds (r10 ADVICE)
+            raise ValueError(
+                "kmeans_refine(top2=True): refinement collapsed to "
+                f"{len(cents)} centroid(s); need at least 2 for cosine2 "
+                "(widen the corpus or shrink centroid_stride)")
         assigned = assign(v, cents)
     out_cols = [F.col("__id").alias(id_col), F.col("cluster"),
                 F.round("cosine", 6).alias("cosine")]

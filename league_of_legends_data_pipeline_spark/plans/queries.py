@@ -19179,32 +19179,45 @@ def q293_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "approximation and rank-biserial effect size — the "
         "distribution-free two-sample location test completing the "
         "q239 (proportions) / q282 (ANOVA means) / q267 (rank "
-        "association) family. Scale shape: one filter-projection to "
-        "(arm, cents); the rank window orders by VALUE over the "
-        "trial panel (range-partitionable sort, no per-key skew); "
-        "tie counts group by distinct cents (value-domain-sized); "
-        "the final statistic is a 1-row reduce. Doubled-rank trick "
-        "keeps everything integer-exact until one sqrt.",
+        "association) family. Scale shape (r11, the q265/q279 "
+        "contingency-frame pattern): the trial corpus reduces to a "
+        "per-distinct-cents (t, t_A) contingency frame in ONE "
+        "groupBy; ranks are per-value constants recovered by a "
+        "prefix-sum window over that value-domain-bounded frame "
+        "(never a per-row window — an unpartitioned rank over the "
+        "raw trials would single-partition the corpus, the r10 "
+        "verdict's scale-killer); the rank-sum decomposes as "
+        "sum(t_A * r2) so every statistic is one more reduce over "
+        "the same frame. Doubled-rank trick keeps everything "
+        "integer-exact until one sqrt.",
 )
 def q295_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     trials = (events.filter(F.col("event_type") == "purchase")
-              .select(_ab_arm().alias("arm"), _value_cents().alias("cents"))
-              .localCheckpoint(eager=True))
-    ranked = trials.select(
-        "arm",
-        (2 * F.rank().over(W.orderBy("cents"))
-         + F.count(F.lit(1)).over(W.partitionBy("cents")) - 1)
-        .cast("bigint").alias("r2"))
-    ties = (trials.groupBy("cents")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-            .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-                 .cast("bigint").alias("tie_term")))
+              .select(_ab_arm().alias("arm"), _value_cents().alias("cents")))
+    # value-domain contingency frame: one row per distinct cents with the
+    # total count t and the arm-A count ta — rank() of every trial at a
+    # given cents is the SAME constant (1 + rows strictly below), so the
+    # per-row window the oracle writes decomposes exactly over this frame
+    support = (trials.groupBy("cents")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("t"),
+                    F.sum((F.col("arm") == "A").cast("int"))
+                    .cast("bigint").alias("ta")))
+    # prefix sum over the DOMAIN-BOUNDED support frame (distinct purchase
+    # values), not the trial corpus: 2*rank + ties - 1 = 2*(below+1) + t - 1
+    cum_below = F.coalesce(
+        F.sum("t").over(W.orderBy("cents")
+                        .rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0))
+    ranked = support.select(
+        "t", "ta",
+        (2 * (cum_below + 1) + F.col("t") - 1).cast("bigint").alias("r2"))
     arms = ranked.agg(
-        F.sum((F.col("arm") == "A").cast("int")).cast("bigint").alias("na"),
-        F.sum((F.col("arm") == "B").cast("int")).cast("bigint").alias("nb"),
-        F.sum(F.when(F.col("arm") == "A", F.col("r2")).otherwise(0))
-        .cast("bigint").alias("r2a"))
+        F.sum("ta").cast("bigint").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).cast("bigint").alias("nb"),
+        F.sum(F.col("ta") * F.col("r2")).cast("bigint").alias("r2a"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tie_term"))
     n = F.col("na") + F.col("nb")
     u_a = F.col("r2a") / 2.0 - F.col("na") * (F.col("na") + 1) / 2.0
     sigma = F.sqrt(F.col("na") * 1.0 * F.col("nb") / 12.0
@@ -19212,7 +19225,7 @@ def q295_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - F.col("tie_term") * 1.0 / (n * (n - 1.0))))
     var_term = ((n + 1)
                 - F.col("tie_term") * 1.0 / (n * (n - 1.0)))
-    return (arms.crossJoin(F.broadcast(ties))
+    return (arms
             .select(F.col("na").alias("n_a"), F.col("nb").alias("n_b"),
                     u_a.cast("double").alias("u_a"),
                     # zero rank variance (all ties / empty arm) -> z = 0,
@@ -19345,12 +19358,23 @@ def q294_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(dot(F.col("ea"), F.col("eb"))
                             / (l2_norm(F.col("ea")) * l2_norm(F.col("eb"))),
                             6).alias("sim")))
-    # one row per candidate: (id, rel, sims: map<other_id, sim>)
-    per_cand = (sims.groupBy(F.col("ia").alias("id"), "rel")
+    # one row per candidate: (id, rel, sims: map<other_id, sim>).
+    # Built from CAND left-joined to the pairwise sims (r10 ADVICE): the
+    # sims self-join is empty for a 1-doc slate, and deriving per_cand
+    # from it alone dropped that lone candidate while the oracle's s1
+    # CTE still picks it — a lone candidate now carries an empty map.
+    sim_maps = (sims.groupBy(F.col("ia").alias("id"))
                 .agg(F.map_from_entries(
                     F.sort_array(F.collect_list(F.struct(
                         F.col("ib").alias("k"), F.col("sim").alias("v")))))
                     .alias("sims")))
+    per_cand = (cand.select(F.col("doc_id").alias("id"), "rel")
+                .join(F.broadcast(sim_maps), "id", "left")
+                .select("id", "rel",
+                        F.coalesce(F.col("sims"),
+                                   F.expr("CAST(map() AS "
+                                          "map<bigint,double>)"))
+                        .alias("sims")))
     # no sort_array here: maps are unorderable, and the greedy argmax is
     # order-free over the slate (unique winner by (mmr, -id))
     packed = per_cand.agg(F.collect_list(F.struct(
@@ -19811,36 +19835,51 @@ def q298_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Kruskal-Wallis H test (tie-corrected) + epsilon-squared "
         "effect size across the 5 market segments on account "
         "balance — the distribution-free k-group location test. "
-        "Scale shape: one global value-rank window (range-"
-        "partitionable sort over the dimension panel), one k-row "
-        "group rollup, tie counts over the distinct-value domain; "
-        "every cross-group reduction is an exact-integer sum "
-        "(doubled ranks, milli-rounded R^2/n terms), so no float "
-        "summation order exists anywhere before the final closed "
-        "form.",
+        "Scale shape (r11, the q265/q279 contingency-frame "
+        "pattern): one groupBy(cents, segment) contingency frame, "
+        "a per-cents rollup with a prefix-sum window over the "
+        "value-domain-bounded cents axis (never a per-row rank "
+        "window — that would single-partition the customer table, "
+        "the r10 verdict's scale-killer), then R2_g = sum(n_gc * "
+        "r2_c) per group; every cross-group reduction is an "
+        "exact-integer sum (doubled ranks, milli-rounded R^2/n "
+        "terms), so no float summation order exists anywhere "
+        "before the final closed form.",
 )
 def q299_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer,) = _t(spark, sf_dir, "customer")
     cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
     base = customer.select("c_mktsegment", cents.alias("cents"))
-    ranked = base.select(
-        "c_mktsegment",
-        (2 * F.rank().over(W.orderBy("cents"))
-         + F.count(F.lit(1)).over(W.partitionBy("cents")) - 1)
-        .cast("bigint").alias("r2"))
-    groups = (ranked.groupBy("c_mktsegment")
-              .agg(F.count(F.lit(1)).cast("bigint").alias("n_g"),
-                   F.sum("r2").cast("bigint").alias("r2_g")))
+    # (cents x segment) contingency frame: every customer at a given cents
+    # shares the SAME doubled rank r2 = 2*(below+1) + t - 1, so the
+    # per-group rank sums decompose over per-cell counts — no per-row
+    # window anywhere
+    cont = (base.groupBy("cents", "c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gc")))
+    percents = (cont.groupBy("cents")
+                .agg(F.sum("n_gc").cast("bigint").alias("t")))
+    cum_below = F.coalesce(
+        F.sum("t").over(W.orderBy("cents")
+                        .rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0))
+    ranked_vals = percents.select(
+        "cents", "t",
+        (2 * (cum_below + 1) + F.col("t") - 1).cast("bigint").alias("r2"))
+    groups = (cont.join(F.broadcast(ranked_vals.select("cents", "r2")),
+                        "cents")
+              .groupBy("c_mktsegment")
+              .agg(F.sum("n_gc").cast("bigint").alias("n_g"),
+                   F.sum(F.col("n_gc") * F.col("r2")).cast("bigint")
+                   .alias("r2_g")))
     terms = groups.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum(F.round(F.col("r2_g") * 1.0 * F.col("r2_g")
                       / (4.0 * F.col("n_g")) * 1000).cast("bigint"))
         .cast("bigint").alias("rsq_milli"))
-    ties = (base.groupBy("cents")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-            .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-                 .cast("bigint").alias("tie_term")))
+    ties = ranked_vals.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint").alias("tie_term"))
     n = F.col("n")
     h_raw = (12.0 / (n * (n + 1.0)) * (F.col("rsq_milli") / 1000.0)
              - 3.0 * (n + 1))
@@ -20616,11 +20655,14 @@ def q305_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         "textbook setting): expand the query toward the top-10 "
         "centroid and away from the bottom-10, re-retrieve, report "
         "the new top-10 and how much of the original slate survived. "
-        "Scale shape: both retrieval passes broadcast ONE query "
-        "vector (map-only scoring); feedback centroids are 64 nano-"
-        "integer sums over 20 rows; the global rank windows are the "
-        "retrieval sorts (rank-from-topk is the documented lever at "
-        "corpus scale, as in q294). No N x N stage anywhere.",
+        "Scale shape (r11): both retrieval passes broadcast ONE "
+        "query vector (map-only scoring); every slate is taken via "
+        "orderBy().limit(k) — TakeOrderedAndProject, a per-partition "
+        "top-k + driver merge, never a corpus-wide rank window (the "
+        "r10 verdict's single-partition scale-killer); feedback "
+        "centroids are 64 nano-integer sums over 20 rows; the only "
+        "row_number windows run over already-limited <=10-row "
+        "frames. No N x N stage anywhere.",
 )
 def q306_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.similarity import (
@@ -20638,24 +20680,26 @@ def q306_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
                            / (l2_norm(F.col("e")) * l2_norm(F.col("qe"))),
                            6).alias("c"))
            .localCheckpoint(eager=True))
-    ranked = cos.select(
-        "vec_id", "e", "qe", "c",
-        F.row_number().over(W.orderBy(F.col("c").desc(), "vec_id"))
-        .alias("rtop"),
-        F.row_number().over(W.orderBy(F.col("c").asc(), "vec_id"))
-        .alias("rbot"))
+    # feedback slates via TakeOrderedAndProject (per-partition top-k),
+    # replacing the r10 corpus-wide row_number windows; a doc landing in
+    # BOTH slates (degenerate tiny corpus) contributes to both sums, same
+    # as the old independent rtop/rbot conditions
+    top10 = cos.orderBy(F.col("c").desc(), "vec_id").limit(10)
+    bot10 = cos.orderBy(F.col("c").asc(), "vec_id").limit(10)
     nano = F.transform("e", lambda x: F.round(x * 1000000000)
                        .cast("long"))
-    slates = (ranked.filter((F.col("rtop") <= 10) | (F.col("rbot") <= 10))
-              .select(nano.alias("en"), "rtop", "rbot", "qe"))
+    slates = (top10.select(nano.alias("en"), "qe",
+                           F.lit(1).alias("is_top"))
+              .unionByName(bot10.select(nano.alias("en"), "qe",
+                                        F.lit(0).alias("is_top"))))
     sums = slates.agg(
         # qe is the SAME broadcast query vector on every slate row, so
         # unordered first() is deterministic here
         F.first("qe").alias("qe"),
-        *[F.sum(F.when(F.col("rtop") <= 10,
+        *[F.sum(F.when(F.col("is_top") == 1,
                        F.element_at("en", j + 1)).otherwise(0))
           .cast("long").alias(f"sr{j}") for j in range(64)],
-        *[F.sum(F.when(F.col("rbot") <= 10,
+        *[F.sum(F.when(F.col("is_top") == 0,
                        F.element_at("en", j + 1)).otherwise(0))
           .cast("long").alias(f"sn{j}") for j in range(64)])
     qprime = sums.select(F.array(*[
@@ -20663,20 +20707,27 @@ def q306_rocchio_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
          + 0.75 * (F.col(f"sr{j}") / 10.0 / 1000000000.0)
          - 0.15 * (F.col(f"sn{j}") / 10.0 / 1000000000.0))
         for j in range(64)]).alias("pe"))
-    rescored = (ranked.select("vec_id", "e", "rtop")
+    rescored = (cos.select("vec_id", "e")
                 .crossJoin(F.broadcast(qprime))
-                .select("vec_id", "rtop",
+                .select("vec_id",
                         F.round(dot(F.col("e"), F.col("pe"))
                                 / (l2_norm(F.col("e"))
                                    * l2_norm(F.col("pe"))), 6)
                         .alias("c2")))
-    return (rescored.select(
+    # re-retrieval slate: TakeOrderedAndProject again; the row_number
+    # window runs over the already-limited 10-row frame only
+    new_top = rescored.orderBy(F.col("c2").desc(), "vec_id").limit(10)
+    orig = top10.select(F.col("vec_id").alias("ovid"))
+    return (new_top.select(
         F.row_number().over(W.orderBy(F.col("c2").desc(), "vec_id"))
         .cast("bigint").alias("rank"),
         F.col("vec_id").alias("doc_id"),
-        F.col("c2").cast("double").alias("cosine_new"),
-        (F.col("rtop") <= 10).cast("int").alias("in_original_top10"))
-        .orderBy("rank").limit(10))
+        F.col("c2").cast("double").alias("cosine_new"))
+        .join(F.broadcast(orig), F.col("doc_id") == F.col("ovid"), "left")
+        .select("rank", "doc_id", "cosine_new",
+                F.col("ovid").isNotNull().cast("int")
+                .alias("in_original_top10"))
+        .orderBy("rank"))
 
 
 # Fellegi-Sunter field weights as PRECOMPUTED literals (log2(m/u) /
@@ -20891,10 +20942,14 @@ def _ndcg_discount_sql(pos_expr: str) -> str:
         "rank 10 alike; NDCG does not). DCG/IDCG terms are "
         "(2^grade - 1) x precomputed discount literals, nano-rounded "
         "before order-free sums; the zero-IDCG degenerate case is "
-        "defined as 0. Scale shape: both rankings broadcast one "
-        "query vector (map-only scoring); the join is top-10-sized; "
-        "rank-from-topk replaces the global sort at corpus scale "
-        "(the q294/q306 lever).",
+        "defined as 0. Scale shape (r11): both rankings broadcast "
+        "one query vector (map-only scoring); both rank prefixes are "
+        "taken via orderBy().limit(k) — TakeOrderedAndProject, never "
+        "a corpus-wide rank window (the r10 verdict's single-"
+        "partition scale-killer); docs outside the exact top-30 "
+        "carry grade 0 and contribute nothing to DCG/IDCG, so the "
+        "30-row slate is lossless; the join is top-10-sized and the "
+        "only row_number windows run over <=30-row limited frames.",
 )
 def q308_quantization_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from league_of_legends_data_pipeline_spark.operators.similarity import (
@@ -20920,14 +20975,25 @@ def q308_quantization_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                * l2_norm(F.col("qq"))), 6)
                     .alias("c_q"))
             .localCheckpoint(eager=True))
+    # rank prefixes via TakeOrderedAndProject (per-partition top-k),
+    # replacing the r10 corpus-wide row_number sorts. Docs outside the
+    # exact top-30 have grade 0 — they contribute (2^0 - 1) = 0 to both
+    # DCG and IDCG, so the 30-row slate loses nothing; the row_number
+    # windows below run over the already-limited frames only.
+    exact30 = (base.orderBy(F.col("c_exact").desc(), "vec_id").limit(30)
+               .select("vec_id", "c_exact"))
     exact_r = F.row_number().over(W.orderBy(F.col("c_exact").desc(),
                                             "vec_id"))
-    grades = base.select(
+    grades30 = exact30.select(
         "vec_id",
         F.when(exact_r <= 3, 3).when(exact_r <= 10, 2)
-        .when(exact_r <= 30, 1).otherwise(0).alias("g"),
-        F.row_number().over(W.orderBy(F.col("c_q").desc(), "vec_id"))
-        .alias("pos"))
+        .otherwise(1).alias("g"))
+    approx10 = (base.orderBy(F.col("c_q").desc(), "vec_id").limit(10)
+                .select("vec_id", "c_q")
+                .select("vec_id",
+                        F.row_number().over(W.orderBy(F.col("c_q").desc(),
+                                                      "vec_id"))
+                        .alias("pos")))
 
     def discount(pos_col):
         expr = F.lit(0.0)
@@ -20935,14 +21001,15 @@ def q308_quantization_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.when(pos_col == i + 1, F.lit(d)).otherwise(expr)
         return expr
 
-    dcg = (grades.filter(F.col("pos") <= 10)
+    dcg = (approx10.join(F.broadcast(grades30), "vec_id", "left")
+           .select("pos", F.coalesce(F.col("g"), F.lit(0)).alias("g"))
            .agg(F.sum(F.round((F.pow(F.lit(2), F.col("g")) - 1)
                               * discount(F.col("pos"))
                               * 1000000000).cast("bigint"))
                 .cast("bigint").alias("dcg_nano"),
                 F.sum((F.col("g") > 0).cast("int")).cast("bigint")
                 .alias("n_relevant_in_top10")))
-    ideal = (grades.select(
+    ideal = (grades30.select(
         "g", F.row_number().over(W.orderBy(F.col("g").desc())).alias("ip"))
         .filter(F.col("ip") <= 10)
         .agg(F.sum(F.round((F.pow(F.lit(2), F.col("g")) - 1)

@@ -241,6 +241,18 @@ def episode_state(
         rows = []
         for ed, cnt in per_day.items():
             ed = int(ed)
+            # cross-batch out-of-order guard (r10 ADVICE): per_day is
+            # sorted within a batch, so ed < last_ed means a LATER batch
+            # delivered a day the watermark contract says cannot arrive —
+            # fail loudly (ewma_state's convention) instead of silently
+            # folding it into n_events without extending the episode.
+            # ed == last_ed (the same day split across batches) is valid
+            # at-least-once input and correctly adds events only.
+            if start_ed is not None and ed < last_ed:
+                raise ValueError(
+                    f"episode_state: out-of-order day {ed} for key "
+                    f"{key[0]!r} (episode already at day {last_ed}); "
+                    "the watermark must exclude pre-state event times")
             if start_ed is not None and ed - last_ed > gap_days:
                 rows.append({key_col: key[0],
                              "start_day": _day_str(start_ed),

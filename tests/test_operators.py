@@ -5467,3 +5467,57 @@ def test_brier_decomposition_matches_python_replay(spark):
     assert abs(r.resolution - round(res_micro / (n * 1e6), 6)) < 1e-9
     assert abs(r.uncertainty - round(base * (1 - base), 6)) < 1e-9
     assert abs(r.within_bin_residual) < 0.05
+
+
+def test_kmeans_top2_rejects_collapse_during_refinement(spark):
+    """r10 advice: the >=2-centroid contract must hold after EVERY means
+    recompute, not just on the seeds — a cluster that empties during
+    refinement (here: identical vectors tie-break every assignment to
+    the smaller seed id) leaves one centroid, and top2's runner-up would
+    silently become null cosine2."""
+    import pytest
+
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        kmeans_refine,
+    )
+    from pyspark.sql import functions as F
+
+    # 128 identical vectors, stride 64 -> two identical seeds (0, 64);
+    # round 1 assigns everything to cluster 0, emptying cluster 64
+    df = spark.range(128).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0))
+        .alias("embedding"))
+    with pytest.raises(ValueError, match="collapsed"):
+        kmeans_refine(df, "vec_id", "embedding", dim=4,
+                      centroid_stride=64, iterations=2,
+                      top2=True).collect()
+
+
+def test_q294_single_candidate_slate_still_picks(spark, tmp_path):
+    """r10 advice: a 1-doc candidate slate has an EMPTY pairwise-sims
+    self-join; per_cand must come from the slate left-joined to sims so
+    the lone candidate still yields pick 1 (the oracle's s1 CTE does),
+    instead of the Spark side emitting 0 rows."""
+    import numpy as np
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "vec_id": np.array([0, 1], dtype="int64"),
+        "embedding": [rng.standard_normal(64).astype("float32")
+                      for _ in range(2)],
+        "label": np.array([0, 0], dtype="int32"),
+    })
+    sf_dir = tmp_path / "sf_tiny"
+    sf_dir.mkdir()
+    pdf.to_parquet(sf_dir / "embeddings.parquet", index=False)
+    rows = (QUERIES["q294_mmr_rerank"].spark(spark, str(sf_dir))
+            .collect())
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.pick, r.doc_id) == (1, 1)
+    # step 1 has no picked set: mmr = 0.7*rel - 0.3*0
+    assert abs(r.mmr - round(0.7 * r.rel, 6)) < 1e-9

@@ -583,12 +583,15 @@ PLAN_SHAPE_GOLDENS = {
     # class-bucket rollup; the customer<-orders rollup rides the
     # groupBy exchange
     "q293_k_anonymity": {"BroadcastNestedLoopJoin": 1},
-    # q294: the BNLJ is the single-query-vector broadcast; slate
-    # machinery (12-row self-join, fold) stays sub-broadcast
-    "q294_mmr_rerank": {"BroadcastNestedLoopJoin": 1},
-    # q295: 1-row tie-term broadcast; ranks ride one value-sort
-    # exchange
-    "q295_mann_whitney_u": {"BroadcastNestedLoopJoin": 1},
+    # q294: the BNLJ is the 12-row slate pairwise self-join (inequality
+    # condition); the BHJ is the slate<-sim_maps left join (r11: built
+    # from CAND so a 1-doc slate still picks — r10 ADVICE)
+    "q294_mmr_rerank": {"BroadcastHashJoin": 1,
+                        "BroadcastNestedLoopJoin": 1},
+    # q295 (r11 contingency-frame rewrite): joinless — tie term and
+    # rank-sum ride ONE aggregate over the value-domain support frame;
+    # the only windows are prefix sums on that bounded frame
+    "q295_mann_whitney_u": {},
     # q297: prev/next axis attaches by score (dimension-sized BHJs);
     # the BNLJ is the 1-row counts broadcast
     "q297_nn_matching_att": {"BroadcastHashJoin": 2,
@@ -596,9 +599,11 @@ PLAN_SHAPE_GOLDENS = {
     # q298: centroid array travels as the single-row data-plane
     # broadcast (BNLJ), the q86 shape
     "q298_silhouette_score": {"BroadcastNestedLoopJoin": 1},
-    # q299: 1-row tie-term broadcast, rank windows on the dimension
-    # panel
-    "q299_kruskal_wallis": {"BroadcastNestedLoopJoin": 1},
+    # q299 (r11 contingency-frame rewrite): the BHJ is the value-domain
+    # ranked-axis broadcast back onto the (cents x segment) contingency
+    # frame; the BNLJ is the 1-row tie-term broadcast
+    "q299_kruskal_wallis": {"BroadcastHashJoin": 1,
+                            "BroadcastNestedLoopJoin": 1},
     # q300: vocabulary-sized degree/score joins broadcast at every SF
     # (vocab is bounded); 3 unrolled rounds x (deg + score) = 6 BHJs
     "q300_textrank_keywords": {"BroadcastHashJoin": 6},
@@ -616,15 +621,20 @@ PLAN_SHAPE_GOLDENS = {
     # q305: the BNLJs are the 1-row totals + best-F1 broadcasts onto
     # the checkpointed bin panel
     "q305_average_precision": {"BroadcastNestedLoopJoin": 2},
-    # q306: both retrieval passes broadcast ONE query-vector row (the
-    # second is the derived q'); feedback sums are a 1-row aggregate
-    "q306_rocchio_prf": {"BroadcastNestedLoopJoin": 1},
+    # q306 (r11 top-k rewrite): the BNLJ is the derived-q' single-row
+    # broadcast onto the checkpointed score frame; the BHJ is the 10-row
+    # original-slate flag join; slates come from TakeOrderedAndProject,
+    # never a corpus rank window
+    "q306_rocchio_prf": {"BroadcastHashJoin": 1,
+                         "BroadcastNestedLoopJoin": 1},
     # q307: edge blocking + two customer-dimension attaches (broadcast
     # at these SFs; size-adaptive like q296's degree joins)
     "q307_fellegi_sunter": {"BroadcastHashJoin": 3},
-    # q308: one query-vector broadcast feeds BOTH rankings off the
-    # checkpointed score frame
-    "q308_quantization_ndcg": {"BroadcastNestedLoopJoin": 1},
+    # q308 (r11 top-k rewrite): the BNLJ is the 1-row IDCG broadcast;
+    # the BHJ is the 10-row grades attach; both rank prefixes come from
+    # TakeOrderedAndProject, never a corpus rank window
+    "q308_quantization_ndcg": {"BroadcastHashJoin": 1,
+                               "BroadcastNestedLoopJoin": 1},
     # q309: 1-row brier/tot/terms broadcasts over the 10-bin panel
     "q309_brier_decomposition": {"BroadcastNestedLoopJoin": 4},
 }
@@ -748,3 +758,70 @@ def test_q296_degree_joins_scale_adaptively(spark):
     # the 1-row n_nodes attach stays a broadcast at every SF
     assert small.get("BroadcastNestedLoopJoin") == 1
     assert large.get("BroadcastNestedLoopJoin") == 1
+
+
+# ---------------------------------------------------------------------------
+# r11: the single-partition-window guard (VERDICT r10 #3). An unpartitioned
+# window over a per-row frame moves the WHOLE input to one partition — the
+# scale-killer found in q295/q299/q306/q308. The detector must flag exactly
+# that shape and sanction the three safe ones (aggregated frame, limited
+# frame, partitioned window).
+# ---------------------------------------------------------------------------
+
+def _audit_count(df):
+    from league_of_legends_data_pipeline_spark.plans.audit import (
+        count_unbounded_global_windows,
+    )
+    df.collect()
+    return count_unbounded_global_windows(
+        df._jdf.queryExecution().executedPlan().toString())
+
+
+def test_unbounded_global_window_detector_semantics(spark):
+    from pyspark.sql import Window
+
+    base = spark.range(100).select((F.col("id") % 7).alias("k"),
+                                   F.col("id").alias("v"))
+    # the regression class: unpartitioned rank straight over raw rows
+    assert _audit_count(
+        base.select(F.rank().over(Window.orderBy("v")).alias("r"))) == 1
+    # sanctioned: same window over an AGGREGATED (domain-bounded) frame —
+    # the q265/q295 value-domain support pattern
+    assert _audit_count(
+        base.groupBy("v").count()
+        .select(F.rank().over(Window.orderBy("v")).alias("r"))) == 0
+    # sanctioned: window over an already-LIMITED frame (orderBy().limit()
+    # = TakeOrderedAndProject, the q306/q308 slate pattern)
+    assert _audit_count(
+        base.orderBy("v").limit(5)
+        .select(F.rank().over(Window.orderBy("v")).alias("r"))) == 0
+    # sanctioned: an immediate rank filter fires WindowGroupLimit, which
+    # prunes per input partition before the single-partition exchange
+    wgl = (base.select("k", "v",
+                       F.rank().over(Window.orderBy("v")).alias("r"))
+           .filter("r <= 1"))
+    wgl.collect()
+    plan = wgl._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    from league_of_legends_data_pipeline_spark.plans.audit import (
+        count_unbounded_global_windows,
+    )
+    assert count_unbounded_global_windows(plan) == 0
+    # sanctioned: partitioned windows (ordered or not) never flag
+    assert _audit_count(base.select(
+        F.rank().over(Window.partitionBy("k").orderBy("v"))
+        .alias("r"))) == 0
+    assert _audit_count(base.select(
+        F.count(F.lit(1)).over(Window.partitionBy("k")).alias("c"))) == 0
+
+
+def test_r10_offenders_have_no_unbounded_global_windows(spark):
+    # the four queries the round-10 verdict flagged, rewritten in r11:
+    # q295/q299 rank from the value-domain contingency frame; q306/q308
+    # take slates via orderBy().limit(k). Their executed plans must never
+    # again sort a per-row corpus frame on one partition.
+    for name in ("q295_mann_whitney_u", "q299_kruskal_wallis",
+                 "q306_rocchio_prf", "q308_quantization_ndcg"):
+        df = QUERIES[name].spark(spark, SF_DIR)
+        assert _audit_count(df) == 0, f"{name} reintroduced a " \
+            "single-partition window over a per-row frame"

@@ -490,3 +490,43 @@ def test_episode_state_timeout_and_gap_paths(spark):
     again = (QUERIES["q310_streaming_episodes"]
              .spark(spark, "/root/testdata/sf0.01").collect())
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_episode_state_rejects_out_of_order_day(spark, tmp_path):
+    """r10 advice: episode_state's fold is order-dependent like
+    ewma_state's; a later micro-batch delivering a day BEFORE the
+    episode's last folded day must raise loudly, not silently fold the
+    count into n_events without extending the episode. (A same-day
+    redelivery — ed == last_ed — stays valid at-least-once input.)"""
+    import json
+    import time
+
+    import pytest
+
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        episode_state,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # batch 1 folds day 5; batch 2 then delivers day 3 — out of order
+    f1 = src / "a.json"
+    f1.write_text(json.dumps({"user_id": 1, "day": "2024-01-05"}))
+    time.sleep(1.1)
+    f2 = src / "b.json"
+    f2.write_text(json.dumps({"user_id": 1, "day": "2024-01-03"}))
+
+    stream = (spark.readStream.schema("user_id long, day string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    day_ts = F.to_timestamp("day")
+    stream = (stream.select(
+        "user_id", day_ts.alias("day_ts"),
+        F.datediff(day_ts.cast("date"), F.lit("1970-01-01"))
+        .cast("long").alias("epoch_day"),
+        F.lit(1).cast("long").alias("one"))
+        .withWatermark("day_ts", "0 seconds"))
+    out = episode_state(stream, "user_id", "epoch_day", "one", gap_days=1)
+    q = (out.writeStream.format("memory").queryName("episode_ooo_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="out-of-order day"):
+        q.awaitTermination(180)
