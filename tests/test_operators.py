@@ -5521,3 +5521,515 @@ def test_q294_single_candidate_slate_still_picks(spark, tmp_path):
     assert (r.pick, r.doc_id) == (1, 1)
     # step 1 has no picked set: mmr = 0.7*rel - 0.3*0
     assert abs(r.mmr - round(0.7 * r.rel, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-11 query replays (q311-q323)
+# ---------------------------------------------------------------------------
+
+def _r11_arm(uid) -> int:
+    """1 when the q239-convention md5 arm hash lands on arm A."""
+    import hashlib
+    h = hashlib.md5(f"ab:{int(uid)}".encode()).hexdigest()
+    return 1 if int(h[:15], 16) % 2 == 0 else 0
+
+
+def test_kendall_tau_matches_python_replay(spark):
+    """q311 at sf0.001: replay exact/quantized 6dp cosines, the exact
+    top-30 slate and the pairwise tau-b counts in numpy."""
+    import numpy as np
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q311_kendall_tau_rank_agreement"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(v.vec_id): np.array(list(v.embedding), dtype=np.float64)
+            for _, v in emb.iterrows()}
+    q = vecs[0]
+    qq = np.round(q * 127) / 127.0
+
+    def cos(a, b):
+        return round(float(np.dot(a, b))
+                     / (np.linalg.norm(a) * np.linalg.norm(b)), 6)
+
+    sc = {i: (cos(v, q), cos(np.round(v * 127) / 127.0, qq))
+          for i, v in vecs.items() if i != 0}
+    slate = sorted(sc, key=lambda i: (-sc[i][0], i))[:30]
+    conc = disc = tx = ty = n0 = 0
+    for ai in range(len(slate)):
+        for bi in range(len(slate)):
+            a, b = slate[ai], slate[bi]
+            if a >= b:
+                continue
+            n0 += 1
+            dx = sc[a][0] - sc[b][0]
+            dy = sc[a][1] - sc[b][1]
+            conc += dx * dy > 0
+            disc += dx * dy < 0
+            tx += dx == 0
+            ty += dy == 0
+    assert (r.n_pairs, r.concordant, r.discordant,
+            r.ties_exact, r.ties_quant) == (n0, conc, disc, tx, ty)
+    if (n0 - tx) * (n0 - ty) > 0:
+        import math
+        assert abs(r.tau_b - round(
+            (conc - disc) / math.sqrt((n0 - tx) * 1.0 * (n0 - ty)),
+            6)) < 1e-9
+    # agreement sanity: quantization at int8 must not invert most pairs
+    assert r.concordant > r.discordant
+
+
+def test_mcnemar_matches_python_replay(spark):
+    """q312 at sf0.001: replay midpoint split, per-user paired click
+    flags and both chi-square forms in pandas."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q312_mcnemar_paired"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["day"] = ev.ts.dt.normalize()
+    d0, d1 = ev.day.min(), ev.day.max()
+    mid = d0 + pd.Timedelta(days=int((d1 - d0).days // 2))
+    g = ev.groupby("user_id").apply(
+        lambda u: pd.Series({
+            "h1": int(((u.day <= mid)
+                       & (u.event_type == "click")).any()),
+            "h2": int(((u.day > mid)
+                       & (u.event_type == "click")).any())}),
+        include_groups=False)
+    b = int(((g.h1 == 1) & (g.h2 == 0)).sum())
+    c = int(((g.h1 == 0) & (g.h2 == 1)).sum())
+    assert r.n_users == len(g)
+    assert (r.n_first_only, r.n_second_only) == (b, c)
+    assert r.n_both == int(((g.h1 == 1) & (g.h2 == 1)).sum())
+    if b + c:
+        assert abs(r.chi2 - round((b - c) ** 2 / (b + c), 6)) < 1e-9
+        assert abs(r.chi2_cc
+                   - round((abs(b - c) - 1) ** 2 / (b + c), 6)) < 1e-9
+
+
+def test_cochran_armitage_matches_python_replay(spark):
+    """q313 at sf0.001: replay tiers, conversion counts and the trend z
+    closed form in pandas."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q313_cochran_armitage"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    g = ev.groupby("user_id").agg(
+        n_ev=("event_id", "size"),
+        conv=("value", lambda v: 0)).reset_index()
+    conv = ev[(ev.event_type == "purchase") & (ev.value >= 15.0)] \
+        .user_id.unique()
+    g["conv"] = g.user_id.isin(conv).astype(int)
+    g["dose"] = g.n_ev.map(
+        lambda n: 1 if n < 10 else 2 if n < 20 else 3 if n < 50 else 4)
+    t = g.groupby("dose").agg(n=("user_id", "size"),
+                              r=("conv", "sum"))
+    got = {r.dose: (r.n_users, r.n_converted) for r in rows}
+    assert got == {int(d): (int(x.n), int(x.r)) for d, x in t.iterrows()}
+    N, R = int(t.n.sum()), int(t.r.sum())
+    swr = int((t.index * t.r).sum())
+    swn = int((t.index * t.n).sum())
+    sw2n = int((t.index * t.index * t.n).sum())
+    varw = sw2n - swn * swn / N
+    if 0 < R < N and varw > 0:
+        z = (swr - R * swn / N) / math.sqrt(
+            (R / N) * (1 - R / N) * varw)
+        assert abs(rows[0].z_trend - round(z, 6)) < 1e-9
+    assert len({r.z_trend for r in rows}) == 1
+
+
+def test_durbin_watson_matches_python_replay(spark):
+    """q314 at sf0.001: replay the integer day panel, OLS fit and both
+    residual sums (micro-rounded, order-free) in pandas."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q314_durbin_watson"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["day"] = ev.ts.dt.normalize()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    daily = ev.groupby("day").cents.sum().sort_index()
+    t = (daily.index - daily.index.min()).days.to_numpy("int64")
+    v = daily.values
+    n = len(v)
+    st, sv = int(t.sum()), int(v.sum())
+    stt, stv = int((t * t).sum()), int((t * v).sum())
+    b = (n * stv - st * 1.0 * sv) / (n * stt - st * 1.0 * st)
+    a = (sv - b * st) / (1.0 * n)
+    e = [float(v[i]) - a - b * float(t[i]) for i in range(n)]
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    see = sum(int(half_away(x * x * 1e6)) for x in e)
+    sdd = sum(int(half_away((e[i] - e[i - 1]) ** 2 * 1e6))
+              for i in range(1, n))
+    assert r.n_days == n
+    assert abs(r.slope - round(b, 6)) < 1e-9
+    assert abs(r.dw - round(sdd / see, 6)) < 1e-9
+    # DW lives in [0, 4] by construction
+    assert 0.0 <= r.dw <= 4.0
+
+
+def test_ljung_box_matches_python_replay(spark):
+    """q315 at sf0.001: replay the day-count panel, lag-k exact-moment
+    autocorrelations and the cumulative Q in pandas."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q315_ljung_box"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    daily = ev.groupby(ev.ts.dt.normalize()).size().sort_index()
+    by_day = {d: int(c) for d, c in daily.items()}
+    n, s = len(daily), int(daily.sum())
+    svv = int((daily * daily).sum())
+    mean = s / n
+    q_cum = 0.0
+    for row in rows:
+        k = row.lag
+        pairs = [(c, by_day[d + pd.Timedelta(days=k)])
+                 for d, c in by_day.items()
+                 if d + pd.Timedelta(days=k) in by_day]
+        m_k = len(pairs)
+        sxy = sum(a * b for a, b in pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        r6 = round((sxy - mean * (sx + sy) + m_k * mean * mean)
+                   / (svv - s * mean), 6)
+        assert row.n_pairs == m_k and abs(row.acf - r6) < 1e-9
+        q_cum += r6 * r6 / (n - k)
+        assert abs(row.q_cum - round(n * (n + 2.0) * q_cum, 6)) < 1e-9
+    assert [row.lag for row in rows] == list(range(1, 8))
+
+
+def test_chow_break_matches_python_replay(spark):
+    """q316 at sf0.001: replay the two-segment OLS SSRs and the Chow F
+    in pandas (closed-form moments)."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q316_chow_break"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    ev["day"] = ev.ts.dt.normalize()
+    ev["cents"] = (ev.value * 100).round().astype("int64")
+    daily = ev.groupby("day").cents.sum().sort_index()
+    t = (daily.index - daily.index.min()).days.to_numpy("int64")
+    v = daily.values
+    mt = int(t.max() // 2)
+
+    def ssr(tt, vv):
+        n = len(tt)
+        st, sv = int(tt.sum()), int(vv.sum())
+        stt = int((tt * tt).sum())
+        stv = int((tt * vv).sum())
+        svv = int((vv * vv).sum())
+        sxx = stt - st * (st * 1.0 / n)
+        sxy = stv - st * (sv * 1.0 / n)
+        return (svv - sv * (sv * 1.0 / n)) - sxy * sxy / sxx
+
+    ssr_p = ssr(t, v)
+    s1 = ssr(t[t <= mt], v[t <= mt])
+    s2 = ssr(t[t > mt], v[t > mt])
+    n = len(v)
+    assert r.n_days == n and r.break_t == mt
+    assert abs(r.ssr_pooled - round(ssr_p, 6)) < 1e-6
+    assert abs(r.ssr_split - round(s1 + s2, 6)) < 1e-6
+    if s1 + s2 > 0 and n > 4:
+        f = ((ssr_p - s1 - s2) / 2.0) / ((s1 + s2) / (n - 4.0))
+        assert abs(r.f_stat - round(f, 6)) < 1e-9
+    # split fit can never be worse than pooled
+    assert r.ssr_split <= r.ssr_pooled + 1e-6
+
+
+def test_js_divergence_matches_python_replay(spark):
+    """q317 at sf0.001: replay the parity-split unigram counts and the
+    nano-rounded JS terms; JS must land in [0, 1] bits."""
+    import math
+    import re
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q317_js_divergence"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    from collections import Counter
+    ca, cb = Counter(), Counter()
+    for _, d in docs.iterrows():
+        toks = [t for t in re.split(r"\s+", d.text) if t]
+        (ca if d.doc_id % 2 == 0 else cb).update(toks)
+    ta, tb = sum(ca.values()), sum(cb.values())
+    assert (r.n_tokens_a, r.n_tokens_b) == (ta, tb)
+    assert r.vocab_a == len(ca) and r.vocab_b == len(cb)
+    assert r.vocab_shared == len(set(ca) & set(cb))
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    sp = sq = 0
+    for tok in set(ca) | set(cb):
+        a, b = ca.get(tok, 0), cb.get(tok, 0)
+        mix = a * tb + b * ta
+        if a:
+            sp += int(half_away((a / ta) * (math.log2(2.0 * a * tb)
+                                            - math.log2(mix)) * 1e9))
+        if b:
+            sq += int(half_away((b / tb) * (math.log2(2.0 * b * ta)
+                                            - math.log2(mix)) * 1e9))
+    assert abs(r.js_bits - round(0.5 * sp / 1e9 + 0.5 * sq / 1e9, 6)) \
+        < 1e-9
+    assert 0.0 <= r.js_bits <= 1.0
+
+
+def test_fd_audit_matches_python_replay(spark):
+    """q318 at sf0.001: replay all four FD checks in pandas; the two
+    key dependencies must hold, the two fake contracts must not."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = {r.fd: r for r in (QUERIES["q318_fd_audit"]
+            .spark(spark, "/root/testdata/sf0.001").collect())}
+    base = "/root/testdata/sf0.001"
+    spec = {
+        "customer: mktsegment -> nationkey":
+            ("customer", "c_mktsegment", "c_nationkey"),
+        "part: brand -> type": ("part", "p_brand", "p_type"),
+        "orders: orderkey -> custkey":
+            ("orders", "o_orderkey", "o_custkey"),
+        "nation: nationkey -> regionkey":
+            ("nation", "n_nationkey", "n_regionkey"),
+    }
+    for fd, (tbl, lhs, rhs) in spec.items():
+        df = pd.read_parquet(f"{base}/{tbl}.parquet")
+        d = df.groupby(lhs)[rhs].nunique()
+        r = rows[fd]
+        assert (r.n_keys, r.n_violating_keys, r.max_distinct_rhs) == \
+            (len(d), int((d > 1).sum()), int(d.max()))
+        assert r.holds == int((d <= 1).all())
+    assert rows["orders: orderkey -> custkey"].holds == 1
+    assert rows["nation: nationkey -> regionkey"].holds == 1
+
+
+def test_mcc_report_matches_python_replay(spark):
+    """q319 at sf0.001: replay the sign-threshold confusion cells and
+    all three metrics in numpy."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q319_mcc_report"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+    emb = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {int(v.vec_id): (np.array(list(v.embedding),
+                                     dtype=np.float64), int(v.label))
+            for _, v in emb.iterrows()}
+    q, l0 = vecs[0]
+    tp = fp = fn = tn = 0
+    for i, (v, lab) in vecs.items():
+        if i == 0:
+            continue
+        pred = round(float(np.dot(v, q))
+                     / (np.linalg.norm(v) * np.linalg.norm(q)), 6) >= 0.0
+        truth = lab == l0
+        tp += pred and truth
+        fp += pred and not truth
+        fn += (not pred) and truth
+        tn += (not pred) and (not truth)
+    assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, fn, tn)
+    denom = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    if denom > 0:
+        mcc = (tp * tn - fp * fn) / math.sqrt(denom)
+        assert abs(r.mcc - round(mcc, 6)) < 1e-9
+    assert -1.0 <= r.mcc <= 1.0 and 0.0 <= r.f1 <= 1.0
+
+
+def test_fleiss_kappa_matches_python_replay(spark):
+    """q320 at sf0.001: replay the three heuristic raters and the
+    closed-form kappa in pandas."""
+    import re
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q320_fleiss_kappa"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    n_items = len(docs)
+    s1 = agree = 0
+    raters = [0, 0, 0]
+    for _, d in docs.iterrows():
+        v = [int(d.n_chars >= 200), int("." in d.text),
+             int(len([t for t in re.split(r"\s+", d.text) if t]) >= 30)]
+        for j in range(3):
+            raters[j] += v[j]
+        n1 = sum(v)
+        s1 += n1
+        agree += n1 * n1 + (3 - n1) * (3 - n1)
+    assert (r.n_items, r.rater_len, r.rater_punct, r.rater_tokens) == \
+        (n_items, raters[0], raters[1], raters[2])
+    p_bar = (agree - 3.0 * n_items) / (n_items * 6.0)
+    p1 = s1 / (3.0 * n_items)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    assert abs(r.p_bar - round(p_bar, 6)) < 1e-9
+    if 1 - p_e > 0:
+        assert abs(r.fleiss_kappa
+                   - round((p_bar - p_e) / (1 - p_e), 6)) < 1e-9
+
+
+def test_mantel_haenszel_matches_python_replay(spark):
+    """q321 at sf0.001: replay the stratified 2x2 tables and the
+    micro-rounded MH terms in pandas."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    r = (QUERIES["q321_mantel_haenszel"]
+         .spark(spark, "/root/testdata/sf0.001").collect())[0]
+    base = "/root/testdata/sf0.001"
+    ev = pd.read_parquet(f"{base}/events.parquet")
+    cust = pd.read_parquet(f"{base}/customer.parquet")
+    seg = dict(zip(cust.c_custkey, cust.c_mktsegment))
+    ev = ev[ev.user_id.isin(seg)]
+    conv_users = set(ev[(ev.event_type == "purchase")
+                        & (ev.value >= 15.0)].user_id)
+    users = ev.user_id.unique()
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    strata = {}
+    for u in users:
+        s = seg[u]
+        e = _r11_arm(u)
+        c = int(u in conv_users)
+        a, b, cc, d = strata.get(s, (0, 0, 0, 0))
+        if e and c:
+            a += 1
+        elif e:
+            b += 1
+        elif c:
+            cc += 1
+        else:
+            d += 1
+        strata[s] = (a, b, cc, d)
+    assert r.n_strata == len(strata)
+    ad = bc = em = vm = sa = 0
+    for a, b, c, d in strata.values():
+        n = a + b + c + d
+        sa += a
+        ad += int(half_away(a * d / n * 1e6))
+        bc += int(half_away(b * c / n * 1e6))
+        em += int(half_away((a + b) * (a + c) / n * 1e6))
+        if n > 1:
+            vm += int(half_away((a + b) * (c + d) * (a + c) * (b + d)
+                                / (n * 1.0 * n * (n - 1)) * 1e6))
+    if bc > 0:
+        assert abs(r.or_mh - round(ad / bc, 6)) < 1e-9
+    if vm > 0:
+        assert abs(r.cmh_chi2 - round(
+            (sa - em / 1e6) ** 2 / (vm / 1e6), 6)) < 1e-9
+
+
+def test_wilson_intervals_matches_python_replay(spark):
+    """q322 at sf0.001: replay per-arm cells and the Wilson closed form;
+    the interval must bracket the rate and sit inside [0, 1]."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import (
+        QUERIES, _Z95,
+    )
+
+    rows = {r.arm: r for r in
+            (QUERIES["q322_wilson_intervals"]
+             .spark(spark, "/root/testdata/sf0.001").collect())}
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    p = ev[ev.event_type == "purchase"]
+    for arm in ("A", "B"):
+        sel = p[[bool(_r11_arm(u)) == (arm == "A")
+                 for u in p.user_id]]
+        n, c = len(sel), int((sel.value >= 15.0).sum())
+        r = rows[arm]
+        assert (r.n_trials, r.n_converted) == (n, c)
+        pr = c / n
+        hw = _Z95 * math.sqrt(pr * (1 - pr) / n
+                              + _Z95 * _Z95 / (4.0 * n * n))
+        den = 1.0 + _Z95 * _Z95 / n
+        assert abs(r.ci_lo - round((pr + _Z95 * _Z95 / (2.0 * n) - hw)
+                                   / den, 6)) < 1e-9
+        assert abs(r.ci_hi - round((pr + _Z95 * _Z95 / (2.0 * n) + hw)
+                                   / den, 6)) < 1e-9
+        assert 0.0 <= r.ci_lo <= r.rate <= r.ci_hi <= 1.0
+
+
+def test_eb_shrinkage_matches_python_replay(spark):
+    """q323 at sf0.001: replay the micro-integer moment fit and the
+    per-user shrink; shrinkage must pull every bucket toward the
+    prior mean."""
+    import math
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q323_eb_shrinkage"]
+            .spark(spark, "/root/testdata/sf0.001").collect())
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    g = ev.groupby("user_id").agg(
+        n=("event_id", "size"),
+        c=("event_type", lambda s: int((s == "click").sum())))
+
+    def half_away(x):
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    g["rm"] = [int(half_away(c * 1e6 / n)) for n, c in zip(g.n, g.c)]
+    nu = len(g)
+    s, svv = int(g.rm.sum()), int((g.rm * g.rm).sum())
+    mu = s / nu / 1e6
+    var = (svv / nu - (s / nu) ** 2) / 1e12
+    ab = mu * (1 - mu) / var - 1.0 if var > 0 else 0.0
+    ab = ab if ab > 0 else 0.0
+    buckets = {}
+    for n, c, rm in zip(g.n, g.c, g.rm):
+        sh = (c + mu * ab) / (n + ab)
+        bk = min(int(math.floor(sh * 10)), 9)
+        cnt, sr, ss = buckets.get(bk, (0, 0, 0))
+        buckets[bk] = (cnt + 1, sr + rm, ss + int(half_away(sh * 1e6)))
+    got = {r.bucket: (r.n_users, r.avg_raw_rate, r.avg_shrunk_rate)
+           for r in rows}
+    assert set(got) == set(buckets)
+    for bk, (cnt, sr, ss) in buckets.items():
+        gn, graw, gshr = got[bk]
+        assert gn == cnt
+        assert abs(graw - round(sr / (cnt * 1e6), 6)) < 1e-9
+        assert abs(gshr - round(ss / (cnt * 1e6), 6)) < 1e-9
+        # shrunk bucket mean sits between raw mean and the prior mean
+        lo, hi = sorted((sr / (cnt * 1e6), mu))
+        assert lo - 1e-6 <= ss / (cnt * 1e6) <= hi + 1e-6

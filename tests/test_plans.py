@@ -637,6 +637,37 @@ PLAN_SHAPE_GOLDENS = {
                                "BroadcastNestedLoopJoin": 1},
     # q309: 1-row brier/tot/terms broadcasts over the 10-bin panel
     "q309_brier_decomposition": {"BroadcastNestedLoopJoin": 4},
+    # round-11 tier. q311: query-vector broadcast + the 30-row slate
+    # pairwise self-join (inequality condition) + 1-row stats — all BNLJ
+    "q311_kendall_tau_rank_agreement": {"BroadcastNestedLoopJoin": 3},
+    # q312: the BNLJ is the 1-row calendar-bounds broadcast onto the
+    # event stream before the user rollup
+    "q312_mcnemar_paired": {"BroadcastNestedLoopJoin": 1},
+    # q313: 1-row trend-statistic broadcast back onto the 4-row tiers
+    "q313_cochran_armitage": {"BroadcastNestedLoopJoin": 1},
+    # q314: 1-row d0 / fit / sums broadcasts around the day panel (the
+    # residual lag window rides the AGGREGATED panel — sp-win 0)
+    "q314_durbin_watson": {"BroadcastNestedLoopJoin": 5},
+    # q315: 7-row lag dimension (BNLJ) + the shifted-day equi-join (BHJ)
+    # + 1-row moments broadcast; q_cum windows the 7-row acf frame
+    "q315_ljung_box": {"BroadcastHashJoin": 1,
+                       "BroadcastNestedLoopJoin": 2},
+    # q316: d0/mid/pooled 1-row broadcasts around the 2-segment moments
+    "q316_chow_break": {"BroadcastNestedLoopJoin": 5},
+    # q317: 1-row token-totals broadcast onto the vocab counts (twice)
+    "q317_js_divergence": {"BroadcastNestedLoopJoin": 2},
+    # q318: four independent count-distinct rollups, unioned — joinless
+    "q318_fd_audit": {},
+    # q319: single query-row broadcast, map-only scoring, 1-row cells
+    "q319_mcc_report": {"BroadcastNestedLoopJoin": 1},
+    # q320: map-side raters + ONE 1-row reduce — joinless, 1 exchange
+    "q320_fleiss_kappa": {},
+    # q321: customer-dimension broadcast onto the user rollup
+    "q321_mantel_haenszel": {"BroadcastHashJoin": 1},
+    # q322: trial projection + 2-row arm rollup — joinless
+    "q322_wilson_intervals": {},
+    # q323: 1-row beta-prior broadcast back for the map-side shrink
+    "q323_eb_shrinkage": {"BroadcastNestedLoopJoin": 1},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
