@@ -38,6 +38,29 @@ _WINDOW = re.compile(r"^(\*\(\d+\) )?(Window|WindowInPandas) \[")
 
 _TREE_ART = re.compile(r"^[\s:+-]*")
 
+_REUSED = re.compile(r"^ReusedExchange \[.*plan_id=(\d+)\]")
+_EXCHANGE_ID = re.compile(r"^(?:\*\(\d+\) )?(?:Broadcast)?Exchange "
+                          r".*\[plan_id=(\d+)\]")
+
+# Unpartitioned windows whose input is a localCheckpointed DOMAIN-BOUNDED
+# panel: localCheckpoint truncates the lineage (the plan shows only
+# `Scan ExistingRDD`), so the string audit cannot see the aggregate that
+# bounds the frame. Each entry documents the bounded panel and pins the
+# EXACT count — a new unbounded window in one of these queries raises the
+# count above its allowance and still fails the gate, and a removed one
+# drives the audited value negative (also a drift signal). Checkpoints of
+# CORPUS-sized frames get no entry: a window over one is a real cliff
+# (the original q306 bug) and must stay flagged.
+CHECKPOINTED_PANEL_WINDOWS: dict[str, int] = {
+    "q254_bootstrap_did_ci": 1,    # 33-row bootstrap replicate frame
+    "q260_msprt_always_valid": 2,  # calendar-bounded day panel
+    "q265_distribution_drift": 1,  # distinct-cents support frame
+    "q273_cramers_v": 2,           # 5x5 segment x region contingency
+    "q278_gini_split": 2,          # distinct-activity threshold axis
+    "q279_cramer_von_mises": 1,    # distinct-cents support frame
+    "q281_qini_uplift": 1,         # 10-row targeting-decile panel
+}
+
 
 def _depth(line: str) -> int:
     """Indentation depth of a plan-tree line = where the node text starts
@@ -86,22 +109,47 @@ def count_unbounded_global_windows(plan: str) -> int:
     the final (executed) section is audited.
     """
     lines = plan.split("== Initial Plan ==")[0].splitlines()
+    # plan_id -> line index of the ORIGINAL exchange, so a ReusedExchange
+    # in a window's subtree can be resolved to the subtree it stands for
+    # (AQE reuse otherwise hides the aggregate that bounds the frame)
+    exchanges: dict[str, int] = {}
+    for i, line in enumerate(lines):
+        content = line[_depth(line):]
+        m = _EXCHANGE_ID.match(content)
+        if m and not content.startswith("ReusedExchange"):
+            exchanges.setdefault(m.group(1), i)
+
+    def subtree_bounded(start: int, seen: frozenset) -> bool:
+        d = _depth(lines[start])
+        for j in range(start + 1, len(lines)):
+            bd = _depth(lines[j])
+            content = lines[j][bd:]
+            if bd <= d and content.strip():
+                return False  # left the subtree
+            if _BOUNDING.search(content):
+                return True
+            m = _REUSED.match(content)
+            if m and m.group(1) in exchanges and m.group(1) not in seen:
+                if subtree_bounded(exchanges[m.group(1)],
+                                   seen | {m.group(1)}):
+                    return True
+        return False
+
     flagged = 0
     for i, line in enumerate(lines):
-        d = _depth(line)
-        content = line[d:]
-        if not _WINDOW.match(content):
+        content = line[_depth(line):]
+        if not _WINDOW.match(content) or _is_partitioned(content):
             continue
-        if _is_partitioned(content):
-            continue
-        bounded = False
-        for below in lines[i + 1:]:
-            bd = _depth(below)
-            if bd <= d and below[bd:].strip():
-                break  # left this window's subtree
-            if _BOUNDING.search(below[bd:]):
-                bounded = True
-                break
-        if not bounded:
+        if not subtree_bounded(i, frozenset()):
             flagged += 1
     return flagged
+
+
+def sp_win(query_name: str, plan: str) -> int:
+    """PLANS.md `sp-win` value: raw unbounded-global-window count minus
+    the documented checkpointed-bounded-panel allowance for this query.
+    0 = clean; >0 = a real (or new, undocumented) single-partition
+    per-row window; <0 = an allowlisted window disappeared (update
+    :data:`CHECKPOINTED_PANEL_WINDOWS`)."""
+    return (count_unbounded_global_windows(plan)
+            - CHECKPOINTED_PANEL_WINDOWS.get(query_name, 0))

@@ -414,13 +414,13 @@ PROBE_QUERIES = [
     "q291_rank_stability",
     # round-10 tier: map-side regex + segment rollup
     "q292_pii_scan_redaction",
-    # global value-rank window + distinct-cents tie counts
+    # r11: value-domain contingency frame + prefix sum (no per-row window)
     "q295_mann_whitney_u",
     # edge build + degree joins (size-adaptive) + 1-row moment reduce
     "q296_degree_assortativity",
     # corpus->user panel + sorted-score-axis windows
     "q297_nn_matching_att",
-    # dimension rank window + 1-row closed form
+    # r11: (cents x segment) contingency frame + prefix sum
     "q299_kruskal_wallis",
     # map-side pair zip + vocab-bounded iteration joins
     "q300_textrank_keywords",
@@ -432,6 +432,18 @@ PROBE_QUERIES = [
     "q304_welch_ttest",
     # bin-panel windows after one corpus groupBy
     "q305_average_precision",
+    # r11 rewrites: slates via TakeOrderedAndProject (no corpus windows)
+    "q306_rocchio_prf",
+    "q308_quantization_ndcg",
+    # r11 additions: broadcast scoring + 30-row pair join; token explode
+    # -> vocab groupBy + nano-term reduce
+    "q311_kendall_tau_rank_agreement",
+    "q317_js_divergence",
+    # r11 migrations off single-partition windows: exact_ntile (range
+    # buckets + offsets), global_rank RRF, value-domain exact quantiles
+    "q55_ntile_deciles",
+    "q132_hybrid_retrieval_rrf",
+    "q169_ddsketch_quantiles",
 ]
 
 # key columns to shift per replica so PK/FK relationships replicate

@@ -847,12 +847,37 @@ def test_unbounded_global_window_detector_semantics(spark):
 
 
 def test_r10_offenders_have_no_unbounded_global_windows(spark):
-    # the four queries the round-10 verdict flagged, rewritten in r11:
-    # q295/q299 rank from the value-domain contingency frame; q306/q308
-    # take slates via orderBy().limit(k). Their executed plans must never
-    # again sort a per-row corpus frame on one partition.
+    # the four queries the round-10 verdict flagged, rewritten in r11
+    # (q295/q299 rank from the value-domain contingency frame; q306/q308
+    # take slates via orderBy().limit(k)), plus the four OLDER queries the
+    # new detector then caught in the same class (q55/q100 migrated to
+    # exact_ntile, q132 to global_rank, q169 to the value-domain prefix
+    # sum). Their executed plans must never again sort a per-row corpus
+    # frame on one partition.
     for name in ("q295_mann_whitney_u", "q299_kruskal_wallis",
-                 "q306_rocchio_prf", "q308_quantization_ndcg"):
+                 "q306_rocchio_prf", "q308_quantization_ndcg",
+                 "q55_ntile_deciles", "q100_approx_ntile_agreement",
+                 "q132_hybrid_retrieval_rrf", "q169_ddsketch_quantiles"):
         df = QUERIES[name].spark(spark, SF_DIR)
         assert _audit_count(df) == 0, f"{name} reintroduced a " \
             "single-partition window over a per-row frame"
+
+
+def test_checkpointed_panel_window_allowlist_is_exact(spark):
+    """Every CHECKPOINTED_PANEL_WINDOWS entry must match its query's
+    executed plan EXACTLY: the allowance exists because localCheckpoint
+    hides the aggregate that bounds those panels, so the pin is the only
+    thing distinguishing a documented bounded-panel window from a new
+    corpus-sized one (the original q306 bug was a window over a
+    checkpointed CORPUS frame — that shape must keep failing)."""
+    from league_of_legends_data_pipeline_spark.plans.audit import (
+        CHECKPOINTED_PANEL_WINDOWS, count_unbounded_global_windows,
+    )
+
+    for name, allowed in CHECKPOINTED_PANEL_WINDOWS.items():
+        df = QUERIES[name].spark(spark, SF_DIR)
+        df.collect()
+        raw = count_unbounded_global_windows(
+            df._jdf.queryExecution().executedPlan().toString())
+        assert raw == allowed, \
+            f"{name}: {raw} unbounded windows vs allowance {allowed}"
