@@ -121,18 +121,41 @@ def count_unbounded_global_windows(plan: str) -> int:
 
     def subtree_bounded(start: int, seen: frozenset) -> bool:
         d = _depth(lines[start])
+        skip_below: int | None = None  # depth of a broadcast build side
         for j in range(start + 1, len(lines)):
             bd = _depth(lines[j])
             content = lines[j][bd:]
             if bd <= d and content.strip():
                 return False  # left the subtree
+            # a bounding node on the BROADCAST (build) side of a join
+            # does not bound the STREAMED rows the window sorts — a
+            # 1-row totals broadcast onto a raw corpus is this repo's
+            # most common shape, and skipping it here is what keeps the
+            # gate failing CLOSED for corpus windows above such joins.
+            # (Shuffled-join sides are not isolated: a join's output is
+            # conservatively treated as bounded if ANY shuffled branch
+            # aggregates/limits — fine for this codebase, where shuffled
+            # joins sit on already-aggregated frames.)
+            if skip_below is not None:
+                if bd > skip_below:
+                    continue  # inside the broadcast build subtree
+                skip_below = None
+            if content.startswith("BroadcastExchange"):
+                skip_below = bd
+                continue
+            m = _REUSED.match(content)
+            if m:
+                pid = m.group(1)
+                if pid in exchanges and pid not in seen:
+                    orig = lines[exchanges[pid]]
+                    ocontent = orig[_depth(orig):]
+                    if (not ocontent.startswith("BroadcastExchange")
+                            and subtree_bounded(exchanges[pid],
+                                                seen | {pid})):
+                        return True
+                continue
             if _BOUNDING.search(content):
                 return True
-            m = _REUSED.match(content)
-            if m and m.group(1) in exchanges and m.group(1) not in seen:
-                if subtree_bounded(exchanges[m.group(1)],
-                                   seen | {m.group(1)}):
-                    return True
         return False
 
     flagged = 0

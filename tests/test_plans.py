@@ -844,6 +844,14 @@ def test_unbounded_global_window_detector_semantics(spark):
         .alias("r"))) == 0
     assert _audit_count(base.select(
         F.count(F.lit(1)).over(Window.partitionBy("k")).alias("c"))) == 0
+    # NOT sanctioned: an aggregate on the BROADCAST (build) side of a
+    # join does not bound the streamed corpus the window sorts — the
+    # 1-row totals broadcast onto raw rows is this repo's most common
+    # join shape, and it must NOT launder a corpus window
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    assert _audit_count(
+        base.crossJoin(F.broadcast(tot))
+        .select(F.rank().over(Window.orderBy("v")).alias("r"))) == 1
 
 
 def test_r10_offenders_have_no_unbounded_global_windows(spark):
