@@ -174,3 +174,89 @@ def holt_linear(daily: DataFrame, group_col: str, day_col: str,
         F.col("g").alias(group_col), F.col("r.day").alias(day_col),
         F.col("r.x").alias(value_col),
         F.col("r.l").alias("level"), F.col("r.b").alias("trend"))
+
+
+def holt_winters_additive(daily: DataFrame, group_col: str, day_col: str,
+                          value_col: str, alpha: float = 0.3,
+                          beta: float = 0.1, gamma: float = 0.2,
+                          period: int = 7) -> DataFrame:
+    """Per-group Holt-Winters ADDITIVE seasonal smoothing (level + trend
+    + ``period`` seasonal states) over a daily panel — the seasonal
+    completion of :func:`holt_linear`, same fold machinery: the
+    inherently sequential recursion runs as ONE codegen'd
+    ``F.aggregate`` over the group's day-sorted array (calendar-bounded
+    state: 2 doubles + a ``period``-length seasonal ring, no UDF, no
+    single-partition row window).
+
+    Seeding (replayable by a SQL oracle): the first ``period`` values
+    seed l = their left-associated mean, b = 0, s_i = x_i - l; output
+    starts at row ``period + 1``. One row out per post-seed input row:
+    ``group, day, value, level, trend, season, fitted`` where fitted is
+    the one-step-ahead forecast made BEFORE seeing the row (l + b +
+    s_{t-period} of the pre-update state) — raw doubles, callers round.
+    Groups with fewer than ``period + 1`` rows emit nothing.
+    """
+    daily = daily.localCheckpoint(eager=True)
+    packed = daily.groupBy(F.col(group_col).alias("g")).agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col(day_col).alias("day"),
+            F.col(value_col).cast("double").alias("x")))).alias("s"))
+    p = int(period)
+    zero = F.struct(
+        F.lit(0).alias("t"),
+        F.expr("CAST(array() AS array<double>)").alias("warm"),
+        F.lit(0.0).alias("sum"),
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("b"),
+        F.expr("CAST(array() AS array<double>)").alias("seas"),
+        F.expr("CAST(array() AS array<struct<day:string,x:double,"
+               "l:double,b:double,season:double,fitted:double>>)")
+        .alias("out"))
+    a_c = F.lit(float(alpha))
+    b_c = F.lit(float(beta))
+    g_c = F.lit(float(gamma))
+
+    def step(acc, e):
+        t = acc["t"] + 1
+        # warm-up: accumulate the first `period` values (running sum is
+        # left-associated, matching the oracle's explicit (..+x)/p chain)
+        sum_new = acc["sum"] + e["x"]
+        l_seed = sum_new / F.lit(float(p))
+        seed_seas = F.transform(
+            F.concat(acc["warm"], F.array(e["x"])),
+            lambda w: w - l_seed)
+        # steady state: s_old is the ring head (seasonal from t-period)
+        s_old = F.element_at(acc["seas"], 1)
+        l_new = (a_c * (e["x"] - s_old)
+                 + (F.lit(1.0) - a_c) * (acc["l"] + acc["b"]))
+        b_new = (b_c * (l_new - acc["l"])
+                 + (F.lit(1.0) - b_c) * acc["b"])
+        s_new = g_c * (e["x"] - l_new) + (F.lit(1.0) - g_c) * s_old
+        fitted = acc["l"] + acc["b"] + s_old
+        return F.struct(
+            t.alias("t"),
+            F.when(t < p, F.concat(acc["warm"], F.array(e["x"])))
+            .otherwise(F.expr("CAST(array() AS array<double>)"))
+            .alias("warm"),
+            F.when(t <= p, sum_new).otherwise(acc["sum"]).alias("sum"),
+            F.when(t < p, F.lit(0.0)).when(t == p, l_seed)
+            .otherwise(l_new).alias("l"),
+            F.when(t <= p, F.lit(0.0)).otherwise(b_new).alias("b"),
+            F.when(t < p, F.expr("CAST(array() AS array<double>)"))
+            .when(t == p, seed_seas)
+            .otherwise(F.concat(F.slice(acc["seas"], 2, p - 1),
+                                F.array(s_new))).alias("seas"),
+            F.when(t <= p, acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(F.struct(
+                e["day"].alias("day"), e["x"].alias("x"),
+                l_new.alias("l"), b_new.alias("b"),
+                s_new.alias("season"), fitted.alias("fitted")))))
+            .alias("out"))
+
+    rows = packed.select(
+        "g", F.explode(F.aggregate("s", zero, step)["out"]).alias("r"))
+    return rows.select(
+        F.col("g").alias(group_col), F.col("r.day").alias(day_col),
+        F.col("r.x").alias(value_col),
+        F.col("r.l").alias("level"), F.col("r.b").alias("trend"),
+        F.col("r.season").alias("season"),
+        F.col("r.fitted").alias("fitted"))

@@ -6033,3 +6033,53 @@ def test_eb_shrinkage_matches_python_replay(spark):
         # shrunk bucket mean sits between raw mean and the prior mean
         lo, hi = sorted((sr / (cnt * 1e6), mu))
         assert lo - 1e-6 <= ss / (cnt * 1e6) <= hi + 1e-6
+
+
+def test_holt_winters_matches_python_replay(spark):
+    """q324 at sf0.01: replay the first-week seeding and the additive
+    (l, b, seasonal-ring) recursion in pure python — every emitted
+    level/trend/season/fitted must match, and the fitted value must be
+    the PRE-observation forecast."""
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = (QUERIES["q324_holt_winters_seasonal"]
+            .spark(spark, "/root/testdata/sf0.01").collect())
+    ev = pd.read_parquet("/root/testdata/sf0.01/events.parquet")
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    daily = (ev.groupby(["event_type", "day"]).size()
+             .rename("n").reset_index())
+    got = {(r.event_type, r.day):
+           (r.n, r.level, r.trend, r.season, r.fitted) for r in rows}
+    n_checked = 0
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        xs = [float(x) for x in g.n]
+        if len(xs) < 8:
+            continue
+        s = 0.0
+        for x in xs[:7]:
+            s += x
+        level = s / 7.0
+        trend = 0.0
+        ring = [x - level for x in xs[:7]]
+        for i in range(7, len(xs)):
+            x = xs[i]
+            s_old = ring[0]
+            fitted = level + trend + s_old
+            l_new = 0.3 * (x - s_old) + 0.7 * (level + trend)
+            b_new = 0.1 * (l_new - level) + 0.9 * trend
+            s_new = 0.2 * (x - l_new) + 0.8 * s_old
+            ring = ring[1:] + [s_new]
+            level, trend = l_new, b_new
+            key = (et, g.day[i])
+            assert key in got
+            gn, gl, gt, gs, gf = got[key]
+            assert gn == int(x)
+            assert abs(gl - round(level, 6)) < 1e-9
+            assert abs(gt - round(trend, 6)) < 1e-9
+            assert abs(gs - round(s_new, 6)) < 1e-9
+            assert abs(gf - round(fitted, 6)) < 1e-9
+            n_checked += 1
+    assert n_checked == len(rows) == 115

@@ -637,9 +637,10 @@ PLAN_SHAPE_GOLDENS = {
                                "BroadcastNestedLoopJoin": 1},
     # q309: 1-row brier/tot/terms broadcasts over the 10-bin panel
     "q309_brier_decomposition": {"BroadcastNestedLoopJoin": 4},
-    # round-11 tier. q311: query-vector broadcast + the 30-row slate
-    # pairwise self-join (inequality condition) + 1-row stats — all BNLJ
-    "q311_kendall_tau_rank_agreement": {"BroadcastNestedLoopJoin": 3},
+    # round-11 tier. q311: the BNLJ is the 30-row slate pairwise
+    # self-join (inequality condition); the corpus scoring pass lives
+    # upstream of the slate's localCheckpoint (the q173 convention)
+    "q311_kendall_tau_rank_agreement": {"BroadcastNestedLoopJoin": 1},
     # q312: the BNLJ is the 1-row calendar-bounds broadcast onto the
     # event stream before the user rollup
     "q312_mcnemar_paired": {"BroadcastNestedLoopJoin": 1},
@@ -668,6 +669,8 @@ PLAN_SHAPE_GOLDENS = {
     "q322_wilson_intervals": {},
     # q323: 1-row beta-prior broadcast back for the map-side shrink
     "q323_eb_shrinkage": {"BroadcastNestedLoopJoin": 1},
+    # q324: joinless — day panel + ONE F.aggregate fold per group
+    "q324_holt_winters_seasonal": {},
 }
 
 _SHAPE_OPS = (r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
