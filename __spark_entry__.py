@@ -34,11 +34,18 @@ def _export_order() -> list[str]:
 
     Ordering within the cap: ALL never-verified queries first (a query
     with zero hard driver signal is strictly riskier than one whose row
-    is merely a round old), then stalest-verified (rows verified against
-    the OLDEST testdata generation are the most at risk of silent rot —
-    the driver has re-encoded /root/testdata twice), then the freshest
-    group. Round-4 verdict: the previous 2-per-round never-verified
-    quota would have taken ~7 rounds to drain the round-4 additions.
+    is merely a round old), then any query whose SOURCE CHANGED since its
+    last green row (round-11 verdict: a rewrite must reset freshness —
+    "last green round" alone let the q295/q55-class plan rewrites keep
+    stale credit), then stalest-verified (rows verified against the
+    OLDEST testdata generation are the most at risk of silent rot — the
+    driver has re-encoded /root/testdata twice), then the freshest group.
+
+    Rewrite detection: QUERY_FPRINTS.json (regenerated each round start by
+    ``scripts/fprints.py``) records the md5 of each query's registration
+    chunk at the git revision its last green driver row tested; a mismatch
+    with the current chunk, or a missing record, sorts the query with the
+    never-verified bucket.
     """
     last_pass: dict[str, int] = {}
     max_rnd = 0
@@ -57,23 +64,48 @@ def _export_order() -> list[str]:
             if isinstance(row, dict) and row.get("rows_match") and \
                     row.get("schema_match") and row.get("hash_match"):
                 last_pass[name] = max(last_pass.get(name, 0), rnd)
+    changed = _changed_since_green()
     names = list(QUERIES)
     never = [n for n in names if not last_pass.get(n)]
-    stale = sorted((n for n in names if 0 < last_pass.get(n, 0) < max_rnd),
+    rewritten = [n for n in names if last_pass.get(n) and n in changed]
+    stale = sorted((n for n in names if 0 < last_pass.get(n, 0) < max_rnd
+                    and n not in changed),
                    key=lambda n: (last_pass[n], names.index(n)))
     fresh = [n for n in names
-             if max_rnd and last_pass.get(n) == max_rnd]
-    # Never-verified first (round-9 rebalance, kept): a query with ZERO
-    # hard driver signal ever beats one with a merely-old green row.
-    # Round-10 state: the never bucket is q251-q310 (60 queries);
-    # registry order puts the longest-waiting (q251+) first, so
-    # q251-q300 fill round 10's 50-row window exactly and q301-q310
-    # drain in round 11; the stale bands follow. Every never-verified
-    # query is green in the builder-run vanilla mirror
-    # (PARITY_LOCAL.md) in the meantime.
+             if max_rnd and last_pass.get(n) == max_rnd and n not in changed]
     very_stale = [n for n in stale if max_rnd - last_pass[n] >= 3]
     rest_stale = [n for n in stale if max_rnd - last_pass[n] < 3]
-    return never + very_stale + rest_stale + fresh
+    return never + rewritten + very_stale + rest_stale + fresh
+
+
+def _changed_since_green() -> set[str]:
+    """Queries whose current registration chunk differs from the chunk at
+    the revision their last green driver row tested (QUERY_FPRINTS.json).
+
+    Fail-safe on any read error: an unreadable fingerprint file marks
+    nothing changed (rotation degrades to the round-key-only behavior);
+    a query missing from the file, or with a null/differing recorded
+    fingerprint, is treated as changed.
+    """
+    fpath = os.path.join(_REPO, "QUERY_FPRINTS.json")
+    try:
+        with open(fpath) as f:
+            recorded = json.load(f)
+    except (OSError, ValueError):
+        return set()
+    try:
+        from scripts.fprints import current_fingerprints
+        current = current_fingerprints(_REPO)
+    except Exception:
+        return set()
+    out = set()
+    for name in QUERIES:
+        rec = recorded.get(name)
+        if rec is None:
+            continue  # no green row on record; the `never` bucket covers it
+        if rec.get("fprint") is None or rec["fprint"] != current.get(name):
+            out.add(name)
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:
