@@ -20,11 +20,25 @@ of these — the regression class this module exists to keep at zero.
 ``scripts/gen_plans.py`` records it per query as the ``sp-win`` PLANS.md
 column; ``tests/test_plans.py`` pins the detector's semantics and the
 zero-count for the round-10 offenders.
+
+Boundedness is judged on the STREAMED lineage only (r11 ADVICE closed the
+two launder paths): an aggregate on the broadcast (build) side of a join
+does not bound the streamed corpus the window sorts, and neither does an
+aggregate on the non-streamed side of a SHUFFLED join — a raw corpus
+sort-merge-joined to a tiny aggregated frame is still corpus-sized.
+
+:func:`count_unbounded_bnl_cartesian` (r11 verdict #4) guards the sibling
+scale-killer class: a ``BroadcastNestedLoopJoin`` whose build side is not
+an aggregated/limited (slate-sized or 1-row) frame, or a
+``CartesianProduct`` with neither side bounded, multiplies the corpus by
+an unbounded factor. ``scripts/gen_plans.py`` records it as the ``bnl``
+PLANS.md column.
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 
 # node names that BOUND the frame a window sorts: anything aggregated,
 # limited, or per-partition-pruned below the window means the
@@ -35,6 +49,10 @@ _BOUNDING = re.compile(
     r"WindowGroupLimit|LocalTableScan|EmptyRelation)\b")
 
 _WINDOW = re.compile(r"^(\*\(\d+\) )?(Window|WindowInPandas) \[")
+
+_JOIN = re.compile(r"^(\*\(\d+\) )?(BroadcastHashJoin|SortMergeJoin|"
+                   r"ShuffledHashJoin|BroadcastNestedLoopJoin|"
+                   r"CartesianProduct)\b")
 
 _TREE_ART = re.compile(r"^[\s:+-]*")
 
@@ -61,11 +79,113 @@ CHECKPOINTED_PANEL_WINDOWS: dict[str, int] = {
     "q281_qini_uplift": 1,         # 10-row targeting-decile panel
 }
 
+# BNL/cartesian joins whose build (or either, for cartesian) side is a
+# localCheckpointed SLATE — same lineage-truncation blindness as above,
+# same exact-count pinning discipline. Only ≤slate-sized checkpoints may
+# be listed; a checkpointed CORPUS build side is the real cliff and must
+# stay flagged.
+CHECKPOINTED_SLATE_BNL: dict[str, int] = {}
+
+
+@dataclass
+class _Node:
+    content: str
+    idx: int
+    children: list["_Node"] = field(default_factory=list)
+
 
 def _depth(line: str) -> int:
     """Indentation depth of a plan-tree line = where the node text starts
     (tree art is spaces, ``:``, ``+``, ``-``; node names never are)."""
     return _TREE_ART.match(line).end()
+
+
+def _parse_tree(plan: str) -> tuple[list[_Node], dict[str, _Node]]:
+    """Parse the executed-plan string into forest roots + plan_id index.
+
+    ``plan`` is ``df._jdf.queryExecution().executedPlan().toString()``;
+    with AQE the string appends an ``== Initial Plan ==`` section — only
+    the final (executed) section is parsed. Section headers and the
+    Subqueries banner parse as ordinary (never-matching) nodes.
+    """
+    lines = plan.split("== Initial Plan ==")[0].splitlines()
+    roots: list[_Node] = []
+    stack: list[tuple[int, _Node]] = []  # (depth, node)
+    exchanges: dict[str, _Node] = {}
+    for i, line in enumerate(lines):
+        d = _depth(line)
+        content = line[d:]
+        if not content.strip():
+            continue
+        node = _Node(content, i)
+        while stack and stack[-1][0] >= d:
+            stack.pop()
+        if stack:
+            stack[-1][1].children.append(node)
+        else:
+            roots.append(node)
+        stack.append((d, node))
+        m = _EXCHANGE_ID.match(content)
+        if m and not content.startswith("ReusedExchange"):
+            exchanges.setdefault(m.group(1), node)
+    return roots, exchanges
+
+
+def _walk(nodes: list[_Node]):
+    todo = list(nodes)
+    while todo:
+        n = todo.pop()
+        yield n
+        todo.extend(n.children)
+
+
+def _join_sides(node: _Node) -> tuple[_Node | None, _Node | None]:
+    """(streamed, build) children of a join node.
+
+    Join nodes print exactly two child subtrees (left first). The build
+    side is the ``BuildLeft``/``BuildRight``-marked one (broadcast and
+    shuffled-hash joins); for SortMergeJoin — where both sides shuffle —
+    the LEFT branch is treated as streamed (the r11-ADVICE rule: the
+    non-left branch must not launder boundedness). CartesianProduct has
+    no streamed side; callers handle it explicitly.
+    """
+    kids = node.children
+    if len(kids) < 2:
+        return (kids[0] if kids else None), None
+    left, right = kids[0], kids[1]
+    if "BuildLeft" in node.content:
+        return right, left
+    return left, right  # BuildRight, SortMergeJoin, and default
+
+
+def _bounded(node: _Node | None, exchanges: dict[str, _Node],
+             seen: frozenset = frozenset()) -> bool:
+    """Whether the frame this subtree produces is bounded (aggregated,
+    limited, or per-partition pruned) on its STREAMED lineage."""
+    if node is None:
+        return False
+    c = node.content
+    if _BOUNDING.search(c):
+        return True
+    if c.startswith("BroadcastExchange"):
+        # a broadcast frame reaching here outside a join's build slot
+        # carries no bound for the streamed rows
+        return False
+    m = _REUSED.match(c)
+    if m:
+        pid = m.group(1)
+        orig = exchanges.get(pid)
+        if orig is None or pid in seen or \
+                orig.content.startswith("BroadcastExchange"):
+            return False
+        return _bounded(orig, exchanges, seen | {pid})
+    if _JOIN.match(c):
+        if "CartesianProduct" in c:
+            # k x m is bounded only if both factors are
+            return all(_bounded(k, exchanges, seen) for k in node.children)
+        streamed, _build = _join_sides(node)
+        return _bounded(streamed, exchanges, seen)
+    return any(_bounded(k, exchanges, seen) for k in node.children)
 
 
 def _top_level_groups(s: str) -> list[str]:
@@ -100,71 +220,63 @@ def _is_partitioned(window_line: str) -> bool:
 
 
 def count_unbounded_global_windows(plan: str) -> int:
-    """Count unpartitioned Window operators whose input subtree contains
-    no aggregate, limit, or WindowGroupLimit — i.e. windows that would
-    single-partition-sort an unbounded per-row frame at corpus scale.
-
-    ``plan`` is ``df._jdf.queryExecution().executedPlan().toString()``;
-    with AQE the string appends an ``== Initial Plan ==`` section — only
-    the final (executed) section is audited.
-    """
-    lines = plan.split("== Initial Plan ==")[0].splitlines()
-    # plan_id -> line index of the ORIGINAL exchange, so a ReusedExchange
-    # in a window's subtree can be resolved to the subtree it stands for
-    # (AQE reuse otherwise hides the aggregate that bounds the frame)
-    exchanges: dict[str, int] = {}
-    for i, line in enumerate(lines):
-        content = line[_depth(line):]
-        m = _EXCHANGE_ID.match(content)
-        if m and not content.startswith("ReusedExchange"):
-            exchanges.setdefault(m.group(1), i)
-
-    def subtree_bounded(start: int, seen: frozenset) -> bool:
-        d = _depth(lines[start])
-        skip_below: int | None = None  # depth of a broadcast build side
-        for j in range(start + 1, len(lines)):
-            bd = _depth(lines[j])
-            content = lines[j][bd:]
-            if bd <= d and content.strip():
-                return False  # left the subtree
-            # a bounding node on the BROADCAST (build) side of a join
-            # does not bound the STREAMED rows the window sorts — a
-            # 1-row totals broadcast onto a raw corpus is this repo's
-            # most common shape, and skipping it here is what keeps the
-            # gate failing CLOSED for corpus windows above such joins.
-            # (Shuffled-join sides are not isolated: a join's output is
-            # conservatively treated as bounded if ANY shuffled branch
-            # aggregates/limits — fine for this codebase, where shuffled
-            # joins sit on already-aggregated frames.)
-            if skip_below is not None:
-                if bd > skip_below:
-                    continue  # inside the broadcast build subtree
-                skip_below = None
-            if content.startswith("BroadcastExchange"):
-                skip_below = bd
-                continue
-            m = _REUSED.match(content)
-            if m:
-                pid = m.group(1)
-                if pid in exchanges and pid not in seen:
-                    orig = lines[exchanges[pid]]
-                    ocontent = orig[_depth(orig):]
-                    if (not ocontent.startswith("BroadcastExchange")
-                            and subtree_bounded(exchanges[pid],
-                                                seen | {pid})):
-                        return True
-                continue
-            if _BOUNDING.search(content):
-                return True
-        return False
-
+    """Count unpartitioned Window operators whose streamed input lineage
+    contains no aggregate, limit, or WindowGroupLimit — i.e. windows that
+    would single-partition-sort an unbounded per-row frame at corpus
+    scale."""
+    roots, exchanges = _parse_tree(plan)
     flagged = 0
-    for i, line in enumerate(lines):
-        content = line[_depth(line):]
-        if not _WINDOW.match(content) or _is_partitioned(content):
+    for node in _walk(roots):
+        if not _WINDOW.match(node.content) or _is_partitioned(node.content):
             continue
-        if not subtree_bounded(i, frozenset()):
+        if not any(_bounded(k, exchanges) for k in node.children):
             flagged += 1
+    return flagged
+
+
+def _unwrap_broadcast(node: _Node | None, exchanges: dict[str, _Node],
+                      seen: frozenset = frozenset()) -> _Node | None:
+    """Descend through broadcast plumbing (BroadcastQueryStage /
+    BroadcastExchange / ReusedExchange) to the frame actually broadcast.
+    The window audit treats a broadcast as opaque (it never bounds the
+    STREAMED rows); the BNL build-side audit judges the broadcast frame
+    ITSELF, so it must look through the wrapper."""
+    while node is not None:
+        c = node.content
+        m = _REUSED.match(c)
+        if m:
+            pid = m.group(1)
+            if pid in seen or pid not in exchanges:
+                return None
+            node, seen = exchanges[pid], seen | {pid}
+            continue
+        if c.startswith(("BroadcastQueryStage", "BroadcastExchange")):
+            node = node.children[0] if node.children else None
+            continue
+        return node
+    return None
+
+
+def count_unbounded_bnl_cartesian(plan: str) -> int:
+    """Count BroadcastNestedLoopJoin nodes whose BUILD side is unbounded
+    (not an aggregated/limited slate or 1-row frame) and CartesianProduct
+    nodes with NEITHER side bounded. A bounded-k build side multiplies the
+    corpus by a constant (the sanctioned q42/q288/q311-class 1-row and
+    slate broadcasts); an unbounded one is the O(N*M) cliff."""
+    roots, exchanges = _parse_tree(plan)
+    flagged = 0
+    for node in _walk(roots):
+        c = node.content
+        if not _JOIN.match(c):
+            continue
+        if "BroadcastNestedLoopJoin" in c:
+            _streamed, build = _join_sides(node)
+            build = _unwrap_broadcast(build, exchanges)
+            if not _bounded(build, exchanges):
+                flagged += 1
+        elif "CartesianProduct" in c:
+            if not any(_bounded(k, exchanges) for k in node.children):
+                flagged += 1
     return flagged
 
 
@@ -176,3 +288,11 @@ def sp_win(query_name: str, plan: str) -> int:
     :data:`CHECKPOINTED_PANEL_WINDOWS`)."""
     return (count_unbounded_global_windows(plan)
             - CHECKPOINTED_PANEL_WINDOWS.get(query_name, 0))
+
+
+def bnl(query_name: str, plan: str) -> int:
+    """PLANS.md `bnl` value: raw unbounded-BNL/cartesian count minus the
+    documented checkpointed-slate allowance. Same 0/>0/<0 semantics as
+    :func:`sp_win`."""
+    return (count_unbounded_bnl_cartesian(plan)
+            - CHECKPOINTED_SLATE_BNL.get(query_name, 0))

@@ -210,6 +210,17 @@ def episode_state(
     contract; the batch oracle mirrors it by excluding each key's
     final island when the corpus horizon is within the gap window.
 
+    Late/duplicate input (at-least-once upstreams): a day EQUAL to the
+    fold's last day adds its events to the open episode (same-day
+    redelivery is indistinguishable from a same-day split across
+    micro-batches); a day STRICTLY BEFORE the fold's last day is
+    DROPPED — ``applyInPandasWithState`` does not filter pre-watermark
+    rows itself, and folding the stray day in would corrupt the open
+    episode with events belonging to an earlier (possibly already
+    emitted) one. This mirrors the late-row drop of Spark's watermarked
+    windowed aggregates; exactly-once day counts need an exactly-once
+    upstream.
+
     State per key is 4 longs + a day count; emissions are
     episode-sized. Timeout timestamps are day-midnight exact, so the
     flush boundary is integer-deterministic (no float watermark math).
@@ -241,18 +252,22 @@ def episode_state(
         rows = []
         for ed, cnt in per_day.items():
             ed = int(ed)
-            # cross-batch out-of-order guard (r10 ADVICE): per_day is
-            # sorted within a batch, so ed < last_ed means a LATER batch
-            # delivered a day the watermark contract says cannot arrive —
-            # fail loudly (ewma_state's convention) instead of silently
-            # folding it into n_events without extending the episode.
+            # cross-batch late-day guard (r10 ADVICE, softened per r11
+            # ADVICE): per_day is sorted within a batch, so ed < last_ed
+            # means a LATER batch delivered a day behind the fold —
+            # possible because applyInPandasWithState does NOT drop
+            # pre-watermark rows (Spark only uses the watermark for
+            # timeouts here), so one duplicated/late upstream event
+            # would otherwise be a poison pill that crashes the query on
+            # every restart. DROP the late day instead — the same
+            # semantics Spark's own watermarked windowed aggregates give
+            # late rows — because folding it in would corrupt n_events
+            # of the CURRENT episode with events that belong to an
+            # earlier (possibly already-emitted) one.
             # ed == last_ed (the same day split across batches) is valid
             # at-least-once input and correctly adds events only.
             if start_ed is not None and ed < last_ed:
-                raise ValueError(
-                    f"episode_state: out-of-order day {ed} for key "
-                    f"{key[0]!r} (episode already at day {last_ed}); "
-                    "the watermark must exclude pre-state event times")
+                continue
             if start_ed is not None and ed - last_ed > gap_days:
                 rows.append({key_col: key[0],
                              "start_day": _day_str(start_ed),

@@ -857,6 +857,71 @@ def test_unbounded_global_window_detector_semantics(spark):
         .select(F.rank().over(Window.orderBy("v")).alias("r"))) == 1
 
 
+def test_shuffled_join_does_not_launder_window_bound(spark):
+    """r11 ADVICE: an aggregate on the NON-STREAMED side of a SHUFFLED
+    join must not bound a window above the join — a raw corpus
+    sort-merge-joined to a tiny aggregated frame is still corpus-sized.
+    The streamed/left branch is the one that must carry the bound."""
+    from pyspark.sql import Window
+
+    base = spark.range(100).select((F.col("id") % 7).alias("k"),
+                                   F.col("id").alias("v"))
+    agg = base.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # aggregate on the RIGHT of the shuffled join: the window's
+        # streamed lineage is the raw corpus — must flag
+        assert _audit_count(
+            base.join(agg, "k")
+            .select(F.rank().over(Window.orderBy("v")).alias("r"))) == 1
+        # aggregate on the LEFT (streamed) branch: sanctioned
+        assert _audit_count(
+            agg.join(base.withColumnRenamed("v", "w"), "k")
+            .select(F.rank().over(Window.orderBy("n")).alias("r"))) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bnl_cartesian_detector_semantics(spark):
+    """r11 verdict #4: BNL joins with an unbounded build side and
+    cartesians with neither side bounded are the O(N*M) sibling of the
+    single-partition window — the detector must flag exactly those and
+    sanction the 1-row/slate broadcast attaches the repo relies on."""
+    from league_of_legends_data_pipeline_spark.plans.audit import (
+        count_unbounded_bnl_cartesian,
+    )
+
+    def bnl_count(df):
+        df.collect()
+        return count_unbounded_bnl_cartesian(
+            df._jdf.queryExecution().executedPlan().toString())
+
+    base = spark.range(200).select((F.col("id") % 7).alias("k"),
+                                   F.col("id").alias("v"))
+    other = spark.range(50).select(F.col("id").alias("w"))
+    one = base.agg(F.max("v").alias("mx"))
+    # sanctioned: 1-row aggregate broadcast attach (q288/q296-class)
+    assert bnl_count(base.crossJoin(F.broadcast(one))) == 0
+    # sanctioned: limited slate broadcast under a non-equi condition
+    assert bnl_count(base.join(F.broadcast(other.orderBy("w").limit(5)),
+                               F.col("v") > F.col("w"))) == 0
+    # flagged: raw corpus broadcast as BNL build side
+    assert bnl_count(base.join(F.broadcast(other),
+                               F.col("v") > F.col("w"))) == 1
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # flagged: cartesian with neither side bounded
+        assert bnl_count(base.crossJoin(
+            other.withColumnRenamed("w", "u"))) == 1
+        # sanctioned: cartesian with one side limited
+        assert bnl_count(base.crossJoin(
+            other.orderBy("w").limit(5).withColumnRenamed("w", "u"))) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_r10_offenders_have_no_unbounded_global_windows(spark):
     # the four queries the round-10 verdict flagged, rewritten in r11
     # (q295/q299 rank from the value-domain contingency frame; q306/q308

@@ -492,41 +492,80 @@ def test_episode_state_timeout_and_gap_paths(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
-def test_episode_state_rejects_out_of_order_day(spark, tmp_path):
-    """r10 advice: episode_state's fold is order-dependent like
-    ewma_state's; a later micro-batch delivering a day BEFORE the
-    episode's last folded day must raise loudly, not silently fold the
-    count into n_events without extending the episode. (A same-day
-    redelivery — ed == last_ed — stays valid at-least-once input.)"""
+def _episode_stream_from_days(spark, src_dir, rows):
+    """Build the episode_state input stream from one json file per
+    micro-batch (maxFilesPerTrigger=1 keeps file order = batch order)."""
     import json
     import time
 
-    import pytest
-
-    from league_of_legends_data_pipeline_spark.streaming.stateful import (
-        episode_state,
-    )
-
-    src = tmp_path / "ev"
-    src.mkdir()
-    # batch 1 folds day 5; batch 2 then delivers day 3 — out of order
-    f1 = src / "a.json"
-    f1.write_text(json.dumps({"user_id": 1, "day": "2024-01-05"}))
-    time.sleep(1.1)
-    f2 = src / "b.json"
-    f2.write_text(json.dumps({"user_id": 1, "day": "2024-01-03"}))
+    src_dir.mkdir()
+    for i, batch in enumerate(rows):
+        f = src_dir / f"b{i:02d}.json"
+        f.write_text("\n".join(json.dumps(r) for r in batch))
+        time.sleep(1.1)  # distinct mtimes pin the batch order
 
     stream = (spark.readStream.schema("user_id long, day string")
-              .option("maxFilesPerTrigger", 1).json(str(src)))
+              .option("maxFilesPerTrigger", 1).json(str(src_dir)))
     day_ts = F.to_timestamp("day")
-    stream = (stream.select(
+    return (stream.select(
         "user_id", day_ts.alias("day_ts"),
         F.datediff(day_ts.cast("date"), F.lit("1970-01-01"))
         .cast("long").alias("epoch_day"),
         F.lit(1).cast("long").alias("one"))
         .withWatermark("day_ts", "0 seconds"))
+
+
+def test_episode_state_drops_late_day(spark, tmp_path):
+    """r11 advice: a later micro-batch delivering a day BEFORE the
+    episode's last folded day must be DROPPED, not raise —
+    applyInPandasWithState does not filter pre-watermark rows, so a
+    raise turns one duplicated/late upstream event into a poison pill
+    that crashes the query on every restart. The stray day must also
+    not leak into n_events (it belongs to an earlier episode)."""
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        episode_state,
+    )
+
+    stream = _episode_stream_from_days(spark, tmp_path / "ev", [
+        [{"user_id": 1, "day": "2024-01-05"}],
+        [{"user_id": 1, "day": "2024-01-03"}],   # late: must be dropped
+        [{"user_id": 1, "day": "2024-01-09"}],   # gap-closes day-5 episode
+    ])
     out = episode_state(stream, "user_id", "epoch_day", "one", gap_days=1)
-    q = (out.writeStream.format("memory").queryName("episode_ooo_test")
+    q = (out.writeStream.format("memory").queryName("episode_late_drop")
          .outputMode("append").trigger(availableNow=True).start())
-    with pytest.raises(Exception, match="out-of-order day"):
-        q.awaitTermination(180)
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM episode_late_drop").collect()
+    assert len(got) == 1, got
+    r = got[0]
+    # the day-5 episode closes by gap with ONLY its own event counted —
+    # the late day-3 row neither extended it nor inflated n_events
+    assert (r.start_day, r.end_day, r.n_events, r.n_days, r.closed_by) \
+        == ("2024-01-05", "2024-01-05", 1, 1, "gap")
+
+
+def test_episode_state_duplicate_day_folds_events_only(spark, tmp_path):
+    """Same-day redelivery across micro-batches (ed == last_ed) is valid
+    at-least-once input: it adds events to the open episode but must not
+    extend n_days or move end_day (the docstring's promised multi-batch
+    case)."""
+    from league_of_legends_data_pipeline_spark.streaming.stateful import (
+        episode_state,
+    )
+
+    stream = _episode_stream_from_days(spark, tmp_path / "ev", [
+        [{"user_id": 1, "day": "2024-01-05"},
+         {"user_id": 1, "day": "2024-01-06"}],
+        [{"user_id": 1, "day": "2024-01-06"}],   # duplicate of the fold day
+        [{"user_id": 1, "day": "2024-01-09"}],   # gap-closes the episode
+    ])
+    out = episode_state(stream, "user_id", "epoch_day", "one", gap_days=1)
+    q = (out.writeStream.format("memory").queryName("episode_dup_day")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM episode_dup_day").collect()
+    assert len(got) == 1, got
+    r = got[0]
+    # 3 events (two distinct days + one redelivery), but n_days stays 2
+    assert (r.start_day, r.end_day, r.n_events, r.n_days, r.closed_by) \
+        == ("2024-01-05", "2024-01-06", 3, 2, "gap")
