@@ -582,6 +582,121 @@ def minhash_lsh_pairs_bipartite(
     return jaccard_verified_pairs(pairs, "sh_a", "sh_b", jaccard_threshold)
 
 
+def build_near_dup_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_prefix: str,
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    num_buckets: int = 32,
+) -> None:
+    """Persist the corpus's MinHash index as two hash-BUCKETED tables so
+    later batches are near-dup screened WITHOUT re-signing (or even
+    re-shuffling) the corpus — the fuzzy completion of q143's exact-digest
+    admission front door (r11 verdict #8).
+
+    - ``{prefix}_bands``  (band_key string, doc_id long), bucketed by
+      ``band_key`` = ``band_id || ':' || band_hash`` (one join key, so the
+      bucketed scan's hash partitioning satisfies the admission join's
+      distribution exactly — a two-column key would need both sides
+      co-bucketed on the pair);
+    - ``{prefix}_shingles`` (doc_id, hm array<long>), bucketed by
+      ``doc_id`` for the exchange-free verify-side array attach.
+
+    Build cost is one signing pass over the corpus — paid ONCE; every
+    refresh after that signs only the arriving batch. At 100 TB the band
+    index is ids+32-char keys (a few % of corpus bytes) and the shingle
+    store rides the same bucket layout every batch join reuses.
+    """
+    from league_of_legends_data_pipeline_spark.sinks import (
+        drop_managed_table, write_bucketed,
+    )
+
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
+                         f"into bands ({bands})")
+    rows = num_hashes // bands
+    spark = corpus.sparkSession
+    # a prior session's warehouse leftovers would fail the saveAsTable
+    drop_managed_table(spark, f"{table_prefix}_bands")
+    drop_managed_table(spark, f"{table_prefix}_shingles")
+    hashed, banded = _minhash_banded(corpus, id_col, text_col, shingle_k,
+                                     num_hashes, bands, rows, seed)
+    band_key = F.concat_ws(":", F.col("band_id").cast("string"),
+                           F.col("band_hash"))
+    write_bucketed(banded.select(band_key.alias("band_key"), "doc_id"),
+                   f"{table_prefix}_bands", ["band_key"], num_buckets)
+    write_bucketed(hashed.select("doc_id", "hm"),
+                   f"{table_prefix}_shingles", ["doc_id"], num_buckets)
+
+
+def near_dup_admission(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_prefix: str,
+    *,
+    shingle_k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Screen an arriving batch against a :func:`build_near_dup_index`
+    store: returns the batch's rows with ``n_near_dups`` (count of corpus
+    docs whose exact Jaccard with the doc is >= threshold) and
+    ``admitted`` (no near-dup found). MinHash parameters MUST match the
+    ones the index was built with (band hashes are only comparable under
+    identical seeded coefficients).
+
+    Scale shape: only the BATCH is signed; candidates come from the
+    batch-bands equi-join against the bucketed band index (corpus side:
+    bucketed scan, ZERO exchange — pinned in
+    tests/test_operators.py::test_near_dup_admission_index_side_is_exchange_free),
+    verification re-attaches corpus shingle arrays from the bucketed
+    shingle store (again exchange-free on the corpus side). Each refresh
+    therefore shuffles O(batch) rows regardless of corpus size.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes ({num_hashes}) must divide evenly "
+                         f"into bands ({bands})")
+    rows = num_hashes // bands
+    spark = batch.sparkSession
+    hashed_b, banded_b = _minhash_banded(batch, id_col, text_col, shingle_k,
+                                         num_hashes, bands, rows, seed)
+    band_key = F.concat_ws(":", F.col("band_id").cast("string"),
+                           F.col("band_hash"))
+    idx = spark.table(f"{table_prefix}_bands")
+    cands = (
+        banded_b.select(band_key.alias("band_key"),
+                        F.col("doc_id").alias("id_b"))
+        .join(idx.select("band_key", F.col("doc_id").alias("id_a")),
+              "band_key")
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    store = spark.table(f"{table_prefix}_shingles")
+    pairs = (
+        cands.join(store.select(F.col("doc_id").alias("id_a"),
+                                F.col("hm").alias("sh_a")), "id_a")
+        .join(hashed_b.select(F.col("doc_id").alias("id_b"),
+                              F.col("hm").alias("sh_b")), "id_b")
+    )
+    verified = jaccard_verified_pairs(pairs, "sh_a", "sh_b",
+                                      jaccard_threshold)
+    counts = (verified.groupBy(F.col("id_b").alias("__id"))
+              .agg(F.count(F.lit(1)).alias("n_near_dups")))
+    return (batch.join(counts, batch[id_col] == F.col("__id"), "left")
+            .drop("__id")
+            .withColumn("n_near_dups",
+                        F.coalesce(F.col("n_near_dups"), F.lit(0)))
+            .withColumn("admitted", F.col("n_near_dups") == 0))
+
+
 def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
     """SimHash over an already-hashed token array (long values).
 

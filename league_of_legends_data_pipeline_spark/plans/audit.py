@@ -56,6 +56,21 @@ _JOIN = re.compile(r"^(\*\(\d+\) )?(BroadcastHashJoin|SortMergeJoin|"
 
 _TREE_ART = re.compile(r"^[\s:+-]*")
 
+# a real plan-tree line's content starts with a CamelCase node name, a
+# codegen span marker `*(N) `, or a section banner (`== Final Plan ==`,
+# `===== Subqueries =====`); anything else is a CONTINUATION of the
+# previous node's expression text — plan strings embed literal newlines
+# when an expression contains one (e.g. a regex class with \n), and
+# treating such a line as a node corrupts the whole tree's depths
+_NODE_START = re.compile(r"^(\*\(\d+\) )?[A-Z=+]")
+
+# a Range generator with LITERAL bounds is a provably bounded frame when
+# the span is dimension-sized (lag/replicate axes like spark.range(8));
+# larger literal ranges stay unbounded. 4096 matches the repo's documented
+# driver-side dimension cap (similarity.py centroid bound).
+_RANGE = re.compile(r"^(?:\*\(\d+\) )?Range \((-?\d+), (-?\d+),")
+_RANGE_BOUNDED_MAX = 4096
+
 _REUSED = re.compile(r"^ReusedExchange \[.*plan_id=(\d+)\]")
 _EXCHANGE_ID = re.compile(r"^(?:\*\(\d+\) )?(?:Broadcast)?Exchange "
                           r".*\[plan_id=(\d+)\]")
@@ -79,12 +94,45 @@ CHECKPOINTED_PANEL_WINDOWS: dict[str, int] = {
     "q281_qini_uplift": 1,         # 10-row targeting-decile panel
 }
 
-# BNL/cartesian joins whose build (or either, for cartesian) side is a
-# localCheckpointed SLATE — same lineage-truncation blindness as above,
-# same exact-count pinning discipline. Only ≤slate-sized checkpoints may
-# be listed; a checkpointed CORPUS build side is the real cliff and must
-# stay flagged.
-CHECKPOINTED_SLATE_BNL: dict[str, int] = {}
+# BNL joins whose build side IS bounded but not provably so from the plan
+# string, pinned with EXACT counts (same discipline as the window
+# allowlist — a new unbounded BNL in one of these queries raises the count
+# above its allowance and still fails; a removed one goes negative).
+# Exactly two shapes qualify, each verified in source (r12):
+#  - "query slate by unique-id filter": Filter (vec_id = k) / (vec_id % m
+#    = 0) / (doc_id < 250) on a table whose id column is unique by the
+#    TESTDATA contract — a 1-row/few-row frame the string audit sees as a
+#    raw scan (q27/q42/q84/q98/q102/q105/q140/q198/q213/q319 query
+#    vectors + centroid seeds; q82's 250-doc eval sub-corpus);
+#  - "checkpointed slate/panel": localCheckpoint truncates the lineage of
+#    an orderBy().limit(k) slate or a domain-bounded panel to `Scan
+#    ExistingRDD` (q291 top-100, q294/q311 k-slates, q254 33-row
+#    bootstrap frame, q287 20-bin panel, q86/q101/q298 <=4096-centroid
+#    panels, q84's IVF centroid checkpoint, q183's literal pred frame).
+# A checkpointed or filtered CORPUS build side gets no entry — that is
+# the real O(N*M) cliff and must stay flagged.
+PINNED_BOUNDED_BNL: dict[str, int] = {
+    "q27_knn_cosine": 1,
+    "q42_ivf_ann": 2,
+    "q82_lsh_recall": 1,
+    "q84_ivf_recall": 3,
+    "q86_kmeans_clusters": 1,
+    "q98_signlsh_recall": 1,
+    "q101_semantic_dedup": 2,
+    "q102_jl_projection_distortion": 1,
+    "q105_pq_recall": 1,
+    "q140_retrieval_eval": 1,
+    "q183_zone_map_pruning": 1,
+    "q198_mutual_knn": 1,
+    "q213_ivf_nprobe_curve": 5,
+    "q254_bootstrap_did_ci": 1,
+    "q287_isotonic_calibration": 2,
+    "q291_rank_stability": 1,
+    "q294_mmr_rerank": 1,
+    "q298_silhouette_score": 1,
+    "q311_kendall_tau_rank_agreement": 1,
+    "q319_mcc_report": 1,
+}
 
 
 @dataclass
@@ -116,6 +164,10 @@ def _parse_tree(plan: str) -> tuple[list[_Node], dict[str, _Node]]:
         d = _depth(line)
         content = line[d:]
         if not content.strip():
+            continue
+        if not _NODE_START.match(content) and stack:
+            # continuation of the previous node's expression text
+            stack[-1][1].content += " " + content
             continue
         node = _Node(content, i)
         while stack and stack[-1][0] >= d:
@@ -166,6 +218,9 @@ def _bounded(node: _Node | None, exchanges: dict[str, _Node],
         return False
     c = node.content
     if _BOUNDING.search(c):
+        return True
+    m = _RANGE.match(c)
+    if m and abs(int(m.group(2)) - int(m.group(1))) <= _RANGE_BOUNDED_MAX:
         return True
     if c.startswith("BroadcastExchange"):
         # a broadcast frame reaching here outside a join's build slot
@@ -292,7 +347,7 @@ def sp_win(query_name: str, plan: str) -> int:
 
 def bnl(query_name: str, plan: str) -> int:
     """PLANS.md `bnl` value: raw unbounded-BNL/cartesian count minus the
-    documented checkpointed-slate allowance. Same 0/>0/<0 semantics as
+    documented bounded-build allowance. Same 0/>0/<0 semantics as
     :func:`sp_win`."""
     return (count_unbounded_bnl_cartesian(plan)
-            - CHECKPOINTED_SLATE_BNL.get(query_name, 0))
+            - PINNED_BOUNDED_BNL.get(query_name, 0))

@@ -80,6 +80,25 @@ def read_evolved(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def drop_managed_table(spark: SparkSession, table: str) -> None:
+    """Drop a managed table AND its warehouse location.
+
+    With the in-memory (non-Hive) catalog a new session forgets managed
+    tables but their ``spark-warehouse/<table>`` directories persist, so
+    the next ``saveAsTable`` — even ``mode=overwrite`` — fails with
+    LOCATION_ALREADY_EXISTS. Deleting the leftover location through the
+    Hadoop FS API keeps table-producing operators (e.g. the near-dup
+    admission index) re-runnable from any fresh session.
+    """
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(warehouse + "/" + table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -814,8 +814,10 @@ def _audit_count(df):
 def test_unbounded_global_window_detector_semantics(spark):
     from pyspark.sql import Window
 
-    base = spark.range(100).select((F.col("id") % 7).alias("k"),
-                                   F.col("id").alias("v"))
+    # 10k rows: above the literal-Range bounded threshold (4096), so the
+    # range stand-in behaves like a raw corpus to the detector
+    base = spark.range(10_000).select((F.col("id") % 7).alias("k"),
+                                      F.col("id").alias("v"))
     # the regression class: unpartitioned rank straight over raw rows
     assert _audit_count(
         base.select(F.rank().over(Window.orderBy("v")).alias("r"))) == 1
@@ -864,8 +866,8 @@ def test_shuffled_join_does_not_launder_window_bound(spark):
     The streamed/left branch is the one that must carry the bound."""
     from pyspark.sql import Window
 
-    base = spark.range(100).select((F.col("id") % 7).alias("k"),
-                                   F.col("id").alias("v"))
+    base = spark.range(10_000).select((F.col("id") % 7).alias("k"),
+                                      F.col("id").alias("v"))
     agg = base.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -892,32 +894,43 @@ def test_bnl_cartesian_detector_semantics(spark):
         count_unbounded_bnl_cartesian,
     )
 
-    def bnl_count(df):
-        df.collect()
+    def bnl_count(df, execute=True):
+        if execute:
+            df.collect()
         return count_unbounded_bnl_cartesian(
             df._jdf.queryExecution().executedPlan().toString())
 
-    base = spark.range(200).select((F.col("id") % 7).alias("k"),
-                                   F.col("id").alias("v"))
-    other = spark.range(50).select(F.col("id").alias("w"))
+    base = spark.range(10_000).select((F.col("id") % 7).alias("k"),
+                                      F.col("id").alias("v"))
+    other = spark.range(10_000).select(F.col("id").alias("w"))
     one = base.agg(F.max("v").alias("mx"))
     # sanctioned: 1-row aggregate broadcast attach (q288/q296-class)
     assert bnl_count(base.crossJoin(F.broadcast(one))) == 0
     # sanctioned: limited slate broadcast under a non-equi condition
     assert bnl_count(base.join(F.broadcast(other.orderBy("w").limit(5)),
                                F.col("v") > F.col("w"))) == 0
+    # sanctioned: a literal small Range (lag/replicate axes) is provably
+    # bounded; a large one is not
+    assert bnl_count(base.join(F.broadcast(
+        spark.range(8).select(F.col("id").alias("lag"))),
+        F.col("v") > F.col("lag"))) == 0
+    assert bnl_count(base.join(F.broadcast(
+        spark.range(10_000_000).select(F.col("id").alias("lag"))),
+        F.col("v") > F.col("lag"))) == 1
     # flagged: raw corpus broadcast as BNL build side
     assert bnl_count(base.join(F.broadcast(other),
                                F.col("v") > F.col("w"))) == 1
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # flagged: cartesian with neither side bounded
+        # flagged: cartesian with neither side bounded (plan shape only —
+        # executing the 10k x 10k product would be the very cliff)
         assert bnl_count(base.crossJoin(
-            other.withColumnRenamed("w", "u"))) == 1
+            other.withColumnRenamed("w", "u")), execute=False) == 1
         # sanctioned: cartesian with one side limited
         assert bnl_count(base.crossJoin(
-            other.orderBy("w").limit(5).withColumnRenamed("w", "u"))) == 0
+            other.orderBy("w").limit(5).withColumnRenamed("w", "u")),
+            execute=False) == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
@@ -957,3 +970,21 @@ def test_checkpointed_panel_window_allowlist_is_exact(spark):
             df._jdf.queryExecution().executedPlan().toString())
         assert raw == allowed, \
             f"{name}: {raw} unbounded windows vs allowance {allowed}"
+
+
+def test_pinned_bounded_bnl_allowlist_is_exact(spark):
+    """Every PINNED_BOUNDED_BNL entry must match its query's executed
+    plan EXACTLY — the pin is what distinguishes a verified bounded build
+    side (unique-id query slate, checkpointed k-slate/panel) from a new
+    corpus-sized one, so drift in either direction must fail."""
+    from league_of_legends_data_pipeline_spark.plans.audit import (
+        PINNED_BOUNDED_BNL, count_unbounded_bnl_cartesian,
+    )
+
+    for name, allowed in PINNED_BOUNDED_BNL.items():
+        df = QUERIES[name].spark(spark, SF_DIR)
+        df.collect()
+        raw = count_unbounded_bnl_cartesian(
+            df._jdf.queryExecution().executedPlan().toString())
+        assert raw == allowed, \
+            f"{name}: {raw} unbounded BNL/cartesians vs allowance {allowed}"
