@@ -6083,3 +6083,66 @@ def test_holt_winters_matches_python_replay(spark):
             assert abs(gf - round(fitted, 6)) < 1e-9
             n_checked += 1
     assert n_checked == len(rows) == 115
+
+
+def test_near_dup_admission_index_side_is_exchange_free(spark):
+    """q325's promise: admitting a batch against the persisted MinHash
+    index shuffles only the batch — the bucketed band/shingle scans feed
+    their joins with ZERO corpus-side exchange — and the admission
+    verdicts equal the direct bipartite LSH computed without any index."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        build_near_dup_index, minhash_lsh_pairs_bipartite,
+        near_dup_admission,
+    )
+    from league_of_legends_data_pipeline_spark.plans.audit import (
+        _parse_tree, _walk,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select("doc_id", "text"))
+    build_near_dup_index(corpus, "doc_id", "text", "t_neardup_idx",
+                         shingle_k=5, num_hashes=16, bands=4)
+    adm = near_dup_admission(batch, "doc_id", "text", "t_neardup_idx",
+                             shingle_k=5, num_hashes=16, bands=4,
+                             jaccard_threshold=0.4)
+    got = {r.doc_id: r.admitted for r in adm.collect()}
+
+    # equivalence with the index-free bipartite screen
+    dup_ids = {r.id_b for r in minhash_lsh_pairs_bipartite(
+        corpus, batch, "doc_id", "text", shingle_k=5, num_hashes=16,
+        bands=4, jaccard_threshold=0.4).collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    assert got == {i: i not in dup_ids for i in batch_ids}
+
+    # plan pin: no SHUFFLE exchange between either bucketed index scan
+    # and its join — the corpus side must ride the bucket layout as-is.
+    # (A BroadcastExchange is AQE adaptively broadcasting the tiny store
+    # at sf0.001; at scale the broadcast is off the table and the bucket
+    # layout carries the join, which is exactly what a shuffle-free path
+    # certifies.)
+    plan = adm._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan  # bucketed reads engaged
+    roots, _ex = _parse_tree(plan)
+
+    def scan_paths(nodes, path):
+        for node in nodes:
+            p = path + [node.content]
+            if "t_neardup_idx" in node.content and "Scan" in node.content:
+                yield p
+            yield from scan_paths(node.children, p)
+
+    found = 0
+    for p in scan_paths(roots, []):
+        join_idx = max(i for i, c in enumerate(p)
+                       if "Join" in c.split(" [")[0])
+        between = p[join_idx + 1:-1]
+        offenders = [c for c in between
+                     if c.startswith("Exchange hashpartitioning")
+                     or c.startswith("Exchange rangepartitioning")
+                     or c.startswith("Exchange SinglePartition")
+                     or c.startswith("AQEShuffleRead")]
+        assert offenders == [], (p[-1][:60], offenders)
+        found += 1
+    assert found >= 2  # bands scan + shingle-store scan

@@ -757,3 +757,68 @@ def test_markov_stationary_matches_integer_replay(spark, trans_rows):
                 nxt[j] += int(math.floor(x + 0.5))
         vv = dict(nxt)
     assert got == {s: vv.get(s, 0) for s in got}
+
+
+def _a2akn_python(pairs):
+    """Direct Scholz-Stephens (1987) A2akN (eq. 7, midrank/ties form) in
+    plain floats over (arm, value) pairs — an independent code path from
+    q329's doubled-integer contingency formulation."""
+    arms = sorted({a for a, _ in pairs})
+    ns = {a: sum(1 for g, _ in pairs if g == a) for a in arms}
+    big_n = len(pairs)
+    grid = sorted({v for _, v in pairs})
+    a2 = 0.0
+    cum = {a: 0 for a in arms}
+    cum_all = 0
+    for v in grid:
+        lj = sum(1 for _, x in pairs if x == v)
+        fij = {a: sum(1 for g, x in pairs if g == a and x == v)
+               for a in arms}
+        bbar = cum_all + lj / 2.0
+        denom = bbar * (big_n - bbar) - big_n * lj / 4.0
+        if denom > 0:
+            for a in arms:
+                mbar = cum[a] + fij[a] / 2.0
+                num = big_n * mbar - ns[a] * bbar
+                a2 += (1.0 / ns[a]) * (lj / big_n) * num * num / denom
+        for a in arms:
+            cum[a] += fij[a]
+        cum_all += lj
+    return (big_n - 1.0) / big_n * a2
+
+
+def test_anderson_darling_matches_python_replay(spark, tmp_path):
+    """q329's doubled-integer / nano-summed A2akN equals the float
+    midrank formula computed directly in python (independent code path),
+    for several deterministic arm/value data sets."""
+    import hashlib
+
+    import pandas as pd
+
+    from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
+
+    def arm_of(user_id: int) -> str:
+        h = hashlib.md5(f"ab:{user_id}".encode()).hexdigest()
+        return "A" if int(h[:15], 16) % 2 == 0 else "B"
+
+    for seed in (1, 2, 3):
+        users = list(range(seed * 7, seed * 7 + 40))
+        cents = [((u * 2654435761 + seed) % 900) + 100 for u in users]
+        sf_dir = tmp_path / f"sf_{seed}"
+        sf_dir.mkdir()
+        pd.DataFrame({
+            "event_id": range(len(users)),
+            "ts": pd.to_datetime("2024-01-01"),
+            "user_id": users,
+            "event_type": "purchase",
+            "value": [c / 100.0 for c in cents],
+            "props": "{}",
+        }).to_parquet(sf_dir / "events.parquet")
+        got = QUERIES["q329_anderson_darling"].spark(
+            spark, str(sf_dir)).collect()[0]
+        pairs = [(arm_of(u), c) for u, c in zip(users, cents)]
+        want = _a2akn_python(pairs)
+        assert got.na == sum(1 for a, _ in pairs if a == "A")
+        assert got.nb == sum(1 for a, _ in pairs if a == "B")
+        # nano quantization bounds the error at ~n_values * 1e-9 / n_arm
+        assert abs(got.a2 - round(want, 6)) < 1e-4, (seed, got.a2, want)
