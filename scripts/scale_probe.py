@@ -462,7 +462,30 @@ SHIFTS = {
 }
 
 
-def synthesize(spark, out_dir: str, n: int) -> None:
+def _caesar_text(rep_col, text_col):
+    """Per-replica Caesar shift of the latin letters in ``text_col``.
+
+    The plain replica duplicates document TEXT verbatim, so every doc
+    gains n-1 exact copies and the TRUE near-dup pair set grows ~n^2 by
+    construction — a dedup query probed on it measures truth-set growth,
+    not engine scaling. Shifting each replica's alphabet by ``rep % 26``
+    makes the copies' shingle sets disjoint (length, whitespace and
+    repetition structure preserved), so near-dup truth grows ~linearly
+    and the probe isolates the ENGINE's behavior.
+    """
+    import string
+
+    lower, upper = string.ascii_lowercase, string.ascii_uppercase
+    expr = None
+    for r in range(26):
+        shifted = (lower[r:] + lower[:r]) + (upper[r:] + upper[:r])
+        t = F.translate(F.col(text_col), lower + upper, shifted)
+        cond = rep_col % 26 == r
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    return expr
+
+
+def synthesize(spark, out_dir: str, n: int, salt_text: bool = False) -> None:
     from league_of_legends_data_pipeline_spark.session import load_tables
 
     tables = load_tables(spark, BASE)
@@ -478,6 +501,8 @@ def synthesize(spark, out_dir: str, n: int) -> None:
         out = df.crossJoin(reps)
         for c in shift_cols:
             out = out.withColumn(c, F.col(c) + F.col("__rep") * offsets[c])
+        if salt_text and name == "documents":
+            out = out.withColumn("text", _caesar_text(F.col("__rep"), "text"))
         (out.drop("__rep")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, f"{name}.parquet")))
@@ -499,16 +524,18 @@ def main() -> None:
     from league_of_legends_data_pipeline_spark.session import get_spark
 
     args = sys.argv[1:]
+    salt = "--salt-text" in args
+    args = [a for a in args if a != "--salt-text"]
     n = int(args.pop(0)) if args and args[0].isdigit() else 10
     queries = [q for q in args if q in PROBE_QUERIES] or list(PROBE_QUERIES)
-    out_dir = f"/tmp/spark_graft_scale_x{n}"
+    out_dir = f"/tmp/spark_graft_scale_x{n}" + ("_salted" if salt else "")
     spark = get_spark("scale_probe")
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long") \
         .write.format("noop").mode("overwrite").save()
 
     if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
         t0 = time.time()
-        synthesize(spark, out_dir, n)
+        synthesize(spark, out_dir, n, salt_text=salt)
         print(f"synthesized x{n} replica in {time.time()-t0:.1f}s", file=sys.stderr)
 
     base = time_queries(spark, BASE, queries)
