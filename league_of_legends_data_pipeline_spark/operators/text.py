@@ -1266,3 +1266,79 @@ def template_report(df: DataFrame, id_col: str, text_col: str,
             .withColumn("corpus_share",
                         F.round(F.col("n_instances") / F.col("__N"), 6))
             .drop("__N"))
+
+
+def kneser_ney_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score — the smoothing that
+    actually ships in n-gram LMs (KenLM's default), one rung above
+    :func:`bigram_logprob_scores`'s Jelinek-Mercer mixture:
+
+        P_KN(w2 | w1) = max(C(w1 w2) - D, 0) / C(w1 ·)
+                        + D * N1+(w1 ·) / C(w1 ·) * P_cont(w2)
+        P_cont(w2)    = N1+(· w2) / N1+(· ·)
+
+    The continuation probability asks "in how many CONTEXTS does w2
+    appear", not "how often" — the famous 'San Francisco' correction:
+    'Francisco' is frequent but follows almost nothing, so its unigram
+    backoff weight should be tiny. ``discount`` (D) is a shared decimal
+    literal, never derived at runtime, per the engine-portability
+    conventions. Scoring evaluates the corpus's own bigrams, where
+    C(w1 w2) >= 1 > D keeps every probability positive.
+
+    Returns (``id_col``, n_bigrams, mean_neg_logprob) with the mean
+    accumulated in integer micro-units (6dp) so summation order cannot
+    produce last-ulp drift between engines.
+
+    Scale shape: identical to :func:`bigram_logprob_scores` — map-only
+    pair construction, (pair, long) / (token, long) model aggregates,
+    each DISTINCT bigram scored once on the vocab-sized table, ONE join
+    back to per-doc bigram counts. N1+(··) is a 1-row broadcast. Linear
+    in corpus tokens; model-table shuffles move (pair, long) rows,
+    never documents.
+    """
+    arr = F.split(F.lower(F.col(text_col)), " ")
+    pairs = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("w1"),
+                        F.element_at(arr, i + 1).alias("w2")),
+                ),
+                lambda s: (s["w1"] != "") & ~F.isnull(s["w2"]) & (s["w2"] != ""),
+            )
+        ).alias("bg"),
+    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    doc_bi = pairs.groupBy("__id", "w1", "w2") \
+                  .agg(F.count(F.lit(1)).alias("cnt"))
+    bi = doc_bi.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
+    ctx = bi.groupBy("w1").agg(F.sum("cb").alias("c1"),
+                               F.count(F.lit(1)).alias("nf"))
+    prec = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("np_"))
+    types = bi.agg(F.count(F.lit(1)).alias("t"))
+
+    p = ((F.col("cb") - F.lit(discount)) / F.col("c1")
+         + F.lit(discount) * F.col("nf") / F.col("c1")
+         * (F.col("np_") / F.col("t")))
+    scored = (bi.join(ctx, "w1")
+              .join(prec, "w2")
+              .crossJoin(F.broadcast(types))
+              .select("w1", "w2",
+                      F.round(-F.log2(p) * 1_000_000).cast("long")
+                      .alias("micro")))
+    return (doc_bi.join(scored, ["w1", "w2"])
+            .groupBy("__id")
+            .agg(F.sum("cnt").alias("n_bigrams"),
+                 F.round(F.sum(F.col("cnt") * F.col("micro"))
+                         / F.sum("cnt") / 1_000_000.0, 6)
+                 .alias("mean_neg_logprob"))
+            .select(F.col("__id").alias(id_col), "n_bigrams",
+                    "mean_neg_logprob"))
