@@ -6146,3 +6146,43 @@ def test_near_dup_admission_index_side_is_exchange_free(spark):
         assert offenders == [], (p[-1][:60], offenders)
         found += 1
     assert found >= 2  # bands scan + shingle-store scan
+
+
+def test_kneser_ney_scores_hand_oracle(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import kneser_ney_scores
+    import math
+
+    # corpus: doc1 'a b', doc2 'c b', doc3 'a d'. Bigram types:
+    # (a,b) (c,b) (a,d), all count 1. ctx: a -> c1=2, nf=2; c -> 1,1.
+    # continuation: N1+(.b)=2, N1+(.d)=1, T=3.
+    # P(b|a) = (1-.75)/2 + .75*2/2 * 2/3 = 0.125 + 0.5   = 0.625
+    # P(b|c) = (1-.75)/1 + .75*1/1 * 2/3 = 0.25  + 0.5   = 0.75
+    # P(d|a) = (1-.75)/2 + .75*2/2 * 1/3 = 0.125 + 0.25  = 0.375
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c b"), (3, "a d")], ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict()
+           for r in kneser_ney_scores(docs, "doc_id", "text",
+                                      discount=0.75).collect()}
+    for did, p in [(1, 0.625), (2, 0.75), (3, 0.375)]:
+        want = round(round(-math.log2(p) * 1e6) / 1e6, 6)
+        assert out[did]["n_bigrams"] == 1
+        assert out[did]["mean_neg_logprob"] == want
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark):
+    from league_of_legends_data_pipeline_spark.operators.text import kneser_ney_scores
+
+    # the 'San Francisco' property: 'francisco' is FREQUENT (appears
+    # 4x, always after 'san'), 'thing' appears 4x after 4 DIFFERENT
+    # contexts. A frequency-backoff LM scores 'new francisco' and
+    # 'new thing' equally; KN's continuation count must prefer
+    # 'new thing' (lower neg-logprob) because 'thing' completes many
+    # contexts while 'francisco' completes exactly one.
+    ctx_doc = ("san francisco san francisco san francisco san francisco "
+               "good thing bad thing one thing some thing new x")
+    docs = spark.createDataFrame(
+        [(1, ctx_doc), (2, "new francisco"), (3, "new thing")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["mean_neg_logprob"]
+           for r in kneser_ney_scores(docs, "doc_id", "text").collect()}
+    assert out[3] < out[2]
