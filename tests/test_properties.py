@@ -822,3 +822,25 @@ def test_anderson_darling_matches_python_replay(spark, tmp_path):
         assert got.nb == sum(1 for a, _ in pairs if a == "B")
         # nano quantization bounds the error at ~n_values * 1e-9 / n_arm
         assert abs(got.a2 - round(want, 6)) < 1e-4, (seed, got.a2, want)
+
+
+def test_phi_approximation_accuracy_python_replay():
+    """The q336 BH-FDR battery computes p-values from the shared-literal
+    A&S 26.2.17 normal-CDF polynomial (_PHI_SQL / _phi_col). Both
+    engines share the SAME approximation, so a formula bug is invisible
+    to the oracle parity check — this replay pins it against Python's
+    exact erf: |Phi_approx - Phi_exact| < 7.5e-8 (the published bound)
+    over the z range any real battery produces."""
+    import math
+
+    def phi_approx(az: float) -> float:
+        t = 1.0 / (1.0 + 0.2316419 * az)
+        return (1.0 - math.exp(-(az * az) / 2.0) / 2.5066282746310002
+                * (0.319381530 * t - 0.356563782 * t ** 2
+                   + 1.781477937 * t ** 3 - 1.821255978 * t ** 4
+                   + 1.330274429 * t ** 5))
+
+    for i in range(0, 801):
+        az = i / 100.0  # 0.00 .. 8.00
+        exact = 0.5 * (1.0 + math.erf(az / math.sqrt(2.0)))
+        assert abs(phi_approx(az) - exact) < 7.5e-8, az
