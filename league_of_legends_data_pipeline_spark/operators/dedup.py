@@ -1699,17 +1699,37 @@ def prefix_filter_pairs(
             Window.partitionBy("doc_id").orderBy("dfc", "tok")))
         .filter(F.col("rnk") <=
                 F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - 1e-9) + 1)
-        .select("tok", "doc_id", "sz")
+        .select("tok", "doc_id", "sz", "rnk")
     )
     a = ranked.select("tok", F.col("doc_id").alias("id_a"),
-                      F.col("sz").alias("sz_a"))
+                      F.col("sz").alias("sz_a"),
+                      F.col("rnk").alias("pos_a"))
     b = ranked.select("tok", F.col("doc_id").alias("id_b"),
-                      F.col("sz").alias("sz_b"))
+                      F.col("sz").alias("sz_b"),
+                      F.col("rnk").alias("pos_b"))
+    # PPJoin positional filter (Xiao et al. WWW'08): J >= t forces
+    # overlap O >= ceil(t/(1+t) * (|A|+|B|)), and a shared token at
+    # (1-based) global-order positions (i, j) bounds the achievable
+    # overlap by 1 + min(|A|-i, |B|-j) — every other shared token must
+    # sit strictly after it in BOTH docs.  Lossless because the FIRST
+    # shared token of a true pair lies inside both prefixes (prefix
+    # length |T| - ceil(t|T|) + 1 with the size filter guarantees it)
+    # and trivially satisfies the bound; dropping later-position
+    # generating occurrences only removes redundant candidate rows
+    # BEFORE the dropDuplicates shuffle and the two array-attach joins
+    # — the stages that dominate as token df grows with corpus size.
+    # The epsilon inside ceil can only LOWER the requirement
+    # (conservative, same guard direction as the prefix length).
+    minoverlap = F.ceil(F.lit(t / (1.0 + t))
+                        * (F.col("sz_a") + F.col("sz_b")) - 1e-9)
     cands = (
         a.join(b, "tok")
         .filter((F.col("id_a") < F.col("id_b"))
                 & (F.least("sz_a", "sz_b")
-                   >= F.lit(t) * F.greatest("sz_a", "sz_b") - 1e-9))
+                   >= F.lit(t) * F.greatest("sz_a", "sz_b") - 1e-9)
+                & (1 + F.least(F.col("sz_a") - F.col("pos_a"),
+                               F.col("sz_b") - F.col("pos_b"))
+                   >= minoverlap))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
