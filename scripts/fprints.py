@@ -19,6 +19,15 @@ also absorbs any module-level helpers defined between two registrations;
 that over-approximates "changed" for the query immediately above a new
 helper, which only costs an extra re-verification — fail-safe direction.
 
+Known under-approximation: a chunk covers only ``queries.py`` text, so an
+edit to an ``operators/`` function a builder imports does NOT flip its
+fingerprint (flipping every importer would flood the 50-slot driver
+window and starve the staleness drain).  Mitigation: every round closes
+with the FULL builder-level parity sweep (``scripts/check_parity.py``
+over all declared queries, vanilla session), which exercises operator
+code through every query that uses it — an operator edit is verified the
+same round it lands, just not by the driver's own window.
+
 Usage (round start, BEFORE editing any query):
     python scripts/fprints.py          # rewrites QUERY_FPRINTS.json
 """
