@@ -742,6 +742,30 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int = 5,
             .orderBy("step"))
 
 
+def _bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs, empty tokens dropped.
+
+    Built as ``arrays_zip`` of two 1-off array slices rather than a
+    ``transform(sequence(...), element_at)`` HOF: element_at re-walks
+    the array per index in the interpreted expression path, making the
+    HOF form O(n^2)-ish per row and ~10x slower end to end (measured
+    r13, sf0.1: 4.0s -> 0.37s for the pair build alone). Equivalence:
+    for i in 1..size-1 both emit (arr[i], arr[i+1]); single-token and
+    empty docs emit nothing (HOF form emitted a (w1, null) struct that
+    its filter dropped; the zip slices are simply empty); split() never
+    yields nulls, so the null guard is vacuous. Filter identical
+    (w1 != '' AND w2 != '').
+    """
+    arr = F.split(F.lower(F.col(text_col)), " ")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    return (df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.arrays_zip(F.slice(arr, 1, n1),
+                               F.slice(arr, 2, n1))).alias("bg"))
+        .select("__id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != "")))
+
+
 def bigram_logprob_scores(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -769,21 +793,7 @@ def bigram_logprob_scores(
     any scale; the count-table joins shuffle (pair, long) rows, never
     documents.
     """
-    arr = F.split(F.lower(F.col(text_col)), " ")
-    pairs = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
-                    lambda i: F.struct(
-                        F.element_at(arr, i).alias("w1"),
-                        F.element_at(arr, i + 1).alias("w2")),
-                ),
-                lambda s: (s["w1"] != "") & ~F.isnull(s["w2"]) & (s["w2"] != ""),
-            )
-        ).alias("bg"),
-    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = _bigram_pairs(df, id_col, text_col)
 
     toks = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
@@ -1301,21 +1311,7 @@ def kneser_ney_scores(
     in corpus tokens; model-table shuffles move (pair, long) rows,
     never documents.
     """
-    arr = F.split(F.lower(F.col(text_col)), " ")
-    pairs = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(arr) - 1, F.lit(1))),
-                    lambda i: F.struct(
-                        F.element_at(arr, i).alias("w1"),
-                        F.element_at(arr, i + 1).alias("w2")),
-                ),
-                lambda s: (s["w1"] != "") & ~F.isnull(s["w2"]) & (s["w2"] != ""),
-            )
-        ).alias("bg"),
-    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = _bigram_pairs(df, id_col, text_col)
 
     doc_bi = pairs.groupBy("__id", "w1", "w2") \
                   .agg(F.count(F.lit(1)).alias("cnt"))

@@ -107,8 +107,15 @@ def main() -> None:
 
     out = os.path.join(REPO, "plans", "r13", "profile.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    merged = {"sf_dir": sf_dir, "results": {}}
+    if os.path.exists(out):
+        try:
+            merged = json.load(open(out))
+        except ValueError:
+            pass
+    merged["results"].update(results)
     with open(out, "w") as f:
-        json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"wrote {out}")
 
 

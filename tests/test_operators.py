@@ -6186,3 +6186,21 @@ def test_kneser_ney_continuation_beats_raw_frequency(spark):
     out = {r["doc_id"]: r["mean_neg_logprob"]
            for r in kneser_ney_scores(docs, "doc_id", "text").collect()}
     assert out[3] < out[2]
+
+
+def test_bigram_pairs_edge_cases(spark):
+    # pins the arrays_zip pair builder (r13: replaced the transform/
+    # sequence HOF form) on the edges where the two differ structurally:
+    # empty doc, single token, consecutive spaces, uppercase folding
+    from league_of_legends_data_pipeline_spark.operators.text import (
+        _bigram_pairs)
+
+    docs = spark.createDataFrame(
+        [(1, "A b  c"),   # tokens [a, b, '', c] -> only (a,b) survives
+         (2, "x"),        # single token -> no pairs
+         (3, ""),         # empty -> no pairs
+         (4, "p q r")],   # (p,q) (q,r)
+        ["doc_id", "text"])
+    got = sorted((r["__id"], r["w1"], r["w2"])
+                 for r in _bigram_pairs(docs, "doc_id", "text").collect())
+    assert got == [(1, "a", "b"), (4, "p", "q"), (4, "q", "r")]
