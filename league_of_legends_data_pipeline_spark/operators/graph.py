@@ -445,44 +445,62 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
     nodes = (e.select(F.col("s").alias("node"))
              .unionAll(e.select(F.col("d").alias("node")))
              .distinct().localCheckpoint(eager=True))
+    # Scored frames carry only nodes with a nonzero-able raw sum; zero
+    # scores are restored ONCE in the final select. A node absent from a
+    # half-round's frame would have scored round(0*scale/max) = 0 there,
+    # and a 0-scored (or absent) node contributes exactly nothing to the
+    # next half-round's sums — so inner joins against the score frames
+    # compute the SAME integer sums as the r12 form that left-joined the
+    # full node set every half-round (2 node-sized joins/round removed).
+    # Checkpointing the RAW sums (not the normalized frames) means the
+    # heavy join+aggregate runs once per half-round — the r12 form
+    # computed it twice (once under the max-collect, once under the
+    # normalized frame's own eager checkpoint). The max stays a
+    # collected literal divisor (tiny K-row action on the checkpointed
+    # frame), keeping the 0/null degenerate guards driver-visible.
     hub = nodes.withColumn("h", F.lit(scale).cast("long"))
     auth = None
     for _ in range(iterations):
         # authority pass: a(i) = sum of hub(j) over edges j -> i
         a_raw = (e.join(hub.withColumnRenamed("node", "s"), "s")
                  .groupBy(F.col("d").alias("node"))
-                 .agg(F.sum("h").alias("__a")))
-        a_max = a_raw.agg(F.max("__a")).first()[0]
+                 .agg(F.sum("h").alias("__a"))
+                 .localCheckpoint(eager=True))
+        a_max_row = a_raw.agg(F.max("__a")).first()
+        a_max = a_max_row[0] if a_max_row else None
         if not a_max:  # no edges reach any hub-scored source: degenerate
             return nodes.select(
                 "node", F.lit(0).cast("long").alias("hub_mu"),
                 F.lit(0).cast("long").alias("auth_mu"))
-        auth = (nodes.join(a_raw, "node", "left")
-                .select("node",
-                        F.round(F.coalesce(F.col("__a"), F.lit(0))
-                                * F.lit(float(scale)) / F.lit(float(a_max)))
-                        .cast("long").alias("a"))
-                .localCheckpoint(eager=True))
+        auth = a_raw.select(
+            "node",
+            F.round(F.col("__a") * F.lit(float(scale))
+                    / F.lit(float(a_max))).cast("long").alias("a"))
         # hub pass: h(j) = sum of auth(i) over edges j -> i
         h_raw = (e.join(auth.withColumnRenamed("node", "d"), "d")
                  .groupBy(F.col("s").alias("node"))
-                 .agg(F.sum("a").alias("__h")))
-        h_max = h_raw.agg(F.max("__h")).first()[0]
+                 .agg(F.sum("a").alias("__h"))
+                 .localCheckpoint(eager=True))
+        h_max_row = h_raw.agg(F.max("__h")).first()
+        h_max = h_max_row[0] if h_max_row else None
         if not h_max:  # unreachable when a_max > 0 (the max-auth node is
             # an edge dst, so its source's hub sum is positive) — kept as
             # a cheap belt-and-braces guard against a null/0 divisor
-            return (nodes.join(auth, "node")
+            return (nodes.join(auth, "node", "left")
                     .select("node", F.lit(0).cast("long").alias("hub_mu"),
-                            F.col("a").alias("auth_mu")))
-        hub = (nodes.join(h_raw, "node", "left")
-               .select("node",
-                       F.round(F.coalesce(F.col("__h"), F.lit(0))
-                               * F.lit(float(scale)) / F.lit(float(h_max)))
-                       .cast("long").alias("h"))
-               .localCheckpoint(eager=True))
-    return (hub.join(auth, "node")
-            .select("node", F.col("h").alias("hub_mu"),
-                    F.col("a").alias("auth_mu")))
+                            F.coalesce(F.col("a"), F.lit(0)).cast("long")
+                            .alias("auth_mu")))
+        hub = h_raw.select(
+            "node",
+            F.round(F.col("__h") * F.lit(float(scale))
+                    / F.lit(float(h_max))).cast("long").alias("h"))
+    return (nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select("node",
+                    F.coalesce(F.col("h"), F.lit(0)).cast("long")
+                    .alias("hub_mu"),
+                    F.coalesce(F.col("a"), F.lit(0)).cast("long")
+                    .alias("auth_mu")))
 
 
 def k_core(edges: DataFrame, k: int, rounds: int,
