@@ -120,7 +120,15 @@ def write_bucketed(
     for the exchange-free plan; ``tests/test_sinks_state.py`` asserts the
     executed join plan contains no Exchange.
     """
-    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    # Align write partitions with buckets first: without this, every
+    # input partition emits its own file per bucket it touches — up to
+    # tasks x num_buckets files (observed 1024 x ~8 KB for the r12 band
+    # index at sf0.1, the §6 small-file problem at both write and every
+    # subsequent bucketed scan). repartition(n, cols) and bucketBy(n,
+    # cols) share Murmur3-pmod-n placement, so each task then holds
+    # exactly one bucket: num_buckets files total, content unchanged.
+    w = (df.repartition(num_buckets, *bucket_cols)
+         .write.mode(mode).bucketBy(num_buckets, *bucket_cols))
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
