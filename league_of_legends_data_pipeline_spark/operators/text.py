@@ -1010,8 +1010,13 @@ def winnow_similarity_pairs(df: DataFrame, id_col: str, text_col: str,
     yields <= C(max_doc_freq, 2) pairs, so the join is linear in
     (#fingerprints * max_doc_freq^2), never quadratic in corpus size.
     """
+    # checkpoint the slim (id, fp) set once: four consumers (sizes,
+    # df_counts, both join sides) would otherwise re-run the O(n*w)
+    # per-character md5 fingerprint scan — the dominant cost — up to
+    # 4x (r13; the exact_ntile/global_rank convention)
     fps = (winnow_fingerprints(df, id_col, text_col, k=k, w=w)
-           .select(F.col(id_col).alias("__id"), "fp").distinct())
+           .select(F.col(id_col).alias("__id"), "fp").distinct()
+           .localCheckpoint(eager=True))
     sizes = fps.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     df_counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
     kept = (fps.join(df_counts.filter(F.col("__df") <= max_doc_freq)
