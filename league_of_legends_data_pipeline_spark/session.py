@@ -73,6 +73,20 @@ _NANO_TS_COLS = {
 }
 
 
+# (session-identity, sf_dir, table) -> constructed DataFrame. A LOGICAL
+# PLAN cache, not a data cache: every action on a memoized frame still
+# scans the parquet files — nothing is persisted or precomputed. What it
+# saves is the per-call driver work load_tables previously repaid on
+# every one of the ~340 bench queries (re-listing the path, re-reading
+# the footer schema, re-analyzing the normalization projection,
+# re-registering the temp view): ~270 ms/table on the r13 VM, ~100+ s
+# across a bench run. Keyed on (id(session), applicationId) so a new
+# session/process can never see another session's plans; within one
+# process the file listing is snapshotted at first use, which is exactly
+# the bench/parity contract (testdata is immutable for a run).
+_TABLE_CACHE: dict = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict:
     """Load the driver-generated parquet tables and register temp views."""
     names = names or [
@@ -84,14 +98,35 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     # timestamps are timezone-naive, and year()/window() over a non-UTC
     # session timezone would shift event-time-derived results
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key_base = (id(spark), spark.sparkContext.applicationId, sf_dir)
     out = {}
     for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for c in _NANO_TS_COLS.get(name, []):
-            if c in df.columns and dict(df.dtypes)[c] == "bigint":
-                df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-        df = normalize_ntz(df)
-        df.createOrReplaceTempView(name)
+        key = key_base + (name,)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            # ONE select for the whole normalization (nano-ts rewrite +
+            # NTZ cast): each withColumn used to trigger its own full
+            # plan re-analysis per column
+            nano = set(_NANO_TS_COLS.get(name, []))
+            dtypes = df.dtypes
+            cols, changed = [], False
+            for c, dtype in dtypes:
+                if c in nano and dtype == "bigint":
+                    cols.append(F.expr(f"timestamp_micros({c} div 1000)")
+                                .alias(c))
+                    changed = True
+                elif dtype == "timestamp_ntz":
+                    # see normalize_ntz: session tz is pinned UTC, so the
+                    # cast is value-preserving
+                    cols.append(F.col(c).cast("timestamp").alias(c))
+                    changed = True
+                else:
+                    cols.append(F.col(c))
+            if changed:
+                df = df.select(*cols)
+            df.createOrReplaceTempView(name)
+            _TABLE_CACHE[key] = df
         out[name] = df
     return out
 
