@@ -285,6 +285,73 @@ def ivf_topk(
     )
 
 
+def ivf_topk_curve(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 64,
+    nprobes: tuple[int, ...] = (1, 2, 3),
+) -> dict[int, DataFrame]:
+    """:func:`ivf_topk` evaluated at SEVERAL ``nprobe`` values with the
+    expensive parts shared (r13): the corpus-side centroid assignment is
+    identical for every nprobe, and a query's top-``n`` probe list is the
+    rank-filtered prefix of its top-``max(nprobes)`` list (row_number
+    with the same deterministic tie-break) — so one assignment pass +
+    one probe ranking serve the whole recall curve instead of
+    ``len(nprobes)`` full rebuilds. Per-value results are bit-identical
+    to independent ``ivf_topk`` calls; both frames are eagerly
+    checkpointed because every curve point re-joins them.
+    """
+    cents = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("__ce"),
+    ).withColumn("__cn", l2_norm(F.col("__ce")))
+
+    def nearest(df: DataFrame, prefix: str, n: int) -> DataFrame:
+        v = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            _as_double(F.col(vec_col)).alias(f"__{prefix}v"),
+        ).withColumn(f"__{prefix}n", l2_norm(F.col(f"__{prefix}v")))
+        scored = v.join(F.broadcast(cents)).withColumn(
+            "__ccos",
+            dot(F.col(f"__{prefix}v"), F.col("__ce"))
+            / (F.col(f"__{prefix}n") * F.col("__cn")))
+        w = Window.partitionBy(f"{prefix}_id").orderBy(
+            F.col("__ccos").desc(), F.col("cid").asc())
+        return (scored.withColumn("__crk", F.row_number().over(w))
+                .filter(F.col("__crk") <= n)
+                .select(f"{prefix}_id", f"__{prefix}v", f"__{prefix}n",
+                        "cid", "__crk"))
+
+    assigned = (nearest(corpus.repartition(_par(corpus), F.col(id_col)),
+                        "neighbor", 1).drop("__crk")
+                .localCheckpoint(eager=True))
+    probes_all = (nearest(queries, "query", max(nprobes))
+                  .localCheckpoint(eager=True))
+    out: dict[int, DataFrame] = {}
+    for nprobe in nprobes:
+        probes = probes_all.filter(F.col("__crk") <= nprobe).drop("__crk")
+        cands = (
+            assigned.join(probes, "cid")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        scored = cands.withColumn(
+            "cosine",
+            F.round(dot(F.col("__neighborv"), F.col("__queryv"))
+                    / (F.col("__neighborn") * F.col("__queryn")), 6))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc())
+        out[nprobe] = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine")
+        )
+    return out
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",

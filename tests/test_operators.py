@@ -176,6 +176,26 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, approx.collect()))
 
 
+def test_ivf_topk_curve_matches_independent_calls(spark):
+    """The shared-assignment curve (r13) must be bit-identical to
+    independent ivf_topk calls at every nprobe point."""
+    from league_of_legends_data_pipeline_spark.operators.similarity import (
+        ivf_topk, ivf_topk_curve,
+    )
+
+    import random
+    rng = random.Random(11)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 4)
+    curve = ivf_topk_curve(df, queries, k=3, centroid_stride=10,
+                           nprobes=(1, 2, 3))
+    for nprobe in (1, 2, 3):
+        solo = ivf_topk(df, queries, k=3, centroid_stride=10, nprobe=nprobe)
+        assert sorted(map(tuple, solo.collect())) == \
+            sorted(map(tuple, curve[nprobe].collect())), f"nprobe={nprobe}"
+
+
 def test_bpe_pieces_oracle(spark):
     import re
 
