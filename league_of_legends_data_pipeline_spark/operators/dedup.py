@@ -1655,9 +1655,17 @@ def prefix_filter_pairs(
     arrays verifies survivors.
 
     Shuffle discipline mirrors ``minhash_lsh_pairs``: the candidate
-    join moves (token_rank, doc_id, size) rows only — never arrays —
-    and the token arrays are re-attached by two doc_id equi-joins for
-    single-transfer verification.
+    join moves (token_hash, doc_id, size, rank) rows only — never
+    arrays or token strings (the join key is ``xxhash64(tok)``, 8
+    bytes, instead of the shingle string; a hash collision can only
+    ADD a candidate pair, which exact verification removes, so the
+    key narrowing is lossless) — and the token arrays are re-attached
+    by two doc_id equi-joins for single-transfer verification.
+    Verification intersects arrays of the same 64-bit token hashes
+    rather than the shingle strings (the ``minhash_lsh_pairs`` hashed-
+    shingle convention: identical to string-set Jaccard up to 64-bit
+    collisions, ~2^-64 per token pair, and several times cheaper to
+    carry and intersect).
 
     100 TB shape: one explode + one token-frequency aggregate + one
     per-doc window (partitioned by doc — no global sort) + one
@@ -1665,7 +1673,13 @@ def prefix_filter_pairs(
     the candidate join, whose fan-out is bounded by prefix-token
     rarity; corpora with degenerate vocabularies (every doc the same
     tokens) degrade gracefully to the same cost as their true output
-    size, which is inherently quadratic for such corpora.
+    size, which is inherently quadratic for such corpora. The two
+    ``localCheckpoint`` calls materialize corpus-linear relations (one
+    (id, shingles) row per doc; one prefix row per prefix token) that
+    are each consumed by 2+ downstream branches — without them the
+    shingling projection ran once per branch (6 parquet scans in the
+    r13 formatted plan) and the freq-join+window ran once per
+    candidate-join side.
 
     Float guard: prefix length and the size filter subtract 1e-9
     before ceil/compare so binary-float dust (0.4*5 = 2.0000...4)
@@ -1684,27 +1698,47 @@ def prefix_filter_pairs(
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     t = float(threshold)
-    elems = (tokens(text_col) if shingle_n <= 1
-             else word_ngrams(text_col, shingle_n))
-    docs = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_sort(F.array_distinct(elems)).alias("toks"),
-    ).filter(F.size("toks") > 0).repartition(_par(df), "doc_id")
+    elems = (tokens("__t") if shingle_n <= 1
+             else word_ngrams("__t", shingle_n))
+    # repartition the RAW (id, text) rows BEFORE the shingle projection —
+    # projected-then-repartitioned, the projection sits under the exchange
+    # and a single-file input shingles in one task; materialize the result
+    # once for its 4 consumers (token explode used twice, both verify
+    # sides). `hs` = per-token xxhash64, the narrow join/verify currency.
+    docs = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .repartition(_par(df), "doc_id")
+        .select("doc_id", F.array_sort(F.array_distinct(elems)).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select("doc_id", "toks",
+                F.transform("toks", lambda s: F.xxhash64(s)).alias("hs"))
+        .localCheckpoint(eager=True)
+    )
     tok_rows = docs.select(
-        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("tok"))
-    freq = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+        "doc_id", F.size("toks").alias("sz"),
+        F.explode(F.arrays_zip("toks", "hs")).alias("__z")
+    ).select("doc_id", "sz", F.col("__z.toks").alias("tok"),
+             F.col("__z.hs").alias("h"))
+    freq = tok_rows.groupBy("h").agg(F.count(F.lit(1)).alias("dfc"))
+    # dfc is counted per HASH, not per token string: it equals the token's
+    # document frequency except on 64-bit collisions, where colliding
+    # tokens share one (slightly larger) dfc — still a function of the
+    # token, so (dfc, tok) below remains a consistent GLOBAL total order
+    # and the prefix guarantee holds exactly. The string tie-break keeps
+    # the order total even across collisions.
     ranked = (
-        tok_rows.join(freq, "tok")
+        tok_rows.join(freq, "h")
         .withColumn("rnk", F.row_number().over(
             Window.partitionBy("doc_id").orderBy("dfc", "tok")))
         .filter(F.col("rnk") <=
                 F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - 1e-9) + 1)
-        .select("tok", "doc_id", "sz", "rnk")
+        .select("h", "doc_id", "sz", "rnk")
+        .localCheckpoint(eager=True)
     )
-    a = ranked.select("tok", F.col("doc_id").alias("id_a"),
+    a = ranked.select("h", F.col("doc_id").alias("id_a"),
                       F.col("sz").alias("sz_a"),
                       F.col("rnk").alias("pos_a"))
-    b = ranked.select("tok", F.col("doc_id").alias("id_b"),
+    b = ranked.select("h", F.col("doc_id").alias("id_b"),
                       F.col("sz").alias("sz_b"),
                       F.col("rnk").alias("pos_b"))
     # PPJoin positional filter (Xiao et al. WWW'08): J >= t forces
@@ -1723,7 +1757,7 @@ def prefix_filter_pairs(
     minoverlap = F.ceil(F.lit(t / (1.0 + t))
                         * (F.col("sz_a") + F.col("sz_b")) - 1e-9)
     cands = (
-        a.join(b, "tok")
+        a.join(b, "h")
         .filter((F.col("id_a") < F.col("id_b"))
                 & (F.least("sz_a", "sz_b")
                    >= F.lit(t) * F.greatest("sz_a", "sz_b") - 1e-9)
@@ -1735,9 +1769,9 @@ def prefix_filter_pairs(
     )
     pairs = (
         cands.join(docs.select(F.col("doc_id").alias("id_a"),
-                               F.col("toks").alias("sh_a")), "id_a")
+                               F.col("hs").alias("sh_a")), "id_a")
         .join(docs.select(F.col("doc_id").alias("id_b"),
-                          F.col("toks").alias("sh_b")), "id_b")
+                          F.col("hs").alias("sh_b")), "id_b")
     )
     return jaccard_verified_pairs(pairs, "sh_a", "sh_b", t)
 

@@ -254,10 +254,11 @@ PLAN_SHAPE_GOLDENS = {
     "q157_audio_features": {},
     "q158_video_metadata": {},
     "q159_lsh_bucket_stats": {},
-    # 5 BNLJ = the documented scalar-broadcast crossJoins of 1-row
-    # frames (sketch row x exact-dual rows), 1 BHJ = the intersect
-    "q160_kmv_corpus_overlap": {"BroadcastNestedLoopJoin": 5,
-                                "BroadcastHashJoin": 1},
+    # 2 BNLJ = the scalar-broadcast crossJoins attaching the two KMV
+    # sketch rows to the exact-dual row; the r13 one-pass rewrite
+    # collapsed the union-distinct/intersect branches (1 BHJ + 3 BNLJ)
+    # into a single per-hash side-flag aggregate
+    "q160_kmv_corpus_overlap": {"BroadcastNestedLoopJoin": 2},
     # round-8 cleaning tier: q161-q164 are map-only projections plus one
     # aggregate/window — zero joins by design; q165's only joins are the
     # candidate broadcast semi-join and the 1-row n_candidates broadcast
@@ -309,7 +310,10 @@ PLAN_SHAPE_GOLDENS = {
     # semi-join sides grow with the graph, so AQE correctly flips them
     # between broadcast (sf0.001) and sort-merge (sf0.1) — pinning would
     # freeze the wrong strategy at one of the scales.
-    "q186_prefix_filter_pairs": {"BroadcastHashJoin": 5},
+    # 3 BHJ: the hash->dfc attach + the two hashed-array verify joins;
+    # the shingle and prefix relations are localCheckpoint-truncated
+    # (r13), so the freq/window subtree no longer repeats per join side
+    "q186_prefix_filter_pairs": {"BroadcastHashJoin": 3},
     "q188_mad_outliers": {"BroadcastHashJoin": 3},
     "q189_encoding_quality": {},
     "q190_dsir_selection": {"BroadcastHashJoin": 1,
@@ -324,7 +328,10 @@ PLAN_SHAPE_GOLDENS = {
     "q194_sorted_neighborhood": {"BroadcastHashJoin": 3},
     "q195_ks_drift": {"BroadcastNestedLoopJoin": 1},
     "q196_kcenter_coreset": {},
-    "q197_hits_scores": {"SortMergeJoin": 1},
+    # 2 SMJ since the r13 single-compute rewrite: the final node-set
+    # left-join restoring zero-scored nodes, plus the hub<->authority
+    # attach — both over checkpoint-truncated K-row frames
+    "q197_hits_scores": {"SortMergeJoin": 2},
     "q198_mutual_knn": {"SortMergeJoin": 1, "WindowGroupLimit": 4,
                         "BroadcastNestedLoopJoin": 2},
     "q199_quantile_normalize": {},
@@ -341,13 +348,17 @@ PLAN_SHAPE_GOLDENS = {
     "q210_grouping_sets": {},
     "q211_dynamic_pivot": {},
     "q212_partition_digest_diff": {},
-    # 3 IVF passes + exact baseline + hit joins: the composition's join
-    # census is large but identical at both SFs (all sides bounded by
-    # the fixed query slice / centroid count)
-    "q213_ivf_nprobe_curve": {"BroadcastNestedLoopJoin": 11,
-                              "SortMergeJoin": 6, "WindowGroupLimit": 23},
+    # r13 shared-assignment rewrite: ONE checkpointed centroid
+    # assignment + probe ranking feed all three curve points, so the
+    # repeated per-nprobe IVF subtrees (11 BNLJ / 23 WindowGroupLimit)
+    # collapse to the exact slate's hit joins + one query-vec broadcast
+    "q213_ivf_nprobe_curve": {"BroadcastNestedLoopJoin": 1,
+                              "SortMergeJoin": 6, "WindowGroupLimit": 6},
     "q214_weighted_median": {},
-    "q215_rfm_segments": {"BroadcastNestedLoopJoin": 1},
+    # r13: the ntile chain now rides an eager localCheckpoint of the
+    # user frame, so the boundary-broadcast BNLJ sits below the
+    # truncation and the executed final plan shows no join
+    "q215_rfm_segments": {},
     "q216_cusum_changepoint": {"BroadcastNestedLoopJoin": 1},
     "q217_selfjoin_size_estimate": {"BroadcastNestedLoopJoin": 1,
                                     "BroadcastHashJoin": 1},
@@ -561,12 +572,11 @@ PLAN_SHAPE_GOLDENS = {
     # enumeration; the BNLJs are range-condition bin joins
     "q287_isotonic_calibration": {"BroadcastHashJoin": 1,
                                   "BroadcastNestedLoopJoin": 2},
-    # q288: the SMJ is the corpus-sized Gram self-join on vec_id (the
-    # one shuffle that must scale); matvec/normalize stages are 64-row
-    # broadcasts off the checkpointed covariance
-    "q288_pca_power_iteration": {"SortMergeJoin": 1,
-                                 "BroadcastHashJoin": 1,
-                                 "BroadcastNestedLoopJoin": 2},
+    # r13 driver-matvec rewrite: the corpus-sized Gram aggregate is an
+    # eager checkpoint inside the build (the one pass that must scale);
+    # the 64-double matvec rounds run on the driver, so the final
+    # executed plan is a joinless 64-row literal projection
+    "q288_pca_power_iteration": {},
     # q289: one corpus aggregate to the 35-cell family; the BNLJ is the
     # 1-row k* broadcast back onto the checkpointed ranked panel
     "q289_fdr_bh": {"BroadcastNestedLoopJoin": 1},
@@ -621,12 +631,13 @@ PLAN_SHAPE_GOLDENS = {
     # q305: the BNLJs are the 1-row totals + best-F1 broadcasts onto
     # the checkpointed bin panel
     "q305_average_precision": {"BroadcastNestedLoopJoin": 2},
-    # q306 (r11 top-k rewrite): the BNLJ is the derived-q' single-row
-    # broadcast onto the checkpointed score frame; the BHJ is the 10-row
-    # original-slate flag join; slates come from TakeOrderedAndProject,
-    # never a corpus rank window
+    # q306 (r11 top-k rewrite + r13 posexplode slates): the BNLJs are
+    # the derived-q' single-row broadcast onto the checkpointed score
+    # frame and the query-vector re-attach to the exploded slate sums;
+    # the BHJ is the 10-row original-slate flag join; slates come from
+    # TakeOrderedAndProject, never a corpus rank window
     "q306_rocchio_prf": {"BroadcastHashJoin": 1,
-                         "BroadcastNestedLoopJoin": 1},
+                         "BroadcastNestedLoopJoin": 2},
     # q307: edge blocking + two customer-dimension attaches (broadcast
     # at these SFs; size-adaptive like q296's degree joins)
     "q307_fellegi_sunter": {"BroadcastHashJoin": 3},
