@@ -550,14 +550,23 @@ def kmeans_refine(
                      _as_double(F.col(vec_col)).alias("__v"))
     # Bound the driver-side centroid matrix: at a fixed stride C = N/stride
     # grows with the corpus, so widen the stride until C <= max_centroids.
-    # The count is one columnless scan (parquet row-group metadata); at
-    # test scales (N <= stride * max_centroids) the stride is unchanged,
-    # so the oracle's literal `id % stride = 0` seeding still matches.
-    # Count and seed-collect run on the pre-shuffle frame (scan-only).
-    n = base.count()
+    # The corpus count rides the seed-collect action as an Observation
+    # (CollectMetrics sits above the scan and below the seed filter —
+    # predicates are not pushed through it — so one job yields both N
+    # and the stride-``centroid_stride`` seeds); only if N forces a wider
+    # stride does a second, rarer collect re-seed. At test scales
+    # (N <= stride * max_centroids) the stride is unchanged, so the
+    # oracle's literal `id % stride = 0` seeding still matches.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    seed_rows = (base.observe(obs, F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("__id") % centroid_stride == 0).collect())
+    n = obs.get["n"]
     stride = max(centroid_stride, -(-n // max_centroids))  # ceil div
-    cents = [(int(r["__id"]), list(r["__v"])) for r in
-             base.filter(F.col("__id") % stride == 0).collect()]
+    if stride != centroid_stride:
+        seed_rows = base.filter(F.col("__id") % stride == 0).collect()
+    cents = [(int(r["__id"]), list(r["__v"])) for r in seed_rows]
     if top2 and len(cents) < 2:
         # the runner-up centroid is undefined with a single centroid —
         # fail loudly rather than emit null cosine2 (the
@@ -629,11 +638,20 @@ def kmeans_refine(
 
     assigned = assign(v, cents)
     for _ in range(iterations - 1):
-        means = (assigned.groupBy("cluster")
-                 .agg(*[F.round(F.avg(F.element_at("__v", i + 1)), 9)
-                        .alias(f"m{i}") for i in range(dim)]))
-        cents = [(int(r["cluster"]), [r[f"m{i}"] for i in range(dim)])
-                 for r in means.collect()]
+        # element-wise means as a NARROW posexplode + groupBy(cluster, dim)
+        # aggregate: the previous 64-avg-expression-wide form spent seconds
+        # per round in generated-code size alone (the r13 q306/q302
+        # finding); the rounding contract is unchanged — 9 dp absorbs the
+        # last-ulp aggregation-order nondeterminism either shape has.
+        mrows = (assigned
+                 .select("cluster", F.posexplode("__v").alias("__j", "__xv"))
+                 .groupBy("cluster", "__j")
+                 .agg(F.round(F.avg("__xv"), 9).alias("__m"))
+                 .collect())
+        by_c: dict[int, list] = {}
+        for r in mrows:
+            by_c.setdefault(int(r["cluster"]), [None] * dim)[r["__j"]] = r["__m"]
+        cents = sorted(by_c.items())
         if top2 and len(cents) < 2:
             # a cluster can empty DURING refinement (every vector argmaxed
             # elsewhere); with one centroid left the runner-up is undefined
