@@ -944,6 +944,12 @@ def hamming_pairs(
             for i in range(chunks)
         ])).alias("chunk_id", "chunk_val"),
     )
+    # bucket cap stays the groupBy+join form: an r13 interleaved A/B of
+    # the window-count alternative (one shared exchange, the _cap_buckets
+    # device) measured SLOWER here — steady 1.4-1.8 s vs 1.8-2.1 s on the
+    # q44 simhash path and 5-10 s vs 8-18 s on the q181 audio path — the
+    # partial-aggregated counts branch is cheaper than sorting every
+    # chunk row for WindowExec.
     counts = chunked.groupBy("chunk_id", "chunk_val").agg(
         F.count(F.lit(1)).alias("__bc"))
     chunked = chunked.join(counts.filter(F.col("__bc") <= max_bucket_size),

@@ -856,15 +856,21 @@ def _pq_codebook(sub: DataFrame, centroid_stride: int,
 
 def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """(__id, j, code): nearest codeword per (vector, subspace) — argmin
-    of the sequential-fold squared L2, ties to the smallest codeword id."""
-    w = Window.partitionBy("__id", "j").orderBy(
-        F.col("__d2").asc(), F.col("cid").asc())
+    of the sequential-fold squared L2, ties to the smallest codeword id.
+
+    The argmin is ``min(struct(d2, cid))`` — struct ordering compares d2
+    first then cid, exactly the old row_number window's (d2 asc, cid asc)
+    winner (Spark's double ordering is total, NaN greatest, both ways).
+    An aggregate instead of a window lets the N x C expansion collapse
+    MAP-SIDE to one row per (vector, subspace) before the exchange; the
+    window form shuffled and sorted every scored candidate row.
+    """
     return (
         sub.join(F.broadcast(cb), "j")
         .withColumn("__d2", _l2_sq(F.col("s"), F.col("cs")))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .select("__id", "j", F.col("cid").alias("code"))
+        .groupBy("__id", "j")
+        .agg(F.min(F.struct("__d2", "cid")).alias("__b"))
+        .select("__id", "j", F.col("__b.cid").alias("code"))
     )
 
 
