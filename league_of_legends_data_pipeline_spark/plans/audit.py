@@ -124,7 +124,10 @@ PINNED_BOUNDED_BNL: dict[str, int] = {
     "q140_retrieval_eval": 1,
     "q183_zone_map_pruning": 1,
     "q198_mutual_knn": 1,
-    "q213_ivf_nprobe_curve": 5,
+    # q213 left the list in r13: the shared-assignment rewrite checkpoints
+    # the centroid assignment and probe ranking, so the per-nprobe IVF
+    # subtrees (5 pinned query-vector BNLs) no longer appear in the
+    # executed plan — zero unbounded BNLs, the audit default
     "q254_bootstrap_did_ci": 1,
     "q287_isotonic_calibration": 2,
     "q291_rank_stability": 1,

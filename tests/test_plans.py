@@ -228,7 +228,10 @@ def test_q97_nested_in_becomes_semi_joins(spark):
 # crossJoins — 1-row/k-row frames, not data joins.)
 
 PLAN_SHAPE_GOLDENS = {
-    "q133_supplier_pagerank": {"SortMergeJoin": 7, "BroadcastHashJoin": 11,
+    # r13: edges come from per-order collect_set + explode and are
+    # checkpoint-truncated, so the self-join SMJs and the repeated
+    # edge-subtree joins fell out of the executed plan
+    "q133_supplier_pagerank": {"SortMergeJoin": 2, "BroadcastHashJoin": 5,
                                "BroadcastNestedLoopJoin": 3},
     "q82_lsh_recall": {"SortMergeJoin": 1, "BroadcastHashJoin": 3,
                        "BroadcastNestedLoopJoin": 1},
