@@ -25,7 +25,10 @@ Boundedness is judged on the STREAMED lineage only (r11 ADVICE closed the
 two launder paths): an aggregate on the broadcast (build) side of a join
 does not bound the streamed corpus the window sorts, and neither does an
 aggregate on the non-streamed side of a SHUFFLED join — a raw corpus
-sort-merge-joined to a tiny aggregated frame is still corpus-sized.
+sort-merge-joined to a tiny aggregated frame is still corpus-sized. The
+r12 ADVICE mirrored that rule to the left branch: a shuffled join bounds
+its output only when BOTH branches are bounded, because an aggregated
+LEFT inner-joined to a raw corpus RIGHT fans back out to corpus size.
 
 :func:`count_unbounded_bnl_cartesian` (r11 verdict #4) guards the sibling
 scale-killer class: a ``BroadcastNestedLoopJoin`` whose build side is not
@@ -133,6 +136,13 @@ PINNED_BOUNDED_BNL: dict[str, int] = {
     "q291_rank_stability": 1,
     "q294_mmr_rerank": 1,
     "q298_silhouette_score": 1,
+    # q306's r13 posexplode rewrite re-attaches the query vector to the
+    # 64-row Rocchio dimension frame via pos.crossJoin(broadcast(q)):
+    # the build side is the `vec_id = 0` equality filter on embeddings —
+    # a 1-row frame by the TESTDATA unique-id contract (shape 1 above),
+    # which the string audit sees as a raw scan. r13 VERDICT/ADVICE: this
+    # BNL shipped unpinned, leaving PLANS.md's bnl=1 row ungated.
+    "q306_rocchio_prf": 1,
     "q311_kendall_tau_rank_agreement": 1,
     "q319_mcc_report": 1,
 }
@@ -240,6 +250,14 @@ def _bounded(node: _Node | None, exchanges: dict[str, _Node],
     if _JOIN.match(c):
         if "CartesianProduct" in c:
             # k x m is bounded only if both factors are
+            return all(_bounded(k, exchanges, seen) for k in node.children)
+        if "SortMergeJoin" in c or "ShuffledHashJoin" in c:
+            # r12 ADVICE: BOTH sides of a shuffled join stream corpus rows,
+            # so an aggregated LEFT inner-joined to a raw corpus RIGHT is
+            # still corpus-sized (each bounded left row fans out to its
+            # matching raw rows). Bounded output needs both branches
+            # bounded — the r11 "non-streamed side must not launder"
+            # rule, mirrored to the left branch.
             return all(_bounded(k, exchanges, seen) for k in node.children)
         streamed, _build = _join_sides(node)
         return _bounded(streamed, exchanges, seen)

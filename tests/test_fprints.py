@@ -63,6 +63,94 @@ def test_fingerprint_changes_only_for_edited_chunk():
     assert sql_edit["q01_alpha"] != base["q01_alpha"]
 
 
+_SYNTH_OPS = '''\
+from pyspark.sql import functions as F
+
+from league_of_legends_data_pipeline_spark.operators._util import xhash
+
+_SEED = 42
+
+
+def _pairs(arr):
+    return xhash(arr, _SEED)
+
+
+def scores(df):
+    return _pairs(df)
+
+
+def unrelated(df):
+    return df
+'''
+
+_SYNTH_UTIL = '''\
+def xhash(arr, seed):
+    return arr
+'''
+
+_SYNTH_Q = '''\
+@_register(
+    "q01_alpha",
+    None,
+)
+def q01_alpha(spark, sf_dir):
+    from league_of_legends_data_pipeline_spark.operators.text import scores
+    return scores(spark.range(1))
+
+
+@_register(
+    "q02_beta",
+    None,
+)
+def q02_beta(spark, sf_dir):
+    from league_of_legends_data_pipeline_spark.operators.text import unrelated
+    return unrelated(spark.range(2))
+'''
+
+
+def _reader(mods):
+    return lambda mod: mods.get(mod)
+
+
+def test_operator_dep_edit_flips_only_importers():
+    """r13 verdict item #1: an edit to an operator function (or a helper
+    it reaches transitively, in its own module or one it imports) must
+    flip the fingerprint of exactly the queries whose builders import a
+    function that reaches it — not every importer of the module."""
+    base_mods = {
+        "league_of_legends_data_pipeline_spark.operators.text": _SYNTH_OPS,
+        "league_of_legends_data_pipeline_spark.operators._util": _SYNTH_UTIL,
+    }
+    base = fingerprint_chunks(_SYNTH_Q, _reader(base_mods))
+    # edit the transitive same-module helper _pairs: q01 (scores -> _pairs)
+    # flips, q02 (unrelated) does not
+    edit1 = dict(base_mods)
+    edit1["league_of_legends_data_pipeline_spark.operators.text"] = \
+        _SYNTH_OPS.replace("xhash(arr, _SEED)", "xhash(arr, _SEED + 1)")
+    fp1 = fingerprint_chunks(_SYNTH_Q, _reader(edit1))
+    assert fp1["q01_alpha"] != base["q01_alpha"]
+    assert fp1["q02_beta"] == base["q02_beta"]
+    # edit the CROSS-module dep (_util.xhash): q01 flips, q02 does not
+    edit2 = dict(base_mods)
+    edit2["league_of_legends_data_pipeline_spark.operators._util"] = \
+        _SYNTH_UTIL.replace("return arr", "return arr  # changed")
+    fp2 = fingerprint_chunks(_SYNTH_Q, _reader(edit2))
+    assert fp2["q01_alpha"] != base["q01_alpha"]
+    assert fp2["q02_beta"] == base["q02_beta"]
+    # a module-level constant the helper references is part of the closure
+    edit3 = dict(base_mods)
+    edit3["league_of_legends_data_pipeline_spark.operators.text"] = \
+        _SYNTH_OPS.replace("_SEED = 42", "_SEED = 43")
+    fp3 = fingerprint_chunks(_SYNTH_Q, _reader(edit3))
+    assert fp3["q01_alpha"] != base["q01_alpha"]
+    assert fp3["q02_beta"] == base["q02_beta"]
+    # an unresolvable dependency must not hash equal to a readable one
+    fp4 = fingerprint_chunks(
+        _SYNTH_Q,
+        _reader({k: v for k, v in base_mods.items() if "_util" not in k}))
+    assert fp4["q01_alpha"] != base["q01_alpha"]
+
+
 def test_current_fingerprints_cover_registry():
     from league_of_legends_data_pipeline_spark.plans.queries import QUERIES
 

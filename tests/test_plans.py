@@ -877,7 +877,10 @@ def test_shuffled_join_does_not_launder_window_bound(spark):
     """r11 ADVICE: an aggregate on the NON-STREAMED side of a SHUFFLED
     join must not bound a window above the join — a raw corpus
     sort-merge-joined to a tiny aggregated frame is still corpus-sized.
-    The streamed/left branch is the one that must carry the bound."""
+    r12 ADVICE mirrored the rule to the LEFT branch (the r13 pinned
+    false negative, flipped in r14): an aggregated LEFT inner-joined to
+    a raw corpus RIGHT fans back out to corpus size, so a shuffled join
+    bounds its output only when BOTH branches are bounded."""
     from pyspark.sql import Window
 
     base = spark.range(10_000).select((F.col("id") % 7).alias("k"),
@@ -891,9 +894,15 @@ def test_shuffled_join_does_not_launder_window_bound(spark):
         assert _audit_count(
             base.join(agg, "k")
             .select(F.rank().over(Window.orderBy("v")).alias("r"))) == 1
-        # aggregate on the LEFT (streamed) branch: sanctioned
+        # aggregate on the LEFT, raw corpus on the RIGHT: the join output
+        # is still corpus-sized — must flag too (r12 ADVICE mirror)
         assert _audit_count(
             agg.join(base.withColumnRenamed("v", "w"), "k")
+            .select(F.rank().over(Window.orderBy("n")).alias("r"))) == 1
+        # BOTH branches aggregated: genuinely domain-bounded — sanctioned
+        agg2 = base.groupBy("k").agg(F.max("v").alias("mx"))
+        assert _audit_count(
+            agg.join(agg2, "k")
             .select(F.rank().over(Window.orderBy("n")).alias("r"))) == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -984,6 +993,38 @@ def test_checkpointed_panel_window_allowlist_is_exact(spark):
             df._jdf.queryExecution().executedPlan().toString())
         assert raw == allowed, \
             f"{name}: {raw} unbounded windows vs allowance {allowed}"
+
+
+def test_all_queries_sweep_spwin_and_bnl_net_of_pins(spark):
+    """r13 verdict item #3: the allowlist-exactness tests below only
+    iterate PINNED queries, so a flagged join/window in an UNPINNED query
+    (the r13 q306 bnl=+1 case) was invisible to the suite and surfaced
+    only in the committed PLANS.md. This sweep executes EVERY declared
+    non-streaming query and asserts the raw detector counts net of pins
+    are zero — no unpinned scale-killer can ship again."""
+    from league_of_legends_data_pipeline_spark.plans.audit import (
+        CHECKPOINTED_PANEL_WINDOWS, PINNED_BOUNDED_BNL,
+        count_unbounded_bnl_cartesian, count_unbounded_global_windows,
+    )
+
+    bad = []
+    for name, spec in QUERIES.items():
+        if "streaming" in name or "stream_" in name or name in (
+                "q46_stateful_quota", "q58_streaming_sessions",
+                "q63_stream_stream_join", "q41_streaming_tumbling"):
+            continue  # micro-batch plans differ; covered by test_streaming
+        df = spec.spark(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        net_win = (count_unbounded_global_windows(plan)
+                   - CHECKPOINTED_PANEL_WINDOWS.get(name, 0))
+        net_bnl = (count_unbounded_bnl_cartesian(plan)
+                   - PINNED_BOUNDED_BNL.get(name, 0))
+        if net_win or net_bnl:
+            bad.append((name, net_win, net_bnl))
+    assert bad == [], \
+        f"(query, sp-win, bnl) net of pins nonzero — unpinned " \
+        f"scale-killer or allowlist drift: {bad}"
 
 
 def test_pinned_bounded_bnl_allowlist_is_exact(spark):
