@@ -988,6 +988,10 @@ def ngram_jaccard_pairs(
     Candidates = pairs agreeing on ``band_cols`` with |length difference|
     <= tolerance (blocking). For unconstrained all-pairs at scale, use
     ``minhash_lsh_pairs`` — this operator is the exact verifier.
+    (Verification intersects xxhash64-hashed shingle arrays — the
+    minhash_lsh_pairs convention — so "exact" is collision-probability-
+    exact, ~2^-64 per shingle pair; blocking is hash-free, so the
+    candidate set itself is unaffected.)
 
     ``max_block_size`` is the quadratic-blowup guard (the q105
     ``max_codewords`` precedent): verification cost inside one block of
@@ -1002,30 +1006,46 @@ def ngram_jaccard_pairs(
     band_cols = band_cols or []
     # Order of operations matters for both parallelism and shuffle bytes:
     # exchange the RAW text first (small rows; spreads a single input file
-    # across the cluster), and compute the shingle arrays after the exchange
-    # so they are never serialized through a shuffle. Both join sides derive
-    # from the same exchange (ReuseExchange dedupes it).
-    raw = df.select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in band_cols],
-        (F.col(length_col) if length_col else F.length(text_col)).alias("__len"),
-        F.col(text_col).alias("__text"),
-    ).repartition(_par(df), "doc_id")
-    docs = raw.select(
-        "doc_id", *band_cols, "__len",
-        char_shingles("__text", shingle_k).alias("shingles"),
+    # across the cluster), and compute the shingle arrays after the
+    # exchange so they are never serialized through a shuffle. r14 (the
+    # prefix_filter_pairs hashed-shingle + attach-after convention):
+    # shingles are carried as xxhash64 longs — Jaccard on the hashed
+    # arrays is identical to string-set Jaccard up to 64-bit collisions
+    # (~2^-64 per shingle pair, the minhash_lsh_pairs convention;
+    # transform preserves array length, so set sizes match exactly) —
+    # and the (id, hs) relation is checkpointed ONCE for its consumers
+    # (guard count, both blocking-join sides, both verify attaches).
+    # Previously the shingle projection re-ran per branch and the
+    # 3x-exploded a-side shipped each doc's full STRING array through
+    # the blocking exchange; now the blocking join moves (band, id, len)
+    # rows only and arrays are re-attached by two doc_id equi-joins for
+    # single-transfer verification. ABAB same session at sf0.1 (q25):
+    # 2.0-2.4 s -> 1.37-1.6 s, 59196 result rows identical.
+    w = max(length_tolerance, 1)
+    docs = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in band_cols],
+            (F.col(length_col) if length_col else F.length(text_col))
+            .alias("__len"),
+            F.col(text_col).alias("__text"),
+        )
+        .repartition(_par(df), "doc_id")
+        .select("doc_id", *band_cols, "__len",
+                F.transform(char_shingles("__text", shingle_k),
+                            lambda s: F.xxhash64(s)).alias("hs"))
+        .localCheckpoint(eager=True)
     )
     # Length bucketing folds the |len_a - len_b| <= tol predicate into the
     # equi-join key: the build row sits in bucket floor(len/w); the probe row
     # checks buckets -1/0/+1 — every qualifying pair meets in exactly one
     # bucket, and the hash lookup prunes non-candidates instead of the join
     # condition evaluating per same-band pair.
-    w = max(length_tolerance, 1)
     if max_block_size is not None:
         # one count over (band, bucket) key rows — no shingles, no text —
-        # against the same exchange the join reuses
-        over = (raw.groupBy(*band_cols,
-                            F.floor(F.col("__len") / w).alias("__lb"))
+        # against the checkpointed relation the joins also read
+        over = (docs.groupBy(*band_cols,
+                             F.floor(F.col("__len") / w).alias("__lb"))
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") > max_block_size)
                 .orderBy(F.col("__n").desc())
@@ -1040,18 +1060,24 @@ def ngram_jaccard_pairs(
                 f"max_block_size if the quadratic cost is intended")
     a = docs.select(
         *band_cols, F.col("doc_id").alias("id_a"),
-        F.col("__len").alias("len_a"), F.col("shingles").alias("sh_a"),
+        F.col("__len").alias("len_a"),
         F.explode(F.array(*[F.floor(F.col("__len") / w) + d for d in (-1, 0, 1)]))
          .alias("__lb"),
     )
     b = docs.select(*band_cols, F.col("doc_id").alias("id_b"),
-                    F.col("__len").alias("len_b"), F.col("shingles").alias("sh_b"),
+                    F.col("__len").alias("len_b"),
                     F.floor(F.col("__len") / w).alias("__lb"))
-    cands = a.join(b, band_cols + ["__lb"]).filter(
+    cands = (a.join(b, band_cols + ["__lb"]).filter(
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= length_tolerance)
+    ).select("id_a", "id_b"))
+    pairs = (
+        cands.join(docs.select(F.col("doc_id").alias("id_a"),
+                               F.col("hs").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"),
+                          F.col("hs").alias("sh_b")), "id_b")
     )
-    return jaccard_verified_pairs(cands, "sh_a", "sh_b", threshold)
+    return jaccard_verified_pairs(pairs, "sh_a", "sh_b", threshold)
 
 
 def edit_distance_pairs(

@@ -1,10 +1,10 @@
-"""Capture .explain("formatted") for named queries into plans/r13/.
+"""Capture .explain("formatted") for named queries into plans/r14/.
 
 Usage:
     python scripts/capture_plans.py before q167_bigram_lm_scores q173_...
     python scripts/capture_plans.py after  q167_bigram_lm_scores
 
-Writes plans/r13/<query>_<tag>.txt. Runs at sf0.1 (the bench SF) so the
+Writes plans/r14/<query>_<tag>.txt. Runs at sf0.1 (the bench SF) so the
 AQE-facing stats match what the bench executes.
 """
 
@@ -27,7 +27,7 @@ def main() -> None:
     from league_of_legends_data_pipeline_spark.session import get_spark
 
     spark = get_spark("capture_plans")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(REPO, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name].spark(spark, sf_dir)

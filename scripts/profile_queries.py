@@ -105,7 +105,7 @@ def main() -> None:
               f"{rec['build']:6.3f} {rec['jobs']:4d} {rec['stages']:4d} "
               f"{rec['tasks']:5d} {'':>7s}")
 
-    out = os.path.join(REPO, "plans", "r13", "profile.json")
+    out = os.path.join(REPO, "plans", "r14", "profile.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     merged = {"sf_dir": sf_dir, "results": {}}
     if os.path.exists(out):

@@ -575,10 +575,12 @@ PLAN_SHAPE_GOLDENS = {
     # enumeration; the BNLJs are range-condition bin joins
     "q287_isotonic_calibration": {"BroadcastHashJoin": 1,
                                   "BroadcastNestedLoopJoin": 2},
-    # r13 driver-matvec rewrite: the corpus-sized Gram aggregate is an
-    # eager checkpoint inside the build (the one pass that must scale);
-    # the 64-double matvec rounds run on the driver, so the final
-    # executed plan is a joinless 64-row literal projection
+    # r13 driver-matvec rewrite, r14 Gram rewrite: the corpus-sized
+    # Gram/cov pass is ONE fused nested-posexplode aggregate collected
+    # inside the build (no self-join, no checkpoint — the one pass that
+    # must scale is joinless too); the 64-double matvec rounds run on
+    # the driver, so the final executed plan is a joinless 64-row
+    # literal projection
     "q288_pca_power_iteration": {},
     # q289: one corpus aggregate to the 35-cell family; the BNLJ is the
     # 1-row k* broadcast back onto the checkpointed ranked panel
