@@ -85,6 +85,22 @@ def char_shingles(col: str | Column, k: int = 5) -> Column:
     return F.array_distinct(F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k))))
 
 
+def _dedup_pairs(cands: DataFrame, df: DataFrame) -> DataFrame:
+    """Dedup candidate (id_a, id_b) rows on an EXPLICIT-count exchange.
+
+    ``dropDuplicates`` alone plans an AQE-coalescible exchange, and a
+    candidate key set is only a few MB however many pairs it holds — so
+    AQE collapses it to ONE post-shuffle partition, which then runs the
+    downstream array-attach joins and the O(|arrays|) verify
+    intersections single-threaded (r14 measurement on the q186 verify
+    chain: 1.5-2.1 s single-task vs 0.37-0.49 s spread). An explicit
+    ``repartition(n, keys)`` is never coalesced, and dropDuplicates
+    reuses its hashpartitioning, so spreading costs no extra exchange.
+    """
+    return (cands.repartition(_par(df), "id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"]))
+
+
 def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -429,12 +445,10 @@ def minhash_lsh_pairs(
 
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
-    cands = (
+    cands = _dedup_pairs(
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        .select("id_a", "id_b"), df)
     # exact Jaccard verified on the hashed shingle arrays: identical to
     # string-shingle Jaccard up to 60-bit hash collisions (~2^-61 per pair)
     # and far cheaper to intersect/carry.
@@ -501,10 +515,10 @@ def minhash_lsh_containment_pairs(
                               bucket_cap_observation)
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("id_b"))
-    cands = (a.join(b, ["band_id", "band_hash"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b")
-             .dropDuplicates(["id_a", "id_b"]))
+    cands = _dedup_pairs(
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b"), df)
     pairs = cands.join(hashed.select(F.col("doc_id").alias("id_a"),
                                      F.col("hm").alias("sh_a")), "id_a") \
                  .join(hashed.select(F.col("doc_id").alias("id_b"),
@@ -566,15 +580,13 @@ def minhash_lsh_pairs_bipartite(
     if max_bucket_size is not None:
         banded_l = _cap_buckets(banded_l, max_bucket_size,
                                 bucket_cap_observation)
-    cands = (
+    cands = _dedup_pairs(
         banded_l.select("band_id", "band_hash",
                         F.col("doc_id").alias("id_a"))
         .join(banded_r.select("band_id", "band_hash",
                               F.col("doc_id").alias("id_b")),
               ["band_id", "band_hash"])
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        .select("id_a", "id_b"), left)
     pairs = cands.join(hashed_l.select(F.col("doc_id").alias("id_a"),
                                        F.col("hm").alias("sh_a")), "id_a") \
                  .join(hashed_r.select(F.col("doc_id").alias("id_b"),
@@ -671,14 +683,12 @@ def near_dup_admission(
     band_key = F.concat_ws(":", F.col("band_id").cast("string"),
                            F.col("band_hash"))
     idx = spark.table(f"{table_prefix}_bands")
-    cands = (
+    cands = _dedup_pairs(
         banded_b.select(band_key.alias("band_key"),
                         F.col("doc_id").alias("id_b"))
         .join(idx.select("band_key", F.col("doc_id").alias("id_a")),
               "band_key")
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        .select("id_a", "id_b"), batch)
     store = spark.table(f"{table_prefix}_shingles")
     pairs = (
         cands.join(store.select(F.col("doc_id").alias("id_a"),
@@ -1070,7 +1080,11 @@ def ngram_jaccard_pairs(
     cands = (a.join(b, band_cols + ["__lb"]).filter(
         (F.col("id_a") < F.col("id_b"))
         & (F.abs(F.col("len_a") - F.col("len_b")) <= length_tolerance)
-    ).select("id_a", "id_b"))
+    ).select("id_a", "id_b")
+     # no dedup needed (each pair meets in exactly one bucket) — the
+     # explicit-count repartition alone spreads the verify stage, which
+     # AQE otherwise coalesces to one task (see _dedup_pairs)
+     .repartition(_par(df), "id_a", "id_b"))
     pairs = (
         cands.join(docs.select(F.col("doc_id").alias("id_a"),
                                F.col("hs").alias("sh_a")), "id_a")
@@ -1788,7 +1802,7 @@ def prefix_filter_pairs(
     # (conservative, same guard direction as the prefix length).
     minoverlap = F.ceil(F.lit(t / (1.0 + t))
                         * (F.col("sz_a") + F.col("sz_b")) - 1e-9)
-    cands = (
+    cands = _dedup_pairs(
         a.join(b, "h")
         .filter((F.col("id_a") < F.col("id_b"))
                 & (F.least("sz_a", "sz_b")
@@ -1796,9 +1810,7 @@ def prefix_filter_pairs(
                 & (1 + F.least(F.col("sz_a") - F.col("pos_a"),
                                F.col("sz_b") - F.col("pos_b"))
                    >= minoverlap))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        .select("id_a", "id_b"), df)
     pairs = (
         cands.join(docs.select(F.col("doc_id").alias("id_a"),
                                F.col("hs").alias("sh_a")), "id_a")
@@ -1858,9 +1870,7 @@ def sorted_neighborhood_pairs(
     # text (measured 200 s on 5k docs), trivial over 64 chars. A sort
     # key derived from a raw-prefix normalization is exactly as valid a
     # neighborhood key as one from the full-text normalization.
-    norm = normalize_text(F.substring(
-        F.col(text_col) if isinstance(text_col, str) else text_col,
-        1, prefix_len * 8))
+    norm = normalize_text(F.substring(F.col("__text"), 1, prefix_len * 8))
     key = F.lit(0).cast("long")
     for i in range(1, prefix_len + 1):
         c = F.ascii(F.substring(norm, i, 1))
@@ -1868,11 +1878,24 @@ def sorted_neighborhood_pairs(
                 .when((c >= 97) & (c <= 122), c - 86)
                 .otherwise(0))
         key = key + code.cast("long") * F.lit(37 ** (prefix_len - i)).cast("long")
-    elems = (tokens(text_col) if shingle_n <= 1
-             else word_ngrams(text_col, shingle_n))
-    docs = df.select(F.col(id_col).alias("doc_id"),
-                     key.alias("__key"),
-                     F.array_sort(F.array_distinct(elems)).alias("toks"))              .repartition(_par(df), "doc_id")
+    elems = (tokens("__text") if shingle_n <= 1
+             else word_ngrams("__text", shingle_n))
+    # r14, the ngram_jaccard_pairs/prefix_filter_pairs convention:
+    # repartition the RAW (id, text) rows BEFORE the key ladder + shingle
+    # projection (select-then-repartition left the whole projection under
+    # the single-file scan on one task AND shipped the arrays through the
+    # exchange); carry shingles as xxhash64 longs (collision-probability-
+    # exact, ~2^-64 per shingle pair); checkpoint ONCE for the three
+    # consumers (the slim rank input — whose global_rank runs two driver
+    # actions of its own — and both verify attach sides).
+    docs = (df.select(F.col(id_col).alias("doc_id"),
+                      (F.col(text_col) if isinstance(text_col, str)
+                       else text_col).alias("__text"))
+            .repartition(_par(df), "doc_id")
+            .select("doc_id", key.alias("__key"),
+                    F.transform(F.array_sort(F.array_distinct(elems)),
+                                lambda s: F.xxhash64(s)).alias("toks"))
+            .localCheckpoint(eager=True))
     slim = docs.select("doc_id", "__key")
     ranked = global_rank(slim, ["__key", "doc_id"], rank_col="__r")
     a = ranked.select(F.col("doc_id").alias("left_id"),
@@ -1880,10 +1903,10 @@ def sorted_neighborhood_pairs(
                                           for d in range(1, window + 1)]))
                       .alias("__r"))
     b = ranked.select(F.col("doc_id").alias("right_id"), "__r")
-    cands = (a.join(b, "__r")
-             .select(F.least("left_id", "right_id").alias("id_a"),
-                     F.greatest("left_id", "right_id").alias("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+    cands = _dedup_pairs(
+        a.join(b, "__r")
+        .select(F.least("left_id", "right_id").alias("id_a"),
+                F.greatest("left_id", "right_id").alias("id_b")), df)
     pairs = (cands
              .join(docs.select(F.col("doc_id").alias("id_a"),
                                F.col("toks").alias("sh_a")), "id_a")
