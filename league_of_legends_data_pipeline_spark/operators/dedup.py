@@ -280,19 +280,29 @@ def minhash_table(
 
 def _minhash_banded(df: DataFrame, id_col: str, text_col: str,
                     shingle_k: int, num_hashes: int, bands: int, rows: int,
-                    seed: int) -> tuple[DataFrame, DataFrame]:
+                    seed: int, materialize: bool = False
+                    ) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash front end: (hashed shingles+sigs, banded signatures).
 
     ``base`` = (doc_id, hm, sig) from the fused Arrow stage, exchanged on
     doc_id ABOVE the stage so every consumer (banding + both verify-side
     joins) reads the one materialized hashing pass (runtime exchange
     reuse); ``banded`` = (doc_id, band_id, band_hash) — ids only.
+
+    ``materialize=True`` eagerly localCheckpoints ``base``: runtime
+    exchange reuse only spans ONE job, so a caller that runs the two
+    outputs through SEPARATE actions (build_near_dup_index's two
+    bucketed table writes) would otherwise re-execute the full signing
+    pass per action. Single-action callers (the pairs operators) keep
+    the default — their one plan already reuses the exchange.
     """
     n = _par(df)
     base = minhash_table(
         df.repartition(n, F.col(id_col)), id_col, text_col,
         shingle_k=shingle_k, num_hashes=num_hashes, seed=seed,
     ).repartition(n, "doc_id")
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     sig = F.col("sig")
     banded = base.select(
         "doc_id",
@@ -636,14 +646,26 @@ def build_near_dup_index(
     # a prior session's warehouse leftovers would fail the saveAsTable
     drop_managed_table(spark, f"{table_prefix}_bands")
     drop_managed_table(spark, f"{table_prefix}_shingles")
+    # materialize=True: the two bucketed writes below are separate
+    # actions, and runtime exchange reuse does not span jobs — without
+    # the checkpoint each write re-ran the full corpus signing pass.
+    # The writes themselves are independent, so overlap them from a
+    # 2-thread driver pool (guide §2.6).
     hashed, banded = _minhash_banded(corpus, id_col, text_col, shingle_k,
-                                     num_hashes, bands, rows, seed)
+                                     num_hashes, bands, rows, seed,
+                                     materialize=True)
     band_key = F.concat_ws(":", F.col("band_id").cast("string"),
                            F.col("band_hash"))
-    write_bucketed(banded.select(band_key.alias("band_key"), "doc_id"),
-                   f"{table_prefix}_bands", ["band_key"], num_buckets)
-    write_bucketed(hashed.select("doc_id", "hm"),
-                   f"{table_prefix}_shingles", ["doc_id"], num_buckets)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fb = pool.submit(
+            write_bucketed,
+            banded.select(band_key.alias("band_key"), "doc_id"),
+            f"{table_prefix}_bands", ["band_key"], num_buckets)
+        fs = pool.submit(
+            write_bucketed, hashed.select("doc_id", "hm"),
+            f"{table_prefix}_shingles", ["doc_id"], num_buckets)
+        fb.result(), fs.result()
 
 
 def near_dup_admission(
