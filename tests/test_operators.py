@@ -83,6 +83,36 @@ def test_exact_dedup_keeps_min_id(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
 
 
+def test_dedup_pairs_spreads_the_verify_stage(spark):
+    """r14: candidate-pair dedup must ride an EXPLICIT-count exchange.
+    dropDuplicates alone plans an AQE-coalescible shuffle, and the
+    few-MB pair key set collapses to ONE post-shuffle partition — which
+    then runs the downstream array-attach joins and Jaccard verify
+    intersections single-threaded (measured 1.5-2.1 s vs 0.37-0.49 s on
+    the q186 chain). Pin: _dedup_pairs' executed plan carries the
+    full-parallelism hashpartitioning on the pair key, and no AQE
+    coalesced read shrinks it back to one partition."""
+    from league_of_legends_data_pipeline_spark.operators.dedup import (
+        _dedup_pairs,
+    )
+
+    n = spark.sparkContext.defaultParallelism
+    cands = spark.range(10_000).select(
+        (F.col("id") % 97).alias("id_a"), (F.col("id") % 89).alias("id_b"))
+    out = _dedup_pairs(cands, cands)
+    out.collect()
+    # final (executed) section only — AQE appends "== Initial Plan =="
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "hashpartitioning(id_a#" in plan and f", {n})" in plan, plan
+    # the dedup aggregate must reuse that exchange (no second shuffle),
+    # and it must be the explicit REPARTITION_BY_NUM form AQE never
+    # coalesces (ENSURE_REQUIREMENTS is the coalescible one)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert out.rdd.getNumPartitions() > 1
+
+
 def test_ngram_jaccard_pairs_oracle(spark):
     out = ngram_jaccard_pairs(_docs(spark), "doc_id", "text",
                               shingle_k=3, threshold=0.5)
